@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet dir written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same parquet tables,
+canonicalizes both (sort columns by name, sort rows by all columns), and
+compares values exactly. Exit 1 on any mismatch.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for stable total order incl. floats/lists/timestamps
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = f"{outdir}/{name}"
+        parts = glob.glob(f"{res_dir}/*.parquet")
+        if not parts:
+            print(f"FAIL {name}: no spark output at {res_dir}")
+            failures += 1
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            failures += 1
+            continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        s, d = canon(spark_df), canon(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            failures += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            failures += 1
+            continue
+        # exact compare on stringified values (what a hash would see)
+        mism = (s.astype(str).values != d.astype(str).values)
+        if mism.any():
+            n = int(mism.any(axis=1).sum())
+            print(f"FAIL {name}: {n}/{len(s)} mismatching rows")
+            idx = mism.any(axis=1).nonzero()[0][:3]
+            for i in idx:
+                print(f"  spark: {s.iloc[i].to_dict()}")
+                print(f"  duck : {d.iloc[i].to_dict()}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(s)} rows, {len(s.columns)} cols")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
