@@ -28,6 +28,46 @@ object SparkEntry {
       EventJoins.joinMergeJson(Tables.events(s, dir), "1 HOUR")),
     "q5_view_outcomes" -> ((s, dir) =>
       EventJoins.viewOutcomes(Tables.events(s, dir), "1 HOUR")),
+    "q6_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "text", "doc_id", Seq("lang", "n_chars"))),
+    "q7_similarity_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10)
+    }),
+    "q8_text_stats" -> ((s, dir) =>
+      TextAnalysis.langStats(Tables.documents(s, dir))),
+    "q9_multimodal_join" -> ((s, dir) =>
+      Multimodal.multimodalJoin(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // --- training-pipeline extensions (SQL-oracled where expressible) ---
+    "q10_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "text", "doc_id",
+        shingleK = 5, numHashes = 64, bands = 16, threshold = 0.7)),
+    "q11_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id", maxDist = 3)),
+    "q12_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id", "lang",
+        n = 3, threshold = 0.5)),
+    "q13_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "text", "doc_id")),
+    "q14_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "text", "doc_id")),
+    "q15_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        TextAnalysis.fingerprint(org.apache.spark.sql.functions.col("text")).as("fp"))),
+    "q16_media_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.withMediaColumn(Tables.documents(s, dir))).toDF()),
+    "q17_similarity_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
+        dim = 64, bits = 4, tables = 16)
+    }),
+    "q18_embedding_neardup" -> ((s, dir) =>
+      // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
+      // 0.35 exercises the verify-filter path with non-trivial output
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", dim = 64,
+        threshold = 0.35, bits = 6)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +108,77 @@ object SparkEntry {
         |           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)
         |       THEN 'joined' ELSE 'missed' END AS status
         |FROM events v WHERE v.event_type = 'view'""".stripMargin,
+    "q6_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "q7_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT probe_id, e.vec_id,
+        |         list_dot_product(p, v) /
+        |         (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))) AS s
+        |  FROM probes, e WHERE e.vec_id != probe_id)
+        |SELECT probe_id, vec_id, round(s, 6) AS sim, rank FROM (
+        |  SELECT probe_id, vec_id, s,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
+        |  FROM cand) WHERE rank <= 10""".stripMargin,
+    "q8_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+        |       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q9_multimodal_join" ->
+      """SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+        |       CAST(e.label AS BIGINT) AS label,
+        |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[]))), 6) AS vec_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+    // q10/q11: LSH hash families are not SQL-expressible → rows-only check;
+    // exactness is covered by DedupSpec against brute-force ground truth.
+    "q12_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |  FROM documents)
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE j >= 0.5""".stripMargin,
+    "q13_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+        |  round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+        |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "q14_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+        |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS h_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\b')) AS h_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pas)\b')) AS h_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|del|que|por|con|para)\b')) AS h_es
+        |  FROM documents)""".stripMargin,
+    "q15_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |                     c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    // q16-q18: stubbed codec / LSH bucketing not SQL-expressible → rows-only;
+    // covered by MultimodalSpec / SimilaritySpec / DedupSpec.
   )
 }

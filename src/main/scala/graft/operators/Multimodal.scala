@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (mandated extension): media payloads are
+  * opaque `binary` columns with typed metadata travelling alongside. The
+  * decode step is STUBBED with a deterministic fake (the real image/audio
+  * codecs are not in this container) — everything around it (schema, batch
+  * shape, partition-parallel execution, metadata extraction) is real Spark.
+  *
+  * Scale notes: decode runs in `mapPartitions` over a `Dataset[MediaRow]`,
+  * i.e. executor-side, batch-at-a-time, no driver collect; upstream column
+  * pruning still applies because the binary column is selected explicitly.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the "multimodal column"
+    * pattern — binary + descriptor struct).
+    */
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Output of the (stubbed) decoder: fixed-shape feature record. */
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      mean_intensity: Double)
+
+  /** Attach a synthetic binary media payload to each document (UTF-8 bytes
+    * of the text — a stand-in for real image bytes; deterministic).
+    */
+  def withMediaColumn(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("image")).otherwise(lit("audio")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder — a real deployment would call an image/audio codec here
+    * (per partition, batched). The fake is deterministic in the payload
+    * bytes so specs and the oracle can verify the plumbing end-to-end:
+    * width/height are parsed from byte lengths, intensity is the mean byte.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        // deterministic fake of a codec's output shape
+        val width = math.max(1, n % 97)
+        val height = math.max(1, n / math.max(1, width))
+        val mean =
+          if (n == 0) 0.0
+          else r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+        MediaFeatures(r.doc_id, r.media_type, n.toLong, width, height,
+          math.rint(mean * 1e6) / 1e6)
+      }
+    }
+  }
+
+  /** Q9: documents ⋈ embeddings on id — the multimodal join: text metadata
+    * plus vector-derived features in one row. Plain equi-join; Catalyst
+    * broadcasts whichever side is small, both sides column-pruned at scan.
+    */
+  def multimodalJoin(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.join(emb, docs("doc_id") === emb("vec_id"), "inner")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        col("label").cast("long").as("label"),
+        round(l2Norm(toDoubleArray(col("embedding"))), 6).as("vec_norm"))
+}

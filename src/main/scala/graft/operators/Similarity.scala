@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), the similarity-search extension mandated alongside the
+  * reference inventory (SURVEY §2.3 Q7).
+  *
+  * Scale design: the probe set is small and broadcast; the corpus is the
+  * 100 TB side and is read exactly once. Top-k is computed with a map-side
+  * partial aggregate (min-heap per probe per partition) so the shuffle
+  * carries only `#probes × k` rows per partition — NOT with a global
+  * `Window.partitionBy(probe)` sort, which would shuffle every scored row.
+  * The window formulation is kept for small inputs / spec cross-checking.
+  */
+object Similarity {
+
+  case class Scored(score: Double, id: Long)
+
+  /** Order: score desc, id asc — a total order, so results are deterministic
+    * under any partitioning / merge order.
+    */
+  private val ord: Ordering[Scored] =
+    Ordering.by((s: Scored) => (-s.score, s.id))
+
+  /** Typed partial top-k aggregate. Buffers stay ≤ k elements, so map-side
+    * combine bounds both memory and shuffle volume.
+    */
+  class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    override def zero: Seq[Scored] = Nil
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+      if (b.lengthCompare(k) >= 0 && ord.gteq(a, b.last)) b
+      else (b :+ a).sorted(ord).take(k)
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Score every (probe, corpus) pair by cosine. `probes` must be small —
+    * it is broadcast, producing a single pass over the corpus with no
+    * shuffle of corpus rows.
+    */
+  private def scored(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val p = broadcast(
+      probes.select(
+        col("vec_id").as("probe_id"),
+        toDoubleArray(col("embedding")).as("p_emb")))
+    corpus
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("c_emb"))
+      .join(p, col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("p_emb"), col("c_emb")))
+  }
+
+  /** Exact top-k via map-side partial aggregation (the scale path). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+    scored(corpus, probes)
+      .select(col("probe_id"), struct(col("sim").as("score"), col("vec_id").as("id")).as("s"))
+      .as("t")
+      .groupBy("probe_id")
+      .agg(topk(col("s.score"), col("s.id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(
+        col("probe_id"),
+        col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Reference formulation via ranking window — shuffles all scored rows;
+    * used for cross-checking the aggregate path in specs.
+    */
+  def windowTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored(corpus, probes)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)), packed into
+    * a long. Hyperplanes are a deterministic pseudo-random function of
+    * (planeIdx, dim) so executors need no shared state or broadcast model.
+    * Built entirely from codegen'd HOFs.
+    */
+  def hyperplaneSignature(emb: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val e = toDoubleArray(emb)
+    // h_{i,j} in [-1, 1) via a splitmix-style integer mix of (seed, i, j)
+    def plane(i: Int): Column =
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(xxhash64(lit(seed), lit(i), j), lit(2000001L)) - 1000000L) / 1000000.0)
+    (0 until bits).map { i =>
+      when(dot(e, plane(i)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** All (table, bucket) cells a vector lands in: `tables` independent
+    * hyperplane signatures of `bits` bits each (OR-amplification — a
+    * candidate pair needs to collide in ANY table, which is what gives
+    * recall; each table's bits give precision).
+    */
+  private def lshCells(emb: Column, dim: Int, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      struct(
+        lit(t).as("tbl"),
+        hyperplaneSignature(emb, dim, bits, seed = 42L + 1000L * t).as("bucket"))
+    }: _*)
+
+  /** ANN top-k: corpus and probes are bucketed by `tables` independent
+    * hyperplane signatures; only same-(table,bucket) pairs are scored, then
+    * deduped and top-k'd. Approximate — recall vs [[bruteForceTopK]] is
+    * measured in specs. Scale path: one explode (×tables) of the corpus and
+    * an equi-join on (table, bucket) — corpus shuffles once by cell, no
+    * all-pairs scoring; candidate dedup happens inside the same top-k
+    * aggregate (max of identical sims) so no extra shuffle.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, tables: Int = 8): DataFrame = {
+    val cells = lshCells(col("embedding"), dim, bits, tables)
+    val c = corpus
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("c_emb"),
+        explode(cells).as("cell"))
+      .select(col("cell.tbl"), col("cell.bucket"), col("vec_id"), col("c_emb"))
+    val p = broadcast(probes
+      .select(col("vec_id").as("probe_id"), toDoubleArray(col("embedding")).as("p_emb"),
+        explode(cells).as("cell"))
+      .select(col("cell.tbl"), col("cell.bucket"), col("probe_id"), col("p_emb")))
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+    c.join(p, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), cosine(col("p_emb"), col("c_emb")).as("sim"))
+      .distinct() // a pair colliding in several tables scores once
+      .groupBy("probe_id")
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(
+        col("probe_id"),
+        col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (mandated extension
+  * alongside SURVEY §2.3 Q8): token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting. Everything is a codegen'd column
+  * expression — per-document work is embarrassingly parallel, and the only
+  * shuffle in any query here is the final small groupBy.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** BPE-ish subword token estimate: count of matches of a GPT-style
+    * pre-tokenizer regex (word pieces, numbers, punctuation runs).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Quality heuristics: length, punctuation ratio, stopword ratio, mean
+    * token length — the standard cheap filters for corpus cleaning.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("double")
+    val toks = tokenCount(text)
+    val punct = size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))).cast("double")
+    val stop = size(regexp_extract_all(lower(text),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0))).cast("double")
+    Seq(
+      "n_chars_measured" -> length(text).cast("long"),
+      "n_tokens" -> toks,
+      "punct_ratio" -> round(punct / greatest(n, lit(1.0)), 6),
+      "stopword_ratio" -> round(stop / greatest(toks.cast("double"), lit(1.0)), 6),
+      "mean_token_len" -> round(n / greatest(toks.cast("double"), lit(1.0)), 6))
+  }
+
+  /** Per-document quality score table. */
+  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol) +: qualityColumns(col(textCol)).map {
+      case (name, c) => c.as(name)
+    }: _*)
+
+  private val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it|was|for)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|des|du|que|pas)\\b",
+    "es" -> "\\b(el|los|las|es|una|del|que|por|con|para)\\b")
+
+  /** Stopword-hit language-ID heuristic: score each candidate language by
+    * stopword matches; pick the first language (in [[langStopwords]] order)
+    * whose score is maximal and positive — a deterministic argmax with a
+    * declared tie-break, trivially mirrored in oracle SQL. No hits → "und".
+    */
+  def langIdColumn(text: Column): Column = {
+    val lowered = lower(text)
+    val hits = langStopwords.map { case (code, pat) =>
+      code -> size(regexp_extract_all(lowered, lit(pat), lit(0))).cast("long")
+    }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldLeft(when(maxHits <= 0, lit("und"))) { case (acc, (code, h)) =>
+      acc.when(h === maxHits, lit(code))
+    }.otherwise(lit("und"))
+  }
+
+  /** Per-document predicted language. */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), langIdColumn(col(textCol)).as("lang_pred"))
+
+  /** Polynomial rolling-hash fingerprint of the normalized text:
+    * fp = fold(chars, 0, (acc, ch) -> (acc * 31 + ascii(ch)) mod 1e9+7).
+    * Order-sensitive (unlike a bag-of-words hash). The modulus keeps
+    * acc*31+ch < 2^63 so engines that trap on int64 overflow (DuckDB)
+    * compute the identical value.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    val chars = split(TextShingles.normalize(text), "")
+    aggregate(chars, lit(0L), (acc, ch) => pmod(acc * 31L + ascii(ch), p))
+  }
+
+  /** Q8: per-language corpus stats (count, avg chars, token sum). */
+  def langStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        sum(tokenCount(col("text"))).as("n_tokens"))
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", 43L),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", 43L), // exact dup of 1
+    (3L, "The quick  brown fox jumps over the lazy dog", "en", 44L), // near-dup (case/ws)
+    (4L, "completely different content about spark engines", "en", 48L),
+    (5L, "the quick brown fox jumps over the lazy cat", "en", 43L), // near-dup of 1
+    (6L, "der schnelle braune fuchs springt", "de", 33L),
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("exact dedup keeps lowest id per text") {
+    val kept = Dedup.exact(docs, "text", "doc_id", Seq("lang", "n_chars"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("minhash LSH finds the near-dup pairs a brute-force jaccard finds") {
+    val lsh = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleK = 5, numHashes = 64, bands = 32, threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth on the same shingle definition
+    val sh = docs.select($"doc_id", TextShingles.charShingles($"text", 5).as("sh"))
+    val a = sh.select($"doc_id".as("doc_a"), $"sh".as("sa"))
+    val b = sh.select($"doc_id".as("doc_b"), $"sh".as("sb"))
+    val truth = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("j", size(array_intersect($"sa", $"sb")).cast("double") /
+        size(array_union($"sa", $"sb")).cast("double"))
+      .filter($"j" >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(lsh) || (truth -- lsh).isEmpty,
+      s"LSH missed pairs: ${truth -- lsh}")
+    assert(lsh.subsetOf(truth), s"LSH emitted sub-threshold pairs: ${lsh -- truth}")
+    assert(truth.contains((1L, 2L)) && truth.contains((1L, 5L)))
+  }
+
+  test("simhash: identical texts have distance 0; near-dups small distance") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 2L)).contains(0L), s"exact dup pair missing/nonzero: $m")
+  }
+
+  test("ngram jaccard pairs stay within blocking groups and match threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", n = 2, threshold = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (x, y) => x == 6L || y == 6L }) // de block alone
+  }
+
+  test("embedding near-dups finds duplicated vectors") {
+    val base = graft.Tables.embeddings(spark, sf).limit(50)
+    val dup = base.filter($"vec_id" === 3).withColumn("vec_id", lit(10003L))
+    val pairs = Dedup.embeddingNearDups(base.unionByName(dup), "vec_id", dim = 64,
+        threshold = 0.999, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 10003L)), s"got $pairs")
+  }
+}
