@@ -63,6 +63,23 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
         dim = 64, bits = 4, tables = 16)
     }),
+    // --- relational coverage (SURVEY §2.2 categories Spark adds) ---
+    "q20_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q21_revenue_by_nation" -> ((s, dir) =>
+      Relational.revenueByNation(Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "q22_supplier_monthly" -> ((s, dir) =>
+      Relational.supplierMonthly(Tables.lineitem(s, dir))),
+    "q23_returns_rollup" -> ((s, dir) =>
+      Relational.returnsRollup(Tables.lineitem(s, dir))),
+    "q24_view_click_sets" -> ((s, dir) =>
+      Relational.viewClickSets(Tables.events(s, dir))),
+    "q25_customers_no_orders" -> ((s, dir) =>
+      Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir),
+        minPrice = 300000.0)),
+    "q26_top_orders" -> ((s, dir) =>
+      Relational.topOrders(Tables.orders(s, dir), 20)),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output
@@ -180,5 +197,57 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // q16-q18: stubbed codec / LSH bucketing not SQL-expressible → rows-only;
     // covered by MultimodalSpec / SimilaritySpec / DedupSpec.
+    "q20_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q22_supplier_monthly" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, month, CAST(revenue AS DOUBLE) AS revenue,
+        |  CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, month) AS BIGINT) AS rank_in_supp,
+        |  CAST(lag(revenue, 1) OVER (PARTITION BY l_suppkey ORDER BY month) AS DOUBLE) AS prev_revenue,
+        |  CAST(sum(revenue) OVER (PARTITION BY l_suppkey ORDER BY month
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        |FROM monthly""".stripMargin,
+    "q23_returns_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q24_view_click_sets" ->
+      """SELECT 'view_only' AS tag, user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        |UNION ALL
+        |SELECT 'both' AS tag, user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')""".stripMargin,
+    "q25_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+    "q26_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
   )
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+
+  test("pricing summary: group counts sum to table size; exact decimal sums") {
+    val ps = Relational.pricingSummary(li).cache()
+    assert(ps.agg(sum($"count_order")).as[Long].head() == li.count())
+    // sum_qty must equal an independent exact integer sum (quantities are integral)
+    val exact = li.agg(sum($"l_quantity".cast("long"))).as[Long].head()
+    val viaDec = ps.agg(sum($"sum_qty")).as[Double].head()
+    assert(viaDec == exact.toDouble)
+    ps.unpersist()
+  }
+
+  test("rollup: grand-total row equals table count; hierarchy consistent") {
+    val r = Relational.returnsRollup(li).cache()
+    val total = r.filter($"l_returnflag".isNull && $"l_linestatus".isNull)
+      .select($"n_rows").as[Long].head()
+    assert(total == li.count())
+    val perFlag = r.filter($"l_returnflag".isNotNull && $"l_linestatus".isNull)
+      .agg(sum($"n_rows")).as[Long].head()
+    assert(perFlag == total)
+    r.unpersist()
+  }
+
+  test("supplier monthly windows: running total ends at supplier total; lag consistent") {
+    val m = Relational.supplierMonthly(li).cache()
+    val last = m.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_suppkey").orderBy($"month".desc)))
+      .filter($"rn" === 1)
+      .select($"l_suppkey", $"running_revenue")
+    val totals = m.groupBy($"l_suppkey")
+      .agg(round(sum($"revenue"), 4).as("t"))
+    val joined = last.join(totals, "l_suppkey")
+      .filter(abs($"running_revenue" - $"t") > 1e-3)
+    assert(joined.count() == 0)
+    m.unpersist()
+  }
+
+  test("set ops: view_only and both partition distinct viewers") {
+    val ev = Tables.events(spark, sf)
+    val sets = Relational.viewClickSets(ev).cache()
+    val viewers = ev.filter($"event_type" === "view").select($"user_id").distinct().count()
+    assert(sets.count() == viewers)
+    assert(sets.select($"user_id").distinct().count() == viewers)
+    sets.unpersist()
+  }
+
+  test("anti-join + top-n: no customer in anti-result has a large order; top-n ordered") {
+    val c = Tables.customer(spark, sf); val o = Tables.orders(spark, sf)
+    val anti = Relational.customersWithoutOrders(c, o, minPrice = 300000.0)
+    val offenders = anti.join(o.filter($"o_totalprice" > 300000.0),
+      anti("c_custkey") === o("o_custkey"), "inner")
+    assert(offenders.count() == 0)
+    val top = Relational.topOrders(o, 20).collect()
+    assert(top.length == 20)
+    val prices = top.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+}
