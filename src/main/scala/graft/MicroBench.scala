@@ -1,0 +1,13 @@
+package graft
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.session("micro", 32)
+    for (q <- args) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[micro] $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -26,21 +26,22 @@ object Dedup {
       .agg(min(struct((idCol +: carry).map(col): _*)).as("keep"))
       .select((s"keep.$idCol" +: carry.map(c => s"keep.$c")).map(col): _*)
 
-  /** MinHash signature of a shingle array: for each of `numHashes` universal
-    * hash functions h_j(x) = (a_j * x + b_j) mod p over the shingle's
-    * base hash, take the min. Returns array<long> of length numHashes.
+  /** MinHash signature from a PRE-HASHED shingle attribute (array<long>,
+    * values < 2^31): for each of `numHashes` universal hash functions
+    * h_j(x) = (a_j * x + b_j) mod p, take the min. Returns array<long>.
     * p = 2^31-1 keeps a*x+b < 2^62, safe under ANSI overflow checking.
+    * The input must be an attribute — HOF lambdas re-evaluate captured
+    * subtrees per element (see TextShingles' performance contract).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int, seed: Long = 7L): Column = {
+  def minhashSignatureOf(hashedAttr: Column, numHashes: Int, seed: Long = 7L): Column = {
     val p = lit(Hashing.P31)
-    val hashed = transform(shingleArr, s => pmod(xxhash64(s), p))
     val params = array((0 until numHashes).map { j =>
       struct(
         lit(Hashing.coef(seed, 2 * j)).as("a"),
         lit(Hashing.coef(seed, 2 * j + 1)).as("b"))
     }: _*)
     transform(params, ab =>
-      array_min(transform(hashed, x =>
+      array_min(transform(hashedAttr, x =>
         pmod(ab.getField("a") * x + ab.getField("b"), p))))
   }
 
@@ -67,17 +68,31 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), TextShingles.charShingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // each select materializes the previous stage's array as an attribute
+    // (interpreted-HOF contract); repartition by id parallelizes the
+    // CPU-bound shingle/signature stages even when the source is one file
+    val base = Hashing.repartitionForCompute(
+        docs.select(col(idCol).as("id"), TextShingles.normalize(col(textCol)).as("norm")), "id")
+      .select(col("id"), TextShingles.charShinglesOf(col("norm"), shingleK).as("sh"))
+    val buckets = base
+      .select(col("id"), col("sh"),
+        transform(col("sh"), s => pmod(xxhash64(s), lit(Hashing.P31))).as("hs"))
+      .select(col("id"), minhashSignatureOf(col("hs"), numHashes).as("sig"))
       .withColumn("bh", explode(bandHashes(col("sig"), bands, rows)))
-      .select(col("bh.band"), col("bh.h"), col("id"), col("sh"))
-    val a = withSig.select(col("band"), col("h"), col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("h"), col("id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "h"))
+      .select(col("bh.band"), col("bh.h"), col("id"))
+    // Candidate pairs shuffle IDs ONLY (a pair colliding in several bands
+    // dedupes here, while rows are 3 longs wide); the shingle arrays are
+    // re-fetched afterwards for exactly one verification per pair — at
+    // scale this is the difference between shuffling gigabytes of arrays
+    // and shuffling the candidate-pair edge list.
+    val pairs = buckets.select(col("band"), col("h"), col("id").as("doc_a"))
+      .join(buckets.select(col("band"), col("h"), col("id").as("doc_b")), Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .distinct() // a pair may collide in several bands; verify once
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -85,18 +100,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens: bit i of the fingerprint is the sign
-    * of the sum over tokens of ±1 depending on bit i of xxhash64(token).
+  private val bitPowers: Array[Long] = Array.tabulate(64)(i => 1L << i)
+
+  /** 64-bit SimHash from a PRE-HASHED token attribute (array<long>): bit i
+    * of the fingerprint is the sign of the sum over tokens of ±1 depending
+    * on bit i of the token hash. Single pass over the tokens (one aggregate
+    * carrying 64 counters), then one pack step — not 64 separate traversals.
     */
-  def simhash(text: Column): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
-    (0 until 64).map { i =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
-      when(bitSum >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simhashOf(hashesAttr: Column): Column = {
+    val powers = typedLit(bitPowers)
+    val counts = aggregate(hashesAttr, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, powers, (c, p) => when(c >= 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
+
+  /** Convenience wrapper (specs only — re-evaluates the token hashing per
+    * element; the data path pre-projects, see [[simhashNearDups]]).
+    */
+  def simhash(text: Column): Column =
+    simhashOf(transform(split(TextShingles.normalize(text), " "), t => xxhash64(t)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
     * banding the 64-bit fingerprint into 4 16-bit chunks (any pair within
@@ -104,25 +129,33 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
     val chunks = 4
-    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val base = Hashing.repartitionForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as("txt")), "id")
+      .select(col("id"), simhash(col("txt")).as("fp"))
+    val chunked = base
       .withColumn("chunk", explode(array((0 until chunks).map { c =>
         struct(lit(c).as("c"), shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
       }: _*)))
       .select(col("chunk.c"), col("chunk.v"), col("id"), col("fp"))
-    val a = withFp.select(col("c"), col("v"), col("id").as("doc_a"), col("fp").as("fp_a"))
-    val b = withFp.select(col("c"), col("v"), col("id").as("doc_b"), col("fp").as("fp_b"))
+    val a = chunked.select(col("c"), col("v"), col("id").as("doc_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("c"), col("v"), col("id").as("doc_b"), col("fp").as("fp_b"))
     a.join(b, Seq("c", "v"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
-      .distinct()
       .withColumn("dist", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("hamming"))
+      .distinct()
   }
 
-  /** Word n-gram Jaccard near-dup pairs — exact, all-pairs *within blocking
-    * groups* (same lang) to bound the quadratic term; for the synthetic
-    * corpus this is the oracle-checkable variant.
+  /** Word n-gram Jaccard near-dup pairs — EXACT (same output as all-pairs
+    * within `blockCol` blocks, which is what the SQL oracle computes), but
+    * planned with prefix filtering (PPJoin-style): two docs with
+    * Jaccard >= t must share at least one gram among each doc's
+    * `|g| - ceil(t*|g|) + 1` globally-rarest grams. Candidates come from an
+    * inverted-index equi-join on those prefix grams only — posting lists of
+    * rare grams are short, so candidate generation is near-linear instead
+    * of quadratic in the block size; each candidate pair is then verified
+    * once against the full gram sets.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -131,12 +164,29 @@ object Dedup {
       blockCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val grams = TextShingles.wordNgrams(col(textCol), n)
-    val d = docs.select(col(blockCol).as("blk"), col(idCol).as("id"), grams.as("g"))
-    val a = d.select(col("blk"), col("id").as("doc_a"), col("g").as("g_a"))
-    val b = d.select(col("blk"), col("id").as("doc_b"), col("g").as("g_b"))
-    a.join(b, Seq("blk"))
+    val d = Hashing.repartitionForCompute(
+        docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+          split(TextShingles.normalize(col(textCol)), " ").as("toks")), "id")
+      .select(col("blk"), col("id"), TextShingles.wordNgramsOf(col("toks"), n).as("g"))
+    val posting = d.select(col("blk"), col("id"), size(col("g")).as("n"),
+      explode(col("g")).as("gram"))
+    val freq = posting.groupBy(col("blk"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    // rank each doc's grams rarest-first; keep the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("id")).orderBy(col("df"), col("gram"))
+    val prefix = posting.join(freq, Seq("blk", "gram"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("blk"), col("gram"), col("id"))
+    val pairs = prefix.select(col("blk"), col("gram"), col("id").as("doc_a"))
+      .join(prefix.select(col("blk"), col("gram"), col("id").as("doc_b")), Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(d.select(col("id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
+      .join(d.select(col("id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))).cast("double"))
@@ -148,8 +198,9 @@ object Dedup {
     * all-pairs): pairs in the same bucket with cosine >= threshold.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, dim: Int, threshold: Double = 0.95, bits: Int = 6): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col("embedding"), dim, bits)
-    val e = emb.select(sig.as("bucket"), col(idCol).as("id"), toDoubleArray(col("embedding")).as("v"))
+    val e = emb.select(col(idCol).as("id"), toDoubleArray(col("embedding")).as("v"))
+      .select(Similarity.hyperplaneSignature(col("v"), dim, bits).as("bucket"),
+        col("id"), col("v"))
     val a = e.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = e.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
@@ -161,8 +212,20 @@ object Dedup {
   }
 }
 
-/** Deterministic hash-coefficient generation shared by MinHash. */
+/** Shared helpers for the dedup family. */
 object Hashing {
+
+  /** Hash-repartition with an EXPLICIT partition count before a CPU-bound
+    * stage. The explicit count matters: AQE coalesces ordinary small-by-bytes
+    * shuffles down to one partition, which serializes interpreted-HOF
+    * compute; a user repartition with a stated count is exempt from
+    * coalescing.
+    */
+  def repartitionForCompute(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      col(key))
+
   /** Mersenne prime 2^31-1: universal-hash modulus small enough that
     * a*x+b stays below 2^62 (ANSI-safe multiplication).
     */

@@ -85,32 +85,37 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)), packed into
-    * a long. Hyperplanes are a deterministic pseudo-random function of
-    * (planeIdx, dim) so executors need no shared state or broadcast model.
-    * Built entirely from codegen'd HOFs.
+  /** Deterministic hyperplane component in [-1, 1) from (seed, plane, dim
+    * index) — splitmix64, computed driver-side so the plane vectors are plan
+    * LITERALS (no per-row hash evaluation, no broadcast model needed).
     */
-  def hyperplaneSignature(emb: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val e = toDoubleArray(emb)
-    // h_{i,j} in [-1, 1) via a splitmix-style integer mix of (seed, i, j)
-    def plane(i: Int): Column =
-      transform(sequence(lit(0), lit(dim - 1)),
-        j => (pmod(xxhash64(lit(seed), lit(i), j), lit(2000001L)) - 1000000L) / 1000000.0)
-    (0 until bits).map { i =>
-      when(dot(e, plane(i)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def planeVal(seed: Long, i: Int, j: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * (i.toLong * 131071L + j + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
+
+  /** Random-hyperplane LSH signature of a PRE-PROJECTED array<double>
+    * attribute: bit i = sign(dot(v, h_i)), packed into a long.
+    */
+  def hyperplaneSignature(embAttr: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    (0 until bits).map { i =>
+      val plane = typedLit(Array.tabulate(dim)(j => planeVal(seed, i, j)))
+      when(dot(embAttr, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** All (table, bucket) cells a vector lands in: `tables` independent
     * hyperplane signatures of `bits` bits each (OR-amplification — a
     * candidate pair needs to collide in ANY table, which is what gives
     * recall; each table's bits give precision).
     */
-  private def lshCells(emb: Column, dim: Int, bits: Int, tables: Int): Column =
+  private def lshCells(embAttr: Column, dim: Int, bits: Int, tables: Int): Column =
     array((0 until tables).map { t =>
       struct(
         lit(t).as("tbl"),
-        hyperplaneSignature(emb, dim, bits, seed = 42L + 1000L * t).as("bucket"))
+        hyperplaneSignature(embAttr, dim, bits, seed = 42L + 1000L * t).as("bucket"))
     }: _*)
 
   /** ANN top-k: corpus and probes are bucketed by `tables` independent
@@ -123,14 +128,15 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
       bits: Int = 8, tables: Int = 8): DataFrame = {
-    val cells = lshCells(col("embedding"), dim, bits, tables)
     val c = corpus
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("c_emb"),
-        explode(cells).as("cell"))
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("c_emb"))
+      .select(col("vec_id"), col("c_emb"),
+        explode(lshCells(col("c_emb"), dim, bits, tables)).as("cell"))
       .select(col("cell.tbl"), col("cell.bucket"), col("vec_id"), col("c_emb"))
     val p = broadcast(probes
-      .select(col("vec_id").as("probe_id"), toDoubleArray(col("embedding")).as("p_emb"),
-        explode(cells).as("cell"))
+      .select(col("vec_id").as("probe_id"), toDoubleArray(col("embedding")).as("p_emb"))
+      .select(col("probe_id"), col("p_emb"),
+        explode(lshCells(col("p_emb"), dim, bits, tables)).as("cell"))
       .select(col("cell.tbl"), col("cell.bucket"), col("probe_id"), col("p_emb")))
     val topk = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
     c.join(p, Seq("tbl", "bucket"))
