@@ -75,9 +75,8 @@ object Dedup {
         docs.select(col(idCol).as("id"), TextShingles.normalize(col(textCol)).as("norm")), "id")
       .select(col("id"), TextShingles.charShinglesOf(col("norm"), shingleK).as("sh"))
     val buckets = base
-      .select(col("id"), col("sh"),
-        transform(col("sh"), s => pmod(xxhash64(s), lit(Hashing.P31))).as("hs"))
-      .select(col("id"), minhashSignatureOf(col("hs"), numHashes).as("sig"))
+      .select(col("id"),
+        graft.functions.MinHashSignatureExpr.minhashSignature(col("sh"), numHashes).as("sig"))
       .withColumn("bh", explode(bandHashes(col("sig"), bands, rows)))
       .select(col("bh.band"), col("bh.h"), col("id"))
     // Candidate pairs shuffle IDs ONLY (a pair colliding in several bands

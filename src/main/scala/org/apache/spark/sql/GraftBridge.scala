@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column <-> Expression conversions that
+  * Spark 4 classic mode keeps internal. Standard extension-library pattern:
+  * the object lives in the `org.apache.spark.sql` package purely to widen
+  * visibility; no Spark internals are modified.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
