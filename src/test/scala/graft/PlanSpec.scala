@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Guards the plan properties the 100 TB design depends on: predicate
+  * pushdown into the parquet scan, column pruning, broadcast of small
+  * dimensions, map-side partial aggregation, and single-shuffle
+  * aggregations. A regression here is a performance bug even if results
+  * stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // finalize adaptive plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def scanMeta(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 interval join: event_type filter pushed to parquet; props column pruned") {
+    val df = EventJoins.clickedDisplays(Tables.events(spark, sf), "1 HOUR")
+    val plan = scanMeta(df)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,click)"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("props"), "props should be pruned from the scan")
+  }
+
+  test("q21 star join: all dimension joins broadcast, no sort-merge join") {
+    val df = Relational.revenueByNation(Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dimension join fell back to sort-merge:\n$plan")
+  }
+
+  test("q6 exact dedup: map-side partial aggregation (no ranking-window sort)") {
+    val df = Dedup.exact(Tables.documents(spark, sf), "text", "doc_id", Seq("lang"))
+    val plan = executedPlan(df)
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"expected partial aggregation before the shuffle:\n$plan")
+    assert(!plan.contains("Window"), "exact dedup must not use a window sort")
+  }
+
+  test("q20 pricing summary: exactly one shuffle (partial+final agg)") {
+    val df = Relational.pricingSummary(Tables.lineitem(spark, sf))
+    val plan = executedPlan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles:\n$plan")
+  }
+
+  test("q7 top-k: probes broadcast; partial top-k aggregate before shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = Similarity.bruteForceTopK(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3), 5)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$plan")
+    assert(plan.contains("partial_topkagg") || plan.toLowerCase.contains("objecthashaggregate"),
+      s"expected partial top-k aggregation:\n$plan")
+  }
+
+  test("native minhash expression participates in codegen (not CodegenFallback)") {
+    import graft.functions.MinHashSignatureExpr
+    val df = Tables.documents(spark, sf)
+      .select(operators.TextShingles.normalize(org.apache.spark.sql.functions.col("text")).as("n"))
+      .select(operators.TextShingles.charShinglesOf(org.apache.spark.sql.functions.col("n"), 5).as("sh"))
+      .select(MinHashSignatureExpr.minhashSignature(org.apache.spark.sql.functions.col("sh"), 16))
+    assert(df.collect().length > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_signature"), s"expression missing from plan:\n$plan")
+  }
+}

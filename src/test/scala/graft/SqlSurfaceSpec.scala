@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The engine's `spark.sql` entry point: temp-view catalog + registered
+  * native functions; SQL formulations must agree with the DataFrame
+  * operators.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interval join via spark.sql equals the DataFrame operator") {
+    Catalog.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts""".stripMargin)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val viaDf = operators.EventJoins.clickedDisplays(Tables.events(spark, sf), "1 HOUR")
+      .select($"user_id", $"view_id", $"click_id")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
+
+  test("native minhash_signature callable from SQL") {
+    Catalog.registerTables(spark, sf)
+    Catalog.registerFunctions(spark)
+    val sigs = spark.sql(
+      """SELECT doc_id, minhash_signature(array(text), 8) AS sig
+        |FROM documents LIMIT 5""".stripMargin).collect()
+    assert(sigs.length == 5)
+    assert(sigs.head.getSeq[Long](1).length == 8)
+  }
+
+  test("aggregation via SQL equals DataFrame operator") {
+    Catalog.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    val viaDf = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(viaSql == viaDf)
+  }
+}
