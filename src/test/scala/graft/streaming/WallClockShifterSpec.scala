@@ -1,0 +1,48 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Mirrors TopicShifterTest (`/root/reference/.../TopicShifterTest.scala:
+  * 24-44`): nothing is emitted before the delay; after the delay the
+  * identical record (key, value, and original event timestamp) appears.
+  */
+class WallClockShifterSpec extends SparkSpec {
+  import spark.implicits._
+  import WallClockShifter.Rec
+
+  test("holds records for the delay, then emits them unchanged") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Rec]
+    val delayMs = 2000L
+    val out = WallClockShifter.shift(spark, in.toDS(), delayMs)
+    val q = out.writeStream.format("memory").queryName("shifted")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val evTs = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t0 = System.currentTimeMillis()
+      in.addData(Rec("k1", """{"type":"display"}""", evTs))
+      // NOTE: no processAllAvailable() — with a processing-time timer armed
+      // the stream keeps scheduling batches, so that call never returns.
+      // Poll the sink instead; the ProcessingTime trigger drives batches.
+      Thread.sleep(800) // well inside the delay
+      assert(spark.table("shifted").count() == 0,
+        "record emitted before the wall-clock delay")
+      // poll until emitted (timers fire on subsequent micro-batches)
+      var rows = Array.empty[Rec]
+      while (rows.isEmpty && System.currentTimeMillis() - t0 < 15000) {
+        Thread.sleep(250)
+        rows = spark.table("shifted").as[Rec].collect()
+      }
+      val elapsed = System.currentTimeMillis() - t0
+      assert(rows.length == 1, s"expected 1 emission, got ${rows.length}")
+      assert(rows.head == Rec("k1", """{"type":"display"}""", evTs),
+        "record must be identical (key, value, event ts)")
+      assert(elapsed >= delayMs, s"emitted after ${elapsed}ms < ${delayMs}ms delay")
+    } finally q.stop()
+  }
+}
