@@ -80,6 +80,10 @@ object SparkEntry {
         minPrice = 300000.0)),
     "q26_top_orders" -> ((s, dir) =>
       Relational.topOrders(Tables.orders(s, dir), 20)),
+    "q27_distinct_users" -> ((s, dir) =>
+      Relational.distinctUsers(Tables.events(s, dir))),
+    "q28_daily_windows" -> ((s, dir) =>
+      Relational.dailyEventCounts(Tables.events(s, dir))),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output
@@ -249,5 +253,11 @@ object SparkEntry {
     "q26_top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q27_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q28_daily_windows" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -103,6 +103,22 @@ object Relational {
         customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
+  /** Distinct aggregation: exact distinct users + event count per type. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Tumbling event-time windows (the `window()` operator): daily event
+    * counts — the same expression works on a streaming DataFrame with a
+    * watermark.
+    */
+  def dailyEventCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"))
+
   /** Sort + limit top-n with a total tiebreak order (deterministic). */
   def topOrders(orders: DataFrame, n: Int): DataFrame =
     orders

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch parity on REAL testdata: the same interval-join
+  * semantics computed (a) by the batch operator over `events` parquet and
+  * (b) by the streaming operator over the identical rows delivered as a
+  * bounded file stream. The unified API means the join expression is
+  * literally shared; this spec proves the lift preserves results.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming clicked-displays over file stream equals batch results") {
+    val stream = Tables.eventsStream(spark, sf)
+    def shape(df: org.apache.spark.sql.DataFrame, et: String) =
+      df.filter($"event_type" === et).select(
+        $"user_id".cast("string").as("key"),
+        $"event_id".cast("string").as("value"),
+        $"ts")
+    val joined = StreamingEventJoins.clickedDisplays(
+      shape(stream, "view"), shape(stream, "click"), "1 HOUR", "1 second")
+    val q = joined.writeStream.format("memory").queryName("parity_joined")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("parity_joined")
+      .select("key", "value").as[(String, String)].collect().toSet
+
+    val batch = graft.operators.EventJoins
+      .clickedDisplays(Tables.events(spark, sf), "1 HOUR")
+      .select($"user_id".cast("string").as("key"),
+        concat(lit("""{"display":"""), $"view_id",
+          lit(""","click":"""), $"click_id", lit("}")).as("value"))
+      .as[(String, String)].collect().toSet
+
+    assert(streamed == batch, s"streaming=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("error channel captures a failing streaming query (O14)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ch = ErrorChannel.attach(spark)((_, _) => ())
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val failing = in.toDS().map(i => 1 / (i - 1)) // throws on i == 1
+    val q = failing.writeStream.format("memory").queryName("err_out")
+      .outputMode("append").start()
+    in.addData(1)
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    // listener events are async; poll briefly
+    val t0 = System.currentTimeMillis()
+    while (ch.captured.isEmpty && System.currentTimeMillis() - t0 < 10000) Thread.sleep(100)
+    assert(!ch.captured.isEmpty, "error channel saw no failure")
+    spark.streams.removeListener(ch)
+  }
+}
