@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for equi-joins with hot keys. Spark already covers the
+  * common cases — map-side partial aggregation absorbs group-by skew, and
+  * AQE's skew-join rule splits oversized sort-merge partitions at runtime —
+  * but a broadcast-ineligible join against a *hot-keyed* build side still
+  * piles every probe row of one key onto one task. Salting fixes that
+  * statically: scatter the probe side over `salt` sub-keys and replicate the
+  * build side once per sub-key, trading `salt`× duplication of the build
+  * side for `salt`-way parallelism on the hot keys.
+  */
+object Skew {
+
+  /** Salted inner equi-join on `key`: `left` is the large/skewed probe side
+    * (scattered), `right` the smaller build side (replicated `salt`×).
+    * Result equals `left.join(right, key)` exactly; only the physical
+    * distribution changes.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0)
+    val l = left.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val r = right.withColumn("__salt", explode(typedLit((0 until salt).toArray)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

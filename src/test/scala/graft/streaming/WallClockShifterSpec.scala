@@ -30,8 +30,12 @@ class WallClockShifterSpec extends SparkSpec {
       // the stream keeps scheduling batches, so that call never returns.
       // Poll the sink instead; the ProcessingTime trigger drives batches.
       Thread.sleep(800) // well inside the delay
-      assert(spark.table("shifted").count() == 0,
-        "record emitted before the wall-clock delay")
+      val earlyCount = spark.table("shifted").count()
+      val earlyElapsed = System.currentTimeMillis() - t0
+      // only meaningful if the check itself ran inside the delay window
+      if (earlyElapsed < delayMs) {
+        assert(earlyCount == 0, s"record emitted at ${earlyElapsed}ms, before the ${delayMs}ms delay")
+      }
       // poll until emitted (timers fire on subsequent micro-batches)
       var rows = Array.empty[Rec]
       while (rows.isEmpty && System.currentTimeMillis() - t0 < 15000) {
