@@ -84,6 +84,9 @@ object SparkEntry {
       Relational.distinctUsers(Tables.events(s, dir))),
     "q28_daily_windows" -> ((s, dir) =>
       Relational.dailyEventCounts(Tables.events(s, dir))),
+    // q29: HLL sketch is engine-specific -> rows-only; error bound in spec
+    "q29_approx_distinct" -> ((s, dir) =>
+      Relational.approxDistinctUsers(Tables.events(s, dir))),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output

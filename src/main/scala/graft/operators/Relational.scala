@@ -110,6 +110,19 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** Sketch aggregation: HyperLogLog++ approximate distinct users per
+    * event type — at 100 TB the sketch is the right default (constant
+    * memory, one pass, mergeable partials); the exact variant
+    * ([[distinctUsers]]) needs a distinct shuffle. Accuracy bound is
+    * asserted in RelationalSpec (rows-only query: the sketch is
+    * engine-specific, so no cross-engine oracle).
+    */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   /** Tumbling event-time windows (the `window()` operator): daily event
     * counts — the same expression works on a streaming DataFrame with a
     * watermark.

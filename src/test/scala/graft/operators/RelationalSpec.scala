@@ -53,6 +53,19 @@ class RelationalSpec extends SparkSpec {
     sets.unpersist()
   }
 
+  test("approx distinct users within 5% of exact per event type") {
+    val ev = Tables.events(spark, sf)
+    val approx = Relational.approxDistinctUsers(ev)
+      .select($"event_type", $"approx_users").as[(String, Long)].collect().toMap
+    val exact = Relational.distinctUsers(ev)
+      .select($"event_type", $"n_users").as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, e) =>
+      val a = approx(t)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$t: approx=$a exact=$e")
+    }
+  }
+
   test("anti-join + top-n: no customer in anti-result has a large order; top-n ordered") {
     val c = Tables.customer(spark, sf); val o = Tables.orders(spark, sf)
     val anti = Relational.customersWithoutOrders(c, o, minPrice = 300000.0)
