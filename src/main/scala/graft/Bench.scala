@@ -18,6 +18,11 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // testdata tables are single ~1-30MB files; the 128MB default would
+      // scan each on ONE task. 4MB splits parallelize the scan stage while
+      // staying far above per-task overhead. At real scale (many files /
+      // row groups) this conf is harmless.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,25 +26,6 @@ object Dedup {
       .agg(min(struct((idCol +: carry).map(col): _*)).as("keep"))
       .select((s"keep.$idCol" +: carry.map(c => s"keep.$c")).map(col): _*)
 
-  /** MinHash signature from a PRE-HASHED shingle attribute (array<long>,
-    * values < 2^31): for each of `numHashes` universal hash functions
-    * h_j(x) = (a_j * x + b_j) mod p, take the min. Returns array<long>.
-    * p = 2^31-1 keeps a*x+b < 2^62, safe under ANSI overflow checking.
-    * The input must be an attribute — HOF lambdas re-evaluate captured
-    * subtrees per element (see TextShingles' performance contract).
-    */
-  def minhashSignatureOf(hashedAttr: Column, numHashes: Int, seed: Long = 7L): Column = {
-    val p = lit(Hashing.P31)
-    val params = array((0 until numHashes).map { j =>
-      struct(
-        lit(Hashing.coef(seed, 2 * j)).as("a"),
-        lit(Hashing.coef(seed, 2 * j + 1)).as("b"))
-    }: _*)
-    transform(params, ab =>
-      array_min(transform(hashedAttr, x =>
-        pmod(ab.getField("a") * x + ab.getField("b"), p))))
-  }
-
   /** band hashes: split signature into `bands` bands of `rows` values; hash
     * each band. Returns array<struct<band:int, h:long>> for explode+groupBy.
     */
@@ -71,9 +52,14 @@ object Dedup {
     // each select materializes the previous stage's array as an attribute
     // (interpreted-HOF contract); repartition by id parallelizes the
     // CPU-bound shingle/signature stages even when the source is one file
+    // second repartition AFTER the shingle computation: the exchange
+    // materializes the arrays once and all three consumers (bucketing +
+    // both verification branches) reuse it instead of re-deriving shingles
     val base = Hashing.repartitionForCompute(
-        docs.select(col(idCol).as("id"), TextShingles.normalize(col(textCol)).as("norm")), "id")
-      .select(col("id"), TextShingles.charShinglesOf(col("norm"), shingleK).as("sh"))
+      Hashing.repartitionForCompute(
+          docs.select(col(idCol).as("id"), TextShingles.normalize(col(textCol)).as("norm")), "id")
+        .select(col("id"), TextShingles.charShinglesOf(col("norm"), shingleK).as("sh")),
+      "id")
     val buckets = base
       .select(col("id"),
         graft.functions.MinHashSignatureExpr.minhashSignature(col("sh"), numHashes).as("sig"))
@@ -163,10 +149,14 @@ object Dedup {
       blockCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // trailing repartition = reused exchange: grams computed once for the
+    // posting list and both verification branches
     val d = Hashing.repartitionForCompute(
-        docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-          split(TextShingles.normalize(col(textCol)), " ").as("toks")), "id")
-      .select(col("blk"), col("id"), TextShingles.wordNgramsOf(col("toks"), n).as("g"))
+      Hashing.repartitionForCompute(
+          docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+            split(TextShingles.normalize(col(textCol)), " ").as("toks")), "id")
+        .select(col("blk"), col("id"), TextShingles.wordNgramsOf(col("toks"), n).as("g")),
+      "id")
     val posting = d.select(col("blk"), col("id"), size(col("g")).as("n"),
       explode(col("g")).as("gram"))
     val freq = posting.groupBy(col("blk"), col("gram"))
