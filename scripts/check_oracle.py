@@ -61,6 +61,11 @@ def main():
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
             failures += 1
             continue
+        # dtype drift is a schema-check risk driver-side; warn loudly
+        for c in s.columns:
+            ks, kd = s[c].dtype.kind, d[c].dtype.kind
+            if ks != kd and len(s):
+                print(f"WARN {name}.{c}: dtype spark={s[c].dtype} duck={d[c].dtype}")
         # exact compare on stringified values (what a hash would see)
         mism = (s.astype(str).values != d.astype(str).values)
         if mism.any():

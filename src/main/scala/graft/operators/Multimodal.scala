@@ -61,6 +61,52 @@ object Multimodal {
     }
   }
 
+  /** A decoded-and-resized media record: payload replaced by the (stubbed)
+    * resized pixel buffer, dimensions updated.
+    */
+  case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, pixels: Array[Byte])
+
+  /** STUB resize: a real deployment calls the codec's scaler per partition;
+    * the fake downsamples the payload bytes by striding so output size
+    * tracks the target dims deterministically. The Spark-side shape —
+    * typed Dataset in, typed Dataset out, executor-side batches — is real.
+    */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val target = math.max(1, w * h)
+        val stride = math.max(1, r.payload.length / target)
+        val px = r.payload.indices.by(stride).take(target)
+          .map(r.payload).toArray
+        ResizedMedia(r.doc_id, r.media_type, w, h, px)
+      }
+    }
+  }
+
+  /** A sampled frame from a (stubbed) video payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, data: Array[Byte])
+
+  /** STUB frame-sampling: emits every `every`-th fixed-size slice of the
+    * payload as a "frame" (a real implementation seeks keyframes). One
+    * input row explodes to many frame rows — the flatMap shape matches how
+    * a real sampler fans out, and downstream operators (dedup, embedding)
+    * consume frames as ordinary rows.
+    */
+  def frameSample(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, every: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val nFrames = math.max(1, r.payload.length / frameBytes)
+      (0 until nFrames by every).map { i =>
+        val off = i * frameBytes
+        Frame(r.doc_id, i, off.toLong,
+          r.payload.slice(off, math.min(off + frameBytes, r.payload.length)))
+      }
+    }
+  }
+
   /** Q9: documents ⋈ embeddings on id — the multimodal join: text metadata
     * plus vector-derived features in one row. Plain equi-join; Catalyst
     * broadcasts whichever side is small, both sides column-pruned at scan.

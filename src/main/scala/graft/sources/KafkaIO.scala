@@ -9,9 +9,15 @@ import org.apache.spark.sql.Row
 /** Kafka + file stream I/O shell (SURVEY O1-O4): the engine's sources and
   * sinks as thin declarative wrappers. The Kafka paths mirror the
   * reference's topic source/sink (`TimeoutJoinTest.scala:59-63,79,92`) with
-  * string serdes upgraded to explicit casts; no broker exists in this
-  * container, so these are exercised only through plan construction —
-  * the streaming specs drive the same operators through MemoryStream.
+  * string serdes upgraded to explicit casts.
+  *
+  * DEPLOYMENT NOTE: the Kafka wrappers require the
+  * `spark-sql-kafka-0-10` connector on the classpath; this build
+  * environment ships neither the connector jar nor a broker (zero egress),
+  * so the Kafka paths are declared-but-unexercised here. Everything
+  * downstream of the source is source-agnostic: the streaming specs drive
+  * the identical operators through MemoryStream and bounded file streams
+  * ([[graft.Tables.eventsStream]]), which share the (key, value, ts) shape.
   */
 object KafkaIO {
 

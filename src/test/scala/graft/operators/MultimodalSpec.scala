@@ -25,6 +25,30 @@ class MultimodalSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("resize: deterministic pixel buffer sized to target dims") {
+    val media = Multimodal.withMediaColumn(Tables.documents(spark, sf).limit(20))
+    val resized = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(resized.length == 20)
+    resized.foreach { r =>
+      assert(r.width == 8 && r.height == 8)
+      assert(r.pixels.nonEmpty && r.pixels.length <= 64)
+    }
+    val again = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(resized.map(_.pixels.toSeq).toSet == again.map(_.pixels.toSeq).toSet)
+  }
+
+  test("frame sampling fans one payload out to ordered frame rows") {
+    val media = Multimodal.withMediaColumn(Tables.documents(spark, sf).limit(5))
+    val frames = Multimodal.frameSample(spark, media, frameBytes = 32, every = 2)
+      .collect().groupBy(_.doc_id)
+    assert(frames.size == 5)
+    frames.values.foreach { fs =>
+      val idxs = fs.map(_.frame_idx).sorted.toSeq
+      assert(idxs == idxs.distinct && idxs.forall(_ % 2 == 0))
+      fs.foreach(f => assert(f.data.length <= 32 && f.offset == f.frame_idx * 32L))
+    }
+  }
+
   test("multimodal join projects text metadata + vector norm") {
     val out = Multimodal.multimodalJoin(
       Tables.documents(spark, sf), Tables.embeddings(spark, sf))
