@@ -56,6 +56,11 @@ object StreamingEventJoins {
     * the unmatched (null-padded) display is emitted when the watermark
     * passes `display.ts + W`, with the ORIGINAL payload unchanged
     * (`TimeoutJoinTest.scala:89-91` mapValues back to the display value).
+    *
+    * Left-outer + isNull is not just reference-faithful: Spark (through
+    * 4.1) rejects stream-stream LeftAnti with a streaming right side, so
+    * this composition IS the streaming anti-join. (Batch uses the native
+    * left_anti — `EventJoins.missedDisplays`.)
     */
   def missedDisplays(displays: DataFrame, clicks: DataFrame,
       window: String = "1 SECOND", watermarkDelay: String = "5 seconds"): DataFrame = {
