@@ -161,9 +161,13 @@ object Dedup {
       explode(col("g")).as("gram"))
     val freq = posting.groupBy(col("blk"), col("gram"))
       .agg(count(lit(1)).as("df"))
-    // rank each doc's grams rarest-first; keep the prefix
+    // rank each doc's grams rarest-first; keep the prefix. The window
+    // partitions by id ALONE (id is unique per doc, so blk is constant
+    // within a partition): the posting data is already distributed by id
+    // from repartitionForCompute, and Catalyst can reuse that exchange —
+    // partitioning by (blk, id) would force a second shuffle for nothing.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("blk"), col("id")).orderBy(col("df"), col("gram"))
+      .partitionBy(col("id")).orderBy(col("df"), col("gram"))
     val prefix = posting.join(freq, Seq("blk", "gram"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
