@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermarked tumbling-window aggregation in append mode: windows emit
+  * exactly once, after the watermark closes them — the same `window()`
+  * expression as the batch q28.
+  */
+class StreamingWindowAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("tumbling 1-minute counts emit once per closed window") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute").as("w"), $"key")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"key", $"n")
+    val q = agg.writeStream.format("memory").queryName("winagg_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Evt("a", "x", ts(0, 5)), Evt("a", "x", ts(0, 20)), Evt("b", "x", ts(0, 40)))
+      q.processAllAvailable()
+      // window [10:00, 10:01) still open — nothing emitted yet
+      assert(spark.table("winagg_out").count() == 0)
+      // advance watermark past the window end + delay
+      in.addData(Evt("hb", "x", ts(2, 0)))
+      q.processAllAvailable()
+      in.addData(Evt("hb", "x", ts(3, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("winagg_out")
+        .select($"start", $"key", $"n").as[(Timestamp, String, Long)]
+        .collect().filter(_._2 != "hb").toSet
+      assert(rows == Set(
+        (ts(0, 0), "a", 2L),
+        (ts(0, 0), "b", 1L)))
+    } finally q.stop()
+  }
+}
