@@ -21,10 +21,19 @@ object Catalog {
   /** Register graft-native functions in the session's function registry. */
   def registerFunctions(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "minhash_signature", exprs =>
+      spark, "minhash_signature", { exprs =>
+        def lit(i: Int, what: String): Long = {
+          val e = exprs(i)
+          require(e.foldable,
+            s"minhash_signature: $what (argument ${i + 1}) must be a literal")
+          e.eval().asInstanceOf[Number].longValue()
+        }
+        require(exprs.size >= 2 && exprs.size <= 3,
+          s"minhash_signature(shingles, numHashes[, seed]) takes 2-3 arguments, got ${exprs.size}")
         graft.functions.MinHashSignatureExpr(
           exprs.head,
-          numHashes = exprs(1).eval().asInstanceOf[Number].intValue(),
-          seed = if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].longValue() else 7L))
+          numHashes = lit(1, "numHashes").toInt,
+          seed = if (exprs.size > 2) lit(2, "seed") else 7L)
+      })
   }
 }

@@ -48,6 +48,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): zero-width bands hash " +
+        "empty slices identically for every doc, degenerating to an all-pairs join")
     val rows = numHashes / bands
     // each select materializes the previous stage's array as an attribute
     // (interpreted-HOF contract); repartition by id parallelizes the
@@ -102,8 +105,11 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Convenience wrapper (specs only — re-evaluates the token hashing per
-    * element; the data path pre-projects, see [[simhashNearDups]]).
+  /** Wrapper building the token-hash array inline. Safe on the data path:
+    * the hashes subtree is referenced exactly once (by the single aggregate
+    * in [[simhashOf]]), so it evaluates once per row — the per-element
+    * re-evaluation hazard only applies to subtrees captured inside HOF
+    * lambdas.
     */
   def simhash(text: Column): Column =
     simhashOf(transform(split(TextShingles.normalize(text), " "), t => xxhash64(t)))
@@ -114,6 +120,9 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
     val chunks = 4
+    require(maxDist >= 0 && maxDist < chunks,
+      s"maxDist ($maxDist) must be < $chunks: the pigeonhole guarantee (a pair " +
+        "within Hamming distance d shares at least one of d+1 chunks) breaks otherwise")
     val base = Hashing.repartitionForCompute(
         docs.select(col(idCol).as("id"), col(textCol).as("txt")), "id")
       .select(col("id"), simhash(col("txt")).as("fp"))
@@ -200,8 +209,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .filter(col("sim") >= threshold)
+      // no distinct: each vector lands in exactly one bucket (single
+      // signature), so the equi-join emits every pair at most once
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-      .distinct()
   }
 }
 

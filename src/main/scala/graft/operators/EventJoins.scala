@@ -36,76 +36,74 @@ object EventJoins {
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
-      key: String,
+      leftKey: String,
+      rightKey: String,
       leftTs: String,
       rightTs: String,
       lower: Column,
       upper: Column,
       joinType: String = "inner"): DataFrame = {
-    val cond = left(key) === right(key) &&
-      right(rightTs) >= left(leftTs) + lower &&
-      right(rightTs) <= left(leftTs) + upper
+    val cond = col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) + lower &&
+      col(rightTs) <= col(leftTs) + upper
     left.join(right, cond, joinType)
   }
 
   private def interval(w: String): Column = expr(s"INTERVAL $w")
+  private val zero: Column = expr("INTERVAL 0 SECOND")
+
+  /** Views projection (`c_`-free names match the oracle outputs). */
+  private def viewEvents(events: DataFrame) =
+    events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"))
+
+  /** Clicks projection, renamed so self-join attributes stay unambiguous. */
+  private def clickEvents(events: DataFrame) =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("c_event_id"),
+        col("ts").as("click_ts"))
+
+  /** The shared after-window join: clicks with same user in
+    * `[view.ts, view.ts + W]`, inclusive both ends (KS `JoinWindows.after`,
+    * `TimeoutJoinTest.scala:85`) — Q2/Q5 vary only the join type.
+    */
+  private def afterWindowJoin(events: DataFrame, window: String, joinType: String): DataFrame =
+    intervalJoin(viewEvents(events), clickEvents(events),
+      "user_id", "c_user_id", "ts", "click_ts",
+      lower = zero, upper = interval(window), joinType = joinType)
 
   /** Q1: clicks inner-interval-joined to preceding views (same user, view in
-    * `[click.ts - W, click.ts]`). Output one row per matched (view, click)
-    * pair.
+    * `[click.ts - W, click.ts]` — KS `JoinWindows.before`,
+    * `TimeoutJoinTest.scala:78`). One row per matched (view, click) pair.
     */
-  def clickedDisplays(events: DataFrame, window: String = "1 HOUR"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
-    clicks.join(
-        views,
-        clicks("user_id") === views("v_user_id") &&
-          views("view_ts") >= clicks("click_ts") - interval(window) &&
-          views("view_ts") <= clicks("click_ts"),
-        "inner")
-      .select(col("user_id"), col("view_id"), col("click_id"), col("view_ts"), col("click_ts"))
-  }
+  def clickedDisplays(events: DataFrame, window: String = "1 HOUR"): DataFrame =
+    intervalJoin(
+      clickEvents(events),
+      viewEvents(events).select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("ts").as("view_ts")),
+      "c_user_id", "v_user_id", "click_ts", "view_ts",
+      lower = -interval(window), upper = zero)
+      .select(col("c_user_id").as("user_id"), col("view_id"),
+        col("c_event_id").as("click_id"), col("view_ts"), col("click_ts"))
 
   /** Q2: views with no click by the same user in `[view.ts, view.ts + W]` —
     * the reference's "emit an event when no-join occurred" (`README.md:19`),
     * expressed directly as a left-anti interval join (SURVEY O8+O9 ≡ anti).
     */
-  def missedDisplays(events: DataFrame, window: String = "1 HOUR"): DataFrame = {
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
-    views.join(
-        clicks,
-        views("user_id") === clicks("c_user_id") &&
-          clicks("click_ts") >= views("ts") &&
-          clicks("click_ts") <= views("ts") + interval(window),
-        "left_anti")
-  }
+  def missedDisplays(events: DataFrame, window: String = "1 HOUR"): DataFrame =
+    afterWindowJoin(events, window, "left_anti")
 
   /** Q2 alternative formulation mirroring the reference's own topology
     * (left-outer join + right-is-null filter + projection,
     * `TimeoutJoinTest.scala:82-92`) — semantically identical to
-    * [[missedDisplays]]; kept for the streaming lift where left-outer +
-    * isNull matches the reference's output shape.
+    * [[missedDisplays]]; kept because the STREAMING lift must use this
+    * shape (stream-stream LeftAnti is unsupported through Spark 4.1).
     */
-  def missedDisplaysOuter(events: DataFrame, window: String = "1 HOUR"): DataFrame = {
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
-    views.join(
-        clicks,
-        views("user_id") === clicks("c_user_id") &&
-          clicks("click_ts") >= views("ts") &&
-          clicks("click_ts") <= views("ts") + interval(window),
-        "left_outer")
+  def missedDisplaysOuter(events: DataFrame, window: String = "1 HOUR"): DataFrame =
+    afterWindowJoin(events, window, "left_outer")
       .filter(col("c_user_id").isNull)
       .select(col("user_id"), col("event_id"), col("ts"))
-      .distinct() // a view may out-join to nothing more than once only via nulls; distinct is a no-op here but documents set semantics
-  }
+      .distinct() // a view out-joins at most once; documents set semantics
 
   /** Q3: event-time shift — identity on every column except `ts' = ts + W`,
     * with the derived-stream name `<name>.<W>` carried as a column (the
@@ -135,19 +133,10 @@ object EventJoins {
     * neither join nor suppress the timeout (`TimeoutJoinTest.scala:146-164`).
     */
   def viewOutcomes(events: DataFrame, window: String = "1 HOUR"): DataFrame = {
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
-    views.join(
-        clicks,
-        views("user_id") === clicks("c_user_id") &&
-          clicks("click_ts") >= views("ts") &&
-          clicks("click_ts") <= views("ts") + interval(window),
-        "left_semi")
+    afterWindowJoin(events, window, "left_semi")
       .select(col("event_id"))
       .withColumn("status", lit("joined"))
-      .join(views, Seq("event_id"), "right_outer")
+      .join(viewEvents(events), Seq("event_id"), "right_outer")
       .select(
         col("event_id"), col("user_id"), col("ts"),
         coalesce(col("status"), lit("missed")).as("status"))

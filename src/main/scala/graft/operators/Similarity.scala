@@ -123,8 +123,10 @@ object Similarity {
     * deduped and top-k'd. Approximate — recall vs [[bruteForceTopK]] is
     * measured in specs. Scale path: one explode (×tables) of the corpus and
     * an equi-join on (table, bucket) — corpus shuffles once by cell, no
-    * all-pairs scoring; candidate dedup happens inside the same top-k
-    * aggregate (max of identical sims) so no extra shuffle.
+    * all-pairs scoring. The `.distinct()` on scored candidates is REQUIRED:
+    * a pair colliding in m tables would otherwise occupy up to m heap slots
+    * (TopKAgg does not dedup mid-buffer), evicting real neighbors. It costs
+    * one shuffle of the candidate rows, bounded by corpus×tables.
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
       bits: Int = 8, tables: Int = 8): DataFrame = {

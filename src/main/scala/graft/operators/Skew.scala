@@ -18,10 +18,19 @@ object Skew {
     * (scattered), `right` the smaller build side (replicated `salt`×).
     * Result equals `left.join(right, key)` exactly; only the physical
     * distribution changes.
+    *
+    * The salt is a DETERMINISTIC function of the probe row's content —
+    * never `monotonically_increasing_id()`/`rand()`, whose values change
+    * across task retries: a nondeterministic shuffle key re-routes
+    * recomputed rows to different reducers than the lost attempt's
+    * fetched output, silently dropping/duplicating rows. Identical
+    * duplicate rows share a salt (slightly less spread), which is the
+    * safe trade.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0)
-    val l = left.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val r = right.withColumn("__salt", explode(typedLit((0 until salt).toArray)))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
