@@ -61,7 +61,8 @@ object Dedup {
     val base = Hashing.repartitionForCompute(
       Hashing.repartitionForCompute(
           docs.select(col(idCol).as("id"), TextShingles.normalize(col(textCol)).as("norm")), "id")
-        .select(col("id"), TextShingles.charShinglesOf(col("norm"), shingleK).as("sh")),
+        .select(col("id"),
+          graft.functions.CharShinglesExpr.charShingles(col("norm"), shingleK).as("sh")),
       "id")
     val buckets = base
       .select(col("id"),

@@ -40,6 +40,19 @@ class DedupSpec extends SparkSpec {
     assert(truth.contains((1L, 2L)) && truth.contains((1L, 5L)))
   }
 
+  test("native CharShinglesExpr equals the HOF formulation exactly") {
+    val texts = graft.Tables.documents(spark, sf).limit(100)
+      .select(TextShingles.normalize($"text").as("norm"))
+    for (k <- Seq(1, 3, 5, 200)) { // 200 > any text: short-text path
+      val native = texts.select(
+        graft.functions.CharShinglesExpr.charShingles($"norm", k).as("sh"))
+        .as[Seq[String]].collect().toSeq
+      val hof = texts.select(TextShingles.charShinglesOf($"norm", k).as("sh"))
+        .as[Seq[String]].collect().toSeq
+      assert(native == hof, s"divergence at k=$k")
+    }
+  }
+
   test("simhash: identical texts have distance 0; near-dups small distance") {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 3)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
