@@ -87,6 +87,10 @@ object SparkEntry {
     // q29: HLL sketch is engine-specific -> rows-only; error bound in spec
     "q29_approx_distinct" -> ((s, dir) =>
       Relational.approxDistinctUsers(Tables.events(s, dir))),
+    "q30_json_extract" -> ((s, dir) =>
+      JsonOps.propsStats(Tables.events(s, dir))),
+    "q31_json_render" -> ((s, dir) =>
+      JsonOps.joinMergeStructJson(Tables.events(s, dir), "1 HOUR")),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output
@@ -259,6 +263,21 @@ object SparkEntry {
     "q27_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+    "q30_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q31_json_render" ->
+      """SELECT c.user_id AS user_id,
+        |  to_json(struct_pack(view_id := v.event_id, click_id := c.event_id))::VARCHAR AS payload
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts""".stripMargin,
     "q28_daily_windows" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
