@@ -13,6 +13,37 @@ class WallClockShifterSpec extends SparkSpec {
   import spark.implicits._
   import WallClockShifter.Rec
 
+  test("transformWithState shifter: per-record timers release after the delay") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState needs column families -> RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Rec]
+    val delayMs = 2000L
+    val out = WallClockShifterTws.shift(spark, in.toDS(), delayMs)
+    val q = out.writeStream.format("memory").queryName("tws_shifted")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val evTs = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t0 = System.currentTimeMillis()
+      in.addData(Rec("k1", """{"type":"display"}""", evTs))
+      var rows = Array.empty[Rec]
+      while (rows.isEmpty && System.currentTimeMillis() - t0 < 20000) {
+        Thread.sleep(250)
+        rows = spark.table("tws_shifted").as[Rec].collect()
+      }
+      val elapsed = System.currentTimeMillis() - t0
+      assert(rows.length == 1, s"expected 1 emission, got ${rows.length}")
+      assert(rows.head == Rec("k1", """{"type":"display"}""", evTs))
+      assert(elapsed >= delayMs, s"emitted after ${elapsed}ms < ${delayMs}ms delay")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("holds records for the delay, then emits them unchanged") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Rec]
