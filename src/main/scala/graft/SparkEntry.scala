@@ -91,6 +91,13 @@ object SparkEntry {
       JsonOps.propsStats(Tables.events(s, dir))),
     "q31_json_render" -> ((s, dir) =>
       JsonOps.joinMergeStructJson(Tables.events(s, dir), "1 HOUR")),
+    // q32: IVF ANN (kmeans quantizer) — engine-specific, rows-only;
+    // recall vs brute force asserted in SimilaritySpec
+    "q32_similarity_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
+        nCentroids = 16, nProbe = 4)
+    }),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output

@@ -27,6 +27,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top._1 == 9999L && math.abs(top._2 - 1.0) < 1e-9)
   }
 
+  test("IVF top-k: cell-pruned search recovers most true top-1 neighbors") {
+    val exact = Similarity.bruteForceTopK(emb, probes, 10)
+      .filter($"rank" === 1).select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, probes, 10, nCentroids = 8, nProbe = 4)
+      .filter($"rank" === 1).select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(ivf.size == exact.size)
+    val hits = ivf.count { case (p, v) => exact.get(p).contains(v) }
+    assert(hits >= 3, s"IVF recall@1 was $hits/${ivf.size}")
+    // every reported sim must equal the exact cosine (no approximation in scoring)
+    val anyRow = Similarity.ivfTopK(emb, probes, 10, nCentroids = 8, nProbe = 4)
+      .filter($"sim" > 1.0 + 1e-9)
+    assert(anyRow.count() == 0)
+  }
+
   test("LSH top-k: bucketed results are a subset of brute-force scoring with decent top-1 recall") {
     val exact = Similarity.bruteForceTopK(emb, probes, 10)
       .filter($"rank" === 1).select("probe_id", "vec_id")
