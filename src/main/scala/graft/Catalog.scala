@@ -35,5 +35,39 @@ object Catalog {
           numHashes = lit(1, "numHashes").toInt,
           seed = if (exprs.size > 2) lit(2, "seed") else 7L)
       })
+    def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval().asInstanceOf[Number].longValue()
+    }
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "vec_dot", { exprs =>
+        require(exprs.size == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.size}")
+        graft.functions.DotProductExpr(exprs(0), exprs(1))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "vec_cosine", { exprs =>
+        require(exprs.size == 2, s"vec_cosine(a, b) takes 2 arguments, got ${exprs.size}")
+        graft.functions.CosineSimExpr(exprs(0), exprs(1))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "vec_l2_normalize", { exprs =>
+        require(exprs.size == 1, s"vec_l2_normalize(v) takes 1 argument, got ${exprs.size}")
+        graft.functions.L2NormalizeExpr(exprs(0))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "simhash", { exprs =>
+        require(exprs.size == 1, s"simhash(tokens) takes 1 argument, got ${exprs.size}")
+        graft.functions.SimHashExpr(exprs(0))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "word_ngrams", { exprs =>
+        require(exprs.size == 2, s"word_ngrams(normalized, n) takes 2 arguments, got ${exprs.size}")
+        graft.functions.WordNgramsExpr(exprs(0), litLong(exprs(1), "n (argument 2)").toInt)
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "char_shingles", { exprs =>
+        require(exprs.size == 2, s"char_shingles(normalized, k) takes 2 arguments, got ${exprs.size}")
+        graft.functions.CharShinglesExpr(exprs(0), litLong(exprs(1), "k (argument 2)").toInt)
+      })
   }
 }

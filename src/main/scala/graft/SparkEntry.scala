@@ -100,9 +100,12 @@ object SparkEntry {
     }),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
-      // 0.35 exercises the verify-filter path with non-trivial output
+      // 0.35 exercises the verify-filter path with non-trivial output. LSH
+      // recall at such a LOW threshold is inherently partial (the 0.95+
+      // near-dup regime, where recall ≥ 0.95, is asserted in DedupSpec);
+      // every emitted pair is exact-verified, so precision is 1.0.
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", dim = 64,
-        threshold = 0.35, bits = 6)),
+        threshold = 0.35)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

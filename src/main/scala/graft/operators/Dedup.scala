@@ -52,17 +52,16 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes): zero-width bands hash " +
         "empty slices identically for every doc, degenerating to an all-pairs join")
     val rows = numHashes / bands
-    // each select materializes the previous stage's array as an attribute
-    // (interpreted-HOF contract); repartition by id parallelizes the
-    // CPU-bound shingle/signature stages even when the source is one file
-    // second repartition AFTER the shingle computation: the exchange
-    // materializes the arrays once and all three consumers (bucketing +
-    // both verification branches) reuse it instead of re-deriving shingles
+    // ONE exchange: normalize+shingle are native codegen'd expressions, so
+    // they run inline on the scan partitions; the repartition then
+    // materializes the shingle arrays ONCE and all three consumers
+    // (bucketing + both verification branches) reuse the exchange instead
+    // of re-deriving shingles. (Round 1 used two back-to-back exchanges to
+    // parallelize a then-interpreted shingle stage — redundant now.)
     val base = Hashing.repartitionForCompute(
-      Hashing.repartitionForCompute(
-          docs.select(col(idCol).as("id"), TextShingles.normalize(col(textCol)).as("norm")), "id")
-        .select(col("id"),
-          graft.functions.CharShinglesExpr.charShingles(col("norm"), shingleK).as("sh")),
+      docs.select(col(idCol).as("id"),
+        graft.functions.CharShinglesExpr.charShingles(
+          TextShingles.normalize(col(textCol)), shingleK).as("sh")),
       "id")
     val buckets = base
       .select(col("id"),
@@ -106,13 +105,17 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Wrapper building the token-hash array inline. Safe on the data path:
-    * the hashes subtree is referenced exactly once (by the single aggregate
-    * in [[simhashOf]]), so it evaluates once per row — the per-element
-    * re-evaluation hazard only applies to subtrees captured inside HOF
-    * lambdas.
+  /** 64-bit SimHash of a text column — NATIVE fused loop
+    * ([[graft.functions.SimHashExpr]]): tokenizes (normalize + split), then
+    * hashes each token with xxhash64 and folds the 64 counters in one tight
+    * loop. Bit-identical to [[simhashOf]] over `xxhash64(token)` (same hash
+    * family, same sign rule) — asserted in DedupSpec.
     */
   def simhash(text: Column): Column =
+    graft.functions.SimHashExpr.simhash(split(TextShingles.normalize(text), " "))
+
+  /** Interpreted HOF formulation of [[simhash]] (spec cross-check only). */
+  def simhashHof(text: Column): Column =
     simhashOf(transform(split(TextShingles.normalize(text), " "), t => xxhash64(t)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
@@ -124,9 +127,9 @@ object Dedup {
     require(maxDist >= 0 && maxDist < chunks,
       s"maxDist ($maxDist) must be < $chunks: the pigeonhole guarantee (a pair " +
         "within Hamming distance d shares at least one of d+1 chunks) breaks otherwise")
-    val base = Hashing.repartitionForCompute(
-        docs.select(col(idCol).as("id"), col(textCol).as("txt")), "id")
-      .select(col("id"), simhash(col("txt")).as("fp"))
+    // native fingerprint computes inline on the scan partitions — no
+    // compute-repartition needed; the chunk equi-join below shuffles anyway
+    val base = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = base
       .withColumn("chunk", explode(array((0 until chunks).map { c =>
         struct(lit(c).as("c"), shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
@@ -159,16 +162,25 @@ object Dedup {
       blockCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // trailing repartition = reused exchange: grams computed once for the
-    // posting list and both verification branches
+    // ONE exchange (cf. minhashNearDups): native n-gram construction runs
+    // inline on the scan partitions; the repartition materializes the gram
+    // arrays once for the posting list and both verification branches
     val d = Hashing.repartitionForCompute(
-      Hashing.repartitionForCompute(
-          docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-            split(TextShingles.normalize(col(textCol)), " ").as("toks")), "id")
-        .select(col("blk"), col("id"), TextShingles.wordNgramsOf(col("toks"), n).as("g")),
+      docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        graft.functions.WordNgramsExpr.wordNgrams(
+          TextShingles.normalize(col(textCol)), n).as("g")),
       "id")
-    val posting = d.select(col("blk"), col("id"), size(col("g")).as("n"),
-      explode(col("g")).as("gram"))
+    // grams shuffle as xxhash64 LONGS, not strings — the posting/freq
+    // joins and the frequency groupBy move 8-byte keys instead of raw
+    // n-gram text. A hash collision only merges two grams' document
+    // frequencies and posting lists (a spurious candidate at worst), and
+    // every candidate is verified against the FULL string gram sets, so
+    // the output stays exact. The prefix guarantee holds because the
+    // rarest-first order is computed over the same hashed posting for
+    // every document (any consistent total order works).
+    val posting = d
+      .select(col("blk"), col("id"), size(col("g")).as("n"), explode(col("g")).as("gramstr"))
+      .select(col("blk"), col("id"), col("n"), xxhash64(col("gramstr")).as("gram"))
     val freq = posting.groupBy(col("blk"), col("gram"))
       .agg(count(lit(1)).as("df"))
     // rank each doc's grams rarest-first; keep the prefix. The window
@@ -197,21 +209,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing (no
-    * all-pairs): pairs in the same bucket with cosine >= threshold.
+  /** Embedding-cosine near-dup pairs via OR-AMPLIFIED hyperplane LSH (no
+    * all-pairs): a pair is a candidate if it collides in ANY of `tables`
+    * independent `bits`-bit signatures, then every candidate is verified by
+    * exact cosine. OR-amplification is what gives recall — a single table is
+    * AND-only: at threshold 0.95 one 6-bit signature collides true near-dups
+    * with probability only ≈ (1−θ/π)⁶ ≈ 0.53, silently halving recall; with
+    * 8 tables × 8 bits the collide probability at cos 0.95 is ≈ 0.99
+    * (recall asserted ≥ 0.95 vs brute force in DedupSpec).
+    *
+    * Scale shape mirrors [[minhashNearDups]]: candidate pairs shuffle IDS
+    * ONLY (deduped across tables), vectors are re-fetched for exactly one
+    * native-cosine verification per pair.
     */
-  def embeddingNearDups(emb: DataFrame, idCol: String, dim: Int, threshold: Double = 0.95, bits: Int = 6): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), toDoubleArray(col("embedding")).as("v"))
-      .select(Similarity.hyperplaneSignature(col("v"), dim, bits).as("bucket"),
-        col("id"), col("v"))
-    val a = e.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = e.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+  def embeddingNearDups(emb: DataFrame, idCol: String, dim: Int,
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col("embedding").as("v"))
+    val cells = e
+      .select(col("id"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.hyperplaneSignature(col("v"), dim, bits, seed = 42L + 1000L * t)
+            .as("bucket"))
+      }: _*)).as("cell"))
+      .select(col("cell.tbl"), col("cell.bucket"), col("id"))
+    val pairs = cells.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(cells.select(col("tbl"), col("bucket"), col("id").as("id_b")), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair colliding in several tables verifies once
+    pairs
+      .join(e.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("v_a"), col("v_b")))
       .filter(col("sim") >= threshold)
-      // no distinct: each vector lands in exactly one bucket (single
-      // signature), so the equi-join emits every pair at most once
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 }
@@ -242,5 +272,18 @@ object Hashing {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z = z ^ (z >>> 31)
     ((z & Long.MaxValue) % (P31 - 1)) + 1
+  }
+
+  /** Deterministic hyperplane component in [-1, 1) from (seed, plane, dim
+    * index) — splitmix64. Shared by the native
+    * [[graft.functions.HyperplaneSignatureExpr]] so every signature consumer
+    * draws from the same plane family.
+    */
+  def planeVal(seed: Long, i: Int, j: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * (i.toLong * 131071L + j + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 }

@@ -44,15 +44,17 @@ object Similarity {
 
   /** Score every (probe, corpus) pair by cosine. `probes` must be small —
     * it is broadcast, producing a single pass over the corpus with no
-    * shuffle of corpus rows.
+    * shuffle of corpus rows. Scoring is the native fused-loop cosine over
+    * the RAW float arrays (promotion happens inside the kernel), so the
+    * whole scan+score stage is a single WholeStageCodegen span.
     */
   private def scored(corpus: DataFrame, probes: DataFrame): DataFrame = {
     val p = broadcast(
       probes.select(
         col("vec_id").as("probe_id"),
-        toDoubleArray(col("embedding")).as("p_emb")))
+        col("embedding").as("p_emb")))
     corpus
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("c_emb"))
+      .select(col("vec_id"), col("embedding").as("c_emb"))
       .join(p, col("vec_id") =!= col("probe_id"))
       .withColumn("sim", cosine(col("p_emb"), col("c_emb")))
   }
@@ -68,8 +70,15 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, sampleSize: Int = 2048): DataFrame = {
-    val sample = corpus.select(toDoubleArray(col("embedding")).as("v"))
-      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    // UNBIASED bounded sample: per-partition top-`sampleSize` by a content
+    // hash (TakeOrdered — no shuffle, no full sort), which is a deterministic
+    // pseudo-random selection even on sorted/clustered corpora. A plain
+    // `limit(n)` would take the FIRST partitions, biasing the centroids at
+    // scale.
+    val sample = corpus
+      .select(toDoubleArray(col("embedding")).as("v"), xxhash64(col("vec_id")).as("r"))
+      .orderBy(col("r")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
     val centroids = KMeansLite.fit(sample, nCentroids, iters = 10, seed = 42L)
 
     // scores[i] = dot(v, centroid_i); cells = indexes of best cells
@@ -81,10 +90,10 @@ object Similarity {
     def topCells(v: Column, n: Int): Column =
       transform(slice(reverse(array_sort(cellScores(v))), 1, n), s => s.getField("cell"))
 
-    val c = corpus.select(col("vec_id"), toDoubleArray(col("embedding")).as("c_emb"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("c_emb"))
       .select(col("vec_id"), col("c_emb"), bestCell(col("c_emb")).as("cell"))
     val p = broadcast(
-      probes.select(col("vec_id").as("probe_id"), toDoubleArray(col("embedding")).as("p_emb"))
+      probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
         .select(col("probe_id"), col("p_emb"),
           explode(topCells(col("p_emb"), nProbe)).as("cell")))
     val topk = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
@@ -129,26 +138,14 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  /** Deterministic hyperplane component in [-1, 1) from (seed, plane, dim
-    * index) — splitmix64, computed driver-side so the plane vectors are plan
-    * LITERALS (no per-row hash evaluation, no broadcast model needed).
-    */
-  private def planeVal(seed: Long, i: Int, j: Int): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L * (i.toLong * 131071L + j + 1)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-  }
-
-  /** Random-hyperplane LSH signature of a PRE-PROJECTED array<double>
-    * attribute: bit i = sign(dot(v, h_i)), packed into a long.
+  /** Random-hyperplane LSH signature of a vector attribute (float or double
+    * array): bit i = sign(dot(v, h_i)), packed into a long. Native codegen'd
+    * expression — the plane family is derived from (seed, bit, dim) inside
+    * the expression ([[graft.operators.Hashing.planeVal]]), shipped as a
+    * plan reference object.
     */
   def hyperplaneSignature(embAttr: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
-    (0 until bits).map { i =>
-      val plane = typedLit(Array.tabulate(dim)(j => planeVal(seed, i, j)))
-      when(dot(embAttr, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorExprs.hyperplaneSignature(embAttr, dim, bits, seed)
 
   /** All (table, bucket) cells a vector lands in: `tables` independent
     * hyperplane signatures of `bits` bits each (OR-amplification — a
@@ -175,12 +172,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
       bits: Int = 8, tables: Int = 8): DataFrame = {
     val c = corpus
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("c_emb"))
+      .select(col("vec_id"), col("embedding").as("c_emb"))
       .select(col("vec_id"), col("c_emb"),
         explode(lshCells(col("c_emb"), dim, bits, tables)).as("cell"))
       .select(col("cell.tbl"), col("cell.bucket"), col("vec_id"), col("c_emb"))
     val p = broadcast(probes
-      .select(col("vec_id").as("probe_id"), toDoubleArray(col("embedding")).as("p_emb"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
       .select(col("probe_id"), col("p_emb"),
         explode(lshCells(col("p_emb"), dim, bits, tables)).as("cell"))
       .select(col("cell.tbl"), col("cell.bucket"), col("probe_id"), col("p_emb")))

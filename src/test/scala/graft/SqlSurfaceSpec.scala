@@ -34,6 +34,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sigs.head.getSeq[Long](1).length == 8)
   }
 
+  test("native vector/text functions callable from SQL") {
+    Catalog.registerTables(spark, sf)
+    Catalog.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT vec_cosine(embedding, embedding) AS self_cos,
+        |       vec_dot(vec_l2_normalize(embedding), vec_l2_normalize(embedding)) AS unit_dot,
+        |       simhash(split('the quick brown fox', ' ')) AS fp,
+        |       word_ngrams('a b c d', 2) AS grams,
+        |       char_shingles('abcd', 2) AS shingles
+        |FROM embeddings LIMIT 3""".stripMargin).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
+      assert(row.getSeq[String](3) == Seq("a b", "b c", "c d"))
+      assert(row.getSeq[String](4) == Seq("ab", "bc", "cd"))
+    }
+  }
+
   test("aggregation via SQL equals DataFrame operator") {
     Catalog.registerTables(spark, sf)
     val viaSql = spark.sql(

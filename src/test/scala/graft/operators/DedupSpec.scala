@@ -34,8 +34,7 @@ class DedupSpec extends SparkSpec {
         size(array_union($"sa", $"sb")).cast("double"))
       .filter($"j" >= 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(truth.subsetOf(lsh) || (truth -- lsh).isEmpty,
-      s"LSH missed pairs: ${truth -- lsh}")
+    assert(truth.subsetOf(lsh), s"LSH missed pairs: ${truth -- lsh}")
     assert(lsh.subsetOf(truth), s"LSH emitted sub-threshold pairs: ${lsh -- truth}")
     assert(truth.contains((1L, 2L)) && truth.contains((1L, 5L)))
   }
@@ -71,8 +70,67 @@ class DedupSpec extends SparkSpec {
     val base = graft.Tables.embeddings(spark, sf).limit(50)
     val dup = base.filter($"vec_id" === 3).withColumn("vec_id", lit(10003L))
     val pairs = Dedup.embeddingNearDups(base.unionByName(dup), "vec_id", dim = 64,
-        threshold = 0.999, bits = 6)
+        threshold = 0.999)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((3L, 10003L)), s"got $pairs")
+  }
+
+  test("embedding near-dup recall >= 0.95 on PERTURBED near-dups vs brute force") {
+    // pairs at cos ≈ 0.95–0.99 (not identical vectors — identical vectors
+    // always collide and would hide an under-amplified hash family)
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val v = unit()
+      val g0 = unit()
+      val proj = g0.zip(v).map { case (x, y) => x * y }.sum
+      val orth = g0.zip(v).map { case (x, y) => x - proj * y }
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      val eps = 0.15 + 0.17 * rnd.nextDouble() // cos(v, w) = 1/sqrt(1+eps²) ∈ ~[0.95, 0.99]
+      val w = v.zip(orth).map { case (x, y) => x + eps * y / on }
+      Seq((i.toLong * 2, v.map(_.toFloat)), (i.toLong * 2 + 1, w.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val e = df.select($"vec_id".as("id"), $"embedding".as("v"))
+    val truth = e.select($"id".as("id_a"), $"v".as("v_a"))
+      .crossJoin(e.select($"id".as("id_b"), $"v".as("v_b")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("sim", graft.functions.VectorFunctions.cosine($"v_a", $"v_b"))
+      .filter($"sim" >= 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 40, s"construction sanity: only ${truth.size} true pairs")
+    val lsh = Dedup.embeddingNearDups(df, "vec_id", dim, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(truth), s"sub-threshold pairs emitted: ${lsh -- truth}")
+    val recall = (truth & lsh).size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall; missed ${truth -- lsh}")
+  }
+
+  test("native SimHashExpr is bit-identical to the HOF formulation") {
+    val docs01 = graft.Tables.documents(spark, sf).limit(200)
+    val native = docs01.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val hof = docs01.select($"doc_id", Dedup.simhashHof($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof)
+  }
+
+  test("native WordNgramsExpr equals the HOF formulation exactly") {
+    val texts = graft.Tables.documents(spark, sf).limit(100)
+      .select(TextShingles.normalize($"text").as("norm"))
+    for (n <- Seq(1, 2, 3, 500)) { // 500 > any token count: short-text path
+      val native = texts.select(
+        graft.functions.WordNgramsExpr.wordNgrams($"norm", n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val hof = texts.select(
+        TextShingles.wordNgramsOf(split($"norm", " "), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(native == hof, s"divergence at n=$n")
+    }
   }
 }

@@ -43,6 +43,51 @@ class SimilaritySpec extends SparkSpec {
     assert(anyRow.count() == 0)
   }
 
+  test("native vector kernels are bit-identical to the interpreted HOF formulations") {
+    import graft.functions.VectorFunctions._
+    val a = emb.limit(30).select($"vec_id".as("ia"), $"embedding".as("ea"))
+    val b = emb.limit(30).select($"vec_id".as("ib"), $"embedding".as("eb"))
+    val rows = a.crossJoin(b).filter($"ia" < $"ib")
+      .select(
+        cosine($"ea", $"eb").as("cn"),
+        cosineHof(toDoubleArray($"ea"), toDoubleArray($"eb")).as("ch"),
+        dot($"ea", $"eb").as("dn"),
+        dotHof(toDoubleArray($"ea"), toDoubleArray($"eb")).as("dh"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"cosine ${r.getDouble(0)} != ${r.getDouble(1)}")
+      assert(r.getDouble(2) == r.getDouble(3), s"dot ${r.getDouble(2)} != ${r.getDouble(3)}")
+    }
+  }
+
+  test("native hyperplane signature matches the literal-plane HOF formulation") {
+    import graft.functions.VectorFunctions._
+    val dim = 64; val bits = 16; val seed = 7L
+    val hofSig = (0 until bits).map { i =>
+      val plane = typedLit(Array.tabulate(dim)(j => Hashing.planeVal(seed, i, j)))
+      when(dotHof(toDoubleArray($"embedding"), plane) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val diff = emb.limit(100)
+      .select(Similarity.hyperplaneSignature($"embedding", dim, bits, seed).as("n"),
+        hofSig.as("h"))
+      .filter($"n" =!= $"h")
+    assert(diff.count() == 0)
+  }
+
+  test("l2Normalize yields unit vectors preserving direction") {
+    import graft.functions.VectorFunctions._
+    val rows = emb.limit(20)
+      .select(l2Norm(l2Normalize($"embedding")).as("unit"),
+        cosine(l2Normalize($"embedding"), $"embedding").as("dir"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
   test("LSH top-k: bucketed results are a subset of brute-force scoring with decent top-1 recall") {
     val exact = Similarity.bruteForceTopK(emb, probes, 10)
       .filter($"rank" === 1).select("probe_id", "vec_id")
