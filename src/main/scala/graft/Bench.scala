@@ -43,16 +43,27 @@ object Bench {
     // one warm-up of the cheapest query amortizes JVM/codegen startup
     once("q3_time_shift")
     // best-of-2: per-query codegen/JIT warm-up dominates single-shot
-    // timings at this scale; the min is the stable measure of the plan
+    // timings at this scale; the min is the stable measure of the plan.
+    // A query counts as FAILED (-1) if EITHER run failed — a flaky query
+    // must not silently report its one lucky timing.
     val results = names.map { n =>
       val t1 = once(n)
       val t2 = once(n)
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nFailed = results.count(_._2 < 0)
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout passes through sbt's [info] prefixing — also write the line to
+    // a file so the driver's parse is prefix-proof
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }
+    }
     spark.stop()
   }
 }

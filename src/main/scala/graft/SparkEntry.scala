@@ -216,8 +216,26 @@ object SparkEntry {
         |                     c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents""".stripMargin,
-    // q16-q18: stubbed codec / LSH bucketing not SQL-expressible → rows-only;
-    // covered by MultimodalSpec / SimilaritySpec / DedupSpec.
+    // q16: the STUB decode is deterministic byte arithmetic, so it IS
+    // DuckDB-expressible (blob hex + per-byte list fold) — promoted to a
+    // full hash-checked oracle row. q17/q18: LSH bucketing not
+    // SQL-expressible → rows-only; covered by SimilaritySpec / DedupSpec.
+    "q16_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |         encode(text) AS p
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, media_type, octet_length(p) AS n, hex(p) AS hx FROM b)
+        |SELECT doc_id, media_type,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(greatest(1, n % 97) AS INTEGER) AS width,
+        |  CAST(greatest(1, n // greatest(1, greatest(1, n % 97))) AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(range(1, n + 1),
+        |        i -> (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', hx[2*i]) - 1))) AS DOUBLE) / n AS mean_intensity
+        |FROM m""".stripMargin,
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

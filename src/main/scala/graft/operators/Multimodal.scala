@@ -52,11 +52,12 @@ object Multimodal {
         // deterministic fake of a codec's output shape
         val width = math.max(1, n % 97)
         val height = math.max(1, n / math.max(1, width))
+        // exact integer sum then one IEEE double division — deterministic
+        // and oracle-reproducible without any rounding step
         val mean =
           if (n == 0) 0.0
           else r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-        MediaFeatures(r.doc_id, r.media_type, n.toLong, width, height,
-          math.rint(mean * 1e6) / 1e6)
+        MediaFeatures(r.doc_id, r.media_type, n.toLong, width, height, mean)
       }
     }
   }

@@ -29,6 +29,11 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0)
+    // withColumn would silently REPLACE a pre-existing column of the same
+    // name (then drop it from the output), breaking the result-equality
+    // contract — refuse instead of corrupting
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin: inputs must not already carry a __salt column")
     val l = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val r = right.withColumn("__salt", explode(typedLit((0 until salt).toArray)))

@@ -7,8 +7,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Wall-clock-faithful re-implementation of the reference's headline custom
   * operator, the topic shifter (`/root/reference/src/test/scala/me/dummy/
   * TopicShifter.scala:22-37`): re-emit every record unchanged — same key,
-  * value, and EVENT timestamp — but no earlier than `delayMs` of
-  * *processing* time after it arrived.
+  * value, and EVENT timestamp — but no earlier than wall-clock
+  * `record.ts + delayMs`. This matches the reference exactly: it sleeps
+  * `diff = ts − (now − delay)` and forwards immediately when `diff <= 0`
+  * (`TopicShifter.scala:29-33`), i.e. the hold is anchored to the record's
+  * EVENT time, not its arrival time — on replay/backlog/restart,
+  * already-old records flow straight through instead of being re-delayed.
   *
   * The reference holds records by sleeping the stream thread
   * (`Thread.sleep(diff)`, `TopicShifter.scala:32`), which serializes the
@@ -37,8 +41,11 @@ object WallClockShifter {
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (key: String, rows: Iterator[Rec], state: GroupState[List[Pending]]) =>
           val now = System.currentTimeMillis()
+          // dueAt anchored to the record's EVENT timestamp (reference
+          // semantics, TopicShifter.scala:29-31): a record already older
+          // than the delay is due immediately
           val buffered = state.getOption.getOrElse(Nil) ++
-            rows.map(r => Pending(r.value, r.ts.getTime, now + delayMs))
+            rows.map(r => Pending(r.value, r.ts.getTime, r.ts.getTime + delayMs))
           val (due, pending) = buffered.partition(_.dueAt <= now)
           if (pending.nonEmpty) {
             state.update(pending)

@@ -6,8 +6,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** The wall-clock shifter on Spark 4's `transformWithState` API — same
-  * semantics as [[WallClockShifter]] (hold each record >= delay of
-  * processing time, emit unchanged), but with REAL per-key timers
+  * semantics as [[WallClockShifter]] (hold each record until wall-clock
+  * `record.ts + delay`, emit unchanged; already-old records flow straight
+  * through), but with REAL per-key timers
   * (`registerTimer`) instead of flatMapGroupsWithState's single group
   * timeout: each buffered record arms its own timer, so a key receiving a
   * steady trickle still releases earlier records on time rather than
@@ -32,12 +33,17 @@ object WallClockShifterTws {
     override def handleInputRows(key: String, rows: Iterator[Rec],
         timers: TimerValues): Iterator[Rec] = {
       val now = timers.getCurrentProcessingTimeInMs()
-      rows.foreach { r =>
-        val due = now + delayMs
-        buffer.appendValue(Pending(r.value, r.ts.getTime, due))
-        getHandle.registerTimer(due)
+      // dueAt anchored to the record's EVENT timestamp (reference
+      // semantics, TopicShifter.scala:29-31); records already past due
+      // emit on this very batch instead of arming a stale timer
+      val (due, pending) = rows.map { r =>
+        Pending(r.value, r.ts.getTime, r.ts.getTime + delayMs)
+      }.toList.partition(_.dueAt <= now)
+      pending.foreach { p =>
+        buffer.appendValue(p)
+        getHandle.registerTimer(p.dueAt)
       }
-      Iterator.empty
+      due.iterator.map(p => Rec(key, p.value, new Timestamp(p.ts)))
     }
 
     override def handleExpiredTimer(key: String, timers: TimerValues,

@@ -38,6 +38,30 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreach sink delivers every record to the side-effect callback (O5)") {
+    // the reference's stream.foreach debug sink (TimeoutJoinTest.scala:65-72)
+    // in its per-micro-batch form: capture into a concurrent queue, assert
+    // exact contents
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_foreach_ckpt").toString
+    val q = graft.sources.KafkaIO
+      .foreachSink(in.toDF().toDF("key", "value"), ckpt) { (batch, _) =>
+        batch.collect().foreach(r => seen.add((r.getString(0), r.getString(1))))
+      }
+      .start()
+    try {
+      in.addData(("k1", """{"type":"display"}"""), ("k2", """{"type":"click"}"""))
+      q.processAllAvailable()
+      in.addData(("k3", "v3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = seen.toArray(Array.empty[(String, String)]).toSet
+    assert(got == Set(("k1", """{"type":"display"}"""), ("k2", """{"type":"click"}"""),
+      ("k3", "v3")), s"got $got")
+  }
+
   test("error channel captures a failing streaming query (O14)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ch = ErrorChannel.attach(spark)((_, _) => ())

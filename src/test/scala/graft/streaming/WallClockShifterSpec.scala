@@ -6,14 +6,18 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
 /** Mirrors TopicShifterTest (`/root/reference/.../TopicShifterTest.scala:
-  * 24-44`): nothing is emitted before the delay; after the delay the
-  * identical record (key, value, and original event timestamp) appears.
+  * 24-44`): nothing is emitted before `record.ts + delay` (wall clock);
+  * after it, the identical record (key, value, and original event
+  * timestamp) appears. Reference semantics are EVENT-time-anchored
+  * (`diff = ts − (now − delay)`, `TopicShifter.scala:29-31`): a fresh
+  * record is held for the delay, an already-old record flows straight
+  * through — both paths are asserted here.
   */
 class WallClockShifterSpec extends SparkSpec {
   import spark.implicits._
   import WallClockShifter.Rec
 
-  test("transformWithState shifter: per-record timers release after the delay") {
+  test("transformWithState shifter: per-record timers release at ts + delay") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // transformWithState needs column families -> RocksDB state store
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -26,8 +30,8 @@ class WallClockShifterSpec extends SparkSpec {
       .trigger(Trigger.ProcessingTime("200 milliseconds"))
       .start()
     try {
-      val evTs = Timestamp.valueOf("2024-01-01 10:00:00")
       val t0 = System.currentTimeMillis()
+      val evTs = new Timestamp(t0) // fresh record: due at t0 + delay
       in.addData(Rec("k1", """{"type":"display"}""", evTs))
       var rows = Array.empty[Rec]
       while (rows.isEmpty && System.currentTimeMillis() - t0 < 20000) {
@@ -44,7 +48,37 @@ class WallClockShifterSpec extends SparkSpec {
     }
   }
 
-  test("holds records for the delay, then emits them unchanged") {
+  test("transformWithState shifter: already-old records emit immediately (replay path)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Rec]
+    val delayMs = 60000L // a minute — an arrival-anchored hold would time the test out
+    val out = WallClockShifterTws.shift(spark, in.toDS(), delayMs)
+    val q = out.writeStream.format("memory").queryName("tws_replay")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      val evTs = Timestamp.valueOf("2024-01-01 10:00:00") // long past ts + delay
+      in.addData(Rec("k1", """{"type":"display"}""", evTs))
+      var rows = Array.empty[Rec]
+      while (rows.isEmpty && System.currentTimeMillis() - t0 < 15000) {
+        Thread.sleep(250)
+        rows = spark.table("tws_replay").as[Rec].collect()
+      }
+      val elapsed = System.currentTimeMillis() - t0
+      assert(rows.length == 1, s"expected 1 immediate emission, got ${rows.length}")
+      assert(rows.head == Rec("k1", """{"type":"display"}""", evTs))
+      assert(elapsed < delayMs, s"old record was re-delayed (${elapsed}ms)")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("holds records until ts + delay, then emits them unchanged") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Rec]
     val delayMs = 2000L
@@ -54,8 +88,8 @@ class WallClockShifterSpec extends SparkSpec {
       .trigger(Trigger.ProcessingTime("200 milliseconds"))
       .start()
     try {
-      val evTs = Timestamp.valueOf("2024-01-01 10:00:00")
       val t0 = System.currentTimeMillis()
+      val evTs = new Timestamp(t0) // fresh record: due at t0 + delay
       in.addData(Rec("k1", """{"type":"display"}""", evTs))
       // NOTE: no processAllAvailable() — with a processing-time timer armed
       // the stream keeps scheduling batches, so that call never returns.
