@@ -11,9 +11,14 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression computing a full MinHash signature in one
-  * pass: for an array<string> of shingles, returns array<long> of length
-  * `numHashes` where slot j = min over shingles of
-  * (a_j * baseHash(s) + b_j) mod (2^31-1).
+  * pass: returns array<long> of length `numHashes` where slot j = min over
+  * set elements of (a_j * baseHash(e) + b_j) mod (2^31-1).
+  *
+  * Input is either an array<string> of shingles (base hash = murmur3 of the
+  * bytes) or an array<long> of ALREADY-HASHED shingles from
+  * [[HashedSortedExpr]] (base hash = the long folded into [0, 2^31-1)) —
+  * the long mode lets the dedup pipeline carry one compact hashed-set
+  * column for signature AND verification.
   *
   * This replaces a doubly-nested higher-order-function formulation: Spark
   * evaluates HOF lambdas interpreted (CodegenFallback) with per-element
@@ -29,12 +34,17 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_signature expects array<string>, got $other")
+          s"minhash_signature expects array<string> or array<long>, got $other")
     }
+
+  private lazy val longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   // universal-hash coefficients, deterministic in (seed, j)
   private lazy val as: Array[Long] = Array.tabulate(numHashes)(j => Hashing.coef(seed, 2 * j))
@@ -42,7 +52,9 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val out = MinHashSignatureExpr.compute(arr, as, bs, numHashes)
+    val out =
+      if (longInput) MinHashSignatureExpr.computeFromLongs(arr, as, bs, numHashes)
+      else MinHashSignatureExpr.compute(arr, as, bs, numHashes)
     new GenericArrayData(out)
   }
 
@@ -50,8 +62,9 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
     val aRef = ctx.addReferenceObj("as", as, "long[]")
     val bRef = ctx.addReferenceObj("bs", bs, "long[]")
     val cls = MinHashSignatureExpr.getClass.getName.stripSuffix("$") + "$"
+    val kernel = if (longInput) "computeFromLongs" else "compute"
     nullSafeCodeGen(ctx, ev, c =>
-      s"""long[] mins = $cls.MODULE$$.compute($c, $aRef, $bRef, $numHashes);
+      s"""long[] mins = $cls.MODULE$$.$kernel($c, $aRef, $bRef, $numHashes);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
          |""".stripMargin)
   }
@@ -75,6 +88,24 @@ object MinHashSignatureExpr {
       // base hash into [0, 2^31-1): murmur3 of the string bytes
       val h = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
       val x = (h.toLong & 0x7fffffffL) % P
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * x + bs(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Kernel for pre-hashed (array<long>) shingle sets. */
+  def computeFromLongs(arr: ArrayData, as: Array[Long], bs: Array[Long], k: Int): Array[Long] = {
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val x = (arr.getLong(i) & 0x7fffffffffffffffL) % P
       var j = 0
       while (j < k) {
         val v = (as(j) * x + bs(j)) % P

@@ -52,24 +52,27 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes): zero-width bands hash " +
         "empty slices identically for every doc, degenerating to an all-pairs join")
     val rows = numHashes / bands
-    // ONE exchange: normalize+shingle are native codegen'd expressions, so
-    // they run inline on the scan partitions; the repartition then
-    // materializes the shingle arrays ONCE and all three consumers
-    // (bucketing + both verification branches) reuse the exchange instead
-    // of re-deriving shingles. (Round 1 used two back-to-back exchanges to
-    // parallelize a then-interpreted shingle stage — redundant now.)
+    // ONE exchange: normalize/shingle/hash are native codegen'd
+    // expressions, so they run inline on the scan partitions; the
+    // repartition then materializes the HASHED shingle sets once and all
+    // three consumers (bucketing + both verification branches) reuse the
+    // exchange. Carrying sorted xxhash64 longs instead of shingle strings
+    // shrinks the verification shuffle ~2× and turns per-pair Jaccard into
+    // an allocation-free linear merge (collision odds and exactness:
+    // see graft.functions.HashedSetExprs).
     val base = Hashing.repartitionForCompute(
       docs.select(col(idCol).as("id"),
-        graft.functions.CharShinglesExpr.charShingles(
-          TextShingles.normalize(col(textCol)), shingleK).as("sh")),
+        graft.functions.HashedSetExprs.hashedSortedSet(
+          graft.functions.CharShinglesExpr.charShingles(
+            TextShingles.normalize(col(textCol)), shingleK)).as("hs")),
       "id")
     val buckets = base
       .select(col("id"),
-        graft.functions.MinHashSignatureExpr.minhashSignature(col("sh"), numHashes).as("sig"))
+        graft.functions.MinHashSignatureExpr.minhashSignature(col("hs"), numHashes).as("sig"))
       .withColumn("bh", explode(bandHashes(col("sig"), bands, rows)))
       .select(col("bh.band"), col("bh.h"), col("id"))
     // Candidate pairs shuffle IDs ONLY (a pair colliding in several bands
-    // dedupes here, while rows are 3 longs wide); the shingle arrays are
+    // dedupes here, while rows are 3 longs wide); the hashed sets are
     // re-fetched afterwards for exactly one verification per pair — at
     // scale this is the difference between shuffling gigabytes of arrays
     // and shuffling the candidate-pair edge list.
@@ -79,11 +82,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     pairs
-      .join(base.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(base.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(base.select(col("id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.HashedSetExprs.sortedLongJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -162,25 +164,25 @@ object Dedup {
       blockCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // ONE exchange (cf. minhashNearDups): native n-gram construction runs
-    // inline on the scan partitions; the repartition materializes the gram
-    // arrays once for the posting list and both verification branches
+    // ONE exchange (cf. minhashNearDups): native n-gram construction +
+    // hashing run inline on the scan partitions; the repartition
+    // materializes each doc's gram set ONCE — as a sorted array of
+    // xxhash64 LONGS — for the posting list and both verification
+    // branches. Gram strings never leave the first projection: the
+    // posting/freq joins move 8-byte keys, and per-pair Jaccard is an
+    // allocation-free linear merge. A hash collision only merges two
+    // grams' document frequencies / set elements (odds and exactness: see
+    // graft.functions.HashedSetExprs). The prefix guarantee holds because
+    // the rarest-first order is computed over the same hashed posting for
+    // every document (any consistent total order works).
     val d = Hashing.repartitionForCompute(
       docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        graft.functions.WordNgramsExpr.wordNgrams(
-          TextShingles.normalize(col(textCol)), n).as("g")),
+        graft.functions.HashedSetExprs.hashedSortedSet(
+          graft.functions.WordNgramsExpr.wordNgrams(
+            TextShingles.normalize(col(textCol)), n)).as("g")),
       "id")
-    // grams shuffle as xxhash64 LONGS, not strings — the posting/freq
-    // joins and the frequency groupBy move 8-byte keys instead of raw
-    // n-gram text. A hash collision only merges two grams' document
-    // frequencies and posting lists (a spurious candidate at worst), and
-    // every candidate is verified against the FULL string gram sets, so
-    // the output stays exact. The prefix guarantee holds because the
-    // rarest-first order is computed over the same hashed posting for
-    // every document (any consistent total order works).
-    val posting = d
-      .select(col("blk"), col("id"), size(col("g")).as("n"), explode(col("g")).as("gramstr"))
-      .select(col("blk"), col("id"), col("n"), xxhash64(col("gramstr")).as("gram"))
+    val posting = d.select(col("blk"), col("id"), size(col("g")).as("n"),
+      explode(col("g")).as("gram"))
     val freq = posting.groupBy(col("blk"), col("gram"))
       .agg(count(lit(1)).as("df"))
     // rank each doc's grams rarest-first; keep the prefix. The window
@@ -203,8 +205,7 @@ object Dedup {
       .join(d.select(col("id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
       .join(d.select(col("id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+        graft.functions.HashedSetExprs.sortedLongJaccard(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
