@@ -98,6 +98,13 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
         nCentroids = 16, nProbe = 4)
     }),
+    // --- round-2 additions: point-in-time / session / range-join surface ---
+    "q33_click_attribution" -> ((s, dir) =>
+      EventJoins.clickAttribution(Tables.events(s, dir), "1 HOUR")),
+    "q34_sessions" -> ((s, dir) =>
+      Relational.sessionize(Tables.events(s, dir), "30 minutes")),
+    "q35_price_bands" -> ((s, dir) =>
+      Relational.ordersByPriceBand(s, Tables.orders(s, dir))),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -309,5 +316,46 @@ object SparkEntry {
     "q28_daily_windows" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q33_click_attribution" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id,
+        |  (SELECT v.ts FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    "q34_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q35_price_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('micro', 0.0, 25000.0),
+        |  ('small', 25000.0, 80000.0),
+        |  ('mid', 80000.0, 200000.0),
+        |  ('large', 200000.0, 350000.0),
+        |  ('jumbo', 350000.0, 1000000.0))
+        |SELECT band, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN bands b
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY band""".stripMargin,
   )
 }

@@ -128,6 +128,72 @@ object EventJoins {
           lit("""},"click":{"event_id":"""), col("click_id"),
           lit("}}")).as("payload"))
 
+  /** As-of join: for every left row, the SINGLE most recent right row with
+    * the same key and `right.ts <= left.ts` (within `tolerance`), or nulls.
+    * This is the point-in-time variant of the reference's `before`-window
+    * join (`TimeoutJoinTest.scala:78` matches ALL displays in the window;
+    * as-of keeps only the latest) — the standard primitive for attribution
+    * and feature point-in-time correctness.
+    *
+    * Scale design: NOT an interval join (whose matched-pair count can
+    * explode) and not a per-key subquery. Both sides union into one
+    * relation, shuffle ONCE on the key, sort within partitions by
+    * (ts, side, tiebreak), and a running `last(right_payload, ignoreNulls)`
+    * window carries the latest right row forward — O(n log n) per
+    * partition, output exactly |left| rows. Ties (right.ts == left.ts)
+    * match, and equal-ts right rows resolve to the greatest tiebreak
+    * column, so results are deterministic.
+    *
+    * `left`/`right` must share the `key` and `ts` column names; `rightCols`
+    * are the right columns carried into the output (null when no match).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], rightTiebreak: String, tolerance: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(col(key).as("__k"), col(ts).as("__ts"),
+      col(rightTiebreak).as("__tb"), lit(0).as("__side"),
+      struct((ts +: rightCols).distinct.map(col): _*).as("__r"))
+    val l = left.select(col(key).as("__k"), col(ts).as("__ts"),
+      lit(null).cast(right.schema(rightTiebreak).dataType).as("__tb"),
+      lit(1).as("__side"),
+      lit(null).cast(r.schema("__r").dataType).as("__r"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val u = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
+      .unionByName(l)
+    // right rows sort BEFORE left rows at equal ts (inclusive match), and
+    // equal-ts right rows resolve to the greatest tiebreak; the running
+    // last() hands every left row the latest right row at or before it
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("__m",
+        when(col("__m").isNotNull &&
+          col("__m").getField(ts) >= col("__ts") - expr(s"INTERVAL $tolerance"),
+          col("__m")))
+    val leftOut = left.columns.map(c => col("__l").getField(c).as(c))
+    val rightOut = rightCols.map(c => col("__m").getField(c).as(s"matched_$c"))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
+  /** Q33: click attribution — each click as-of-joined to the latest view by
+    * the same user within the preceding hour (nulls when none). One row per
+    * click, unlike Q1's one row per (view, click) pair.
+    */
+  def clickAttribution(events: DataFrame, window: String = "1 HOUR"): DataFrame =
+    asOfJoin(
+      left = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts")),
+      right = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts")),
+      key = "user_id", ts = "ts",
+      rightCols = Seq("view_id", "ts"), rightTiebreak = "view_id",
+      tolerance = window)
+      .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
+        col("matched_view_id").as("view_id"), col("matched_ts").as("view_ts"))
+
   /** Q5: unrelated-key isolation — classify every view as joined/missed under
     * the same-key window rule, demonstrating that clicks with a different key
     * neither join nor suppress the timeout (`TimeoutJoinTest.scala:146-164`).

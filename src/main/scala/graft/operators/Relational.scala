@@ -138,4 +138,66 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(n)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Q34: sessionization — gap-based session windows per user via Spark's
+    * native `session_window` (consecutive events share a session iff their
+    * gap is AT MOST `gap` — the merge bound is inclusive, asserted in
+    * RelationalSpec). The SAME expression runs on a streaming
+    * DataFrame with a watermark (asserted in StreamingWindowAggSpec);
+    * batch-side it is one shuffle on the grouping key with sessions merged
+    * by the aggregation — no self-join, no per-user collect.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+
+  /** Banded range join: equi-join a fact value column against ARBITRARY
+    * (lo, hi] / [lo, hi) ranges without a nested-loop join. Each range row
+    * explodes into the fixed-width buckets it overlaps, the fact row maps
+    * to its single bucket, and a bucket equi-join + exact range filter
+    * yields the result. At scale this turns "compare every row against
+    * every range" into a shuffle on bucket ids with per-bucket locality —
+    * the standard interval-bucketing trick. `bucketWidth` trades
+    * duplication of range rows (hi−lo)/width against bucket selectivity.
+    * Ranges are expected disjoint-or-overlapping arbitrary; output has one
+    * row per (fact, covering-range) pair.
+    */
+  def bandedRangeJoin(fact: DataFrame, valueCol: String, ranges: DataFrame,
+      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    val rb = ranges.withColumn("__b",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val fb = fact.withColumn("__b", floor(col(valueCol) / bucketWidth).cast("long"))
+    fb.join(rb, Seq("__b"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__b")
+  }
+
+  /** Q35: orders classified into irregular price bands (range join) and
+    * aggregated per band. The band table is tiny (broadcast by AQE); the
+    * banded join still demonstrates the bucketing shape that holds when
+    * the range side is too large to broadcast.
+    */
+  val priceBands: Seq[(String, Double, Double)] = Seq(
+    ("micro", 0.0, 25000.0),
+    ("small", 25000.0, 80000.0),
+    ("mid", 80000.0, 200000.0),
+    ("large", 200000.0, 350000.0),
+    ("jumbo", 350000.0, 1000000.0))
+
+  def ordersByPriceBand(spark: SparkSession, orders: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bands = priceBands.toDF("band", "lo", "hi")
+    bandedRangeJoin(orders, "o_totalprice", bands, "lo", "hi", bucketWidth = 50000.0)
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+  }
 }

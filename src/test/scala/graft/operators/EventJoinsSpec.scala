@@ -61,6 +61,47 @@ class EventJoinsSpec extends SparkSpec {
     outcomes.unpersist()
   }
 
+  test("asOfJoin/clickAttribution: latest view, inclusive ties, tolerance cut") {
+    val events = Seq(
+      // u1: two views before the click; latest (id 12) wins
+      (11L, ts("2024-01-01 09:10:00"), 1L, "view", 0.0, "{}"),
+      (12L, ts("2024-01-01 09:50:00"), 1L, "view", 0.0, "{}"),
+      (13L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      // u2: view EXACTLY at click ts (inclusive) — and a second equal-ts
+      // view; the greater event_id (15) is the deterministic winner
+      (14L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0, "{}"),
+      (15L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0, "{}"),
+      (16L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0, "{}"),
+      // u3: only view is older than the tolerance -> null match
+      (17L, ts("2024-01-01 08:00:00"), 3L, "view", 0.0, "{}"),
+      (18L, ts("2024-01-01 10:00:00"), 3L, "click", 0.0, "{}"),
+      // u4: view only AFTER the click -> null match
+      (19L, ts("2024-01-01 11:00:00"), 4L, "view", 0.0, "{}"),
+      (20L, ts("2024-01-01 10:00:00"), 4L, "click", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventJoins.clickAttribution(events, "1 HOUR")
+      .select($"click_id", $"view_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(13L -> Some(12L), 16L -> Some(15L), 18L -> None, 20L -> None))
+  }
+
+  test("asOfJoin on real data: one output row per click; match is the max qualifying view") {
+    val events = Tables.events(spark, sf)
+    val out = EventJoins.clickAttribution(events, "1 HOUR")
+    val nClicks = events.filter($"event_type" === "click").count()
+    assert(out.count() == nClicks)
+    // brute-force cross-check via the interval join: per click, expect the
+    // (max ts, then max id) view among all in-window matches
+    val expected = EventJoins.clickedDisplays(events, "1 HOUR")
+      .groupBy($"click_id")
+      .agg(max(struct($"view_ts", $"view_id")).as("m"))
+      .select($"click_id", $"m.view_id".as("view_id"))
+      .as[(Long, Long)].collect().toMap
+    val got = out.filter($"view_id".isNotNull)
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("timeShift: identity except ts'=ts+W and lineage column") {
     val shifted = EventJoins.timeShift(fixture, "ts", "1 HOUR", "events", "1h")
     assert(shifted.count() == fixture.count())

@@ -77,4 +77,51 @@ class RelationalSpec extends SparkSpec {
     val prices = top.map(_.getAs[Double]("o_totalprice"))
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
+
+  test("sessionize: gap semantics (merge under gap, split at gap, inclusive counts)") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: three events inside one session (gaps 10min, 29min)
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, t("2024-01-01 10:10:00"), 1L, "view", 0.0, "{}"),
+      (3L, t("2024-01-01 10:39:00"), 1L, "click", 0.0, "{}"),
+      // u1: exactly AT the 30min gap -> still MERGES (inclusive bound)
+      (4L, t("2024-01-01 11:09:00"), 1L, "view", 0.0, "{}"),
+      // u1: 30min + 1s after -> NEW session
+      (5L, t("2024-01-01 11:39:01"), 1L, "view", 0.0, "{}"),
+      // u2: single event
+      (6L, t("2024-01-01 09:00:00"), 2L, "view", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.sessionize(ev, "30 minutes")
+      .select($"user_id", $"session_start".cast("string"), $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00", 4L),
+      (1L, "2024-01-01 11:39:01", 1L),
+      (2L, "2024-01-01 09:00:00", 1L)))
+  }
+
+  test("sessionize on real data: per-user event counts are conserved") {
+    val ev = Tables.events(spark, sf)
+    val perUserSessions = Relational.sessionize(ev, "30 minutes")
+      .groupBy($"user_id").agg(sum($"n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val perUserEvents = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perUserSessions == perUserEvents)
+  }
+
+  test("banded range join equals the naive range join exactly") {
+    val o = Tables.orders(spark, sf)
+    val bands = Relational.priceBands.toDF("band", "lo", "hi")
+    val banded = Relational.bandedRangeJoin(o, "o_totalprice", bands, "lo", "hi", 50000.0)
+      .select($"o_orderkey", $"band").as[(Long, String)].collect().toSet
+    val naive = o.join(bands,
+        o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+      .select($"o_orderkey", $"band").as[(Long, String)].collect().toSet
+    assert(banded == naive && banded.nonEmpty)
+    // every order lands in at most one band here (bands are disjoint)
+    assert(banded.size == banded.map(_._1).size)
+  }
 }

@@ -42,4 +42,33 @@ class StreamingWindowAggSpec extends SparkSpec {
         (ts(0, 0), "b", 1L)))
     } finally q.stop()
   }
+
+  test("session windows (gap merge) emit once closed, same semantics as batch q34") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy($"key", session_window($"ts", "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"key", $"w.start".as("session_start"), $"n")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // a: two events 30s apart (one session); b: one event
+      in.addData(Evt("a", "x", ts(0, 0)), Evt("a", "x", ts(0, 30)), Evt("b", "x", ts(0, 45)))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // sessions still open
+      // advance the watermark far past session ends -> emit-on-close
+      in.addData(Evt("hb", "x", ts(5, 0)))
+      q.processAllAvailable()
+      in.addData(Evt("hb", "x", ts(9, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"key", $"session_start", $"n").as[(String, Timestamp, Long)]
+        .collect().filter(_._1 != "hb").toSet
+      assert(rows == Set(
+        ("a", ts(0, 0), 2L),
+        ("b", ts(0, 45), 1L)))
+    } finally q.stop()
+  }
 }
