@@ -66,6 +66,51 @@ class PlanSpec extends SparkSpec {
       s"expected partial top-k aggregation:\n$plan")
   }
 
+  test("q33 as-of join: single shuffle on the key, no join operator (window formulation)") {
+    val df = EventJoins.clickAttribution(Tables.events(spark, sf), "1 HOUR")
+    val plan = executedPlan(df)
+    // the as-of design: union -> ONE hash exchange on the key -> sort ->
+    // running window. Any Join node would mean a pair-exploding fallback.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected running-window plan:\n$plan")
+  }
+
+  test("q34 sessionize: single shuffle with partial session aggregation") {
+    val df = Relational.sessionize(Tables.events(spark, sf), "30 minutes")
+    val plan = executedPlan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles:\n$plan")
+    assert(plan.toLowerCase.contains("sessionwindow") || plan.contains("session_window"),
+      s"expected session window aggregation:\n$plan")
+  }
+
+  test("q35 banded range join: no nested-loop join (bucket equi-join)") {
+    val df = Relational.ordersByPriceBand(spark, Tables.orders(spark, sf))
+    val plan = executedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+  }
+
+  test("whole-stage codegen spans the native vector/hash kernels (no CodegenFallback rows)") {
+    import org.apache.spark.sql.functions.col
+    // similarity scoring: scan -> native cosine must sit inside one
+    // WholeStageCodegen projection
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select(
+      graft.functions.VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"),
+      graft.functions.VectorExprs.hyperplaneSignature(col("embedding"), 64, 8).as("sig"))
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"projection not inside a codegen stage:\n$plan")
+    // the kernels are expressions inside the span, not fallback projections
+    assert(plan.contains("vec_cosine") && plan.contains("hyperplane_signature"),
+      s"native expressions missing from plan:\n$plan")
+  }
+
   test("native minhash expression participates in codegen (not CodegenFallback)") {
     import graft.functions.MinHashSignatureExpr
     val df = Tables.documents(spark, sf)
