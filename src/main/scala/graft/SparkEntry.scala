@@ -105,6 +105,8 @@ object SparkEntry {
       Relational.sessionize(Tables.events(s, dir), "30 minutes")),
     "q35_price_bands" -> ((s, dir) =>
       Relational.ordersByPriceBand(s, Tables.orders(s, dir))),
+    "q36_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -345,6 +347,26 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q36_tfidf_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(c) AS n_toks FROM tf GROUP BY 1),
+        |dfr AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         (CAST(tf.c AS DOUBLE) / dl.n_toks) * ln(n.n_docs / dfr.dfreq) AS score
+        |  FROM tf
+        |  JOIN dl USING (doc_id)
+        |  JOIN dfr USING (term)
+        |  CROSS JOIN n)
+        |SELECT doc_id, term, round(score, 6) AS tfidf, rank FROM (
+        |  SELECT doc_id, term, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
     "q35_price_bands" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('micro', 0.0, 25000.0),

@@ -74,9 +74,15 @@ object TextAnalysis {
     * fp = fold(chars, 0, (acc, ch) -> (acc * 31 + ascii(ch)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash). The modulus keeps
     * acc*31+ch < 2^63 so engines that trap on int64 overflow (DuckDB)
-    * compute the identical value.
+    * compute the identical value. NATIVE fused loop
+    * ([[graft.functions.RollingHashExpr]]); the interpreted HOF
+    * formulation survives as [[fingerprintHof]] for the bit-identity spec.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
+    graft.functions.RollingHashExpr.rollingHash(TextShingles.normalize(text))
+
+  /** Interpreted HOF formulation of [[fingerprint]] (spec cross-check). */
+  def fingerprintHof(text: Column): Column = {
     val p = lit(1000000007L)
     val chars = split(TextShingles.normalize(text), "")
     aggregate(chars, lit(0L), (acc, ch) => pmod(acc * 31L + ascii(ch), p))
@@ -89,4 +95,33 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
         sum(tokenCount(col("text"))).as("n_tokens"))
+
+  /** Q36: TF-IDF top-k terms per document — the standard relevance/keyword
+    * primitive for corpus analysis. tf = term count / doc token count,
+    * idf = ln(N / docfreq), deterministic rank tiebreak (score desc, term
+    * asc).
+    *
+    * Scale shape: term-frequency and doc-frequency are partial+final
+    * aggregations; the per-doc window ranks only that doc's DISTINCT terms
+    * (bounded by doc length). `docs.count()` is one scalar count job
+    * shipping N into the plan as a literal — the corpus itself is never
+    * collected.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count().toDouble
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(TextShingles.normalize(col(textCol)), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n_toks"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(docLen, Seq("doc_id"))
+      .join(docFreq, Seq("term"))
+      .withColumn("score",
+        (col("c").cast("double") / col("n_toks")) * log(lit(nDocs) / col("dfreq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("tfidf"), col("rank"))
+  }
 }

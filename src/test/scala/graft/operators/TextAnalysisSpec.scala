@@ -65,4 +65,34 @@ class TextAnalysisSpec extends SparkSpec {
     // hello | , | world | 4 | 2 | !
     assert(n == 6L)
   }
+
+  test("native RollingHashExpr is bit-identical to the HOF formulation") {
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val native = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val hof = docs.select($"doc_id", TextAnalysis.fingerprintHof($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof)
+    // empty-string path: HOF folds over [""] with ascii("")=0 -> 0
+    val empty = Seq(Tuple1("")).toDF("text")
+      .select(TextAnalysis.fingerprint($"text"), TextAnalysis.fingerprintHof($"text"))
+      .as[(Long, Long)].head()
+    assert(empty == ((0L, 0L)))
+  }
+
+  test("tfidf: rare terms outscore ubiquitous ones; ranks deterministic") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common yak"),
+      (3L, "common common common"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .select($"doc_id", $"term", $"rank").as[(Long, String, Long)].collect().toSet
+    // "common" appears in all 3 docs -> idf = ln(1) = 0; unique terms win
+    assert(out.contains((1L, "zebra", 1L)))
+    assert(out.contains((2L, "yak", 1L)))
+    // counts: every doc emits at most k=2 distinct terms
+    val byDoc = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDoc.values.forall(_ <= 2))
+  }
 }
