@@ -107,6 +107,18 @@ object SparkEntry {
       Relational.ordersByPriceBand(s, Tables.orders(s, dir))),
     "q36_tfidf_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)),
+    "q37_value_percentiles" -> ((s, dir) =>
+      Relational.valuePercentiles(Tables.events(s, dir))),
+    "q38_embedding_quant" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.QuantizeExprs.quantizeStats(
+          org.apache.spark.sql.functions.col("embedding")).as("st"))
+        .select(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("st").getItem(0).as("scale"),
+          org.apache.spark.sql.functions.col("st").getItem(1).as("max_abs_err"),
+          org.apache.spark.sql.functions.col("st").getItem(2).as("mse"))),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -347,6 +359,28 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q37_value_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95,
+        |       quantile_cont(value, 0.99) AS p99,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q38_embedding_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |err AS (SELECT vec_id, scale, len(v) AS n,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |       ELSE list_transform(v, x ->
+        |         x - scale * greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+        |  END AS errs
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_max(list_transform(errs, x -> abs(x))) AS max_abs_err,
+        |  list_reduce(list_prepend(0.0, list_transform(errs, x -> x * x)),
+        |              (a, b) -> a + b) / n AS mse
+        |FROM err""".stripMargin,
     "q36_tfidf_terms" ->
       """WITH t AS (
         |  SELECT doc_id,

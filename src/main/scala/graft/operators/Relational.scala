@@ -156,6 +156,30 @@ object Relational {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
+  /** Q37: exact interpolated percentiles of `value` per event type, plus
+    * the approximate-sketch variant for the 100 TB path. The exact form
+    * (`percentile`) needs the group's values collected per aggregation
+    * buffer — fine for bounded groups, and the cross-engine-checkable
+    * ground truth; `approx_percentile` (KLL-style sketch, mergeable
+    * constant-memory partials) is what a 100 TB pipeline should run, with
+    * its error bound asserted against the exact form in RelationalSpec.
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n_events"))
+
+  /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
+  def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        approx_percentile(col("value"), lit(0.95), lit(accuracy)).as("p95"),
+        count(lit(1)).as("n_events"))
+
   /** Banded range join: equi-join a fact value column against ARBITRARY
     * (lo, hi] / [lo, hi) ranges without a nested-loop join. Each range row
     * explodes into the fixed-width buckets it overlaps, the fact row maps

@@ -78,6 +78,23 @@ class RelationalSpec extends SparkSpec {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("approx percentiles track exact percentiles per event type") {
+    val ev = Tables.events(spark, sf)
+    val exact = Relational.valuePercentiles(ev)
+      .select($"event_type", $"p50", $"p95").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = Relational.approxValuePercentiles(ev)
+      .select($"event_type", $"p50", $"p95").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, (e50, e95)) =>
+      val (a50, a95) = approx(t)
+      // sketch picks an actual sample near the target rank; compare loosely
+      assert(math.abs(a50 - e50) / math.max(e50, 1.0) < 0.05, s"$t p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / math.max(e95, 1.0) < 0.05, s"$t p95: $a95 vs $e95")
+    }
+  }
+
   test("sessionize: gap semantics (merge under gap, split at gap, inclusive counts)") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
