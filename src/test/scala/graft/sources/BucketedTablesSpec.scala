@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Bucketed layout eliminates the join shuffle — the plan-level proof of
+  * the write-once/join-many strategy for 100 TB recurring joins.
+  */
+class BucketedTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("co-located join of same-bucketed tables plans ZERO exchanges") {
+    // clear orphaned locations from any crashed earlier run
+    for (t <- Seq("bt_views", "bt_clicks")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+    val ev = Tables.events(spark, sf)
+    BucketedTables.writeBucketed(
+      ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id")),
+      "bt_views", "user_id", buckets = 4)
+    BucketedTables.writeBucketed(
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id")),
+      "bt_clicks", "user_id", buckets = 4)
+    // force the non-broadcast path: at scale neither side broadcasts, and
+    // that is exactly the case bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedTables.coLocatedJoin(spark, "bt_views", "bt_clicks", "user_id")
+      val plan = executedPlan(joined)
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // and the result is the plain join's result
+      val expect = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"))
+        .join(ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id")), Seq("user_id"))
+      assert(joined.count() == expect.count() && joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("aggregation on the bucket key also runs shuffle-free") {
+    val agg = spark.table("bt_views").groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val plan = executedPlan(agg)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed agg must not shuffle:\n$plan")
+    assert(agg.count() > 0)
+  }
+}
