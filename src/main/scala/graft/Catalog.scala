@@ -69,5 +69,30 @@ object Catalog {
         require(exprs.size == 2, s"char_shingles(normalized, k) takes 2 arguments, got ${exprs.size}")
         graft.functions.CharShinglesExpr(exprs(0), litLong(exprs(1), "k (argument 2)").toInt)
       })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "rolling_hash", { exprs =>
+        require(exprs.size == 1, s"rolling_hash(s) takes 1 argument, got ${exprs.size}")
+        graft.functions.RollingHashExpr(exprs(0))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "hashed_sorted_set", { exprs =>
+        require(exprs.size == 1, s"hashed_sorted_set(arr) takes 1 argument, got ${exprs.size}")
+        graft.functions.HashedSortedExpr(exprs(0))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "sorted_long_jaccard", { exprs =>
+        require(exprs.size == 2, s"sorted_long_jaccard(a, b) takes 2 arguments, got ${exprs.size}")
+        graft.functions.SortedLongJaccardExpr(exprs(0), exprs(1))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "int8_quantize", { exprs =>
+        require(exprs.size == 1, s"int8_quantize(v) takes 1 argument, got ${exprs.size}")
+        graft.functions.Int8QuantizeExpr(exprs(0))
+      })
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "int8_quantize_stats", { exprs =>
+        require(exprs.size == 1, s"int8_quantize_stats(v) takes 1 argument, got ${exprs.size}")
+        graft.functions.QuantizeStatsExpr(exprs(0))
+      })
   }
 }

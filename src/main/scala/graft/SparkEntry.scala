@@ -109,6 +109,16 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)),
     "q37_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
+    "q39_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(s,
+        Multimodal.withMediaColumn(Tables.documents(s, dir)), frameBytes = 64, every = 2)
+        .toDF()
+        .select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("frame_idx"),
+          org.apache.spark.sql.functions.col("offset"),
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("data")).as("frame_md5"))),
     "q38_embedding_quant" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
         org.apache.spark.sql.functions.col("vec_id"),
@@ -359,6 +369,20 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // q39: the frame payloads are byte slices of the (all-ASCII) text
+    // corpus, so DuckDB's character substring + md5(VARCHAR) — which
+    // hashes the UTF-8 bytes — reproduces the byte-slice digests exactly.
+    "q39_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, text,
+        |         unnest(range(0, greatest(n // 64, 1), 2)) AS i
+        |  FROM b)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(i * 64 AS BIGINT) AS "offset",
+        |       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        |FROM f""".stripMargin,
     "q37_value_percentiles" ->
       """SELECT event_type,
         |       quantile_cont(value, 0.5) AS p50,

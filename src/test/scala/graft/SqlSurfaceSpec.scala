@@ -51,6 +51,16 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(row.getSeq[String](3) == Seq("a b", "b c", "c d"))
       assert(row.getSeq[String](4) == Seq("ab", "bc", "cd"))
     }
+    val r2 = spark.sql(
+      """SELECT rolling_hash('abc') AS rh,
+        |       sorted_long_jaccard(hashed_sorted_set(array('a','b','c')),
+        |                           hashed_sorted_set(array('b','c','d'))) AS j,
+        |       int8_quantize(embedding) AS q,
+        |       int8_quantize_stats(embedding)[0] AS scale
+        |FROM embeddings LIMIT 1""".stripMargin).collect().head
+    assert(r2.getLong(0) == (('a' * 31 + 'b') * 31 + 'c') % 1000000007L)
+    assert(math.abs(r2.getDouble(1) - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+    assert(r2.getSeq[Byte](2).nonEmpty && r2.getDouble(3) > 0)
   }
 
   test("aggregation via SQL equals DataFrame operator") {

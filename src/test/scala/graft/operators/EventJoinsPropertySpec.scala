@@ -67,6 +67,25 @@ class EventJoinsPropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join agrees with the brute-force argmax model on random histories") {
+    samples(genEvents, 30).foreach { evs =>
+      val df = toDf(evs)
+      val views = evs.filter(_.typ == "view")
+      val clicks = evs.filter(_.typ == "click")
+      // model: per click, the (max ts, then max id) view with same user and
+      // ts in [click.ts - W, click.ts]; None when no such view
+      val model = clicks.map { c =>
+        val cands = views.filter(v =>
+          v.user == c.user && v.tsMs <= c.tsMs && v.tsMs >= c.tsMs - windowMs)
+        c.id -> (if (cands.isEmpty) None
+                 else Some(cands.maxBy(v => (v.tsMs, v.id)).id))
+      }.toMap
+      val got = EventJoins.clickAttribution(df, "1 HOUR")
+        .select("click_id", "view_id").as[(Long, Option[Long])].collect().toMap
+      assert(got == model, s"asOf mismatch on ${evs.size} events")
+    }
+  }
+
   test("time-shift is a bijection preserving key and payload") {
     samples(genEvents, 10).foreach { evs =>
       val df = toDf(evs)
