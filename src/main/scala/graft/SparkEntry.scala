@@ -109,6 +109,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)),
     "q37_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
+    "q40_clean_corpus" -> ((s, dir) =>
+      Pipelines.cleanCorpusStats(Tables.documents(s, dir))),
     "q39_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(s,
         Multimodal.withMediaColumn(Tables.documents(s, dir)), frameBytes = 64, every = 2)
@@ -369,6 +371,23 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q40_clean_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |k AS (SELECT lang, text FROM d WHERE rn = 1),
+        |q AS (
+        |  SELECT lang,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |         len(regexp_extract_all(text, '[^\w\s]')) /
+        |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+        |  FROM k)
+        |SELECT lang, count(*) AS n_docs_kept,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM q
+        |WHERE n_tokens >= 10 AND punct_ratio <= 0.2
+        |GROUP BY lang""".stripMargin,
     // q39: the frame payloads are byte slices of the (all-ASCII) text
     // corpus, so DuckDB's character substring + md5(VARCHAR) — which
     // hashes the UTF-8 bytes — reproduces the byte-slice digests exactly.

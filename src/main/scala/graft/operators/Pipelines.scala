@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-preparation pipeline compositions — the actual
+  * product use-case the individual operators exist for: a user of this
+  * engine runs exactly this shape over raw crawl text before training.
+  * Composing them in one plan (rather than materializing between steps)
+  * lets Catalyst collapse the projections: dedup, quality scoring, and
+  * filtering all ride the SAME scan + single aggregation shuffle chain.
+  */
+object Pipelines {
+
+  /** Q40: clean-corpus stats — exact-dedup the documents (keep lowest id
+    * per text), score quality, drop low-quality docs (too few tokens /
+    * too much punctuation), report per-language kept-doc and token
+    * counts. Output stays in exact integers, so the result is
+    * partitioning-independent and oracle-checkable bit-for-bit.
+    */
+  def cleanCorpusStats(docs: DataFrame,
+      minTokens: Long = 10L, maxPunctRatio: Double = 0.2): DataFrame = {
+    val deduped = docs
+      .groupBy(col("text"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+      .select(col("keep.lang").as("lang"), col("text"))
+    val scored = deduped.select(
+      col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      (size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0))).as("punct_ratio"))
+    scored
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+}
