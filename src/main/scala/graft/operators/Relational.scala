@@ -18,27 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  // Per-row cast to the 6-dp grid: the money values' true decimal values
-  // (2-dp inputs, products of up to three 2-dp factors) lie exactly ON this
-  // grid, so double→decimal rounding has no ties and every engine rounds to
-  // the same point. Sums over decimals are exact (order-independent); final
-  // outputs cast back to double (nearest-double of the same exact decimal on
-  // every engine — pandas/arrow-safe, unlike wide decimals).
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+  // Exact decimal sum of a 6-dp-grid double column: the money values' true
+  // decimal values (2-dp inputs, products of up to three 2-dp factors) lie
+  // exactly ON the 6-dp grid — never on midpoints — so rounding to the grid
+  // is mode-independent and every engine picks the same point; decimal sums
+  // are then exact (order-independent), and final outputs cast back to
+  // double (nearest-double of the same exact decimal on every engine —
+  // pandas/arrow-safe, unlike wide decimals).
+  //
+  // FAST path: a per-row double→decimal CAST allocates a BigDecimal per row
+  // (via Double toString), which dominates wide-table money aggregations.
+  // Instead the per-row value becomes integer MICROS (round() exact, per
+  // above) and long→decimal stays compact (no BigDecimal until a sum would
+  // overflow 2^63 micros, at which point Spark's Decimal widens — still
+  // exact). The micros→units division happens once per GROUP, exactly.
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(round(c * 1000000.0).cast("long").cast("decimal(18,0)")) /
+      lit(1000000L).cast("decimal(7,0)")
 
   /** TPC-H Q1-style pricing summary over lineitem. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        decSum(col("l_quantity")).cast("double").as("sum_qty"),
+        decSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
           .cast("double").as("sum_charge"),
-        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
-        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        round(decSum(col("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(decSum(col("l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Star-schema revenue rollup: orders ⋈ customer ⋈ nation ⋈ region — the
@@ -53,7 +63,7 @@ object Relational {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        decSum(col("o_totalprice")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** Analytic windows over per-supplier monthly revenue: rank within
@@ -64,7 +74,7 @@ object Relational {
   def supplierMonthly(lineitem: DataFrame): DataFrame = {
     val monthly = lineitem
       .groupBy(col("l_suppkey"), date_trunc("month", col("l_shipdate")).as("month"))
-      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(20,6)").as("revenue"))
+      .agg(decSum(col("l_extendedprice")).cast("decimal(20,6)").as("revenue"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
     monthly
       .withColumn("rank_in_supp",
@@ -80,7 +90,7 @@ object Relational {
     lineitem
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        decSum(col("l_quantity")).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
   /** Set operations over the events table: users who viewed but never
@@ -222,6 +232,6 @@ object Relational {
       .groupBy(col("band"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        decSum(col("o_totalprice")).cast("double").as("revenue"))
   }
 }
