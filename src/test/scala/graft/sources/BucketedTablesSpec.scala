@@ -55,6 +55,28 @@ class BucketedTablesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    spark.sql("DROP TABLE IF EXISTS pt_events")
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse/pt_events")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val ev = Tables.events(spark, sf)
+    BucketedTables.writePartitioned(ev, "pt_events", "event_type")
+    val q = spark.table("pt_events").filter($"event_type" === "click")
+      .select($"event_id", $"user_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition pruning in scan:\n$plan")
+    // the pruned scan reads only the click partition's files
+    assert(q.count() == ev.filter($"event_type" === "click").count())
+  }
+
   test("aggregation on the bucket key also runs shuffle-free") {
     val agg = spark.table("bt_views").groupBy($"user_id").agg(count(lit(1)).as("n"))
     val plan = executedPlan(agg)
