@@ -109,6 +109,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 3)),
     "q37_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
+    "q41_order_price_ranks" -> ((s, dir) =>
+      Relational.orderPriceRanks(Tables.orders(s, dir))),
     "q40_clean_corpus" -> ((s, dir) =>
       Pipelines.cleanCorpusStats(Tables.documents(s, dir))),
     "q39_frame_sample" -> ((s, dir) =>
@@ -402,6 +404,14 @@ object SparkEntry {
         |       CAST(i * 64 AS BIGINT) AS "offset",
         |       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
         |FROM f""".stripMargin,
+    "q41_order_price_ranks" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "q37_value_percentiles" ->
       """SELECT event_type,
         |       quantile_cont(value, 0.5) AS p50,

@@ -166,6 +166,24 @@ object Relational {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
+  /** Q41: analytic-window breadth — ntile buckets, percent_rank, and
+    * cume_dist over order prices within each priority class (completing
+    * the ranking/analytic/frames family next to q22's
+    * rank/lag/running-sum). The (o_totalprice, o_orderkey) order is total,
+    * so every rank-derived value is deterministic.
+    */
+  def orderPriceRanks(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(
+      col("o_orderpriority"),
+      col("o_orderkey"),
+      col("o_totalprice"),
+      ntile(4).over(w).cast("long").as("price_quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   /** Q37: exact interpolated percentiles of `value` per event type, plus
     * the approximate-sketch variant for the 100 TB path. The exact form
     * (`percentile`) needs the group's values collected per aggregation
