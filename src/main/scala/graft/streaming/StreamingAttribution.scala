@@ -50,7 +50,14 @@ object StreamingAttribution {
       rows.foreach { e =>
         val b = Buffered(e.event_id, e.ts.getTime)
         e.event_type match {
-          case "view" => views.appendValue(b)
+          case "view" =>
+            views.appendValue(b)
+            // cleanup timer: WITHOUT it a key that only ever sees views
+            // would never enter handleExpiredTimer and its view state
+            // would leak forever; past ts + window the view can no longer
+            // match any future click (the +1 puts the eviction bound
+            // strictly past this view), so the eviction pass may run
+            getHandle.registerTimer(b.tsMs + windowMs + 1)
           case "click" =>
             clicks.appendValue(b)
             // fires when the event-time watermark passes the click's ts

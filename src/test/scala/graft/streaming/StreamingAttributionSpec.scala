@@ -55,6 +55,41 @@ class StreamingAttributionSpec extends SparkSpec {
     }
   }
 
+  test("view-only keys evict their state once the watermark passes ts + window") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val out = StreamingAttribution.attribute(spark, in.toDS(),
+      windowMs = 3600 * 1000L, watermarkDelay = "1 second")
+    val q = out.writeStream.format("memory").queryName("attr_evict")
+      .outputMode("append").start()
+    try {
+      // a user with ONLY views — no click ever arrives for key 7
+      in.addData(Ev(7L, "view", 1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far past view.ts + window
+      in.addData(Ev(99L, "view", 999L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      in.addData(Ev(99L, "view", 998L, ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      in.addData(Ev(99L, "view", 997L, ts("2024-01-01 22:00:00")))
+      q.processAllAvailable()
+      // nothing attributes (no clicks), and the buffered view rows for
+      // key 7 must be gone from the state store
+      assert(spark.table("attr_evict").count() == 0)
+      val p = q.lastProgress
+      assert(p != null && p.stateOperators.nonEmpty)
+      val totalStateRows = p.stateOperators.map(_.numRowsTotal).sum
+      // only key 99's most recent views (inside watermark - window) may
+      // remain; key 7's 10:00 view must have been evicted
+      assert(totalStateRows <= 2, s"state not evicted: $totalStateRows rows")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming attribution equals the batch as-of join on the same rows") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
