@@ -142,7 +142,10 @@ object EventJoins {
     * window carries the latest right row forward — O(n log n) per
     * partition, output exactly |left| rows. Ties (right.ts == left.ts)
     * match, and equal-ts right rows resolve to the greatest tiebreak
-    * column, so results are deterministic.
+    * column, so results are deterministic. Skew bound: the unit of
+    * serial work is ONE KEY's sorted history (not a partition) — a hot
+    * key serializes only its own timeline, and salting does not apply
+    * (the running window needs the whole key history in order).
     *
     * `left`/`right` must share the `key` and `ts` column names; `rightCols`
     * are the right columns carried into the output (null when no match).

@@ -86,6 +86,41 @@ class EventJoinsPropertySpec extends SparkSpec {
     }
   }
 
+  // finer grid than genEvents: 10-min slots so the EXACT-30-min boundary
+  // (inclusive merge) and sub-gap spacings both occur
+  private val genSessionEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 25)
+    evs <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 3L)
+      slot <- Gen.choose(0L, 18L)
+    } yield (user, slot * 10L * 60 * 1000))
+  } yield evs.zipWithIndex.map { case ((u, t), i) => Ev(i.toLong, t, u, "view") }
+
+  test("sessionize agrees with a brute-force gap-scan model on random histories") {
+    samples(genSessionEvents, 20).foreach { evs =>
+      val df = toDf(evs)
+      // model: sort each user's ts, split where gap STRICTLY exceeds 30min
+      // (session_window's merge bound is inclusive)
+      val gapMs = 30L * 60 * 1000
+      val model = evs.groupBy(_.user).flatMap { case (u, es) =>
+        val ts = es.map(e => 1704067200000L + e.tsMs).sorted
+        if (ts.isEmpty) Nil
+        else {
+          val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+            if (t - acc.head.head <= gapMs) (t :: acc.head) :: acc.tail
+            else List(t) :: acc
+          }
+          sessions.map(s => (u, s.min, s.max, s.size.toLong))
+        }
+      }.toSet
+      val got = Relational.sessionize(df, "30 minutes")
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2.getTime, r._3.getTime, r._4)).toSet
+      assert(got == model, s"sessions mismatch on ${evs.size} events")
+    }
+  }
+
   test("time-shift is a bijection preserving key and payload") {
     samples(genEvents, 10).foreach { evs =>
       val df = toDf(evs)
