@@ -153,6 +153,8 @@ object EventJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], rightTiebreak: String, tolerance: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "asOfJoin: input columns must not use the reserved __ prefix")
     val r = right.select(col(key).as("__k"), col(ts).as("__ts"),
       col(rightTiebreak).as("__tb"), lit(0).as("__side"),
       struct((ts +: rightCols).distinct.map(col): _*).as("__r"))

@@ -125,6 +125,21 @@ class StreamingAttributionSpec extends SparkSpec {
         .as[(Long, Option[Long])].collect().toMap
       assert(streamed == batch, s"streaming=$streamed batch=$batch")
       assert(streamed == Map(3L -> Some(2L), 6L -> Some(5L), 7L -> None, 9L -> None))
+      // duplicate-timer path: two clicks at the SAME ts for one key both
+      // register the same event-time timer — must not throw or drop one
+      in.addData(
+        Ev(5L, "view", 20L, ts("2024-01-01 13:30:00")),
+        Ev(5L, "click", 21L, ts("2024-01-01 14:00:00")),
+        Ev(5L, "click", 22L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      in.addData(Ev(99L, "view", 997L, ts("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      in.addData(Ev(99L, "view", 996L, ts("2024-01-01 17:00:00")))
+      q.processAllAvailable()
+      val dup = spark.table("attr_parity").as[Attribution].collect()
+        .map(a => (a.click_id, a.view_id)).toMap
+      assert(dup.get(21L).contains(Some(20L)) && dup.get(22L).contains(Some(20L)),
+        s"equal-ts clicks mishandled: $dup")
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
