@@ -119,5 +119,7 @@ object Multimodal {
         col("lang"),
         col("n_chars"),
         col("label").cast("long").as("label"),
-        round(l2Norm(toDoubleArray(col("embedding"))), 6).as("vec_norm"))
+        // native l2Norm promotes floats per element inside the fused loop —
+        // bit-identical to the cast-then-fold formulation the oracle uses
+        round(l2Norm(col("embedding")), 6).as("vec_norm"))
 }
