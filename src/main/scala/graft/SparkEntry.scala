@@ -111,6 +111,14 @@ object SparkEntry {
       Relational.valuePercentiles(Tables.events(s, dir))),
     "q41_order_price_ranks" -> ((s, dir) =>
       Relational.orderPriceRanks(Tables.orders(s, dir))),
+    "q42_top_terms_per_lang" -> ((s, dir) =>
+      TextAnalysis.topTermsPerLang(Tables.documents(s, dir), k = 5)),
+    "q43_orders_profile" -> ((s, dir) =>
+      Relational.ordersProfile(Tables.orders(s, dir))),
+    // q44: count-min sketch binary is engine-specific -> rows-only; the
+    // overcount bound is asserted in RelationalSpec
+    "q44_activity_sketch" -> ((s, dir) =>
+      Relational.userActivitySketch(Tables.events(s, dir))),
     "q40_clean_corpus" -> ((s, dir) =>
       Pipelines.cleanCorpusStats(Tables.documents(s, dir))),
     "q39_frame_sample" -> ((s, dir) =>
@@ -404,6 +412,28 @@ object SparkEntry {
         |       CAST(i * 64 AS BIGINT) AS "offset",
         |       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
         |FROM f""".stripMargin,
+    "q42_top_terms_per_lang" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT lang, term, n, rank FROM (
+        |  SELECT lang, term, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rank
+        |  FROM c) WHERE rank <= 5""".stripMargin,
+    "q43_orders_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
+        |  count(DISTINCT o_orderstatus) AS distinct_status,
+        |  count(DISTINCT o_orderpriority) AS distinct_priority,
+        |  count(DISTINCT o_custkey) AS distinct_custkeys,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  min(o_orderdate) AS first_order,
+        |  max(o_orderdate) AS last_order
+        |FROM orders""".stripMargin,
     "q41_order_price_ranks" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,

@@ -166,6 +166,39 @@ object Relational {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
+  /** Q44: count-min sketch of per-type user activity — the third sketch
+    * in the family next to HLL distinct (q29) and KLL-style percentiles
+    * (q37's approx variant): constant-memory mergeable partials whose
+    * point-frequency estimates overcount by at most ε·N with probability
+    * ≥ confidence. Rows-only (the sketch binary is engine-specific); the
+    * error bound is asserted against exact counts in RelationalSpec.
+    */
+  def userActivitySketch(events: DataFrame,
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count_min_sketch(col("user_id"), lit(eps), lit(confidence), lit(42)).as("cms"),
+        count(lit(1)).as("n_events"))
+
+  /** Q43: data-profile audit of the orders table — the pre-ingest quality
+    * gate a pipeline runs before training: per-column null counts,
+    * distinct cardinalities, and value ranges, in ONE pass (a single
+    * aggregation; no per-column jobs). All outputs are exact
+    * integers/strings, so the profile is partitioning-independent.
+    */
+  def ordersProfile(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_totalprice"),
+      countDistinct(col("o_orderstatus")).as("distinct_status"),
+      countDistinct(col("o_orderpriority")).as("distinct_priority"),
+      countDistinct(col("o_custkey")).as("distinct_custkeys"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      min(col("o_orderdate")).as("first_order"),
+      max(col("o_orderdate")).as("last_order"))
+
   /** Q41: analytic-window breadth — ntile buckets, percent_rank, and
     * cume_dist over order prices within each priority class (completing
     * the ranking/analytic/frames family next to q22's

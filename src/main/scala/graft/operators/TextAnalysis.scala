@@ -96,6 +96,24 @@ object TextAnalysis {
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
         sum(tokenCount(col("text"))).as("n_tokens"))
 
+  /** Q42: exact top-k most frequent terms per language — the corpus-level
+    * vocabulary summary next to q36's per-document TF-IDF. Token counts
+    * partial-aggregate before the shuffle; the ranking window sees only
+    * each language's DISTINCT terms. Deterministic tiebreak (count desc,
+    * term asc).
+    */
+  def topTermsPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("lang"),
+      explode(split(TextShingles.normalize(col("text")), " ")).as("term"))
+    val counts = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("term"), col("n"), col("rank"))
+  }
+
   /** Q36: TF-IDF top-k terms per document — the standard relevance/keyword
     * primitive for corpus analysis. tf = term count / doc token count,
     * idf = ln(N / docfreq), deterministic rank tiebreak (score desc, term

@@ -78,6 +78,30 @@ class RelationalSpec extends SparkSpec {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("count-min sketch: estimates never undercount, overcount within eps*N") {
+    val ev = Tables.events(spark, sf)
+    val eps = 0.001
+    val sketches = Relational.userActivitySketch(ev, eps, 0.99)
+      .select($"event_type", $"cms", $"n_events")
+      .collect()
+      .map(r => (r.getString(0),
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))),
+        r.getLong(2)))
+    assert(sketches.nonEmpty)
+    val truth = ev.groupBy($"event_type", $"user_id").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    sketches.foreach { case (typ, cms, n) =>
+      truth(typ).take(200).foreach { case (user, exact) =>
+        val est = cms.estimateCount(user)
+        assert(est >= exact, s"$typ/$user: CMS undercounted $est < $exact")
+        assert(est <= exact + math.ceil(eps * n).toLong + 1,
+          s"$typ/$user: overcount $est vs $exact (n=$n)")
+      }
+    }
+  }
+
   test("approx percentiles track exact percentiles per event type") {
     val ev = Tables.events(spark, sf)
     val exact = Relational.valuePercentiles(ev)
