@@ -121,6 +121,16 @@ object SparkEntry {
       Relational.userActivitySketch(Tables.events(s, dir))),
     "q40_clean_corpus" -> ((s, dir) =>
       Pipelines.cleanCorpusStats(Tables.documents(s, dir))),
+    "q45_media_resize" -> ((s, dir) =>
+      Multimodal.resize(s,
+        Multimodal.withMediaColumn(Tables.documents(s, dir)), w = 8, h = 8)
+        .toDF()
+        .select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("pixels")).cast("int").as("n_px"),
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("pixels")).as("px_md5"))),
     "q39_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(s,
         Multimodal.withMediaColumn(Tables.documents(s, dir)), frameBytes = 64, every = 2)
@@ -381,6 +391,17 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // q45: like q39, the ASCII corpus makes DuckDB's per-character
+    // substring equivalent to the byte striding of the stub resizer.
+    "q45_media_resize" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT doc_id, text, n, greatest(1, n // 64) AS stride FROM b)
+        |SELECT doc_id,
+        |  CAST(least(64, len(range(0, n, stride))) AS INTEGER) AS n_px,
+        |  md5(array_to_string(list_transform(
+        |        range(1, least(64, len(range(0, n, stride))) + 1),
+        |        k -> substring(text, CAST((k - 1) * stride + 1 AS BIGINT), 1)), '')) AS px_md5
+        |FROM s""".stripMargin,
     "q40_clean_corpus" ->
       """WITH d AS (
         |  SELECT doc_id, lang, text,
