@@ -153,6 +153,25 @@ class RelationalSpec extends SparkSpec {
     assert(perUserSessions == perUserEvents)
   }
 
+  test("banded range join equals naive on random (overlapping, bucket-edge) ranges") {
+    val rnd = new scala.util.Random(7)
+    val facts = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200))
+      .toDF("id", "v")
+    // overlapping ranges, some aligned exactly on bucket boundaries (w=50),
+    // some negative, some empty (lo == hi)
+    val ranges = (0 until 25).map { i =>
+      val lo = math.floor(rnd.nextDouble() * 900 - 250)
+      val width = if (i % 5 == 0) 0.0 else rnd.nextDouble() * 300
+      (s"r$i", lo, lo + width)
+    }.toDF("rid", "lo", "hi")
+    val banded = Relational.bandedRangeJoin(facts, "v", ranges, "lo", "hi", 50.0)
+      .select($"id", $"rid").as[(Long, String)].collect().toSet
+    val naive = facts.join(ranges, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"id", $"rid").as[(Long, String)].collect().toSet
+    assert(banded == naive)
+    assert(naive.nonEmpty, "degenerate fixture: no range matched anything")
+  }
+
   test("banded range join equals the naive range join exactly") {
     val o = Tables.orders(spark, sf)
     val bands = Relational.priceBands.toDF("band", "lo", "hi")
