@@ -40,8 +40,12 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // one warm-up of the cheapest query amortizes JVM/codegen startup
+    // warm-ups amortize JVM/codegen startup: a light query for the session
+    // machinery, plus the FIRST measured query (q10 sorts first) so the
+    // first slot isn't the only one paying the heavy-family JIT cost that
+    // every later query gets amortized by its predecessors
     once("q3_time_shift")
+    once(names.head)
     // best-of-2: per-query codegen/JIT warm-up dominates single-shot
     // timings at this scale; the min is the stable measure of the plan.
     // A query counts as FAILED (-1) if EITHER run failed — a flaky query
