@@ -62,6 +62,31 @@ class StreamingParitySpec extends SparkSpec {
       ("k3", "v3")), s"got $got")
   }
 
+  test("raw binary key/value passes through operators byte-exact (O2/O4 shape)") {
+    // the reference's ByteArraySerde contract (TopicShifter.scala:44-45):
+    // the engine moves opaque payloads without touching a byte — here
+    // through the time-shift operator, which like the reference shifter is
+    // payload-agnostic
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Array[Byte], Array[Byte], java.sql.Timestamp)]
+    val shifted = graft.operators.EventJoins.timeShift(
+      in.toDF().toDF("key", "value", "ts"), "ts", "1 HOUR", "raw", "1h")
+    val q = shifted.writeStream.format("memory").queryName("raw_out")
+      .outputMode("append").start()
+    val payload = Array[Byte](0, -1, 127, -128, 42) // incl. non-UTF8 bytes
+    val key = Array[Byte](1, 2, 3)
+    try {
+      in.addData((key, payload, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val row = spark.table("raw_out")
+        .select("key", "value", "stream").collect().head
+      assert(java.util.Arrays.equals(row.getAs[Array[Byte]](0), key))
+      assert(java.util.Arrays.equals(row.getAs[Array[Byte]](1), payload))
+      assert(row.getString(2) == "raw.1h")
+    } finally q.stop()
+  }
+
   test("error channel captures a failing streaming query (O14)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ch = ErrorChannel.attach(spark)((_, _) => ())
