@@ -121,13 +121,12 @@ object TextAnalysis {
     *
     * Scale shape: term-frequency and doc-frequency are partial+final
     * aggregations; the per-doc window ranks only that doc's DISTINCT terms
-    * (bounded by doc length). `docs.count()` is one scalar count job
-    * shipping N into the plan as a literal — the corpus itself is never
-    * collected.
+    * (bounded by doc length). N is a one-row aggregate broadcast into the
+    * scoring join — everything stays in ONE plan, no driver-side action.
     */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.count().toDouble
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(TextShingles.normalize(col(textCol)), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
@@ -136,8 +135,9 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(docLen, Seq("doc_id"))
       .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        (col("c").cast("double") / col("n_toks")) * log(lit(nDocs) / col("dfreq")))
+        (col("c").cast("double") / col("n_toks")) * log(col("__n_docs") / col("dfreq")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), round(col("score"), 6).as("tfidf"), col("rank"))
