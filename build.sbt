@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally passes through sbt's logger, which prefixes
+// every line with [info]/[error] — that breaks line-oriented parsing of
+// Bench's JSON metric line. StdoutOutput pipes the child's stdout/stderr
+// through verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
