@@ -151,6 +151,19 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("st").getItem(0).as("scale"),
           org.apache.spark.sql.functions.col("st").getItem(1).as("max_abs_err"),
           org.apache.spark.sql.functions.col("st").getItem(2).as("mse"))),
+    // --- round-3 additions: corpus QA / PII / ingestion / splitting ---
+    "q46_quality_rules" -> ((s, dir) =>
+      TextAnalysis.qualityRules(Tables.documents(s, dir), "text", "doc_id")),
+    "q47_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(Tables.documents(s, dir), "text", "doc_id")),
+    "q48_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val even = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val odd = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      Dedup.incrementalExact(even, odd, "text", "doc_id", Seq("lang", "n_chars"))
+    }),
+    "q49_train_split" -> ((s, dir) =>
+      Pipelines.trainSplit(Tables.documents(s, dir), "doc_id")),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -517,5 +530,70 @@ object SparkEntry {
         |FROM orders o JOIN bands b
         |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         |GROUP BY band""".stripMargin,
+    // q46: rule thresholds compare the UNROUNDED ratios in both engines;
+    // the rounded ratio columns are display-only.
+    "q46_quality_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |              CAST(count(*) AS BIGINT) AS n_distinct,
+        |              CAST(max(c) AS BIGINT) AS top_token_c
+        |       FROM tc GROUP BY 1),
+        |bgl AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg FROM bgl),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_c FROM bc GROUP BY 1),
+        |j AS (SELECT ta.doc_id, n_toks, n_distinct, top_token_c,
+        |             CAST(coalesce(ba.top_bigram_c, 0) AS BIGINT) AS top_bigram_c,
+        |             n_distinct / greatest(CAST(n_toks AS DOUBLE), 1.0) AS ttr_raw,
+        |             top_token_c / greatest(CAST(n_toks AS DOUBLE), 1.0) AS tok_raw,
+        |             CAST(coalesce(ba.top_bigram_c, 0) AS BIGINT)
+        |               / greatest(CAST(n_toks AS DOUBLE) - 1.0, 1.0) AS bg_raw
+        |      FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id)
+        |SELECT doc_id, n_toks, n_distinct, top_token_c, top_bigram_c,
+        |  round(ttr_raw, 6) AS ttr,
+        |  round(tok_raw, 6) AS top_token_frac,
+        |  round(bg_raw, 6) AS top_bigram_frac,
+        |  CAST(n_toks < 15 AS INTEGER) AS r_short,
+        |  CAST(ttr_raw < 0.4 AS INTEGER) AS r_low_div,
+        |  CAST(tok_raw > 0.12 AS INTEGER) AS r_rep_token,
+        |  CAST(bg_raw > 0.06 AS INTEGER) AS r_rep_bigram,
+        |  CAST(n_toks >= 15 AND ttr_raw >= 0.4 AND tok_raw <= 0.12
+        |       AND bg_raw <= 0.06 AS INTEGER) AS keep
+        |FROM j""".stripMargin,
+    "q47_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         ' ip 10.0.' || (doc_id % 256) || '.7' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+?\d[\d-]{6,}\d')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?\d[\d-]{6,}\d', '<PHONE>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p""".stripMargin,
+    "q48_incremental_dedup" ->
+      """SELECT b.doc_id AS doc_id, b.lang AS lang, b.n_chars AS n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 2 = 0 AND c.text = b.text)""".stripMargin,
+    "q49_train_split" ->
+      """SELECT doc_id,
+        |       (doc_id * 2654435761) % 100 AS bucket,
+        |       CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
   )
 }

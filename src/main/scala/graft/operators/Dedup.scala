@@ -26,6 +26,28 @@ object Dedup {
       .agg(min(struct((idCol +: carry).map(col): _*)).as("keep"))
       .select((s"keep.$idCol" +: carry.map(c => s"keep.$c")).map(col): _*)
 
+  /** Q48: incremental-ingestion exact dedup — drop arriving docs whose
+    * exact text already exists in the indexed corpus (the every-crawl-batch
+    * operation, vs [[exact]]'s whole-corpus pass). LEFT ANTI join keyed on
+    * `(xxhash64(text), text)`: the join still shuffles the text column for
+    * exactness, but hashing first means the join's equality check almost
+    * always rejects on the 8-byte hash without comparing full texts — and
+    * the corpus side projects ONLY (hash, text), never its metadata. At
+    * 100 TB the corpus side would be a bucketed table on the hash, making
+    * this a zero-exchange probe of the new batch.
+    */
+  def incrementalExact(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, carry: Seq[String]): DataFrame = {
+    val ch = corpus.select(
+      xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
+    val b = batch
+      .select((idCol +: carry :+ textCol).map(col): _*)
+      .withColumn("__h", xxhash64(col(textCol)))
+    b.join(ch, b("__h") === ch("__h") && b(textCol) === ch("__t"), "left_anti")
+      .select((idCol +: carry).map(col): _*)
+  }
+
   /** band hashes: split signature into `bands` bands of `rows` values; hash
     * each band. Returns array<struct<band:int, h:long>> for explode+groupBy.
     */

@@ -18,6 +18,24 @@ object Pipelines {
     * counts. Output stays in exact integers, so the result is
     * partitioning-independent and oracle-checkable bit-for-bit.
     */
+  /** Q49: deterministic hash-bucket train/valid/test assignment — the
+    * split a training pipeline runs last, and one that must be (a)
+    * shuffle-free (a pure projection), (b) stable across engines and
+    * re-runs (no `rand()`), and (c) independent of row order. Bucket =
+    * `(id * 2654435761) mod 100` (Knuth multiplicative hashing) — plain
+    * 64-bit integer arithmetic reproducible in any engine, no library
+    * hash dependency.
+    */
+  def trainSplit(docs: DataFrame, idCol: String,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    docs.select(
+      col(idCol), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test").as("split"))
+  }
+
   def cleanCorpusStats(docs: DataFrame,
       minTokens: Long = 10L, maxPunctRatio: Double = 0.2): DataFrame = {
     val deduped = docs

@@ -88,6 +88,117 @@ object TextAnalysis {
     aggregate(chars, lit(0L), (acc, ch) => pmod(acc * 31L + ascii(ch), p))
   }
 
+  /** Q46: Gopher/C4-style repetition quality rules — the cheap structural
+    * filters a training-data pipeline applies before any model-based
+    * scoring. Four counters per document (token count, distinct tokens,
+    * most-frequent-token count, most-frequent-bigram count) come from ONE
+    * native map-only pass ([[graft.functions.TokenStatsExpr]]); the rules
+    * are plain arithmetic over them:
+    *
+    *   r_short        n_toks < minToks
+    *   r_low_div      type-token ratio < minTtr          (template spam)
+    *   r_rep_token    top-token fraction > maxTokFrac    (keyword stuffing)
+    *   r_rep_bigram   top-bigram fraction > maxBigramFrac (boilerplate loops)
+    *
+    * keep = no rule fired. Rule flags are ints (0/1) so every engine hashes
+    * them identically. At 100 TB this is a pure scan→project — no shuffle;
+    * the explode+groupBy formulation (which shuffles every token) exists
+    * only as the oracle/spec cross-check.
+    */
+  def qualityRules(
+      docs: DataFrame, textCol: String, idCol: String,
+      minToks: Int = 15, minTtr: Double = 0.4,
+      maxTokFrac: Double = 0.12, maxBigramFrac: Double = 0.06): DataFrame = {
+    val st = graft.functions.TokenStatsExpr.tokenStats(
+      split(TextShingles.normalize(col(textCol)), " "))
+    val withC = docs
+      .select(col(idCol), st.as("st"))
+      .select(col(idCol),
+        col("st").getItem(0).as("n_toks"),
+        col("st").getItem(1).as("n_distinct"),
+        col("st").getItem(2).as("top_token_c"),
+        col("st").getItem(3).as("top_bigram_c"))
+    val nD = col("n_toks").cast("double")
+    val ttr = col("n_distinct") / greatest(nD, lit(1.0))
+    val tokFrac = col("top_token_c") / greatest(nD, lit(1.0))
+    val bgFrac = col("top_bigram_c") / greatest(nD - 1.0, lit(1.0))
+    val rShort = (col("n_toks") < minToks).cast("int")
+    val rLowDiv = (ttr < minTtr).cast("int")
+    val rRepTok = (tokFrac > maxTokFrac).cast("int")
+    val rRepBg = (bgFrac > maxBigramFrac).cast("int")
+    withC.select(
+      col(idCol), col("n_toks"), col("n_distinct"),
+      col("top_token_c"), col("top_bigram_c"),
+      round(ttr, 6).as("ttr"),
+      round(tokFrac, 6).as("top_token_frac"),
+      round(bgFrac, 6).as("top_bigram_frac"),
+      rShort.as("r_short"), rLowDiv.as("r_low_div"),
+      rRepTok.as("r_rep_token"), rRepBg.as("r_rep_bigram"),
+      (rShort + rLowDiv + rRepTok + rRepBg === 0).cast("int").as("keep"))
+  }
+
+  /** Explode+groupBy formulation of [[graft.functions.TokenStatsExpr]]'s
+    * counters — the cross-check used by TextAnalysisSpec (and mirrored by
+    * the q46 oracle SQL). Shuffles every token; spec-only.
+    */
+  def tokenStatsExploded(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(TextShingles.normalize(col(textCol)), " ").as("toks"))
+    val tok = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_token_c"))
+    val bg = toks.select(col("doc_id"),
+        explode(TextShingles.allWordNgramsOf(col("toks"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_c"))
+    tok.join(bg, Seq("doc_id"))
+  }
+
+  // --- PII redaction (q47) ---------------------------------------------
+  // The redaction patterns stay in the RE2-compatible subset (no
+  // backreferences, no lookaround) so Spark (java.util.regex) and the
+  // DuckDB oracle (RE2) match identical spans.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?\\d[\\d-]{6,}\\d"
+  private val ipRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Deterministic synthetic contact block derived from the doc id. The
+    * testdata corpus contains no PII at all (no digits, no '@'), so q47
+    * first APPENDS known PII — the same derive-from-testdata pattern as
+    * Multimodal's stub media column — and then redacts it; the redaction
+    * regexes are the real operator under test.
+    */
+  def withSyntheticContact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.withColumn("text_pii", concat(
+      col(textCol),
+      lit(" contact user"), col(idCol).cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col(idCol), lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10.0."), pmod(col(idCol), lit(256)).cast("string"), lit(".7")))
+
+  /** Q47: PII scrubbing — replace emails, then phone numbers, then IPv4
+    * addresses with typed placeholders, and count each kind (the audit
+    * trail a compliance pipeline keeps). Pure map-only regex columns; the
+    * replacement ORDER is part of the contract (emails first, so the
+    * phone pattern never sees an address's digits).
+    */
+  def piiRedact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col("text_pii")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+    withSyntheticContact(docs, textCol, idCol).select(
+      col(idCol),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(ipRe)).cast("long").as("n_ips"),
+      redacted.as("redacted"))
+  }
+
   /** Q8: per-language corpus stats (count, avg chars, token sum). */
   def langStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))

@@ -29,6 +29,16 @@ object TextShingles {
         sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
         i => norm.substr(i, lit(k))))
 
+  /** ALL word n-grams (space-joined, duplicates kept) of a pre-split token
+    * attribute; empty array when the text has fewer than n tokens. Used
+    * where n-gram multiplicity matters (repetition counting, q46).
+    */
+  def allWordNgramsOf(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
   /** Distinct word n-grams (space-joined) of a pre-split token attribute. */
   def wordNgramsOf(toks: Column, n: Int): Column =
     array_distinct(

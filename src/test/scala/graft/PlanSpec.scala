@@ -121,4 +121,31 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("minhash_signature"), s"expression missing from plan:\n$plan")
   }
+
+  test("q46/q47/q49 corpus QA queries: map-only, zero shuffles") {
+    val docs = Tables.documents(spark, sf)
+    Seq(
+      "q46" -> TextAnalysis.qualityRules(docs, "text", "doc_id"),
+      "q47" -> TextAnalysis.piiRedact(docs, "text", "doc_id"),
+      "q49" -> Pipelines.trainSplit(docs, "doc_id"),
+    ).foreach { case (name, df) =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle — it is a pure scan+project:\n$plan")
+    }
+  }
+
+  test("q48 incremental dedup: corpus side projects only (hash, text)") {
+    val docs = Tables.documents(spark, sf)
+    val even = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val odd = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val df = Dedup.incrementalExact(even, odd, "text", "doc_id", Seq("lang", "n_chars"))
+    val plan = executedPlan(df)
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    // the corpus-side scan must not read doc_id/lang/n_chars: its scan
+    // schema carries text only (hash is derived)
+    val corpusScans = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("text")).toList
+    assert(corpusScans.nonEmpty, s"no document scans found:\n$plan")
+  }
 }

@@ -133,4 +133,26 @@ class DedupSpec extends SparkSpec {
       assert(native == hof, s"divergence at n=$n")
     }
   }
+
+  test("incrementalExact drops exact matches against the corpus, keeps the rest") {
+    val corpus = Seq(
+      (2L, "alpha beta gamma", "en", 16L),
+      (4L, "delta epsilon", "en", 13L),
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val batch = Seq(
+      (1L, "alpha beta gamma", "en", 16L), // exact dup of corpus doc 2
+      (3L, "alpha beta gamma zeta", "en", 21L), // superset text: NOT a dup
+      (5L, "delta epsilon", "de", 13L), // dup text, different metadata: still dup
+      (7L, "eta theta", "en", 9L), // fresh
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val kept = Dedup.incrementalExact(corpus, batch, "text", "doc_id",
+        Seq("lang", "n_chars"))
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(kept == Set(3L, 7L))
+    // empty corpus: everything survives
+    val all = Dedup.incrementalExact(corpus.limit(0), batch, "text", "doc_id",
+        Seq("lang", "n_chars"))
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(all == Set(1L, 3L, 5L, 7L))
+  }
 }

@@ -25,4 +25,25 @@ class PipelinesSpec extends SparkSpec {
       assert(loose(lang) >= kept)
     }
   }
+
+  test("trainSplit: deterministic, order-independent, respects percentages") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = Pipelines.trainSplit(docs, "doc_id")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // rerun over a different physical layout -> identical assignment
+    val b = Pipelines.trainSplit(docs.repartition(7), "doc_id")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    // bucket boundaries define the split label exactly
+    a.foreach { case (id, bucket, split) =>
+      assert(bucket == math.floorMod(id * 2654435761L, 100L))
+      val expect = if (bucket < 80) "train" else if (bucket < 90) "valid" else "test"
+      assert(split == expect, s"doc $id")
+    }
+    // every split is populated and train dominates (multiplicative hashing
+    // spreads sequential ids near-uniformly over buckets)
+    val byS = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byS.keySet == Set("train", "valid", "test"))
+    assert(byS("train") > byS("valid") && byS("train") > byS("test"))
+  }
 }

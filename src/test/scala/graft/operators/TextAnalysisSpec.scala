@@ -95,4 +95,75 @@ class TextAnalysisSpec extends SparkSpec {
     val byDoc = out.groupBy(_._1).view.mapValues(_.size).toMap
     assert(byDoc.values.forall(_ <= 2))
   }
+
+  test("token stats: native fused pass == explode+groupBy on real docs") {
+    val corpus = graft.Tables.documents(spark, sf)
+    val native = TextAnalysis.qualityRules(corpus, "text", "doc_id")
+      .select($"doc_id", $"n_toks", $"n_distinct", $"top_token_c", $"top_bigram_c")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    val exploded = TextAnalysis.tokenStatsExploded(corpus, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    assert(native.size == exploded.size)
+    native.foreach { case (id, v) => assert(exploded(id) == v, s"doc $id") }
+  }
+
+  test("token stats edge cases: single token, all-same, empty text") {
+    val edge = Seq(
+      (1L, "solo"), // one token: no bigrams
+      (2L, "a a a a"), // maximal repetition
+      (3L, "w x y z"), // all distinct
+      (4L, ""), // split("") -> [""]: one empty token
+    ).toDF("doc_id", "text")
+    val st = TextAnalysis.qualityRules(edge, "text", "doc_id")
+      .select($"doc_id", $"n_toks", $"n_distinct", $"top_token_c", $"top_bigram_c")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(st(1L) == ((1L, 1L, 1L, 0L)))
+    assert(st(2L) == ((4L, 1L, 4L, 3L))) // bigram "a a" x3
+    assert(st(3L) == ((4L, 4L, 1L, 1L)))
+    assert(st(4L) == ((1L, 1L, 1L, 0L)))
+  }
+
+  test("quality rules: flags consistent with the reported counters") {
+    val out = TextAnalysis.qualityRules(graft.Tables.documents(spark, sf), "text", "doc_id")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_toks").toDouble
+      val keep = r.getAs[Int]("keep")
+      val fired = Seq("r_short", "r_low_div", "r_rep_token", "r_rep_bigram")
+        .map(r.getAs[Int](_)).sum
+      assert(keep == (if (fired == 0) 1 else 0))
+      if (n >= 15) assert(r.getAs[Int]("r_short") == 0)
+    }
+    // thresholds must split THIS corpus non-trivially, or the rule set
+    // degenerates to a constant column and the oracle check proves nothing
+    val keeps = out.count(_.getAs[Int]("keep") == 1)
+    assert(keeps > 0 && keeps < out.length)
+  }
+
+  test("pii redact: every synthetic contact is scrubbed, counts audited") {
+    val out = TextAnalysis.piiRedact(graft.Tables.documents(spark, sf), "text", "doc_id")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      // exactly one of each PII kind was injected per doc
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_phones") == 1L)
+      assert(r.getAs[Long]("n_ips") == 1L)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+      assert(!red.contains("@"), s"email survived: $red")
+      assert(!red.matches(".*\\d{3}.*"), s"digit run survived: $red")
+    }
+  }
+
+  test("pii redact: replacement order keeps phone pattern off email digits") {
+    val docs = Seq((7L, "reach me")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs, "text", "doc_id").head()
+    assert(r.getAs[String]("redacted") ==
+      "reach me contact <EMAIL> or <PHONE> ip <IP>")
+  }
 }
