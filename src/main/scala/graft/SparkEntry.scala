@@ -164,6 +164,11 @@ object SparkEntry {
     }),
     "q49_train_split" -> ((s, dir) =>
       Pipelines.trainSplit(Tables.documents(s, dir), "doc_id")),
+    "q50_orc_roundtrip" -> ((s, dir) =>
+      graft.sources.ColumnarFormats.orcRoundTripStats(s, Tables.documents(s, dir),
+        s"/tmp/graft_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}")),
+    "q51_bloom_semi_join" -> ((s, dir) =>
+      RuntimeFilters.urgentLineitemSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -595,5 +600,32 @@ object SparkEntry {
         |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // q50: the oracle reads the PARQUET source directly — matching hashes
+    // prove the engine's ORC write→read hop changed nothing.
+    "q50_orc_roundtrip" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |                       c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |  FROM documents)
+        |GROUP BY lang""".stripMargin,
+    // q51: the bloom pass is an optimization only — the oracle is the
+    // plain exact semi-join.
+    "q51_bloom_semi_join" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -184,4 +184,25 @@ class RelationalSpec extends SparkSpec {
     // every order lands in at most one band here (bands are disjoint)
     assert(banded.size == banded.map(_._1).size)
   }
+
+  test("bloom semi-join equals the exact semi-join; bloom prunes non-matches") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val exact = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .select($"l_orderkey", $"l_linenumber").as[(Long, Int)].collect().toSet
+    val bloomed = RuntimeFilters.bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey")
+      .select($"l_orderkey", $"l_linenumber").as[(Long, Int)].collect().toSet
+    assert(bloomed == exact && exact.nonEmpty)
+    // the bloom pre-filter alone must pass every true match and prune a
+    // meaningful share of the non-matches (fpp=1% on ~20% selectivity)
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mc = org.apache.spark.sql.functions.udf((k: Long) => bc.value.mightContainLong(k))
+    val passed = li.filter(mc(col("l_orderkey"))).count()
+    val total = li.count()
+    assert(passed >= exact.size)
+    assert(passed < total / 2, s"bloom pruned too little: $passed of $total")
+  }
 }

@@ -46,4 +46,18 @@ class TextFormatsSpec extends SparkSpec {
     assert(parsed.filter($"o_orderkey".isNull).count() == 1)
     assert(parsed.filter($"o_orderkey" === 42L).count() == 1)
   }
+
+  test("orc round trip: schema and every row byte-identical to the source") {
+    val docs = graft.Tables.documents(spark, sf)
+    val path = tmpDir("graft_orc_spec")
+    ColumnarFormats.writeOrc(docs, path)
+    val back = ColumnarFormats.readOrc(spark, path)
+    assert(back.schema == docs.schema)
+    // full-row set equality both directions (exceptAll is multiset-aware)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // pushdown survives the format switch: ORC scans support filters too
+    val plan = back.filter($"lang" === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      s"ORC scan lost predicate pushdown:\n$plan")
+  }
 }
