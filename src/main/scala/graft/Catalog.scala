@@ -1,11 +1,20 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** SQL surface: the testdata tables as temp views (the reference's
   * topic-name catalog upgraded to a real session catalog) and the engine's
   * native functions registered for `spark.sql` use — a user can run every
   * oracle query from SparkEntry verbatim through SQL.
+  *
+  * Two registration paths share one builder table:
+  *  - [[registerFunctions]] installs them into an EXISTING session
+  *    (temp-function registry);
+  *  - [[GraftExtensions]] injects them at session BUILD time via
+  *    `spark.sql.extensions=graft.GraftExtensions` — the deployment story
+  *    for a cluster, where every new session (including Thrift/Connect
+  *    sessions the user never touches in code) gets the functions.
   */
 object Catalog {
 
@@ -18,81 +27,56 @@ object Catalog {
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
   }
 
-  /** Register graft-native functions in the session's function registry. */
-  def registerFunctions(spark: SparkSession): Unit = {
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "minhash_signature", { exprs =>
-        def lit(i: Int, what: String): Long = {
-          val e = exprs(i)
-          require(e.foldable,
-            s"minhash_signature: $what (argument ${i + 1}) must be a literal")
-          e.eval().asInstanceOf[Number].longValue()
-        }
-        require(exprs.size >= 2 && exprs.size <= 3,
-          s"minhash_signature(shingles, numHashes[, seed]) takes 2-3 arguments, got ${exprs.size}")
-        graft.functions.MinHashSignatureExpr(
-          exprs.head,
-          numHashes = lit(1, "numHashes").toInt,
-          seed = if (exprs.size > 2) lit(2, "seed") else 7L)
-      })
-    def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long = {
-      require(e.foldable, s"$what must be a literal")
-      e.eval().asInstanceOf[Number].longValue()
-    }
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "vec_dot", { exprs =>
-        require(exprs.size == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.size}")
-        graft.functions.DotProductExpr(exprs(0), exprs(1))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "vec_cosine", { exprs =>
-        require(exprs.size == 2, s"vec_cosine(a, b) takes 2 arguments, got ${exprs.size}")
-        graft.functions.CosineSimExpr(exprs(0), exprs(1))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "vec_l2_normalize", { exprs =>
-        require(exprs.size == 1, s"vec_l2_normalize(v) takes 1 argument, got ${exprs.size}")
-        graft.functions.L2NormalizeExpr(exprs(0))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "simhash", { exprs =>
-        require(exprs.size == 1, s"simhash(tokens) takes 1 argument, got ${exprs.size}")
-        graft.functions.SimHashExpr(exprs(0))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "word_ngrams", { exprs =>
-        require(exprs.size == 2, s"word_ngrams(normalized, n) takes 2 arguments, got ${exprs.size}")
-        graft.functions.WordNgramsExpr(exprs(0), litLong(exprs(1), "n (argument 2)").toInt)
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "char_shingles", { exprs =>
-        require(exprs.size == 2, s"char_shingles(normalized, k) takes 2 arguments, got ${exprs.size}")
-        graft.functions.CharShinglesExpr(exprs(0), litLong(exprs(1), "k (argument 2)").toInt)
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "rolling_hash", { exprs =>
-        require(exprs.size == 1, s"rolling_hash(s) takes 1 argument, got ${exprs.size}")
-        graft.functions.RollingHashExpr(exprs(0))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "hashed_sorted_set", { exprs =>
-        require(exprs.size == 1, s"hashed_sorted_set(arr) takes 1 argument, got ${exprs.size}")
-        graft.functions.HashedSortedExpr(exprs(0))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "sorted_long_jaccard", { exprs =>
-        require(exprs.size == 2, s"sorted_long_jaccard(a, b) takes 2 arguments, got ${exprs.size}")
-        graft.functions.SortedLongJaccardExpr(exprs(0), exprs(1))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "int8_quantize", { exprs =>
-        require(exprs.size == 1, s"int8_quantize(v) takes 1 argument, got ${exprs.size}")
-        graft.functions.Int8QuantizeExpr(exprs(0))
-      })
-    org.apache.spark.sql.GraftBridge.registerFunction(
-      spark, "int8_quantize_stats", { exprs =>
-        require(exprs.size == 1, s"int8_quantize_stats(v) takes 1 argument, got ${exprs.size}")
-        graft.functions.QuantizeStatsExpr(exprs(0))
-      })
+  private def litLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].longValue()
   }
+
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == n, s"$name takes $n argument(s), got ${exprs.size}")
+    f(exprs)
+  }
+
+  /** Every graft-native SQL function: name -> expression builder. */
+  val nativeFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> { exprs: Seq[Expression] =>
+      require(exprs.size >= 2 && exprs.size <= 3,
+        s"minhash_signature(shingles, numHashes[, seed]) takes 2-3 arguments, got ${exprs.size}")
+      graft.functions.MinHashSignatureExpr(
+        exprs.head,
+        numHashes = litLong(exprs(1), "numHashes (argument 2)").toInt,
+        seed = if (exprs.size > 2) litLong(exprs(2), "seed (argument 3)") else 7L)
+    },
+    "vec_dot" -> arity("vec_dot(a, b)", 2)(e =>
+      graft.functions.DotProductExpr(e(0), e(1))),
+    "vec_cosine" -> arity("vec_cosine(a, b)", 2)(e =>
+      graft.functions.CosineSimExpr(e(0), e(1))),
+    "vec_l2_normalize" -> arity("vec_l2_normalize(v)", 1)(e =>
+      graft.functions.L2NormalizeExpr(e(0))),
+    "simhash" -> arity("simhash(tokens)", 1)(e =>
+      graft.functions.SimHashExpr(e(0))),
+    "word_ngrams" -> arity("word_ngrams(normalized, n)", 2)(e =>
+      graft.functions.WordNgramsExpr(e(0), litLong(e(1), "n (argument 2)").toInt)),
+    "char_shingles" -> arity("char_shingles(normalized, k)", 2)(e =>
+      graft.functions.CharShinglesExpr(e(0), litLong(e(1), "k (argument 2)").toInt)),
+    "rolling_hash" -> arity("rolling_hash(s)", 1)(e =>
+      graft.functions.RollingHashExpr(e(0))),
+    "hashed_sorted_set" -> arity("hashed_sorted_set(arr)", 1)(e =>
+      graft.functions.HashedSortedExpr(e(0))),
+    "sorted_long_jaccard" -> arity("sorted_long_jaccard(a, b)", 2)(e =>
+      graft.functions.SortedLongJaccardExpr(e(0), e(1))),
+    "int8_quantize" -> arity("int8_quantize(v)", 1)(e =>
+      graft.functions.Int8QuantizeExpr(e(0))),
+    "int8_quantize_stats" -> arity("int8_quantize_stats(v)", 1)(e =>
+      graft.functions.QuantizeStatsExpr(e(0))),
+    "token_stats" -> arity("token_stats(tokens)", 1)(e =>
+      graft.functions.TokenStatsExpr(e(0))),
+  )
+
+  /** Register graft-native functions in an existing session's registry. */
+  def registerFunctions(spark: SparkSession): Unit =
+    nativeFunctions.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name, builder)
+    }
 }

@@ -73,4 +73,41 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(viaSql == viaDf)
   }
+
+  test("spark.sql.extensions=graft.GraftExtensions injects every native function") {
+    import org.apache.spark.sql.SparkSession
+    // The conf path (`--conf spark.sql.extensions=graft.GraftExtensions`)
+    // does Class.forName + zero-arg construct + apply at session build;
+    // prove that contract via reflection, exactly as Spark's
+    // Utils.loadExtensions does it:
+    val loaded = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    // then build a session through the official injection point. (A builder
+    // .config() can't reach the suite's already-running SparkContext, so
+    // withExtensions is the testable equivalent in-JVM.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder().master("local[4]")
+        .withExtensions(loaded).getOrCreate()
+      // NOTE: never ext.stop() here — it would stop the SHARED SparkContext
+      // and kill every later suite; abandoning the session object is fine.
+      // a function from each family, WITHOUT registerFunctions being called
+      val row = ext.sql(
+        """SELECT rolling_hash('abc') AS rh,
+          |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       token_stats(array('a', 'a', 'b')) AS st""".stripMargin)
+        .collect().head
+      assert(row.getLong(0) == (('a' * 31 + 'b') * 31 + 'c') % 1000000007L)
+      assert(row.getDouble(1) == 11.0)
+      assert(row.getSeq[Long](2) == Seq(3L, 2L, 2L, 1L))
+      // the plain shared session must NOT have gained the function
+      val fresh = spark.newSession()
+      intercept[Exception](fresh.sql("SELECT rolling_hash('x')").collect())
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }
