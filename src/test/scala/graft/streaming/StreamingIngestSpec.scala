@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The ingestion-QA face of the corpus operators: the SAME batch column
+  * pipelines (quality rules, PII redaction) applied unchanged to a
+  * streaming DataFrame, plus the stream-static anti-join dedup — i.e. what
+  * a live crawl-ingest topology runs per micro-batch.
+  */
+case class Doc(doc_id: Long, text: String)
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusRows = Seq(
+    Doc(100L, "alpha beta gamma"),
+    Doc(101L, "delta epsilon zeta"))
+
+  test("stream-static anti-join dedup drops already-indexed texts, stateless") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = corpusRows.toDF()
+    val in = MemoryStream[Doc]
+    val out = StreamingDedup.againstStaticCorpus(in.toDF(), corpus, "text")
+    val q = out.writeStream.format("memory").queryName("ingest_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(1L, "alpha beta gamma"), Doc(2L, "fresh text one"))
+      q.processAllAvailable()
+      // a text deduped in batch 1 is STILL deduped in batch 2 (the corpus
+      // is re-probed every batch), and fresh text keeps flowing
+      in.addData(Doc(3L, "alpha beta gamma"), Doc(4L, "delta epsilon zeta"),
+        Doc(5L, "fresh text two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("ingest_dedup_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 5L))
+  }
+
+  test("quality rules and PII redaction run UNCHANGED on a stream") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      Doc(1L, "the cat sat on the mat next to the dog and the bird today"),
+      Doc(2L, "spam spam spam spam"),
+      Doc(3L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"))
+    val in = MemoryStream[Doc]
+    val streamed = TextAnalysis.qualityRules(in.toDF(), "text", "doc_id")
+    val redacted = TextAnalysis.piiRedact(in.toDF(), "text", "doc_id")
+    assert(streamed.isStreaming && redacted.isStreaming)
+    val q1 = streamed.writeStream.format("memory").queryName("ingest_qr_out")
+      .outputMode("append").start()
+    val q2 = redacted.writeStream.format("memory").queryName("ingest_pii_out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    // bit-identical to the batch run of the same operator on the same rows
+    val batchQr = TextAnalysis.qualityRules(docs.toDF(), "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val streamQr = spark.table("ingest_qr_out").collect().map(_.toSeq).toSet
+    assert(streamQr == batchQr && batchQr.size == 3)
+    val batchPii = TextAnalysis.piiRedact(docs.toDF(), "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val streamPii = spark.table("ingest_pii_out").collect().map(_.toSeq).toSet
+    assert(streamPii == batchPii)
+  }
+}
