@@ -169,6 +169,12 @@ object SparkEntry {
         s"/tmp/graft_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}")),
     "q51_bloom_semi_join" -> ((s, dir) =>
       RuntimeFilters.urgentLineitemSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "q52_event_pivot" -> ((s, dir) =>
+      Relational.eventTypePivot(Tables.events(s, dir))),
+    "q53_price_distribution" -> ((s, dir) =>
+      Relational.orderPriceDistribution(Tables.orders(s, dir))),
+    "q54_token_positions" -> ((s, dir) =>
+      TextAnalysis.tokenPositions(Tables.documents(s, dir), "text", "doc_id")),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -627,5 +633,28 @@ object SparkEntry {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
+    "q52_event_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+        |FROM events GROUP BY 1""".stripMargin,
+    "q53_price_distribution" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q54_token_positions" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+        |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)""".stripMargin,
   )
 }

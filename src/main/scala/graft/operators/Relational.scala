@@ -285,4 +285,40 @@ object Relational {
         count(lit(1)).as("n_orders"),
         decSum(col("o_totalprice")).cast("double").as("revenue"))
   }
+
+  /** Q52: pivot — long-to-wide reshape, one count column per event type
+    * per day. The value list is EXPLICIT: without it Spark runs an extra
+    * distinct-values job over the whole input before it can even plan the
+    * pivot (a full second pass at 100 TB) and the output schema becomes
+    * data-dependent. With the list it is a single partial+final
+    * aggregation, one shuffle, fixed schema.
+    */
+  val eventTypes: Seq[String] = Seq("view", "click", "purchase", "error", "signup")
+
+  def eventTypePivot(events: DataFrame): DataFrame = {
+    val p = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    // pivot yields null for day×type combos with no rows; a count is 0
+    p.select(col("day") +: eventTypes.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Q53: distribution analytics — ntile quartile, percent_rank and
+    * cume_dist of each order's price within its priority class. The window
+    * orders by (price, key): ntile assigns by ROW POSITION, so without the
+    * unique-key tiebreak equal prices would land in engine-dependent
+    * quartiles.
+    */
+  def orderPriceDistribution(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
 }

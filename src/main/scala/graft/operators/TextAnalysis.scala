@@ -199,6 +199,17 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
+  /** Q54: the table-generating (UDTF) surface — posexplode a document into
+    * `(pos, token)` rows, the long layout downstream NLP joins want.
+    * Position comes from the generator itself, not a window: numbering
+    * tokens after a plain explode would need a per-doc sort, where
+    * posexplode emits the ordinal for free during generation.
+    */
+  def tokenPositions(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        split(TextShingles.normalize(col(textCol)), " ").as("toks"))
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "token")))
+
   /** Q8: per-language corpus stats (count, avg chars, token sum). */
   def langStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang"))

@@ -205,4 +205,35 @@ class RelationalSpec extends SparkSpec {
     assert(passed >= exact.size)
     assert(passed < total / 2, s"bloom pruned too little: $passed of $total")
   }
+
+  test("pivot: row sums conserve event totals; absent types stay as zero columns") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ev = Tables.events(spark, sf)
+    val wide = Relational.eventTypePivot(ev).collect()
+    val totalPivot = wide.map(r =>
+      Relational.eventTypes.map(t => r.getAs[Long](t)).sum).sum
+    assert(totalPivot == ev.count())
+    // explicit value list fixes the schema even for a filtered input with
+    // only one type present — the rest are zero, not missing columns
+    val onlyViews = Relational.eventTypePivot(ev.filter(col("event_type") === "view"))
+    assert(onlyViews.columns.toSeq == "day" +: Relational.eventTypes)
+    assert(onlyViews.collect().forall(r => r.getAs[Long]("click") == 0L))
+  }
+
+  test("price distribution: quartiles balanced, pct_rank/cume_dist at the bounds") {
+    val out = Relational.orderPriceDistribution(Tables.orders(spark, sf))
+      .as[(Long, String, Double, Int, Double, Double)].collect()
+    val byPriority = out.groupBy(_._2)
+    byPriority.foreach { case (prio, rows) =>
+      val quartiles = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(quartiles.keySet == Set(1, 2, 3, 4), s"$prio: $quartiles")
+      // ntile balance: sizes differ by at most 1
+      assert(quartiles.values.max - quartiles.values.min <= 1, s"$prio: $quartiles")
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      assert(sorted.head._5 == 0.0) // percent_rank of the first row
+      assert(math.abs(sorted.last._6 - 1.0) < 1e-12) // cume_dist of the last
+      // cume_dist is monotone in the window order
+      assert(sorted.map(_._6).sliding(2).forall(p => p.head <= p.last))
+    }
+  }
 }

@@ -160,6 +160,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("token positions: ordinals dense from 0; tokens reconstruct the text") {
+    val doc = Seq((9L, "Gamma  beta ALPHA")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenPositions(doc, "text", "doc_id")
+      .as[(Long, Int, String)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq(0, 1, 2))
+    // normalization applied: lowercased, whitespace runs collapsed
+    assert(rows.map(_._3).mkString(" ") == "gamma beta alpha")
+    // conservation on real docs: row count == token-count sum
+    val corpus = graft.Tables.documents(spark, sf)
+    val n = TextAnalysis.tokenPositions(corpus, "text", "doc_id").count()
+    val expected = corpus.select(
+      TextAnalysis.tokenCount(TextShingles.normalize($"text")).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(n == expected)
+  }
+
   test("pii redact: replacement order keeps phone pattern off email digits") {
     val docs = Seq((7L, "reach me")).toDF("doc_id", "text")
     val r = TextAnalysis.piiRedact(docs, "text", "doc_id").head()
