@@ -175,6 +175,20 @@ object SparkEntry {
       Relational.orderPriceDistribution(Tables.orders(s, dir))),
     "q54_token_positions" -> ((s, dir) =>
       TextAnalysis.tokenPositions(Tables.documents(s, dir), "text", "doc_id")),
+    "q55_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id", "lang",
+          n = 3, threshold = 0.5),
+        "doc_a", "doc_b")),
+    "q56_stratified_sample" -> ((s, dir) =>
+      Pipelines.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+          ratesPct = Map("en" -> 50, "de" -> 30, "fr" -> 20, "es" -> 10), defaultPct = 100)
+        .select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("n_chars"))),
+    "q57_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -656,5 +670,41 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
         |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)""".stripMargin,
+    // q55: the oracle computes the same components via a recursive CTE
+    // (transitive closure + min label) over the q12-shape pairs.
+    "q55_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT t.a, t.b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b,
+        |           len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+        |  WHERE t.j >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.id)
+        |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+        |            WHEN 'fr' THEN 20 WHEN 'es' THEN 10 ELSE 100 END""".stripMargin,
+    "q57_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / (count(*) * 1000000.0), 6) AS mean_val
+        |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings)
+        |GROUP BY label, i""".stripMargin,
   )
 }

@@ -267,6 +267,52 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Q55: connected-component clustering of near-dup pairs — the step
+    * AFTER pair detection: near-duplication is transitive in practice
+    * (A≈B≈C), so keep-one-per-cluster needs components, not pairs. Labels
+    * each member doc with the MINIMUM doc id in its component (the
+    * canonical representative every engine agrees on).
+    *
+    * Pregel-style min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels — one shuffle join +
+    * aggregation per round, converging in O(component diameter) rounds.
+    * The driver loop reads ONE scalar (changed-count) per round — the
+    * standard iterative-algorithm control pattern; row data never leaves
+    * the executors. Per-round `persist` + unpersist caps lineage growth
+    * (at real scale, `localCheckpoint` each ~10 rounds truncates it
+    * entirely). Near-dup components have tiny diameters (dups of a common
+    * template), so rounds ≈ 2–3.
+    */
+  def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(labels("id"),
+          labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
+        .persist()
+      converged = updated.filter(col("label") < col("old_label")).isEmpty
+      val prev = labels
+      labels = updated.select(col("id"), col("label")).persist()
+      prev.unpersist()
+      updated.unpersist()
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
 }
 
 /** Shared helpers for the dedup family. */

@@ -36,6 +36,23 @@ object Pipelines {
         .otherwise("test").as("split"))
   }
 
+  /** Q56: deterministic stratified sampling — per-stratum keep rates for
+    * rebalancing a skewed corpus (the "too much English" problem). Same
+    * multiplicative-hash bucket as [[trainSplit]], compared against a
+    * per-stratum rate: shuffle-free, engine-reproducible, and stable under
+    * re-runs — `df.sample`/`rand()` guarantee none of those (their output
+    * depends on partitioning), which is why a pipeline that must be
+    * auditable samples by key hash instead.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (stratum, pct)) =>
+      when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+  }
+
   def cleanCorpusStats(docs: DataFrame,
       minTokens: Long = 10L, maxPunctRatio: Double = 0.2): DataFrame = {
     val deduped = docs

@@ -195,4 +195,28 @@ object Similarity {
         round(col("col.score"), 6).as("sim"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** Q57: per-label embedding centroids in long `(label, dim, mean_val)`
+    * layout — class prototypes for probing/NN-classifier init and dataset
+    * cartography. Shape at scale: posexplode fans each vector into
+    * (label, dim, x) rows that partially aggregate map-side, so the single
+    * shuffle carries `#labels × dim` partial sums per partition, never raw
+    * vectors.
+    *
+    * Determinism contract: each component is quantized to micros
+    * (`floor(x·1e6 + 0.5)` — explicit half-up, engines disagree on
+    * `round()` ties) and summed as BIGINT — an EXACT, order-independent
+    * sum, immune to float-addition reorder under repartitioning (same
+    * device as Relational.decSum for money).
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sum_micro"))
+      .select(col("label"), col("dim"),
+        col("n"),
+        round(col("sum_micro").cast("double") / (col("n") * 1e6), 6).as("mean_val"))
 }

@@ -155,4 +155,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().map(_._1).toSet
     assert(all == Set(1L, 3L, 5L, 7L))
   }
+
+  test("clusterPairs: min-label components over chains, triangles, long paths") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain -> component {1,2,3}
+      (10L, 11L), // isolated pair
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle (cycle)
+      // a 5-node path given in worst-case order: label 30 must propagate
+      // across 4 hops -> exercises multiple iterations
+      (33L, 34L), (32L, 33L), (31L, 32L), (30L, 31L),
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val expect = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L)
+    assert(got == expect)
+    // determinism under a different edge order / physical layout
+    val shuffled = Dedup.clusterPairs(pairs.orderBy($"doc_b").repartition(5),
+      "doc_a", "doc_b").as[(Long, Long)].collect().toMap
+    assert(shuffled == expect)
+  }
 }

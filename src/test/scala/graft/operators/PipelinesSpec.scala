@@ -46,4 +46,27 @@ class PipelinesSpec extends SparkSpec {
     assert(byS.keySet == Set("train", "valid", "test"))
     assert(byS("train") > byS("valid") && byS("train") > byS("test"))
   }
+
+  test("stratifiedSample: per-stratum rates honored exactly and deterministically") {
+    val docs = graft.Tables.documents(spark, sf)
+    val rates = Map("en" -> 50, "de" -> 30, "fr" -> 20, "es" -> 10)
+    val out = Pipelines.stratifiedSample(docs, "doc_id", "lang", rates, defaultPct = 100)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    // membership is exactly the bucket predicate — no rng, no order effects
+    val all = docs.select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expect = all.filter { case (id, lang) =>
+      math.floorMod(id * 2654435761L, 100L) < rates.getOrElse(lang, 100)
+    }.toSet
+    assert(out == expect && out.nonEmpty && out.size < all.length)
+    // unlisted strata use the default rate (here: keep everything)
+    val perLang = all.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptPerLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+    perLang.keys.filterNot(rates.contains).foreach { lang =>
+      assert(keptPerLang.getOrElse(lang, 0) == perLang(lang), s"default rate broke $lang")
+    }
+    // rate 0 excludes a stratum entirely
+    val none = Pipelines.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0), defaultPct = 100)
+    assert(none.filter($"lang" === "en").isEmpty)
+  }
 }

@@ -101,4 +101,28 @@ class SimilaritySpec extends SparkSpec {
     val hits = approx.count { case (p, v) => exact.get(p).contains(v) }
     assert(hits >= 3, s"LSH recall@1 was $hits/${approx.size}")
   }
+
+  test("labelCentroids: matches a driver-side mean; partitioning-independent") {
+    val out = Similarity.labelCentroids(emb)
+      .as[(Int, Int, Long, Double)].collect()
+      .map { case (l, d, n, m) => (l, d) -> ((n, m)) }.toMap
+    val rows = emb.select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    val dim = rows.head._2.length
+    assert(out.size == rows.map(_._1).distinct.length * dim)
+    rows.groupBy(_._1).foreach { case (label, members) =>
+      (0 until dim).foreach { d =>
+        val micros = members.map(r => math.floor(r._2(d).toDouble * 1e6 + 0.5).toLong)
+        val raw = micros.sum.toDouble / (members.length * 1e6)
+        val (n, m) = out((label, d))
+        assert(n == members.length)
+        // m is raw rounded to 6 places — within half an ulp of scale 1e-6
+        assert(math.abs(m - raw) <= 5.0001e-7, s"label $label dim $d: $m vs $raw")
+      }
+    }
+    // exact long-sum => identical results under any physical layout
+    val re = Similarity.labelCentroids(emb.repartition(13))
+      .as[(Int, Int, Long, Double)].collect()
+      .map { case (l, d, n, m) => (l, d) -> ((n, m)) }.toMap
+    assert(re == out)
+  }
 }
