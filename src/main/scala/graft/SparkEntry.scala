@@ -189,6 +189,20 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("n_chars"))),
     "q57_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    "q58_moving_average" -> ((s, dir) =>
+      Relational.dailyRevenueMovingAvg(Tables.orders(s, dir))),
+    "q59_bpe_tokens" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Tables.documents(s, dir).select(
+        f.col("doc_id"),
+        TextAnalysis.tokenCount(f.col("text")).as("n_ws"),
+        TextAnalysis.bpeTokenCount(f.col("text")).as("n_bpe"),
+        f.round(TextAnalysis.bpeTokenCount(f.col("text")).cast("double") /
+          f.greatest(TextAnalysis.tokenCount(f.col("text")).cast("double"), f.lit(1.0)), 6)
+          .as("bpe_per_word"))
+    }),
+    "q60_price_histogram" -> ((s, dir) =>
+      Relational.priceHistogram(Tables.orders(s, dir))),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -706,5 +720,33 @@ object SparkEntry {
         |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
         |      FROM embeddings)
         |GROUP BY label, i""".stripMargin,
+    // q58: the windowed sum stays exact DECIMAL inside the frame; only the
+    // final division happens in double (identical IEEE op both engines).
+    "q58_moving_average" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(epoch_day AS BIGINT) AS epoch_day,
+        |  CAST(rev AS DOUBLE) AS day_revenue,
+        |  CAST(sum(rev) OVER w AS DOUBLE) AS sum_win,
+        |  round(CAST(sum(rev) OVER w AS DOUBLE) / (count(*) OVER w), 6) AS avg_win
+        |FROM daily
+        |WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q59_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS DOUBLE)
+        |        / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS bpe_per_word
+        |FROM documents""".stripMargin,
+    "q60_price_histogram" ->
+      """SELECT bucket,
+        |       0.0 + bucket * 25000.0 AS bucket_lo,
+        |       count(*) AS n_orders
+        |FROM (
+        |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0.0), 19.0) AS INTEGER) AS bucket
+        |  FROM orders)
+        |GROUP BY bucket""".stripMargin,
   )
 }

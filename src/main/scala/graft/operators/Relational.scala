@@ -305,6 +305,48 @@ object Relational {
       coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
+  /** Q58: time-based moving average — 7-day trailing revenue per day, a
+    * RANGE frame (value-based: all rows whose day falls in [d-6, d]),
+    * which is NOT the q22 ROWS frame: with gaps in the calendar a 7-row
+    * window and a 7-day window differ. Days are integers (epoch days), so
+    * the range frame is engine-portable; revenue sums are decimal-exact
+    * before the windowing, making the whole result
+    * partitioning-independent.
+    */
+  def dailyRevenueMovingAvg(orders: DataFrame, days: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("epoch_day"))
+      .agg(decSum(col("o_totalprice")).as("rev"))
+    // global (un-partitioned) window: fine — the input is already one row
+    // per DAY, thousands of rows at any corpus size, not the raw orders
+    val w = Window.orderBy(col("epoch_day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    val sumW = sum(col("rev")).over(w) // exact decimal inside the frame
+    val cntW = count(lit(1)).over(w)
+    daily.select(
+      col("epoch_day").cast("long").as("epoch_day"),
+      col("rev").cast("double").as("day_revenue"),
+      sumW.cast("double").as("sum_win"),
+      round(sumW.cast("double") / cntW, 6).as("avg_win"))
+  }
+
+  /** Q60: fixed-width histogram of order prices — the data-profiling
+    * primitive next to q43. Bucket index is plain integer arithmetic
+    * (floor((x-lo)/width), clamped), so any engine reproduces the
+    * assignment exactly; counts partial-aggregate map-side.
+    */
+  def priceHistogram(orders: DataFrame,
+      lo: Double = 0.0, width: Double = 25000.0, nBuckets: Int = 20): DataFrame =
+    orders
+      .select(least(greatest(floor((col("o_totalprice") - lo) / width), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        col("n_orders"))
+
   /** Q53: distribution analytics — ntile quartile, percent_rank and
     * cume_dist of each order's price within its priority class. The window
     * orders by (price, key): ntile assigns by ROW POSITION, so without the

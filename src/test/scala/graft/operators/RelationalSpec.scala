@@ -206,6 +206,33 @@ class RelationalSpec extends SparkSpec {
     assert(passed < total / 2, s"bloom pruned too little: $passed of $total")
   }
 
+  test("moving average: RANGE frame spans days (not rows) across calendar gaps") {
+    val out = Relational.dailyRevenueMovingAvg(Tables.orders(spark, sf), days = 7)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.nonEmpty)
+    val daily = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (day, _, sumW, avgW) =>
+      val inFrame = daily.filter { case (d, _) => d >= day - 6 && d <= day }
+      assert(math.abs(sumW - inFrame.values.sum) < 1e-6, s"day $day")
+      assert(math.abs(avgW - sumW / inFrame.size) < 1e-6, s"day $day")
+    }
+    // the first day's frame is itself alone
+    val first = out.head
+    assert(math.abs(first._3 - first._2) < 1e-9)
+  }
+
+  test("price histogram: clamped buckets, counts conserved, edges exact") {
+    val o = Tables.orders(spark, sf)
+    val hist = Relational.priceHistogram(o)
+      .as[(Int, Double, Long)].collect().sortBy(_._1)
+    assert(hist.map(_._3).sum == o.count())
+    assert(hist.forall { case (b, lo, _) => b >= 0 && b <= 19 && lo == b * 25000.0 })
+    // spot-check one bucket against a direct filter
+    val b2 = o.filter($"o_totalprice" >= 50000.0 && $"o_totalprice" < 75000.0).count()
+    val inHist = hist.find(_._1 == 2).map(_._3).getOrElse(0L)
+    assert(inHist == b2)
+  }
+
   test("pivot: row sums conserve event totals; absent types stay as zero columns") {
     import org.apache.spark.sql.functions.{col, lit}
     val ev = Tables.events(spark, sf)
