@@ -72,6 +72,8 @@ object Catalog {
       graft.functions.QuantizeStatsExpr(e(0))),
     "token_stats" -> arity("token_stats(tokens)", 1)(e =>
       graft.functions.TokenStatsExpr(e(0))),
+    "byte_entropy" -> arity("byte_entropy(s)", 1)(e =>
+      graft.functions.ByteEntropyExpr(e(0))),
   )
 
   /** Register graft-native functions in an existing session's registry. */

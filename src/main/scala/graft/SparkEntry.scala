@@ -203,6 +203,16 @@ object SparkEntry {
     }),
     "q60_price_histogram" -> ((s, dir) =>
       Relational.priceHistogram(Tables.orders(s, dir))),
+    "q61_byte_entropy" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Tables.documents(s, dir)
+        .select(f.col("doc_id"),
+          graft.functions.ByteEntropyExpr.byteEntropy(f.col("text")).as("e"))
+        .select(f.col("doc_id"),
+          f.col("e").getItem(0).cast("long").as("n_bytes"),
+          f.col("e").getItem(1).cast("long").as("n_distinct_bytes"),
+          f.round(f.col("e").getItem(2), 6).as("entropy_nats"))
+    }),
     "q18_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45);
       // 0.35 exercises the verify-filter path with non-trivial output. LSH
@@ -748,5 +758,18 @@ object SparkEntry {
         |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0.0), 19.0) AS INTEGER) AS bucket
         |  FROM orders)
         |GROUP BY bucket""".stripMargin,
+    // q61: the corpus is ASCII so bytes == characters; group-sum float
+    // noise (~1e-16) is far inside the 1e-6 rounding grid.
+    "q61_byte_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM freq GROUP BY 1)
+        |SELECT f.doc_id AS doc_id,
+        |  CAST(t.n AS BIGINT) AS n_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+        |  round(-sum((c / t.n) * ln(c / t.n)), 6) AS entropy_nats
+        |FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+        |GROUP BY f.doc_id, t.n""".stripMargin,
   )
 }

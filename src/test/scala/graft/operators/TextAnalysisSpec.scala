@@ -176,6 +176,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("byte entropy: closed-form cases and the natural-language band") {
+    import graft.functions.ByteEntropyExpr.byteEntropy
+    val cases = Seq(
+      (1L, "aaaa"), // one symbol -> H = 0
+      (2L, "abab"), // two equiprobable -> H = ln 2
+      (3L, "abcd"), // four equiprobable -> H = ln 4
+      (4L, "the quick brown fox jumps over the lazy dog"),
+    ).toDF("doc_id", "text")
+    val out = cases.select($"doc_id", byteEntropy($"text").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(4.0, 1.0, 0.0))
+    assert(math.abs(out(2L)(2) - math.log(2)) < 1e-12)
+    assert(math.abs(out(3L)(2) - math.log(4)) < 1e-12)
+    // pangram: 27 distinct bytes (26 letters + space), mid-band entropy
+    assert(out(4L)(1) == 27.0)
+    assert(out(4L)(2) > 2.5 && out(4L)(2) < 4.5)
+    // real corpus: every doc in a sane band, n_bytes == n_chars (ASCII)
+    val corpus = graft.Tables.documents(spark, sf)
+      .select($"text", byteEntropy($"text").as("e"))
+      .select($"text", $"e".getItem(0).as("n"), $"e".getItem(2).as("h"))
+      .as[(String, Double, Double)].collect()
+    corpus.foreach { case (text, n, h) =>
+      assert(n == text.length)
+      assert(h > 0 && h <= math.log(256), s"entropy $h out of range")
+    }
+  }
+
   test("pii redact: replacement order keeps phone pattern off email digits") {
     val docs = Seq((7L, "reach me")).toDF("doc_id", "text")
     val r = TextAnalysis.piiRedact(docs, "text", "doc_id").head()
