@@ -203,6 +203,26 @@ object SparkEntry {
     }),
     "q60_price_histogram" -> ((s, dir) =>
       Relational.priceHistogram(Tables.orders(s, dir))),
+    // q62: the correlated-LATERAL surface — exercised through spark.sql on
+    // the session catalog (Catalyst decorrelates the per-row TOP-1 subquery
+    // into a join; the DataFrame-API formulation of the same result is
+    // q26/q41's window path).
+    "q62_top_order_lateral" -> ((s, dir) => {
+      Catalog.registerTables(s, dir)
+      s.sql(
+        """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+          |       t.o_orderkey AS o_orderkey, t.o_totalprice AS o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""".stripMargin)
+    }),
+    "q63_returns_cube" -> ((s, dir) =>
+      Relational.returnsCube(Tables.lineitem(s, dir))),
+    "q65_user_active_days" -> ((s, dir) =>
+      Relational.userActiveDays(Tables.events(s, dir))),
+    "q66_funnel" -> ((s, dir) =>
+      Relational.funnelStages(Tables.events(s, dir))),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -771,5 +791,39 @@ object SparkEntry {
         |  round(-sum((c / t.n) * ln(c / t.n)), 6) AS entropy_nats
         |FROM freq f JOIN tot t ON f.doc_id = t.doc_id
         |GROUP BY f.doc_id, t.n""".stripMargin,
+    "q62_top_order_lateral" ->
+      """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+        |       t.o_orderkey AS o_orderkey, t.o_totalprice AS o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""".stripMargin,
+    "q63_returns_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q65_user_active_days" ->
+      """SELECT user_id, count(DISTINCT date_trunc('day', ts)) AS n_active_days
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q66_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT v.user_id,
+        |    1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         LEFT JOIN p ON v.user_id = p.user_id)
+        |GROUP BY stage""".stripMargin,
   )
 }

@@ -286,6 +286,66 @@ object Relational {
         decSum(col("o_totalprice")).cast("double").as("revenue"))
   }
 
+  /** Q63: CUBE over (returnflag, linestatus) — all four grouping-set
+    * combinations (vs q23's ROLLUP hierarchy), tagged with `grouping_id`
+    * so total rows are distinguishable from NULL-valued keys without
+    * sentinel values.
+    */
+  def returnsCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        decSum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Q65: per-user distinct active days — written as the EXPLICIT
+    * two-stage distinct aggregation (spread over (user, day) first, then
+    * count per user). `count(DISTINCT x)` per hot key concentrates every
+    * occurrence of a key on one reducer; the two-stage shape spreads
+    * stage 1 across the value dimension too, which is the skew-safe form
+    * at 100 TB. Result is identical — which is exactly what the oracle's
+    * `count(DISTINCT ...)` checks.
+    */
+  def userActiveDays(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_active_days"))
+
+  /** Q66: funnel analysis — how far each user progresses through the
+    * ordered, CONVERSION-WINDOWED sequence view → click (within
+    * `clickWindow` of the first view) → purchase (within `purchaseWindow`
+    * of that click). Each stage is strictly after the previous stage's
+    * first occurrence; the windows are what make a funnel a funnel — with
+    * unbounded horizons every active user eventually "converts". Three
+    * keyed aggregations + two left joins; each stage's input shrinks to
+    * the survivors of the previous one, so the heavy table is scanned
+    * once per stage with the stage predicate pushed down.
+    */
+  def funnelStages(events: DataFrame,
+      clickWindow: String = "1 HOUR", purchaseWindow: String = "1 DAY"): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr(s"INTERVAL $clickWindow"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr(s"INTERVAL $purchaseWindow"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) +
+          when(col("t2").isNotNull, 1).otherwise(0) +
+          when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Q52: pivot — long-to-wide reshape, one count column per event type
     * per day. The value list is EXPLICIT: without it Spark runs an extra
     * distinct-values job over the whole input before it can even plan the

@@ -74,6 +74,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaDf)
   }
 
+  test("correlated LATERAL top-1 equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    Catalog.registerTables(spark, sf)
+    val viaLateral = spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey")
+      .as[(Long, Long)].collect().toMap
+    assert(viaLateral == viaWindow && viaLateral.nonEmpty)
+  }
+
   test("spark.sql.extensions=graft.GraftExtensions injects every native function") {
     import org.apache.spark.sql.SparkSession
     // The conf path (`--conf spark.sql.extensions=graft.GraftExtensions`)

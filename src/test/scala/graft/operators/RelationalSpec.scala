@@ -206,6 +206,51 @@ class RelationalSpec extends SparkSpec {
     assert(passed < total / 2, s"bloom pruned too little: $passed of $total")
   }
 
+  test("cube: all four grouping sets, totals consistent, rollup is a subset") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+    val cube = Relational.returnsCube(li).collect()
+    assert(cube.map(_.getAs[Long]("gid")).toSet == Set(0L, 1L, 2L, 3L))
+    // the grand-total row (gid=3) counts the whole table
+    val total = cube.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length == 1 && total.head.getAs[Long]("n_rows") == li.count())
+    // per-gid n_rows partitions the table
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(cube.filter(_.getAs[Long]("gid") == gid)
+        .map(_.getAs[Long]("n_rows")).sum == li.count(), s"gid $gid")
+    }
+    // rollup's grouping sets are a subset of cube's
+    val cubeKeys = cube.map(r =>
+      (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))).toSet
+    val rollupKeys = Relational.returnsRollup(li).collect().map(r =>
+      (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))).toSet
+    assert(rollupKeys.subsetOf(cubeKeys))
+  }
+
+  test("two-stage distinct days equals count_distinct; funnel stages monotone") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val twoStage = Relational.userActiveDays(ev)
+      .as[(Long, Long)].collect().toMap
+    val direct = ev.groupBy($"user_id")
+      .agg(countDistinct(date_trunc("day", $"ts")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(twoStage == direct && twoStage.nonEmpty)
+
+    val funnel = Relational.funnelStages(ev).as[(Int, Long)].collect().toMap
+    val viewUsers = ev.filter($"event_type" === "view")
+      .select($"user_id").distinct().count()
+    assert(funnel.values.sum == viewUsers) // every view-user lands in exactly one stage
+    // widening the windows can only move users DEEPER (weak monotonicity
+    // of cumulative conversions)
+    val wide = Relational.funnelStages(ev, "365 DAY", "365 DAY")
+      .as[(Int, Long)].collect().toMap
+    def atLeast(m: Map[Int, Long], s: Int) = m.filterKeys(_ >= s).values.sum
+    Seq(2, 3).foreach { s =>
+      assert(atLeast(wide, s) >= atLeast(funnel, s), s"stage $s")
+    }
+  }
+
   test("moving average: RANGE frame spans days (not rows) across calendar gaps") {
     val out = Relational.dailyRevenueMovingAvg(Tables.orders(spark, sf), days = 7)
       .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
