@@ -219,6 +219,8 @@ object SparkEntry {
     }),
     "q63_returns_cube" -> ((s, dir) =>
       Relational.returnsCube(Tables.lineitem(s, dir))),
+    "q64_props_map" -> ((s, dir) =>
+      JsonOps.propsMapStats(Tables.events(s, dir))),
     "q65_user_active_days" -> ((s, dir) =>
       Relational.userActiveDays(Tables.events(s, dir))),
     "q66_funnel" -> ((s, dir) =>
@@ -804,6 +806,16 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // q64: the oracle parses the fixed-shape props strings with regexes so
+    // it needs no DuckDB json extension (LOAD json is not guaranteed in
+    // the checker); Spark runs the REAL map<string,bigint> parse+explode.
+    "q64_props_map" ->
+      """SELECT regexp_extract(props, '"(\w+)"\s*:', 1) AS k,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, ':\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  CAST(min(CAST(regexp_extract(props, ':\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS min_v,
+        |  CAST(max(CAST(regexp_extract(props, ':\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     "q65_user_active_days" ->
       """SELECT user_id, count(DISTINCT date_trunc('day', ts)) AS n_active_days
         |FROM events GROUP BY user_id""".stripMargin,

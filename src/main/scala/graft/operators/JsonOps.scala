@@ -13,6 +13,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object JsonOps {
 
+  /** Q64: the MAP-type surface — parse `props` as a real `map<string,
+    * bigint>` (schema-on-read, not a fixed struct: keys may vary row to
+    * row), explode to (key, value) rows, and aggregate per key. At scale
+    * the parse+explode is map-only; the single shuffle carries one partial
+    * row per distinct key per partition.
+    */
+  def propsMapStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    events
+      .select(explode(from_json(col("props"), MapType(StringType, LongType)))
+        .as(Seq("k", "v")))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  }
+
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
   /** Parse `props` with a declared schema and aggregate the extracted
