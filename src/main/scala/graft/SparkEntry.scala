@@ -225,6 +225,8 @@ object SparkEntry {
       Relational.userActiveDays(Tables.events(s, dir))),
     "q66_funnel" -> ((s, dir) =>
       Relational.funnelStages(Tables.events(s, dir))),
+    "q67_view_click_outer" -> ((s, dir) =>
+      Relational.viewClickOuter(Tables.events(s, dir))),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -837,5 +839,17 @@ object SparkEntry {
         |  FROM v LEFT JOIN c ON v.user_id = c.user_id
         |         LEFT JOIN p ON v.user_id = p.user_id)
         |GROUP BY stage""".stripMargin,
+    "q67_view_click_outer" ->
+      """WITH v AS (SELECT user_id AS v_user, count(*) AS n_views FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT user_id AS c_user, count(*) AS n_clicks FROM events
+        |      WHERE event_type = 'click' GROUP BY 1)
+        |SELECT coalesce(v_user, c_user) AS user_id,
+        |  coalesce(n_views, 0) AS n_views,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  CASE WHEN v_user IS NULL THEN 'click_only'
+        |       WHEN c_user IS NULL THEN 'view_only'
+        |       ELSE 'both' END AS presence
+        |FROM v FULL OUTER JOIN c ON v_user = c_user""".stripMargin,
   )
 }

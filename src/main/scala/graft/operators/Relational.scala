@@ -346,6 +346,28 @@ object Relational {
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Q67: FULL OUTER join — the one join type the rest of the inventory
+    * doesn't exercise: per-user view counts ⟗ click counts, keeping users
+    * who only ever did one of the two (NULL-padded on the other side).
+    * Both inputs are pre-aggregated, so the outer join matches single
+    * rows per key — the scale-correct order (outer-join raw events first
+    * and the join state explodes).
+    */
+  def viewClickOuter(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user")).agg(count(lit(1)).as("n_views"))
+    val c = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user")).agg(count(lit(1)).as("n_clicks"))
+    v.join(c, col("v_user") === col("c_user"), "full_outer")
+      .select(
+        coalesce(col("v_user"), col("c_user")).as("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        when(col("v_user").isNull, "click_only")
+          .when(col("c_user").isNull, "view_only")
+          .otherwise("both").as("presence"))
+  }
+
   /** Q52: pivot — long-to-wide reshape, one count column per event type
     * per day. The value list is EXPLICIT: without it Spark runs an extra
     * distinct-values job over the whole input before it can even plan the
