@@ -84,7 +84,13 @@ object TokenStatsExpr {
     val n = tokens.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    while (i < n) {
+      // SQL callers may pass arrays with null elements; count them as
+      // empty tokens rather than NPE-ing inside sort/concat
+      val t = tokens.getUTF8String(i)
+      toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
     // bigrams in original order, BEFORE sorting the token copy
     val bigrams = new Array[UTF8String](math.max(n - 1, 0))
     i = 0

@@ -126,6 +126,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(st(4L) == ((1L, 1L, 1L, 0L)))
   }
 
+  test("token_stats from SQL tolerates null array elements") {
+    graft.Catalog.registerFunctions(spark)
+    val r = spark.sql("SELECT token_stats(array('a', NULL, 'a')) AS st")
+      .as[Seq[Long]].head()
+    assert(r == Seq(3L, 2L, 2L, 1L)) // null counted as one empty token
+  }
+
   test("quality rules: flags consistent with the reported counters") {
     val out = TextAnalysis.qualityRules(graft.Tables.documents(spark, sf), "text", "doc_id")
       .collect()
