@@ -289,8 +289,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with least(id, min neighbor) — one aggregation that already
+    // FINISHES every 2-node component (the overwhelmingly common near-dup
+    // cluster shape), so the loop usually just confirms convergence
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
       .persist()
     var converged = false
     var iters = 0
