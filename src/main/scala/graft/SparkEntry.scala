@@ -227,6 +227,15 @@ object SparkEntry {
       Relational.funnelStages(Tables.events(s, dir))),
     "q67_view_click_outer" -> ((s, dir) =>
       Relational.viewClickOuter(Tables.events(s, dir))),
+    "q68_upsert" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val o = Tables.orders(s, dir)
+      val updates = o.filter(f.col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", f.col("o_totalprice") * 1.1)
+      val inserts = o.filter(f.col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", f.col("o_orderkey") + 10000000L)
+      Relational.upsert(o, updates.unionByName(inserts), "o_orderkey")
+    }),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -851,5 +860,21 @@ object SparkEntry {
         |       WHEN c_user IS NULL THEN 'view_only'
         |       ELSE 'both' END AS presence
         |FROM v FULL OUTER JOIN c ON v_user = c_user""".stripMargin,
+    "q68_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        |       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |       coalesce(c.o_orderdate, b.o_orderdate) AS o_orderdate,
+        |       coalesce(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority
+        |FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey""".stripMargin,
   )
 }

@@ -346,6 +346,25 @@ object Relational {
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Q68: MERGE/upsert semantics without a table format — the snapshot
+    * refresh every pipeline runs: apply a changes batch (updates to
+    * existing keys + inserts of new keys) onto a base snapshot,
+    * update-wins. A full outer join on the key with COALESCE(change,
+    * base) per column is exactly what Delta/Iceberg MERGE compiles to
+    * minus the transaction log; at scale the join broadcasts the (small)
+    * change batch, so the base is rewritten in one pass with no shuffle
+    * of the big side.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val cols = base.columns
+    require(changes.columns.sameElements(cols),
+      s"upsert: schemas must match (${cols.mkString(",")} vs ${changes.columns.mkString(",")})")
+    val b = cols.foldLeft(base) { (df, c) => df.withColumnRenamed(c, s"__b_$c") }
+    val c = cols.foldLeft(changes) { (df, x) => df.withColumnRenamed(x, s"__c_$x") }
+    b.join(broadcast(c), col(s"__b_$key") === col(s"__c_$key"), "full_outer")
+      .select(cols.map(x => coalesce(col(s"__c_$x"), col(s"__b_$x")).as(x)): _*)
+  }
+
   /** Q67: FULL OUTER join — the one join type the rest of the inventory
     * doesn't exercise: per-user view counts ⟗ click counts, keeping users
     * who only ever did one of the two (NULL-padded on the other side).

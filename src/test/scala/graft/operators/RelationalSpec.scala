@@ -206,6 +206,24 @@ class RelationalSpec extends SparkSpec {
     assert(passed < total / 2, s"bloom pruned too little: $passed of $total")
   }
 
+  test("upsert: update-wins, untouched rows intact, inserts appended, keys unique") {
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+    ).toDF("k", "s", "x")
+    val changes = Seq(
+      (2L, "B", 22.0), // update
+      (9L, "z", 99.0), // insert
+    ).toDF("k", "s", "x")
+    val got = Relational.upsert(base, changes, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 22.0), (3L, "c", 30.0), (9L, "z", 99.0)))
+    // key uniqueness holds whenever both inputs are key-unique
+    assert(got.map(_._1).distinct.size == got.size)
+    // mismatched schemas are refused, not silently misaligned
+    intercept[IllegalArgumentException](
+      Relational.upsert(base, changes.select($"k", $"x", $"s"), "k"))
+  }
+
   test("cube: all four grouping sets, totals consistent, rollup is a subset") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)
