@@ -349,20 +349,23 @@ object Relational {
   /** Q68: MERGE/upsert semantics without a table format — the snapshot
     * refresh every pipeline runs: apply a changes batch (updates to
     * existing keys + inserts of new keys) onto a base snapshot,
-    * update-wins. A full outer join on the key with COALESCE(change,
-    * base) per column is exactly what Delta/Iceberg MERGE compiles to
-    * minus the transaction log; at scale the join broadcasts the (small)
-    * change batch, so the base is rewritten in one pass with no shuffle
-    * of the big side.
+    * update-wins. Formulated as ANTI-JOIN + UNION, not a full outer join:
+    * Spark cannot broadcast EITHER side of a full outer join (it silently
+    * falls back to shuffling both sides), while a left-anti join happily
+    * broadcasts the small changes side — so the 100 TB base is rewritten
+    * in ONE shuffle-free pass: keep every base row whose key is absent
+    * from the changes, then append the changes verbatim. This is the
+    * copy-on-write MERGE shape (Delta/Iceberg minus the transaction log).
+    * Requires `changes` key-unique (as any MERGE source must be).
     */
   def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val cols = base.columns
     require(changes.columns.sameElements(cols),
       s"upsert: schemas must match (${cols.mkString(",")} vs ${changes.columns.mkString(",")})")
-    val b = cols.foldLeft(base) { (df, c) => df.withColumnRenamed(c, s"__b_$c") }
-    val c = cols.foldLeft(changes) { (df, x) => df.withColumnRenamed(x, s"__c_$x") }
-    b.join(broadcast(c), col(s"__b_$key") === col(s"__c_$key"), "full_outer")
-      .select(cols.map(x => coalesce(col(s"__c_$x"), col(s"__b_$x")).as(x)): _*)
+    val changeKeys = changes.select(col(key).as("__ck"))
+    base
+      .join(broadcast(changeKeys), col(key) === col("__ck"), "left_anti")
+      .unionByName(changes)
   }
 
   /** Q67: FULL OUTER join — the one join type the rest of the inventory

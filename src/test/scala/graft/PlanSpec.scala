@@ -135,6 +135,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q52/q57 single-shuffle aggregations; q68 broadcasts the change batch") {
+    // pivot plans as TWO aggregations — (day, type) counts, then
+    // pivotfirst on day — each with map-side partials; lock that shape
+    // (a regression to a third exchange or a Window would be a bug)
+    val pivotPlan = executedPlan(Relational.eventTypePivot(Tables.events(spark, sf)))
+    assert("Exchange hashpartitioning".r.findAllIn(pivotPlan).length == 2,
+      s"pivot must be exactly two agg exchanges:\n$pivotPlan")
+    assert(pivotPlan.contains("pivotfirst") && !pivotPlan.contains("Window"),
+      s"pivot shape changed:\n$pivotPlan")
+    val centroidPlan = executedPlan(
+      Similarity.labelCentroids(Tables.embeddings(spark, sf)))
+    assert("Exchange hashpartitioning".r.findAllIn(centroidPlan).length == 1,
+      s"centroids must shuffle only (label, dim) partials:\n$centroidPlan")
+    assert(centroidPlan.contains("HashAggregate"), s"no partial agg:\n$centroidPlan")
+    // anti-join formulation: the change keys broadcast and the base never
+    // shuffles (a full-outer MERGE would shuffle BOTH sides — Spark cannot
+    // broadcast any side of a full outer join)
+    val o = Tables.orders(spark, sf)
+    val changes = o.limit(10)
+    val upsertPlan = executedPlan(Relational.upsert(o, changes, "o_orderkey"))
+    assert(upsertPlan.contains("BroadcastHashJoin") && upsertPlan.contains("LeftAnti"),
+      s"upsert must broadcast-anti-join the change keys:\n$upsertPlan")
+    assert(!upsertPlan.contains("SortMergeJoin") &&
+      !"Exchange hashpartitioning".r.findAllIn(upsertPlan).hasNext,
+      s"upsert must not shuffle the base:\n$upsertPlan")
+  }
+
   test("q48 incremental dedup: corpus side projects only (hash, text)") {
     val docs = Tables.documents(spark, sf)
     val even = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
