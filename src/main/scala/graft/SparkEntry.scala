@@ -647,22 +647,32 @@ object SparkEntry {
         |  CAST(n_toks >= 15 AND ttr_raw >= 0.4 AND tok_raw <= 0.12
         |       AND bg_raw <= 0.06 AS INTEGER) AS keep
         |FROM j""".stripMargin,
+    // q47: counts are staged exactly like the replacements (emails counted
+    // on raw text, phones on email-redacted, IPs on phone-redacted) — in
+    // BOTH engines — so the audit counts always equal the substitutions
+    // actually made, even when patterns overlap.
     "q47_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,
         |         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
         |         ' ip 10.0.' || (doc_id % 256) || '.7' AS t
-        |  FROM documents)
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, t,
+        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                        '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (
+        |  SELECT doc_id, t, t1,
+        |         regexp_replace(t1, '\+?\d[\d-]{6,}\d', '<PHONE>', 'g') AS t2
+        |  FROM s1)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t, '\+?\d[\d-]{6,}\d')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(t,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\+?\d[\d-]{6,}\d', '<PHONE>', 'g'),
-        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
-        |FROM p""".stripMargin,
+        |  CAST(len(regexp_extract_all(t1, '\+?\d[\d-]{6,}\d')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t2, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t2, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM s2""".stripMargin,
     "q48_incremental_dedup" ->
       """SELECT b.doc_id AS doc_id, b.lang AS lang, b.n_chars AS n_chars
         |FROM documents b
@@ -672,9 +682,9 @@ object SparkEntry {
         |    WHERE c.doc_id % 2 = 0 AND c.text = b.text)""".stripMargin,
     "q49_train_split" ->
       """SELECT doc_id,
-        |       (doc_id * 2654435761) % 100 AS bucket,
-        |       CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+        |       ((((doc_id % 1000003) * 2654435761) >> 16) % 100) AS bucket,
+        |       CASE WHEN ((((doc_id % 1000003) * 2654435761) >> 16) % 100) < 80 THEN 'train'
+        |            WHEN ((((doc_id % 1000003) * 2654435761) >> 16) % 100) < 90 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
     // q50: the oracle reads the PARQUET source directly — matching hashes
@@ -752,7 +762,7 @@ object SparkEntry {
     "q56_stratified_sample" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+        |WHERE ((((doc_id % 1000003) * 2654435761) >> 16) % 100) <
         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
         |            WHEN 'fr' THEN 20 WHEN 'es' THEN 10 ELSE 100 END""".stripMargin,
     "q57_label_centroids" ->
@@ -817,16 +827,24 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
-    // q64: the oracle parses the fixed-shape props strings with regexes so
-    // it needs no DuckDB json extension (LOAD json is not guaranteed in
-    // the checker); Spark runs the REAL map<string,bigint> parse+explode.
+    // q64: the oracle parses the props strings with regexes so it needs no
+    // DuckDB json extension (LOAD json is not guaranteed in the checker);
+    // Spark runs the REAL map<string,bigint> parse+explode. ALL key/value
+    // pairs are extracted (positionally-aligned unnest of the two lists),
+    // mirroring the full map explode — so multi-key props rows stay in
+    // parity rather than silently comparing only the first pair.
     "q64_props_map" ->
-      """SELECT regexp_extract(props, '"(\w+)"\s*:', 1) AS k,
+      """WITH kv AS (
+        |  SELECT regexp_extract_all(props, '"(\w+)"\s*:', 1) AS ks,
+        |         regexp_extract_all(props, ':\s*(-?\d+)', 1) AS vs
+        |  FROM events),
+        |x AS (SELECT unnest(ks) AS k, CAST(unnest(vs) AS BIGINT) AS v FROM kv)
+        |SELECT k,
         |  count(*) AS n,
-        |  CAST(sum(CAST(regexp_extract(props, ':\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_v,
-        |  CAST(min(CAST(regexp_extract(props, ':\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS min_v,
-        |  CAST(max(CAST(regexp_extract(props, ':\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS max_v
-        |FROM events GROUP BY 1""".stripMargin,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(min(v) AS BIGINT) AS min_v,
+        |  CAST(max(v) AS BIGINT) AS max_v
+        |FROM x GROUP BY 1""".stripMargin,
     "q65_user_active_days" ->
       """SELECT user_id, count(DISTINCT date_trunc('day', ts)) AS n_active_days
         |FROM events GROUP BY user_id""".stripMargin,

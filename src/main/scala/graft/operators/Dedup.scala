@@ -283,6 +283,14 @@ object Dedup {
     * (at real scale, `localCheckpoint` each ~10 rounds truncates it
     * entirely). Near-dup components have tiny diameters (dups of a common
     * template), so rounds ≈ 2–3.
+    *
+    * THROWS `IllegalStateException` if the loop hits `maxIters` without
+    * converging: a truncated run returns labels that look valid but split
+    * real components — silent corruption for the downstream keep-one-per-
+    * cluster step. A component with diameter > `maxIters` means the input
+    * is not near-dup-shaped (e.g. a similarity threshold low enough to
+    * chain the whole corpus); raise `maxIters` deliberately if that is
+    * intended.
     */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
@@ -315,6 +323,13 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"clusterPairs did not converge in $maxIters iterations — a component " +
+          "has diameter > maxIters and the labels would be silently wrong. " +
+          "Raise maxIters if such components are expected.")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

@@ -21,14 +21,14 @@ object Pipelines {
   /** Q49: deterministic hash-bucket train/valid/test assignment — the
     * split a training pipeline runs last, and one that must be (a)
     * shuffle-free (a pure projection), (b) stable across engines and
-    * re-runs (no `rand()`), and (c) independent of row order. Bucket =
-    * `(id * 2654435761) mod 100` (Knuth multiplicative hashing) — plain
+    * re-runs (no `rand()`), and (c) independent of row order — plain
     * 64-bit integer arithmetic reproducible in any engine, no library
-    * hash dependency.
+    * hash dependency. See [[hashBucket]] for the formula and why a bare
+    * `(id * mult) mod 100` would NOT work.
     */
   def trainSplit(docs: DataFrame, idCol: String,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    val bucket = hashBucket(col(idCol))
     docs.select(
       col(idCol), bucket.as("bucket"),
       when(bucket < trainPct, "train")
@@ -46,12 +46,34 @@ object Pipelines {
     */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
       ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    val bucket = hashBucket(col(idCol))
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (stratum, pct)) =>
       when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
     }
     docs.filter(bucket < rate)
   }
+
+  /** Deterministic 0..99 bucket from a non-negative integer id:
+    * `((id mod 1000003) * 2654435761) >> 16) mod 100`.
+    *
+    * Why not the textbook `(id * 2654435761) mod 100`? Because 2654435761
+    * is coprime to 100, that form is a BIJECTION of `id mod 100` — any id
+    * scheme with non-uniform residues mod 100 (block, strided, or sharded
+    * allocation) yields skewed or fully degenerate splits. Taking HIGH
+    * bits of the product (`>> 16`) before reducing mod 100 mixes every
+    * input bit into the bucket: consecutive ids step the shifted value by
+    * ~40503.4, so strided id schemes spread across all 100 buckets.
+    *
+    * The `mod 1000003` (prime) pre-reduction bounds the multiplicand so
+    * the product ≤ 1000002 × 2654435761 ≈ 2.7e15 can never overflow a
+    * signed 64-bit integer — Spark 4 runs ANSI mode by default, where a
+    * bare `id * 2654435761` THROWS for id ≳ 3.47e9 rather than wrapping
+    * (and DuckDB errors on BIGINT overflow too, so wraparound is not
+    * engine-portable anyway). Ids that collide mod 1000003 share a bucket
+    * by construction, which is harmless for percentage splits.
+    */
+  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(shiftright(pmod(id, lit(1000003L)) * lit(2654435761L), 16), lit(100L))
 
   def cleanCorpusStats(docs: DataFrame,
       minTokens: Long = 10L, maxPunctRatio: Double = 0.2): DataFrame = {

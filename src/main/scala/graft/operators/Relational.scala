@@ -357,14 +357,26 @@ object Relational {
     * from the changes, then append the changes verbatim. This is the
     * copy-on-write MERGE shape (Delta/Iceberg minus the transaction log).
     * Requires `changes` key-unique (as any MERGE source must be).
+    *
+    * `broadcastChanges = true` (the default) force-broadcasts the change
+    * KEYS, overriding `autoBroadcastJoinThreshold` — correct only while
+    * the key set fits in driver + executor memory (rule of thumb: ≲ a few
+    * hundred million keys; a bare long key costs ~8–16 bytes each in the
+    * hash relation). A change batch approaching the base's own size is no
+    * longer a "batch" and MUST pass `broadcastChanges = false`, which
+    * drops the hint and lets AQE pick the join (shuffled anti-join with
+    * the base co-partitioned by key — still one shuffle of the changes
+    * plus one of the base, never an OOM).
     */
-  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+  def upsert(base: DataFrame, changes: DataFrame, key: String,
+      broadcastChanges: Boolean = true): DataFrame = {
     val cols = base.columns
     require(changes.columns.sameElements(cols),
       s"upsert: schemas must match (${cols.mkString(",")} vs ${changes.columns.mkString(",")})")
     val changeKeys = changes.select(col(key).as("__ck"))
+    val hinted = if (broadcastChanges) broadcast(changeKeys) else changeKeys
     base
-      .join(broadcast(changeKeys), col(key) === col("__ck"), "left_anti")
+      .join(hinted, col(key) === col("__ck"), "left_anti")
       .unionByName(changes)
   }
 

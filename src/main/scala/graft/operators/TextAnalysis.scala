@@ -186,16 +186,20 @@ object TextAnalysis {
     */
   def piiRedact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col("text_pii")
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(t, emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>"),
-      ipRe, "<IP>")
+    // Each kind is COUNTED on the same intermediate string its replacement
+    // runs on (emails on the raw text, phones on the email-redacted text,
+    // IPs on the phone-redacted text). Counting everything on the raw text
+    // would disagree with the substitutions actually made whenever patterns
+    // overlap — e.g. a phone-like digit run inside an email local part
+    // would be counted as a phone but never replaced.
+    val afterEmail = regexp_replace(t, emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
+    val redacted = regexp_replace(afterPhone, ipRe, "<IP>")
     withSyntheticContact(docs, textCol, idCol).select(
       col(idCol),
       regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
-      regexp_count(t, lit(ipRe)).cast("long").as("n_ips"),
+      regexp_count(afterEmail, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(afterPhone, lit(ipRe)).cast("long").as("n_ips"),
       redacted.as("redacted"))
   }
 

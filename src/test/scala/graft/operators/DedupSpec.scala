@@ -178,4 +178,19 @@ class DedupSpec extends SparkSpec {
       "doc_a", "doc_b").as[(Long, Long)].collect().toMap
     assert(shuffled == expect)
   }
+
+  test("clusterPairs: throws instead of returning truncated labels at maxIters") {
+    // a 9-node path: min label needs ~8 propagation hops, so maxIters = 2
+    // cannot converge — the loop must fail loudly, not hand back labels
+    // that split the component.
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterPairs(path, "doc_a", "doc_b", maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the same input with enough iterations is one component labeled 0
+    val ok = Dedup.clusterPairs(path, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(ok == (0L to 8L).map(_ -> 0L).toMap)
+  }
 }

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 class PipelinesSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Scala mirror of [[Pipelines.hashBucket]]. */
+  private def referenceBucket(id: Long): Long =
+    math.floorMod((math.floorMod(id, 1000003L) * 2654435761L) >> 16, 100L)
+
   test("clean-corpus: dedup applied, filters monotone, token totals conserved") {
     val docs = Tables.documents(spark, sf)
     val out = Pipelines.cleanCorpusStats(docs, minTokens = 10L, maxPunctRatio = 0.2)
@@ -36,7 +40,7 @@ class PipelinesSpec extends SparkSpec {
     assert(a.sameElements(b))
     // bucket boundaries define the split label exactly
     a.foreach { case (id, bucket, split) =>
-      assert(bucket == math.floorMod(id * 2654435761L, 100L))
+      assert(bucket == referenceBucket(id))
       val expect = if (bucket < 80) "train" else if (bucket < 90) "valid" else "test"
       assert(split == expect, s"doc $id")
     }
@@ -47,6 +51,28 @@ class PipelinesSpec extends SparkSpec {
     assert(byS("train") > byS("valid") && byS("train") > byS("test"))
   }
 
+  test("trainSplit: strided id schemes spread over buckets; huge ids don't overflow") {
+    // ids all ≡ 0 (mod 100) — block/sharded allocation. A bare
+    // (id * mult) % 100 bucket is a bijection of id % 100, so ALL of these
+    // would land in ONE bucket and the split would be 100/0/0.
+    val strided = (0L until 500L).map(_ * 100L).toDF("doc_id")
+    val byBucket = Pipelines.trainSplit(strided, "doc_id")
+      .groupBy($"bucket").count().as[(Long, Long)].collect().toMap
+    assert(byBucket.size > 50, s"strided ids hit only ${byBucket.size} buckets")
+    val bySplit = Pipelines.trainSplit(strided, "doc_id")
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    // ids beyond 3.47e9 overflowed Long multiply under ANSI mode with the
+    // naive formula; the mod-prime pre-reduction must keep this safe up to
+    // Long.MaxValue.
+    val huge = Seq(3470000000L, Long.MaxValue, Long.MaxValue - 1).toDF("doc_id")
+    val hugeOut = Pipelines.trainSplit(huge, "doc_id")
+      .as[(Long, Long, String)].collect()
+    hugeOut.foreach { case (id, bucket, _) =>
+      assert(bucket == referenceBucket(id) && bucket >= 0 && bucket < 100, s"id $id")
+    }
+  }
+
   test("stratifiedSample: per-stratum rates honored exactly and deterministically") {
     val docs = graft.Tables.documents(spark, sf)
     val rates = Map("en" -> 50, "de" -> 30, "fr" -> 20, "es" -> 10)
@@ -55,7 +81,7 @@ class PipelinesSpec extends SparkSpec {
     // membership is exactly the bucket predicate — no rng, no order effects
     val all = docs.select($"doc_id", $"lang").as[(Long, String)].collect()
     val expect = all.filter { case (id, lang) =>
-      math.floorMod(id * 2654435761L, 100L) < rates.getOrElse(lang, 100)
+      referenceBucket(id) < rates.getOrElse(lang, 100)
     }.toSet
     assert(out == expect && out.nonEmpty && out.size < all.length)
     // unlisted strata use the default rate (here: keep everything)

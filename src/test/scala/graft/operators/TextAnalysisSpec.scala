@@ -216,4 +216,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[String]("redacted") ==
       "reach me contact <EMAIL> or <PHONE> ip <IP>")
   }
+
+  test("pii redact: audit counts equal substitutions made under overlap") {
+    // the synthetic contact contributes 1 email + 1 phone + 1 IP; the doc
+    // text adds a phone-like digit run INSIDE an email local part. It must
+    // be redacted as part of the email and NOT counted as a phone — staged
+    // counting (phones counted on the email-redacted text) guarantees the
+    // audit trail matches the substitutions actually performed.
+    val docs = Seq((3L, "mail 555-123-4567x@corp.example.org today")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs, "text", "doc_id").head()
+    val red = r.getAs[String]("redacted")
+    assert(r.getAs[Long]("n_emails") == 2L, red) // in-text + synthetic
+    assert(r.getAs[Long]("n_phones") == 1L, red) // synthetic only
+    assert(r.getAs[Long]("n_ips") == 1L, red)
+    // counts == occurrences of each placeholder in the final string
+    assert("<EMAIL>".r.findAllIn(red).size == 2)
+    assert("<PHONE>".r.findAllIn(red).size == 1)
+    assert("<IP>".r.findAllIn(red).size == 1)
+  }
 }
