@@ -74,6 +74,8 @@ object Catalog {
       graft.functions.TokenStatsExpr(e(0))),
     "byte_entropy" -> arity("byte_entropy(s)", 1)(e =>
       graft.functions.ByteEntropyExpr(e(0))),
+    "nfc_normalize" -> arity("nfc_normalize(s)", 1)(e =>
+      graft.functions.NfcNormalizeExpr(e(0))),
   )
 
   /** Register graft-native functions in an existing session's registry. */

@@ -236,6 +236,30 @@ object SparkEntry {
         .withColumn("o_orderkey", f.col("o_orderkey") + 10000000L)
       Relational.upsert(o, updates.unionByName(inserts), "o_orderkey")
     }),
+    // --- round-4 additions: corpus integrity + behavioral analytics ---
+    "q69_contamination" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val d = Tables.documents(s, dir)
+      Contamination.ngramOverlapPairs(
+        d.filter(f.pmod(f.col("doc_id"), f.lit(10)) =!= 7),
+        d.filter(f.pmod(f.col("doc_id"), f.lit(10)) === 7),
+        "text", "doc_id", n = 4, minShared = 2)
+    }),
+    "q70_nfc_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeUnicode(Tables.documents(s, dir), "text", "doc_id")),
+    "q71_cohort_retention" -> ((s, dir) =>
+      Relational.cohortRetention(Tables.events(s, dir))),
+    "q72_event_transitions" -> ((s, dir) =>
+      Relational.eventTransitions(Tables.events(s, dir))),
+    "q73_heavy_tokens" -> ((s, dir) =>
+      TextAnalysis.heavyTokens(Tables.documents(s, dir), "text", relThreshold = 0.002)),
+    "q74_sentence_stats" -> ((s, dir) =>
+      TextAnalysis.sentenceStats(Tables.documents(s, dir), "text", "doc_id")),
+    "q75_domain_counts" -> ((s, dir) =>
+      TextAnalysis.domainCounts(Tables.documents(s, dir), "text", "doc_id")),
+    "q76_group_sample" -> ((s, dir) =>
+      Pipelines.groupSample(Tables.documents(s, dir), "doc_id", "lang",
+        k = 10, prefilterPct = 20)),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -894,5 +918,102 @@ object SparkEntry {
         |       coalesce(c.o_orderdate, b.o_orderdate) AS o_orderdate,
         |       coalesce(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority
         |FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey""".stripMargin,
+    // q69: same n-gram construction as q12's oracle (list machinery), but
+    // the pairing is the train/bench slice split and the join is via
+    // unnest (gram-level equi-join) — the all-pairs list_intersect form
+    // would be quadratic in documents at sf0.1.
+    "q69_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' '))) AS g
+        |  FROM documents),
+        |t AS (SELECT doc_id AS train_id, len(g) AS n_train, unnest(g) AS gram
+        |      FROM d WHERE doc_id % 10 <> 7),
+        |b AS (SELECT doc_id AS bench_id, unnest(g) AS gram
+        |      FROM d WHERE doc_id % 10 = 7)
+        |SELECT train_id, bench_id, count(*) AS n_shared,
+        |       round(count(*) / CAST(any_value(n_train) AS DOUBLE), 6) AS overlap
+        |FROM t JOIN b USING (gram)
+        |GROUP BY train_id, bench_id
+        |HAVING count(*) >= 2""".stripMargin,
+    // q70: chr(769)/chr(776) are the combining acute/diaeresis — the
+    // decomposed suffix Spark appends as literal ́/̈ escapes.
+    "q70_nfc_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' no' || chr(776) || 'el #' || doc_id AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+        |  nfc_normalize(t) AS nfc
+        |FROM u""".stripMargin,
+    "q71_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, day,
+        |             min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |      FROM d)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q72_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS curr_type, count(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // q73: both engines compare in DOUBLE (CAST before multiplying) so the
+    // threshold boundary is the same IEEE arithmetic on each side.
+    "q73_heavy_tokens" ->
+      """WITH c AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT term, count(*) AS n FROM c GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM n)
+        |SELECT term, n, round(n / CAST(total AS DOUBLE), 6) AS frac
+        |FROM n, tot
+        |WHERE n >= CAST(total AS DOUBLE) * 0.002""".stripMargin,
+    "q74_sentence_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^.!?]+[.!?]*')) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  round(len(regexp_extract_all(text, '\S+')) /
+        |        CAST(greatest(len(regexp_extract_all(text, '[^.!?]+[.!?]*')), 1) AS DOUBLE), 6)
+        |    AS mean_sentence_toks,
+        |  CAST(coalesce(list_max(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |    s -> length(trim(s)))), 0) AS BIGINT) AS max_sentence_chars
+        |FROM documents""".stripMargin,
+    "q75_domain_counts" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 50) || '.example.org/page/' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' and http://tracker.common.net/pixel' ELSE '' END AS t
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([^/\s]+)', 1)) AS domain
+        |      FROM u)
+        |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
+        |FROM x GROUP BY 1""".stripMargin,
+    // q76: the oracle mirrors the prefilter (bkt < 20) — and because bkt is
+    // the PRIMARY sort key, the result equals the unfiltered ranking as
+    // long as each group keeps >= 10 rows below the cutoff (PipelinesSpec
+    // asserts that equivalence on the testdata).
+    "q76_group_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         ((((doc_id % 1000003) * 2654435761) >> 16) % 100) AS bkt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rank
+        |  FROM b WHERE bkt < 20)
+        |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.WordNgramsExpr
+
+/** Benchmark-contamination detection — the eval-integrity gate every
+  * LLM training pipeline runs before a model ships: find training
+  * documents that share verbatim word n-grams with a held-out benchmark
+  * set, so they can be reported and dropped.
+  *
+  * Scale shape (the asymmetry IS the design): benchmarks are MBs even
+  * when the training corpus is 100 TB, so the benchmark side's exploded
+  * n-grams BROADCAST and the training side never shuffles its text — the
+  * only exchange is the final (train_id, bench_id) count aggregation,
+  * which carries ids and counts, not grams. n-gram construction is the
+  * native codegen'd [[WordNgramsExpr]] (one fused loop per doc, distinct
+  * grams in first-occurrence order).
+  */
+object Contamination {
+
+  /** All (train doc, benchmark doc) pairs sharing at least `minShared`
+    * distinct word `n`-grams of normalized text, with the overlap fraction
+    * relative to the TRAIN doc's gram count (asymmetric by intent: "how
+    * much of this training doc is benchmark material").
+    *
+    * Output: `train_id, bench_id, n_shared, overlap` — deterministic
+    * (counts + exact arithmetic, no floats before the final round).
+    */
+  def ngramOverlapPairs(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 4, minShared: Long = 2): DataFrame = {
+    def grams(df: DataFrame, as: String): DataFrame = df
+      // normalize into an attribute FIRST (TextShingles performance
+      // contract), then one native pass builds the distinct gram array
+      .select(col(idCol).as(as), TextShingles.normalize(col(textCol)).as("__norm"))
+      .select(col(as), WordNgramsExpr.wordNgrams(col("__norm"), n).as("__g"))
+    val t = grams(train, "train_id").select(
+      col("train_id"), size(col("__g")).as("__n_train"),
+      explode(col("__g")).as("gram"))
+    val b = grams(bench, "bench_id").select(
+      col("bench_id"), explode(col("__g")).as("gram"))
+    t.join(broadcast(b), Seq("gram"))
+      // grams are distinct per doc on both sides, so plain count(*) per
+      // pair IS the distinct-shared-gram count — no countDistinct state
+      .groupBy(col("train_id"), col("bench_id"), col("__n_train"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        round(col("n_shared") / col("__n_train").cast("double"), 6).as("overlap"))
+  }
+
+  /** The training corpus minus every document flagged by
+    * [[ngramOverlapPairs]] — broadcast anti-join on the flagged ids (the
+    * flagged set is at most benchmark-sized × a small multiplier, never
+    * corpus-sized), so the corpus again moves zero bytes through a
+    * shuffle.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 4, minShared: Long = 2): DataFrame = {
+    val flagged = ngramOverlapPairs(train, bench, textCol, idCol, n, minShared)
+      .select(col("train_id")).distinct()
+    train.join(broadcast(flagged), col(idCol) === col("train_id"), "left_anti")
+  }
+}

@@ -93,4 +93,33 @@ object Pipelines {
         count(lit(1)).as("n_docs_kept"),
         sum(col("n_tokens")).as("total_tokens"))
   }
+
+  /** Q76: deterministic k-per-group sample — the "give me 10 example docs
+    * per language" primitive, reproducible across runs and engines (no
+    * `rand()`): rank rows within each group by ([[hashBucket]], id) and
+    * keep the first `k`.
+    *
+    * Scale shape: the ranking window never sees the whole group — rows
+    * are PRE-FILTERED to the `prefilterPct` smallest buckets (bucket is
+    * the window's PRIMARY sort key, so the global k-smallest all live in
+    * the filtered slice whenever it still holds ≥ k rows per group — with
+    * uniform bucket mixing that fails only for groups smaller than ~5k/
+    * (prefilterPct/100), which are tiny enough that the window is cheap
+    * anyway... but the invariant callers must mind is: a group with
+    * ≥ k rows in buckets < prefilterPct samples identically to the
+    * unfiltered ranking; PipelinesSpec asserts the equivalence). The
+    * window sorts ~prefilterPct% of the corpus instead of all of it.
+    */
+  def groupSample(docs: DataFrame, idCol: String, groupCol: String,
+      k: Int = 10, prefilterPct: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = hashBucket(col(idCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__b"), col(idCol))
+    docs
+      .withColumn("__b", bucket)
+      .filter(col("__b") < prefilterPct)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col(groupCol), col("rank"))
+  }
 }

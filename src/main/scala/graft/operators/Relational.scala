@@ -479,4 +479,46 @@ object Relational {
       round(percent_rank().over(w), 6).as("pct_rank"),
       round(cume_dist().over(w), 6).as("cume"))
   }
+
+  /** Q71: cohort retention — users grouped by their FIRST active day
+    * (the cohort), counted on each later active day as a day offset: the
+    * engagement matrix every product-analytics stack computes nightly.
+    *
+    * Scale shape: three aggregations, no join — (user, day) distinct
+    * first (partial-aggregates map-side, collapsing the event stream to
+    * at most users × days rows), then the cohort day as a per-user MIN
+    * window over those collapsed rows (one shuffle on user_id — a window,
+    * not a groupBy+self-join, so the days relation is never materialized
+    * twice), then the final (cohort, offset) count. Days are epoch-day
+    * integers end to end — no timestamp arithmetic crosses an engine
+    * boundary.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    days
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Q72: event-type transition counts — how often each event type
+    * follows each other type within a user's ordered stream (the Markov
+    * transition matrix behind funnel mining and anomaly detection).
+    * One shuffle on user_id for the lag window (deterministic order:
+    * ts with event_id tiebreak), then a tiny (types × types) count
+    * aggregation.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("curr_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("curr_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

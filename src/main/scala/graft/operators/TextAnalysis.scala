@@ -268,4 +268,102 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), round(col("score"), 6).as("tfidf"), col("rank"))
   }
+
+  /** Deterministic decomposed-Unicode suffix derived from the doc id. The
+    * testdata corpus is pure ASCII (already NFC — the fast path), so q70
+    * first APPENDS text in DECOMPOSED form (base letter + combining mark:
+    * "cafe"+U+0301, "no"+U+0308+"el") — the same derive-from-testdata
+    * pattern as q47's synthetic PII — and then canonicalizes it; the NFC
+    * composition is the real operator under test.
+    */
+  def withSyntheticUnicode(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.withColumn("text_uni", concat(
+      col(textCol),
+      lit(" cafe\u0301 no\u0308el #"), col(idCol).cast("string")))
+
+  /** Q70: Unicode canonicalization — NFC-compose the text (native
+    * [[graft.functions.NfcNormalizeExpr]]) and report the code-point count
+    * before and after (the shrink IS the number of composed pairs — the
+    * audit a normalization pass emits). Pure map-only projection, zero
+    * shuffles at any scale.
+    */
+  def normalizeUnicode(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col("text_uni")
+    withSyntheticUnicode(docs, textCol, idCol).select(
+      col(idCol),
+      length(t).cast("long").as("n_chars_raw"),
+      length(graft.functions.NfcNormalizeExpr.nfcNormalize(t)).cast("long").as("n_chars_nfc"),
+      graft.functions.NfcNormalizeExpr.nfcNormalize(t).as("nfc"))
+  }
+
+  /** Q73: heavy hitters — every token whose corpus-wide frequency is at
+    * least `relThreshold` of ALL token occurrences (the blocklist /
+    * vocabulary-pruning primitive; a RELATIVE threshold, unlike q42's
+    * per-language top-k, so the output is the set of tokens that dominate
+    * the corpus regardless of how many distinct tokens exist).
+    *
+    * Scale shape: token counts partial-aggregate map-side; the total is a
+    * ONE-ROW aggregate broadcast into the filter — no second pass over the
+    * corpus, no driver-side action.
+    */
+  def heavyTokens(docs: DataFrame, textCol: String,
+      relThreshold: Double = 0.001): DataFrame = {
+    val counts = docs
+      .select(explode(split(TextShingles.normalize(col(textCol)), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") >= col("__total") * relThreshold)
+      .select(col("term"), col("n"),
+        round(col("n") / col("__total").cast("double"), 6).as("frac"))
+  }
+
+  /** Q74: sentence segmentation stats — per doc: sentence count, token
+    * count, mean tokens per sentence, longest sentence in characters.
+    * Sentences are maximal runs of non-terminator characters plus their
+    * trailing `[.!?]` run, so the chunks tile the text exactly and the
+    * per-sentence token counts sum to the doc's token count — mean tokens
+    * per sentence therefore needs NO per-sentence traversal, just two
+    * regexp counts. The only per-sentence work is the max-length fold over
+    * the (tens-of-elements) sentence array. Map-only, zero shuffles.
+    */
+  def sentenceStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sents = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0))
+    val nSents = greatest(size(sents), lit(1))
+    val nToks = regexp_count(col(textCol), lit("\\S+"))
+    docs.select(
+      col(idCol),
+      size(sents).cast("long").as("n_sentences"),
+      nToks.cast("long").as("n_tokens"),
+      round(nToks.cast("double") / nSents, 6).as("mean_sentence_toks"),
+      coalesce(array_max(transform(sents, s => length(trim(s)))), lit(0))
+        .cast("long").as("max_sentence_chars"))
+  }
+
+  /** Deterministic synthetic URLs derived from the doc id (the corpus has
+    * none): every doc links one of 50 sites, every third doc additionally
+    * links a common tracker domain.
+    */
+  def withSyntheticUrls(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.withColumn("text_url", concat(
+      col(textCol),
+      lit(" see https://site"), pmod(col(idCol), lit(50)).cast("string"),
+      lit(".example.org/page/"), col(idCol).cast("string"),
+      when(pmod(col(idCol), lit(3)) === 0,
+        lit(" and http://tracker.common.net/pixel")).otherwise(lit(""))))
+
+  /** Q75: URL/domain extraction — pull every URL out of the text, reduce
+    * to its host, and count mentions + distinct documents per domain (the
+    * domain-blocklist/provenance primitive of web-corpus curation). The
+    * explode carries only (doc_id, domain) pairs — never the text — and
+    * counts partial-aggregate; `n_docs` is exact distinct over doc ids
+    * within a domain.
+    */
+  def domainCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    withSyntheticUrls(docs, textCol, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col("text_url"),
+          lit("https?://([^/\\s]+)"), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_mentions"), countDistinct(col("doc_id")).as("n_docs"))
 }

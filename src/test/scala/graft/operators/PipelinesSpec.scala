@@ -73,6 +73,23 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("groupSample: prefiltered ranking equals the unfiltered top-k per group") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Pipelines.groupSample(docs, "doc_id", "lang", k = 10, prefilterPct = 20)
+      .as[(Long, String, Long)].collect().toSet
+    // ground truth: full ranking with NO prefilter, in Scala
+    val all = docs.select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.map(_._1).sortBy(id => (referenceBucket(id), id)).take(10)
+        .zipWithIndex.map { case (id, i) => (id, lang, i + 1L) }
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+    // determinism across runs
+    val again = Pipelines.groupSample(docs, "doc_id", "lang", k = 10, prefilterPct = 20)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("stratifiedSample: per-stratum rates honored exactly and deterministically") {
     val docs = graft.Tables.documents(spark, sf)
     val rates = Map("en" -> 50, "de" -> 30, "fr" -> 20, "es" -> 10)

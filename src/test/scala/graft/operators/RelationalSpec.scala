@@ -326,4 +326,47 @@ class RelationalSpec extends SparkSpec {
       assert(sorted.map(_._6).sliding(2).forall(p => p.head <= p.last))
     }
   }
+
+  test("cohortRetention: cohorts anchor at each user's first day") {
+    val ts = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
+    // u1 first active day 1, returns day 2 and day 4 (twice in one day —
+    // must count once); u2 first active day 2 only
+    val events = Seq(
+      (1L, ts(1, 9), 10L), (1L, ts(2, 9), 11L),
+      (1L, ts(4, 9), 12L), (1L, ts(4, 17), 13L),
+      (2L, ts(2, 12), 14L)
+    ).toDF("user_id", "ts", "event_id")
+    val day1 = 19723L // 2024-01-01 as epoch day
+    val got = Relational.cohortRetention(events)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (day1, 0L, 1L), (day1, 1L, 1L), (day1, 3L, 1L),
+      (day1 + 1L, 0L, 1L)))
+  }
+
+  test("eventTransitions: lag pairs per user, equal-ts resolved by event_id") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, t0, 1L, "view"), (1L, t0, 2L, "click"), // same ts: order by event_id
+      (1L, new java.sql.Timestamp(t0.getTime + 1000), 3L, "buy"),
+      (2L, t0, 4L, "view") // single event: no transition
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Relational.eventTransitions(events)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("view", "click", 1L), ("click", "buy", 1L)))
+  }
+
+  test("cohortRetention on testdata: offset-0 counts are the cohort sizes") {
+    val ev = Tables.events(spark, sf)
+    val got = Relational.cohortRetention(ev).cache()
+    // every user appears exactly once at offset 0 (their first day)
+    val zeroSum = got.filter($"day_offset" === 0).agg(sum($"n_users")).as[Long].head()
+    val nUsers = ev.select($"user_id").distinct().count()
+    assert(zeroSum == nUsers)
+    // no offset row can exceed its cohort's size
+    val sizes = got.filter($"day_offset" === 0)
+      .select($"cohort_day", $"n_users".as("size0"))
+    assert(got.join(sizes, "cohort_day").filter($"n_users" > $"size0").count() == 0)
+  }
 }

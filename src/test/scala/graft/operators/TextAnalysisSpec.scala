@@ -234,4 +234,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert("<PHONE>".r.findAllIn(red).size == 1)
     assert("<IP>".r.findAllIn(red).size == 1)
   }
+
+  test("nfc normalize: composes decomposed marks, counts shrink, identity on NFC") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // "cafe" + combining acute (U+0301) + " no" + combining diaeresis
+    // (U+0308) + "el": 11 code points decomposed, 9 composed
+    val decomposed = "cafe\u0301 no\u0308el"
+    val composed = "caf\u00e9 n\u00f6el"
+    val rows = Seq((1L, decomposed), (2L, "plain ascii")).toDF("doc_id", "text")
+      .select($"doc_id", length($"text").as("raw"),
+        graft.functions.NfcNormalizeExpr.nfcNormalize($"text").as("nfc"))
+      .select($"doc_id", $"raw", length($"nfc").as("composed"), $"nfc")
+      .as[(Long, Int, Int, String)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(rows(1L) == ((11, 9, composed)))
+    assert(rows(2L) == ((11, 11, "plain ascii")))
+    // already-normalized fast path returns the INPUT object, no copy
+    val s = UTF8String.fromString("plain ascii")
+    assert(graft.functions.NfcNormalizeExpr.compute(s) eq s)
+  }
+
+  test("heavyTokens: relative threshold keeps exactly the dominating terms") {
+    // 10 tokens total: "the" x5 (0.5), "cat" x3 (0.3), "sat" "mat" x1 (0.1)
+    val docs = Seq((1L, "the the the cat cat"), (2L, "the the cat sat mat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heavyTokens(docs, "text", relThreshold = 0.3)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("the", 5L, 0.5), ("cat", 3L, 0.3)))
+  }
+
+  test("sentenceStats: chunks tile the text, token counts conserve") {
+    val docs = Seq(
+      (1L, "One two. Three four five! Six?"),
+      (2L, "no terminator at all"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    // 3 sentences, 6 tokens, mean 2.0, longest "Three four five!" = 16 chars
+    assert(got(1L) == ((3L, 6L, 2.0, 16L)))
+    assert(got(2L) == ((1L, 4L, 4.0, 20L)))
+    assert(got(3L) == ((0L, 0L, 0.0, 0L)))
+    // invariant on real corpus: per-sentence token counts sum to doc total
+    val corpus = graft.Tables.documents(spark, sf)
+    val bad = TextAnalysis.sentenceStats(corpus, "text", "doc_id")
+      .join(corpus.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("direct")), "doc_id")
+      .filter($"n_tokens" =!= $"direct" && $"direct" =!= 1) // split("") -> 1 elem
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("domainCounts: every doc yields its site; tracker on every third doc") {
+    val corpus = graft.Tables.documents(spark, sf)
+    val total = corpus.count()
+    val trackerDocs = corpus.filter(pmod($"doc_id", lit(3)) === 0).count()
+    val got = TextAnalysis.domainCounts(corpus, "text", "doc_id")
+      .as[(String, Long, Long)].collect()
+    val byDomain = got.map { case (d, m, nd) => d -> ((m, nd)) }.toMap
+    assert(byDomain("tracker.common.net") == ((trackerDocs, trackerDocs)))
+    val sites = got.filter(_._1.startsWith("site"))
+    assert(sites.map(_._2).sum == total) // one site mention per doc
+    assert(sites.forall { case (_, m, nd) => m == nd }) // one URL per doc
+  }
 }
