@@ -260,6 +260,15 @@ object SparkEntry {
     "q76_group_sample" -> ((s, dir) =>
       Pipelines.groupSample(Tables.documents(s, dir), "doc_id", "lang",
         k = 10, prefilterPct = 20)),
+    "q77_bigram_pmi" -> ((s, dir) =>
+      TextAnalysis.bigramPmi(Tables.documents(s, dir), "text", minCount = 5)),
+    // q78 rows-only: Datasketches HLL registers are engine-specific;
+    // RelationalSpec asserts union-of-dailies == direct estimate and the
+    // error band vs exact distinct counts.
+    "q78_activity_rollup" -> ((s, dir) =>
+      Relational.activityRollup(Tables.events(s, dir))),
+    "q79_latest_snapshot" -> ((s, dir) =>
+      Relational.latestSnapshot(Tables.events(s, dir))),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -1004,6 +1013,34 @@ object SparkEntry {
     // the PRIMARY sort key, the result equals the unfiltered ranking as
     // long as each group keeps >= 10 rows below the cutoff (PipelinesSpec
     // asserts that equivalence on the testdata).
+    // q77: ln() is the same natural log on both sides (precedent: q36's
+    // idf); probabilities are assembled in DOUBLE before the single ln.
+    "q77_bigram_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |uc AS (
+        |  SELECT term, count(*) AS c FROM (SELECT unnest(toks) AS term FROM t)
+        |  GROUP BY 1),
+        |bc AS (
+        |  SELECT bg, count(*) AS c_ab FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        |                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |    FROM t)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM uc),
+        |n2 AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n2 FROM t)
+        |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |       c_ab,
+        |       round(ln((c_ab / n2) / ((a.c / n1) * (b.c / n1))), 6) AS pmi
+        |FROM bc
+        |JOIN uc a ON a.term = string_split(bg, ' ')[1]
+        |JOIN uc b ON b.term = string_split(bg, ' ')[2]
+        |CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
+    "q79_latest_snapshot" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "q76_group_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

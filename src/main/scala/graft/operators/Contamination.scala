@@ -50,6 +50,34 @@ object Contamination {
         round(col("n_shared") / col("__n_train").cast("double"), 6).as("overlap"))
   }
 
+  /** Stateless formulation of [[ngramOverlapPairs]] for unbounded
+    * streams: the benchmark docs broadcast WITH their gram arrays, and
+    * the per-pair shared-gram count is `array_intersect` map-side — no
+    * aggregation, no state, so the SAME expression runs on a streaming
+    * DataFrame in append mode (StreamingContaminationSpec) and every
+    * incoming document is screened within its own micro-batch.
+    * Batch-equivalent to [[ngramOverlapPairs]] (ContaminationSpec
+    * asserts set equality); prefer the aggregated form for batch — it
+    * never materializes a per-pair row for non-colliding pairs, where
+    * this form visits all |stream| × |bench| pairs (fine exactly
+    * because bench is small).
+    */
+  def overlapPairsStateless(docs: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 4, minShared: Long = 2): DataFrame = {
+    def grams(df: DataFrame, as: String, g: String): DataFrame = df
+      .select(col(idCol).as(as), TextShingles.normalize(col(textCol)).as("__norm"))
+      .select(col(as), WordNgramsExpr.wordNgrams(col("__norm"), n).as(g))
+    val t = grams(docs, "train_id", "__tg")
+    val b = grams(bench, "bench_id", "__bg")
+    t.crossJoin(broadcast(b))
+      .select(col("train_id"), col("bench_id"),
+        size(array_intersect(col("__tg"), col("__bg"))).cast("long").as("n_shared"),
+        size(col("__tg")).as("__n_train"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        round(col("n_shared") / col("__n_train").cast("double"), 6).as("overlap"))
+  }
+
   /** The training corpus minus every document flagged by
     * [[ngramOverlapPairs]] — broadcast anti-join on the flagged ids (the
     * flagged set is at most benchmark-sized × a small multiplier, never

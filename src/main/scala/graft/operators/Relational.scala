@@ -505,6 +505,43 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Q79: changelog compaction — the latest row per key from a CDC-style
+    * change stream, the "snapshot read" half of q68's MERGE. One
+    * aggregation with `max_by` over a (ts, id) ORDER STRUCT — partial
+    * compaction happens map-side (each partition keeps one candidate per
+    * key before the shuffle), where the window-rank formulation would
+    * shuffle and SORT every change row. The id tiebreak makes equal-ts
+    * rows deterministic.
+    */
+  def latestSnapshot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"), col("last.value").as("last_value"))
+
+  /** Q78: re-aggregatable distinct-user rollup — Datasketches HLL partials
+    * at day granularity, UNIONED up to per-type totals: the 100 TB rollup
+    * pattern where daily sketches are stored once and any coarser rollup
+    * (week / month / all-time) is a cheap sketch union instead of a rescan
+    * of the raw events. Rows-only (the registers are engine-specific);
+    * RelationalSpec asserts the union estimate EQUALS the direct estimate
+    * over all events (sketch-of-union ≡ union-of-sketches) and tracks
+    * exact distinct counts within the configured error.
+    */
+  def activityRollup(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+  }
+
   /** Q72: event-type transition counts — how often each event type
     * follows each other type within a user's ordered stream (the Markov
     * transition matrix behind funnel mining and anomaly detection).

@@ -340,6 +340,42 @@ object TextAnalysis {
         .cast("long").as("max_sentence_chars"))
   }
 
+  /** Q77: pointwise mutual information of adjacent token pairs —
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) — the collocation-mining
+    * primitive ("new york" scores high, "of the" near zero) used for
+    * phrase vocabulary induction.
+    *
+    * Scale shape: unigram and bigram counts partial-aggregate map-side;
+    * the two probability joins are keyed by term (the bigram side splits
+    * its key), and both grand totals are ONE-ROW aggregates broadcast
+    * into the scoring projection. `minCount` prunes the long tail BEFORE
+    * the joins, so the joined relation is the (small) frequent-bigram
+    * set, not the raw corpus.
+    */
+  def bigramPmi(docs: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
+    val toks = docs.select(
+      split(TextShingles.normalize(col(textCol)), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(
+        explode(TextShingles.allWordNgramsOf(col("toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c_ab"))
+    val nUni = uni.agg(sum(col("c")).cast("double").as("__n1"))
+    val nBi = toks.select(
+        (greatest(size(col("toks")) - 1, lit(0))).cast("long").as("nb"))
+      .agg(sum(col("nb")).cast("double").as("__n2"))
+    bi
+      .join(uni.select(col("term").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") / col("__n2")) /
+          ((col("c_a") / col("__n1")) * (col("c_b") / col("__n1")))), 6).as("pmi"))
+  }
+
   /** Deterministic synthetic URLs derived from the doc id (the corpus has
     * none): every doc links one of 50 sites, every third doc additionally
     * links a common tracker domain.

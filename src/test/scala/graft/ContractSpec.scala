@@ -11,7 +11,7 @@ class ContractSpec extends AnyFunSuite {
   private val declaredRowsOnly = Set(
     "q10_dedup_minhash", "q11_dedup_simhash", "q17_similarity_lsh",
     "q18_embedding_neardup", "q29_approx_distinct", "q32_similarity_ivf",
-    "q44_activity_sketch")
+    "q44_activity_sketch", "q78_activity_rollup")
 
   test("every oracle key names a query; rows-only set is exactly the declared one") {
     val q = SparkEntry.queries.keySet

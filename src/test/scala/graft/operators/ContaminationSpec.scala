@@ -61,6 +61,17 @@ class ContaminationSpec extends SparkSpec {
     assert(flagged.nonEmpty && kept.nonEmpty)
   }
 
+  test("stateless (array_intersect) formulation equals the aggregated one") {
+    val (train, bench) = split(Tables.documents(spark, sf))
+    val agg = Contamination
+      .ngramOverlapPairs(train, bench, "text", "doc_id", n = 4, minShared = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val stateless = Contamination
+      .overlapPairsStateless(train, bench, "text", "doc_id", n = 4, minShared = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(stateless == agg && agg.nonEmpty)
+  }
+
   test("benchmark side broadcasts; the only hash exchange is the pair count") {
     val (train, bench) = split(Tables.documents(spark, sf))
     val df = Contamination.ngramOverlapPairs(train, bench, "text", "doc_id")

@@ -357,6 +357,45 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(("view", "click", 1L), ("click", "buy", 1L)))
   }
 
+  test("latestSnapshot: max_by compaction, equal-ts ties resolved by event_id") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = new java.sql.Timestamp(t0.getTime + 60000)
+    val events = Seq(
+      (1L, t0, 10L, "view", 1.0), (1L, t1, 11L, "click", 2.0), // later ts wins
+      (2L, t0, 20L, "view", 3.0), (2L, t0, 21L, "buy", 4.0), // tie: higher id
+      (3L, t1, 30L, "error", 5.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Relational.latestSnapshot(events)
+      .select($"user_id", $"last_type", $"last_value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "click", 2.0), (2L, "buy", 4.0), (3L, "error", 5.0)))
+    // one row per key, keys conserved — on real data too
+    val ev = Tables.events(spark, sf)
+    val snap = Relational.latestSnapshot(ev)
+    assert(snap.count() == ev.select($"user_id").distinct().count())
+  }
+
+  test("activityRollup: union of daily sketches equals the direct estimate") {
+    val ev = Tables.events(spark, sf)
+    val rolled = Relational.activityRollup(ev)
+      .select($"event_type", $"approx_users")
+      .as[(String, Long)].collect().toMap
+    // sketch mergeability is EXACT: union-of-daily-partials must produce
+    // the identical estimate as one sketch over all events
+    val direct = ev.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("approx_users"))
+      .as[(String, Long)].collect().toMap
+    assert(rolled == direct)
+    // and the estimate tracks the exact distinct count
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    rolled.foreach { case (t, est) =>
+      assert(math.abs(est - exact(t)).toDouble / exact(t) <= 0.05,
+        s"$t: approx $est vs exact ${exact(t)}")
+    }
+  }
+
   test("cohortRetention on testdata: offset-0 counts are the cohort sizes") {
     val ev = Tables.events(spark, sf)
     val got = Relational.cohortRetention(ev).cache()

@@ -285,6 +285,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("bigramPmi: collocations score high, independent pairs near zero") {
+    // corpus engineered so "new york" ALWAYS co-occurs while "the cat"
+    // pairs are incidental: PMI(new,york) >> PMI(the,cat)
+    val rows = (1 to 10).map(i => (i.toLong,
+      "new york " + ("the cat " * (i % 3 + 1)) + "the dog and the bird")) ++
+      Seq((11L, "the dog saw the bird and the cat"))
+    val got = TextAnalysis.bigramPmi(rows.toDF("doc_id", "text"), "text", minCount = 5)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (a, b, c, p) => (a, b) -> ((c, p)) }.toMap
+    val (nyC, nyPmi) = got(("new", "york"))
+    assert(nyC == 10L)
+    // hand-check one PMI value end to end: counts from the constructed text
+    val toks = rows.flatMap(_._2.split(" "))
+    val bigrams = rows.flatMap(_._2.split(" ").sliding(2).map(_.mkString(" ")).toSeq)
+    val expected = math.log(
+      (10.0 / bigrams.size) /
+        ((toks.count(_ == "new").toDouble / toks.size) *
+          (toks.count(_ == "york").toDouble / toks.size)))
+    assert(math.abs(nyPmi - BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // "the cat" occurs often but both words are everywhere: much lower PMI
+    got.get(("the", "cat")).foreach { case (_, p) => assert(p < nyPmi) }
+  }
+
   test("domainCounts: every doc yields its site; tracker on every third doc") {
     val corpus = graft.Tables.documents(spark, sf)
     val total = corpus.count()
