@@ -175,4 +175,29 @@ class PlanSpec extends SparkSpec {
       l.contains("ReadSchema") && l.contains("text")).toList
     assert(corpusScans.nonEmpty, s"no document scans found:\n$plan")
   }
+
+  test("q79 compaction: map-side partial max_by, one exchange, no window") {
+    val df = Relational.latestSnapshot(Tables.events(spark, sf))
+    val plan = executedPlan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"compaction must shuffle once:\n$plan")
+    // the partial aggregate sits BELOW the exchange: each partition ships
+    // one candidate per key, not its raw change rows
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(plan.indexOf("partial_max_by", exchangeIdx) >= 0,
+      s"expected partial max_by under the exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"rank-window formulation would sort+shuffle every row:\n$plan")
+  }
+
+  test("q77 pmi: unigram-count exchange is built once and reused for both joins") {
+    val df = TextAnalysis.bigramPmi(Tables.documents(spark, sf), "text", minCount = 2)
+    val plan = executedPlan(df)
+    // w1 and w2 probability joins both broadcast; the second reuses the
+    // first's exchange rather than recomputing token counts
+    assert(plan.contains("ReusedExchange"),
+      s"unigram counts must be computed once:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probability joins must broadcast (frequent-set side is small):\n$plan")
+  }
 }
