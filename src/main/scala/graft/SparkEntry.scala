@@ -269,6 +269,8 @@ object SparkEntry {
       Relational.activityRollup(Tables.events(s, dir))),
     "q79_latest_snapshot" -> ((s, dir) =>
       Relational.latestSnapshot(Tables.events(s, dir))),
+    "q80_value_stats" -> ((s, dir) =>
+      Relational.valueStatsProfile(Tables.events(s, dir))),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -1041,6 +1043,15 @@ object SparkEntry {
       """SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // q80: co-moment aggregates use the textbook sample definitions in
+    // both engines; round(6) absorbs partial-sum reorder noise (~1e-15).
+    "q80_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value), 6) AS mean_value,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  round(covar_samp(value, CAST(date_part('hour', ts) AS DOUBLE)), 6) AS cov_hour,
+        |  round(corr(value, CAST(date_part('hour', ts) AS DOUBLE)), 6) AS corr_hour
+        |FROM events GROUP BY 1""".stripMargin,
     "q76_group_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

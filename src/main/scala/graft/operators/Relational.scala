@@ -542,6 +542,32 @@ object Relational {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
   }
 
+  /** Q80: statistical profile of the value stream — mean, sample stddev,
+    * and the covariance/correlation of value against hour-of-day, per
+    * event type: the drift-detection aggregates a monitoring pipeline
+    * recomputes per window. All are one-pass co-moment aggregations
+    * (partial+final, constant state per group); rounding to 6 dp puts the
+    * ~1e-15 partial-sum reorder noise far inside the grid on both engines
+    * (precedent: q61 entropy).
+    */
+  def valueStatsProfile(events: DataFrame): DataFrame = {
+    val hourD = hour(col("ts")).cast("double")
+    val sdV = stddev_samp(col("value"))
+    val sdH = stddev_samp(hourD)
+    val cov = covar_samp(col("value"), hourD)
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("value")), 6).as("mean_value"),
+      round(sdV, 6).as("sd_value"),
+      round(cov, 6).as("cov_hour"),
+      // corr spelled out as cov/(sd·sd) behind a zero-variance guard:
+      // built-in corr() DIVIDES BY ZERO on a constant column, which under
+      // ANSI mode (Spark 4 default) throws instead of returning NULL —
+      // the guard restores the NULL-on-degenerate contract DuckDB's
+      // corr() has natively
+      round(when(sdV > 0 && sdH > 0, cov / (sdV * sdH)), 6).as("corr_hour"))
+  }
+
   /** Q72: event-type transition counts — how often each event type
     * follows each other type within a user's ordered stream (the Markov
     * transition matrix behind funnel mining and anomaly detection).

@@ -51,4 +51,27 @@ object RuntimeFilters {
         count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
   }
+
+  /** Approximate distinct-key overlap between two relations, by HLL
+    * inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    * union estimated from the MERGED sketches (no rescan). This is the
+    * join-planning diagnostic for 100 TB: one cheap pass per side answers
+    * "how many keys will this join actually match — broadcast the
+    * difference? pre-filter with a bloom? expect skew?" before committing
+    * to a shuffle of either relation. Both inputs collapse to one
+    * fixed-size sketch row each; the combine is a one-row cross join.
+    */
+  def approxKeyOverlap(a: DataFrame, b: DataFrame,
+      aKey: String, bKey: String): DataFrame = {
+    val sa = a.agg(hll_sketch_agg(col(aKey)).as("ska"))
+    val sb = b.agg(hll_sketch_agg(col(bKey)).as("skb"))
+    sa.crossJoin(sb).select(
+      hll_sketch_estimate(col("ska")).as("n_a"),
+      hll_sketch_estimate(col("skb")).as("n_b"),
+      hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("n_union"),
+      greatest(
+        hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
+          hll_sketch_estimate(hll_union(col("ska"), col("skb"))),
+        lit(0L)).as("n_overlap"))
+  }
 }

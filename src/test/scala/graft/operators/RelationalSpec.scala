@@ -396,6 +396,44 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("valueStatsProfile: closed-form check on a constructed group") {
+    val t = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // value = 2*hour + 1 over hours 1..4: corr exactly 1, cov = 2*var(hour)
+    val events = Seq(
+      (t(1), "a", 3.0), (t(2), "a", 5.0), (t(3), "a", 7.0), (t(4), "a", 9.0),
+      (t(5), "b", 4.0), (t(6), "b", 4.0) // constant: sd 0, corr NaN -> null
+    ).toDF("ts", "event_type", "value")
+    val got = Relational.valueStatsProfile(events)
+      .as[(String, Long, Double, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, na, meanA, sdA, covA, corrA) = got("a")
+    assert(na == 4L && meanA == 6.0)
+    // var_samp(hour 1..4) = 5/3; cov = 2*5/3 = 3.333333; sd = sqrt(4*5/3)
+    assert(covA == 3.333333 && corrA.contains(1.0))
+    assert(math.abs(sdA - math.sqrt(20.0 / 3.0)) < 1e-6)
+    val (_, nb, _, sdB, covB, corrB) = got("b")
+    assert(nb == 2L && sdB == 0.0 && covB == 0.0 && corrB.isEmpty)
+  }
+
+  test("approxKeyOverlap: inclusion-exclusion tracks the exact intersection") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val got = RuntimeFilters
+      .approxKeyOverlap(orders, customer, "o_custkey", "c_custkey")
+      .as[(Long, Long, Long, Long)].head()
+    val (nA, nB, nU, nOv) = got
+    val exactA = orders.select($"o_custkey").distinct().count()
+    val exactB = customer.select($"c_custkey").distinct().count()
+    val exactOv = orders.select($"o_custkey")
+      .join(customer, $"o_custkey" === $"c_custkey", "left_semi")
+      .distinct().count()
+    def within(est: Long, exact: Long, tol: Double) =
+      math.abs(est - exact) <= math.max(tol * exact, 2.0)
+    assert(within(nA, exactA, 0.05) && within(nB, exactB, 0.05))
+    assert(within(nOv, exactOv, 0.10), s"overlap $nOv vs exact $exactOv")
+    assert(nU <= nA + nB && nOv >= 0)
+  }
+
   test("cohortRetention on testdata: offset-0 counts are the cohort sizes") {
     val ev = Tables.events(spark, sf)
     val got = Relational.cohortRetention(ev).cache()
