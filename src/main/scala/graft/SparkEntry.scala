@@ -271,6 +271,10 @@ object SparkEntry {
       Relational.latestSnapshot(Tables.events(s, dir))),
     "q80_value_stats" -> ((s, dir) =>
       Relational.valueStatsProfile(Tables.events(s, dir))),
+    "q81_local_supplier_volume" -> ((s, dir) =>
+      Relational.localSupplierVolume(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -1052,6 +1056,21 @@ object SparkEntry {
         |  round(covar_samp(value, CAST(date_part('hour', ts) AS DOUBLE)), 6) AS cov_hour,
         |  round(corr(value, CAST(date_part('hour', ts) AS DOUBLE)), 6) AS corr_hour
         |FROM events GROUP BY 1""".stripMargin,
+    // q81: (1 - l_discount) is ONE double op (same IEEE result in both
+    // engines); everything after is DECIMAL-exact, so the revenue sums
+    // are partitioning-independent and hash-comparable.
+    "q81_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q76_group_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

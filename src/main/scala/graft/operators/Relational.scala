@@ -542,6 +542,47 @@ object Relational {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
   }
 
+  /** Q81: TPC-H Q5 "local supplier volume" — the canonical six-table join:
+    * revenue from lineitems whose supplier sits in the SAME nation as the
+    * ordering customer, for one region and one order-date year.
+    *
+    * Scale shape: the date filter pushes into the orders scan; region →
+    * nation resolve as BROADCASTS down the dimension chain (so the
+    * region/nation prune applies before anything big moves); supplier
+    * broadcasts into lineitem. The only big exchanges are
+    * lineitem ⋈ orders on orderkey and the final per-nation aggregate.
+    * The "local" constraint (customer nation = supplier nation) is an
+    * equality over two broadcast-resolved columns, applied as a filter —
+    * no extra join. Revenue is decimal-exact: the (1 − discount) factor
+    * is one double op (identical IEEE result in any engine), then all
+    * multiplication/accumulation happens in DECIMAL, so the sum is
+    * partitioning-independent.
+    */
+  def localSupplierVolume(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "ASIA",
+      yearStart: String = "1996-01-01", yearEnd: String = "1997-01-01"): DataFrame = {
+    val revenue = col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,6)")
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+    val localSuppliers = supplier
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+    orders
+      .filter(col("o_orderdate") >= lit(yearStart) &&
+        col("o_orderdate") < lit(yearEnd))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(localSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Q80: statistical profile of the value stream — mean, sample stddev,
     * and the covariance/correlation of value against hour-of-day, per
     * event type: the drift-detection aggregates a monitoring pipeline

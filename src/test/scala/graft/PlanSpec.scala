@@ -190,6 +190,22 @@ class PlanSpec extends SparkSpec {
       s"rank-window formulation would sort+shuffle every row:\n$plan")
   }
 
+  test("q81 six-table join: date filter pushed to orders scan, dims broadcast") {
+    val df = Relational.localSupplierVolume(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+    val meta = scanMeta(df)
+    assert(meta.contains("PushedFilters") && meta.contains("o_orderdate"),
+      s"date range must reach the orders scan:\n$meta")
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier/nation/region chain must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the local-nation constraint must not plan a cartesian:\n$plan")
+  }
+
   test("q77 pmi: unigram-count exchange is built once and reused for both joins") {
     val df = TextAnalysis.bigramPmi(Tables.documents(spark, sf), "text", minCount = 2)
     val plan = executedPlan(df)

@@ -396,6 +396,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("localSupplierVolume: equals the filter-late formulation; local-only") {
+    val (l, o, c) = (li, Tables.orders(spark, sf), Tables.customer(spark, sf))
+    val (s, n, r) = (Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf))
+    val got = Relational.localSupplierVolume(l, o, c, s, n, r)
+      .as[(String, Double, Long)].collect()
+      .map { case (k, v, cnt) => k -> ((v, cnt)) }.toMap
+    // independent formulation: join everything unfiltered, filter at the end
+    val lateFiltered = l
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(s, $"l_suppkey" === $"s_suppkey")
+      .join(n, $"s_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA" && $"c_nationkey" === $"s_nationkey" &&
+        $"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice".cast("decimal(18,6)") *
+        (lit(1.0) - $"l_discount").cast("decimal(18,6)")).cast("double"),
+        count(lit(1)))
+      .as[(String, Double, Long)].collect()
+      .map { case (k, v, cnt) => k -> ((v, cnt)) }.toMap
+    assert(got == lateFiltered && got.nonEmpty)
+  }
+
   test("valueStatsProfile: closed-form check on a constructed group") {
     val t = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // value = 2*hour + 1 over hours 1..4: corr exactly 1, cov = 2*var(hour)
