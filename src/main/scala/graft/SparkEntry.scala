@@ -1015,10 +1015,6 @@ object SparkEntry {
         |      FROM u)
         |SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
         |FROM x GROUP BY 1""".stripMargin,
-    // q76: the oracle mirrors the prefilter (bkt < 20) — and because bkt is
-    // the PRIMARY sort key, the result equals the unfiltered ranking as
-    // long as each group keeps >= 10 rows below the cutoff (PipelinesSpec
-    // asserts that equivalence on the testdata).
     // q77: ln() is the same natural log on both sides (precedent: q36's
     // idf); probabilities are assembled in DOUBLE before the single ln.
     "q77_bigram_pmi" ->
@@ -1071,6 +1067,10 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // q76: the oracle is the UNFILTERED ranking — the operator's bucket
+    // prefilter is a pure optimization (groups whose prefiltered slice
+    // can't fill k are re-ranked over all their rows), so the public
+    // contract IS the plain top-k per group.
     "q76_group_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -1079,7 +1079,7 @@ object SparkEntry {
         |r AS (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rank
-        |  FROM b WHERE bkt < 20)
+        |  FROM b)
         |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin,
   )

@@ -51,6 +51,17 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 object NfcNormalizeExpr {
 
   def compute(s: UTF8String): UTF8String = {
+    // ASCII is closed under NFC: a byte-level scan (no String decode, no
+    // allocation) clears the common case — the per-row cost on a clean
+    // corpus is this loop alone
+    var i = 0
+    val n = s.numBytes()
+    var ascii = true
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

@@ -28,17 +28,21 @@ object Contamination {
     * Output: `train_id, bench_id, n_shared, overlap` — deterministic
     * (counts + exact arithmetic, no floats before the final round).
     */
+  /** `(id-as-alias, __g: distinct n-gram array)` projection shared by both
+    * formulations: normalize into an attribute FIRST (TextShingles
+    * performance contract), then one native pass builds the gram array.
+    */
+  private def gramsOf(df: DataFrame, textCol: String, idCol: String,
+      idAlias: String, gramAlias: String, n: Int): DataFrame = df
+    .select(col(idCol).as(idAlias), TextShingles.normalize(col(textCol)).as("__norm"))
+    .select(col(idAlias), WordNgramsExpr.wordNgrams(col("__norm"), n).as(gramAlias))
+
   def ngramOverlapPairs(train: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 4, minShared: Long = 2): DataFrame = {
-    def grams(df: DataFrame, as: String): DataFrame = df
-      // normalize into an attribute FIRST (TextShingles performance
-      // contract), then one native pass builds the distinct gram array
-      .select(col(idCol).as(as), TextShingles.normalize(col(textCol)).as("__norm"))
-      .select(col(as), WordNgramsExpr.wordNgrams(col("__norm"), n).as("__g"))
-    val t = grams(train, "train_id").select(
+    val t = gramsOf(train, textCol, idCol, "train_id", "__g", n).select(
       col("train_id"), size(col("__g")).as("__n_train"),
       explode(col("__g")).as("gram"))
-    val b = grams(bench, "bench_id").select(
+    val b = gramsOf(bench, textCol, idCol, "bench_id", "__g", n).select(
       col("bench_id"), explode(col("__g")).as("gram"))
     t.join(broadcast(b), Seq("gram"))
       // grams are distinct per doc on both sides, so plain count(*) per
@@ -64,11 +68,8 @@ object Contamination {
     */
   def overlapPairsStateless(docs: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 4, minShared: Long = 2): DataFrame = {
-    def grams(df: DataFrame, as: String, g: String): DataFrame = df
-      .select(col(idCol).as(as), TextShingles.normalize(col(textCol)).as("__norm"))
-      .select(col(as), WordNgramsExpr.wordNgrams(col("__norm"), n).as(g))
-    val t = grams(docs, "train_id", "__tg")
-    val b = grams(bench, "bench_id", "__bg")
+    val t = gramsOf(docs, textCol, idCol, "train_id", "__tg", n)
+    val b = gramsOf(bench, textCol, idCol, "bench_id", "__bg", n)
     t.crossJoin(broadcast(b))
       .select(col("train_id"), col("bench_id"),
         size(array_intersect(col("__tg"), col("__bg"))).cast("long").as("n_shared"),

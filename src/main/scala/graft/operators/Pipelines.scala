@@ -97,27 +97,38 @@ object Pipelines {
   /** Q76: deterministic k-per-group sample — the "give me 10 example docs
     * per language" primitive, reproducible across runs and engines (no
     * `rand()`): rank rows within each group by ([[hashBucket]], id) and
-    * keep the first `k`.
+    * keep the first `k`. ALWAYS equals the unfiltered ranking
+    * (PipelinesSpec asserts it, including on a deliberately rare group).
     *
-    * Scale shape: the ranking window never sees the whole group — rows
-    * are PRE-FILTERED to the `prefilterPct` smallest buckets (bucket is
-    * the window's PRIMARY sort key, so the global k-smallest all live in
-    * the filtered slice whenever it still holds ≥ k rows per group — with
-    * uniform bucket mixing that fails only for groups smaller than ~5k/
-    * (prefilterPct/100), which are tiny enough that the window is cheap
-    * anyway... but the invariant callers must mind is: a group with
-    * ≥ k rows in buckets < prefilterPct samples identically to the
-    * unfiltered ranking; PipelinesSpec asserts the equivalence). The
-    * window sorts ~prefilterPct% of the corpus instead of all of it.
+    * Scale shape: the ranking window never sees a whole large group —
+    * rows are PRE-FILTERED to the `prefilterPct` smallest buckets, and
+    * because bucket is the window's PRIMARY sort key the global
+    * k-smallest all live in that slice whenever it holds ≥ k rows for
+    * the group. Groups where the prefilter keeps FEWER than k rows
+    * (rare/small groups — with uniform mixing that needs group size
+    * ≲ k·100/prefilterPct) are detected by a cheap survivor-count
+    * aggregate and re-ranked over ALL their rows, so the sample is never
+    * silently short or biased. Cost: one extra pass over the (tiny)
+    * deficient groups; the window still sorts ~prefilterPct% of every
+    * large group instead of all of it.
     */
   def groupSample(docs: DataFrame, idCol: String, groupCol: String,
       k: Int = 10, prefilterPct: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucket = hashBucket(col(idCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__b"), col(idCol))
-    docs
-      .withColumn("__b", bucket)
-      .filter(col("__b") < prefilterPct)
+    val withB = docs.withColumn("__b", hashBucket(col(idCol)))
+    val survivors = withB.filter(col("__b") < prefilterPct)
+    // groups whose prefiltered slice cannot fill k rows — a small list
+    // (bounded by the number of groups), broadcast into both branches
+    val deficient = survivors
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") < k)
+      .select(col(groupCol))
+    val fullyCovered = survivors
+      .join(broadcast(deficient), Seq(groupCol), "left_anti")
+    val smallGroups = withB
+      .join(broadcast(deficient), Seq(groupCol), "left_semi")
+    fullyCovered.unionByName(smallGroups)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(idCol), col(groupCol), col("rank"))

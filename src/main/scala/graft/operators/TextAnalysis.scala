@@ -328,16 +328,23 @@ object TextAnalysis {
     * the (tens-of-elements) sentence array. Map-only, zero shuffles.
     */
   def sentenceStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sents = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0))
+    // project the split into an ATTRIBUTE first (TextShingles performance
+    // contract): the interpreted transform() below takes the projection
+    // out of whole-stage codegen, so a shared `sents` subtree would be
+    // re-evaluated — running the sentence regex up to 4× per row
+    val sents = col("__sents")
     val nSents = greatest(size(sents), lit(1))
     val nToks = regexp_count(col(textCol), lit("\\S+"))
-    docs.select(
-      col(idCol),
-      size(sents).cast("long").as("n_sentences"),
-      nToks.cast("long").as("n_tokens"),
-      round(nToks.cast("double") / nSents, 6).as("mean_sentence_toks"),
-      coalesce(array_max(transform(sents, s => length(trim(s)))), lit(0))
-        .cast("long").as("max_sentence_chars"))
+    docs
+      .select(col(idCol), col(textCol),
+        regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)).as("__sents"))
+      .select(
+        col(idCol),
+        size(sents).cast("long").as("n_sentences"),
+        nToks.cast("long").as("n_tokens"),
+        round(nToks.cast("double") / nSents, 6).as("mean_sentence_toks"),
+        coalesce(array_max(transform(sents, s => length(trim(s)))), lit(0))
+          .cast("long").as("max_sentence_chars"))
   }
 
   /** Q77: pointwise mutual information of adjacent token pairs —
@@ -364,9 +371,12 @@ object TextAnalysis {
       .select(split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"), col("c_ab"))
     val nUni = uni.agg(sum(col("c")).cast("double").as("__n1"))
-    val nBi = toks.select(
-        (greatest(size(col("toks")) - 1, lit(0))).cast("long").as("nb"))
-      .agg(sum(col("nb")).cast("double").as("__n2"))
+    // n2 (bigram positions) = Σ(len−1) = Σlen − n_docs = n1 − n_docs,
+    // because split() yields ≥ 1 token even for empty text — derived from
+    // aggregates already computed instead of a third scan of the corpus
+    val nBi = uni.agg(sum(col("c")).cast("double").as("__s"))
+      .crossJoin(docs.agg(count(lit(1)).cast("double").as("__d")))
+      .select((col("__s") - col("__d")).as("__n2"))
     bi
       .join(uni.select(col("term").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(uni.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))

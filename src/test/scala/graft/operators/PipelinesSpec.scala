@@ -90,6 +90,26 @@ class PipelinesSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("groupSample: rare groups deliver k rows via the deficiency fallback") {
+    // group "rare" has 12 rows — with prefilterPct=20 only ~2-3 survive the
+    // bucket filter, far short of k=10: the operator must detect the
+    // deficiency and rank ALL rare rows instead of silently under-sampling
+    val docs = ((0L until 500L).map(i => (i, "big")) ++
+      (1000L until 1012L).map(i => (i, "rare"))).toDF("doc_id", "lang")
+    val got = Pipelines.groupSample(docs, "doc_id", "lang", k = 10, prefilterPct = 20)
+      .as[(Long, String, Long)].collect()
+    val byGroup = got.groupBy(_._2)
+    assert(byGroup("big").length == 10)
+    assert(byGroup("rare").length == 10, s"rare group under-sampled: ${byGroup("rare").toSeq}")
+    // and the result is still exactly the unfiltered ranking
+    val expect = Seq("big" -> (0L until 500L), "rare" -> (1000L until 1012L))
+      .flatMap { case (lang, ids) =>
+        ids.sortBy(id => (referenceBucket(id), id)).take(10)
+          .zipWithIndex.map { case (id, i) => (id, lang, i + 1L) }
+      }.toSet
+    assert(got.toSet == expect)
+  }
+
   test("stratifiedSample: per-stratum rates honored exactly and deterministically") {
     val docs = graft.Tables.documents(spark, sf)
     val rates = Map("en" -> 50, "de" -> 30, "fr" -> 20, "es" -> 10)
