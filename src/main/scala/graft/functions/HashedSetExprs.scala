@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
 /** Set-similarity kernels over HASHED element sets.
@@ -67,7 +68,12 @@ object HashedSortedExpr {
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      // SQL callers may pass arrays with null elements (the Column-API
+      // paths never do) — hash them as the empty string, the same
+      // convention TokenStatsExpr uses
+      val s = arr.getUTF8String(i)
+      hs(i) = XXH64.hashUTF8String(
+        if (s == null) UTF8String.EMPTY_UTF8 else s, 42L)
       i += 1
     }
     java.util.Arrays.sort(hs)

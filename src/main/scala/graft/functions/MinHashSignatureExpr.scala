@@ -84,7 +84,10 @@ object MinHashSignatureExpr {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      // null elements (SQL callers only) hash as the empty string — the
+      // TokenStatsExpr convention
+      val s0 = arr.getUTF8String(i)
+      val s = if (s0 == null) UTF8String.EMPTY_UTF8 else s0
       // base hash into [0, 2^31-1): murmur3 of the string bytes
       val h = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
       val x = (h.toLong & 0x7fffffffL) % P

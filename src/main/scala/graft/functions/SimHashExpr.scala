@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native 64-bit SimHash of a token array: bit i of the fingerprint is the
@@ -51,7 +52,10 @@ object SimHashExpr {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val s = tokens.getUTF8String(i)
+      // null elements (SQL callers only) hash as the empty string — the
+      // TokenStatsExpr convention
+      val s0 = tokens.getUTF8String(i)
+      val s = if (s0 == null) UTF8String.EMPTY_UTF8 else s0
       val h = XXH64.hashUTF8String(s, 42L) // xxhash64's default seed
       var b = 0
       while (b < 64) {

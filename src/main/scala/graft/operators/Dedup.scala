@@ -279,10 +279,13 @@ object Dedup {
     * aggregation per round, converging in O(component diameter) rounds.
     * The driver loop reads ONE scalar (changed-count) per round — the
     * standard iterative-algorithm control pattern; row data never leaves
-    * the executors. Per-round `persist` + unpersist caps lineage growth
-    * (at real scale, `localCheckpoint` each ~10 rounds truncates it
-    * entirely). Near-dup components have tiny diameters (dups of a common
-    * template), so rounds ≈ 2–3.
+    * the executors. Each round's labels are EAGERLY `localCheckpoint`ed:
+    * the logical plan references the previous labels twice per round, so
+    * without truncation the plan tree doubles every iteration — a lazy
+    * persist caps only recomputation, not the exponential plan growth
+    * that stalls planning (and plan-string rendering) on deep
+    * components. Near-dup components have tiny diameters (dups of a
+    * common template), so rounds ≈ 2–3.
     *
     * THROWS `IllegalStateException` if the loop hits `maxIters` without
     * converging: a truncated run returns labels that look valid but split
@@ -303,7 +306,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -316,9 +319,10 @@ object Dedup {
           least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
         .persist()
       converged = updated.filter(col("label") < col("old_label")).isEmpty
-      val prev = labels
-      labels = updated.select(col("id"), col("label")).persist()
-      prev.unpersist()
+      // eager localCheckpoint: materializes the round's labels AND
+      // truncates their logical plan/lineage before the parents are
+      // unpersisted — see the docstring
+      labels = updated.select(col("id"), col("label")).localCheckpoint()
       updated.unpersist()
       iters += 1
     }

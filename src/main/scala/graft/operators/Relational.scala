@@ -32,7 +32,7 @@ object Relational {
   // above) and long→decimal stays compact (no BigDecimal until a sum would
   // overflow 2^63 micros, at which point Spark's Decimal widens — still
   // exact). The micros→units division happens once per GROUP, exactly.
-  private def decSum(c: org.apache.spark.sql.Column) =
+  private[operators] def decSum(c: org.apache.spark.sql.Column) =
     sum(round(c * 1000000.0).cast("long").cast("decimal(18,0)")) /
       lit(1000000L).cast("decimal(7,0)")
 
@@ -373,6 +373,8 @@ object Relational {
     val cols = base.columns
     require(changes.columns.sameElements(cols),
       s"upsert: schemas must match (${cols.mkString(",")} vs ${changes.columns.mkString(",")})")
+    require(!cols.contains("__ck"),
+      "upsert: input columns must not use the reserved __ck name")
     val changeKeys = changes.select(col(key).as("__ck"))
     val hinted = if (broadcastChanges) broadcast(changeKeys) else changeKeys
     base

@@ -49,7 +49,9 @@ object RuntimeFilters {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        // shared micros fast path — the per-row double→BigDecimal cast it
+        // replaces dominates money aggregations (see decSum's contract)
+        Relational.decSum(col("l_quantity")).cast("double").as("sum_qty"))
   }
 
   /** Approximate distinct-key overlap between two relations, by HLL

@@ -133,6 +133,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == Seq(3L, 2L, 2L, 1L)) // null counted as one empty token
   }
 
+  test("hashing kernels from SQL treat null array elements as empty strings") {
+    graft.Catalog.registerFunctions(spark)
+    // each must equal its null-free formulation with '' in null's place —
+    // and, critically, not NPE inside the executor
+    val r = spark.sql(
+      """SELECT simhash(array('a', CAST(NULL AS STRING))) AS sh,
+        |       simhash(array('a', '')) AS sh0,
+        |       hashed_sorted_set(array('x', CAST(NULL AS STRING))) AS hs,
+        |       hashed_sorted_set(array('x', '')) AS hs0,
+        |       minhash_signature(array('y', CAST(NULL AS STRING)), 4) AS mh,
+        |       minhash_signature(array('y', ''), 4) AS mh0""".stripMargin).head()
+    assert(r.getAs[Long]("sh") == r.getAs[Long]("sh0"))
+    assert(r.getSeq[Long](2).toList == r.getSeq[Long](3).toList)
+    assert(r.getSeq[Long](4).toList == r.getSeq[Long](5).toList)
+  }
+
   test("quality rules: flags consistent with the reported counters") {
     val out = TextAnalysis.qualityRules(graft.Tables.documents(spark, sf), "text", "doc_id")
       .collect()
