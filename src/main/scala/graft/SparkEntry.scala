@@ -275,6 +275,10 @@ object SparkEntry {
       Relational.localSupplierVolume(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q82_calendar_profile" -> ((s, dir) =>
+      Relational.orderCalendarProfile(Tables.orders(s, dir))),
+    "q83_grouping_sets" -> ((s, dir) =>
+      Relational.returnsGroupingSets(Tables.lineitem(s, dir))),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -1067,6 +1071,27 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // q82: Spark weekday()+1 == DuckDB isodow (1=Monday..7=Sunday); both
+    // week functions are ISO. The bare dayofweek functions DISAGREE
+    // between the engines (1=Sunday vs 0=Sunday) and are not used.
+    "q82_calendar_profile" ->
+      """SELECT quarter(o_orderdate) AS qtr,
+        |       isodow(o_orderdate) AS dow_iso,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(DISTINCT year(o_orderdate) * 100 + week(o_orderdate)) AS n_weeks,
+        |       CAST(sum(CASE WHEN o_orderdate = last_day(CAST(o_orderdate AS DATE))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // q83: GROUPING() in DuckDB emits the same bitmask as Spark's
+    // grouping_id() (q63 precedent).
+    "q83_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     // q76: the oracle is the UNFILTERED ranking — the operator's bucket
     // prefilter is a pure optimization (groups whose prefiltered slice
     // can't fill k are re-ranked over all their rows), so the public

@@ -585,6 +585,48 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q82: calendar-dimension profile — order volume and revenue by
+    * (quarter, ISO weekday), with distinct active ISO weeks and month-end
+    * order counts: the seasonality breakdown every BI layer derives, and
+    * the date-function parity minefield made explicit. Engine mapping
+    * (asserted by the oracle): Spark `weekday()` is 0=Monday, DuckDB
+    * `isodow` is 1=Monday — `weekday()+1 == isodow`; `weekofyear`/`week`
+    * are both ISO; `last_day` agrees. Plain Spark `dayofweek` (1=Sunday)
+    * vs DuckDB `dayofweek` (0=Sunday) is deliberately avoided.
+    */
+  def orderCalendarProfile(orders: DataFrame): DataFrame = {
+    val d = col("o_orderdate")
+    orders
+      .select(
+        quarter(d).as("qtr"),
+        (weekday(d) + 1).as("dow_iso"),
+        (year(d) * 100 + weekofyear(d)).as("__yw"),
+        (d === last_day(d)).cast("long").as("__month_end"),
+        col("o_totalprice"))
+      .groupBy(col("qtr"), col("dow_iso"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).cast("double").as("revenue"),
+        countDistinct(col("__yw")).as("n_weeks"),
+        sum(col("__month_end")).as("n_month_end"))
+  }
+
+  /** Q83: explicit GROUPING SETS — the general form of q23's ROLLUP and
+    * q63's CUBE: exactly the requested aggregation grains ((returnflag),
+    * (linestatus), ()) in ONE pass with map-side partials per set, where
+    * separate GROUP BYs would scan the table three times. `grouping_id`
+    * distinguishes the grains (same bitmask in DuckDB's GROUPING()).
+    */
+  def returnsGroupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_rows"),
+        decSum(col("l_quantity")).cast("double").as("sum_qty"))
+
   /** Q80: statistical profile of the value stream — mean, sample stddev,
     * and the covariance/correlation of value against hour-of-day, per
     * event type: the drift-detection aggregates a monitoring pipeline

@@ -421,6 +421,40 @@ class RelationalSpec extends SparkSpec {
     assert(got == lateFiltered && got.nonEmpty)
   }
 
+  test("calendar profile: ISO weekday domain, conservation, month-end subset") {
+    val o = Tables.orders(spark, sf)
+    val prof = Relational.orderCalendarProfile(o).cache()
+    val rows = prof.collect()
+    assert(rows.forall { r =>
+      val d = r.getAs[Int]("dow_iso"); d >= 1 && d <= 7
+    })
+    assert(rows.forall { r => val q = r.getAs[Int]("qtr"); q >= 1 && q <= 4 })
+    assert(prof.agg(sum($"n_orders")).as[Long].head() == o.count())
+    // month-end orders can never exceed the cell's order count
+    assert(rows.forall(r => r.getAs[Long]("n_month_end") <= r.getAs[Long]("n_orders")))
+    // spot-check the weekday convention on a known date: 2024-01-01 was a
+    // Monday -> dow_iso 1
+    val monday = Seq(("2024-01-01", 1.0)).toDF("o_orderdate", "o_totalprice")
+      .select(to_timestamp($"o_orderdate").as("o_orderdate"), $"o_totalprice")
+    assert(Relational.orderCalendarProfile(monday)
+      .select($"dow_iso").as[Int].head() == 1)
+    prof.unpersist()
+  }
+
+  test("grouping sets: exactly the three requested grains, each conserving totals") {
+    val gs = Relational.returnsGroupingSets(li).cache()
+    val total = li.count()
+    // grand total row: gid 3 (both columns aggregated away)
+    val grand = gs.filter($"gid" === 3)
+    assert(grand.count() == 1 && grand.select($"n_rows").as[Long].head() == total)
+    // per-returnflag grain (linestatus aggregated -> bit set): sums to total
+    assert(gs.filter($"gid" === 1).agg(sum($"n_rows")).as[Long].head() == total)
+    assert(gs.filter($"gid" === 2).agg(sum($"n_rows")).as[Long].head() == total)
+    // no (flag, status) fine-grain rows: that grain was not requested
+    assert(gs.filter($"gid" === 0).count() == 0)
+    gs.unpersist()
+  }
+
   test("valueStatsProfile: closed-form check on a constructed group") {
     val t = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // value = 2*hour + 1 over hours 1..4: corr exactly 1, cov = 2*var(hour)
