@@ -322,7 +322,12 @@ object Dedup {
       // eager localCheckpoint: materializes the round's labels AND
       // truncates their logical plan/lineage before the parents are
       // unpersisted — see the docstring
+      val prev = labels
       labels = updated.select(col("id"), col("label")).localCheckpoint()
+      // free the previous round's checkpoint blocks NOW (Dataset.unpersist
+      // cannot reach them) — bounds live materialized copies at 2 instead
+      // of one per round
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prev)
       updated.unpersist()
       iters += 1
     }

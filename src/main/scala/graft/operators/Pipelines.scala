@@ -104,31 +104,31 @@ object Pipelines {
     * rows are PRE-FILTERED to the `prefilterPct` smallest buckets, and
     * because bucket is the window's PRIMARY sort key the global
     * k-smallest all live in that slice whenever it holds ≥ k rows for
-    * the group. Groups where the prefilter keeps FEWER than k rows
+    * the group. Groups whose prefiltered slice holds FEWER than k rows
     * (rare/small groups — with uniform mixing that needs group size
-    * ≲ k·100/prefilterPct) are detected by a cheap survivor-count
-    * aggregate and re-ranked over ALL their rows, so the sample is never
-    * silently short or biased. Cost: one extra pass over the (tiny)
-    * deficient groups; the window still sorts ~prefilterPct% of every
-    * large group instead of all of it.
+    * ≲ k·100/prefilterPct; includes groups with ZERO surviving rows, so
+    * the count comes from the FULL input, not the survivors) are ranked
+    * over ALL their rows instead, so the sample is never silently short,
+    * biased, or missing a group. Cost: one extra counting aggregate over
+    * the input (map-side partial, one row per group); the window still
+    * sorts ~prefilterPct% of every large group instead of all of it.
     */
   def groupSample(docs: DataFrame, idCol: String, groupCol: String,
       k: Int = 10, prefilterPct: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__b"), col(idCol))
     val withB = docs.withColumn("__b", hashBucket(col(idCol)))
-    val survivors = withB.filter(col("__b") < prefilterPct)
-    // groups whose prefiltered slice cannot fill k rows — a small list
-    // (bounded by the number of groups), broadcast into both branches
-    val deficient = survivors
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // survivor counts per group from the FULL input: a survivors-only
+    // aggregate could never emit a zero-count group, which would silently
+    // drop groups whose rows ALL hash above the cutoff
+    val deficient = withB
+      .groupBy(col(groupCol))
+      .agg(sum(when(col("__b") < prefilterPct, 1L).otherwise(0L)).as("__n"))
       .filter(col("__n") < k)
-      .select(col(groupCol))
-    val fullyCovered = survivors
-      .join(broadcast(deficient), Seq(groupCol), "left_anti")
-    val smallGroups = withB
-      .join(broadcast(deficient), Seq(groupCol), "left_semi")
-    fullyCovered.unionByName(smallGroups)
+      .select(col(groupCol), lit(true).as("__deficient"))
+    withB
+      .join(broadcast(deficient), Seq(groupCol), "left")
+      .filter(col("__b") < prefilterPct || col("__deficient").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(idCol), col(groupCol), col("rank"))

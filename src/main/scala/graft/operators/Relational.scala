@@ -598,8 +598,10 @@ object Relational {
     val d = col("o_orderdate")
     orders
       .select(
-        quarter(d).as("qtr"),
-        (weekday(d) + 1).as("dow_iso"),
+        // long casts: DuckDB quarter()/isodow() are BIGINT — keep the
+        // compared schemas dtype-identical (q76/q83 rank/gid precedent)
+        quarter(d).cast("long").as("qtr"),
+        (weekday(d) + 1).cast("long").as("dow_iso"),
         (year(d) * 100 + weekofyear(d)).as("__yw"),
         (d === last_day(d)).cast("long").as("__month_end"),
         col("o_totalprice"))

@@ -370,17 +370,19 @@ object TextAnalysis {
       .filter(col("c_ab") >= minCount)
       .select(split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"), col("c_ab"))
-    val nUni = uni.agg(sum(col("c")).cast("double").as("__n1"))
-    // n2 (bigram positions) = Σ(len−1) = Σlen − n_docs = n1 − n_docs,
-    // because split() yields ≥ 1 token even for empty text — derived from
-    // aggregates already computed instead of a third scan of the corpus
-    val nBi = uni.agg(sum(col("c")).cast("double").as("__s"))
-      .crossJoin(docs.agg(count(lit(1)).cast("double").as("__d")))
-      .select((col("__s") - col("__d")).as("__n2"))
+    // n2 (bigram positions) = Σ(len−1) = Σlen − n_nonnull_docs = n1 − d:
+    // split() yields ≥ 1 token for every NON-NULL text (even empty), and
+    // a NULL text contributes 0 tokens to n1 — so d counts non-null
+    // texts only (count(col) skips nulls). Both totals come from ONE
+    // aggregate over the unigram counts plus a text-free doc count; no
+    // third tokenization scan of the corpus.
+    val totals = uni.agg(sum(col("c")).cast("double").as("__n1"))
+      .crossJoin(broadcast(docs.agg(count(col(textCol)).cast("double").as("__d"))))
+      .select(col("__n1"), (col("__n1") - col("__d")).as("__n2"))
     bi
       .join(uni.select(col("term").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(uni.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))
-      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c_ab"),
         round(log((col("c_ab") / col("__n2")) /
           ((col("c_a") / col("__n1")) * (col("c_b") / col("__n1")))), 6).as("pmi"))

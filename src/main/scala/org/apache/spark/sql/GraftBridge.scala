@@ -17,4 +17,17 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Free the block-manager storage behind a `localCheckpoint()`ed
+    * Dataset. `Dataset.unpersist` reaches only the cache manager, not the
+    * checkpoint RDD the plan's `LogicalRDD` leaf wraps — without this,
+    * every round of an iterative localCheckpoint loop stays materialized
+    * until JVM GC + ContextCleaner get around to it.
+    */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

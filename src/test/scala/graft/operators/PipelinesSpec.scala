@@ -110,6 +110,21 @@ class PipelinesSpec extends SparkSpec {
     assert(got.toSet == expect)
   }
 
+  test("groupSample: groups with ZERO prefilter survivors are not dropped") {
+    // ids 6 and 7 hash to buckets 20 and 24 — both above the cutoff, so a
+    // survivors-only deficiency check would never see group "tiny" at all
+    assert(referenceBucket(6L) >= 20 && referenceBucket(7L) >= 20)
+    val docs = (Seq((6L, "tiny"), (7L, "tiny")) ++
+      (0L until 500L).map(i => (i * 2 + 100, "big"))).toDF("doc_id", "lang")
+    val got = Pipelines.groupSample(docs, "doc_id", "lang", k = 10, prefilterPct = 20)
+      .as[(Long, String, Long)].collect()
+    val tiny = got.filter(_._2 == "tiny").sortBy(_._3)
+    assert(tiny.map(t => (t._1, t._3)).toSeq ==
+      Seq(6L, 7L).sortBy(id => (referenceBucket(id), id)).zipWithIndex
+        .map { case (id, i) => (id, i + 1L) })
+    assert(got.count(_._2 == "big") == 10)
+  }
+
   test("stratifiedSample: per-stratum rates honored exactly and deterministically") {
     val docs = graft.Tables.documents(spark, sf)
     val rates = Map("en" -> 50, "de" -> 30, "fr" -> 20, "es" -> 10)

@@ -426,9 +426,9 @@ class RelationalSpec extends SparkSpec {
     val prof = Relational.orderCalendarProfile(o).cache()
     val rows = prof.collect()
     assert(rows.forall { r =>
-      val d = r.getAs[Int]("dow_iso"); d >= 1 && d <= 7
+      val d = r.getAs[Long]("dow_iso"); d >= 1 && d <= 7
     })
-    assert(rows.forall { r => val q = r.getAs[Int]("qtr"); q >= 1 && q <= 4 })
+    assert(rows.forall { r => val q = r.getAs[Long]("qtr"); q >= 1 && q <= 4 })
     assert(prof.agg(sum($"n_orders")).as[Long].head() == o.count())
     // month-end orders can never exceed the cell's order count
     assert(rows.forall(r => r.getAs[Long]("n_month_end") <= r.getAs[Long]("n_orders")))
@@ -437,7 +437,7 @@ class RelationalSpec extends SparkSpec {
     val monday = Seq(("2024-01-01", 1.0)).toDF("o_orderdate", "o_totalprice")
       .select(to_timestamp($"o_orderdate").as("o_orderdate"), $"o_totalprice")
     assert(Relational.orderCalendarProfile(monday)
-      .select($"dow_iso").as[Int].head() == 1)
+      .select($"dow_iso").as[Long].head() == 1L)
     prof.unpersist()
   }
 

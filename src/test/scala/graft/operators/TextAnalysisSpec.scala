@@ -325,6 +325,18 @@ class TextAnalysisSpec extends SparkSpec {
     got.get(("the", "cat")).foreach { case (_, p) => assert(p < nyPmi) }
   }
 
+  test("bigramPmi: NULL-text docs contribute nothing (n2 derivation holds)") {
+    val base = (1 to 10).map(i => (i.toLong, "alpha beta " * 3 + "gamma"))
+    val withNull = (base ++ Seq((99L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val clean = base.toDF("doc_id", "text")
+    val a = TextAnalysis.bigramPmi(withNull, "text", minCount = 5)
+      .as[(String, String, Long, Double)].collect().toSet
+    val b = TextAnalysis.bigramPmi(clean, "text", minCount = 5)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("domainCounts: every doc yields its site; tracker on every third doc") {
     val corpus = graft.Tables.documents(spark, sf)
     val total = corpus.count()
