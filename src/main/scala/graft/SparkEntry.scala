@@ -279,6 +279,8 @@ object SparkEntry {
       Relational.orderCalendarProfile(Tables.orders(s, dir))),
     "q83_grouping_sets" -> ((s, dir) =>
       Relational.returnsGroupingSets(Tables.lineitem(s, dir))),
+    "q84_change_history" -> ((s, dir) =>
+      Relational.changeHistory(Tables.events(s, dir))),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -1092,6 +1094,13 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q84_change_history" ->
+      """SELECT user_id, event_type, value,
+        |       ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |            AS INTEGER) AS is_current
+        |FROM events""".stripMargin,
     // q76: the oracle is the UNFILTERED ranking — the operator's bucket
     // prefilter is a pure optimization (groups whose prefiltered slice
     // can't fill k are re-ranked over all their rows), so the public

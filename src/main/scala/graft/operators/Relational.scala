@@ -585,6 +585,24 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q84: SCD-2 change history — turn a changelog into versioned rows
+    * with validity intervals: each change is valid from its own
+    * timestamp until the key's NEXT change (NULL = current version).
+    * The temporal-versioning complement of q79's latest-only compaction:
+    * q79 answers "what is the state now", this answers "what was the
+    * state at time T" (join on `valid_from <= T < valid_to`).
+    * One shuffle on the key for the lead() window; the (ts, id) order
+    * makes equal-ts versions deterministic.
+    */
+  def changeHistory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(
+      col("user_id"), col("event_type"), col("value"),
+      col("ts").as("valid_from"),
+      lead(col("ts"), 1).over(w).as("valid_to"),
+      (lead(col("ts"), 1).over(w).isNull).cast("int").as("is_current"))
+  }
+
   /** Q82: calendar-dimension profile — order volume and revenue by
     * (quarter, ISO weekday), with distinct active ISO weeks and month-end
     * order counts: the seasonality breakdown every BI layer derives, and

@@ -455,6 +455,29 @@ class RelationalSpec extends SparkSpec {
     gs.unpersist()
   }
 
+  test("changeHistory: intervals tile each key's timeline; one current per key") {
+    val ev = Tables.events(spark, sf)
+    val hist = Relational.changeHistory(ev).cache()
+    // exactly one open (current) interval per user
+    val currents = hist.filter($"is_current" === 1)
+      .groupBy($"user_id").count().as[(Long, Long)].collect()
+    assert(currents.nonEmpty && currents.forall(_._2 == 1L))
+    // intervals never overlap and tile: valid_to of version i equals
+    // valid_from of version i+1 (lead is the next row's ts by definition,
+    // so assert non-degenerate ordering instead: valid_from <= valid_to)
+    assert(hist.filter($"valid_to" < $"valid_from").count() == 0)
+    // row count conserved: every change is exactly one version row
+    assert(hist.count() == ev.count())
+    // point-in-time join sanity: state at each user's own last event ts
+    // equals q79's latest snapshot
+    val atEnd = hist.filter($"is_current" === 1)
+      .select($"user_id", $"event_type".as("last_type"), $"value".as("last_value"))
+    val snap = Relational.latestSnapshot(ev)
+      .select($"user_id", $"last_type", $"last_value")
+    assert(atEnd.exceptAll(snap).count() == 0 && snap.exceptAll(atEnd).count() == 0)
+    hist.unpersist()
+  }
+
   test("valueStatsProfile: closed-form check on a constructed group") {
     val t = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     // value = 2*hour + 1 over hours 1..4: corr exactly 1, cov = 2*var(hour)
