@@ -206,6 +206,14 @@ class PlanSpec extends SparkSpec {
       s"the local-nation constraint must not plan a cartesian:\n$plan")
   }
 
+  test("global: every declared query analyzes and plans without a cartesian product") {
+    graft.SparkEntry.queries.foreach { case (name, f) =>
+      val plan = f(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
   test("q77 pmi: unigram-count exchange is built once and reused for both joins") {
     val df = TextAnalysis.bigramPmi(Tables.documents(spark, sf), "text", minCount = 2)
     val plan = executedPlan(df)
