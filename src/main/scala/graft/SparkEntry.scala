@@ -281,6 +281,15 @@ object SparkEntry {
       Relational.returnsGroupingSets(Tables.lineitem(s, dir))),
     "q84_change_history" -> ((s, dir) =>
       Relational.changeHistory(Tables.events(s, dir))),
+    "q85_decontaminated" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val d = Tables.documents(s, dir)
+      Contamination.decontaminate(
+        d.filter(f.pmod(f.col("doc_id"), f.lit(10)) =!= 7),
+        d.filter(f.pmod(f.col("doc_id"), f.lit(10)) === 7),
+        "text", "doc_id", n = 4, minShared = 2)
+        .select(f.col("doc_id"), f.col("lang"), f.col("n_chars"))
+    }),
     "q61_byte_entropy" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       Tables.documents(s, dir)
@@ -1101,6 +1110,27 @@ object SparkEntry {
         |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |            AS INTEGER) AS is_current
         |FROM events""".stripMargin,
+    // q85: q69's pair detection re-expressed as the anti-join that a
+    // training pipeline actually ships — train docs with NO benchmark
+    // collision at the q69 threshold.
+    "q85_decontaminated" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' '))) AS g
+        |  FROM documents),
+        |t AS (SELECT doc_id AS train_id, unnest(g) AS gram
+        |      FROM d WHERE doc_id % 10 <> 7),
+        |b AS (SELECT doc_id AS bench_id, unnest(g) AS gram
+        |      FROM d WHERE doc_id % 10 = 7),
+        |flagged AS (
+        |  SELECT train_id FROM t JOIN b USING (gram)
+        |  GROUP BY train_id, bench_id HAVING count(*) >= 2)
+        |SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE doc_id % 10 <> 7
+        |  AND doc_id NOT IN (SELECT train_id FROM flagged)""".stripMargin,
     // q76: the oracle is the UNFILTERED ranking — the operator's bucket
     // prefilter is a pure optimization (groups whose prefiltered slice
     // can't fill k are re-ranked over all their rows), so the public
