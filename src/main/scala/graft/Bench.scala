@@ -59,15 +59,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val line =
+    // full record (per-query map) goes to the file only: the driver
+    // captures just a stdout TAIL, and the per-query map has outgrown that
+    // window before (BENCH_r04 "parsed": null). The LAST stdout line is a
+    // compact fixed-size total so the driver's parse can never truncate.
+    val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout passes through sbt's [info] prefixing — also write the line to
-    // a file so the driver's parse is prefix-proof
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }
     }
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -277,15 +277,19 @@ object Dedup {
     * Pregel-style min-label propagation: each round, every node takes the
     * min of its own label and its neighbors' labels — one shuffle join +
     * aggregation per round, converging in O(component diameter) rounds.
-    * The driver loop reads ONE scalar (changed-count) per round — the
+    * The driver loop reads ONE scalar (any-changed) per round — the
     * standard iterative-algorithm control pattern; row data never leaves
-    * the executors. Each round's labels are EAGERLY `localCheckpoint`ed:
-    * the logical plan references the previous labels twice per round, so
-    * without truncation the plan tree doubles every iteration — a lazy
-    * persist caps only recomputation, not the exponential plan growth
-    * that stalls planning (and plan-string rendering) on deep
-    * components. Near-dup components have tiny diameters (dups of a
-    * common template), so rounds ≈ 2–3.
+    * the executors. Each round runs exactly ONE materializing action: an
+    * eager `localCheckpoint` of the round's labels carrying a `__changed`
+    * flag. The checkpoint both truncates lineage (the logical plan
+    * references the previous labels twice per round, so without
+    * truncation the plan tree doubles every iteration — a lazy persist
+    * caps only recomputation, not the exponential plan growth that stalls
+    * planning on deep components) AND serves as the data the convergence
+    * check scans — `isEmpty` on the flag is a limit-1 read of the
+    * already-materialized blocks, not a recomputation of the join.
+    * Near-dup components have tiny diameters (dups of a common
+    * template), so rounds ≈ 2–3.
     *
     * THROWS `IllegalStateException` if the loop hits `maxIters` without
     * converging: a truncated run returns labels that look valid but split
@@ -297,8 +301,13 @@ object Dedup {
     */
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge orientations from ONE pass over the pair pipeline — a
+    // self-union would evaluate the (expensive) upstream pair detection
+    // twice before the persist kicks in
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // seed with least(id, min neighbor) — one aggregation that already
     // FINISHES every 2-node component (the overwhelmingly common near-dup
@@ -313,27 +322,27 @@ object Dedup {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+      // ONE materializing action per round: the eager checkpoint carries
+      // the convergence flag, so the isEmpty below scans the materialized
+      // blocks (limit-1 short-circuit) instead of re-running the join
+      val round = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(labels("id"),
-          labels("label").as("old_label"),
-          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"))
-        .persist()
-      converged = updated.filter(col("label") < col("old_label")).isEmpty
-      // eager localCheckpoint: materializes the round's labels AND
-      // truncates their logical plan/lineage before the parents are
-      // unpersisted — see the docstring
-      val prev = labels
-      labels = updated.select(col("id"), col("label")).localCheckpoint()
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("label"),
+          (coalesce(col("nmin"), labels("label")) < labels("label")).as("__changed"))
+        .localCheckpoint()
+      converged = round.filter(col("__changed")).isEmpty
       // free the previous round's checkpoint blocks NOW (Dataset.unpersist
       // cannot reach them) — bounds live materialized copies at 2 instead
       // of one per round
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prev)
-      updated.unpersist()
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+      labels = round.select(col("id"), col("label"))
       iters += 1
     }
     edges.unpersist()
     if (!converged) {
-      labels.unpersist()
+      // reaches the checkpoint RDD through the projection — plain
+      // unpersist() only talks to the cache manager
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
       throw new IllegalStateException(
         s"clusterPairs did not converge in $maxIters iterations — a component " +
           "has diameter > maxIters and the labels would be silently wrong. " +
