@@ -281,6 +281,13 @@ object SparkEntry {
       Relational.returnsGroupingSets(Tables.lineitem(s, dir))),
     "q84_change_history" -> ((s, dir) =>
       Relational.changeHistory(Tables.events(s, dir))),
+    "q86_group_quartiles" -> ((s, dir) =>
+      Relational.groupPriceQuartiles(Tables.orders(s, dir))),
+    "q87_market_share" -> ((s, dir) =>
+      Relational.marketShare(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
+        Tables.part(s, dir))),
     "q85_decontaminated" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       val d = Tables.documents(s, dir)
@@ -1090,7 +1097,7 @@ object SparkEntry {
         |       isodow(o_orderdate) AS dow_iso,
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-        |       count(DISTINCT year(o_orderdate) * 100 + week(o_orderdate)) AS n_weeks,
+        |       count(DISTINCT isoyear(o_orderdate) * 100 + week(o_orderdate)) AS n_weeks,
         |       CAST(sum(CASE WHEN o_orderdate = last_day(CAST(o_orderdate AS DATE))
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end
         |FROM orders GROUP BY 1, 2""".stripMargin,
@@ -1110,6 +1117,39 @@ object SparkEntry {
         |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |            AS INTEGER) AS is_current
         |FROM events""".stripMargin,
+    // q86: percentile_cont WITHIN GROUP is the same ANSI form in both
+    // engines; input cast to DOUBLE pre-aggregate so interpolation runs
+    // in identical IEEE arithmetic.
+    "q86_group_quartiles" ->
+      """SELECT o_orderpriority,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p25,
+        |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS median_price,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p75,
+        |  count(*) AS n_orders,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) -
+        |    percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS iqr
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q87: revenue multiplies in DOUBLE and quantizes the product to
+    // DECIMAL(18,6) pre-sum (q20 kernel); the ratio divides two
+    // DOUBLE-cast sums — identical IEEE arithmetic on both sides.
+    "q87_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                  THEN CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))
+        |                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1""".stripMargin,
     // q85: q69's pair detection re-expressed as the anti-join that a
     // training pipeline actually ships — train docs with NO benchmark
     // collision at the q69 threshold.

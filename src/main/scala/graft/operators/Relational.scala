@@ -233,6 +233,29 @@ object Relational {
         percentile(col("value"), lit(0.99)).as("p99"),
         count(lit(1)).as("n_events"))
 
+  /** Q86: exact per-group median and quartiles via the ANSI
+    * `percentile_cont(p) WITHIN GROUP (ORDER BY …)` form — linear
+    * interpolation between the two straddling order statistics, the
+    * classic analytic aggregate every warehouse exposes. Input is cast to
+    * double BEFORE the aggregate so both engines interpolate in identical
+    * float arithmetic (decimal-in would make each engine pick its own
+    * intermediate type). Same scale story as q37: exact form needs the
+    * group's values in one aggregation buffer — the cross-engine ground
+    * truth; unbounded groups at 100 TB go through `approx_percentile`
+    * (q44) instead.
+    */
+  def groupPriceQuartiles(orders: DataFrame): DataFrame = {
+    def pc(p: Double) = expr(
+      s"percentile_cont($p) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE))")
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        pc(0.25).as("p25"),
+        pc(0.5).as("median_price"),
+        pc(0.75).as("p75"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("iqr", col("p75") - col("p25"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))
@@ -585,6 +608,55 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q87: market share — the TPC-H Q8 shape: of all revenue from
+    * `partType` parts sold to customers in `regionName`, the fraction
+    * supplied from `targetNation`, per order year. Two-level aggregation
+    * over the q81 dimensional chain with a CASE-ratio on top, expressed
+    * as ONE grouped aggregation (conditional numerator and total
+    * denominator as sibling aggregates — no second pass, no self-join).
+    * Join order puts the most selective broadcast first: the p_type
+    * filter prunes lineitem before any shuffle, then orders/customer
+    * shuffle-join on their keys while every dimension (part, supplier +
+    * nation, customer-region nations) broadcasts. The ratio divides in
+    * DOUBLE (both sums cast first) so both engines run identical IEEE
+    * arithmetic before the round.
+    */
+  def marketShare(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      part: DataFrame,
+      regionName: String = "ASIA", partType: String = "ECONOMY",
+      targetNation: String = "NATION_3"): DataFrame = {
+    // multiply in DOUBLE, quantize the product to DECIMAL(18,6) pre-sum
+    // (the q20 kernel): summing wide scale-12 decimal products and casting
+    // at the end can differ from DuckDB by an ulp in decimal→double
+    val revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")
+    val custNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppliers = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(
+          sum(when(col("supp_nation") === targetNation, revenue)
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+            sum(revenue).cast("double"), 6).as("mkt_share"),
+        sum(revenue).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Q84: SCD-2 change history — turn a changelog into versioned rows
     * with validity intervals: each change is valid from its own
     * timestamp until the key's NEXT change (NULL = current version).
@@ -620,7 +692,10 @@ object Relational {
         // compared schemas dtype-identical (q76/q83 rank/gid precedent)
         quarter(d).cast("long").as("qtr"),
         (weekday(d) + 1).cast("long").as("dow_iso"),
-        (year(d) * 100 + weekofyear(d)).as("__yw"),
+        // ISO week-year, not calendar year: Dec 29-31 can fall in ISO
+        // week 1 of the NEXT year (and Jan 1-3 in week 52/53 of the
+        // previous) — keying by year() would split/merge those weeks
+        (expr("extract(YEAROFWEEK FROM o_orderdate)") * 100 + weekofyear(d)).as("__yw"),
         (d === last_day(d)).cast("long").as("__month_end"),
         col("o_totalprice"))
       .groupBy(col("qtr"), col("dow_iso"))

@@ -206,6 +206,22 @@ class PlanSpec extends SparkSpec {
       s"the local-nation constraint must not plan a cartesian:\n$plan")
   }
 
+  test("q87 market share: p_type filter pushed to part scan, dim chain broadcast") {
+    val df = Relational.marketShare(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf), Tables.part(spark, sf))
+    val meta = scanMeta(df)
+    assert(meta.contains("EqualTo(p_type,ECONOMY)"),
+      s"p_type filter must reach the part scan:\n$meta")
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part/supplier/nation/region chain must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"market-share ratio must not plan a cartesian:\n$plan")
+  }
+
   test("global: every declared query analyzes and plans without a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, f) =>
       val plan = f(spark, sf).queryExecution.executedPlan.toString

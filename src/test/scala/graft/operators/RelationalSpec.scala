@@ -528,4 +528,20 @@ class RelationalSpec extends SparkSpec {
       .select($"cohort_day", $"n_users".as("size0"))
     assert(got.join(sizes, "cohort_day").filter($"n_users" > $"size0").count() == 0)
   }
+
+  test("groupPriceQuartiles: percentile_cont interpolation at even/odd group sizes") {
+    val df = Seq(
+      ("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0),
+      ("B", 1.0), ("B", 2.0), ("B", 3.0), ("B", 4.0), ("B", 100.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val got = Relational.groupPriceQuartiles(df)
+      .as[(String, Double, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // even group (n=4): rank p*(n-1) falls BETWEEN order statistics —
+    // p25 at 0.75 → 10 + 0.75*(20-10), median at 1.5 → midpoint
+    assert(got("A") == (("A", 17.5, 25.0, 32.5, 4L, 15.0)))
+    // odd group (n=5): ranks land exactly ON data points — no
+    // interpolation, and the 100 outlier must not leak into p75
+    assert(got("B") == (("B", 2.0, 3.0, 4.0, 5L, 2.0)))
+  }
 }
