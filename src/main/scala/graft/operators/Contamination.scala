@@ -20,14 +20,6 @@ import graft.functions.WordNgramsExpr
   */
 object Contamination {
 
-  /** All (train doc, benchmark doc) pairs sharing at least `minShared`
-    * distinct word `n`-grams of normalized text, with the overlap fraction
-    * relative to the TRAIN doc's gram count (asymmetric by intent: "how
-    * much of this training doc is benchmark material").
-    *
-    * Output: `train_id, bench_id, n_shared, overlap` — deterministic
-    * (counts + exact arithmetic, no floats before the final round).
-    */
   /** `(id-as-alias, __g: distinct n-gram array)` projection shared by both
     * formulations: normalize into an attribute FIRST (TextShingles
     * performance contract), then one native pass builds the gram array.
@@ -37,6 +29,14 @@ object Contamination {
     .select(col(idCol).as(idAlias), TextShingles.normalize(col(textCol)).as("__norm"))
     .select(col(idAlias), WordNgramsExpr.wordNgrams(col("__norm"), n).as(gramAlias))
 
+  /** All (train doc, benchmark doc) pairs sharing at least `minShared`
+    * distinct word `n`-grams of normalized text, with the overlap fraction
+    * relative to the TRAIN doc's gram count (asymmetric by intent: "how
+    * much of this training doc is benchmark material").
+    *
+    * Output: `train_id, bench_id, n_shared, overlap` — deterministic
+    * (counts + exact arithmetic, no floats before the final round).
+    */
   def ngramOverlapPairs(train: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, n: Int = 4, minShared: Long = 2): DataFrame = {
     val t = gramsOf(train, textCol, idCol, "train_id", "__g", n).select(

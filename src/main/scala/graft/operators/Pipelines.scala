@@ -71,9 +71,21 @@ object Pipelines {
     * (and DuckDB errors on BIGINT overflow too, so wraparound is not
     * engine-portable anyway). Ids that collide mod 1000003 share a bucket
     * by construction, which is harmless for percentage splits.
+    *
+    * Negative ids THROW instead of bucketing: Spark's `pmod` returns
+    * non-negative remainders while SQL `%` in other engines (DuckDB
+    * oracles included) keeps the dividend's sign — a negative id would
+    * silently land in different buckets per engine. Splits must be
+    * reproducible across engines, so an id scheme that goes negative has
+    * to fail loudly, not drift.
     */
-  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(shiftright(pmod(id, lit(1000003L)) * lit(2654435761L), 16), lit(100L))
+  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val guarded = when(id < 0, raise_error(
+      concat(lit("hashBucket: negative id "), id.cast("string"),
+        lit(" — bucket assignment is not engine-portable for negative ids"))))
+      .otherwise(id)
+    pmod(shiftright(pmod(guarded, lit(1000003L)) * lit(2654435761L), 16), lit(100L))
+  }
 
   def cleanCorpusStats(docs: DataFrame,
       minTokens: Long = 10L, maxPunctRatio: Double = 0.2): DataFrame = {

@@ -71,6 +71,12 @@ class PipelinesSpec extends SparkSpec {
     hugeOut.foreach { case (id, bucket, _) =>
       assert(bucket == referenceBucket(id) && bucket >= 0 && bucket < 100, s"id $id")
     }
+    // negative ids: Spark pmod and other engines' signed % disagree, so
+    // the bucket must refuse rather than silently differ per engine
+    val negErr = intercept[Exception] {
+      Seq(-1L).toDF("doc_id").select(Pipelines.hashBucket($"doc_id")).collect()
+    }
+    assert(negErr.getMessage.contains("negative id"), negErr.getMessage)
   }
 
   test("groupSample: prefiltered ranking equals the unfiltered top-k per group") {
