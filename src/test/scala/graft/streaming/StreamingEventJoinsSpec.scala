@@ -102,6 +102,46 @@ class StreamingEventJoinsSpec extends SparkSpec {
     assert(row.getAs[String]("stream") == "display.10s")
   }
 
+  test("left-outer timing: missed row emits only after the watermark passes the join bound") {
+    // pins SURVEY §7.4.1's design claim: the reference detects "no join"
+    // by wall-clock delay (TopicShifter re-emission), we detect it by
+    // event-time watermark — so the missed row must appear EXACTLY when
+    // the watermark crosses display.ts + W, not on processing activity
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val displays = MemoryStream[Evt]
+    val clicks = MemoryStream[Evt]
+    val missed = StreamingEventJoins.missedDisplays(
+      displays.toDF(), clicks.toDF(), "10 SECONDS", "1 second")
+    val q = missed.writeStream.format("memory").queryName("timing_missed")
+      .outputMode("append").start()
+    def nonHb() = spark.table("timing_missed")
+      .select("key", "value").as[(String, String)].collect()
+      .filterNot(_._1.startsWith("hb")).toSeq
+    try {
+      displays.addData(Evt(keyA, display, T0)); q.processAllAvailable()
+      assert(nonHb().isEmpty, "no watermark movement yet — nothing may emit")
+      // STALLED source: reprocessing without new data must not flush the
+      // pending outer row (absence of data is not evidence of no-join)
+      q.processAllAvailable()
+      assert(nonHb().isEmpty, "a stalled source must not trigger emission")
+      // RESUMED below the bound: watermark advances to 10:00:08 — still
+      // before T0+10s, so the display stays held even across two batches
+      displays.addData(Evt("hb", "{}", plus(9)))
+      clicks.addData(Evt("hb2", "{}", plus(9))); q.processAllAvailable()
+      displays.addData(Evt("hb", "{}", plus(9)))
+      clicks.addData(Evt("hb2", "{}", plus(9))); q.processAllAvailable()
+      assert(nonHb().isEmpty,
+        "watermark below display.ts + W — outer row must still be held")
+      // past the bound: the held row flushes (watermark batch + flush batch)
+      displays.addData(Evt("hb", "{}", plus(30)))
+      clicks.addData(Evt("hb2", "{}", plus(30))); q.processAllAvailable()
+      displays.addData(Evt("hb", "{}", plus(40)))
+      clicks.addData(Evt("hb2", "{}", plus(40))); q.processAllAvailable()
+      assert(nonHb() == Seq(keyA -> display),
+        "outer row must emit exactly once after the watermark passes the bound")
+    } finally q.stop()
+  }
+
   test("join state stays bounded by the watermark (no unbounded growth)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val displays = MemoryStream[Evt]
