@@ -288,6 +288,12 @@ object SparkEntry {
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
         Tables.part(s, dir))),
+    "q88_stats_unpivot" -> ((s, dir) =>
+      Relational.eventStatsUnpivot(Tables.events(s, dir))),
+    "q89_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "text", "doc_id", "lang")),
+    "q90_gap_fill" -> ((s, dir) =>
+      Relational.dailyGapFill(Tables.events(s, dir))),
     "q85_decontaminated" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       val d = Tables.documents(s, dir)
@@ -1150,6 +1156,57 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |GROUP BY 1""".stripMargin,
+    // q88: SQL-standard UNPIVOT in the FROM clause — DuckDB's native
+    // unpivot, same fold as Dataset.unpivot.
+    "q88_stats_unpivot" ->
+      """WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n_events,
+        |  round(avg(value), 6) AS avg_value, round(max(value), 6) AS max_value
+        |  FROM events GROUP BY event_type)
+        |SELECT * FROM s
+        |UNPIVOT (metric_value FOR metric IN (n_events, avg_value, max_value))""".stripMargin,
+    // q89: the oracle enumerates ALL same-lang pairs and applies the
+    // identical candidate floor + edit-distance cap — exact because the
+    // engine's prefix-filtered candidate generation is exact for its
+    // Jaccard predicate.
+    "q89_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nt AS ta, b.nt AS tb,
+        |         len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        |v AS (SELECT doc_a, doc_b, ta, tb, levenshtein(ta, tb) AS dist
+        |      FROM cand WHERE j >= 0.3)
+        |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS edit_distance,
+        |       round(1.0 - dist / greatest(CAST(greatest(length(ta), length(tb)) AS DOUBLE), 1.0), 6) AS similarity
+        |FROM v
+        |WHERE dist <= 0.25 * greatest(length(ta), length(tb))""".stripMargin,
+    // q90: generate_series spine per group + IGNORE NULLS running
+    // last_value — both engines' default window frame is RANGE UNBOUNDED
+    // PRECEDING..CURRENT ROW, so the forward fill matches; day(ts) ==
+    // Spark dayofmonth.
+    "q90_gap_fill" ->
+      """WITH kept AS (SELECT * FROM events WHERE day(ts) % 3 <> 0),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  round(sum(value), 6) AS day_value, count(*) AS n_events
+        |  FROM kept GROUP BY 1, 2),
+        |spine AS (SELECT event_type,
+        |  CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+        |                              CAST(max(day) AS TIMESTAMP),
+        |                              INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY event_type)
+        |SELECT s.event_type,
+        |  CAST(datediff('day', DATE '1970-01-01', s.day) AS BIGINT) AS epoch_day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  d.day_value,
+        |  last_value(d.day_value IGNORE NULLS)
+        |    OVER (PARTITION BY s.event_type ORDER BY s.day) AS filled_value,
+        |  CAST(d.day_value IS NULL AS INT) AS is_gap
+        |FROM spine s LEFT JOIN daily d USING (event_type, day)""".stripMargin,
     // q85: q69's pair detection re-expressed as the anti-join that a
     // training pipeline actually ships — train docs with NO benchmark
     // collision at the q69 threshold.

@@ -232,6 +232,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Q89: character-level fuzzy pairs — the textbook two-stage fuzzy
+    * join: cheap token-set CANDIDATE generation ([[ngramJaccardPairs]] at
+    * a permissive floor — exact for its own predicate, prefix-filtered,
+    * no all-pairs), then exact `levenshtein` VERIFICATION of each
+    * candidate against a length-relative cap. Edit distance is O(len²)
+    * per pair — the one thing you must never run all-pairs at 100 TB;
+    * here it runs once per surviving candidate, on pairs that shuffle ids
+    * only until the two text fetch-joins. The relative cap
+    * (`dist ≤ maxRelDist · max(len)`) makes the predicate
+    * length-invariant: 4 edits in a tweet is a different document, in a
+    * 5 KB page it's a near-dup.
+    */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int = 3, jaccardFloor: Double = 0.3,
+      maxRelDist: Double = 0.25): DataFrame = {
+    val cand = ngramJaccardPairs(docs, textCol, idCol, blockCol, n, jaccardFloor)
+      .select(col("doc_a"), col("doc_b"))
+    val t = docs.select(col(idCol).as("id"),
+      TextShingles.normalize(col(textCol)).as("nt"))
+    val mx = greatest(length(col("t_a")), length(col("t_b"))).cast("double")
+    cand
+      .join(t.select(col("id").as("doc_a"), col("nt").as("t_a")), Seq("doc_a"))
+      .join(t.select(col("id").as("doc_b"), col("nt").as("t_b")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(col("dist") <= lit(maxRelDist) * mx)
+      .select(col("doc_a"), col("doc_b"), col("dist").as("edit_distance"),
+        round(lit(1.0) - col("dist") / greatest(mx, lit(1.0)), 6).as("similarity"))
+  }
+
   /** Embedding-cosine near-dup pairs via OR-AMPLIFIED hyperplane LSH (no
     * all-pairs): a pair is a candidate if it collides in ANY of `tables`
     * independent `bits`-bit signatures, then every candidate is verified by

@@ -608,6 +608,63 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q88: unpivot/melt — the inverse of q52's pivot: a wide per-type
+    * profile folded into (event_type, metric, metric_value) long rows via
+    * the native `Dataset.unpivot` (SQL UNPIVOT). Long form is what metric
+    * stores and plotting layers ingest; doing it in the engine keeps the
+    * fold a zero-shuffle projection (each input row expands to k output
+    * rows in place — no exchange beyond the one inside the upstream
+    * aggregate). Metrics are cast to a common DOUBLE first: UNPIVOT
+    * requires one value type, the same constraint the SQL form imposes.
+    */
+  def eventStatsUnpivot(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"),
+        round(max(col("value")), 6).as("max_value"))
+      .unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("avg_value"), col("max_value")),
+        "metric", "metric_value")
+
+  /** Q90: calendar gap-fill + forward fill (resample): the missing-row
+    * problem every time-series pipeline hits — aggregate to a daily grain,
+    * then materialize the FULL calendar between each group's first and
+    * last day (`sequence` + `explode` builds the spine engine-side, no
+    * driver loop), left-join the observed days onto it, and forward-fill
+    * gaps with the last observed value (`last(…, ignoreNulls)` over the
+    * default running frame). One shuffle for the daily aggregate; the
+    * spine is ~rows/density tiny and joins on (group, day); the fill
+    * window orders each group's bounded day series. `gapEvery` carves
+    * deterministic holes (drop days where day-of-month ≡ 0 mod k) so the
+    * fill path is exercised on dense test data — pass 0 to resample
+    * as-is.
+    */
+  def dailyGapFill(events: DataFrame, gapEvery: Int = 3): DataFrame = {
+    val kept = if (gapEvery > 0)
+      events.filter(dayofmonth(col("ts")) % gapEvery =!= 0) else events
+    val daily = kept
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("day_value"),
+        count(lit(1)).as("n_events"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(
+        col("event_type"),
+        // epoch-day BIGINT, not DATE: the q58 convention — DATE columns
+        // dtype-drift between the engines' dataframe bridges
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("epoch_day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+        col("day_value").isNull.cast("int").as("is_gap"))
+  }
+
   /** Q87: market share — the TPC-H Q8 shape: of all revenue from
     * `partType` parts sold to customers in `regionName`, the fraction
     * supplied from `targetNation`, per order year. Two-level aggregation

@@ -39,6 +39,39 @@ class DedupSpec extends SparkSpec {
     assert(truth.contains((1L, 2L)) && truth.contains((1L, 5L)))
   }
 
+  test("editDistancePairs equals the all-pairs levenshtein formulation") {
+    // real corpus + the synthetic near-dups so the result is non-empty at
+    // every SF (real near-dup families may not exist at sf0.001)
+    val all = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang")
+      .union(docs.withColumn("doc_id", $"doc_id" + 900000L)
+        .select($"doc_id", $"text", $"lang"))
+    val got = Dedup.editDistancePairs(all, "text", "doc_id", "lang")
+      .select("doc_a", "doc_b", "edit_distance")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: EVERY same-lang pair through the identical floor + cap
+    val d = all.select($"doc_id", $"lang",
+      graft.functions.WordNgramsExpr.wordNgrams(
+        TextShingles.normalize($"text"), 3).as("g"),
+      TextShingles.normalize($"text").as("nt"))
+    val truth = d.select($"doc_id".as("doc_a"), $"lang", $"g".as("ga"), $"nt".as("ta"))
+      .join(d.select($"doc_id".as("doc_b"), $"lang", $"g".as("gb"), $"nt".as("tb")), Seq("lang"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("j", size(array_intersect($"ga", $"gb")).cast("double") /
+        size(array_union($"ga", $"gb")).cast("double"))
+      .filter($"j" >= 0.3)
+      .withColumn("dist", levenshtein($"ta", $"tb").cast("long"))
+      .filter($"dist" <= lit(0.25) * greatest(length($"ta"), length($"tb")))
+      .select("doc_a", "doc_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == truth,
+      s"missing=${truth -- got} extra=${got -- truth}")
+    // the crafted near-dups must be in: 1≈2 (exact), 1≈3 (ws/case), 1≈5 (one word)
+    assert(Set((900001L, 900002L), (900001L, 900003L), (900001L, 900005L))
+      .subsetOf(got.map(t => (t._1, t._2))))
+    // and the unrelated same-lang doc must not pair with anything
+    assert(!got.exists(t => t._1 == 900004L || t._2 == 900004L))
+  }
+
   test("native CharShinglesExpr equals the HOF formulation exactly") {
     val texts = graft.Tables.documents(spark, sf).limit(100)
       .select(TextShingles.normalize($"text").as("norm"))

@@ -529,6 +529,51 @@ class RelationalSpec extends SparkSpec {
     assert(got.join(sizes, "cohort_day").filter($"n_users" > $"size0").count() == 0)
   }
 
+  test("eventStatsUnpivot: 3 long rows per type, values equal the wide aggregates") {
+    val ev = Tables.events(spark, sf)
+    val long = Relational.eventStatsUnpivot(ev)
+      .as[(String, String, Double)].collect()
+    val types = ev.select($"event_type").distinct().as[String].collect().toSet
+    assert(long.length == types.size * 3)
+    assert(long.map(_._2).toSet == Set("n_events", "avg_value", "max_value"))
+    // fold back: every (type, metric) value equals the wide aggregate
+    val wide = ev.groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        round(avg($"value"), 6).as("a"), round(max($"value"), 6).as("m"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    long.foreach { case (t, metric, v) =>
+      val (_, n, a, m) = wide(t)
+      val expected = metric match {
+        case "n_events" => n; case "avg_value" => a; case "max_value" => m
+      }
+      assert(v == expected, s"($t, $metric): $v != $expected")
+    }
+  }
+
+  test("dailyGapFill: spine tiles the calendar, gaps forward-fill from the last observed day") {
+    def t(day: Int, hms: String) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hms")
+    // observed days 1,2,5 with a 2-day hole; day 5 present so the spine
+    // must cover 1..5 and days 3-4 must carry day 2's value forward
+    val ev = Seq(
+      ("click", t(1, "09:00:00"), 10.0), ("click", t(1, "10:00:00"), 5.0),
+      ("click", t(2, "09:00:00"), 7.0),
+      ("click", t(5, "23:00:00"), 1.0))
+      .toDF("event_type", "ts", "value")
+    val got = Relational.dailyGapFill(ev, gapEvery = 0)
+      .as[(String, Long, Long, Option[Double], Double, Int)].collect()
+      .sortBy(_._2)
+    val d0 = java.time.LocalDate.parse("2024-03-01").toEpochDay
+    assert(got.map(_._2).toSeq == (d0 to d0 + 4).toSeq, "spine must tile 1..5")
+    assert(got.map(r => (r._3, r._4, r._5, r._6)).toSeq == Seq(
+      (2L, Some(15.0), 15.0, 0),
+      (1L, Some(7.0), 7.0, 0),
+      (0L, None, 7.0, 1), // gap: forward-filled from day 2
+      (0L, None, 7.0, 1),
+      (1L, Some(1.0), 1.0, 0)))
+  }
+
   test("groupPriceQuartiles: percentile_cont interpolation at even/odd group sizes") {
     val df = Seq(
       ("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0),
