@@ -294,6 +294,8 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.documents(s, dir), "text", "doc_id", "lang")),
     "q90_gap_fill" -> ((s, dir) =>
       Relational.dailyGapFill(Tables.events(s, dir))),
+    "q91_disc_percentiles" -> ((s, dir) =>
+      Relational.groupPriceDiscretePercentiles(Tables.orders(s, dir))),
     "q85_decontaminated" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       val d = Tables.documents(s, dir)
@@ -1207,6 +1209,15 @@ object SparkEntry {
         |    OVER (PARTITION BY s.event_type ORDER BY s.day) AS filled_value,
         |  CAST(d.day_value IS NULL AS INT) AS is_gap
         |FROM spine s LEFT JOIN daily d USING (event_type, day)""".stripMargin,
+    // q91: percentile_disc returns an order statistic (no interpolation),
+    // so the only parity concern is the shared DOUBLE input cast.
+    "q91_disc_percentiles" ->
+      """SELECT o_orderstatus,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p25_disc,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS median_disc,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p75_disc,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // q85: q69's pair detection re-expressed as the anti-join that a
     // training pipeline actually ships — train docs with NO benchmark
     // collision at the q69 threshold.

@@ -256,6 +256,24 @@ object Relational {
       .withColumn("iqr", col("p75") - col("p25"))
   }
 
+  /** Q91: `percentile_disc` — q86's DISCRETE companion: the smallest
+    * actual data value whose cumulative distribution reaches p (an order
+    * statistic, never an interpolated synthetic value — what you want
+    * when the value must be a real observation, e.g. a representative
+    * document length). No interpolation means no float-arithmetic parity
+    * concern at all; the DOUBLE cast just unifies the output type.
+    */
+  def groupPriceDiscretePercentiles(orders: DataFrame): DataFrame = {
+    def pd(p: Double) = expr(
+      s"percentile_disc($p) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE))")
+    orders.groupBy(col("o_orderstatus"))
+      .agg(
+        pd(0.25).as("p25_disc"),
+        pd(0.5).as("median_disc"),
+        pd(0.75).as("p75_disc"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))

@@ -589,4 +589,18 @@ class RelationalSpec extends SparkSpec {
     // interpolation, and the 100 outlier must not leak into p75
     assert(got("B") == (("B", 2.0, 3.0, 4.0, 5L, 2.0)))
   }
+
+  test("groupPriceDiscretePercentiles: order statistics, never interpolated values") {
+    val df = Seq(
+      ("O", 10.0), ("O", 20.0), ("O", 30.0), ("O", 40.0),
+      ("F", 1.0), ("F", 2.0), ("F", 3.0))
+      .toDF("o_orderstatus", "o_totalprice")
+    val got = Relational.groupPriceDiscretePercentiles(df)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // even group: disc(0.5) is the LOWER middle observation (20), where
+    // cont interpolates to the synthetic 25
+    assert(got("O") == (("O", 10.0, 20.0, 30.0, 4L)))
+    assert(got("F") == (("F", 1.0, 2.0, 3.0, 3L)))
+  }
 }
