@@ -79,6 +79,35 @@ object StreamingEventJoins {
       .select(col("d_key").as("key"), col("d_value").as("value"), col("d_ts").as("ts"))
   }
 
+  /** Q5 streaming: EVERY display with its outcome in one query —
+    * `joined` when a click of the same key lands in
+    * `[display.ts, display.ts + W]`, else `missed` — the full-outcome
+    * union the batch q5 computes, as ONE watermarked left-outer join
+    * instead of running q1 and q2 side by side (one state store, one
+    * scan of each stream). Matched rows emit immediately per micro-batch;
+    * unmatched rows emit as `missed` when the watermark passes
+    * `display.ts + W` — so in append mode the outcome of every display
+    * is delivered exactly once.
+    */
+  def viewOutcomes(displays: DataFrame, clicks: DataFrame,
+      window: String = "1 SECOND", watermarkDelay: String = "5 seconds"): DataFrame = {
+    val d = displays
+      .withWatermark("ts", watermarkDelay)
+      .select(col("key").as("d_key"), col("value").as("d_value"), col("ts").as("d_ts"))
+    val c = clicks
+      .withWatermark("ts", watermarkDelay)
+      .select(col("key").as("c_key"), col("value").as("c_value"), col("ts").as("c_ts"))
+    d.join(c,
+        col("d_key") === col("c_key") &&
+          col("c_ts") >= col("d_ts") &&
+          col("c_ts") <= col("d_ts") + interval(window),
+        "left_outer")
+      .select(
+        col("d_key").as("key"), col("d_value").as("value"),
+        col("d_ts").as("ts"),
+        when(col("c_key").isNull, lit("missed")).otherwise(lit("joined")).as("status"))
+  }
+
   /** Q3 streaming: event-time shift with derived-stream lineage name
     * (`<name>.<suffix>`, mirroring `TopicShifter.scala:20`). Works on both
     * batch and streaming DataFrames (same code — Spark's unified API).

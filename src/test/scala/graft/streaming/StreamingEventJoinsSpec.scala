@@ -102,6 +102,37 @@ class StreamingEventJoinsSpec extends SparkSpec {
     assert(row.getAs[String]("stream") == "display.10s")
   }
 
+  test("view outcomes: exactly one outcome per display — joined or missed (q5 streaming)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val displays = MemoryStream[Evt]
+    val clicks = MemoryStream[Evt]
+    val out = StreamingEventJoins.viewOutcomes(
+      displays.toDF(), clicks.toDF(), "10 SECONDS", "1 second")
+    val q = out.writeStream.format("memory").queryName("outcomes_out")
+      .outputMode("append").start()
+    try {
+      displays.addData(Evt(keyA, display, T0), Evt(keyB, display, plus(2)))
+      q.processAllAvailable()
+      clicks.addData(Evt(keyA, click, plus(5))); q.processAllAvailable()
+      // keyA matched inside the window — emits without any watermark help
+      val early = spark.table("outcomes_out")
+        .select("key", "status").as[(String, String)].collect().toSet
+      assert(early == Set(keyA -> "joined"),
+        s"matched outcome must emit per micro-batch, got $early")
+      displays.addData(Evt("hb", "{}", plus(50)))
+      clicks.addData(Evt("hb2", "{}", plus(50))); q.processAllAvailable()
+      displays.addData(Evt("hb", "{}", plus(59)))
+      clicks.addData(Evt("hb2", "{}", plus(59))); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("outcomes_out")
+      .select("key", "value", "status").as[(String, String, String)].collect()
+      .filterNot(_._1.startsWith("hb")).toSet
+    // one outcome per display: keyA joined, keyB (never clicked) missed
+    assert(rows == Set(
+      (keyA, display, "joined"),
+      (keyB, display, "missed")))
+  }
+
   test("left-outer timing: missed row emits only after the watermark passes the join bound") {
     // pins SURVEY §7.4.1's design claim: the reference detects "no join"
     // by wall-clock delay (TopicShifter re-emission), we detect it by
