@@ -296,6 +296,8 @@ object SparkEntry {
       Relational.dailyGapFill(Tables.events(s, dir))),
     "q91_disc_percentiles" -> ((s, dir) =>
       Relational.groupPriceDiscretePercentiles(Tables.orders(s, dir))),
+    "q92_sliding_windows" -> ((s, dir) =>
+      Relational.slidingEventCounts(Tables.events(s, dir))),
     "q85_decontaminated" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       val d = Tables.documents(s, dir)
@@ -1218,6 +1220,17 @@ object SparkEntry {
         |  percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p75_disc,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q92: every event lands in exactly duration/slide = 2 windows whose
+    // starts are epoch-aligned slide multiples — the unnest(range(0,2))
+    // expansion reproduces Spark's window() assignment exactly;
+    // make_timestamp keeps the start a plain TIMESTAMP (to_timestamp
+    // would yield TIMESTAMPTZ and drift the schema).
+    "q92_sliding_windows" ->
+      """SELECT make_timestamp(CAST((floor(epoch(ts) / 300) * 300 - i.i * 300)
+        |         * 1000000 AS BIGINT)) AS w_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events, (SELECT unnest(range(0, 2)) AS i) i
+        |GROUP BY 1, 2""".stripMargin,
     // q85: q69's pair detection re-expressed as the anti-join that a
     // training pipeline actually ships — train docs with NO benchmark
     // collision at the q69 threshold.

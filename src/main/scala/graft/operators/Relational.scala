@@ -142,6 +142,22 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("day"), col("event_type"), col("n"))
 
+  /** Q92: SLIDING (hopping) event-time windows — the third window family
+    * next to tumbling (q28) and session (q34): overlapping windows of
+    * `duration` advancing every `slide`, so each event lands in
+    * duration/slide windows (2 here). The `window()` expression expands
+    * each row to its covering windows in place (a generate, not a join)
+    * and the aggregation shuffles once on (window, key) — and the same
+    * expression runs streaming under a watermark, where a closed window
+    * emits once. Spark aligns window starts to the Unix epoch; the oracle
+    * reproduces that alignment with integer epoch arithmetic.
+    */
+  def slidingEventCounts(events: DataFrame,
+      duration: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Sort + limit top-n with a total tiebreak order (deterministic). */
   def topOrders(orders: DataFrame, n: Int): DataFrame =
     orders

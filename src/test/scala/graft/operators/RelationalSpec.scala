@@ -590,6 +590,23 @@ class RelationalSpec extends SparkSpec {
     assert(got("B") == (("B", 2.0, 3.0, 4.0, 5L, 2.0)))
   }
 
+  test("slidingEventCounts: each event in exactly duration/slide windows, epoch-aligned") {
+    val ev = Tables.events(spark, sf)
+    val got = Relational.slidingEventCounts(ev).cache()
+    // conservation: every event counted once per covering window (2)
+    assert(got.agg(sum($"n")).as[Long].head() == ev.count() * 2)
+    // alignment: starts are multiples of the 5-minute slide
+    assert(got.filter($"w_start".cast("long") % 300 =!= 0).count() == 0)
+    // overlap: an event at t appears in the windows starting at
+    // floor(t/300)*300 and 300 earlier — check one concrete event
+    val (t0, et0) = ev.select($"ts", $"event_type").as[(java.sql.Timestamp, String)].head()
+    val slot = t0.getTime / 1000 / 300 * 300
+    val starts = got.filter($"event_type" === et0)
+      .select($"w_start".cast("long")).as[Long].collect().toSet
+    assert(starts.contains(slot) && starts.contains(slot - 300))
+    got.unpersist()
+  }
+
   test("groupPriceDiscretePercentiles: order statistics, never interpolated values") {
     val df = Seq(
       ("O", 10.0), ("O", 20.0), ("O", 30.0), ("O", 40.0),
