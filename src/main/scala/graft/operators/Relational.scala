@@ -682,21 +682,32 @@ object Relational {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")), 6).as("day_value"),
         count(lit(1)).as("n_events"))
-    val spine = daily.groupBy(col("event_type"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("event_type"),
+    // fold each group's observed days into a map and explode the full
+    // calendar against it — daily is consumed ONCE. The naive
+    // spine-join formulation (separate min/max aggregate + left join
+    // back onto daily) reads the events scan TWICE at execution time:
+    // column pruning makes the two daily subtrees differ, so
+    // ReuseExchange never kicks in. The per-group map holds one entry
+    // per observed DAY — bounded by the calendar span, not the data.
+    val folded = daily.groupBy(col("event_type"))
+      .agg(
+        map_from_entries(collect_list(struct(col("day"),
+          struct(col("day_value"), col("n_events"))))).as("m"),
+        min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), col("m"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
+    val hit = col("m").getItem(col("day"))
+    val dayValue = hit.getField("day_value")
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    spine.join(daily, Seq("event_type", "day"), "left")
-      .select(
-        col("event_type"),
-        // epoch-day BIGINT, not DATE: the q58 convention — DATE columns
-        // dtype-drift between the engines' dataframe bridges
-        datediff(col("day"), lit("1970-01-01")).cast("long").as("epoch_day"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("day_value"),
-        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
-        col("day_value").isNull.cast("int").as("is_gap"))
+    folded.select(
+      col("event_type"),
+      // epoch-day BIGINT, not DATE: the q58 convention — DATE columns
+      // dtype-drift between the engines' dataframe bridges
+      datediff(col("day"), lit("1970-01-01")).cast("long").as("epoch_day"),
+      coalesce(hit.getField("n_events"), lit(0L)).as("n_events"),
+      dayValue.as("day_value"),
+      last(dayValue, ignoreNulls = true).over(w).as("filled_value"),
+      dayValue.isNull.cast("int").as("is_gap"))
   }
 
   /** Q87: market share — the TPC-H Q8 shape: of all revenue from

@@ -222,6 +222,15 @@ class PlanSpec extends SparkSpec {
       s"market-share ratio must not plan a cartesian:\n$plan")
   }
 
+  test("q90 gap-fill: events scanned ONCE (map-fold spine, no re-join double scan)") {
+    val df = Relational.dailyGapFill(Tables.events(spark, sf))
+    val plan = executedPlan(df)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"gap-fill must read events once, found $scans scans:\n$plan")
+    assert(!plan.contains("Join"), s"map-fold formulation must not re-join:\n$plan")
+  }
+
   test("global: every declared query analyzes and plans without a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, f) =>
       val plan = f(spark, sf).queryExecution.executedPlan.toString
