@@ -130,4 +130,31 @@ class SqlSurfaceSpec extends SparkSpec {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("ANSI WITHIN GROUP and UNPIVOT via spark.sql equal the DataFrame operators") {
+    Catalog.registerTables(spark, sf)
+    val contSql = spark.sql(
+      """SELECT o_orderpriority,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p25,
+        |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS median_price,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p75,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+      .as[(String, Double, Double, Double, Long)].collect().sorted.toSeq
+    val contDf = operators.Relational.groupPriceQuartiles(Tables.orders(spark, sf))
+      .select($"o_orderpriority", $"p25", $"median_price", $"p75", $"n_orders")
+      .as[(String, Double, Double, Double, Long)].collect().sorted.toSeq
+    assert(contSql == contDf && contSql.nonEmpty)
+
+    val unpivotSql = spark.sql(
+      """SELECT * FROM (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n_events,
+        |         round(avg(value), 6) AS avg_value, round(max(value), 6) AS max_value
+        |  FROM events GROUP BY event_type)
+        |UNPIVOT (metric_value FOR metric IN (n_events, avg_value, max_value))""".stripMargin)
+      .as[(String, String, Double)].collect().sorted.toSeq
+    val unpivotDf = operators.Relational.eventStatsUnpivot(Tables.events(spark, sf))
+      .as[(String, String, Double)].collect().sorted.toSeq
+    assert(unpivotSql == unpivotDf && unpivotSql.nonEmpty)
+  }
 }
