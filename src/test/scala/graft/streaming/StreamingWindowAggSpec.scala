@@ -43,6 +43,35 @@ class StreamingWindowAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows emit each closed window once; events count in both covering windows") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Evt]
+    // q92's expression shape: 1-minute windows sliding every 30s — each
+    // event belongs to exactly 2 windows
+    val agg = in.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute", "30 seconds").as("w"), $"key")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"key", $"n")
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    try {
+      // one event at 10:00:45 — covered by windows [10:00:00) and [10:00:30)
+      in.addData(Evt("a", "x", ts(0, 45)))
+      q.processAllAvailable()
+      in.addData(Evt("hb", "x", ts(3, 0)))
+      q.processAllAvailable()
+      in.addData(Evt("hb", "x", ts(4, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("slide_out")
+        .select($"start", $"key", $"n").as[(Timestamp, String, Long)]
+        .collect().filter(_._2 == "a").toSet
+      assert(rows == Set(
+        (ts(0, 0), "a", 1L),
+        (ts(0, 30), "a", 1L)))
+    } finally q.stop()
+  }
+
   test("session windows (gap merge) emit once closed, same semantics as batch q34") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Evt]
