@@ -325,6 +325,23 @@ object SparkEntry {
       // every emitted pair is exact-verified, so precision is 1.0.
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", dim = 64,
         threshold = 0.35)),
+    "q93_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q94_large_orders" -> ((s, dir) =>
+      Relational.largeQuantityOrders(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir))),
+    "q95_zscore" -> ((s, dir) =>
+      Pipelines.zscoreNormalize(Tables.events(s, dir))),
+    "q96_mode_per_user" -> ((s, dir) =>
+      Relational.modePerUser(Tables.events(s, dir))),
+    "q97_chi_square" -> ((s, dir) =>
+      Relational.contingencyChiSquare(Tables.events(s, dir))),
+    "q98_lone_late_supplier" -> ((s, dir) =>
+      Relational.loneLateSupplier(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.supplier(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1267,5 +1284,83 @@ object SparkEntry {
         |  FROM b)
         |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin,
+    // q93: the oracle keeps the textbook correlated-subquery form — the
+    // operator's aggregate+join decorrelation must be value-identical.
+    // Quantities are integral so 0.2*avg is the same IEEE double on both
+    // engines; revenue sums go through the micros-decimal kernel.
+    "q93_small_qty_revenue" ->
+      """SELECT p_brand,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 1000000) AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * (sum(l_quantity) / count(*)) FROM lineitem l2
+        |  WHERE l2.l_partkey = lineitem.l_partkey)
+        |GROUP BY p_brand""".stripMargin,
+    // q94: IN-over-HAVING in the oracle; single aggregation + joins in
+    // the operator. Integral quantities → exact sums → portable '>'.
+    "q94_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       sum(l_quantity) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice""".stripMargin,
+    // q95: the oracle uses the window form (fine single-node); the
+    // operator broadcasts a per-group stats table instead — same values.
+    "q95_zscore" ->
+      """SELECT event_id, event_type, value,
+        |  round(CASE WHEN stddev_samp(value) OVER (PARTITION BY event_type) > 0
+        |    THEN (value - avg(value) OVER (PARTITION BY event_type))
+        |         / stddev_samp(value) OVER (PARTITION BY event_type) END, 6) AS z
+        |FROM events""".stripMargin,
+    // q96: deterministic mode — ties break to the lexicographically
+    // smallest type on BOTH engines (the operator encodes the tiebreak in
+    // its max_by key; the oracle orders explicitly).
+    "q96_mode_per_user" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS n_events
+        |FROM r WHERE rk = 1""".stripMargin,
+    // q97: expected counts divide exact integer products — identical
+    // doubles on both engines; 6-dp rounding on the chi-square terms.
+    "q97_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hr, n,
+        |  round(CAST(rn * cn AS DOUBLE) / gn, 6) AS expected,
+        |  round(pow(n - CAST(rn * cn AS DOUBLE) / gn, 2)
+        |        / (CAST(rn * cn AS DOUBLE) / gn), 6) AS chi2_term
+        |FROM (
+        |  SELECT event_type, hr, n,
+        |    sum(n) OVER (PARTITION BY event_type) AS rn,
+        |    sum(n) OVER (PARTITION BY hr) AS cn,
+        |    sum(n) OVER () AS gn
+        |  FROM cells)""".stripMargin,
+    // q98: the oracle keeps Q21's EXISTS / NOT-EXISTS formulation; the
+    // operator collapses both into one grouped pass over lineitem.
+    "q98_lone_late_supplier" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
   )
 }

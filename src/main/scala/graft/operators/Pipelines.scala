@@ -145,4 +145,27 @@ object Pipelines {
       .filter(col("rank") <= k)
       .select(col(idCol), col(groupCol), col("rank"))
   }
+
+  /** Q95: per-group z-score feature scaling — normalize a numeric column
+    * against its group's mean and sample stddev, the standard pre-training
+    * feature transform. Deliberately NOT a `Window.partitionBy(group)`:
+    * with a handful of groups a window would funnel the entire fact table
+    * through that many partitions (the 100 TB skew trap). Instead the
+    * per-group moments aggregate map-side into a groups-sized table that
+    * BROADCASTS back onto the facts — the big side is never re-keyed, so
+    * the only full-data cost is the scan itself. Zero-variance groups
+    * yield NULL z-scores (the engine-portable degenerate contract, as in
+    * q80's corr guard); 6-dp rounding absorbs partial-sum reorder noise.
+    */
+  def zscoreNormalize(events: DataFrame): DataFrame = {
+    val stats = events
+      .groupBy(col("event_type").as("st_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    events
+      .join(broadcast(stats), col("event_type") === col("st_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        round(when(col("sd") > 0, (col("value") - col("mu")) / col("sd")), 6)
+          .as("z"))
+  }
 }

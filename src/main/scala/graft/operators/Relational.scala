@@ -866,4 +866,136 @@ object Relational {
       .groupBy(col("prev_type"), col("curr_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Q93: TPC-H Q17-style small-quantity revenue, generalized per brand —
+    * revenue lost to lines whose quantity is below 20% of that part's
+    * average order quantity. The classic correlated-scalar-subquery shape,
+    * decorrelated BY CONSTRUCTION into an aggregate + equi-join: the
+    * per-part average is one partial+final aggregation keyed on l_partkey,
+    * and the join back to lineitem is co-partitioned on the same key (both
+    * sides shuffle on l_partkey once — no per-row subquery, no re-scan per
+    * part). `part` is a pure dimension and broadcasts.
+    *
+    * Determinism: quantities are integral doubles, so per-part sums are
+    * exact in any order and `0.2 * (sum/n)` is the identical IEEE double on
+    * every engine; the strict `<` therefore never straddles an
+    * engine-dependent boundary. Revenue sums use the [[decSum]] kernel.
+    */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("qty_cap"))
+    lineitem
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_cap"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(decSum(col("l_extendedprice")).cast("double") / 7.0, 2)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q94: TPC-H Q18-style large-volume orders — orders whose total line
+    * quantity exceeds a threshold, with their customer. The IN-over-
+    * GROUP-BY-HAVING subquery becomes a single aggregation on l_orderkey
+    * whose surviving rows (a tiny fraction) then drive the joins — AQE
+    * sees the post-filter size at runtime and demotes both joins to
+    * broadcasts, so the 100 TB fact table shuffles exactly once (for its
+    * own aggregation) and `orders`/`customer` are probed, never re-keyed
+    * by the fact side. Quantities are integral → sums exact → the `>`
+    * threshold is engine-independent.
+    */
+  def largeQuantityOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Double = 250.0): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+
+  /** Q96: deterministic per-group mode — each user's most frequent event
+    * type, ties broken by event-type ascending. Built-in `mode()` is
+    * NONDETERMINISTIC on ties (hash-map iteration order), which is
+    * unacceptable in an auditable pipeline, so the mode is composed as
+    * count-then-argmax: one aggregation on (user_id, event_type), then a
+    * `max_by` over a (count, reversed tiebreak) ordering key — the second
+    * aggregation re-keys by user only, on already-reduced data. Both
+    * shuffles carry counted rows (≤ users × types), never raw events —
+    * no window, so no whole-group sort and no per-user row funneling.
+    */
+  def modePerUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(
+        // min over (-n, type) = highest count, then smallest type:
+        // structs compare lexicographically and counts can't overflow
+        // a long's negation
+        min_by(col("event_type"), struct(-col("n"), col("event_type")))
+          .as("mode_type"),
+        max(col("n")).as("n_events"))
+
+  /** Q97: chi-square contingency analysis of event type × hour-of-day —
+    * the independence test behind drift detection and feature selection.
+    * The ONLY pass over the events table is the cell-count aggregation
+    * (types × 24 cells); row totals, column totals, and the grand total
+    * are window sums OVER the cell table itself — deriving them as
+    * separate re-aggregations would re-plan (and re-scan) the fact
+    * subtree three more times, since their exchanges hash on different
+    * keys and never unify with the cell exchange. Windows over a
+    * dimensions-squared row count cost nothing at any scale, so the fact
+    * table is scanned once, structurally (PlanSpec-locked).
+    */
+  def contingencyChiSquare(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val rowW = Window.partitionBy(col("event_type"))
+    val colW = Window.partitionBy(col("hr"))
+    val allW = Window.partitionBy()
+    val expected = (sum(col("n")).over(rowW) * sum(col("n")).over(colW))
+      .cast("double") / sum(col("n")).over(allW)
+    cells.select(
+      col("event_type"), col("hr"), col("n"),
+      round(expected, 6).as("expected"),
+      round(pow(col("n") - expected, 2) / expected, 6).as("chi2_term"))
+  }
+
+  /** Q98: TPC-H Q21-style lone-late-supplier analysis — for finalized
+    * multi-supplier orders where EXACTLY ONE supplier shipped late
+    * (> 60 days after the order date), count such orders per supplier.
+    * The reference Q21 shape is a self-join + EXISTS + NOT-EXISTS (three
+    * passes over lineitem); here the exists/not-exists pair collapses
+    * into ONE aggregation per order — distinct-supplier count and the
+    * distinct-late-supplier set (bounded: ≤ 7 lines/order) — so lineitem
+    * is scanned once and shuffled once on l_orderkey. The order-status
+    * filter pushes into the orders scan, and the post-aggregation
+    * survivors joining `supplier` are dimension-sized.
+    */
+  def loneLateSupplier(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, lateDays: Int = 60): DataFrame = {
+    val late = col("l_shipdate") >
+      (col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count_distinct(col("l_suppkey")).as("n_supp"),
+        collect_set(when(late, col("l_suppkey"))).as("late_supps"))
+      .filter(col("n_supp") >= 2 && size(col("late_supps")) === 1)
+      .select(col("late_supps").getItem(0).as("the_suppkey"))
+    perOrder
+      .groupBy(col("the_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("the_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
 }

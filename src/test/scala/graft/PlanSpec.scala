@@ -222,6 +222,57 @@ class PlanSpec extends SparkSpec {
       s"market-share ratio must not plan a cartesian:\n$plan")
   }
 
+  test("q93 small-qty revenue: part broadcasts; fact joins per-part avg without re-keying twice") {
+    val df = Relational.smallQuantityRevenue(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf))
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dimension must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated form must stay an equi-join:\n$plan")
+  }
+
+  test("q94 large orders: the fact aggregation's survivors demote both joins to broadcast") {
+    val df = Relational.largeQuantityOrders(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf))
+    val plan = executedPlan(df)
+    // AQE sees the tiny post-HAVING side at runtime: no sort-merge join
+    // should survive — the 100 TB fact table is shuffled once (its own
+    // aggregation), never for a join
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"post-aggregation joins must broadcast under AQE:\n$plan")
+  }
+
+  test("q95 z-score: stats broadcast back onto events — no window, no full-data re-key") {
+    val df = Pipelines.zscoreNormalize(Tables.events(spark, sf))
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group stats must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"z-score must not funnel the fact table through a per-group window:\n$plan")
+  }
+
+  test("q97 chi-square: events scanned once, cell-count exchange reused for marginals") {
+    val df = Relational.contingencyChiSquare(Tables.events(spark, sf))
+    val plan = executedPlan(df)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"marginals must derive from the cell counts, found $scans scans:\n$plan")
+  }
+
+  test("q98 lone-late supplier: status filter pushed to orders scan; one lineitem pass") {
+    val df = Relational.loneLateSupplier(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.supplier(spark, sf))
+    val meta = scanMeta(df)
+    assert(meta.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter must reach the orders scan:\n$meta")
+    val plan = executedPlan(df)
+    val liScans = "Scan parquet".r.findAllIn(plan).count(_ => true)
+    // lineitem + orders + supplier = 3 scans max — the exists/not-exists
+    // pair must NOT add self-join passes over lineitem
+    assert(liScans <= 3, s"expected ≤3 scans (no self-joins), got $liScans:\n$plan")
+  }
+
   test("q90 gap-fill: events scanned ONCE (map-fold spine, no re-join double scan)") {
     val df = Relational.dailyGapFill(Tables.events(spark, sf))
     val plan = executedPlan(df)

@@ -153,4 +153,27 @@ class PipelinesSpec extends SparkSpec {
       Map("en" -> 0), defaultPct = 100)
     assert(none.filter($"lang" === "en").isEmpty)
   }
+
+  test("zscoreNormalize: matches local computation; zero-variance group yields NULL") {
+    val ev = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "const", 5.0), (5L, "const", 5.0), // sd = 0 → z NULL
+      (6L, "single", 7.0))                    // n = 1 → sd NULL → z NULL
+      .map { case (id, t, v) => (id, t, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = Pipelines.zscoreNormalize(ev)
+      .select($"event_id", $"z").as[(Long, Option[Double])].collect().toMap
+    // group a: mean 20, sd 10 → z = -1, 0, 1
+    assert(got(1L).contains(-1.0) && got(2L).contains(0.0) && got(3L).contains(1.0))
+    assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty)
+    // and on real data: per-group mean of z ≈ 0, sd ≈ 1 where defined
+    val real = Pipelines.zscoreNormalize(graft.Tables.events(spark, sf))
+      .filter($"z".isNotNull)
+      .groupBy($"event_type")
+      .agg(avg($"z").as("m"), stddev_samp($"z").as("s"))
+      .as[(String, Double, Double)].collect()
+    real.foreach { case (t, m, s) =>
+      assert(math.abs(m) < 1e-4 && math.abs(s - 1.0) < 1e-4, s"group $t: m=$m s=$s")
+    }
+  }
 }

@@ -620,4 +620,93 @@ class RelationalSpec extends SparkSpec {
     assert(got("O") == (("O", 10.0, 20.0, 30.0, 4L)))
     assert(got("F") == (("F", 1.0, 2.0, 3.0, 3L)))
   }
+
+  test("smallQuantityRevenue: decorrelated join equals per-part correlated filter") {
+    // part 1: avg qty 10 → cap 2.0; only the qty-1 line (price 100) survives.
+    // part 2: avg 30 → cap 6.0, no line below. part 3: single line, cap is
+    // its own qty*0.2 → never < itself.
+    val li2 = Seq(
+      (1L, 1.0, 100.0), (1L, 19.0, 5.0),
+      (2L, 30.0, 7.0),
+      (3L, 8.0, 9.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part2 = Seq((1L, "B1"), (2L, "B1"), (3L, "B2"))
+      .toDF("p_partkey", "p_brand")
+    val got = Relational.smallQuantityRevenue(li2, part2)
+      .as[(String, Double, Long)].collect().toSet
+    assert(got == Set(("B1", 14.29, 1L))) // round(100/7, 2)
+  }
+
+  test("largeQuantityOrders: only orders above threshold, qty equals direct sum") {
+    val got = Relational.largeQuantityOrders(
+      li, Tables.orders(spark, sf), Tables.customer(spark, sf)).cache()
+    assert(got.filter($"total_qty" <= 250.0).count() == 0)
+    // every returned order's qty matches an independent recount
+    val recount = li.groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+    val mismatch = got.join(recount, $"o_orderkey" === $"l_orderkey")
+      .filter($"total_qty" =!= $"q")
+    assert(mismatch.count() == 0)
+    // and no qualifying order is missing
+    assert(got.count() == recount.filter($"q" > 250.0).count())
+    got.unpersist()
+  }
+
+  test("modePerUser: ties break to lexicographically smallest type") {
+    val ev = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"),      // clear winner
+      (2L, "view"), (2L, "click"),                    // tie → "click"
+      (3L, "purchase"))
+      .map { case (u, t) => (u, t, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Relational.modePerUser(ev)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "view", 2L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("chi-square contingency: marginals consistent, terms match hand computation") {
+    val got = Relational.contingencyChiSquare(Tables.events(spark, sf)).cache()
+    val n = Tables.events(spark, sf).count()
+    // cell counts and expected counts both sum to the grand total
+    assert(got.agg(sum($"n")).as[Long].head() == n)
+    val expSum = got.agg(sum($"expected")).as[Double].head()
+    assert(math.abs(expSum - n) < 1e-3)
+    // independent recomputation of one cell's term
+    val r = got.orderBy($"event_type", $"hr").head()
+    val (et, hr, cn) = (r.getString(0), r.getInt(1), r.getLong(2))
+    val ev = Tables.events(spark, sf)
+    val rowN = ev.filter($"event_type" === et).count().toDouble
+    val colN = ev.filter(hour($"ts") === hr).count().toDouble
+    val e = rowN * colN / n
+    assert(math.abs(r.getDouble(3) - e) < 1e-4)
+    assert(math.abs(r.getDouble(4) - math.pow(cn - e, 2) / e) < 1e-4)
+    got.unpersist()
+  }
+
+  test("loneLateSupplier: equals the exists/not-exists self-join formulation") {
+    val orders = Tables.orders(spark, sf)
+    val supplier = Tables.supplier(spark, sf)
+    val got = Relational.loneLateSupplier(li, orders, supplier)
+      .as[(String, Long)].collect().toSeq
+    // reference formulation: late lines self-joined against their order's
+    // other lines (the shape the operator's single aggregation replaces)
+    val l = li.join(orders.filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"),
+        ($"l_shipdate" > ($"o_orderdate" + expr("INTERVAL 60 DAYS"))).as("late"))
+      .cache()
+    val lateLines = l.filter($"late").select($"ok", $"sk").distinct()
+    val others = l.select($"ok".as("ok2"), $"sk".as("sk2"), $"late".as("late2"))
+    val ref = lateLines
+      .join(others, $"ok" === $"ok2" && $"sk" =!= $"sk2")
+      .groupBy($"ok", $"sk")
+      .agg(max(when($"late2", 1).otherwise(0)).as("other_late"))
+      .filter($"other_late" === 0)
+      .groupBy($"sk").agg(count(lit(1)).as("numwait"))
+      .join(supplier, $"sk" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name").limit(20)
+      .as[(String, Long)].collect().toSeq
+    l.unpersist()
+    assert(got == ref)
+  }
 }
