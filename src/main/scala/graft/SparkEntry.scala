@@ -342,6 +342,10 @@ object SparkEntry {
       Relational.loneLateSupplier(
         Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.supplier(s, dir))),
+    "q99_daily_trend" -> ((s, dir) =>
+      Relational.dailyTrend(Tables.events(s, dir))),
+    "q100_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), "text", "doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1362,5 +1366,31 @@ object SparkEntry {
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // q99: daily sums go through the micros-decimal kernel FIRST so the
+    // regression inputs are engine-identical doubles; regr_* co-moments
+    // then round to 6 dp (the q80 convention).
+    "q99_daily_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 1000000) AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(regr_slope(rev, CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE)), 6) AS slope,
+        |  round(regr_intercept(rev, CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE)), 6) AS intercept,
+        |  round(regr_r2(rev, CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE)), 6) AS r2
+        |FROM daily GROUP BY event_type
+        |HAVING count(*) >= 2""".stripMargin,
+    // q100: same whitespace normalization as the contamination pipeline;
+    // postings compare as CSV text (array stringification differs between
+    // parquet readers).
+    "q100_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_csv
+        |FROM t WHERE token <> ''
+        |GROUP BY token HAVING count(*) >= 2""".stripMargin,
   )
 }

@@ -966,6 +966,31 @@ object Relational {
       round(pow(col("n") - expected, 2) / expected, 6).as("chi2_term"))
   }
 
+  /** Q99: per-group linear trend — OLS slope/intercept/R² of daily revenue
+    * against the day index, per event type: the drift/trend detector a
+    * monitoring pipeline runs per window. Two-level aggregation, both
+    * levels one-pass co-moments: the fact pass reduces to (type, day)
+    * daily sums (exact via the micros kernel — regression INPUTS must be
+    * engine-identical before any float co-moment runs), then the tiny
+    * daily table feeds `regr_slope`/`regr_intercept`/`regr_r2` (constant
+    * state, partial+final). Guarded to groups with ≥ 2 distinct days so
+    * the zero-variance divisor never throws under ANSI.
+    */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(decSum(col("value")).cast("double").as("rev"))
+    val x = datediff(col("day"), lit("2024-01-01")).cast("double")
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(regr_slope(col("rev"), x), 6).as("slope"),
+        round(regr_intercept(col("rev"), x), 6).as("intercept"),
+        round(regr_r2(col("rev"), x), 6).as("r2"))
+      .filter(col("n_days") >= 2)
+  }
+
   /** Q98: TPC-H Q21-style lone-late-supplier analysis — for finalized
     * multi-supplier orders where EXACTLY ONE supplier shipped late
     * (> 60 days after the order date), count such orders per supplier.

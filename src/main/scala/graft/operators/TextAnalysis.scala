@@ -414,4 +414,54 @@ object TextAnalysis {
           lit("https?://([^/\\s]+)"), lit(1))).as("domain"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_mentions"), countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Bounded smallest-k aggregator over longs — constant state per group
+    * (a sorted k-slot buffer), map-side combinable, mergeable. The
+    * building block for capped posting lists: the window alternative
+    * (`row_number` over token) would sort EVERY occurrence of every
+    * stopword in one partition — the textbook skew trap a 100 TB
+    * inverted-index build cannot afford.
+    */
+  class SmallestKLongsAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: Seq[Long] = Nil
+    override def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.lengthCompare(k) >= 0 && a >= b.last) b
+      else ((b :+ a).sorted.distinct).take(k)
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      (b1 ++ b2).sorted.distinct.take(k)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Q100: inverted-index build — token → document frequency + the first
+    * `cap` doc ids (ascending), the retrieval/dedup-infrastructure
+    * artifact over a cleaned corpus. One explode carrying (token, doc_id)
+    * pairs only (never the text), one distinct-pair reduction, one
+    * aggregation per token where BOTH outputs are bounded-state and
+    * map-side combinable: `count` for df and [[SmallestKLongsAgg]] for
+    * the capped postings — no unbounded collect_set, no per-token sort
+    * of all occurrences. Postings serialize as a CSV string (engine-
+    * portable comparison; array stringification differs across readers).
+    */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 2L, cap: Int = 20): DataFrame = {
+    val smallestK = udaf(new SmallestKLongsAgg(cap))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(TextShingles.normalize(col(textCol)), " ")))
+          .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        smallestK(col("doc_id")).as("postings"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"),
+        array_join(col("postings"), ",").as("postings_csv"))
+  }
 }

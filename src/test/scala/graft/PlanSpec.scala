@@ -273,6 +273,17 @@ class PlanSpec extends SparkSpec {
     assert(liScans <= 3, s"expected ≤3 scans (no self-joins), got $liScans:\n$plan")
   }
 
+  test("q100 inverted index: one scan, one exchange, no window — bounded-state postings") {
+    val df = TextAnalysis.invertedIndex(Tables.documents(spark, sf), "text", "doc_id")
+    val plan = executedPlan(df)
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"index build must read the corpus once:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"exactly the per-token aggregation exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"capped postings must come from the bounded aggregator, not a per-token sort:\n$plan")
+  }
+
   test("q90 gap-fill: events scanned ONCE (map-fold spine, no re-join double scan)") {
     val df = Relational.dailyGapFill(Tables.events(spark, sf))
     val plan = executedPlan(df)

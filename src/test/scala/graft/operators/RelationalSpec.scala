@@ -682,6 +682,22 @@ class RelationalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("dailyTrend: exact OLS recovery on a constructed linear series") {
+    // one event per day, value = 2*d + 5 over days d = 0..4 → the daily
+    // sums ARE the series, so slope 2, intercept 5, r2 exactly 1
+    val ev = (0 to 4).map { d =>
+      (d.toLong, "lin", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        2.0 * d + 5.0)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val got = Relational.dailyTrend(ev)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq(("lin", 5L, 2.0, 5.0, 1.0)))
+    // single-day groups are filtered, not divide-by-zero errors
+    val oneDay = Seq((1L, "x", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    assert(Relational.dailyTrend(oneDay).count() == 0)
+  }
+
   test("loneLateSupplier: equals the exists/not-exists self-join formulation") {
     val orders = Tables.orders(spark, sf)
     val supplier = Tables.supplier(spark, sf)

@@ -349,4 +349,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sites.map(_._2).sum == total) // one site mention per doc
     assert(sites.forall { case (_, m, nd) => m == nd }) // one URL per doc
   }
+
+  test("invertedIndex: df dedups within doc; postings capped, ascending, smallest ids") {
+    val docs = Seq(
+      (5L, "apple banana apple"),     // apple repeats within doc: df counts ONCE
+      (3L, "apple cherry"),
+      (1L, "apple  banana"),          // run of spaces normalizes away
+      (9L, "solo"))                   // df 1 → filtered at minDf 2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "text", "doc_id", minDf = 2L, cap = 2)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "apple" -> ((3L, "1,3")),       // cap 2 keeps the SMALLEST ids of {1,3,5}
+      "banana" -> ((2L, "1,5"))))
+    // and on the real corpus the bounded aggregator must equal the
+    // unbounded sort-then-slice formulation
+    val corpus = graft.Tables.documents(spark, sf)
+    val viaAgg = TextAnalysis.invertedIndex(corpus, "text", "doc_id")
+      .as[(String, Long, String)].collect().toSet
+    val viaSort = corpus
+      .select($"doc_id", explode(array_distinct(
+        split(TextShingles.normalize($"text"), " "))).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"), slice(sort_array(collect_set($"doc_id")), 1, 20).as("p"))
+      .filter($"df" >= 2)
+      .select($"token", $"df", array_join($"p", ",").as("postings_csv"))
+      .as[(String, Long, String)].collect().toSet
+    assert(viaAgg == viaSort && viaAgg.nonEmpty)
+  }
 }
