@@ -346,6 +346,8 @@ object SparkEntry {
       Relational.dailyTrend(Tables.events(s, dir))),
     "q100_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(Tables.documents(s, dir), "text", "doc_id")),
+    "q101_robust_stats" -> ((s, dir) =>
+      Relational.robustPriceStats(Tables.orders(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1392,5 +1394,13 @@ object SparkEntry {
         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_csv
         |FROM t WHERE token <> ''
         |GROUP BY token HAVING count(*) >= 2""".stripMargin,
+    // q101: DuckDB's mad() IS median(|x − median|) with the same
+    // interpolated-median semantics as percentile_cont — the operator's
+    // two-pass broadcast formulation must match it exactly.
+    "q101_robust_stats" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(median(CAST(o_totalprice AS DOUBLE)), 6) AS median_price,
+        |  round(mad(CAST(o_totalprice AS DOUBLE)), 6) AS mad
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
   )
 }

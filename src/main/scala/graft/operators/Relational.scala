@@ -966,6 +966,33 @@ object Relational {
       round(pow(col("n") - expected, 2) / expected, 6).as("chi2_term"))
   }
 
+  /** Q101: robust per-group statistics — median and MAD (median absolute
+    * deviation), the outlier-resistant location/scale pair quality
+    * monitoring prefers over mean/stddev. MAD is INHERENTLY two-pass
+    * (the deviations need the median first), so the shape is: grouped
+    * median (one exchange), broadcast the groups-sized result back, and
+    * aggregate |x − med| through the same exact-percentile machinery —
+    * the fact table is never re-keyed, only re-scanned. Rounding to 6 dp
+    * follows the q86 convention; `1.4826 * mad` (the normal-consistent
+    * scale estimate) is left to callers to keep the output exact.
+    */
+  def robustPriceStats(orders: DataFrame): DataFrame = {
+    val med = orders
+      .groupBy(col("o_orderpriority").as("m_prio"))
+      .agg(expr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE))")
+        .as("med"))
+    orders
+      .join(broadcast(med), col("o_orderpriority") === col("m_prio"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(max(col("med")), 6).as("median_price"),
+        round(expr(
+          "percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(CAST(o_totalprice AS DOUBLE) - med))"),
+          6).as("mad"))
+  }
+
   /** Q99: per-group linear trend — OLS slope/intercept/R² of daily revenue
     * against the day index, per event type: the drift/trend detector a
     * monitoring pipeline runs per window. Two-level aggregation, both

@@ -698,6 +698,21 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.dailyTrend(oneDay).count() == 0)
   }
 
+  test("robustPriceStats: median/MAD by hand on crafted groups; outlier-resistant") {
+    val df = Seq(
+      // odd group: median 3, deviations {2,1,0,1,9997} → mad 1 (outlier ignored)
+      ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("A", 10000.0),
+      // even group: median interpolates to 15, deviations {5,5} → mad 5
+      ("B", 10.0), ("B", 20.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val got = Relational.robustPriceStats(df)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 5L, 3.0, 1.0)))
+    assert(got("B") == (("B", 2L, 15.0, 5.0)))
+    // mean/stddev would have exploded under the 10000 outlier; MAD must not
+    assert(got("A")._4 < 2.0)
+  }
+
   test("loneLateSupplier: equals the exists/not-exists self-join formulation") {
     val orders = Tables.orders(spark, sf)
     val supplier = Tables.supplier(spark, sf)
