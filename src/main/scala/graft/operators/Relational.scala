@@ -870,11 +870,15 @@ object Relational {
   /** Q93: TPC-H Q17-style small-quantity revenue, generalized per brand —
     * revenue lost to lines whose quantity is below 20% of that part's
     * average order quantity. The classic correlated-scalar-subquery shape,
-    * decorrelated BY CONSTRUCTION into an aggregate + equi-join: the
-    * per-part average is one partial+final aggregation keyed on l_partkey,
-    * and the join back to lineitem is co-partitioned on the same key (both
-    * sides shuffle on l_partkey once — no per-row subquery, no re-scan per
-    * part). `part` is a pure dimension and broadcasts.
+    * decorrelated BY CONSTRUCTION — here as a per-part WINDOW average:
+    * one scan of lineitem, one exchange on l_partkey, and the filter runs
+    * in the same stage. The usual aggregate+join decorrelation would scan
+    * lineitem twice (the agg subtree and the probe subtree prune to
+    * different columns, so ReuseExchange never fires) for the same single
+    * logical shuffle. The window is skew-safe HERE because lines-per-part
+    * is bounded (~30 at any TPC-H scale) — for unbounded groups flip back
+    * to the aggregate+join form (the q95 discussion, inverted).
+    * `part` is a pure dimension and broadcasts.
     *
     * Determinism: quantities are integral doubles, so per-part sums are
     * exact in any order and `0.2 * (sum/n)` is the identical IEEE double on
@@ -882,11 +886,11 @@ object Relational {
     * engine-dependent boundary. Revenue sums use the [[decSum]] kernel.
     */
   def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val perPart = lineitem
-      .groupBy(col("l_partkey").as("t_partkey"))
-      .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("qty_cap"))
+    val perPart = Window.partitionBy(col("l_partkey"))
     lineitem
-      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .withColumn("qty_cap",
+        lit(0.2) * (sum(col("l_quantity")).over(perPart) /
+          count(lit(1)).over(perPart)))
       .filter(col("l_quantity") < col("qty_cap"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))

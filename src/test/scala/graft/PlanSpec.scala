@@ -222,10 +222,12 @@ class PlanSpec extends SparkSpec {
       s"market-share ratio must not plan a cartesian:\n$plan")
   }
 
-  test("q93 small-qty revenue: part broadcasts; fact joins per-part avg without re-keying twice") {
+  test("q93 small-qty revenue: ONE lineitem scan (window decorrelation); part broadcasts") {
     val df = Relational.smallQuantityRevenue(
       Tables.lineitem(spark, sf), Tables.part(spark, sf))
     val plan = executedPlan(df)
+    assert("Scan parquet".r.findAllIn(plan).length == 2,
+      s"window decorrelation must scan lineitem once + part once:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"part dimension must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
