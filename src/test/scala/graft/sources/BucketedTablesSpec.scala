@@ -84,4 +84,25 @@ class BucketedTablesSpec extends SparkSpec {
       s"bucketed agg must not shuffle:\n$plan")
     assert(agg.count() > 0)
   }
+
+  test("window over the bucket key runs shuffle-free (q93's shape at zero exchanges)") {
+    // the q93 decorrelation is a window partitioned by the join key; on a
+    // table bucketed by that key the window's ClusteredDistribution is
+    // already satisfied — only the in-partition sort remains, so the
+    // write-once layout turns the one remaining exchange into none
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    val df = spark.table("bt_views")
+      .withColumn("n_views", count(lit(1)).over(w))
+      .filter($"n_views" >= 2)
+    val plan = executedPlan(df)
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed window must not shuffle:\n$plan")
+    // parity with the unbucketed formulation
+    val ev = Tables.events(spark, sf).filter($"event_type" === "view")
+    val expect = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).agg(sum($"n")).as[Long].head()
+    assert(df.count() == expect)
+  }
 }
