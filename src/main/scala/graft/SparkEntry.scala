@@ -348,6 +348,9 @@ object SparkEntry {
       TextAnalysis.invertedIndex(Tables.documents(s, dir), "text", "doc_id")),
     "q101_robust_stats" -> ((s, dir) =>
       Relational.robustPriceStats(Tables.orders(s, dir))),
+    "q102_pack_sequences" -> ((s, dir) =>
+      Pipelines.packSequences(Tables.documents(s, dir), "doc_id",
+        capacity = 256L, shards = 16)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1402,5 +1405,23 @@ object SparkEntry {
         |  round(median(CAST(o_totalprice AS DOUBLE)), 6) AS median_price,
         |  round(mad(CAST(o_totalprice AS DOUBLE)), 6) AS mad
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q102: pure integer arithmetic end to end — portable multiplicative
+    // hash for the shard, running-sum window, integer-div pack ids.
+    "q102_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT ((((doc_id % 1000003) * 2654435761) >> 16) % 16) AS shard,
+        |    doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT shard, doc_id, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id,
+        |  CAST((cum_tokens - 1) // 256 <> (cum_tokens - n_tokens) // 256
+        |       AS INTEGER) AS is_split
+        |FROM c""".stripMargin,
   )
 }

@@ -146,6 +146,46 @@ object Pipelines {
       .select(col(idCol), col(groupCol), col("rank"))
   }
 
+  /** Q102: sequence packing — assign documents to fixed-capacity training
+    * sequences ("packs") by contiguous fill, the batch-prep step between a
+    * cleaned corpus and a pretraining run. Global greedy packing is a
+    * serial fold (inherently one partition — the skew trap), so the
+    * industrial shape is SHARD-LOCAL packing: documents hash into shards,
+    * each shard packs its documents in deterministic (id) order by running
+    * token count, and pack capacity overflows SPLIT across the boundary
+    * (`is_split` marks them) exactly as a token-stream packer would.
+    * All arithmetic is integer-exact: the running sum, the pack id
+    * (`(cum−1) div capacity`), and the split flag are reproducible on any
+    * engine and any partitioning. The window partitions by shard — state
+    * bounded by docs/shard, parallelism = shard count, no global sort.
+    */
+  def packSequences(docs: DataFrame, idCol: String,
+      capacity: Long = 2048L, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // same engine-portable multiplicative hash as [[hashBucket]] (xxhash64
+    // has no cross-engine equivalent), reduced mod `shards` directly so the
+    // distribution stays uniform
+    val shard = pmod(
+      shiftright(pmod(col(idCol), lit(1000003L)) * lit(2654435761L), 16),
+      lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a doc occupies token positions (cum−n+1)..cum; its pack ids are the
+    // integer-DIV (not `/`, which is double division in Spark SQL) of the
+    // zero-based first and last positions — differing ids mean the doc
+    // straddles a pack boundary and gets split
+    val endPack = expr(s"(cum_tokens - 1) div ${capacity}L")
+    val startPack = expr(s"(cum_tokens - n_tokens) div ${capacity}L")
+    docs
+      .select(col(idCol).as("doc_id"), shard.as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("shard"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        endPack.as("pack_id"),
+        (endPack =!= startPack).cast("int").as("is_split"))
+  }
+
   /** Q95: per-group z-score feature scaling — normalize a numeric column
     * against its group's mean and sample stddev, the standard pre-training
     * feature transform. Deliberately NOT a `Window.partitionBy(group)`:

@@ -154,6 +154,39 @@ class PipelinesSpec extends SparkSpec {
     assert(none.filter($"lang" === "en").isEmpty)
   }
 
+  test("packSequences: boundary docs split, exact-fit docs don't, cum conserves tokens") {
+    // single shard, capacity 10, token counts 4,5,3,10,8 → cums 4,9,12,22,30
+    val docs = Seq(
+      (1L, "w w w w"),            // pack 0
+      (2L, "w w w w w"),          // cum 9  → pack 0
+      (3L, "w w w"),              // cum 12 → spans 9..11: packs 0→1, SPLIT
+      (4L, "w w w w w w w w w w"),// cum 22 → spans 12..21: packs 1→2, SPLIT
+      (5L, "w w w w w w w w"))    // cum 30 → spans 22..29: pack 2 exactly, NO split
+      .toDF("doc_id", "text")
+    val got = Pipelines.packSequences(docs, "doc_id", capacity = 10L, shards = 1)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"cum_tokens", $"pack_id", $"is_split")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0), (2L, 9L, 0L, 0), (3L, 12L, 1L, 1),
+      (4L, 22L, 2L, 1), (5L, 30L, 2L, 0)))
+    // real corpus: per-shard running sum conserves the shard's tokens and
+    // pack ids recompute locally from the cums
+    val real = Pipelines.packSequences(
+      graft.Tables.documents(spark, sf), "doc_id", capacity = 256L, shards = 16)
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    val byShard = real.groupBy(_._1)
+    byShard.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      assert(sorted.map(_._4).toSeq == cums.toSeq, "running sum mismatch")
+    }
+    real.foreach { case (_, _, n, cum, pack, split) =>
+      assert(pack == (cum - 1) / 256L)
+      assert(split == (if ((cum - 1) / 256L != (cum - n) / 256L) 1 else 0))
+    }
+  }
+
   test("zscoreNormalize: matches local computation; zero-variance group yields NULL") {
     val ev = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),

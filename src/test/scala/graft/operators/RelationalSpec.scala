@@ -663,6 +663,24 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1L, "view", 2L), (2L, "click", 1L), (3L, "purchase", 1L)))
   }
 
+  test("modePerUser: equals a local mode computation on randomized input") {
+    val rnd = new scala.util.Random(4242)
+    val types = Array("a", "b", "c", "d")
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextInt(50).toLong, types(rnd.nextInt(types.length)),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0)
+    }
+    val got = Relational.modePerUser(
+      rows.toDF("user_id", "event_type", "ts", "value"))
+      .as[(Long, String, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).map { case (u, rs) =>
+      val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val best = counts.toSeq.minBy { case (t, n) => (-n, t) }
+      (u, best._1, best._2)
+    }.toSet
+    assert(got == expect)
+  }
+
   test("chi-square contingency: marginals consistent, terms match hand computation") {
     val got = Relational.contingencyChiSquare(Tables.events(spark, sf)).cache()
     val n = Tables.events(spark, sf).count()
