@@ -351,6 +351,12 @@ object SparkEntry {
     "q102_pack_sequences" -> ((s, dir) =>
       Pipelines.packSequences(Tables.documents(s, dir), "doc_id",
         capacity = 256L, shards = 16)),
+    "q103_custdist" -> ((s, dir) =>
+      Relational.customerOrderDistribution(
+        Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q104_idle_rich" -> ((s, dir) =>
+      Relational.idleRichCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1423,5 +1429,32 @@ object SparkEntry {
         |  CAST((cum_tokens - 1) // 256 <> (cum_tokens - n_tokens) // 256
         |       AS INTEGER) AS is_split
         |FROM c""".stripMargin,
+    // q103: LEFT join keeps zero-order customers; count(o_orderkey)
+    // counts only matches — the canonical Q13 form on both engines.
+    "q103_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    // q104: the avg-balance threshold cross-multiplies in exact integer
+    // micros (bal·n > sum) — no float average, no boundary drift; HUGEINT
+    // on the DuckDB side mirrors Spark's decimal(38,0) widening.
+    "q104_idle_rich" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS HUGEINT) AS sum_mic,
+        |         count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 1000000) AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |CROSS JOIN a
+        |WHERE CAST(round(c_acctbal * 1000000) AS HUGEINT) * n_pos > sum_mic
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > 300000)
+        |GROUP BY n_name""".stripMargin,
   )
 }

@@ -997,6 +997,59 @@ object Relational {
           6).as("mad"))
   }
 
+  /** Q103: TPC-H Q13-style customer order-count distribution — how many
+    * customers placed exactly N (finalized) orders, INCLUDING the
+    * zero-order customers the inner join would silently drop (the reason
+    * Q13 is the canonical left-join-then-histogram shape). Two-level
+    * aggregation: the per-customer count re-uses the join's own
+    * c_custkey partitioning (no extra exchange — EnsureRequirements sees
+    * the distribution is already satisfied), and the histogram level
+    * aggregates the already-reduced per-customer rows.
+    */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") =!= "P"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q104: TPC-H Q22-style idle high-balance customers — customers whose
+    * account balance beats the average POSITIVE balance but who have no
+    * high-value order (every customer here has SOME order, so the idle
+    * test is "none above `minPrice`" — same anti-join shape, non-empty
+    * at every SF), counted per nation. The scalar-subquery average is a
+    * one-row aggregate broadcast into the filter (never a per-row
+    * subquery); the "never ordered" test is a native left-anti join; the
+    * nation name is a broadcast dimension. Balance sums go through the
+    * exact micros kernel.
+    *
+    * The threshold compares WITHOUT dividing: `bal > sum/n` is
+    * `bal_micros · n > sum_micros` in wide-decimal integer arithmetic —
+    * a float average is an order-dependent double whose boundary could
+    * flip a customer between engines; the cross-multiplied form has no
+    * rounding anywhere.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, minPrice: Double = 300000.0): DataFrame = {
+    val balMicros = round(col("c_acctbal") * 1000000.0).cast("long")
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(
+        sum(balMicros.cast("decimal(18,0)")).as("sum_mic"),
+        count(lit(1)).as("n_pos"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(balMicros.cast("decimal(38,0)") * col("n_pos") > col("sum_mic"))
+      .join(orders.filter(col("o_totalprice") > minPrice).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        decSum(col("c_acctbal")).cast("double").as("totacctbal"))
+  }
+
   /** Q99: per-group linear trend — OLS slope/intercept/R² of daily revenue
     * against the day index, per event type: the drift/trend detector a
     * monitoring pipeline runs per window. Two-level aggregation, both

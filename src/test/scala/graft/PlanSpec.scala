@@ -275,6 +275,16 @@ class PlanSpec extends SparkSpec {
     assert(liScans <= 3, s"expected ≤3 scans (no self-joins), got $liScans:\n$plan")
   }
 
+  test("q104 idle-rich: price filter pushed to orders scan; native left-anti join") {
+    val df = Relational.idleRichCustomers(Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.nation(spark, sf))
+    val meta = scanMeta(df)
+    assert(meta.contains("GreaterThan(o_totalprice,300000.0)"),
+      s"price filter must reach the orders scan:\n$meta")
+    val plan = executedPlan(df)
+    assert(plan.contains("LeftAnti"), s"expected a native anti-join:\n$plan")
+  }
+
   test("q100 inverted index: one scan, one exchange, no window — bounded-state postings") {
     val df = TextAnalysis.invertedIndex(Tables.documents(spark, sf), "text", "doc_id")
     val plan = executedPlan(df)

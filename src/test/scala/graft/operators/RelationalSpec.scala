@@ -700,6 +700,44 @@ class RelationalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("customerOrderDistribution: zero-order customers kept; totals conserve") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("c_custkey", "c_name")
+    val ords = Seq(
+      (10L, 1L, "O"), (11L, 1L, "F"),   // cust 1: 2 counted
+      (12L, 2L, "P"))                   // cust 2: only a P order → counts 0
+    .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val got = Relational.customerOrderDistribution(cust, ords)
+      .as[(Long, Long)].collect().toMap
+    // cust 1 → bucket 2; cust 2 and 3 → bucket 0 (left join keeps both)
+    assert(got == Map(2L -> 1L, 0L -> 2L))
+    // real data: customer count conserves across buckets, order count too
+    val c = Tables.customer(spark, sf); val o = Tables.orders(spark, sf)
+    val real = Relational.customerOrderDistribution(c, o)
+      .as[(Long, Long)].collect()
+    assert(real.map(_._2).sum == c.count())
+    val nonP = o.filter($"o_orderstatus" =!= "P")
+      .join(c, $"o_custkey" === $"c_custkey", "left_semi").count()
+    assert(real.map { case (k, n) => k * n }.sum == nonP)
+  }
+
+  test("idleRichCustomers: integer-exact threshold boundary; anti-join on high-value orders") {
+    val cust = Seq(
+      (1L, 10.0, 100L), (2L, 20.0, 100L), (3L, 30.0, 100L),
+      (4L, 25.0, 200L), (5L, -5.0, 200L),
+      (6L, 21.25, 200L)) // EXACTLY the positive average — must be excluded
+      .toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val ords = Seq(
+      (10L, 3L, 400000.0),  // cust 3 has a high-value order → anti-joined out
+      (11L, 4L, 100.0))     // below threshold → cust 4 stays idle
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val nat = Seq((100L, "N_A"), (200L, "N_B")).toDF("n_nationkey", "n_name")
+    // positive balances {10, 20, 30, 25, 21.25}: avg = 21.25; above it: 3, 4
+    val got = Relational.idleRichCustomers(cust, ords, nat)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("N_B", 1L, 25.0)))
+  }
+
   test("dailyTrend: exact OLS recovery on a constructed linear series") {
     // one event per day, value = 2*d + 5 over days d = 0..4 → the daily
     // sums ARE the series, so slope 2, intercept 5, r2 exactly 1
