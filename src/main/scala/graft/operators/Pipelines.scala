@@ -164,9 +164,15 @@ object Pipelines {
     import org.apache.spark.sql.expressions.Window
     // same engine-portable multiplicative hash as [[hashBucket]] (xxhash64
     // has no cross-engine equivalent), reduced mod `shards` directly so the
-    // distribution stays uniform
+    // distribution stays uniform — and the same negative-id guard: pmod vs
+    // SQL % diverge on negative ids, so they fail loudly instead of
+    // sharding differently per engine
+    val guarded = when(col(idCol) < 0, raise_error(
+      concat(lit("packSequences: negative id "), col(idCol).cast("string"),
+        lit(" — shard assignment is not engine-portable for negative ids"))))
+      .otherwise(col(idCol))
     val shard = pmod(
-      shiftright(pmod(col(idCol), lit(1000003L)) * lit(2654435761L), 16),
+      shiftright(pmod(guarded, lit(1000003L)) * lit(2654435761L), 16),
       lit(shards.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
