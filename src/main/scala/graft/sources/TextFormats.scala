@@ -25,4 +25,31 @@ object TextFormats {
       .option("header", header.toString)
       .option("mode", mode)
       .csv(path)
+
+  /** jsonl ingest with a QUARANTINE channel — the batch analogue of the
+    * streaming error channel (reference O14): malformed lines surface in
+    * a `_corrupt_record` column instead of becoming silent nulls
+    * (PERMISSIVE's default) or killing the job (FAILFAST). Callers split
+    * with [[quarantineSplit]]; a real pipeline writes both outputs in one
+    * pass (persist the frame first — Spark re-parses per action, and a
+    * query must not reference ONLY the corrupt column, a documented
+    * JSON-reader restriction the split respects by always selecting the
+    * data columns alongside it).
+    */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** (good rows without the corrupt column, quarantined raw lines). */
+  def quarantineSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val dataCols = df.columns.filter(_ != "_corrupt_record").map(col)
+    (df.filter(col("_corrupt_record").isNull).select(dataCols.toIndexedSeq: _*),
+      df.filter(col("_corrupt_record").isNotNull)
+        .select((dataCols :+ col("_corrupt_record")).toIndexedSeq: _*))
+  }
 }

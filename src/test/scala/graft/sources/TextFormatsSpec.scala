@@ -47,6 +47,28 @@ class TextFormatsSpec extends SparkSpec {
     assert(parsed.filter($"o_orderkey" === 42L).count() == 1)
   }
 
+  test("jsonl quarantine: malformed lines routed with their raw text, good rows clean") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft_jsonl_quarantine")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      """{"doc_id": 1, "text": "ok one"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "ok two"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = TextFormats.readJsonlQuarantined(spark, dir, schema).cache()
+    val (good, bad) = TextFormats.quarantineSplit(df)
+    assert(good.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(!good.columns.contains("_corrupt_record"))
+    // quarantined rows carry the ORIGINAL raw line for replay/debugging
+    val raw = bad.select($"_corrupt_record").as[String].collect().toSet
+    assert(raw == Set("""{"doc_id": 2 "text": "missing comma"}""", "not json at all"))
+    df.unpersist()
+  }
+
   test("orc round trip: schema and every row byte-identical to the source") {
     val docs = graft.Tables.documents(spark, sf)
     val path = tmpDir("graft_orc_spec")
