@@ -357,6 +357,8 @@ object SparkEntry {
     "q104_idle_rich" -> ((s, dir) =>
       Relational.idleRichCustomers(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
+    "q105_corpus_prep" -> ((s, dir) =>
+      Pipelines.corpusPrep(Tables.documents(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1456,5 +1458,46 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_totalprice > 300000)
         |GROUP BY n_name""".stripMargin,
+    // q105: the q40 (dedup+quality) and q85 (4-gram decontamination) and
+    // q49 (hash split) oracle fragments composed in the same order the
+    // operator composes the stages.
+    "q105_corpus_prep" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
+        |d AS (
+        |  SELECT doc_id, lang, text,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM t),
+        |k AS (SELECT doc_id, lang, text FROM d WHERE rn = 1),
+        |q AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         len(regexp_extract_all(text, '[^\w\s]')) /
+        |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+        |  FROM k),
+        |qq AS (SELECT doc_id, lang, text, n_tokens FROM q
+        |       WHERE n_tokens >= 10 AND punct_ratio <= 0.2),
+        |tg AS (SELECT doc_id AS train_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |       FROM qq),
+        |bg AS (SELECT doc_id AS bench_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |       FROM documents WHERE doc_id % 10 = 7),
+        |flagged AS (
+        |  SELECT DISTINCT train_id FROM tg JOIN bg USING (gram)
+        |  GROUP BY train_id, bench_id HAVING count(*) >= 2),
+        |clean AS (
+        |  SELECT lang, n_tokens,
+        |    CASE WHEN ((((doc_id % 1000003) * 2654435761) >> 16) % 100) < 80 THEN 'train'
+        |         WHEN ((((doc_id % 1000003) * 2654435761) >> 16) % 100) < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM qq WHERE doc_id NOT IN (SELECT train_id FROM flagged))
+        |SELECT lang, split, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM clean GROUP BY lang, split""".stripMargin,
   )
 }

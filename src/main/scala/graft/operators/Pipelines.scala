@@ -192,6 +192,49 @@ object Pipelines {
         (endPack =!= startPack).cast("int").as("is_split"))
   }
 
+  /** Q105: the full corpus-preparation pipeline as ONE declarative plan —
+    * the capstone composition this library exists for: exact dedup (keep
+    * lowest id per text) → quality filter (token count + punctuation
+    * ratio) → benchmark decontamination (4-gram overlap anti-join) →
+    * deterministic train/valid/test split → per-(lang, split) summary.
+    * Because nothing materializes between stages, Catalyst collapses the
+    * projections: the corpus is scanned once for the dedup aggregation
+    * and once inside the contamination gram join's train side, the
+    * benchmark side broadcasts, and the split is a pure projection — the
+    * same shuffle budget as running dedup alone plus the gram join.
+    * Every stage is individually oracled (q6/q40/q69/q85/q49); this query
+    * oracles their COMPOSITION, where stage-ordering bugs (e.g. splitting
+    * before dedup, which leaks near-identical docs across splits) would
+    * show up as count drift.
+    */
+  def corpusPrep(docs: DataFrame, benchMod: Int = 10, benchRem: Int = 7,
+      minTokens: Long = 10L, maxPunctRatio: Double = 0.2,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val train = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= benchRem)
+    val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === benchRem)
+    val deduped = train
+      .groupBy(col("text"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+        col("text"))
+    val quality = deduped
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).cast("double") /
+          greatest(length(col("text")).cast("double"), lit(1.0)))
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+    val clean = Contamination.decontaminate(quality, bench, "text", "doc_id",
+      n = 4, minShared = 2)
+    val bucket = hashBucket(col("doc_id"))
+    clean
+      .select(col("lang"), col("n_tokens"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** Q95: per-group z-score feature scaling — normalize a numeric column
     * against its group's mean and sample stddev, the standard pre-training
     * feature transform. Deliberately NOT a `Window.partitionBy(group)`:

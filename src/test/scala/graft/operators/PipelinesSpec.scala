@@ -154,6 +154,34 @@ class PipelinesSpec extends SparkSpec {
     assert(none.filter($"lang" === "en").isEmpty)
   }
 
+  test("corpusPrep: one-plan composition equals the stage-by-stage operators") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Pipelines.corpusPrep(docs)
+      .as[(String, String, Long, Long)].collect().toSet
+    // stage-by-stage with the already-proven public operators
+    val train = docs.filter(pmod($"doc_id", lit(10)) =!= 7)
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 7)
+    val deduped = train.groupBy($"text")
+      .agg(min(struct($"doc_id", $"lang")).as("k"))
+      .select($"k.doc_id".as("doc_id"), $"k.lang".as("lang"), $"text")
+    val quality = deduped
+      .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+      .withColumn("pr",
+        size(regexp_extract_all($"text", lit("[^\\w\\s]"), lit(0))).cast("double") /
+          greatest(length($"text").cast("double"), lit(1.0)))
+      .filter($"n_tokens" >= 10 && $"pr" <= 0.2)
+    val clean = Contamination.decontaminate(quality, bench, "text", "doc_id",
+      n = 4, minShared = 2)
+    val expect = clean
+      .join(Pipelines.trainSplit(clean.select($"doc_id"), "doc_id"), "doc_id")
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    // sanity: every (lang, split) cell is a subset of the dedup survivors
+    assert(got.map(_._3).sum <= deduped.count())
+  }
+
   test("packSequences: boundary docs split, exact-fit docs don't, cum conserves tokens") {
     // single shard, capacity 10, token counts 4,5,3,10,8 → cums 4,9,12,22,30
     val docs = Seq(
