@@ -359,6 +359,8 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
     "q105_corpus_prep" -> ((s, dir) =>
       Pipelines.corpusPrep(Tables.documents(s, dir))),
+    "q106_state_at" -> ((s, dir) =>
+      Relational.stateAtTime(Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1499,5 +1501,18 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM clean GROUP BY lang, split""".stripMargin,
+    // q106: the q84 interval derivation filtered to one instant — each
+    // user contributes exactly its state row at T.
+    "q106_state_at" ->
+      """WITH h AS (
+        |  SELECT user_id, event_type, value, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_users,
+        |  round(CAST(sum(CAST(round(value * 1000000) AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6) AS sum_value
+        |FROM h
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |GROUP BY event_type""".stripMargin,
   )
 }

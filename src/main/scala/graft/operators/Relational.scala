@@ -997,6 +997,23 @@ object Relational {
           6).as("mad"))
   }
 
+  /** Q106: point-in-time state read over the SCD-2 history — "what was
+    * each user's state at time T", the query [[changeHistory]]'s validity
+    * intervals exist to serve: a plain range predicate
+    * (valid_from ≤ T < valid_to, open-ended for current rows), NO as-of
+    * join and no re-sort — the interval table already paid the one
+    * window shuffle, and every later point-in-time read is a filter.
+    * Summarized per state (event_type) for a stable oracle surface.
+    */
+  def stateAtTime(events: DataFrame, at: String = "2024-01-15 00:00:00"): DataFrame =
+    changeHistory(events)
+      .filter(col("valid_from") <= lit(at) &&
+        (col("valid_to").isNull || col("valid_to") > lit(at)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(decSum(col("value")).cast("double"), 6).as("sum_value"))
+
   /** Q103: TPC-H Q13-style customer order-count distribution — how many
     * customers placed exactly N (finalized) orders, INCLUDING the
     * zero-order customers the inner join would silently drop (the reason

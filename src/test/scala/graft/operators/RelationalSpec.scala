@@ -700,6 +700,28 @@ class RelationalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("stateAtTime: interval read equals direct latest-event-before-T per user") {
+    val ev = Tables.events(spark, sf)
+    val T = "2024-01-15 00:00:00"
+    val got = Relational.stateAtTime(ev, T)
+      .as[(String, Long, Double)].collect()
+      .map { case (t, n, sv) => t -> ((n, sv)) }.toMap
+    // direct formulation: latest event at or before T per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val direct = ev.filter($"ts" <= lit(T))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round($"value" * 1e6).cast("long")).cast("double") / 1e6, 6).as("s"))
+      .as[(String, Long, Double)].collect()
+      .map { case (t, n, sv) => t -> ((n, sv)) }.toMap
+    assert(got == direct && got.nonEmpty)
+    // conservation: one state row per user active before T
+    val users = ev.filter($"ts" <= lit(T)).select($"user_id").distinct().count()
+    assert(got.values.map(_._1).sum == users)
+  }
+
   test("customerOrderDistribution: zero-order customers kept; totals conserve") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("c_custkey", "c_name")
