@@ -361,6 +361,8 @@ object SparkEntry {
       Pipelines.corpusPrep(Tables.documents(s, dir))),
     "q106_state_at" -> ((s, dir) =>
       Relational.stateAtTime(Tables.events(s, dir))),
+    "q107_hours_listagg" -> ((s, dir) =>
+      Relational.hourProfileCsv(Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1514,5 +1516,15 @@ object SparkEntry {
         |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
         |GROUP BY event_type""".stripMargin,
+    // q107: string_agg with an explicit ORDER BY — the engines only agree
+    // because BOTH impose the order (the operator sorts after collect_set;
+    // an unordered listagg would be partition-dependent).
+    "q107_hours_listagg" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, CAST(hour(ts) AS INTEGER) AS hr
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_hours,
+        |       string_agg(hr, ',' ORDER BY hr) AS hours_csv
+        |FROM d GROUP BY event_type""".stripMargin,
   )
 }

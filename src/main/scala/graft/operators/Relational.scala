@@ -997,6 +997,24 @@ object Relational {
           6).as("mad"))
   }
 
+  /** Q107: ordered string aggregation (the LISTAGG / string_agg surface) —
+    * each event type's distinct active hours as a sorted CSV. Bare
+    * `collect_list` order is partition-dependent (nondeterministic), so
+    * the deterministic form is collect_SET (bounded here by the 24-hour
+    * domain — constant state per group) then sort_array, THEN join: the
+    * ordering is imposed after aggregation, not assumed from it. One
+    * shuffle of (type, hour) partial sets.
+    */
+  def hourProfileCsv(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_set(hour(col("ts")))).as("hrs"))
+      .select(
+        col("event_type"),
+        size(col("hrs")).cast("long").as("n_hours"),
+        array_join(transform(col("hrs"), h => h.cast("string")), ",")
+          .as("hours_csv"))
+
   /** Q106: point-in-time state read over the SCD-2 history — "what was
     * each user's state at time T", the query [[changeHistory]]'s validity
     * intervals exist to serve: a plain range predicate

@@ -700,6 +700,24 @@ class RelationalSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("hourProfileCsv: sorted, deduped, stable under repartitioning") {
+    val ev = Seq(
+      (1L, "a", "2024-01-01 05:30:00"), (2L, "a", "2024-01-01 23:10:00"),
+      (3L, "a", "2024-01-02 05:45:00"), // hour 5 again → deduped
+      (4L, "b", "2024-01-01 00:00:00"))
+      .map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts), 0.0) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = Relational.hourProfileCsv(ev)
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(("a", 2L, "5,23"), ("b", 1L, "0")))
+    // partition-independence: 1-partition and 13-partition runs agree
+    val a = Relational.hourProfileCsv(Tables.events(spark, sf).repartition(1))
+      .as[(String, Long, String)].collect().toSet
+    val b = Relational.hourProfileCsv(Tables.events(spark, sf).repartition(13))
+      .as[(String, Long, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stateAtTime: interval read equals direct latest-event-before-T per user") {
     val ev = Tables.events(spark, sf)
     val T = "2024-01-15 00:00:00"
