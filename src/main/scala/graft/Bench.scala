@@ -46,31 +46,45 @@ object Bench {
     // every later query gets amortized by its predecessors
     once("q3_time_shift")
     once(names.head)
-    // best-of-2: per-query codegen/JIT warm-up dominates single-shot
-    // timings at this scale; the min is the stable measure of the plan.
-    // A query counts as FAILED (-1) if EITHER run failed — a flaky query
-    // must not silently report its one lucky timing.
-    val results = names.map { n =>
-      val t1 = once(n)
-      val t2 = once(n)
-      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    // median-of-n INTERLEAVED repeats: the shared driver host alternates
+    // fast/slow windows (r3/r5 carried ~1.3x uniform inflation vs r2/r4 on
+    // unchanged code), so a single-shot or back-to-back-repeat timing can't
+    // separate plan changes from host contention. Running the whole suite n
+    // times and taking each query's median means a transient slow window
+    // pollutes one PASS, not every repeat of one query — the median drops
+    // it. A query counts as FAILED (-1) if ANY run failed — a flaky query
+    // must not silently report its lucky timings.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val passes: Seq[Seq[(String, Double)]] =
+      (1 to reps).map(_ => names.map(n => n -> once(n)))
+    val results: Seq[(String, Double, Double)] = names.zipWithIndex.map {
+      case (n, i) =>
+        val s = passes.map(_(i)._2)
+        if (s.exists(_ < 0)) (n, -1.0, -1.0)
+        else {
+          val sorted = s.sorted
+          (n, sorted(sorted.size / 2), sorted.last - sorted.head)
+        }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, sp) => "\"" + k + f"\":$sp%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    // full record (per-query map) goes to the file only: the driver
-    // captures just a stdout TAIL, and the per-query map has outgrown that
-    // window before (BENCH_r04 "parsed": null). The LAST stdout line is a
-    // compact fixed-size total so the driver's parse can never truncate.
+    // full record (per-query median + max-min spread maps) goes to the file
+    // only: the driver captures just a stdout TAIL, and the per-query map
+    // has outgrown that window before (BENCH_r04 "parsed": null). The LAST
+    // stdout line is a compact fixed-size total so the driver's parse can
+    // never truncate.
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"repeats":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"repeats":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

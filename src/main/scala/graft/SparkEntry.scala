@@ -84,9 +84,10 @@ object SparkEntry {
       Relational.distinctUsers(Tables.events(s, dir))),
     "q28_daily_windows" -> ((s, dir) =>
       Relational.dailyEventCounts(Tables.events(s, dir))),
-    // q29: HLL sketch is engine-specific -> rows-only; error bound in spec
+    // q29 validated form: deterministic columns + in-band flag are oracled;
+    // the raw-estimate operator (approxDistinctUsers) stays spec-pinned
     "q29_approx_distinct" -> ((s, dir) =>
-      Relational.approxDistinctUsers(Tables.events(s, dir))),
+      Relational.approxDistinctValidated(Tables.events(s, dir))),
     "q30_json_extract" -> ((s, dir) =>
       JsonOps.propsStats(Tables.events(s, dir))),
     "q31_json_render" -> ((s, dir) =>
@@ -115,10 +116,10 @@ object SparkEntry {
       TextAnalysis.topTermsPerLang(Tables.documents(s, dir), k = 5)),
     "q43_orders_profile" -> ((s, dir) =>
       Relational.ordersProfile(Tables.orders(s, dir))),
-    // q44: count-min sketch binary is engine-specific -> rows-only; the
-    // overcount bound is asserted in RelationalSpec
+    // q44 validated form: per-probe exact counts + CMS-contract flag are
+    // oracled; the raw-sketch operator (userActivitySketch) stays spec-pinned
     "q44_activity_sketch" -> ((s, dir) =>
-      Relational.userActivitySketch(Tables.events(s, dir))),
+      Relational.cmsProbesValidated(Tables.events(s, dir))),
     "q40_clean_corpus" -> ((s, dir) =>
       Pipelines.cleanCorpusStats(Tables.documents(s, dir))),
     "q45_media_resize" -> ((s, dir) =>
@@ -262,11 +263,11 @@ object SparkEntry {
         k = 10, prefilterPct = 20)),
     "q77_bigram_pmi" -> ((s, dir) =>
       TextAnalysis.bigramPmi(Tables.documents(s, dir), "text", minCount = 5)),
-    // q78 rows-only: Datasketches HLL registers are engine-specific;
-    // RelationalSpec asserts union-of-dailies == direct estimate and the
-    // error band vs exact distinct counts.
+    // q78 validated form: n_days + exact distinct + in-band flag are
+    // oracled; RelationalSpec still asserts union-of-dailies == direct
+    // estimate on the raw operator (activityRollup).
     "q78_activity_rollup" -> ((s, dir) =>
-      Relational.activityRollup(Tables.events(s, dir))),
+      Relational.hllRollupValidated(Tables.events(s, dir))),
     "q79_latest_snapshot" -> ((s, dir) =>
       Relational.latestSnapshot(Tables.events(s, dir))),
     "q80_value_stats" -> ((s, dir) =>
@@ -363,6 +364,9 @@ object SparkEntry {
       Relational.stateAtTime(Tables.events(s, dir))),
     "q107_hours_listagg" -> ((s, dir) =>
       Relational.hourProfileCsv(Tables.events(s, dir))),
+    "q108_passage_dedup" -> ((s, dir) =>
+      Dedup.passageDedup(Tables.documents(s, dir), "text", "doc_id",
+        chunkTokens = 20)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1431,8 +1435,11 @@ object SparkEntry {
         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM t)
         |SELECT shard, doc_id, n_tokens, cum_tokens,
-        |  CAST((cum_tokens - 1) // 256 AS BIGINT) AS pack_id,
-        |  CAST((cum_tokens - 1) // 256 <> (cum_tokens - n_tokens) // 256
+        |  CAST(CASE WHEN n_tokens = 0 THEN cum_tokens // 256
+        |            ELSE (cum_tokens - 1) // 256 END AS BIGINT) AS pack_id,
+        |  CAST(CASE WHEN n_tokens = 0 THEN cum_tokens // 256
+        |            ELSE (cum_tokens - 1) // 256 END
+        |       <> (cum_tokens - n_tokens) // 256
         |       AS INTEGER) AS is_split
         |FROM c""".stripMargin,
     // q103: LEFT join keeps zero-order customers; count(o_orderkey)
@@ -1526,5 +1533,57 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_hours,
         |       string_agg(hr, ',' ORDER BY hr) AS hours_csv
         |FROM d GROUP BY event_type""".stripMargin,
+    // q29/q44/q78 (validated sketch forms): the oracle recomputes every
+    // DETERMINISTIC column exactly and pins est_ok to the constant 1 — so
+    // a wrong key, count, ground truth, or an out-of-band estimate all
+    // fail the hash compare. Only the raw register contents stay
+    // unoracled (they are engine-specific by nature).
+    "q29_approx_distinct" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users_exact,
+        |  1 AS est_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q44_activity_sketch" ->
+      """SELECT event_type, user_id, count(*) AS exact_n, 1 AS est_ok
+        |FROM events WHERE user_id % 50 = 0
+        |GROUP BY event_type, user_id""".stripMargin,
+    "q78_activity_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS n_users_exact,
+        |  1 AS est_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q108: same whitespace tokenization as q102 (regexp_extract_all \S+ ==
+    // Spark split-on-\s+ minus empties), 20-token chunks incl. the ragged
+    // tail, dup marks via windows over the chunk text, ordered string_agg
+    // for the strip — coalesce('') because DuckDB's string_agg of zero
+    // non-null chunks is NULL where Spark's concat_ws is ''.
+    "q108_passage_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |c0 AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range((len(toks) + 19) // 20)) AS i
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        |    array_to_string(
+        |      toks[(CAST(i AS INTEGER)*20+1):(CAST(i AS INTEGER)*20+20)],
+        |      ' ') AS chunk
+        |  FROM c0),
+        |m AS (
+        |  SELECT doc_id, idx, chunk,
+        |    count(*) OVER (PARTITION BY chunk) AS occ,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM c)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS dup_ratio,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx),
+        |           '') AS text_stripped
+        |FROM m GROUP BY doc_id""".stripMargin,
   )
 }

@@ -72,6 +72,22 @@ object Tables {
       // row groups) this conf is harmless.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
+      // RocksDB is the streaming state-store DEFAULT here, not an opt-in:
+      // the HDFS-backed store keeps every key on the executor heap, which
+      // caps stateful queries (dedup sets, top-k heaps, attribution maps)
+      // at heap size — RocksDB spills to local disk, supports changelog
+      // checkpointing, and is what transformWithState's column families
+      // require anyway. This is the 100 TB default; specs assert the
+      // stateful paths stay green under it.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // ... and with changelog checkpointing: each batch commits the small
+      // CHANGELOG file, full snapshots roll up asynchronously in the
+      // maintenance thread — at 100 TB the per-batch checkpoint cost is
+      // O(changed keys), not O(state size)
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -379,6 +379,75 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Q108: passage-level dedup — the dedup granularity BELOW the document:
+    * boilerplate passages (license headers, navigation chrome, templated
+    * intros) repeat across a corpus whose documents are otherwise unique,
+    * so document-level dedup (q6/q48), near-dup (q10–q12/q18/q89) and
+    * clustering (q55) all miss them. Completes the granularity ladder:
+    * doc → near-dup → cluster → passage.
+    *
+    * Shape: each doc splits into consecutive `chunkTokens`-token chunks
+    * (whitespace tokens; the last chunk may be short — dropping the ragged
+    * tail would make the stripped text lossy), every chunk instance is
+    * marked with its global occurrence count and whether it is the
+    * CANONICAL instance (first by (doc id, position)), and docs re-assemble
+    * into (duplicate-passage ratio, text with non-canonical duplicate
+    * passages stripped). Stripping keeps first occurrences, so repeated
+    * passages WITHIN one doc also collapse to one.
+    *
+    * Scale: one scan; one exchange hash-partitioned on (xxhash64(chunk),
+    * chunk) — the 8-byte hash leads the key so comparisons reject cheaply,
+    * exactly like [[incrementalExact]] — computing both window marks in one
+    * sort, then one exchange back to doc id for re-assembly. Per-chunk
+    * groups are occurrence-sized and per-doc groups are doc-sized, so
+    * nothing is unbounded. The one skew caveat at extreme scale: a passage
+    * repeated across billions of docs funnels its instances into one window
+    * group; production would pre-aggregate counts for the heavy-hitter
+    * chunks (q73's sketch finds them) — at that point only the count is
+    * needed per instance, not the sort. Whitespace runs normalize to one
+    * space in the stripped text (tokenization is whitespace-based, by
+    * design).
+    */
+  def passageDedup(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = chunkTokens
+    // empty/whitespace-only docs tokenize to [] (split yields [""] — the
+    // filter drops it), chunk to [], and vanish at the explode: a doc with
+    // no passages has no passage-dedup row, in both engines
+    val chunked = docs
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= lit("")).as("__toks"))
+      .withColumn("__nc",
+        floor((size(col("__toks")) + lit(W - 1)) / lit(W)).cast("int"))
+      .withColumn("__chunks", when(col("__nc") > 0,
+          transform(sequence(lit(0), col("__nc") - 1),
+            i => array_join(slice(col("__toks"), i * W + 1, lit(W)), " ")))
+        .otherwise(array().cast("array<string>")))
+      .select(col(idCol), posexplode(col("__chunks")))
+      .toDF(idCol, "idx", "chunk")
+      .withColumn("__h", xxhash64(col("chunk")))
+    val byChunk = Window.partitionBy(col("__h"), col("chunk"))
+    val marked = chunked
+      .withColumn("__occ", count(lit(1)).over(byChunk))
+      .withColumn("__rn",
+        row_number().over(byChunk.orderBy(col(idCol), col("idx"))))
+    marked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        // re-assembly is doc-sized by definition (it rebuilds the doc's own
+        // text), so the collect_list is bounded; nulls from the `when` are
+        // skipped, array_sort orders by idx, concat_ws of nothing is ""
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("text_stripped"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
 }
 
 /** Shared helpers for the dedup family. */

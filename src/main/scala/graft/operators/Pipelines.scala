@@ -179,8 +179,17 @@ object Pipelines {
     // a doc occupies token positions (cum−n+1)..cum; its pack ids are the
     // integer-DIV (not `/`, which is double division in Spark SQL) of the
     // zero-based first and last positions — differing ids mean the doc
-    // straddles a pack boundary and gets split
-    val endPack = expr(s"(cum_tokens - 1) div ${capacity}L")
+    // straddles a pack boundary and gets split. A ZERO-token doc occupies
+    // no positions, so its pack is defined explicitly as the pack the next
+    // token would land in (cum div capacity) and it is never split:
+    // without the branch, a shard-FIRST empty doc computes (−1) div
+    // capacity, where Spark `div` truncates toward zero (0) but
+    // standard-SQL `//` floors (−1) — the one operand that could go
+    // negative, and the engines disagree on it. Every branch here keeps
+    // the dividend ≥ 0, where div and // agree.
+    val endPack = when(col("n_tokens") === 0L,
+        expr(s"cum_tokens div ${capacity}L"))
+      .otherwise(expr(s"(cum_tokens - 1) div ${capacity}L"))
     val startPack = expr(s"(cum_tokens - n_tokens) div ${capacity}L")
     docs
       .select(col(idCol).as("doc_id"), shard.as("shard"),

@@ -601,6 +601,91 @@ object Relational {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
   }
 
+  // -------- validated sketch forms (the oracled q29/q44/q78 surface) ------
+  //
+  // A sketch's registers are engine-specific, so a query emitting the raw
+  // estimate can never hash-match a DuckDB oracle — which left the whole
+  // family rows-only. These forms make the sketch queries MACHINE-CHECKABLE
+  // instead: run the sketch exactly as the production operator does, but
+  // emit its deterministic columns (keys, counts, exact ground truth) plus
+  // an `est_ok` flag proving the estimate landed inside its published error
+  // band — the oracle computes the same deterministic columns and a
+  // constant 1, so any drift in keys, counts, ground truth, OR an
+  // out-of-band estimate fails the hash compare. The unvalidated operators
+  // above remain the production surface (no exact pass at 100 TB); these
+  // wrappers are their correctness gate, priced accordingly.
+
+  /** Q29 (validated): HLL++ estimate next to the exact distinct count in
+    * ONE aggregation (one scan, one exchange); `est_ok` = within 2.5×rsd
+    * (= 5% at the default rsd 0.02 — the spec's band).
+    */
+  def approxDistinctValidated(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), rsd).as("__approx"))
+      .select(col("event_type"), col("n_events"), col("n_users_exact"),
+        (abs(col("__approx") - col("n_users_exact")) <=
+          lit(2.5 * rsd) * col("n_users_exact")).cast("int").as("est_ok"))
+
+  /** Q44 (validated): probe each event type's count-min sketch for every
+    * user in a deterministic probe set (user_id ≡ 0 mod `probeMod`) and
+    * check the CMS contract per probe: never undercounts, overcounts by at
+    * most ⌈eps·N⌉ (+1 slack for the float rounding in eps→width). The
+    * sketch side is one row per event type and BROADCASTS to the probe
+    * counts. The probe itself has no built-in SQL form, so it is the
+    * library's second (documented) `udf()` — deserialization cost is per
+    * probe row at validation scale, never per event.
+    */
+  def cmsProbesValidated(events: DataFrame, eps: Double = 0.001,
+      confidence: Double = 0.99, probeMod: Int = 50): DataFrame = {
+    val sketches = events.groupBy(col("event_type"))
+      .agg(
+        count_min_sketch(col("user_id"), lit(eps), lit(confidence), lit(42))
+          .as("cms"),
+        count(lit(1)).as("n_events"))
+    val probes = events
+      .filter(pmod(col("user_id"), lit(probeMod.toLong)) === 0L)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+    val probe = udf((bytes: Array[Byte], uid: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(uid))
+    probes.join(broadcast(sketches), Seq("event_type"))
+      .withColumn("__est", probe(col("cms"), col("user_id")))
+      .select(col("event_type"), col("user_id"), col("exact_n"),
+        (col("__est") >= col("exact_n") &&
+          col("__est") <= col("exact_n") +
+            ceil(lit(eps) * col("n_events")).cast("long") + 1)
+          .cast("int").as("est_ok"))
+  }
+
+  /** Q78 (validated): the daily-sketch → union rollup exactly as
+    * [[activityRollup]] plans it, joined against the exact distinct count
+    * per type; `est_ok` = union estimate within 5% (lgK 12 ⇒ rsd ≈ 1.6%,
+    * so 5% is a ≥3σ band). Two scans of events by necessity — the daily
+    * sketches consumed the user ids, so the ground truth needs its own
+    * aggregation; that is the price of VALIDATING a rollup, not of running
+    * one.
+    */
+  def hllRollupValidated(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val rolled = daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("__approx"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    rolled.join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_users_exact"),
+        (abs(col("__approx") - col("n_users_exact")) <=
+          lit(0.05) * col("n_users_exact")).cast("int").as("est_ok"))
+  }
+
   /** Q81: TPC-H Q5 "local supplier volume" — the canonical six-table join:
     * revenue from lineitems whose supplier sits in the SAME nation as the
     * ordering customer, for one region and one order-date year.
@@ -926,8 +1011,9 @@ object Relational {
     * NONDETERMINISTIC on ties (hash-map iteration order), which is
     * unacceptable in an auditable pipeline, so the mode is composed as
     * count-then-argmax: one aggregation on (user_id, event_type), then a
-    * `max_by` over a (count, reversed tiebreak) ordering key — the second
-    * aggregation re-keys by user only, on already-reduced data. Both
+    * `min_by` over a (−count, type) ordering key — highest count first,
+    * smallest type on ties — where the second aggregation re-keys by user
+    * only, on already-reduced data. Both
     * shuffles carry counted rows (≤ users × types), never raw events —
     * no window, so no whole-group sort and no per-user row funneling.
     */
@@ -962,8 +1048,12 @@ object Relational {
     val rowW = Window.partitionBy(col("event_type"))
     val colW = Window.partitionBy(col("hr"))
     val allW = Window.partitionBy()
-    val expected = (sum(col("n")).over(rowW) * sum(col("n")).over(colW))
-      .cast("double") / sum(col("n")).over(allW)
+    // each marginal casts to double BEFORE the multiply: a long*long
+    // product of two large marginals silently wraps under non-ANSI Spark
+    // (DuckDB would error instead); double*double can't, and counts below
+    // 2^53 stay exact either way
+    val expected = (sum(col("n")).over(rowW).cast("double") *
+      sum(col("n")).over(colW).cast("double")) / sum(col("n")).over(allW)
     cells.select(
       col("event_type"), col("hr"), col("n"),
       round(expected, 6).as("expected"),

@@ -8,10 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
+  // round 6: q29/q44/q78 moved OUT of this set — their validated forms
+  // emit deterministic columns + an in-band est_ok flag, so they oracle.
+  // Only the genuinely approximate LSH/ANN outputs remain rows-only.
   private val declaredRowsOnly = Set(
     "q10_dedup_minhash", "q11_dedup_simhash", "q17_similarity_lsh",
-    "q18_embedding_neardup", "q29_approx_distinct", "q32_similarity_ivf",
-    "q44_activity_sketch", "q78_activity_rollup")
+    "q18_embedding_neardup", "q32_similarity_ivf")
 
   test("every oracle key names a query; rows-only set is exactly the declared one") {
     val q = SparkEntry.queries.keySet

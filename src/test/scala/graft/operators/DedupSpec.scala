@@ -212,6 +212,44 @@ class DedupSpec extends SparkSpec {
     assert(shuffled == expect)
   }
 
+  test("passageDedup: cross-doc, within-doc, and full-doc repeated passages") {
+    val d = Seq(
+      (1L, "a b c x y z"),          // chunk "x y z" repeats corpus-wide
+      (2L, "p q r x y z"),          // shares "x y z" (non-canonical)
+      (3L, "x y z x y z tail"),     // repeats "x y z" internally, twice
+      (4L, "s t u v w"),            // ragged tail chunk "v w"
+      (5L, "   "),                  // whitespace-only: zero chunks
+      (6L, "s t u v w"),            // exact dup of doc 4: all passages dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(d, "text", "doc_id", chunkTokens = 3)
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks", $"dup_ratio",
+        $"text_stripped")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      // canonical instances keep their text; "a b c" is unique
+      1L -> ((2L, 1L, 0.5, "a b c x y z")),
+      2L -> ((2L, 1L, 0.5, "p q r")),
+      // both internal repeats strip (canonical lives in doc 1)
+      3L -> ((3L, 2L, 0.666667, "tail")),
+      // doc 4 is the canonical copy of every one of its passages
+      4L -> ((2L, 2L, 1.0, "s t u v w")),
+      // doc 5 (no tokens -> no passages) is absent;
+      // doc 6 is a full duplicate: everything strips
+      6L -> ((2L, 2L, 1.0, ""))))
+  }
+
+  test("passageDedup: whitespace runs normalize, so tab/space variants match") {
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a\tb   c"), // same 3 tokens, different whitespace
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(d, "text", "doc_id", chunkTokens = 3)
+      .select($"doc_id", $"n_dup_chunks", $"text_stripped")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, "a b c")), 2L -> ((1L, ""))))
+  }
+
   test("clusterPairs: throws instead of returning truncated labels at maxIters") {
     // a 9-node path: min label needs ~8 propagation hops, so maxIters = 2
     // cannot converge — the loop must fail loudly, not hand back labels
