@@ -367,6 +367,8 @@ object SparkEntry {
     "q108_passage_dedup" -> ((s, dir) =>
       Dedup.passageDedup(Tables.documents(s, dir), "text", "doc_id",
         chunkTokens = 20)),
+    "q109_asof_attribution" -> ((s, dir) =>
+      AsofJoin.purchaseClickAsof(Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1585,5 +1587,22 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx),
         |           '') AS text_stripped
         |FROM m GROUP BY doc_id""".stripMargin,
+    // q109: DuckDB's native ASOF LEFT JOIN is the oracle for the Spark
+    // union+window formulation — clicks pre-reduced per (user, ts) so the
+    // match is deterministic; date_diff('second') counts second-boundary
+    // crossings, which equals the floor-epoch difference Spark computes
+    // via unix_timestamp.
+    "q109_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.ts AS click_ts, c.click_id,
+        |  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
   )
 }
