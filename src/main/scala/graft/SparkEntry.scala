@@ -369,6 +369,9 @@ object SparkEntry {
         chunkTokens = 20)),
     "q109_asof_attribution" -> ((s, dir) =>
       AsofJoin.purchaseClickAsof(Tables.events(s, dir))),
+    "q110_token_budget" -> ((s, dir) =>
+      Pipelines.tokenBudgetSelect(Tables.documents(s, dir),
+        budgetTokens = 5000L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1604,5 +1607,24 @@ object SparkEntry {
         |  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    // q110: the oracle is the straightforward window-greedy form — the
+    // Spark side computes the identical selection via bucket cutoffs
+    // (no corpus-wide sort); their equivalence is also spec-pinned.
+    // Score formula is byte-identical to q13's stopword_ratio.
+    "q110_token_budget" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    round(len(regexp_extract_all(lower(text),
+        |            '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+        |          / greatest(CAST(len(regexp_extract_all(text, '\S+'))
+        |                     AS DOUBLE), 1.0), 6) AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY lang ORDER BY score DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT lang, doc_id, n_tokens, score FROM c WHERE cum <= 5000""".stripMargin,
   )
 }

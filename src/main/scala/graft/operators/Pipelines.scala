@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-preparation pipeline compositions — the actual
@@ -265,5 +265,104 @@ object Pipelines {
         col("event_id"), col("event_type"), col("value"),
         round(when(col("sd") > 0, (col("value") - col("mu")) / col("sd")), 6)
           .as("z"))
+  }
+
+  // -------- Q110: token-budget corpus selection (data mixing) ------------
+
+  /** The per-doc selection score: stopword density (q13's formula exactly
+    * — rounded to the 6-dp grid, so every engine orders identically).
+    * Higher = more natural running text.
+    */
+  private def selectionScore(text: Column): Column = {
+    val toks = TextAnalysis.tokenCount(text)
+    val stop = size(regexp_extract_all(lower(text),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0))).cast("double")
+    round(stop / greatest(toks.cast("double"), lit(1.0)), 6)
+  }
+
+  private def scoredDocs(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      selectionScore(col("text")).as("score"))
+
+  /** Reference formulation of the greedy selection: per language, walk
+    * docs best-score-first (doc_id tie-break) and keep the longest prefix
+    * whose running token count stays within the budget. ONE window over
+    * the full corpus — correct, but partitions by `lang`, so at 100 TB a
+    * dominant language funnels through one sort. Kept as the
+    * spec/equivalence reference; [[tokenBudgetSelect]] is the production
+    * path.
+    */
+  def tokenBudgetGreedy(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scoredDocs(docs)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") <= budgetTokens)
+      .drop("__cum")
+  }
+
+  /** Q110: token-budget corpus selection — per language, the best-scoring
+    * docs whose cumulative token count fits a budget: the data-mixing
+    * primitive ("give me the top N billion tokens of each language,
+    * quality-first"). Output ≡ [[tokenBudgetGreedy]] (spec-pinned), but
+    * the plan never sorts the corpus:
+    *
+    *   1. ONE aggregation by (lang, score) → per-bucket token totals. The
+    *     bucket table is BOUNDED by the score grid (6-dp ratios in [0,1] ⇒
+    *     ≤ 1e6 buckets/lang) regardless of corpus size.
+    *   2. A window over that tiny table finds each language's cutoff: full
+    *     buckets (whole bucket fits under what remains), ONE boundary
+    *     bucket (budget runs out inside it), the rest out.
+    *   3. Bucket verdicts broadcast back onto the docs: full-bucket docs
+    *     pass with NO per-doc ordering at all; only the boundary bucket —
+    *     one score value per language — pays a within-bucket cumsum.
+    *
+    * So nothing corpus-sized ever shuffles or sorts: the corpus-side
+    * costs are column-pruned scans + one map-side-combinable aggregation
+    * (Spark plans trees, not DAGs, so the full/boundary branches each
+    * re-evaluate the projected scan — scans parallelize freely; it is the
+    * exchange, not the scan, that chokes at 100 TB, and the only
+    * exchanges here carry the bounded bucket table and the one-bucket
+    * boundary slice). Greedy-prefix equivalence holds bucket-wise because the
+    * running sum is monotone: every doc in a bucket wholly under budget
+    * has inclusive-cum ≤ budget, every doc past the boundary bucket has
+    * cum > budget, and inside the boundary bucket the doc_id-ordered
+    * within-cum offset by the better-buckets total reproduces the global
+    * cum exactly (zero-token docs included — they ride whichever side of
+    * the overflow point their (score, doc_id) puts them on, both here and
+    * in the reference window).
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scoredDocs(docs)
+    val wb = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = base
+      .groupBy(col("lang"), col("score"))
+      .agg(sum(col("n_tokens")).as("__bucket_toks"))
+      .withColumn("__cum_before",
+        coalesce(sum(col("__bucket_toks")).over(wb), lit(0L)))
+      .withColumn("__kind",
+        when(col("__cum_before") + col("__bucket_toks") <= budgetTokens,
+          lit("full"))
+          .when(col("__cum_before") <= budgetTokens, lit("boundary"))
+          .otherwise(lit("out")))
+      .filter(col("__kind") =!= "out")
+    val joined = base.join(broadcast(buckets), Seq("lang", "score"))
+    val full = joined.filter(col("__kind") === "full")
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("score"))
+    val wIn = Window.partitionBy(col("lang"), col("score"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("__kind") === "boundary")
+      .withColumn("__cum",
+        col("__cum_before") + sum(col("n_tokens")).over(wIn))
+      .filter(col("__cum") <= budgetTokens)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("score"))
+    full.unionByName(boundary)
   }
 }

@@ -237,4 +237,62 @@ class PipelinesSpec extends SparkSpec {
       assert(math.abs(m) < 1e-4 && math.abs(s - 1.0) < 1e-4, s"group $t: m=$m s=$s")
     }
   }
+
+  test("tokenBudgetSelect ≡ tokenBudgetGreedy on crafted edges and real documents") {
+    // crafted: "aa" langs exercise exact-fit, overflow-inside-bucket,
+    // zero-token docs on both sides of the overflow point, and a budget
+    // larger than the whole language
+    val docs = Seq(
+      // lang p: three docs of 2 stop-tokens each (score ties!), budget 4
+      // → greedy keeps doc 1, 2 (cum 2, 4), drops 3 (cum 6)
+      (1L, "the of", "p"), (2L, "the of", "p"), (3L, "the of", "p"),
+      // lang q: distinct scores; best doc alone overflows budget 4 →
+      // greedy keeps NOTHING from bucket 1... (4 tokens of which 4 stop =
+      // score 1.0, n=4 ≤ 4 budget: kept; next doc n=2 overflows)
+      (4L, "the of to in", "q"), (5L, "the xx", "q"),
+      // lang r: empty doc (0 tokens) sorts by (score 0.0, id) — budget 1
+      // covers the 1-token doc (score 0 ties, lower id first)
+      (6L, "", "r"), (7L, "zz", "r"),
+      // lang s: total well under budget → everything selected
+      (8L, "aa bb", "s"), (9L, "cc", "s"),
+    ).toDF("doc_id", "text", "lang")
+    for (budget <- Seq(1L, 2L, 4L, 100L)) {
+      val fast = Pipelines.tokenBudgetSelect(docs, budget)
+        .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+      val ref = Pipelines.tokenBudgetGreedy(docs, budget)
+        .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+      assert(fast == ref, s"budget=$budget: $fast vs $ref")
+    }
+    // and on the real table at several budgets spanning partial/full langs
+    val real = graft.Tables.documents(spark, sf)
+    for (budget <- Seq(500L, 5000L, 1000000L)) {
+      val fast = Pipelines.tokenBudgetSelect(real, budget)
+        .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+      val ref = Pipelines.tokenBudgetGreedy(real, budget)
+        .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+      assert(fast == ref, s"budget=$budget: sizes ${fast.size} vs ${ref.size}")
+    }
+  }
+
+  test("tokenBudgetSelect plan: bucket verdicts broadcast; no corpus-wide sort by lang") {
+    val plan = Pipelines.tokenBudgetSelect(graft.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString.replace("\n", " ")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket join must broadcast:\n$plan")
+    // the greedy reference's signature is a window ORDERED by
+    // (score DESC, doc_id) — the corpus-wide per-lang sort. The production
+    // plan's windows order by score alone (bucket-table cumsum) or doc_id
+    // alone (boundary slice, where score is a PARTITION key — rendered
+    // without DESC). Only the greedy form puts "score DESC" directly
+    // before doc_id.
+    val greedySignature = "score#\\d+ DESC NULLS LAST, doc_id".r
+    assert(greedySignature.findFirstIn(plan).isEmpty,
+      s"corpus-wide greedy window found in production plan:\n$plan")
+    // the reference, by contrast, must trip the same detector
+    val refPlan = Pipelines.tokenBudgetGreedy(
+        graft.Tables.documents(spark, sf), 5000L)
+      .queryExecution.executedPlan.toString.replace("\n", " ")
+    assert(greedySignature.findFirstIn(refPlan).isDefined,
+      "detector failed to flag the reference greedy plan")
+  }
 }
