@@ -372,6 +372,8 @@ object SparkEntry {
     "q110_token_budget" -> ((s, dir) =>
       Pipelines.tokenBudgetSelect(Tables.documents(s, dir),
         budgetTokens = 5000L)),
+    "q111_bpe_candidates" -> ((s, dir) =>
+      BpeTrain.bpePairCandidates(Tables.documents(s, dir), "text", k = 20)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1626,5 +1628,21 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM s)
         |SELECT lang, doc_id, n_tokens, score FROM c WHERE cum <= 5000""".stripMargin,
+    // q111: first-round BPE merge candidates — adjacent character pairs
+    // inside whitespace tokens, weighted by occurrence, top-20 by
+    // (count DESC, pair ASC). Both engines slice pairs with 1-based
+    // character-addressed substr, so multi-byte text agrees.
+    "q111_bpe_candidates" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |  FROM documents),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INTEGER) + 1, 2) AS pair
+        |  FROM (SELECT word, unnest(range(length(word) - 1)) AS i
+        |        FROM w WHERE length(word) >= 2)),
+        |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+        |SELECT pair, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
+        |FROM c QUALIFY rank <= 20""".stripMargin,
   )
 }

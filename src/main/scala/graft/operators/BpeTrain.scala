@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer-vocabulary induction — the step a training pipeline runs
+  * AFTER corpus prep (dedup → quality → mix) and BEFORE packing: learn the
+  * subword merge table from the corpus itself. Classic byte-pair encoding
+  * (Sennrich et al. 2016): repeatedly count adjacent symbol pairs across
+  * the corpus and merge the most frequent pair into one symbol.
+  *
+  * The scale design hinges on one observation: BPE statistics only depend
+  * on the WORD-FREQUENCY table, not the corpus — so the corpus is scanned
+  * exactly once (one map-side-combinable `groupBy(word)`), and every
+  * training round runs over the compact (word, freq) table, whose size is
+  * vocabulary-bounded (Heaps' law: millions of rows at 100 TB, not
+  * trillions). Each round is one aggregation + one argmax + one
+  * symbol-array rewrite; rounds checkpoint (`localCheckpoint`) so the plan
+  * stays flat instead of nesting `numMerges` transforms — the same
+  * flat-lineage discipline as q55's label propagation.
+  *
+  * The merge application is a pure catalyst `aggregate` HOF fold (no UDF):
+  * greedy LEFT-TO-RIGHT pairing, so "aaa" under merge (a,a) becomes
+  * (aa, a) — the reference BPE behavior — with the candidate symbol
+  * carried in the fold accumulator. Argmax tie-break is (count DESC, left
+  * ASC, right ASC): deterministic on any partitioning and any engine.
+  */
+object BpeTrain {
+
+  /** Adjacent-symbol pairs of one word's symbol array, as "l␟r" strings
+    * (the unit separator cannot appear in \S+ tokens' printable text).
+    */
+  private val SEP = ""
+
+  private def pairsOf(symbols: Column): Column =
+    zip_with(
+      slice(symbols, lit(1), greatest(size(symbols) - 1, lit(0))),
+      slice(symbols, lit(2), greatest(size(symbols) - 1, lit(0))),
+      (a, b) => concat(a, lit(SEP), b))
+
+  /** One corpus scan → the (word, freq, symbols) training table; symbols
+    * start as single characters.
+    */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("symbols",
+        filter(split(col("word"), ""), s => s =!= lit("")))
+
+  /** Apply merge (l, r) → l+r to a symbol array, greedy left-to-right:
+    * fold symbols with a one-symbol lookbehind in the accumulator.
+    */
+  private def applyMerge(symbols: Column, l: String, r: String): Column = {
+    val folded = aggregate(
+      symbols,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("pend")),
+      (acc, x) =>
+        when(acc.getField("pend").isNull,
+          struct(acc.getField("out").as("out"), x.as("pend")))
+          .when(acc.getField("pend") === lit(l) && x === lit(r),
+            struct(
+              concat(acc.getField("out"), array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(
+            concat(acc.getField("out"), array(acc.getField("pend"))).as("out"),
+            x.as("pend"))),
+      acc =>
+        when(acc.getField("pend").isNull, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"),
+            array(acc.getField("pend")))))
+    folded
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns one row per
+    * merge: (merge_rank, left, right, pair_freq) in learning order.
+    * Throws if the corpus runs out of mergeable pairs early — a truncated
+    * vocab must fail loudly, not return silently short.
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = wordTable(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to numMerges) {
+      // count pairs weighted by word frequency; deterministic argmax via
+      // min over (-n, left, right)
+      val top = words
+        .select(col("freq"), explode(pairsOf(col("symbols"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .as[(String, Long)]
+        .collect()
+      if (top.isEmpty) throw new IllegalStateException(
+        s"bpeTrainMerges: no mergeable pair left at rank $rank of $numMerges")
+      val Array(l, r) = top.head._1.split(SEP, 2)
+      merges += ((rank, l, r, top.head._2))
+      val next = words
+        .withColumn("symbols", applyMerge(col("symbols"), l, r))
+        .localCheckpoint()
+      words.unpersist(blocking = false)
+      words = next
+    }
+    words.unpersist(blocking = false)
+    merges.result()
+      .toDF("merge_rank", "left", "right", "pair_freq")
+  }
+
+  /** Q111: single-round merge-candidate statistics — the first BPE
+    * iteration's pair table, top-k by (count DESC, pair ASC). SQL-
+    * expressible (unlike the iterative trainer, whose later rounds depend
+    * on earlier argmaxes), so this is the oracled surface; the trainer is
+    * spec-pinned against a local reference implementation instead.
+    */
+  def bpePairCandidates(docs: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the aggregated pair table is bounded by |charset|^2 — the global
+    // rank window runs over that reduced table, not the corpus
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
