@@ -122,6 +122,44 @@ class StreamingAsofJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed state survives stop/restart: a probe buffered before the restart answers after it") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[In]
+    val out = StreamingAsofJoin.asofStream(spark, in.toDS(), "10 seconds")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_asof_ckpt").toString
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink (same pattern as StreamingRecoverySpec)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Matched]()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Matched], _: Long) =>
+        batch.collect().foreach(got.add)
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(right(1L, 10L, "2024-01-01 10:00:00"),
+        left(1L, 100L, "2024-01-01 10:30:00"))
+      q1.processAllAvailable()
+      // watermark has not passed the probe: both sit in RocksDB state
+      assert(got.isEmpty)
+    } finally q1.stop()
+    // restart from the checkpoint; heartbeats push the watermark past the
+    // probe — the answer must come from state written BEFORE the restart
+    val q2 = start()
+    try {
+      in.addData(right(9L, 999L, "2024-01-01 12:00:00"))
+      q2.processAllAvailable()
+      in.addData(right(9L, 998L, "2024-01-01 13:00:00"))
+      q2.processAllAvailable()
+      val rows = got.toArray(Array.empty[Matched]).toSet
+      assert(rows == Set(Matched(1L, 100L, ts("2024-01-01 10:30:00"),
+        Some(10L), Some(ts("2024-01-01 10:00:00")))),
+        s"state lost across restart: $rows")
+    } finally q2.stop()
+  }
+
   test("right-side state compacts to one committed row once the watermark passes") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[In]
