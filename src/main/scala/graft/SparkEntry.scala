@@ -374,6 +374,8 @@ object SparkEntry {
         budgetTokens = 5000L)),
     "q111_bpe_candidates" -> ((s, dir) =>
       BpeTrain.bpePairCandidates(Tables.documents(s, dir), "text", k = 20)),
+    "q112_winsorize" -> ((s, dir) =>
+      Pipelines.winsorize(Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1644,5 +1646,18 @@ object SparkEntry {
         |SELECT pair, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
         |FROM c QUALIFY rank <= 20""".stripMargin,
+    // q112: percentile bounds per group, clip + flag — percentile_cont on
+    // DOUBLE agrees bit-for-bit across engines (q86 established), and the
+    // clipped value rounds to the 6-dp grid.
+    "q112_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type AS b_type,
+        |    percentile_cont(0.01) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS p_lo,
+        |    percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)) AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  round(least(greatest(value, p_lo), p_hi), 6) AS value_w,
+        |  CAST(value < p_lo OR value > p_hi AS INTEGER) AS clipped
+        |FROM events JOIN b ON event_type = b_type""".stripMargin,
   )
 }

@@ -267,6 +267,36 @@ object Pipelines {
           .as("z"))
   }
 
+  /** Q112: per-group winsorization — clip a numeric feature at its
+    * group's [lo, hi] percentiles, flagging clipped rows: the outlier
+    * treatment that precedes z-scoring when tails are heavy (clip, THEN
+    * standardize — q95's broadcast-moments companion). Same scale shape
+    * as q95: percentile bounds reduce to a groups-sized table that
+    * BROADCASTS back onto the facts — deliberately NOT a window, so the
+    * fact table is never re-keyed and the only full-data cost is the
+    * scan. `percentile_cont` interpolation runs on DOUBLE in both
+    * engines (the q86-established exactness), and the clipped value
+    * rounds to the 6-dp grid.
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.01,
+      hi: Double = 0.99): DataFrame = {
+    val bounds = events
+      .groupBy(col("event_type").as("b_type"))
+      .agg(
+        expr(s"percentile_cont($lo) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE))")
+          .as("p_lo"),
+        expr(s"percentile_cont($hi) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE))")
+          .as("p_hi"))
+    events
+      .join(broadcast(bounds), col("event_type") === col("b_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("p_lo")), col("p_hi")), 6)
+          .as("value_w"),
+        (col("value") < col("p_lo") || col("value") > col("p_hi"))
+          .cast("int").as("clipped"))
+  }
+
   // -------- Q110: token-budget corpus selection (data mixing) ------------
 
   /** The per-doc selection score: stopword density (q13's formula exactly

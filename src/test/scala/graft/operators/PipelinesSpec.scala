@@ -238,6 +238,32 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: hand-computed bounds clip and flag; row count preserved") {
+    // group g: values 0..100 → p_lo(0.01) = 1.0, p_hi(0.99) = 99.0 under
+    // linear interpolation; 0 clips up, 100 clips down, the rest pass
+    val ev = (0 to 100).map(i =>
+      (i.toLong, "g", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        i.toDouble))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = Pipelines.winsorize(ev)
+      .select($"event_id", $"value_w", $"clipped")
+      .as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 101)
+    assert(got(0L) == ((1.0, 1)) && got(100L) == ((99.0, 1)))
+    assert(got(1L) == ((1.0, 0)) && got(50L) == ((50.0, 0)) &&
+      got(99L) == ((99.0, 0)))
+    // real data: counts preserved, winsorized values inside the bounds,
+    // flag agrees with value motion
+    val real = graft.Tables.events(spark, sf)
+    val w = Pipelines.winsorize(real)
+    assert(w.count() == real.count())
+    val bad = w.filter(
+      ($"clipped" === 1 && $"value_w" === round($"value", 6)) ||
+        ($"clipped" === 0 && $"value_w" =!= round($"value", 6))).count()
+    assert(bad == 0, s"$bad rows with inconsistent clip flag")
+  }
+
   test("tokenBudgetSelect ≡ tokenBudgetGreedy on crafted edges and real documents") {
     // crafted: "aa" langs exercise exact-fit, overflow-inside-bucket,
     // zero-token docs on both sides of the overflow point, and a budget
