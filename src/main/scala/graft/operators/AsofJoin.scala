@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   * Determinism: callers must make right unique per (key, ts) (pre-reduce
   * with max_by/aggregation) — otherwise which same-timestamp row wins
   * depends on sort tie order. The q109 wrapper does exactly that.
+  *
+  * NULL keys: `Window.partitionBy` groups null keys into ONE partition
+  * (SQL GROUP BY semantics), so null-keyed left rows would match
+  * null-keyed right rows — where a SQL ASOF JOIN's equality predicate
+  * never matches on NULL. Callers joining nullable keys must filter or
+  * coalesce them first; the driver tables' keys are non-null by contract.
   */
 object AsofJoin {
 
