@@ -64,6 +64,9 @@ object SparkEntry {
         dim = 64, bits = 4, tables = 16)
     }),
     // --- relational coverage (SURVEY §2.2 categories Spark adds) ---
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      Relational.disjunctiveBracketRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
     "q20_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(Tables.lineitem(s, dir))),
     "q21_revenue_by_nation" -> ((s, dir) =>
@@ -506,6 +509,20 @@ object SparkEntry {
         |        i -> (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16
         |           + (strpos('0123456789ABCDEF', hx[2*i]) - 1))) AS DOUBLE) / n AS mean_intensity
         |FROM m""".stripMargin,
+    // q19: the disjunctive brackets evaluate identically in both engines;
+    // revenue uses the shared integer-micros exact-sum kernel.
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+        |       AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -51,6 +51,40 @@ object Relational {
         round(decSum(col("l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** Q19 (filling the one historically-unassigned slot): TPC-H-Q19-style
+    * DISJUNCTIVE bracket revenue — three OR'd brackets, each an AND of a
+    * part predicate (brand, size band) and a lineitem predicate (quantity
+    * band), summed as discounted revenue. The shape exists to prove the
+    * engine handles OR-of-ANDs sanely: the brand membership common to all
+    * brackets FACTORS OUT into the part-side filter, so the broadcast side
+    * prunes at its scan (PushedFilters In(p_brand,...)) and only the mixed
+    * part x lineitem residual evaluates post-join — the fact table is
+    * never multiplied, never scanned twice, and the join stays a single
+    * broadcast hash join. (Classic Q19 also ORs the join key context;
+    * the driver's part table lacks p_container/l_shipmode, so the brackets
+    * use the columns that exist — the optimizer-relevant structure is the
+    * same.) Revenue uses the q20 integer-micros exact-sum kernel.
+    */
+  def disjunctiveBracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val brackets =
+      (col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_size").between(5, 20) && col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#3" &&
+        col("p_size").between(10, 40) && col("l_quantity").between(20, 50))
+    lineitem
+      .join(
+        broadcast(part.filter(
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(brackets)
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Star-schema revenue rollup: orders ⋈ customer ⋈ nation ⋈ region — the
     * dimension tables are tiny and broadcast (verified in PlanSpec), so the
     * only shuffle is the final aggregation.

@@ -305,6 +305,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"map-fold formulation must not re-join:\n$plan")
   }
 
+  test("q19 disjunctive brackets: brand filter reaches the part scan; one broadcast join") {
+    val df = Relational.disjunctiveBracketRevenue(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf))
+    val plan = executedPlan(df)
+    // the factored-out brand membership must prune the broadcast side AT
+    // ITS SCAN, not after the join
+    assert(plan.contains("In(p_brand"),
+      s"brand disjunction not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part side must broadcast:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"OR-of-ANDs must not multiply scans, found $scans:\n$plan")
+  }
+
   test("global: every declared query analyzes and plans without a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, f) =>
       val plan = f(spark, sf).queryExecution.executedPlan.toString
