@@ -379,6 +379,16 @@ object SparkEntry {
       BpeTrain.bpePairCandidates(Tables.documents(s, dir), "text", k = 20)),
     "q112_winsorize" -> ((s, dir) =>
       Pipelines.winsorize(Tables.events(s, dir))),
+    "q113_priority_returns" -> ((s, dir) =>
+      Relational.priorityReturnCheck(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "q114_returned_items" -> ((s, dir) =>
+      Relational.returnedItemReport(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir))),
+    "q115_promo_share" -> ((s, dir) =>
+      Relational.promoRevenueShare(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1676,5 +1686,43 @@ object SparkEntry {
         |  round(least(greatest(value, p_lo), p_hi), 6) AS value_w,
         |  CAST(value < p_lo OR value > p_hi AS INTEGER) AS clipped
         |FROM events JOIN b ON event_type = b_type""".stripMargin,
+    // q113-q115: the TPC-H Q4/Q10/Q14 shapes (EXISTS semi-join,
+    // returned-item top-k, conditional-aggregate ratio), adapted to the
+    // driver schema; revenue via the shared integer-micros kernel.
+    "q113_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q114_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1995-01-01' + INTERVAL 90 DAY
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q115_promo_share" ->
+      """WITH j AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |         AS DECIMAL(18,6)) AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |        / CAST(sum(rev) AS DOUBLE), 6) AS promo_share
+        |FROM j GROUP BY month""".stripMargin,
   )
 }

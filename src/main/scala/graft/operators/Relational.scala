@@ -85,6 +85,68 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Q113: TPC-H-Q4-style priority check — count orders BY PRIORITY that
+    * have at least one returned line. The EXISTS subquery is a LEFT SEMI
+    * join: the fact side passes through at most once per order no matter
+    * how many lines match (a plain inner join would double-count), and the
+    * lineitem side projects (l_orderkey) only after its returnflag filter
+    * — at 100 TB the semi-join probe input is the filtered key column,
+    * nothing wider.
+    */
+  def priorityReturnCheck(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(
+        lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Q114: TPC-H-Q10-style returned-item reporting — the top customers by
+    * revenue lost to returns in one quarter. Returned lines filter at the
+    * lineitem scan, the quarter filter prunes orders at ITS scan, nation
+    * broadcasts, and the top-20 is a deterministic (revenue DESC, custkey)
+    * order over the customer-sized aggregate — sort input is already
+    * reduced, never the fact table.
+    */
+  def returnedItemReport(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      quarterStart: String = "1995-01-01", k: Int = 20): DataFrame = {
+    val qEnd = date_add(lit(quarterStart).cast("date"), 90)
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(
+        orders.filter(col("o_orderdate") >= lit(quarterStart).cast("date") &&
+          col("o_orderdate") < qEnd),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Q115: TPC-H-Q14-style promo revenue share per ship-month — the
+    * conditional-aggregate ratio (one pass computes both numerator and
+    * denominator; no self-join, no second scan). Part broadcasts; the
+    * ratio rounds to the 6-dp grid after an exact-decimal division.
+    */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        decSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .cast("double").as("promo_revenue"),
+        decSum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+  }
+
   /** Star-schema revenue rollup: orders ⋈ customer ⋈ nation ⋈ region — the
     * dimension tables are tiny and broadcast (verified in PlanSpec), so the
     * only shuffle is the final aggregation.
