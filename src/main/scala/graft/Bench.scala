@@ -54,7 +54,13 @@ object Bench {
     // pollutes one PASS, not every repeat of one query — the median drops
     // it. A query counts as FAILED (-1) if ANY run failed — a flaky query
     // must not silently report its lucky timings.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // validated up front: a typo'd value must fail HERE with a clear
+    // message, not NumberFormatException mid-run or an empty-passes
+    // IndexOutOfBounds after the warm-up
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+    val reps = repsRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$repsRaw'"))
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val passes: Seq[Seq[(String, Double)]] =
       (1 to reps).map(_ => names.map(n => n -> once(n)))
     val results: Seq[(String, Double, Double)] = names.zipWithIndex.map {

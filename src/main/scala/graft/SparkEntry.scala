@@ -39,11 +39,18 @@ object SparkEntry {
     "q9_multimodal_join" -> ((s, dir) =>
       Multimodal.multimodalJoin(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // --- training-pipeline extensions (SQL-oracled where expressible) ---
+    // q10/q11 validated forms (q29 pattern): exact near-dup pairs are the
+    // DuckDB-oracled rows; recall_ok pins the LSH operator in-band. The
+    // raw operators (minhashNearDups / simhashNearDups) stay the
+    // production surface, spec-pinned in DedupSpec.
     "q10_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDups(Tables.documents(s, dir), "text", "doc_id",
-        shingleK = 5, numHashes = 64, bands = 16, threshold = 0.7)),
+      Dedup.minhashValidated(Tables.documents(s, dir), "text", "doc_id",
+        shingleK = 5, numHashes = 64, bands = 16, threshold = 0.7,
+        recallFloor = 0.9)),
     "q11_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id", maxDist = 3)),
+      // measured recall: 0.72 (sf0.01) / 0.73 (sf0.1) — floor 0.6
+      Dedup.simhashValidated(Tables.documents(s, dir), "text", "doc_id",
+        maxDist = 3, shingleK = 5, exactThreshold = 0.5, recallFloor = 0.6)),
     "q12_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id", "lang",
         n = 3, threshold = 0.5)),
@@ -58,10 +65,14 @@ object SparkEntry {
     "q16_media_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
         Multimodal.withMediaColumn(Tables.documents(s, dir))).toDF()),
+    // q17 validated form (q29 pattern): exact brute-force top-k rows are
+    // the DuckDB-oracled output; recall_ok pins lshTopK in-band.
     "q17_similarity_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
-        dim = 64, bits = 4, tables = 16)
+      // measured recall@10: 0.86 (sf0.01) / 0.90 (sf0.1) — floor 0.8
+      Similarity.lshTopKValidated(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
+        dim = 64, bits = 4, tables = 16, recallFloor = 0.8)
     }),
     // --- relational coverage (SURVEY §2.2 categories Spark adds) ---
     "q19_disjunctive_revenue" -> ((s, dir) =>
@@ -95,12 +106,17 @@ object SparkEntry {
       JsonOps.propsStats(Tables.events(s, dir))),
     "q31_json_render" -> ((s, dir) =>
       JsonOps.joinMergeStructJson(Tables.events(s, dir), "1 HOUR")),
-    // q32: IVF ANN (kmeans quantizer) — engine-specific, rows-only;
-    // recall vs brute force asserted in SimilaritySpec
+    // q32 validated form (q29 pattern): exact brute-force top-k rows are
+    // the DuckDB-oracled output; recall_ok pins ivfTopK (kmeans quantizer,
+    // nProbe=4 of 16 cells — recall floor set from the measured operating
+    // point; the distributional assert stays in SimilaritySpec).
     "q32_similarity_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
-        nCentroids = 16, nProbe = 4)
+      // measured recall@10: 0.49 (sf0.01) / 0.51 (sf0.1) at nProbe=4 of 16
+      // cells (the 25%-of-index scale trade) — floor 0.4
+      Similarity.ivfTopKValidated(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
+        nCentroids = 16, nProbe = 4, recallFloor = 0.4)
     }),
     // --- round-2 additions: point-in-time / session / range-join surface ---
     "q33_click_attribution" -> ((s, dir) =>
@@ -327,8 +343,13 @@ object SparkEntry {
       // recall at such a LOW threshold is inherently partial (the 0.95+
       // near-dup regime, where recall ≥ 0.95, is asserted in DedupSpec);
       // every emitted pair is exact-verified, so precision is 1.0.
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", dim = 64,
-        threshold = 0.35)),
+      // Validated form (q29 pattern): the all-pairs exact cosine set is
+      // the DuckDB-oracled output; recall_ok pins embeddingNearDups at its
+      // measured low-threshold operating point (0.148 sf0.01 / 0.175
+      // sf0.1 — the 8x8 family is tuned for the 0.95 regime, where
+      // DedupSpec asserts >= 0.95 on perturbed near-dups) — floor 0.1.
+      Dedup.embeddingNearDupsValidated(Tables.embeddings(s, dir), "vec_id",
+        dim = 64, threshold = 0.35, recallFloor = 0.1)),
     "q93_small_qty_revenue" -> ((s, dir) =>
       Relational.smallQuantityRevenue(
         Tables.lineitem(s, dir), Tables.part(s, dir))),
@@ -457,8 +478,44 @@ object SparkEntry {
         |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
         |                                   CAST(e.embedding AS DOUBLE[]))), 6) AS vec_norm
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
-    // q10/q11: LSH hash families are not SQL-expressible → rows-only check;
-    // exactness is covered by DedupSpec against brute-force ground truth.
+    // q10/q11 (validated near-dup gates): the oracle recomputes the EXACT
+    // near-dup pair set and its exact Jaccard (the deterministic columns)
+    // and pins recall_ok to the constant 1 — a wrong pair, a wrong
+    // similarity, or an out-of-band LSH recall all fail the hash compare.
+    // Spark computes Jaccard over xxhash64'd element sets (HashedSetExprs:
+    // a 64-bit collision perturbs one pair's Jaccard by ~1/|set| with
+    // ~1e-13 odds); the oracle computes it over the raw string sets — the
+    // values agree absent such a collision.
+    "q10_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(nt) - 4, 1) + 1),
+        |      i -> nt[i:i+4])) AS g
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |        FROM documents))
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard, 1 AS recall_ok FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.g, b.g)) /
+        |         CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.7""".stripMargin,
+    "q11_dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(nt) - 4, 1) + 1),
+        |      i -> nt[i:i+4])) AS g
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |        FROM documents))
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard, 1 AS recall_ok FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.g, b.g)) /
+        |         CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.5""".stripMargin,
     "q12_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(
@@ -501,8 +558,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // q16: the STUB decode is deterministic byte arithmetic, so it IS
     // DuckDB-expressible (blob hex + per-byte list fold) — promoted to a
-    // full hash-checked oracle row. q17/q18: LSH bucketing not
-    // SQL-expressible → rows-only; covered by SimilaritySpec / DedupSpec.
+    // full hash-checked oracle row.
     "q16_media_features" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -519,6 +575,45 @@ object SparkEntry {
         |        i -> (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16
         |           + (strpos('0123456789ABCDEF', hx[2*i]) - 1))) AS DOUBLE) / n AS mean_intensity
         |FROM m""".stripMargin,
+    // q17/q32 (validated ANN): the oracle recomputes the exact brute-force
+    // top-k (the proven q7 shape) and pins recall_ok to 1 — wrong
+    // neighbors/scores/ranks or an out-of-band index recall all fail the
+    // hash compare.
+    "q17_similarity_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT probe_id, e.vec_id,
+        |         list_dot_product(p, v) /
+        |         (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))) AS s
+        |  FROM probes, e WHERE e.vec_id != probe_id)
+        |SELECT probe_id, vec_id, round(s, 6) AS sim, rank, 1 AS recall_ok FROM (
+        |  SELECT probe_id, vec_id, s,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
+        |  FROM cand) WHERE rank <= 10""".stripMargin,
+    "q32_similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT probe_id, e.vec_id,
+        |         list_dot_product(p, v) /
+        |         (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))) AS s
+        |  FROM probes, e WHERE e.vec_id != probe_id)
+        |SELECT probe_id, vec_id, round(s, 6) AS sim, rank, 1 AS recall_ok FROM (
+        |  SELECT probe_id, vec_id, s,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
+        |  FROM cand) WHERE rank <= 10""".stripMargin,
+    // q18 (validated near-dup gate): exact all-pairs cosine set, oracled;
+    // recall_ok pins the hyperplane-LSH operator at its measured
+    // low-threshold operating point.
+    "q18_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT id_a, id_b, round(s, 6) AS sim, 1 AS recall_ok FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE s >= 0.35""".stripMargin,
     // q19: the disjunctive brackets evaluate identically in both engines;
     // revenue uses the shared integer-micros exact-sum kernel.
     "q19_disjunctive_revenue" ->

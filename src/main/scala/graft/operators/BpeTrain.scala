@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  /** Adjacent-symbol pairs of one word's symbol array, as "l␟r" strings
-    * (the unit separator cannot appear in \S+ tokens' printable text).
+  /** Adjacent-symbol pairs of one word's symbol array, as "l␟r" strings —
+    * unambiguous because [[wordTable]] strips the unit separator from
+    * every word before the symbol split.
     */
   private val SEP = ""
 
@@ -43,7 +44,12 @@ object BpeTrain {
     */
   private def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .select(explode(split(col(textCol), "\\s+")).as("raw"))
+      // U+001F is the pair-encoding separator but is NOT Java-regex \s,
+      // so a word containing it would survive the split and later
+      // mis-split the argmax pair string (corrupting that merge's l/r
+      // decomposition) — strip it from the symbol alphabet here.
+      .select(translate(col("raw"), SEP, "").as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
@@ -119,11 +125,7 @@ object BpeTrain {
     * spec-pinned against a local reference implementation instead.
     */
   def bpePairCandidates(docs: DataFrame, textCol: String,
-      k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the aggregated pair table is bounded by |charset|^2 — the global
-    // rank window runs over that reduced table, not the corpus
-    val w = Window.orderBy(col("n").desc, col("pair"))
+      k: Int = 20): DataFrame =
     docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length(col("word")) >= 2)
@@ -132,7 +134,19 @@ object BpeTrain {
         i => col("word").substr(i, lit(2)))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+      // BOUNDED global top-k: orderBy+limit plans TakeOrderedAndProject —
+      // per-partition k-heaps merged at the driver (#partitions × k rows)
+      // — so a CJK-scale pair table (|charset|² ≈ 10⁸ rows) never funnels
+      // into one partition the way a global rank Window would. Rank is
+      // then derived WINDOWLESS from the k survivors: one k-bounded
+      // collect_list + array_sort + posexplode (struct order (-n, pair)
+      // ascending ≡ (n DESC, pair ASC), the argmax tie-break).
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+      .agg(array_sort(collect_list(struct(
+        (-col("n")).as("negn"), col("pair").as("pair"), col("n").as("n"))))
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.pair").as("pair"), col("s.n").as("n"),
+        (col("pos") + 1).as("rank"))
 }

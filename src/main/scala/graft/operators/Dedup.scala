@@ -203,6 +203,19 @@ object Dedup {
           graft.functions.WordNgramsExpr.wordNgrams(
             TextShingles.normalize(col(textCol)), n)).as("g")),
       "id")
+    prefixFilteredJaccardPairs(d, threshold)
+  }
+
+  /** PPJoin-style prefix-filtered exact Jaccard pairs over a pre-built
+    * `(blk, id, g)` frame where `g` is a hashed sorted element set — the
+    * candidate-generation + verification machinery shared by
+    * [[ngramJaccardPairs]] and the validated dedup gates
+    * ([[minhashValidated]], [[simhashValidated]]). Exact for its own
+    * predicate: identical output to all-pairs-within-block at
+    * `jaccard >= threshold`.
+    */
+  private[graft] def prefixFilteredJaccardPairs(
+      d: DataFrame, threshold: Double): DataFrame = {
     val posting = d.select(col("blk"), col("id"), size(col("g")).as("n"),
       explode(col("g")).as("gram"))
     val freq = posting.groupBy(col("blk"), col("gram"))
@@ -231,6 +244,119 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // ------- validated near-dup gates (the oracled q10/q11/q18 surface) ----
+  //
+  // Same device as Relational.approxDistinctValidated (q29): an LSH
+  // family's buckets are hash-engine-specific, so a query emitting the raw
+  // candidate pairs can never hash-match a DuckDB oracle — which left the
+  // whole near-dup family rows-only. These forms emit the EXACT near-dup
+  // pair set (computed in-query by the prefix-filtered exact join — itself
+  // the scalable PPJoin shape, not all-pairs) with its exact similarity,
+  // plus one in-band `recall_ok` flag: the fraction of exact pairs the
+  // approximate operator retrieved, checked against its published floor.
+  // The oracle recomputes every exact column and pins `recall_ok` to the
+  // constant 1 — so a wrong pair set, a wrong similarity, OR an
+  // out-of-band recall all fail the hash compare. The unvalidated
+  // operators above remain the production surface; these wrappers are
+  // their correctness gate, priced accordingly (they run BOTH the exact
+  // and the approximate pipeline).
+
+  /** Exact-pair rows of `exact`, plus `recall_ok` = 1 iff `approx`
+    * retrieved at least `floor` of them (on the `keys` identity). An empty
+    * exact set passes vacuously (0 >= ceil(floor*0)). The flag is computed
+    * once (single-row aggregate) and broadcast onto every output row.
+    */
+  private[graft] def withRecallFlag(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String], floor: Double): DataFrame = {
+    val marked = exact.join(
+      approx.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1L)),
+      keys, "left_outer")
+    val flag = marked.agg(
+      (coalesce(sum(col("__hit")), lit(0L)) >=
+        ceil(lit(floor) * count(lit(1)))).cast("int").as("recall_ok"))
+    marked.drop("__hit").crossJoin(broadcast(flag))
+  }
+
+  /** EXACT char-shingle Jaccard pairs, corpus-wide (no block column) —
+    * the ground-truth side of [[minhashValidated]]. Same shingle/hash
+    * base as [[minhashNearDups]], same prefix-filtered plan shape as
+    * [[ngramJaccardPairs]].
+    */
+  def charShinglePairsExact(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val d = Hashing.repartitionForCompute(
+      docs.select(lit(0).as("blk"), col(idCol).as("id"),
+        graft.functions.HashedSetExprs.hashedSortedSet(
+          graft.functions.CharShinglesExpr.charShingles(
+            TextShingles.normalize(col(textCol)), shingleK)).as("g")),
+      "id")
+    prefixFilteredJaccardPairs(d, threshold)
+  }
+
+  /** Q10 (validated): exact char-shingle near-dup pairs + `recall_ok`
+    * pinning [[minhashNearDups]]'s retrieval. The LSH pairs are a SUBSET
+    * of the exact set by construction (candidates are verified by the same
+    * exact Jaccard), so the flag measures pure banding recall.
+    */
+  def minhashValidated(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, recallFloor: Double = 0.9): DataFrame =
+    withRecallFlag(
+      charShinglePairsExact(docs, textCol, idCol, shingleK, threshold),
+      minhashNearDups(docs, textCol, idCol, shingleK, numHashes, bands, threshold)
+        .select(col("doc_a"), col("doc_b")),
+      Seq("doc_a", "doc_b"), recallFloor)
+
+  /** Q11 (validated): exact char-shingle near-dup pairs + `recall_ok`
+    * pinning [[simhashNearDups]]'s retrieval of them. The ground truth is
+    * the SAME exact pair family as q10's gate — the near-dup-shaped pairs
+    * both sketches exist to find. A token-unigram Jaccard truth was
+    * rejected: on a shared-vocabulary corpus nearly every doc pair has
+    * near-identical token SETS (30k pairs at 0.8 on sf0.01), so any
+    * sketch's "recall" against it is meaningless. SimHash is a
+    * frequency-weighted cosine-family sketch probed against a set-Jaccard
+    * truth, so the floor is its measured operating point (0.72 at sf0.01,
+    * 0.73 at sf0.1), not a theoretical bound; the distributional asserts
+    * stay in DedupSpec.
+    */
+  def simhashValidated(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, shingleK: Int = 5, exactThreshold: Double = 0.5,
+      recallFloor: Double = 0.6): DataFrame =
+    withRecallFlag(
+      charShinglePairsExact(docs, textCol, idCol, shingleK, exactThreshold),
+      simhashNearDups(docs, textCol, idCol, maxDist)
+        .select(col("doc_a"), col("doc_b")),
+      Seq("doc_a", "doc_b"), recallFloor)
+
+  /** EXACT all-pairs cosine near-dup pairs — the ground-truth side of
+    * [[embeddingNearDupsValidated]]. All-pairs by design: this is the
+    * validation-priced exact pass (the production surface is
+    * [[embeddingNearDups]], which never goes quadratic).
+    */
+  def embeddingPairsExact(emb: DataFrame, idCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col("embedding").as("v"))
+    e.select(col("id").as("id_a"), col("v").as("v_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("v_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Q18 (validated): exact cosine near-dup pairs + `recall_ok` pinning
+    * [[embeddingNearDups]] (whose output is a subset of the exact set —
+    * every LSH candidate is verified by the same exact cosine).
+    */
+  def embeddingNearDupsValidated(emb: DataFrame, idCol: String, dim: Int,
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 8,
+      recallFloor: Double = 0.95): DataFrame =
+    withRecallFlag(
+      embeddingPairsExact(emb, idCol, threshold),
+      embeddingNearDups(emb, idCol, dim, threshold, bits, tables)
+        .select(col("id_a"), col("id_b")),
+      Seq("id_a", "id_b"), recallFloor)
 
   /** Q89: character-level fuzzy pairs — the textbook two-stage fuzzy
     * join: cheap token-set CANDIDATE generation ([[ngramJaccardPairs]] at

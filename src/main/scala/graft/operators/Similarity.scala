@@ -196,6 +196,39 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  // ------- validated ANN forms (the oracled q17/q32 surface) -------------
+  //
+  // Same device as Dedup's validated near-dup gates (and q29): LSH/IVF
+  // bucketing is engine-specific, so the raw ANN result can never
+  // hash-match a DuckDB oracle. The validated forms emit the EXACT
+  // brute-force top-k rows (DuckDB-recomputable — the proven q7 oracle
+  // shape) plus one in-band `recall_ok` flag: recall@k of the approximate
+  // index against that exact top-k, checked against its floor. The oracle
+  // pins the flag to 1, so wrong neighbors, wrong scores, wrong ranks, OR
+  // an out-of-band recall all fail the hash compare. The raw ANN
+  // operators stay the production surface; these run both sides, priced
+  // as a correctness gate.
+
+  /** Q17 (validated): exact top-k + `recall_ok` pinning [[lshTopK]]. */
+  def lshTopKValidated(corpus: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, bits: Int = 8, tables: Int = 16,
+      recallFloor: Double = 0.9): DataFrame =
+    Dedup.withRecallFlag(
+      bruteForceTopK(corpus, probes, k),
+      lshTopK(corpus, probes, k, dim, bits, tables)
+        .select(col("probe_id"), col("vec_id")),
+      Seq("probe_id", "vec_id"), recallFloor)
+
+  /** Q32 (validated): exact top-k + `recall_ok` pinning [[ivfTopK]]. */
+  def ivfTopKValidated(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      recallFloor: Double = 0.7): DataFrame =
+    Dedup.withRecallFlag(
+      bruteForceTopK(corpus, probes, k),
+      ivfTopK(corpus, probes, k, nCentroids, nProbe)
+        .select(col("probe_id"), col("vec_id")),
+      Seq("probe_id", "vec_id"), recallFloor)
+
   /** Q57: per-label embedding centroids in long `(label, dim, mean_val)`
     * layout — class prototypes for probing/NN-classifier init and dataset
     * cartography. Shape at scale: posexplode fans each vector into

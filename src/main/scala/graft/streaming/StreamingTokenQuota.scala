@@ -14,8 +14,22 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   * out-of-order delivery is routine — so admission waits for the
   * watermark and replays each key's rows in (ts, id) order. The
   * admitted set is therefore a pure function of the event-time order,
-  * identical under ANY batching — the spec pins that determinism
-  * against a local fold reference.
+  * identical under ANY batching, for every row that arrives ahead of
+  * the watermark — the spec pins that determinism against a local fold
+  * reference.
+  *
+  * Watermark-GAP rows (the same caveat StreamingAsofJoin documents for
+  * late probes): a row whose ts is at-or-under the current eviction
+  * watermark but past the previous batch's late-filter cut is not
+  * dropped — its (already-expired) timer fires and it folds in (ts, id)
+  * order among that firing's due rows — but rows with LATER event
+  * times admitted in earlier batches have already consumed budget, and
+  * those emissions cannot be recalled. A gap row is therefore admitted
+  * against the budget REMAINING at its fold point, not the budget it
+  * would have seen under total event-time order; which rows land in
+  * the gap depends on batch placement. This is the one
+  * batching-dependent edge — inherent to emitting admissions eagerly
+  * while accepting sub-watermark input instead of dropping it.
   *
   * State per key: ONE running total (the fold survives forever — a
   * closed quota stays closed) plus the in-flight rows still inside the

@@ -8,12 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  // round 6: q29/q44/q78 moved OUT of this set — their validated forms
-  // emit deterministic columns + an in-band est_ok flag, so they oracle.
-  // Only the genuinely approximate LSH/ANN outputs remain rows-only.
-  private val declaredRowsOnly = Set(
-    "q10_dedup_minhash", "q11_dedup_simhash", "q17_similarity_lsh",
-    "q18_embedding_neardup", "q32_similarity_ivf")
+  // round 7: the last 5 LSH/ANN queries moved OUT of this set — their
+  // validated forms emit the exact pair/top-k rows plus an in-band
+  // recall_ok flag, so every query now oracles. Empty set retained so a
+  // future approximate query must be DECLARED here to skip the gate.
+  private val declaredRowsOnly = Set.empty[String]
 
   test("every oracle key names a query; rows-only set is exactly the declared one") {
     val q = SparkEntry.queries.keySet

@@ -319,6 +319,17 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"OR-of-ANDs must not multiply scans, found $scans:\n$plan")
   }
 
+  test("q111 bpe candidates: bounded TakeOrdered top-k, no single-partition Window") {
+    val df = BpeTrain.bpePairCandidates(Tables.documents(spark, sf), "text")
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition k-heaps (TakeOrderedAndProject):\n$plan")
+    // a CJK-scale pair table (charset² rows) must never funnel into one
+    // partition: no Window anywhere — rank derives from the k survivors
+    assert(!plan.contains("Window"),
+      s"rank window would single-partition the pair table:\n$plan")
+  }
+
   test("global: every declared query analyzes and plans without a cartesian product") {
     graft.SparkEntry.queries.foreach { case (name, f) =>
       val plan = f(spark, sf).queryExecution.executedPlan.toString

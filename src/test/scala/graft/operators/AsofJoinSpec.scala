@@ -89,4 +89,61 @@ class AsofJoinSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(gotMap == expect)
   }
+
+  test("asofJoin: a null payload value in the newest right row does not tear") {
+    // newest snapshot (t=20) carries a NULL v: the match must be THAT
+    // row's values as a unit — asof_ts 20 with v null — never asof_ts 20
+    // paired with the older row's "a"
+    val r = Seq(
+      (1L, ts(10), Some("a")),
+      (1L, ts(20), None: Option[String]),
+    ).toDF("k", "ts", "v")
+    val l = Seq((1L, ts(30), "probe")).toDF("k", "ts", "tag")
+    val got = AsofJoin.asofJoin(l, r, "k", "ts", Seq("v"))
+      .select($"v", $"asof_ts").as[(Option[String], Option[Timestamp])]
+      .collect().toSeq
+    assert(got == Seq((None, Some(ts(20)))))
+  }
+
+  test("asofJoinSplit: parity with the default path on a synthetic hot key") {
+    // one hot key (0) with many rows spread over time + a normal key, null
+    // payloads sprinkled in, slices cutting between and ON right rows
+    val rnd = new scala.util.Random(7)
+    val hotRight = (0 until 200).map(i =>
+      (0L, ts(i * 37L), if (i % 11 == 0) None else Some(i.toLong)))
+    val right = (hotRight ++ Seq((5L, ts(1000), Some(-1L))))
+      .toDF("k", "ts", "v")
+    val left = ((0 until 500).map(i => (0L, ts(rnd.nextInt(8000).toLong), s"h$i")) ++
+      Seq((5L, ts(999), "early5"), (5L, ts(1000), "tie5"), (5L, ts(4000), "late5"),
+        (7L, ts(50), "no-right")))
+      .toDF("k", "ts", "tag")
+    for (strict <- Seq(false, true)) {
+      val base = AsofJoin.asofJoin(left, right, "k", "ts", Seq("v"),
+          strict = strict)
+        .select($"k", $"ts", $"tag", $"asof_ts", $"v")
+        .as[(Long, Timestamp, String, Option[Timestamp], Option[Long])]
+        .collect().sortBy(_._3).toSeq
+      // 10-minute slices cut the 2h span into ~13; right rows land on
+      // slice boundaries at t=600*k, exercising the equal-ts-same-slice
+      // invariant
+      val split = AsofJoin.asofJoinSplit(left, right, "k", "ts", Seq("v"),
+          strict = strict, slice = "10 minutes")
+        .select($"k", $"ts", $"tag", $"asof_ts", $"v")
+        .as[(Long, Timestamp, String, Option[Timestamp], Option[Long])]
+        .collect().sortBy(_._3).toSeq
+      assert(split == base, s"strict=$strict diverged")
+    }
+  }
+
+  test("asofJoinSplit: left-only slices still receive carry-in from earlier slices") {
+    // right stops at t=100; left probes live thousands of seconds later,
+    // in slices with no right rows at all — each must still match t=100
+    val r = Seq((1L, ts(100), "last")).toDF("k", "ts", "v")
+    val l = Seq((1L, ts(5000), "far"), (1L, ts(9000), "farther"))
+      .toDF("k", "ts", "tag")
+    val got = AsofJoin.asofJoinSplit(l, r, "k", "ts", Seq("v"),
+        slice = "1 minute")
+      .select($"tag", $"v").as[(String, Option[String])].collect().toMap
+    assert(got == Map("far" -> Some("last"), "farther" -> Some("last")))
+  }
 }

@@ -250,6 +250,39 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> ((1L, "a b c")), 2L -> ((1L, ""))))
   }
 
+  test("minhashValidated: rows are the brute-force exact pair set, recall_ok pinned to 1") {
+    val v = Dedup.minhashValidated(docs, "text", "doc_id",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.7, recallFloor = 0.9)
+    val got = v.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sh = docs.select($"doc_id", TextShingles.charShingles($"text", 5).as("sh"))
+    val truth = sh.select($"doc_id".as("doc_a"), $"sh".as("sa"))
+      .crossJoin(sh.select($"doc_id".as("doc_b"), $"sh".as("sb")))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("j", size(array_intersect($"sa", $"sb")).cast("double") /
+        size(array_union($"sa", $"sb")).cast("double"))
+      .filter($"j" >= 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty && got == truth)
+    assert(v.select("recall_ok").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("validated near-dup gates flag green on the real corpus at their documented floors") {
+    val corpus = graft.Tables.documents(spark, sf)
+    val mh = Dedup.minhashValidated(corpus, "text", "doc_id")
+    val sh = Dedup.simhashValidated(corpus, "text", "doc_id")
+    assert(mh.count() > 0)
+    assert(mh.select("recall_ok").distinct().as[Int].collect().toSeq == Seq(1))
+    assert(sh.count() > 0)
+    assert(sh.select("recall_ok").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("withRecallFlag: empty exact set yields empty output (vacuous pass, no rows)") {
+    val corpus = graft.Tables.documents(spark, sf)
+    // impossible threshold -> exact side empty -> crossJoin of empty x 1
+    assert(Dedup.minhashValidated(corpus, "text", "doc_id",
+      threshold = 1.1).count() == 0)
+  }
+
   test("clusterPairs: throws instead of returning truncated labels at maxIters") {
     // a 9-node path: min label needs ~8 propagation hops, so maxIters = 2
     // cannot converge — the loop must fail loudly, not hand back labels

@@ -125,4 +125,28 @@ class SimilaritySpec extends SparkSpec {
       .map { case (l, d, n, m) => (l, d) -> ((n, m)) }.toMap
     assert(re == out)
   }
+
+  test("validated ANN gates: rows ARE bruteForceTopK, recall_ok pinned green") {
+    val p10 = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, p10, 10)
+      .collect().map(_.toSeq).toSet
+    val lshV = Similarity.lshTopKValidated(emb, p10, 10,
+      dim = 64, bits = 4, tables = 16, recallFloor = 0.8)
+    assert(lshV.drop("recall_ok").collect().map(_.toSeq).toSet == exact)
+    assert(lshV.select("recall_ok").distinct().as[Int].collect().toSeq == Seq(1))
+    val ivfV = Similarity.ivfTopKValidated(emb, p10, 10,
+      nCentroids = 16, nProbe = 4, recallFloor = 0.4)
+    assert(ivfV.drop("recall_ok").collect().map(_.toSeq).toSet == exact)
+    assert(ivfV.select("recall_ok").distinct().as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("embeddingNearDupsValidated: rows ARE the exact all-pairs cosine set, flag green") {
+    val v = Dedup.embeddingNearDupsValidated(emb, "vec_id", dim = 64,
+      threshold = 0.35, recallFloor = 0.1)
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", 0.35)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty)
+    assert(v.drop("recall_ok").collect().map(_.toSeq).toSet == exact)
+    assert(v.select("recall_ok").distinct().as[Int].collect().toSeq == Seq(1))
+  }
 }
