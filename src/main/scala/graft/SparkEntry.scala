@@ -410,6 +410,9 @@ object SparkEntry {
     "q115_promo_share" -> ((s, dir) =>
       Relational.promoRevenueShare(Tables.lineitem(s, dir),
         Tables.part(s, dir))),
+    // --- round-7 additions ---
+    "q116_corpus_prep_v2" -> ((s, dir) =>
+      Pipelines.corpusPrepV2(Tables.documents(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1819,5 +1822,70 @@ object SparkEntry {
         |                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
         |        / CAST(sum(rev) AS DOUBLE), 6) AS promo_share
         |FROM j GROUP BY month""".stripMargin,
+    // q116: q105's composition with the q108 passage stage spliced in
+    // between exact dedup and quality — the chunk CTEs are q108's (proven
+    // tokenization/strip parity), run over the deduped train docs; quality
+    // re-tokenizes the STRIPPED text; split/decontamination as in q105.
+    "q116_corpus_prep_v2" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
+        |d AS (
+        |  SELECT doc_id, lang, text,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM t),
+        |k AS (SELECT doc_id, lang, text FROM d WHERE rn = 1),
+        |tk AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks FROM k),
+        |c0 AS (
+        |  SELECT doc_id, lang, toks,
+        |    unnest(range((len(toks) + 19) // 20)) AS i
+        |  FROM tk),
+        |c AS (
+        |  SELECT doc_id, lang, CAST(i AS INTEGER) AS idx,
+        |    array_to_string(
+        |      toks[(CAST(i AS INTEGER)*20+1):(CAST(i AS INTEGER)*20+20)],
+        |      ' ') AS chunk
+        |  FROM c0),
+        |m AS (
+        |  SELECT doc_id, lang, idx, chunk,
+        |    count(*) OVER (PARTITION BY chunk) AS occ,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx),
+        |             '') AS text,
+        |    CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |  FROM m GROUP BY doc_id, lang),
+        |q AS (
+        |  SELECT doc_id, lang, text, n_dup_chunks,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         len(regexp_extract_all(text, '[^\w\s]')) /
+        |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+        |  FROM s),
+        |qq AS (SELECT doc_id, lang, text, n_tokens, n_dup_chunks FROM q
+        |       WHERE n_tokens >= 10 AND punct_ratio <= 0.2),
+        |tg AS (SELECT doc_id AS train_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |       FROM qq),
+        |bg AS (SELECT doc_id AS bench_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |       FROM documents WHERE doc_id % 10 = 7),
+        |flagged AS (
+        |  SELECT DISTINCT train_id FROM tg JOIN bg USING (gram)
+        |  GROUP BY train_id, bench_id HAVING count(*) >= 2),
+        |clean AS (
+        |  SELECT lang, n_tokens, n_dup_chunks,
+        |    CASE WHEN ((((doc_id % 1000003) * 2654435761) >> 16) % 100) < 80 THEN 'train'
+        |         WHEN ((((doc_id % 1000003) * 2654435761) >> 16) % 100) < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM qq WHERE doc_id NOT IN (SELECT train_id FROM flagged))
+        |SELECT lang, split, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_dup_chunks) AS BIGINT) AS dup_chunks
+        |FROM clean GROUP BY lang, split""".stripMargin,
   )
 }

@@ -536,23 +536,26 @@ object Dedup {
     * design).
     */
   def passageDedup(docs: DataFrame, textCol: String, idCol: String,
-      chunkTokens: Int = 20): DataFrame = {
+      chunkTokens: Int = 20, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = chunkTokens
+    // `carry` columns (functionally dependent on the id) ride the chunk
+    // rows and the final group — cheaper than a corpus-wide join-back for
+    // compositions that need the doc's metadata downstream (corpusPrepV2)
     // empty/whitespace-only docs tokenize to [] (split yields [""] — the
     // filter drops it), chunk to [], and vanish at the explode: a doc with
     // no passages has no passage-dedup row, in both engines
     val chunked = docs
-      .select(col(idCol),
-        filter(split(col(textCol), "\\s+"), t => t =!= lit("")).as("__toks"))
+      .select((col(idCol) +: carry.map(col) :+
+        filter(split(col(textCol), "\\s+"), t => t =!= lit("")).as("__toks")): _*)
       .withColumn("__nc",
         floor((size(col("__toks")) + lit(W - 1)) / lit(W)).cast("int"))
       .withColumn("__chunks", when(col("__nc") > 0,
           transform(sequence(lit(0), col("__nc") - 1),
             i => array_join(slice(col("__toks"), i * W + 1, lit(W)), " ")))
         .otherwise(array().cast("array<string>")))
-      .select(col(idCol), posexplode(col("__chunks")))
-      .toDF(idCol, "idx", "chunk")
+      .select((col(idCol) +: carry.map(col) :+ posexplode(col("__chunks"))): _*)
+      .toDF((idCol +: carry) ++ Seq("idx", "chunk"): _*)
       .withColumn("__h", xxhash64(col("chunk")))
     val byChunk = Window.partitionBy(col("__h"), col("chunk"))
     val marked = chunked
@@ -560,7 +563,7 @@ object Dedup {
       .withColumn("__rn",
         row_number().over(byChunk.orderBy(col(idCol), col("idx"))))
     marked
-      .groupBy(col(idCol))
+      .groupBy((col(idCol) +: carry.map(col)): _*)
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),

@@ -244,6 +244,63 @@ object Pipelines {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Q116: the q105 capstone with the passage-level stage (q108) composed
+    * in — the full modern prep pipeline: exact-dedup → passage-strip →
+    * quality → decontaminate → split, ONE plan, with in-plan
+    * observability ([[Observe]]) at the stage boundaries: ingest
+    * row/empty-text counts, dedup survivors, post-decontamination
+    * survivors — the numbers a 100 TB run is operated by, computed as
+    * accumulators on the same pass (read them from
+    * `queryExecution.observedMetrics` after the action; the streaming
+    * ingest equivalent surfaces per batch via
+    * [[graft.streaming.MetricsChannel]]).
+    *
+    * The passage stage dedups 20-token chunks CORPUS-WIDE across the
+    * already-exact-deduped train docs (first occurrence by (doc_id, idx)
+    * survives), re-tokenizes the STRIPPED text for quality scoring, and
+    * the final split aggregate also reports how many duplicated chunks
+    * each (lang, split) cell shed — boilerplate-shedding made visible in
+    * the corpus report.
+    */
+  def corpusPrepV2(docs: DataFrame, benchMod: Int = 10, benchRem: Int = 7,
+      chunkTokens: Int = 20, minTokens: Long = 10L,
+      maxPunctRatio: Double = 0.2, trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    val train = Observe.textIngest(
+      docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= benchRem),
+      "graft_prep_ingest", "text")
+    val bench = docs.filter(pmod(col("doc_id"), lit(benchMod)) === benchRem)
+    val deduped = Observe.survivors(
+      train.groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+          col("text")),
+      "graft_prep_dedup")
+    val stripped = Dedup
+      .passageDedup(deduped, "text", "doc_id", chunkTokens, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("text_stripped").as("text"),
+        col("n_dup_chunks"))
+    val quality = stripped
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).cast("double") /
+          greatest(length(col("text")).cast("double"), lit(1.0)))
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+    val clean = Observe.survivors(
+      Contamination.decontaminate(quality, bench, "text", "doc_id",
+        n = 4, minShared = 2),
+      "graft_prep_clean")
+    val bucket = hashBucket(col("doc_id"))
+    clean
+      .select(col("lang"), col("n_tokens"), col("n_dup_chunks"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_dup_chunks")).as("dup_chunks"))
+  }
+
   /** Q95: per-group z-score feature scaling — normalize a numeric column
     * against its group's mean and sample stddev, the standard pre-training
     * feature transform. Deliberately NOT a `Window.partitionBy(group)`:

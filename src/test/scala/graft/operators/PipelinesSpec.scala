@@ -321,4 +321,60 @@ class PipelinesSpec extends SparkSpec {
     assert(greedySignature.findFirstIn(refPlan).isDefined,
       "detector failed to flag the reference greedy plan")
   }
+
+  test("corpusPrepV2: observed metrics equal independently recomputed aggregates") {
+    val docs = Tables.documents(spark, sf)
+    val out = Pipelines.corpusPrepV2(docs)
+    val rows = out.collect() // one action computes output AND metrics
+    val m = out.queryExecution.observedMetrics
+    assert(m.keySet == Set("graft_prep_ingest", "graft_prep_dedup",
+      "graft_prep_clean"))
+    // ingest bundle vs direct recomputation on the same input slice
+    val train = docs.filter(pmod($"doc_id", lit(10)) =!= 7)
+    val ingest = m("graft_prep_ingest")
+    assert(ingest.getAs[Long]("n_rows") == train.count())
+    assert(ingest.getAs[Long]("n_empty_text") ==
+      train.filter($"text".isNull || length($"text") === 0).count())
+    assert(ingest.getAs[Long]("n_chars") ==
+      train.agg(sum(length($"text")).cast("long")).as[Long].head())
+    // dedup survivors = distinct texts in the train slice
+    assert(m("graft_prep_dedup").getAs[Long]("n_rows") ==
+      train.select($"text").distinct().count())
+    // post-decontamination survivors = the docs the (oracled) output
+    // itself aggregates — the two must describe the same population
+    val nDocsOut = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(m("graft_prep_clean").getAs[Long]("n_rows") == nDocsOut)
+  }
+
+  test("corpusPrepV2: one-plan composition equals the stage-by-stage operators") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Pipelines.corpusPrepV2(docs)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // stage-by-stage with the already-proven public operators, including
+    // the q108 passage stage between dedup and quality
+    val train = docs.filter(pmod($"doc_id", lit(10)) =!= 7)
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 7)
+    val deduped = train.groupBy($"text")
+      .agg(min(struct($"doc_id", $"lang")).as("k"))
+      .select($"k.doc_id".as("doc_id"), $"k.lang".as("lang"), $"text")
+    val stripped = Dedup
+      .passageDedup(deduped, "text", "doc_id", chunkTokens = 20)
+      .join(deduped.select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"text_stripped".as("text"), $"n_dup_chunks")
+    val quality = stripped
+      .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+      .withColumn("pr",
+        size(regexp_extract_all($"text", lit("[^\\w\\s]"), lit(0))).cast("double") /
+          greatest(length($"text").cast("double"), lit(1.0)))
+      .filter($"n_tokens" >= 10 && $"pr" <= 0.2)
+    val clean = Contamination.decontaminate(quality, bench, "text", "doc_id",
+      n = 4, minShared = 2)
+    val expect = clean
+      .join(Pipelines.trainSplit(clean.select($"doc_id"), "doc_id"), "doc_id")
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"),
+        sum($"n_dup_chunks").as("d"))
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }

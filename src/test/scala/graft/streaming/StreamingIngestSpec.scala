@@ -68,4 +68,41 @@ class StreamingIngestSpec extends SparkSpec {
     val streamPii = spark.table("ingest_pii_out").collect().map(_.toSeq).toSet
     assert(streamPii == batchPii)
   }
+
+  test("Observe.textIngest metrics surface per micro-batch via MetricsChannel") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val observed = graft.operators.Observe.textIngest(
+      in.toDF(), "stream_ingest_health", "text")
+    val ch = MetricsChannel.attach(spark)((_, _) => ())
+    val q = observed.writeStream.format("memory").queryName("ingest_obs_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(1L, "alpha beta"), Doc(2L, ""))
+      q.processAllAvailable()
+      in.addData(Doc(3L, "gamma"))
+      q.processAllAvailable()
+      // listener delivery is asynchronous — poll with a deadline until the
+      // captured bundles account for all 3 rows
+      val deadline = System.currentTimeMillis() + 30000
+      def mine = {
+        import scala.jdk.CollectionConverters._
+        ch.captured.asScala.toList
+          .filter(_._1 == q.id.toString)
+          .flatMap(_._3.get("stream_ingest_health"))
+      }
+      while (mine.map(_.getAs[Long]("n_rows")).sum < 3 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val rows = mine
+      // across batches the bundle totals must equal the ground truth of
+      // everything fed in: 3 rows, 1 empty text, 10+0+5 chars
+      assert(rows.map(_.getAs[Long]("n_rows")).sum == 3L,
+        s"captured: $rows")
+      assert(rows.map(_.getAs[Long]("n_empty_text")).sum == 1L)
+      assert(rows.map(_.getAs[Long]("n_chars")).sum == 15L)
+      // and no single batch saw them all (the bundle is genuinely
+      // per-batch, not cumulative)
+      assert(rows.size >= 2)
+    } finally { q.stop(); spark.streams.removeListener(ch) }
+  }
 }
