@@ -416,6 +416,26 @@ object SparkEntry {
     // --- round-7 additions ---
     "q116_corpus_prep_v2" -> ((s, dir) =>
       Pipelines.corpusPrepV2(Tables.documents(s, dir))),
+    // q117: the two "crawl versions" derive deterministically from the one
+    // documents table (old = ids outside the %10==3 slice; new = all ids,
+    // with %13==0 texts revised) so both engines see identical inputs.
+    "q117_corpus_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+      val oldV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val newV = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      Pipelines.corpusDiff(oldV, newV, "doc_id", "text", carry = Seq("lang"))
+        .groupBy(col("lang"), col("change"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens_old")).as("tokens_old"),
+          sum(col("n_tokens_new")).as("tokens_new"))
+    }),
+    "q118_mixture_plan" -> ((s, dir) =>
+      Pipelines.mixturePlan(Tables.documents(s, dir), "lang", "text",
+        targetWeights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1),
+        budgetTokens = 100000L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1890,5 +1910,53 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       CAST(sum(n_dup_chunks) AS BIGINT) AS dup_chunks
         |FROM clean GROUP BY lang, split""".stripMargin,
+    // q117: the version derivation mirrors the Spark side exactly; token
+    // counts via the proven \S+ == split-on-\s+ equivalence.
+    "q117_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' revised'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |n2 AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |  FROM n),
+        |j AS (
+        |  SELECT coalesce(n2.lang, o.lang) AS lang,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n2.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n2.text THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    coalesce(o.toks, 0) AS toks_old,
+        |    coalesce(n2.toks, 0) AS toks_new
+        |  FROM o FULL OUTER JOIN n2 ON o.doc_id = n2.doc_id)
+        |SELECT lang, change, count(*) AS n_docs,
+        |       CAST(sum(toks_old) AS BIGINT) AS tokens_old,
+        |       CAST(sum(toks_new) AS BIGINT) AS tokens_new
+        |FROM j GROUP BY lang, change""".stripMargin,
+    "q118_mixture_plan" ->
+      """WITH t AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS tokens_available
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT *, CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+        |                      WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
+        |                      ELSE 0.0 END AS wt
+        |  FROM t)
+        |SELECT lang, n_docs, tokens_available,
+        |  CAST(floor(wt * 100000.0) AS BIGINT) AS target_tokens,
+        |  least(tokens_available, CAST(floor(wt * 100000.0) AS BIGINT))
+        |    AS planned_tokens,
+        |  round(least(tokens_available, CAST(floor(wt * 100000.0) AS BIGINT))
+        |        / greatest(CAST(tokens_available AS DOUBLE), 1.0), 6)
+        |    AS keep_rate
+        |FROM w""".stripMargin,
   )
 }

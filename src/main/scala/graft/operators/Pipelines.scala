@@ -301,6 +301,74 @@ object Pipelines {
         sum(col("n_dup_chunks")).as("dup_chunks"))
   }
 
+  /** Q117: corpus snapshot diff — classify every document across two
+    * corpus versions as added / removed / changed / unchanged: the
+    * between-crawls bookkeeping every refreshed training corpus needs
+    * (what moved, and how many tokens it cost) before re-running the
+    * expensive dedup/quality stages on the delta only.
+    *
+    * Shape at scale: ONE full-outer join on the id — each side projects
+    * (id, xxhash64(text), token count, carry) first, so the join
+    * compares 8-byte content hashes, never shuffles or compares full
+    * texts, and the join's equality is the only data-sized work. Carry
+    * columns resolve new-side-first (added/changed rows have no old
+    * version; removed rows fall back to the old side's values).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, carry: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select((col(idCol).as(s"id_$tag") +:
+        xxhash64(col(textCol)).as(s"h_$tag") +:
+        TextAnalysis.tokenCount(col(textCol)).as(s"tokens_$tag") +:
+        carry.map(c => col(c).as(s"${c}_$tag"))): _*)
+    val o = side(oldDocs, "old")
+    val n = side(newDocs, "new")
+    o.join(n, col("id_old") === col("id_new"), "full_outer")
+      .select(
+        (coalesce(col("id_new"), col("id_old")).as(idCol) +:
+          when(col("id_old").isNull, "added")
+            .when(col("id_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("change") +:
+          coalesce(col("tokens_old"), lit(0L)).as("n_tokens_old") +:
+          coalesce(col("tokens_new"), lit(0L)).as("n_tokens_new") +:
+          carry.map(c =>
+            coalesce(col(s"${c}_new"), col(s"${c}_old")).as(c))): _*)
+  }
+
+  /** Q118: data-mixture plan — the "solver" step of corpus mixing: given
+    * per-language target weights and a total token budget, report what
+    * each language can contribute (`tokens_available`), what the mixture
+    * asks of it (`target_tokens` = weight × budget), the resulting
+    * deterministic keep rate (to feed [[stratifiedSample]] /
+    * [[tokenBudgetSelect]]), and the planned tokens (capped by
+    * availability — an under-resourced language contributes everything
+    * it has; re-normalizing the shortfall across other languages is a
+    * POLICY choice left to the caller, not silently applied).
+    *
+    * One aggregation over the corpus (map-side partial sums of token
+    * counts), then languages-sized arithmetic — the plan is a
+    * #languages-row table, computable at any corpus size.
+    */
+  def mixturePlan(docs: DataFrame, langCol: String, textCol: String,
+      targetWeights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    val weight = targetWeights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (l, w)) =>
+        when(col(langCol) === l, lit(w)).otherwise(acc)
+      }
+    docs
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("tokens_available"))
+      .withColumn("target_tokens",
+        floor(weight * lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("planned_tokens",
+        least(col("tokens_available"), col("target_tokens")))
+      .withColumn("keep_rate",
+        round(col("planned_tokens").cast("double") /
+          greatest(col("tokens_available").cast("double"), lit(1.0)), 6))
+  }
+
   /** Q95: per-group z-score feature scaling — normalize a numeric column
     * against its group's mean and sample stddev, the standard pre-training
     * feature transform. Deliberately NOT a `Window.partitionBy(group)`:

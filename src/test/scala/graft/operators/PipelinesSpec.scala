@@ -346,6 +346,48 @@ class PipelinesSpec extends SparkSpec {
     assert(m("graft_prep_clean").getAs[Long]("n_rows") == nDocsOut)
   }
 
+  test("corpusDiff: classification matrix on crafted versions; carry resolves new-first") {
+    val oldV = Seq(
+      (1L, "same text here", "en"),
+      (2L, "old words gone soon", "de"),   // removed
+      (3L, "before edit", "fr"),           // changed
+    ).toDF("doc_id", "text", "lang")
+    val newV = Seq(
+      (1L, "same text here", "en"),
+      (3L, "after the edit landed", "xx"), // changed; carry must say xx
+      (4L, "brand new doc", "es"),         // added
+    ).toDF("doc_id", "text", "lang")
+    val got = Pipelines.corpusDiff(oldV, newV, "doc_id", "text", Seq("lang"))
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> (("unchanged", 3L, 3L, "en")),
+      2L -> (("removed", 4L, 0L, "de")),
+      3L -> (("changed", 2L, 4L, "xx")),
+      4L -> (("added", 0L, 3L, "es"))))
+  }
+
+  test("mixturePlan: budget split by weight, capped by availability, zero for unknown langs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en"),   // 10 tokens
+      (2L, "a b c", "de"),                 // 3 tokens
+      (3L, "a b", "zz"),                   // lang not in weights
+    ).toDF("doc_id", "text", "lang")
+    val got = Pipelines.mixturePlan(docs, "lang", "text",
+        Map("en" -> 0.5, "de" -> 0.5), budgetTokens = 8L)
+      .select($"lang", $"tokens_available", $"target_tokens",
+        $"planned_tokens", $"keep_rate")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // en: 10 available, target 4, planned 4, rate 0.4
+    // de: 3 available, target 4 -> capped at 3, rate 1.0
+    // zz: weight 0 -> target 0, planned 0, rate 0
+    assert(got == Map(
+      "en" -> ((10L, 4L, 4L, 0.4)),
+      "de" -> ((3L, 4L, 3L, 1.0)),
+      "zz" -> ((2L, 0L, 0L, 0.0))))
+  }
+
   test("corpusPrepV2: one-plan composition equals the stage-by-stage operators") {
     val docs = graft.Tables.documents(spark, sf)
     val got = Pipelines.corpusPrepV2(docs)
