@@ -230,7 +230,7 @@ object Dedup {
     val prefix = posting.join(freq, Seq("blk", "gram"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("blk"), col("gram"), col("id"), col("n"))
+      .select(col("blk"), col("gram"), col("id"), col("n"), col("r"))
     // size filter (PPJoin's second pruning axis): jaccard(A,B) >= t forces
     // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
     // min >= t·max is NECESSARY — candidates that fail it are killed at
@@ -241,13 +241,28 @@ object Dedup {
     // candidate set near the true pair count. Float slack only ever KEEPS
     // a borderline pair (t·max rounds down), never drops one — exactness
     // is untouched, the verify step still decides.
+    // positional filter (PPJoin's third pruning axis): grams are ranked
+    // in ONE global order per block, so for a common gram at rank ra in A
+    // and rb in B, the overlap is at most 1 + min(|A|−ra, |B|−rb) — and
+    // jaccard ≥ t needs overlap ≥ t(|A|+|B|)/(1+t). The bound is valid at
+    // the pair's FIRST common prefix gram (no common grams can precede
+    // it), and filter-then-distinct keeps a pair if ANY of its matching
+    // rows passes — the first-match row of every true pair does, so no
+    // true pair is lost; later-match rows over-prune only themselves.
+    // The 1e-9 slack keeps double rounding of t(na+nb)/(1+t) from ever
+    // shaving an exact-boundary integer overlap.
+    val req = lit(threshold / (1.0 + threshold))
     val pairs = prefix
-      .select(col("blk"), col("gram"), col("id").as("doc_a"), col("n").as("__na"))
+      .select(col("blk"), col("gram"), col("id").as("doc_a"),
+        col("n").as("__na"), col("r").as("__ra"))
       .join(prefix.select(col("blk"), col("gram"), col("id").as("doc_b"),
-        col("n").as("__nb")), Seq("blk", "gram"))
+        col("n").as("__nb"), col("r").as("__rb")), Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")))
+      .filter(lit(1.0) +
+        least(col("__na") - col("__ra"), col("__nb") - col("__rb")).cast("double") >=
+        req * (col("__na") + col("__nb")).cast("double") - lit(1e-9))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     pairs
