@@ -436,6 +436,18 @@ object SparkEntry {
       Pipelines.mixturePlan(Tables.documents(s, dir), "lang", "text",
         targetWeights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1),
         budgetTokens = 100000L)),
+    "q119_bpe_encode" -> ((s, dir) =>
+      BpeTrain.bpeTokenStats(Tables.documents(s, dir), "text", "doc_id")),
+    "q120_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup k-means-cell blocking at the q18 operating point
+      // (threshold 0.35 on near-orthogonal synthetic embeddings).
+      // Measured recall of the nAssign=4 assignment vs the exact
+      // all-pairs set: 0.963 sf0.01 / 0.954 sf0.1 — floor 0.9. The
+      // DuckDB-oracled output is the exact pair set (precision 1.0:
+      // every emitted pair is exact-verified); recall_ok is the
+      // in-band gate the oracle pins to 1.
+      Dedup.semanticDedupValidated(Tables.embeddings(s, dir), "vec_id",
+        threshold = 0.35, nCells = 16, nAssign = 4, recallFloor = 0.9)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1958,5 +1970,53 @@ object SparkEntry {
         |        / greatest(CAST(tokens_available AS DOUBLE), 1.0), 6)
         |    AS keep_rate
         |FROM w""".stripMargin,
+    // q120 (validated, q18 pattern): the exact cosine pair set is the
+    // oracled output; recall_ok pins the k-means-cell SemDeDup blocking
+    // at its measured operating point (0.963 sf0.01 / 0.954 sf0.1).
+    "q120_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT id_a, id_b, round(s, 6) AS sim, 1 AS recall_ok FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE s >= 0.35""".stripMargin,
+    // q119: greedy left-to-right BPE merging is exactly non-overlapping
+    // string replace on a delimited symbol string — each symbol is wrapped
+    // chr(31)<sym>chr(30) so adjacent pairs share no delimiter character
+    // (a bare-space join would under-merge "a a a a": the consumed
+    // trailing space is shared between adjacent pairs) and a merge
+    // pattern can never match a suffix of a longer symbol. The replace
+    // chain is GENERATED from BpeTrain.DefaultMerges so the two engines
+    // cannot drift. Token count = number of chr(31) markers left.
+    "q119_bpe_encode" -> bpeEncodeOracleSql,
   )
+
+  private def bpeEncodeOracleSql: String = {
+    def wrap(s: String) = s"chr(31)||'$s'||chr(30)"
+    val merged = BpeTrain.DefaultMerges.foldLeft("s0") { case (e, (l, r)) =>
+      s"replace($e, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)})"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(
+       |      replace(replace(text, chr(31), ''), chr(30), ''), '\\S+')) AS word
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      regexp_split_to_array(word, ''), c -> chr(31)||c||chr(30)), '')
+       |      AS s0
+       |  FROM w),
+       |m AS (SELECT doc_id, $merged AS sm FROM s),
+       |t AS (
+       |  SELECT doc_id, count(*) AS ws,
+       |         CAST(sum(len(sm) - len(replace(sm, chr(31), ''))) AS BIGINT)
+       |           AS bpe
+       |  FROM m GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(t.ws, 0) AS BIGINT) AS ws_tokens,
+       |       CAST(coalesce(t.bpe, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin
+  }
 }

@@ -118,6 +118,56 @@ object BpeTrain {
       .toDF("merge_rank", "left", "right", "pair_freq")
   }
 
+  /** A small fixed English-ish merge table for [[bpeTokenStats]] — the
+    * "given tokenizer" case: encoding with a vocabulary trained elsewhere
+    * (the normal production split: train once, encode everywhere). Order
+    * matters — later merges build on earlier ones ((t,h) then (th,e)
+    * turns "the" into one token).
+    */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r")
+
+  /** Encode one word (symbol array) under an ordered merge list: the fold
+    * of [[applyMerge]] over the merges, greedy left-to-right within each
+    * merge round — the standard BPE encode for a rank-ordered vocab.
+    */
+  private[operators] def encodeSymbols(symbols: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(symbols) { case (s, (l, r)) => applyMerge(s, l, r) }
+
+  /** Q119: per-document token statistics under a FIXED merge vocabulary —
+    * the encode side of the BPE loop (q111 trains; this applies). For a
+    * training pipeline this is THE token counter: budget selection
+    * (q110), packing (q102) and mixture planning (q118) all want tokens
+    * under the real tokenizer, not whitespace counts.
+    *
+    * Scale design: pure per-row column expressions (split → per-word
+    * encode fold → sum), no shuffle at all before the caller's
+    * aggregation — a map-only kernel over the corpus scan, exactly like
+    * the q13 token counter. The merge list is a plan literal (it IS the
+    * tokenizer), so everything stays in whole-stage codegen.
+    *
+    * U+001F/U+001E are stripped from the text first: they delimit symbols
+    * in the engine-portable pair encoding (see [[wordTable]]), so they
+    * cannot be allowed to appear inside a symbol.
+    */
+  def bpeTokenStats(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val words = filter(
+      split(translate(coalesce(col(textCol), lit("")), "\u001F\u001E", ""),
+        "\\s+"),
+      w => w =!= "")
+    val chars = (w: Column) => filter(split(w, ""), s => s =!= lit(""))
+    val tokensPerWord =
+      transform(words, w => size(encodeSymbols(chars(w), merges)).cast("long"))
+    docs.select(
+      col(idCol),
+      size(words).cast("long").as("ws_tokens"),
+      aggregate(tokensPerWord, lit(0L), (acc, x) => acc + x)
+        .as("bpe_tokens"))
+  }
+
   /** Q111: single-round merge-candidate statistics — the first BPE
     * iteration's pair table, top-k by (count DESC, pair ASC). SQL-
     * expressible (unlike the iterative trainer, whose later rounds depend

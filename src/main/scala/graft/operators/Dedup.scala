@@ -387,6 +387,70 @@ object Dedup {
         .select(col("id_a"), col("id_b")),
       Seq("id_a", "id_b"), recallFloor)
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): K-MEANS CELLS as the blocking key — cluster the
+    * embedding space with a sample-trained coarse quantizer (the q32 IVF
+    * machinery), assign every vector to its `nAssign` nearest cells
+    * (overlapping assignment buys recall the same way the LSH families
+    * buy it with OR-amplification), and exact-cosine-verify only within a
+    * shared cell. Complements [[embeddingNearDups]]: hyperplane LSH
+    * blocks on random directions; SemDeDup blocks on the DATA's own
+    * cluster structure, which is what you want when duplicates
+    * concentrate in dense regions (web-crawl template families).
+    *
+    * Scale shape is the IVF one: the corpus shuffles once by cell id
+    * (centroids are plan literals, assignment is codegen'd), pairs are
+    * verified only inside a cell — never all-pairs. Cell population at
+    * 100 TB is controlled by `nCells` (≈ corpus/√corpus-sized cells for
+    * balanced work); precision is 1.0 because every emitted pair carries
+    * the exact cosine.
+    */
+  def semanticNearDups(emb: DataFrame, idCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, nAssign: Int = 2,
+      sampleSize: Int = 2048): DataFrame = {
+    // bounded, deterministic, hash-ordered sample (the q32 pattern: no
+    // full sort, unbiased on clustered inputs) → driver-side Lloyd
+    val sample = emb
+      .select(toDoubleArray(col("embedding")).as("v"),
+        xxhash64(col(idCol)).as("r"))
+      .orderBy(col("r")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = KMeansLite.fit(sample, nCells, iters = 10, seed = 42L)
+    def cellScores(v: Column): Column =
+      array(centroids.indices.map { i =>
+        struct(dot(v, typedLit(centroids(i))).as("s"), lit(i).as("cell"))
+      }: _*)
+    def topCells(v: Column, n: Int): Column =
+      transform(slice(reverse(array_sort(cellScores(v))), 1, n),
+        s => s.getField("cell"))
+    val assigned = emb
+      .select(col(idCol).as("id"), col("embedding").as("v"))
+      .select(col("id"), col("v"),
+        explode(topCells(col("v"), nAssign)).as("cell"))
+    assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(assigned.select(col("cell"), col("id").as("id_b"),
+        col("v").as("v_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
+  /** Q120 (validated, q18 pattern): the exact cosine pair set with
+    * `recall_ok` pinning [[semanticNearDups]] at its measured operating
+    * point — the DuckDB oracle recomputes every exact column and pins the
+    * flag to 1.
+    */
+  def semanticDedupValidated(emb: DataFrame, idCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, nAssign: Int = 2,
+      recallFloor: Double = 0.5): DataFrame =
+    withRecallFlag(
+      embeddingPairsExact(emb, idCol, threshold),
+      semanticNearDups(emb, idCol, threshold, nCells, nAssign)
+        .select(col("id_a"), col("id_b")),
+      Seq("id_a", "id_b"), recallFloor)
+
   /** Q89: character-level fuzzy pairs — the textbook two-stage fuzzy
     * join: cheap token-set CANDIDATE generation ([[ngramJaccardPairs]] at
     * a permissive floor — exact for its own predicate, prefix-filtered,

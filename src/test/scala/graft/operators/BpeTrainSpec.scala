@@ -83,4 +83,56 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == Seq(("ab", 3L, 1), ("cd", 3L, 2),
       ("ba", 1L, 3), ("dc", 1L, 4), ("xy", 1L, 5)))
   }
+
+  // local reference encode: the same greedy left-to-right fold, per word
+  private def refEncode(text: String,
+      merges: Seq[(String, String)]): (Long, Long) = {
+    val words = Option(text).getOrElse("")
+      .replaceAll("[\\u001F\\u001E]", "")
+      .split("\\s+").filter(_.nonEmpty)
+    val bpe = words.map { w =>
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) {
+        case (syms, (l, r)) => applyMergeLocal(syms, l, r)
+      }.length.toLong
+    }.sum
+    (words.length.toLong, bpe)
+  }
+
+  test("bpeTokenStats: hand-checkable corpus under the default merges") {
+    // "the then in": t+h->th, th+e->the (one token); "then"->the,n (2);
+    // "in" -> i+n->in (1); "aaaa": (a,a) not in DefaultMerges -> 4 chars
+    val docs = Seq((1L, "the then in"), (2L, "aaaa"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = BpeTrain.bpeTokenStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 3L, 4L), (2L, 1L, 4L), (3L, 0L, 0L),
+      (4L, 0L, 0L)))
+  }
+
+  test("bpeTokenStats equals the local reference encode on real documents") {
+    val real = graft.Tables.documents(spark, sf)
+    val texts = real.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    val got = BpeTrain.bpeTokenStats(real, "text", "doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == texts.size)
+    got.foreach { case (id, ws, bpe) =>
+      val (rw, rb) = refEncode(texts(id), BpeTrain.DefaultMerges)
+      assert((ws, bpe) == ((rw, rb)), s"doc $id: got ($ws,$bpe) want ($rw,$rb)")
+    }
+  }
+
+  test("bpeTokenStats: ordered merges compose (later merges see earlier output)") {
+    // (t,h) then (th,e): "the" is 1 token only because merge 2 builds on
+    // merge 1's output — under the reversed order it stays 2 tokens
+    val docs = Seq((1L, "the")).toDF("doc_id", "text")
+    val fwd = BpeTrain.bpeTokenStats(docs, "text", "doc_id",
+      merges = Seq("t" -> "h", "th" -> "e"))
+      .as[(Long, Long, Long)].collect().head
+    val rev = BpeTrain.bpeTokenStats(docs, "text", "doc_id",
+      merges = Seq("th" -> "e", "t" -> "h"))
+      .as[(Long, Long, Long)].collect().head
+    assert(fwd == ((1L, 1L, 1L)), s"got $fwd")
+    assert(rev == ((1L, 1L, 2L)), s"got $rev")
+  }
 }

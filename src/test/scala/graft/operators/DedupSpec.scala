@@ -144,6 +144,52 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall; missed ${truth -- lsh}")
   }
 
+  test("semanticNearDups: k-means-cell blocking finds perturbed near-dups") {
+    // same construction as the LSH recall test: pairs at cos ≈ 0.95–0.99.
+    // Near-dup pairs are ~colinear, so they share a nearest cell under ANY
+    // centroid set — recall should be ~1 with overlapping assignment.
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val v = unit()
+      val g0 = unit()
+      val proj = g0.zip(v).map { case (x, y) => x * y }.sum
+      val orth = g0.zip(v).map { case (x, y) => x - proj * y }
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      val eps = 0.15 + 0.17 * rnd.nextDouble()
+      val w = v.zip(orth).map { case (x, y) => x + eps * y / on }
+      Seq((i.toLong * 2, v.map(_.toFloat)), (i.toLong * 2 + 1, w.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Dedup.embeddingPairsExact(df, "vec_id", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 40, s"construction sanity: only ${truth.size} true pairs")
+    val got = Dedup.semanticNearDups(df, "vec_id", threshold = 0.95,
+      nCells = 8, nAssign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), s"sub-threshold pairs emitted: ${got -- truth}")
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall; missed ${truth -- got}")
+  }
+
+  test("semanticDedupValidated pins recall_ok=1 at the q120 operating point") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val out = Dedup.semanticDedupValidated(emb, "vec_id", threshold = 0.35,
+      nCells = 16, nAssign = 4, recallFloor = 0.9)
+    val flags = out.select("recall_ok").distinct().as[Int].collect().toSet
+    assert(flags == Set(1), s"recall below floor: flags=$flags")
+    // output IS the exact pair set (precision 1.0 by construction)
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exact)
+  }
+
   test("native SimHashExpr is bit-identical to the HOF formulation") {
     val docs01 = graft.Tables.documents(spark, sf).limit(200)
     val native = docs01.select($"doc_id", Dedup.simhash($"text").as("fp"))
