@@ -448,6 +448,22 @@ object SparkEntry {
       // in-band gate the oracle pins to 1.
       Dedup.semanticDedupValidated(Tables.embeddings(s, dir), "vec_id",
         threshold = 0.35, nCells = 16, nAssign = 4, recallFloor = 0.9)),
+    "q121_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), "text", "doc_id")),
+    "q122_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val even = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val odd = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      // same split as q48; floor 0.95 vs fpp=0.01 (measured loss ~fpp)
+      Dedup.bloomDedupValidated(even, odd, "text", "doc_id",
+        Seq("lang", "n_chars"), expectedCorpusDocs = 100000L)
+    }),
+    "q123_cheapest_supplier" -> ((s, dir) =>
+      Relational.cheapestRegionalSupplier(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "q124_part_concentration" -> ((s, dir) =>
+      Relational.partValueConcentration(Tables.lineitem(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1981,6 +1997,102 @@ object SparkEntry {
         |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE s >= 0.35""".stripMargin,
+    // q123 (TPC-H Q2 shape): correlated min decorrelated explicitly —
+    // per-(part,supplier) min unit price, per-part min, equality join
+    // back, ties kept.
+    "q123_cheapest_supplier" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |costs AS (
+        |  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.n_name,
+        |         min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+        |  JOIN sup s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |m AS (
+        |  SELECT p_partkey, min(unit_cost) AS min_cost
+        |  FROM costs GROUP BY 1)
+        |SELECT c.p_partkey, c.p_name, c.s_name, c.n_name, c.unit_cost
+        |FROM costs c JOIN m ON c.p_partkey = m.p_partkey
+        |WHERE c.unit_cost = m.min_cost""".stripMargin,
+    // q124 (TPC-H Q11 shape): global-scalar HAVING — the comparison runs
+    // in exact decimal (pv*n > 1.2*total) so no engine's summation order
+    // can flip a borderline part; only display columns drop to double.
+    "q124_part_concentration" ->
+      """WITH t AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |        AS DECIMAL(18,6))) AS pv
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(pv) AS tot, count(*) AS n FROM t)
+        |SELECT l_partkey AS p_partkey,
+        |  round(CAST(pv AS DOUBLE), 4) AS part_value,
+        |  round(CAST(pv AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS value_share
+        |FROM t, g
+        |WHERE pv * n > CAST(1.2 AS DECIMAL(6,4)) * tot""".stripMargin,
+    // q122 (validated, q48 semantics): the oracled rows are the EXACT
+    // new-doc set; recall_ok pins the zero-shuffle bloom gate's
+    // false-positive loss under its 0.95 floor (fpp = 0.01).
+    "q122_bloom_dedup" ->
+      """SELECT b.doc_id AS doc_id, b.lang AS lang, b.n_chars AS n_chars,
+        |       1 AS recall_ok
+        |FROM documents b
+        |WHERE b.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 2 = 0 AND c.text = b.text)""".stripMargin,
+    // q121: the repetition counters recomputed with DuckDB list functions
+    // (list_transform over generate_series builds the n-grams in place, no
+    // unnest for the distinct counts) + one unnest/groupBy pass for the
+    // duplicate-token character coverage — the shuffling formulation the
+    // Spark side deliberately avoids (RepetitionStatsExpr is map-only).
+    "q121_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, len(toks) AS n_toks,
+        |    list_transform(generate_series(1, len(toks)-1),
+        |      i -> toks[i]||' '||toks[i+1]) AS g2,
+        |    list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS g3
+        |  FROM t),
+        |occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+        |chars AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c * len(tok)) AS BIGINT) AS chars_total,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c * len(tok) ELSE 0 END) AS BIGINT)
+        |      AS chars_dup_tok
+        |  FROM cnt GROUP BY 1),
+        |m AS (
+        |  SELECT g.doc_id,
+        |    CAST(g.n_toks AS BIGINT) AS n_toks,
+        |    CAST(len(g.g2) AS BIGINT) AS total_2grams,
+        |    CAST(len(list_distinct(g.g2)) AS BIGINT) AS distinct_2grams,
+        |    CAST(len(g.g3) AS BIGINT) AS total_3grams,
+        |    CAST(len(list_distinct(g.g3)) AS BIGINT) AS distinct_3grams,
+        |    coalesce(c.chars_total, 0) AS chars_total,
+        |    coalesce(c.chars_dup_tok, 0) AS chars_dup_tok,
+        |    1.0 - len(list_distinct(g.g2))
+        |      / greatest(CAST(len(g.g2) AS DOUBLE), 1.0) AS f2,
+        |    1.0 - len(list_distinct(g.g3))
+        |      / greatest(CAST(len(g.g3) AS DOUBLE), 1.0) AS f3,
+        |    coalesce(c.chars_dup_tok, 0)
+        |      / greatest(CAST(coalesce(c.chars_total, 0) AS DOUBLE), 1.0) AS fc
+        |  FROM g LEFT JOIN chars c ON g.doc_id = c.doc_id)
+        |SELECT doc_id, n_toks, total_2grams, distinct_2grams, total_3grams,
+        |  distinct_3grams, chars_total, chars_dup_tok,
+        |  round(f2, 6) AS dup_2gram_frac,
+        |  round(f3, 6) AS dup_3gram_frac,
+        |  round(fc, 6) AS dup_tok_char_frac,
+        |  CAST(f2 <= 0.30 AND f3 <= 0.20 AND fc <= 0.60 AS INT) AS keep
+        |FROM m""".stripMargin,
     // q119: greedy left-to-right BPE merging is exactly non-overlapping
     // string replace on a delimited symbol string — each symbol is wrapped
     // chr(31)<sym>chr(30) so adjacent pairs share no delimiter character

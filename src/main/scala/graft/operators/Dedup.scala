@@ -451,6 +451,57 @@ object Dedup {
         .select(col("id_a"), col("id_b")),
       Seq("id_a", "id_b"), recallFloor)
 
+  /** Bloom-ANTI ingest gate: the "definitely new" docs of an arriving
+    * batch — the ZERO-SHUFFLE approximate counterpart to
+    * [[incrementalExact]]'s anti-join. The indexed corpus collapses to one
+    * fixed-size bloom filter over `xxhash64(text)` (a distributed
+    * aggregate; only the bit array reaches the driver), the filter
+    * broadcasts, and the batch is gated by a map-only
+    * `!mightContain(hash)` — the batch never shuffles AT ALL, and the
+    * corpus never re-scans per batch once the filter is built.
+    *
+    * Error model: no false negatives (an already-seen text always hits
+    * the filter and is dropped), so every emitted doc is genuinely new;
+    * false positives (rate `fpp`, plus the negligible xxhash64 collision
+    * mass) drop a bounded fraction of genuinely-new docs. That trade —
+    * lose ~fpp of new docs, never re-admit a duplicate, touch nothing but
+    * the batch scan — is the standard every-crawl-batch gate at 100 TB,
+    * where q48's anti-join would shuffle each batch against the corpus
+    * index. Use [[incrementalExact]] when exact recall is required.
+    */
+  def bloomNewDocs(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, carry: Seq[String],
+      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val bloom = corpus
+      .select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedCorpusDocs, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    batch
+      .select((idCol +: carry :+ textCol).map(col): _*)
+      .filter(!mightContain(xxhash64(col(textCol))))
+      .select((idCol +: carry).map(col): _*)
+  }
+
+  /** Q122 (validated, q10/q120 pattern): the EXACT new-doc set (q48
+    * semantics) with `recall_ok` pinning [[bloomNewDocs]]'s retrieval —
+    * the bloom-kept set is a subset of the exact set by the no-false-
+    * negative property, so the flag measures pure false-positive loss
+    * against the `1 - fpp`-derived floor.
+    */
+  def bloomDedupValidated(
+      corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, carry: Seq[String],
+      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01,
+      recallFloor: Double = 0.95): DataFrame =
+    withRecallFlag(
+      incrementalExact(corpus, batch, textCol, idCol, carry),
+      bloomNewDocs(corpus, batch, textCol, idCol, carry,
+        expectedCorpusDocs, fpp).select(col(idCol)),
+      Seq(idCol), recallFloor)
+
   /** Q89: character-level fuzzy pairs — the textbook two-stage fuzzy
     * join: cheap token-set CANDIDATE generation ([[ngramJaccardPairs]] at
     * a permissive floor — exact for its own predicate, prefix-filtered,

@@ -147,6 +147,74 @@ object Relational {
         round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
   }
 
+  /** Q123: TPC-H Q2 shape — the CORRELATED-MIN join: for each part of a
+    * type, every regional supplier achieving that part's minimum unit
+    * price (ties kept, as Q2 keeps them). Catalyst decorrelates this
+    * shape into exactly what is written here explicitly: per-(part,
+    * supplier) costs, a per-part min over the SAME aggregate (one reused
+    * exchange — both aggregations shuffle on `l_partkey`), and an equality
+    * join back. Selective dimensions apply BEFORE the aggregation: region
+    * prunes the supplier side through broadcast nation⋈region (25+5 rows
+    * always), the part-type filter prunes lineitem through the part join —
+    * at 100 TB the aggregation only ever sees qualifying rows. No
+    * driver-side anything; part is joined, not broadcast (SF-proportional).
+    */
+  def cheapestRegionalSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "EUROPE", partType: String = "LARGE"): DataFrame = {
+    val sup = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val costs = lineitem
+      .join(part.filter(col("p_type") === partType)
+        .select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6))
+        .as("unit_cost"))
+    val minCost = costs.groupBy(col("p_partkey").as("__pk"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    costs
+      .join(minCost, col("p_partkey") === col("__pk"))
+      .filter(col("unit_cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("unit_cost"))
+  }
+
+  /** Q124: TPC-H Q11 shape — groups filtered by a GLOBAL-SCALAR
+    * subquery: parts whose revenue exceeds `factor`× the mean per-part
+    * revenue. The scalar lands as a broadcast of one row onto the
+    * per-part aggregate (Catalyst plans the SQL subquery form the same
+    * way); the threshold is RELATIVE (×mean, not an absolute share), so
+    * the predicate's selectivity is scale-free — the query returns the
+    * heavy tail at any SF instead of going empty or corpus-sized.
+    * Exchange reuse: the per-part aggregate materializes once and feeds
+    * both the scalar and the filter.
+    */
+  def partValueConcentration(lineitem: DataFrame,
+      factor: Double = 1.2): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // stay in DECIMAL through the comparison: distributed double sums are
+    // summation-order-dependent, decimal sums are exact — the threshold
+    // compare (pv·n > factor·total) is engine-identical rational
+    // arithmetic, and only the display columns drop to double
+    val totals = lineitem.groupBy(col("l_partkey"))
+      .agg(decSum(rev).as("pv"))
+    val global = totals.agg(
+      sum(col("pv")).as("__tot"), count(lit(1)).as("__n"))
+    totals.crossJoin(broadcast(global))
+      .filter(col("pv") * col("__n") >
+        lit(factor).cast("decimal(6,4)") * col("__tot"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("pv").cast("double"), 4).as("part_value"),
+        round(col("pv").cast("double") / col("__tot").cast("double"), 6)
+          .as("value_share"))
+  }
+
   /** Star-schema revenue rollup: orders ⋈ customer ⋈ nation ⋈ region — the
     * dimension tables are tiny and broadcast (verified in PlanSpec), so the
     * only shuffle is the final aggregation.

@@ -464,4 +464,56 @@ object TextAnalysis {
       .select(col("token"), col("df"),
         array_join(col("postings"), ",").as("postings_csv"))
   }
+
+  /** Q121: Gopher-style intra-document repetition COVERAGE signals — the
+    * duplicate-n-gram family (Rae et al. 2021 §A1.1) that complements the
+    * q46 concentration rules: how much of a document consists of material
+    * repeated elsewhere IN the same document (boilerplate loops, template
+    * spam, copy-paste padding).
+    *
+    *   dup_2gram_frac      1 - distinct_2grams / total_2grams
+    *   dup_3gram_frac      1 - distinct_3grams / total_3grams
+    *   dup_tok_char_frac   chars in tokens occurring >=2x / total chars
+    *
+    * keep = every fraction at-or-under its threshold. All seven counters
+    * come from ONE native map-only pass
+    * ([[graft.functions.RepetitionStatsExpr]]) — at 100 TB this rides the
+    * corpus scan with zero shuffle, where the explode+groupBy(doc, ngram)
+    * formulation (spec/oracle cross-check only) shuffles every n-gram.
+    * Tokenization is raw `\S+` (no normalization): repetition is a
+    * structural property of the document as written.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String,
+      max2gramFrac: Double = 0.30, max3gramFrac: Double = 0.20,
+      maxDupCharFrac: Double = 0.60): DataFrame = {
+    val toks = filter(
+      split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= "")
+    val st = graft.functions.RepetitionStatsExpr.repetitionStats(toks)
+    val withC = docs
+      .select(col(idCol), st.as("st"))
+      .select(col(idCol),
+        col("st").getItem(0).as("n_toks"),
+        col("st").getItem(1).as("total_2grams"),
+        col("st").getItem(2).as("distinct_2grams"),
+        col("st").getItem(3).as("total_3grams"),
+        col("st").getItem(4).as("distinct_3grams"),
+        col("st").getItem(5).as("chars_total"),
+        col("st").getItem(6).as("chars_dup_tok"))
+    val f2 = lit(1.0) - col("distinct_2grams") /
+      greatest(col("total_2grams").cast("double"), lit(1.0))
+    val f3 = lit(1.0) - col("distinct_3grams") /
+      greatest(col("total_3grams").cast("double"), lit(1.0))
+    val fc = col("chars_dup_tok") /
+      greatest(col("chars_total").cast("double"), lit(1.0))
+    withC.select(
+      col(idCol), col("n_toks"),
+      col("total_2grams"), col("distinct_2grams"),
+      col("total_3grams"), col("distinct_3grams"),
+      col("chars_total"), col("chars_dup_tok"),
+      round(f2, 6).as("dup_2gram_frac"),
+      round(f3, 6).as("dup_3gram_frac"),
+      round(fc, 6).as("dup_tok_char_frac"),
+      (f2 <= max2gramFrac && f3 <= max3gramFrac && fc <= maxDupCharFrac)
+        .cast("int").as("keep"))
+  }
 }

@@ -190,6 +190,39 @@ class DedupSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("bloomNewDocs: no false negatives; kept set is a subset of exact-new") {
+    val docs = graft.Tables.documents(spark, sf)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val exact = Dedup.incrementalExact(even, odd, "text", "doc_id",
+      Seq("lang", "n_chars")).select("doc_id").as[Long].collect().toSet
+    val kept = Dedup.bloomNewDocs(even, odd, "text", "doc_id",
+      Seq("lang", "n_chars"), expectedCorpusDocs = 100000L)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: every kept doc is genuinely new
+    assert(kept.subsetOf(exact), s"seen docs emitted: ${kept -- exact}")
+    // false-positive loss bounded well under the q122 floor at fpp=0.01
+    val recall = (exact & kept).size.toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.95, s"recall $recall; fp-dropped ${exact -- kept}")
+    // a doc whose text IS in the corpus must always be dropped
+    val replay = Dedup.bloomNewDocs(even, even.limit(20), "text", "doc_id",
+      Seq("lang", "n_chars"), expectedCorpusDocs = 100000L)
+    assert(replay.count() == 0L)
+  }
+
+  test("bloomDedupValidated pins recall_ok=1 and emits the exact q48 rows") {
+    val docs = graft.Tables.documents(spark, sf)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val out = Dedup.bloomDedupValidated(even, odd, "text", "doc_id",
+      Seq("lang", "n_chars"), expectedCorpusDocs = 100000L)
+    assert(out.select("recall_ok").distinct().as[Int].collect().toSet == Set(1))
+    val got = out.select("doc_id").as[Long].collect().toSet
+    val exact = Dedup.incrementalExact(even, odd, "text", "doc_id",
+      Seq("lang", "n_chars")).select("doc_id").as[Long].collect().toSet
+    assert(got == exact)
+  }
+
   test("native SimHashExpr is bit-identical to the HOF formulation") {
     val docs01 = graft.Tables.documents(spark, sf).limit(200)
     val native = docs01.select($"doc_id", Dedup.simhash($"text").as("fp"))

@@ -836,4 +836,45 @@ class RelationalSpec extends SparkSpec {
     l.unpersist()
     assert(got == ref)
   }
+
+  test("cheapestRegionalSupplier: per-part min, ties kept, filters applied") {
+    val region = Seq((0L, "EUROPE"), (1L, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10L, "FRANCE", 0L), (11L, "CHINA", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, "s_eu_a", 10L), (2L, "s_eu_b", 10L), (3L, "s_as", 11L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val part = Seq((100L, "p_large", "LARGE"), (101L, "p_small", "SMALL"))
+      .toDF("p_partkey", "p_name", "p_type")
+    // unit costs: part 100 — s1 sells at 2.0 and 3.0 (min 2.0), s2 at 2.0
+    // (tie), s3 at 1.0 but is out-of-region; part 101 is the wrong type
+    val li = Seq(
+      (100L, 1L, 20.0, 10.0), (100L, 1L, 30.0, 10.0), (100L, 2L, 10.0, 5.0),
+      (100L, 3L, 10.0, 10.0), (101L, 1L, 1.0, 1.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val got = Relational.cheapestRegionalSupplier(li, part, supplier,
+      nation, region)
+      .as[(Long, String, String, String, Double)].collect().toSet
+    assert(got == Set(
+      (100L, "p_large", "s_eu_a", "FRANCE", 2.0),
+      (100L, "p_large", "s_eu_b", "FRANCE", 2.0)))
+  }
+
+  test("partValueConcentration: relative threshold keeps the heavy tail exactly") {
+    // part values 10, 10, 40: mean 20; factor 1.2 -> threshold 24 -> only 40
+    val li = Seq(
+      (1L, 10.0, 0.0), (2L, 10.0, 0.0), (3L, 20.0, 0.0), (3L, 20.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = Relational.partValueConcentration(li)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((3L, 40.0, 40.0 / 60.0 match {
+      case s => math.round(s * 1e6) / 1e6
+    })))
+    // boundary: pv*n == factor*tot must NOT pass (strict >)
+    val boundary = Seq((1L, 10.0, 0.0), (2L, 15.0, 0.0), (3L, 11.0, 0.0))
+    // mean = 12, 1.2*mean = 14.4; 15 > 14.4 keeps only part 2
+    val got2 = Relational.partValueConcentration(boundary
+        .toDF("l_partkey", "l_extendedprice", "l_discount"))
+      .as[(Long, Double, Double)].collect().map(_._1).toSeq
+    assert(got2 == Seq(2L))
+  }
 }

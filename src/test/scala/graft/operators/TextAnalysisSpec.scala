@@ -378,4 +378,64 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, String)].collect().toSet
     assert(viaAgg == viaSort && viaAgg.nonEmpty)
   }
+
+  test("repetitionSignals: hand-checkable counters and fractions") {
+    val edge = Seq(
+      (1L, "a b a b c"),   // g2: ab,ba,ab,bc -> 4/3; g3: aba,bab,abc -> 3/3
+      (2L, "solo"),        // no n-grams, no dup chars
+      (3L, "a a a"),       // g2: aa,aa -> 2/1; g3: aaa -> 1/1; all chars dup
+      (4L, ""),            // empty: everything 0
+      (5L, null.asInstanceOf[String]),
+      (6L, "w x y z"),     // all distinct
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(edge, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def longs(id: Long): Seq[Long] = (1 to 7).map(got(id).getLong)
+    assert(longs(1L) == Seq(5L, 4L, 3L, 3L, 3L, 5L, 4L)) // a(x2)+b(x2) dup
+    assert(longs(2L) == Seq(1L, 0L, 0L, 0L, 0L, 4L, 0L))
+    assert(longs(3L) == Seq(3L, 2L, 1L, 1L, 1L, 3L, 3L))
+    assert(longs(4L) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(longs(5L) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(longs(6L) == Seq(4L, 3L, 3L, 2L, 2L, 4L, 0L))
+    assert(got(1L).getAs[Double]("dup_2gram_frac") == 0.25)
+    assert(got(3L).getAs[Double]("dup_2gram_frac") == 0.5)
+    assert(got(3L).getAs[Double]("dup_tok_char_frac") == 1.0)
+    assert(got(4L).getAs[Double]("dup_tok_char_frac") == 0.0)
+    assert(got(6L).getAs[Int]("keep") == 1)
+    assert(got(3L).getAs[Int]("keep") == 0) // every fraction over threshold
+  }
+
+  test("repetitionSignals: native fused pass == explode+groupBy on real docs") {
+    val corpus = graft.Tables.documents(spark, sf)
+    val native = TextAnalysis.repetitionSignals(corpus, "text", "doc_id")
+      .select($"doc_id", $"total_2grams", $"distinct_2grams",
+        $"total_3grams", $"distinct_3grams", $"chars_total", $"chars_dup_tok")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // shuffling cross-check: explode n-grams / tokens, groupBy, count
+    val toks = corpus.select($"doc_id",
+      filter(split(coalesce($"text", lit("")), "\\s+"), t => t =!= "").as("toks"))
+    // sequence(0, -1) DESCENDS in Spark, so guard docs shorter than n
+    def grams(n: Int) = toks.select($"doc_id",
+      explode(when(size($"toks") >= n,
+        transform(sequence(lit(0), size($"toks") - n),
+          i => array_join(slice($"toks", i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("total"), countDistinct($"g").as("dist"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (g2, g3) = (grams(2), grams(3))
+    val chars = toks.select($"doc_id", explode($"toks").as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c" * length($"t")).as("total"),
+        sum(when($"c" >= 2, $"c" * length($"t")).otherwise(0L)).as("dup"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(native.nonEmpty)
+    native.foreach { case (id, (_, t2, d2, t3, d3, ct, cd)) =>
+      assert(g2.getOrElse(id, (0L, 0L)) == ((t2, d2)), s"doc $id 2grams")
+      assert(g3.getOrElse(id, (0L, 0L)) == ((t3, d3)), s"doc $id 3grams")
+      assert(chars.getOrElse(id, (0L, 0L)) == ((ct, cd)), s"doc $id chars")
+    }
+  }
 }
