@@ -18,33 +18,49 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-    * TimestampType — lossless here (driver data has no sub-µs components).
+  /** Normalize the `ts` column to session-timezone TimestampType whatever
+    * the parquet writer emitted. Driver generations have flipped encodings
+    * between rounds — TIMESTAMP(NANOS) (unreadable by the vectorized
+    * reader; surfaces as LONG nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain timestamp[us] with
+    * isAdjustedToUTC=false (surfaces as TIMESTAMP_NTZ) — so the loader
+    * dispatches on the OBSERVED type instead of assuming one. All engine
+    * sessions pin `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast
+    * reinterprets the same wall-clock instant the oracle (DuckDB, also
+    * tz-naive UTC) sees. Nanos→micros is exact: driver data carries no
+    * sub-µs component.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => sys.error(s"events.ts: unexpected parquet type $other")
+    }
+  }
+
+  /** The events table with `ts` normalized to TimestampType (see
+    * [[normalizeTs]] for the encoding-drift story).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(load(spark, sfDir, "events"))
   }
   /** The events table as a bounded file STREAM (same rows as [[events]]) —
-    * drives the streaming operators from real testdata. Schema is declared
-    * with `ts` as long (nanos) and converted, since the file-stream source
-    * cannot infer the nanos timestamp either.
+    * drives the streaming operators from real testdata. The stream source
+    * cannot infer schema, so the declared schema is taken from a one-off
+    * batch read of the same file (cheap: footer only), then `ts` runs
+    * through the same normalization as the batch path.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = load(spark, sfDir, "events").schema
     // the file-stream source requires a directory; glob-filter to the table
-    spark.readStream.schema(schema)
+    normalizeTs(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .parquet(sfDir))
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
