@@ -464,6 +464,27 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir))),
     "q124_part_concentration" -> ((s, dir) =>
       Relational.partValueConcentration(Tables.lineitem(s, dir))),
+    // --- round-8 additions: the remaining TPC-H shapes ---
+    "q125_shipping_priority" -> ((s, dir) =>
+      Relational.shippingPriority(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q126_forecast_revenue" -> ((s, dir) =>
+      Relational.forecastRevenue(Tables.lineitem(s, dir))),
+    "q127_volume_shipping" -> ((s, dir) =>
+      Relational.volumeShipping(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir))),
+    "q128_product_profit" -> ((s, dir) =>
+      Relational.productProfit(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q129_top_supplier" -> ((s, dir) =>
+      Relational.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q130_supplier_variety" -> ((s, dir) =>
+      Relational.supplierPartVariety(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir))),
+    "q131_dominant_suppliers" -> ((s, dir) =>
+      Relational.dominantSuppliers(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2035,6 +2056,114 @@ object SparkEntry {
         |  round(CAST(pv AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS value_share
         |FROM t, g
         |WHERE pv * n > CAST(1.2 AS DECIMAL(6,4)) * tot""".stripMargin,
+    // q125 (TPC-H Q3 shape): the limit is safe to oracle because the
+    // ORDER BY is total (revenue desc, date, orderkey) — both engines
+    // pick the same 10 rows even under revenue ties.
+    "q125_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+        |      AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-06-01'
+        |  AND l_shipdate > DATE '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // q126 (TPC-H Q6 shape): scan-only revenue forecast; the engine-side
+    // point is PushedFilters + 3-column ReadSchema, the oracle is a
+    // direct translation.
+    "q126_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000)
+        |      AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // q127 (TPC-H Q7 shape): two directed nation pairs, year extracted
+    // from ship date; revenue in the exact micros grid.
+    "q127_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+        |      AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_21')
+        |   OR (sn.n_name = 'NATION_21' AND cn.n_name = 'NATION_19')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q128 (TPC-H Q9 shape, adapted — no partsupp): cost proxied as
+    // 0.8*p_retailprice*l_quantity; multiplication order matches the
+    // Spark expression term-for-term so the doubles agree bit-for-bit
+    // before the exact micros rounding.
+    "q128_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+        |        - 0.8 * p_retailprice * l_quantity) * 1000000)
+        |      AS DECIMAL(18,0))) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2""".stripMargin,
+    // q129 (TPC-H Q15 shape): the max-revenue compare runs on the exact
+    // micros integers — ties kept, no double-equality fragility.
+    "q129_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+        |        AS DECIMAL(18,0))) AS micros
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(micros / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE micros = (SELECT max(micros) FROM rev)""".stripMargin,
+    // q130 (TPC-H Q16 shape, adapted): NOT IN is null-safe here
+    // (s_suppkey non-null); engine side uses a broadcast left-anti join.
+    "q130_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size BETWEEN 1 AND 8
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q131 (TPC-H Q20 shape, adapted): integral quantities → exact sums →
+    // the share threshold compare is engine-independent.
+    "q131_dominant_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey, sum(supp_qty) AS part_qty FROM shipped GROUP BY 1)
+        |SELECT s.l_partkey AS p_partkey, s_name, supp_qty,
+        |  round(supp_qty / part_qty, 6) AS qty_share
+        |FROM shipped s
+        |JOIN tot t ON s.l_partkey = t.l_partkey
+        |JOIN supplier ON s_suppkey = s.l_suppkey
+        |WHERE supp_qty > 0.3 * part_qty""".stripMargin,
     // q122 (validated, q48 semantics): the oracled rows are the EXACT
     // new-doc set; recall_ok pins the zero-shuffle bloom gate's
     // false-positive loss under its 0.95 floor (fpp = 0.01).

@@ -1396,4 +1396,199 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
+
+  /** Q125 (TPC-H Q3 shape): shipping priority — the top unshipped-revenue
+    * orders for one market segment at a date cutoff. The segment filter
+    * collapses `customer` to ~1/5 (broadcast), `orders` and `lineitem`
+    * prune on their date predicates AT THE SCAN (PushedFilters — at 100 TB
+    * the cutoff eliminates most of the fact table before any join), and
+    * the final top-10 is sort+limit → TakeOrderedAndProject: each partition
+    * keeps 10 candidate rows, the driver merges K×10, nothing global sorts.
+    * The ordering is made TOTAL (revenue desc, date, orderkey) so the limit
+    * is engine-independent even under revenue ties.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String = "BUILDING",
+      cutoff: String = "1998-06-01", n: Int = 10): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > lit(cutoff))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(n)
+
+  /** Q126 (TPC-H Q6 shape): forecast-revenue-change — one tight scan-side
+    * filter (ship-year, discount band, quantity cap) and a global sum. The
+    * POINT of this query is the plan: every predicate reaches the parquet
+    * reader (PushedFilters: date range, discount range, quantity), only
+    * three columns are read (ReadSchema), and the aggregate is a map-side
+    * partial + one-row final — at 100 TB this is the min-max-pruned scan
+    * benchmark, zero joins, zero wide shuffles.
+    */
+  def forecastRevenue(lineitem: DataFrame,
+      yearStart: String = "1996-01-01", yearEnd: String = "1997-01-01",
+      discLo: Double = 0.05, discHi: Double = 0.07,
+      qtyCap: Double = 24.0): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(yearStart) &&
+        col("l_shipdate") < lit(yearEnd) &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyCap)
+      .agg(decSum(col("l_extendedprice") * col("l_discount"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Q127 (TPC-H Q7 shape): volume shipping between two nations — revenue
+    * by (supplier nation, customer nation, ship year) for the two
+    * directed pairs of one nation couple. Suppliers and customers reduce
+    * to their nation name via broadcast dims; the OR-of-two-pairs
+    * predicate is applied AFTER both attachments (it needs both sides).
+    * `lineitem` shuffles once (the orderkey join); everything else
+    * broadcasts — the 100 TB shape, since orders:lineitem is the only
+    * fact-fact edge.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_19", nationB: String = "NATION_21"): DataFrame = {
+    val suppNat = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNat = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** Q128 (TPC-H Q9 shape, adapted): product-type profit by nation and
+    * year. The schema has no partsupp, so supply cost is proxied as
+    * `0.8 × p_retailprice × quantity` (deterministic, documented): profit
+    * = discounted revenue − proxied cost. The part-name LIKE filter prunes
+    * the broadcast side BEFORE the join (the fact table only pays for
+    * matching parts), supplier→nation broadcasts, and the one shuffle is
+    * the final (nation, year) aggregation of already-reduced rows.
+    * Arithmetic stays on the 6-dp grid (2dp×2dp×integer qty), so decSum
+    * is exact and engine-order-independent.
+    */
+  def productProfit(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      namePattern: String = "%bolt%", costFactor: Double = 0.8): DataFrame = {
+    val profit =
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(costFactor) * col("p_retailprice") * col("l_quantity")
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(decSum(profit).cast("double").as("sum_profit"))
+  }
+
+  /** Q129 (TPC-H Q15 shape): top supplier — the supplier(s) whose quarter
+    * revenue equals the global max. The revenue "view" aggregates lineitem
+    * once (the only fact shuffle); the scalar max is a one-row broadcast
+    * joined back with an EXACT decimal equality — comparing doubles here
+    * could drop a legitimate co-maximum on summation-order noise, so the
+    * decimal only degrades to double for display. Ties are kept, as in the
+    * spec. At scale: fact scans once, aggregates to |suppliers| rows;
+    * everything after is broadcast-sized.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      quarterStart: String = "1996-01-01",
+      quarterEnd: String = "1996-04-01"): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= lit(quarterStart) &&
+        col("l_shipdate") < lit(quarterEnd))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_rev"))
+    val maxRev = revenue.agg(max(col("total_rev")).as("max_rev"))
+    revenue
+      .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  /** Q130 (TPC-H Q16 shape, adapted): supplier variety per part profile —
+    * how many DISTINCT suppliers ship each (brand, type, size) bucket,
+    * excluding one brand, one type, a size whitelist, and a
+    * "complaint" supplier set (adapted to `s_acctbal < 0`, the schema's
+    * stand-in; expressed as a broadcast LEFT ANTI join, the
+    * null-safe NOT IN). The part filter prunes the broadcast dim before
+    * the fact join; the count-distinct aggregates (brand,type,size,
+    * suppkey) first (partial-aggregable), then counts — both shuffles
+    * carry reduced rows, never raw lineitem.
+    */
+  def supplierPartVariety(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, excludeBrand: String = "Brand#1",
+      excludeType: String = "PROMO", sizes: Seq[Int] = 1 to 8): DataFrame = {
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaints = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q131 (TPC-H Q20 shape, adapted): dominant-supplier detection — for
+    * each small-named part, the suppliers whose shipped quantity in one
+    * year exceeds a share threshold of that part's total (the Q20
+    * "availqty > ½ shipped" correlation, re-anchored to shipped totals
+    * since the schema has no partsupp). Decorrelated as aggregate →
+    * same-key re-aggregate: the per-(part,supp) and per-part sums share
+    * the partitioning on l_partkey, so the second aggregation and the
+    * back-join RE-USE the first shuffle's exchange (AQE keeps them
+    * co-partitioned — no second fact-sized shuffle). Quantities are
+    * integral, so sums and the share compare are exact.
+    */
+  def dominantSuppliers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, namePattern: String = "small%",
+      yearStart: String = "1996-01-01", yearEnd: String = "1997-01-01",
+      minShare: Double = 0.3): DataFrame = {
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit(yearStart) &&
+        col("l_shipdate") < lit(yearEnd))
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val totals = shipped
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    shipped
+      .join(totals, "l_partkey")
+      .filter(col("supp_qty") > lit(minShare) * col("part_qty"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"),
+        col("supp_qty"), round(col("supp_qty") / col("part_qty"), 6)
+          .as("qty_share"))
+  }
 }
