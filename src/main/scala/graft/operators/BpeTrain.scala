@@ -154,6 +154,25 @@ object BpeTrain {
     */
   def bpeTokenStats(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val stats = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BpeEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col(textCol), lit(""))),
+        merges))
+    docs.select(
+      col(idCol),
+      stats.getItem(0).as("ws_tokens"),
+      stats.getItem(1).as("bpe_tokens"))
+  }
+
+  /** Higher-order-function formulation of [[bpeTokenStats]] — the
+    * shuffle-free but CodegenFallback-interpreted original, kept as the
+    * independent cross-check the spec pins the native
+    * [[graft.functions.BpeEncodeExpr]] against (same pattern as the
+    * SimHash native==HOF bit-identity spec). Not wired to any query.
+    */
+  def bpeTokenStatsHof(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
     val words = filter(
       split(translate(coalesce(col(textCol), lit("")), "\u001F\u001E", ""),
         "\\s+"),

@@ -135,4 +135,21 @@ class BpeTrainSpec extends SparkSpec {
     assert(fwd == ((1L, 1L, 1L)), s"got $fwd")
     assert(rev == ((1L, 1L, 2L)), s"got $rev")
   }
+
+  test("bpeTokenStats native == HOF formulation (real docs + edge cases)") {
+    // the native BpeEncodeExpr must reproduce the Catalyst-HOF fold
+    // bit-for-bit: real corpus plus the edge shapes (control delimiters,
+    // multi-byte code points, repeated merges, ws-only, tabs/newlines)
+    val edge = Seq(
+      (900L, "a\u001Fb\u001E c"), (901L, ""), (902L, "  \t\n "),
+      (903L, "héllo wörld éé"), (904L, "tthe ththe aaaa"),
+      (905L, "x")).toDF("doc_id", "text")
+    val real = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+      .unionByName(edge)
+    val nat = BpeTrain.bpeTokenStats(real, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val hof = BpeTrain.bpeTokenStatsHof(real, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(nat == hof)
+  }
 }
