@@ -397,11 +397,22 @@ object Dedup {
     */
   def embeddingPairsExact(emb: DataFrame, idCol: String,
       threshold: Double = 0.95): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col("embedding").as("v"))
-    e.select(col("id").as("id_a"), col("v").as("v_a"))
-      .join(e.select(col("id").as("id_b"), col("v").as("v_b")),
-        col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+    // the L2 norm is computed ONCE per vector, not once per pair: the
+    // fused cosine kernel accumulates dot+both norms per pair (3N flops x
+    // |pairs|), but sqrt(dot(v,v)) runs the numerically IDENTICAL
+    // accumulation (x*y with x==y, same order), so dividing the pair dot
+    // by the two precomputed norms is bit-for-bit the kernel's result at
+    // a third of the per-pair flops — on 12.5M all-pairs rows that is the
+    // dominant cost of the q18 validation gate.
+    val e = emb.select(col(idCol).as("id"), col("embedding").as("v"),
+      sqrt(graft.functions.VectorExprs.vecDot(col("embedding"),
+        col("embedding"))).as("nrm"))
+    e.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), col("id_a") < col("id_b"))
+      .withColumn("sim",
+        graft.functions.VectorExprs.vecDot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
