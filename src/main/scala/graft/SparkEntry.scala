@@ -485,6 +485,12 @@ object SparkEntry {
     "q131_dominant_suppliers" -> ((s, dir) =>
       Relational.dominantSuppliers(Tables.lineitem(s, dir),
         Tables.part(s, dir), Tables.supplier(s, dir))),
+    "q132_doc_chunks" -> ((s, dir) =>
+      Pipelines.chunkDocuments(Tables.documents(s, dir), "text", "doc_id")),
+    "q133_unigram_surprisal" -> ((s, dir) =>
+      Pipelines.unigramSurprisal(Tables.documents(s, dir), "text", "doc_id")),
+    "q134_zorder_layout" -> ((s, dir) =>
+      Pipelines.zorderLayout(Tables.lineitem(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2231,7 +2237,68 @@ object SparkEntry {
     // chain is GENERATED from BpeTrain.DefaultMerges so the two engines
     // cannot drift. Token count = number of chr(31) markers left.
     "q119_bpe_encode" -> bpeEncodeOracleSql,
+    // q132: sliding token-window chunking; the chunk grid (starts 1,
+    // 1+stride, …, covering the tail once) replays in generate_series.
+    "q132_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0,
+        |          CAST(ceil(greatest(n - 20, 0) / 10.0) AS BIGINT))) AS k
+        |      FROM g)
+        |SELECT doc_id, k AS chunk_idx,
+        |  array_to_string(list_slice(toks, 1 + 10*k, 10*k + 20), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(toks, 1 + 10*k, 10*k + 20)) AS BIGINT)
+        |    AS n_tokens
+        |FROM e""".stripMargin,
+    // q133: unigram surprisal — per-token −ln(c/N) rounded to the 1e-6
+    // grid and summed exactly (the decSum device), so the doc sums are
+    // order-independent in both engines.
+    "q133_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT sum(c) AS N FROM c),
+        |j AS (SELECT t.doc_id,
+        |        CAST(round(-ln((CAST(c.c AS DOUBLE)) / (CAST(n.N AS DOUBLE)))
+        |          * 1000000) AS DECIMAL(18,0)) AS mic
+        |      FROM tok t JOIN c USING (tok), n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6)
+        |    AS sum_nll,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    / count(*), 6) AS avg_nll
+        |FROM j GROUP BY 1""".stripMargin,
+    // q134: z-order bucket envelopes; the bit-interleave formula is
+    // GENERATED from the same (bitsPerDim, buckets) parameters the engine
+    // uses, so the engines cannot drift.
+    "q134_zorder_layout" -> zorderOracleSql,
   )
+
+  /** q134 oracle: the 21-bit-per-dimension interleave written out as
+    * integer arithmetic, generated from the same parameters as
+    * [[graft.operators.Pipelines.zorderKey]] (bitsPerDim = 21,
+    * buckets = 64 ⇒ top-bit shift 36).
+    */
+  private def zorderOracleSql: String = {
+    val bits = 21
+    def terms(c: String, odd: Int): String = (0 until bits).map { i =>
+      s"(((CAST($c AS BIGINT) >> $i) & 1) * ${1L << (2 * i + odd)})"
+    }.mkString(" + ")
+    val z = terms("l_partkey", 0) + " + " + terms("l_suppkey", 1)
+    s"""WITH zt AS (SELECT $z AS z, l_partkey, l_suppkey FROM lineitem),
+       |m AS (SELECT max(z) AS mz FROM zt)
+       |SELECT (z * 64) // (mz + 1) AS zbucket, count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM zt, m
+       |GROUP BY 1""".stripMargin
+  }
 
   private def bpeEncodeOracleSql: String = {
     def wrap(s: String) = s"chr(31)||'$s'||chr(30)"

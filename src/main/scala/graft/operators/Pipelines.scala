@@ -520,4 +520,128 @@ object Pipelines {
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("score"))
     full.unionByName(boundary)
   }
+
+  /** Q132: sliding-window document chunking — the RAG/embedding prep step
+    * that turns each document into overlapping token-window chunks of
+    * `chunkTokens` tokens advancing by `stride` (stride < chunkTokens ⇒
+    * overlap). Output: (doc_id, chunk_idx, chunk_text, n_tokens), one row
+    * per chunk, chunk 0 first; a document shorter than one window yields
+    * exactly one (possibly short) chunk; an empty/whitespace doc yields
+    * none.
+    *
+    * Scale design: tokenize → posexplode over the stride grid → slice +
+    * rejoin is a MAP-ONLY expansion on the corpus scan (no shuffle, no
+    * window function) — each input row expands to ceil(max(n−overlap,1)
+    * / stride) output rows in place, so a 100 TB corpus chunks at scan
+    * bandwidth. Contrast with the passage-dedup chunker (q108), which
+    * fingerprints fixed NON-overlapping chunks for dedup — this one
+    * preserves text for retrieval embedding.
+    */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 20, stride: Int = 10): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride ($stride) <= chunkTokens ($chunkTokens)")
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    // last window START (1-based): the largest stride-grid point not past
+    // the end; windows fully inside a previous one are not re-emitted
+    val lastStart = {
+      val n = size(col("__toks"))
+      (ceil((greatest(n - lit(chunkTokens), lit(0)).cast("double")) /
+        stride) * stride + 1).cast("int")
+    }
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), lastStart, lit(stride)),
+          s => slice(col("__toks"), s, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
+  /** Q133: unigram-LM scoring — the perplexity-proxy quality signal: score
+    * each document by the average surprisal of its tokens under the
+    * corpus's OWN unigram distribution (self-scored ⇒ no OOV, no
+    * smoothing): nll = −Σ log(c_tok/N) / n_tokens. Low-probability token
+    * soup scores high; natural repeated-vocabulary text scores low — the
+    * classic cheap stand-in for a real LM perplexity filter.
+    *
+    * Scale design: one aggregation builds the (token, count) table (the
+    * only corpus-sized shuffle), the scalar N broadcasts, and the per-doc
+    * score joins tokens→counts then re-aggregates by doc — both on
+    * already-tokenized compact rows. Determinism: each token's surprisal
+    * is rounded to the 1e-6 grid and summed EXACTLY (micros→decimal, the
+    * decSum device), so the per-doc sum is partitioning- and
+    * engine-order-independent; only log() itself must agree across
+    * engines (it does — same IEEE doubles, cf. the q36 idf precedent).
+    */
+  def unigramSurprisal(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val tokenized = docs.select(col(idCol), explode(toks).as("tok"))
+    val counts = tokenized.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("N"))
+    val surprisalMicros =
+      round(-log(col("c").cast("double") / col("N").cast("double")) * 1e6)
+        .cast("long")
+    tokenized
+      .join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(surprisalMicros.cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", round(col("sum_nll") / col("n_tokens"), 6))
+      .withColumn("sum_nll", round(col("sum_nll"), 6))
+  }
+
+  /** Q134: Z-ORDER clustering key — interleaves the low `bitsPerDim` bits
+    * of two integer dimensions into one locality-preserving sort key, the
+    * standard multi-dimensional data-layout device (Delta/Iceberg OPTIMIZE
+    * ZORDER): writing a 100 TB fact table sorted by z(k1, k2) gives every
+    * file a tight min-max envelope on BOTH dimensions, so per-file skipping
+    * prunes scans filtered on either key — a single-column sort can only
+    * serve one. The key is a pure bit-interleave (column expressions,
+    * codegen'd, map-only); the demo query buckets lineitem by the top bits
+    * of z(l_partkey, l_suppkey) and emits each bucket's count + per-dim
+    * min/max envelope — integers only, so the oracle replays the formula
+    * exactly.
+    */
+  def zorderKey(a: Column, b: Column, bitsPerDim: Int = 21): Column = {
+    require(bitsPerDim > 0 && bitsPerDim <= 31, s"bitsPerDim: $bitsPerDim")
+    (0 until bitsPerDim).map { i =>
+      (shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) *
+        lit(1L << (2 * i))) +
+        (shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) *
+          lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** The q134 demo over [[zorderKey]]: bucket the key range
+    * proportionally ((z·buckets) div (max_z+1) — integer-exact in any
+    * engine, and adaptive to the keys' actual magnitude, where a fixed
+    * top-bit shift would put every small-key row in bucket 0) and show
+    * each bucket's min-max envelope on both dimensions — the per-file
+    * skipping statistics a z-ordered 100 TB write would give the scan
+    * planner. The scalar max broadcasts; the fact table aggregates once.
+    */
+  def zorderLayout(lineitem: DataFrame, buckets: Int = 64,
+      bitsPerDim: Int = 21): DataFrame = {
+    val zdf = lineitem.withColumn("z",
+      zorderKey(col("l_partkey"), col("l_suppkey"), bitsPerDim))
+    val mx = zdf.agg(max(col("z")).as("mz"))
+    zdf.crossJoin(broadcast(mx))
+      .withColumn("zbucket", expr(s"(z * $buckets) div (mz + 1)"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+  }
 }

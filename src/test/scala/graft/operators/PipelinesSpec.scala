@@ -419,4 +419,75 @@ class PipelinesSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect().toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("chunkDocuments: overlap windows, tail chunk, short/empty docs") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 25 toks: 2 chunks
+      (2L, "a b c"),                                  // short: 1 chunk
+      (3L, ""), (4L, null.asInstanceOf[String]),      // none
+      (5L, (1 to 20).map(i => s"u$i").mkString(" "))) // exact window: 1
+      .toDF("doc_id", "text")
+    val got = Pipelines.chunkDocuments(docs, "text", "doc_id",
+      chunkTokens = 20, stride = 10)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) ==
+      Seq((1L, 0L, 20L), (1L, 1L, 15L), (2L, 0L, 3L), (5L, 0L, 20L)))
+    // chunk 1 of doc 1 starts at token 11 (overlap 10) and runs to 25
+    assert(got(1)._3 == (11 to 25).map(i => s"t$i").mkString(" "))
+    // full coverage: every token of doc 1 appears in some chunk
+    assert((1 to 25).forall(i => got.take(2).exists(_._3.contains(s"t$i "))
+      || got.take(2).exists(_._3.endsWith(s"t$i"))))
+  }
+
+  test("chunkDocuments: stride grid covers exactly ceil((n-c)/s)+1 chunks") {
+    for (n <- Seq(1, 5, 10, 11, 19, 20, 21, 29, 30, 31, 55)) {
+      val docs = Seq((1L, (1 to n).map("w" + _).mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = Pipelines.chunkDocuments(docs, "text", "doc_id",
+        chunkTokens = 20, stride = 10).count()
+      val expect = math.ceil(math.max(n - 20, 0) / 10.0).toLong + 1
+      assert(chunks == expect, s"n=$n: got $chunks want $expect")
+    }
+  }
+
+  test("unigramSurprisal: hand-computed two-doc corpus") {
+    // corpus tokens: a a a b  ->  N=4, p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = Pipelines.unigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    def mic(x: Double) = math.round(x * 1e6) / 1e6
+    val sa = mic(-math.log(3.0 / 4.0)) // per-token surprisal of a
+    val sb = mic(-math.log(1.0 / 4.0))
+    assert(got.head._1 == 1L && got.head._2 == 3L)
+    assert(math.abs(got.head._3 - mic(3 * sa)) < 1e-9)
+    assert(math.abs(got.head._4 - mic(3 * sa / 3)) < 1e-9)
+    assert(got(1) == ((2L, 1L, sb, sb)))
+    // rare-token doc scores strictly higher
+    assert(got(1)._4 > got.head._4)
+  }
+
+  test("zorderKey: bit interleave matches a local reference; locality holds") {
+    val ref = (a: Long, b: Long) => (0 until 21).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (7L, 3L), (12345L, 678L),
+      (1048575L, 2097151L))
+    val got = pts.toDF("a", "b")
+      .select(Pipelines.zorderKey(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (a, b) => ref(a, b) })
+  }
+
+  test("zorderLayout: buckets partition the table; envelopes bounded") {
+    val li = Tables.lineitem(spark, sf)
+    val got = Pipelines.zorderLayout(li).cache()
+    assert(got.agg(sum($"n_rows")).as[Long].head() == li.count())
+    // locality: every bucket's part envelope must be narrower than the
+    // global range (the point of z-ordering) — allow the one straggler
+    // bucket a degenerate envelope
+    val globalSpan = li.agg(max($"l_partkey") - min($"l_partkey")).as[Long].head()
+    val spans = got.select(($"max_part" - $"min_part").as[Long]).collect()
+    assert(spans.count(_ < globalSpan) >= spans.length - 1)
+    got.unpersist()
+  }
 }
