@@ -491,7 +491,34 @@ object SparkEntry {
       Pipelines.unigramSurprisal(Tables.documents(s, dir), "text", "doc_id")),
     "q134_zorder_layout" -> ((s, dir) =>
       Pipelines.zorderLayout(Tables.lineitem(s, dir))),
+    // q135: the dim snapshot is the pre-cutoff SCD-2 (q84's window +
+    // event_id as the ordering column) and the change feed is everything
+    // after — the oracle rebuilds from the FULL history, so the
+    // incremental merge must equal a from-scratch rebuild.
+    "q135_scd2_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val dim = ev.filter(col("ts") < cutoff).select(
+        col("user_id"), col("event_type"), col("value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        lead(col("ts"), 1).over(w).isNull.cast("int").as("is_current"),
+        col("event_id"))
+      Pipelines.applyScd2(dim, ev.filter(col("ts") >= cutoff)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("event_id")))
+    }),
+    "q136_temperature_sample" -> ((s, dir) =>
+      Pipelines.temperatureSample(Tables.documents(s, dir), "lang", "doc_id",
+        TemperatureWeights, temperature = 2.0)),
   )
+
+  /** q136 parameters, shared with the oracle builder. */
+  private val TemperatureWeights: Map[String, Double] = Map(
+    "en" -> 0.4, "zh" -> 0.2, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.1)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2278,6 +2305,19 @@ object SparkEntry {
     // GENERATED from the same (bitsPerDim, buckets) parameters the engine
     // uses, so the engines cannot drift.
     "q134_zorder_layout" -> zorderOracleSql,
+    // q135: the oracle is the FULL REBUILD over the whole event history
+    // (q84's window verbatim) — the incremental merge must reproduce it
+    // exactly, untouched keys included.
+    "q135_scd2_apply" ->
+      """SELECT user_id, event_type, value,
+        |       ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |            AS INTEGER) AS is_current
+        |FROM events""".stripMargin,
+    // q136: CASE literals generated from the same rate arithmetic the
+    // engine embeds; membership is the shared multiplicative hash.
+    "q136_temperature_sample" -> temperatureOracleSql,
   )
 
   /** q134 oracle: the 21-bit-per-dimension interleave written out as
@@ -2298,6 +2338,21 @@ object SparkEntry {
        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
        |FROM zt, m
        |GROUP BY 1""".stripMargin
+  }
+
+  /** q136 oracle: rate CASE + hash-bucket membership, generated from the
+    * same [[TemperatureWeights]]/T the engine query embeds.
+    */
+  private def temperatureOracleSql: String = {
+    val rates = graft.operators.Pipelines
+      .temperatureRatePct(TemperatureWeights, temperature = 2.0)
+    val caseSql = rates.toSeq.sorted
+      .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+    val bucket = "((((doc_id % 1000003) * 2654435761) >> 16) % 100)"
+    s"""SELECT doc_id, lang, $bucket AS bucket,
+       |  CAST(CASE lang $caseSql ELSE 0 END AS BIGINT) AS rate_pct
+       |FROM documents
+       |WHERE $bucket < (CASE lang $caseSql ELSE 0 END)""".stripMargin
   }
 
   private def bpeEncodeOracleSql: String = {

@@ -521,6 +521,93 @@ object Pipelines {
     full.unionByName(boundary)
   }
 
+  /** Q135: incremental SCD-2 apply — merge a batch of changes into a
+    * slowly-changing-dimension table (the Delta/Iceberg MERGE pattern,
+    * composed from relational primitives): closed history rows and
+    * untouched keys' current rows PASS THROUGH with no window and no
+    * per-key work; only the touched keys' current rows union the new
+    * change rows and pay one small re-window. Work is O(|changes| +
+    * |touched current rows|), never O(|history|) — on a 100 TB dimension
+    * with a daily change feed, that is the difference between a merge
+    * and a rebuild.
+    *
+    * Inputs: `dim` in q84 shape + an `event_id` ordering column
+    * (user_id, event_type, value, valid_from, valid_to, is_current,
+    * event_id); `changes` as (user_id, event_type, value, ts, event_id).
+    * Within-key ordering is (valid_from, event_id); correctness of the
+    * pass-through requires every change ts ≥ the key's current
+    * valid_from (true whenever changes postdate the dim snapshot — the
+    * caller's contract). The q135 oracle is the strongest possible
+    * check: incremental apply ≡ FULL REBUILD over the concatenated
+    * history (q84's window, recomputed from scratch by DuckDB).
+    */
+  def applyScd2(dim: DataFrame, changes: DataFrame): DataFrame = {
+    val out = Seq("user_id", "event_type", "value", "valid_from",
+      "valid_to", "is_current").map(col)
+    val touched = changes.select(col("user_id")).distinct()
+    val closed = dim.filter(col("is_current") === 0)
+    val untouchedCurrent = dim.filter(col("is_current") === 1)
+      .join(touched, Seq("user_id"), "left_anti")
+    val touchedCurrent = dim.filter(col("is_current") === 1)
+      .join(touched, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from"), col("event_id"))
+    val newRows = changes.select(col("user_id"), col("event_type"),
+      col("value"), col("ts").as("valid_from"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    val rebuilt = touchedCurrent.unionByName(newRows)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from"),
+        lead(col("valid_from"), 1).over(w).as("valid_to"),
+        lead(col("valid_from"), 1).over(w).isNull.cast("int")
+          .as("is_current"))
+    closed.select(out: _*)
+      .unionByName(untouchedCurrent.select(out: _*))
+      .unionByName(rebuilt.select(out: _*))
+  }
+
+  /** Q136: temperature-scaled mixture resampling — EXECUTE a data-mixture
+    * plan by down-sampling over-represented groups: per-group keep rate
+    * r_g ∝ w_g^(1/T) normalized so the largest weight keeps 100%
+    * (T = 1 reproduces the weights; T → ∞ flattens toward uniform — the
+    * multilingual-LM sampling-temperature device). Rates are computed
+    * DRIVER-SIDE from the tiny weight map, floored to integer percents,
+    * and embedded as plan literals; membership is the engine-portable
+    * multiplicative hash ([[hashBucket]]) on doc_id, so the kept set is
+    * deterministic, engine-independent, and reproducible — no RNG state,
+    * and the same doc keeps/drops identically on any cluster. Map-only:
+    * zero shuffles (the q49 sampling pattern, per-group rates).
+    */
+  /** The q136 rate table: w^(1/T) normalized to the max, floored to
+    * integer percents. Public so the oracle builder derives its CASE
+    * literals from the same arithmetic.
+    */
+  def temperatureRatePct(weights: Map[String, Double],
+      temperature: Double): Map[String, Int] = {
+    val pow = weights.view.mapValues(w =>
+      math.pow(w, 1.0 / temperature)).toMap
+    val mx = pow.values.max
+    pow.view.mapValues(p => math.floor(100.0 * p / mx).toInt).toMap
+  }
+
+  def temperatureSample(docs: DataFrame, langCol: String, idCol: String,
+      weights: Map[String, Double], temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0: $temperature")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val ratePct = temperatureRatePct(weights, temperature)
+    val rateCol = ratePct.foldLeft(lit(0)) { case (acc, (lang, pct)) =>
+      when(col(langCol) === lang, lit(pct)).otherwise(acc)
+    }
+    docs
+      .withColumn("rate_pct", rateCol)
+      .withColumn("bucket", hashBucket(col(idCol)))
+      .filter(col("bucket") < col("rate_pct"))
+      .select(col(idCol), col(langCol), col("bucket").cast("long")
+        .as("bucket"), col("rate_pct").cast("long").as("rate_pct"))
+  }
+
   /** Q132: sliding-window document chunking — the RAG/embedding prep step
     * that turns each document into overlapping token-window chunks of
     * `chunkTokens` tokens advancing by `stride` (stride < chunkTokens ⇒

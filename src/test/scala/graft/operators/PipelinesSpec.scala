@@ -478,6 +478,67 @@ class PipelinesSpec extends SparkSpec {
     assert(got == pts.map { case (a, b) => ref(a, b) })
   }
 
+  test("applyScd2: incremental merge == full rebuild; untouched keys skip the window") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val dim = ev.filter($"ts" < cutoff).select(
+      $"user_id", $"event_type", $"value", $"ts".as("valid_from"),
+      lead($"ts", 1).over(w).as("valid_to"),
+      lead($"ts", 1).over(w).isNull.cast("int").as("is_current"),
+      $"event_id")
+    val changes = ev.filter($"ts" >= cutoff)
+      .select($"user_id", $"event_type", $"value", $"ts", $"event_id")
+    val got = Pipelines.applyScd2(dim, changes)
+    val full = Relational.changeHistory(ev)
+    assert(got.count() == ev.count())
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+    // exactly one current row per key
+    val multi = got.filter($"is_current" === 1)
+      .groupBy($"user_id").count().filter($"count" =!= 1).count()
+    assert(multi == 0)
+  }
+
+  test("applyScd2: new keys insert; single-change key closes its current row") {
+    val dim = Seq(
+      (1L, "a", 1.0, "2024-01-01 00:00:00", null.asInstanceOf[String], 1, 100L))
+      .toDF("user_id", "event_type", "value", "valid_from", "valid_to",
+        "is_current", "event_id")
+      .withColumn("valid_from", col("valid_from").cast("timestamp"))
+      .withColumn("valid_to", col("valid_to").cast("timestamp"))
+    val changes = Seq(
+      (1L, "b", 2.0, "2024-01-02 00:00:00", 200L), // closes key 1's current
+      (2L, "c", 3.0, "2024-01-03 00:00:00", 300L)) // brand-new key
+      .toDF("user_id", "event_type", "value", "ts", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Pipelines.applyScd2(dim, changes)
+      .select($"user_id", $"event_type", $"is_current")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 0), (1L, "b", 1), (2L, "c", 1)))
+  }
+
+  test("temperatureSample: rates follow w^(1/T); T=1 reproduces weights; kept set deterministic") {
+    val weights = Map("en" -> 0.4, "de" -> 0.1)
+    // T=1: rates 100 and floor(100*0.25)=25; T->inf flattens
+    assert(Pipelines.temperatureRatePct(weights, 1.0) ==
+      Map("en" -> 100, "de" -> 25))
+    val hot = Pipelines.temperatureRatePct(weights, 100.0)
+    assert(hot("de") > 25 && hot("en") == 100)
+    val docs = Tables.documents(spark, sf)
+    val got = Pipelines.temperatureSample(docs, "lang", "doc_id",
+      weights, 1.0)
+    // membership is exactly the hash rule — recompute independently
+    val expect = docs
+      .withColumn("bucket", Pipelines.hashBucket($"doc_id"))
+      .filter(($"lang" === "en" && $"bucket" < 100) ||
+        ($"lang" === "de" && $"bucket" < 25))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.select($"doc_id").as[Long].collect().toSet == expect)
+    // unknown langs are dropped entirely (rate 0)
+    assert(got.filter(!$"lang".isin("en", "de")).count() == 0)
+  }
+
   test("zorderLayout: buckets partition the table; envelopes bounded") {
     val li = Tables.lineitem(spark, sf)
     val got = Pipelines.zorderLayout(li).cache()
