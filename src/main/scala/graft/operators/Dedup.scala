@@ -65,7 +65,7 @@ object Dedup {
     * pipelines over the same sets; without subtree equality each side paid
     * its own scan + shingle + hash + shuffle).
     */
-  private def charShingleSets(docs: DataFrame, textCol: String,
+  private[graft] def charShingleSets(docs: DataFrame, textCol: String,
       idCol: String, shingleK: Int): DataFrame =
     Hashing.repartitionForCompute(
       docs.select(col(idCol).as("id"),

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Streaming NEAR-duplicate ingest gate — the approximate counterpart of
+  * [[StreamingDedup.againstStaticCorpus]]: admit arriving documents whose
+  * text is not a near-duplicate (char-shingle Jaccard ≥ t) of anything in
+  * a static indexed corpus.
+  *
+  * Architecture: the corpus side is PRE-INDEXED once into an LSH bucket
+  * table (band, h, hs) — at 100 TB this is a bucketed/partitioned table
+  * maintained by the batch pipeline, not recomputed per stream. Each
+  * micro-batch then (1) shingles+signs its docs inline (native codegen'd
+  * expressions), (2) probes the index with a bucket equi-join, (3)
+  * verifies candidates with exact Jaccard on the hashed sets, and (4)
+  * anti-joins the verified-match ids back. Steps 2–4 need a per-batch
+  * `distinct` on matched ids, which pure Structured Streaming would treat
+  * as unbounded stateful aggregation — so the gate runs through
+  * `foreachBatch`, the standard production device for per-batch
+  * relational logic: the stream stays exactly-once (checkpointed batch
+  * ids), and the per-batch plan is ordinary Catalyst batch planning with
+  * all of the batch operators' scale properties (the probe join is
+  * stateless: no streaming state grows with history).
+  */
+object StreamingNearDup {
+
+  /** Build the corpus LSH index: one row per (band, h) bucket membership,
+    * carrying the member's hashed shingle set for verification. Persist /
+    * write this once per corpus snapshot; at scale, bucket it on (band, h).
+    */
+  def corpusIndex(corpus: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    Dedup.charShingleSets(corpus, textCol, idCol, shingleK)
+      .select(col("id").as("corpus_id"), col("hs"),
+        graft.functions.MinHashSignatureExpr
+          .minhashSignature(col("hs"), numHashes).as("sig"))
+      .withColumn("bh", explode(Dedup.bandHashes(col("sig"), bands, rows)))
+      .select(col("bh.band"), col("bh.h"), col("corpus_id"),
+        col("hs").as("corpus_hs"))
+  }
+
+  /** The per-batch gate (pure batch logic — also the spec's reference):
+    * admit docs from `batch` with no verified near-dup in `index`.
+    */
+  def admitNew(batch: DataFrame, index: DataFrame, textCol: String,
+      idCol: String, shingleK: Int = 5, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val probe = Dedup.charShingleSets(batch, textCol, idCol, shingleK)
+      .select(col("id"), col("hs"),
+        graft.functions.MinHashSignatureExpr
+          .minhashSignature(col("hs"), numHashes).as("sig"))
+      .withColumn("bh", explode(Dedup.bandHashes(col("sig"), bands, rows)))
+      .select(col("bh.band"), col("bh.h"), col("id"), col("hs"))
+    val matched = probe
+      .join(index, Seq("band", "h"))
+      .filter(graft.functions.HashedSetExprs
+        .sortedLongJaccard(col("hs"), col("corpus_hs")) >= threshold)
+      .select(col("id")).distinct()
+    batch.join(matched.withColumnRenamed("id", idCol), Seq(idCol),
+      "left_anti")
+  }
+
+  /** Wire the gate onto a stream: every micro-batch is filtered through
+    * [[admitNew]] and handed to `sink`. Returns the started query.
+    */
+  def ingestGate(stream: DataFrame, index: DataFrame, textCol: String,
+      idCol: String, checkpoint: String,
+      sink: (DataFrame, Long) => Unit,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        sink(admitNew(b, index, textCol, idCol, shingleK, numHashes,
+          bands, threshold), batchId)
+      }
+      .start()
+}

@@ -50,4 +50,48 @@ class StreamingDedupSpec extends SparkSpec {
         s"state not evicted after watermark passed: $values")
     } finally q.stop()
   }
+
+  test("near-dup ingest gate: stream admits == batch gate; exact dups and near-dups blocked") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus drawn from real documents; the stream replays some corpus
+    // texts verbatim (exact dup), some with small edits (near-dup at
+    // char-shingle Jaccard >= 0.7), and some novel strings
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val corpus = docs.take(50).toSeq.toDF("doc_id", "text")
+    val index = StreamingNearDup.corpusIndex(corpus, "text", "doc_id")
+      .cache()
+    val exactDup = (1000L, docs.head._2)
+    val nearDup = (1001L, docs(1)._2 + " x")
+    val novel = (1002L, "zq zx qv jk wq phx gbl mtr ckz " * 4)
+    val batch2 = Seq((1003L, docs(2)._2), (1004L, "completely different " +
+      "drivel unseen anywhere in the corpus before now qqq"))
+    val in = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.Map[Long, Set[Long]]()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("neardup_gate").toString
+    val q = StreamingNearDup.ingestGate(
+      in.toDF().toDF("doc_id", "text"), index, "text", "doc_id", ckpt,
+      (df, id) => admitted.synchronized {
+        admitted(id) = df.select($"doc_id").as[Long].collect().toSet
+      })
+    try {
+      in.addData(exactDup, nearDup, novel)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = admitted.values.flatten.toSet
+    // reference: the same gate run as one batch over all streamed docs
+    val all = (Seq(exactDup, nearDup, novel) ++ batch2)
+      .toDF("doc_id", "text")
+    val expect = StreamingNearDup.admitNew(all, index, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expect, s"stream=$got batch=$expect")
+    // semantics: novel admitted, exact + near dups blocked
+    assert(got.contains(1002L) && got.contains(1004L))
+    assert(!got.contains(1000L) && !got.contains(1001L) &&
+      !got.contains(1003L))
+    index.unpersist()
+  }
 }
