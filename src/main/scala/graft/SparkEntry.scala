@@ -514,6 +514,8 @@ object SparkEntry {
     "q136_temperature_sample" -> ((s, dir) =>
       Pipelines.temperatureSample(Tables.documents(s, dir), "lang", "doc_id",
         TemperatureWeights, temperature = 2.0)),
+    "q137_substring_dups" -> ((s, dir) =>
+      Dedup.substringDupPairs(Tables.documents(s, dir), "text", "doc_id")),
   )
 
   /** q136 parameters, shared with the oracle builder. */
@@ -2318,6 +2320,27 @@ object SparkEntry {
     // q136: CASE literals generated from the same rate arithmetic the
     // engine embeds; membership is the shared multiplicative hash.
     "q136_temperature_sample" -> temperatureOracleSql,
+    // q137: the oracle pairs on the ACTUAL substrings where the engine
+    // pairs on xxhash64(window) — count equality is also a standing
+    // hash-collision audit (a collision would desync n_shared_windows).
+    "q137_substring_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id, sub FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 39),
+        |        i -> substr(t, i, 40))) AS sub
+        |    FROM t WHERE len(t) >= 40)),
+        |df AS (SELECT sub, count(*) AS c FROM w GROUP BY 1),
+        |ok AS (SELECT w.doc_id, w.sub FROM w JOIN df USING (sub)
+        |       WHERE df.c BETWEEN 2 AND 20)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS n_shared_windows
+        |FROM ok a JOIN ok b ON a.sub = b.sub AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** q134 oracle: the 21-bit-per-dimension interleave written out as

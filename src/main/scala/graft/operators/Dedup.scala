@@ -390,6 +390,50 @@ object Dedup {
         .select(col("doc_a"), col("doc_b")),
       Seq("doc_a", "doc_b"), recallFloor)
 
+  /** Q137: cross-document EXACT substring duplication — pairs of docs
+    * sharing at least one identical `windowChars`-char substring at ANY
+    * alignment, with the count of shared windows. This is the char-level,
+    * stride-1 member of the dedup granularity ladder (doc → near-dup →
+    * cluster → passage → SUBSTRING): token-chunk passage dedup (q108)
+    * misses duplication that crosses chunk boundaries or shifts by a few
+    * characters; sliding windows catch every alignment — the distributed
+    * posting-list equivalent of the suffix-array substring dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022, arXiv:2107.06499).
+    *
+    * Scale design: |text| posting rows per doc is the honest price of
+    * alignment-free exactness; the two guards that keep the pair join
+    * from exploding are (1) per-doc `array_distinct` before posting and
+    * (2) the window document-frequency band [2, maxDocsPerWindow] — df=1
+    * windows can't pair, and df > cap windows are BOILERPLATE (licenses,
+    * headers) whose |df|² pair lists are noise; production pipelines
+    * report them separately (Lee et al.'s frequency cutoff). Windows
+    * shuffle as xxhash64 LONGS, not 40-char strings; the pair aggregate
+    * counts hashes, and a final exact-substring verify is unnecessary
+    * for the pair PREDICATE (a cross-doc hash collision needs ~2^32
+    * distinct windows for even-odds — documented, same budget as the
+    * hashed-shingle sets).
+    */
+  def substringDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      windowChars: Int = 40, maxDocsPerWindow: Int = 20): DataFrame = {
+    val norm = TextShingles.normalize(col(textCol))
+    val wins = docs
+      .select(col(idCol).as("id"), norm.as("__t"))
+      .filter(length(col("__t")) >= windowChars)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(1), length(col("__t")) - (windowChars - 1)),
+        i => xxhash64(col("__t").substr(i, lit(windowChars)))))).as("w"))
+    val banded = wins
+      .join(wins.groupBy(col("w")).agg(count(lit(1)).as("__df")), Seq("w"))
+      .filter(col("__df").between(2, maxDocsPerWindow))
+      .select(col("w"), col("id"))
+    banded.select(col("w"), col("id").as("doc_a"))
+      .join(banded.select(col("w"), col("id").as("doc_b")), Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** EXACT all-pairs cosine near-dup pairs — the ground-truth side of
     * [[embeddingNearDupsValidated]]. All-pairs by design: this is the
     * validation-priced exact pass (the production surface is

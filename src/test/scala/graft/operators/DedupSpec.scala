@@ -376,4 +376,37 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(ok == (0L to 8L).map(_ -> 0L).toMap)
   }
+
+  test("substringDupPairs: shifted alignment caught; boilerplate cap; short docs skipped") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val filler = (1 to 12).map(i => s"filler$i").mkString(" ")
+    val boiler = "this common license header appears in every single document here"
+    val docs = Seq(
+      // 1 and 2 share `shared` at DIFFERENT offsets (the alignment case
+      // fixed-chunk passage dedup misses)
+      (1L, s"$shared $filler"),
+      (2L, s"prefix words here $shared totally other tail content"),
+      (3L, (1 to 12).map(i => s"other$i").mkString(" ") +
+        " unique continuation nothing shared with others"),
+      (4L, "tiny"), // under 40 chars: no windows
+      // 5..9 all share `boiler`: window df = 5 > maxDocsPerWindow=3 cap
+      (5L, s"$boiler alpha"), (6L, s"$boiler beta"), (7L, s"$boiler gamma"),
+      (8L, s"$boiler delta"), (9L, s"$boiler epsilon"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(docs, "text", "doc_id",
+      windowChars = 40, maxDocsPerWindow = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // only (1,2) pairs on the shared sentence; boilerplate docs pair on
+    // NOTHING (every shared window exceeds the df cap)
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    // n_shared_windows: the common substring is `shared` PLUS the
+    // trailing space (present in both docs — doc 1 before its filler,
+    // doc 2 before its tail), so (len+1) − 40 + 1 windows
+    assert(got.head._3 == (shared.length - 38).toLong)
+    // raising the cap surfaces the boilerplate family as pairs
+    val uncapped = Dedup.substringDupPairs(docs, "text", "doc_id",
+      windowChars = 40, maxDocsPerWindow = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.count(p => p._1 >= 5L && p._2 <= 9L) == 10) // C(5,2)
+  }
 }
