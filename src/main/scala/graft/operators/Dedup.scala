@@ -417,12 +417,19 @@ object Dedup {
   def substringDupPairs(docs: DataFrame, textCol: String, idCol: String,
       windowChars: Int = 40, maxDocsPerWindow: Int = 20): DataFrame = {
     val norm = TextShingles.normalize(col(textCol))
-    val wins = docs
-      .select(col(idCol).as("id"), norm.as("__t"))
-      .filter(length(col("__t")) >= windowChars)
-      .select(col("id"), explode(array_distinct(transform(
-        sequence(lit(1), length(col("__t")) - (windowChars - 1)),
-        i => xxhash64(col("__t").substr(i, lit(windowChars)))))).as("w"))
+    // ONE exchange on the window key: the df aggregate, the df-band join,
+    // and both sides of the pair self-join all consume this partitioning,
+    // so the posting table (|text| rows per doc) shuffles once, not three
+    // times (ReuseExchange on the identical subtree; the aggregate and
+    // joins below it add no new exchange).
+    val wins = Hashing.repartitionForCompute(
+      docs
+        .select(col(idCol).as("id"), norm.as("__t"))
+        .filter(length(col("__t")) >= windowChars)
+        .select(col("id"), explode(array_distinct(transform(
+          sequence(lit(1), length(col("__t")) - (windowChars - 1)),
+          i => xxhash64(col("__t").substr(i, lit(windowChars)))))).as("w")),
+      "w")
     val banded = wins
       .join(wins.groupBy(col("w")).agg(count(lit(1)).as("__df")), Seq("w"))
       .filter(col("__df").between(2, maxDocsPerWindow))
