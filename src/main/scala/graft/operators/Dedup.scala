@@ -238,10 +238,19 @@ object Dedup {
     // partitioning by (blk, id) would force a second shuffle for nothing.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    // localCheckpoint: the prefix table feeds BOTH sides of the candidate
+    // join (probe + index), and Catalyst trees cannot share a non-exchange
+    // subtree — without materialization the posting⋈freq join and the
+    // per-doc ranking window execute TWICE (the r8 plan audit showed two
+    // full Window subtrees). The table is tiny relative to the corpus
+    // (≈(1−t)·Σ|set| rows, ids + two ints), so materializing it once is
+    // the iterative-reuse device (cf. clusterPairs), not a cache crutch;
+    // at 100 TB this would be a persisted intermediate dataset.
     val prefix = posting.join(freq, Seq("blk", "gram"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("blk"), col("gram"), col("id"), col("n"), col("r"))
+      .localCheckpoint()
     // size filter (PPJoin's second pruning axis): jaccard(A,B) >= t forces
     // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
     // min >= t·max is NECESSARY — candidates that fail it are killed at
