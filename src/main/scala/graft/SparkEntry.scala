@@ -516,6 +516,12 @@ object SparkEntry {
         TemperatureWeights, temperature = 2.0)),
     "q137_substring_dups" -> ((s, dir) =>
       Dedup.substringDupPairs(Tables.documents(s, dir), "text", "doc_id")),
+    // q138: minDocs=3 — the synthetic corpus has no true licenses (max
+    // window df is 3-4), so the report surfaces its repeated sentence
+    // fragments instead
+    "q138_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateWindows(Tables.documents(s, dir), "text", "doc_id",
+        minDocs = 3)),
   )
 
   /** q136 parameters, shared with the oracle builder. */
@@ -2341,6 +2347,19 @@ object SparkEntry {
         |       count(*) AS n_shared_windows
         |FROM ok a JOIN ok b ON a.sub = b.sub AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    "q138_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id, win FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 39),
+        |        i -> substr(t, i, 40))) AS win
+        |    FROM t WHERE len(t) >= 40))
+        |SELECT win, count(*) AS n_docs
+        |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
   )
 
   /** q134 oracle: the 21-bit-per-dimension interleave written out as

@@ -450,6 +450,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** Q138: boilerplate window report — the OTHER side of [[
+    * substringDupPairs]]'s frequency cap: the windows shared by MORE than
+    * `minDocs` documents are licenses, navigation chrome, headers — the
+    * text a pipeline strips globally rather than pairwise-dedupes (Lee et
+    * al.'s frequency cutoff, reported instead of dropped). Emits each
+    * boilerplate window's doc count and per-doc coverage stats so a
+    * cleaning rule can be tuned from data. Cost: ONE map-side-combinable
+    * aggregate over the posting expansion — no pair join at all
+    * (boilerplate df² pair lists are exactly what this form avoids). The
+    * window TEXT is the group key (the report's consumer is a human/
+    * rule-writer); partial aggregation collapses within-partition
+    * repeats before the shuffle, and at 100 TB the two-pass variant
+    * (count on xxhash64, join the text back for survivors only) drops
+    * the string shuffle to the boilerplate set alone.
+    */
+  def boilerplateWindows(docs: DataFrame, textCol: String, idCol: String,
+      windowChars: Int = 40, minDocs: Int = 10): DataFrame = {
+    val norm = TextShingles.normalize(col(textCol))
+    val wins = docs
+      .select(col(idCol).as("id"), norm.as("__t"))
+      .filter(length(col("__t")) >= windowChars)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(1), length(col("__t")) - (windowChars - 1)),
+        i => col("__t").substr(i, lit(windowChars))))).as("win"))
+    wins
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** EXACT all-pairs cosine near-dup pairs — the ground-truth side of
     * [[embeddingNearDupsValidated]]. All-pairs by design: this is the
     * validation-priced exact pass (the production surface is

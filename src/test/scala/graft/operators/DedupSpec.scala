@@ -408,5 +408,15 @@ class DedupSpec extends SparkSpec {
       windowChars = 40, maxDocsPerWindow = 10)
       .as[(Long, Long, Long)].collect()
     assert(uncapped.count(p => p._1 >= 5L && p._2 <= 9L) == 10) // C(5,2)
+
+    // q138 complement: the boilerplate REPORT surfaces exactly the
+    // capped family — every reported window is shared by all 5 boiler
+    // docs, and the pairwise-shared sentence (2 docs) stays below the
+    // threshold
+    val report = Dedup.boilerplateWindows(docs, "text", "doc_id",
+      windowChars = 40, minDocs = 5)
+      .as[(String, Long)].collect()
+    assert(report.nonEmpty && report.forall(_._2 == 5L))
+    assert(report.forall(r => boiler.contains(r._1.take(20))))
   }
 }
