@@ -67,12 +67,19 @@ object Dedup {
     */
   private[graft] def charShingleSets(docs: DataFrame, textCol: String,
       idCol: String, shingleK: Int): DataFrame =
+    // the repartition sits BELOW the shingle computation: the testdata
+    // scan is one ~2 MB parquet row group = ONE partition, so computing
+    // sets under the exchange would run the whole normalize+shingle+hash
+    // +sort pass on a single core before any parallelism (measured: the
+    // serial set build dominated the q10/q11 gates). Shuffling the raw
+    // (id, text) rows first costs the same bytes and lets every core
+    // build sets; consumers above still share the one exchange.
     Hashing.repartitionForCompute(
-      docs.select(col(idCol).as("id"),
+      docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"),
         graft.functions.HashedSetExprs.hashedSortedSet(
           graft.functions.CharShinglesExpr.charShingles(
-            TextShingles.normalize(col(textCol)), shingleK)).as("hs")),
-      "id")
+            TextShingles.normalize(col("__txt")), shingleK)).as("hs"))
 
   /** MinHash+LSH near-duplicate pairs: candidates from shared LSH buckets,
     * verified by exact Jaccard on shingle sets. Output: (doc_a, doc_b,
@@ -208,12 +215,16 @@ object Dedup {
     // graft.functions.HashedSetExprs). The prefix guarantee holds because
     // the rarest-first order is computed over the same hashed posting for
     // every document (any consistent total order works).
+    // repartition the raw rows BEFORE the n-gram build (cf.
+    // charShingleSets: the single-row-group scan would otherwise compute
+    // every gram set on one core under the exchange)
     val d = Hashing.repartitionForCompute(
       docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(textCol).as("__txt")), "id")
+      .select(col("blk"), col("id"),
         graft.functions.HashedSetExprs.hashedSortedSet(
           graft.functions.WordNgramsExpr.wordNgrams(
-            TextShingles.normalize(col(textCol)), n)).as("g")),
-      "id")
+            TextShingles.normalize(col("__txt")), n)).as("g"))
     prefixFilteredJaccardPairs(d, threshold)
   }
 
@@ -432,8 +443,9 @@ object Dedup {
     // times (ReuseExchange on the identical subtree; the aggregate and
     // joins below it add no new exchange).
     val wins = Hashing.repartitionForCompute(
-      docs
-        .select(col(idCol).as("id"), norm.as("__t"))
+      Hashing.repartitionForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"), TextShingles.normalize(col("__txt")).as("__t"))
         .filter(length(col("__t")) >= windowChars)
         .select(col("id"), explode(array_distinct(transform(
           sequence(lit(1), length(col("__t")) - (windowChars - 1)),
@@ -470,8 +482,10 @@ object Dedup {
   def boilerplateWindows(docs: DataFrame, textCol: String, idCol: String,
       windowChars: Int = 40, minDocs: Int = 10): DataFrame = {
     val norm = TextShingles.normalize(col(textCol))
-    def expand(out: Column => Column): DataFrame = docs
-      .select(col(idCol).as("id"), norm.as("__t"))
+    def expand(out: Column => Column): DataFrame = Hashing
+      .repartitionForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"), TextShingles.normalize(col("__txt")).as("__t"))
       .filter(length(col("__t")) >= windowChars)
       .select(col("id"), explode(array_distinct(transform(
         sequence(lit(1), length(col("__t")) - (windowChars - 1)),
