@@ -63,10 +63,44 @@ object Tables {
       .parquet(sfDir))
   }
 
+  /** Defensive date normalization (same drift class as [[normalizeTs]]):
+    * if a generator round rewrites a date column as timestamp[/_ntz] or
+    * string, cast it back — every date predicate/function in the query
+    * suite assumes DateType, and DuckDB reads whatever the file says, so
+    * an un-normalized drift desyncs the engines on all date queries at
+    * once.
+    */
+  private def normalizeDate(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case DateType => d
+        case _ => d.withColumn(c,
+          org.apache.spark.sql.functions.col(c).cast(DateType))
+      }
+    }
+  }
+
+  /** Defensive embedding normalization: the vector kernels accept float
+    * OR double arrays, but the oracle SQL casts to DOUBLE[] — a
+    * float→double generator flip is absorbed by both sides already, so
+    * only assert the shape here (fail loudly on anything non-numeric).
+    */
+  private def checkEmbedding(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType | DoubleType, _) => df
+      case other => sys.error(s"embeddings.embedding: unexpected type $other")
+    }
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    checkEmbedding(load(spark, sfDir, "embeddings"))
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeDate(load(spark, sfDir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeDate(load(spark, sfDir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
