@@ -338,6 +338,60 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q126 forecast revenue: all three predicate bands pushed; 3-column scan") {
+    // inspect the scan node's expression lists directly — the plan
+    // STRING truncates PushedFilters at maxMetadataStringLength, and
+    // that conf is racy to flip on the suite-shared session
+    // RelationalSpec caches lineitem; a cached subtree substitutes an
+    // InMemoryRelation for the file scan and hides the pushdown under
+    // test — drop caches so this plan reads the real scan node
+    spark.catalog.clearCache()
+    val df = Relational.forecastRevenue(Tables.lineitem(spark, sf))
+    // unwrap the AQE shell (AdaptiveSparkPlanExec is itself a leaf, so
+    // collectLeaves on the wrapper never reaches the scan)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = root.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    val pushed = scan.dataFilters.map(_.toString).mkString("; ")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c band not pushed to the scan: $pushed")
+    // the scan reads only the four referenced columns
+    val read = scan.requiredSchema.fieldNames.toSet
+    assert(read == Set("l_shipdate", "l_discount", "l_quantity",
+      "l_extendedprice"), s"scan reads $read")
+  }
+
+  test("q125 shipping priority: top-10 plans TakeOrderedAndProject, no global sort") {
+    val df = Relational.shippingPriority(Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge:\n$plan")
+  }
+
+  test("q132 chunking / q136 temperature sample: zero shuffles (map-only expansion)") {
+    for (df <- Seq(
+      Pipelines.chunkDocuments(Tables.documents(spark, sf), "text", "doc_id"),
+      Pipelines.temperatureSample(Tables.documents(spark, sf), "lang",
+        "doc_id", Map("en" -> 0.5, "de" -> 0.5), 1.0))) {
+      val plan = executedPlan(df)
+      assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext,
+        s"map-only operator plans a shuffle:\n$plan")
+    }
+  }
+
+  test("q129 top supplier: scalar max and supplier dim both broadcast") {
+    val df = Relational.topSupplier(Tables.lineitem(spark, sf),
+      Tables.supplier(spark, sf))
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"expected broadcast-only joins after the one fact aggregation:\n$plan")
+  }
+
   test("q77 pmi: unigram-count exchange is built once and reused for both joins") {
     val df = TextAnalysis.bigramPmi(Tables.documents(spark, sf), "text", minCount = 2)
     val plan = executedPlan(df)
