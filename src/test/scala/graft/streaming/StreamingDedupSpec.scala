@@ -94,4 +94,44 @@ class StreamingDedupSpec extends SparkSpec {
       !got.contains(1003L))
     index.unpersist()
   }
+
+  test("near-dup ingest gate: stop/restart resumes from the checkpoint without re-admitting") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val index = StreamingNearDup.corpusIndex(corpus, "text", "doc_id").cache()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("neardup_restart").toString
+    // idempotent-by-batchId sink: foreachBatch may REPLAY the last batch
+    // after a restart (same id), which must overwrite, not append
+    val admitted = scala.collection.mutable.Map[Long, Set[Long]]()
+    def start(in: MemoryStream[(Long, String)]) =
+      StreamingNearDup.ingestGate(
+        in.toDF().toDF("doc_id", "text"), index, "text", "doc_id", ckpt,
+        (df, id) => admitted.synchronized {
+          admitted(id) = df.select($"doc_id").as[Long].collect().toSet
+        })
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = start(in1)
+    try {
+      in1.addData((10L, "first unique document qq"),
+        (11L, "alpha beta gamma delta epsilon zeta eta theta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterFirst = admitted.values.flatten.toSet
+    assert(afterFirst == Set(10L), s"got $afterFirst")
+    // restart against the SAME checkpoint: a replayable source must
+    // re-offer the already-processed prefix (the checkpointed offset
+    // skips past it — the replay must NOT re-admit doc 10 under a new
+    // batch id) plus the genuinely new data
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((10L, "first unique document qq"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"))
+    in2.addData((12L, "second unique document zz"))
+    val q2 = start(in2)
+    try q2.processAllAvailable() finally q2.stop()
+    val afterRestart = admitted.values.flatten.toSet
+    assert(afterRestart == Set(10L, 12L), s"got $afterRestart")
+    index.unpersist()
+  }
 }
