@@ -97,11 +97,12 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes): zero-width bands hash " +
         "empty slices identically for every doc, degenerating to an all-pairs join")
     val rows = numHashes / bands
-    // ONE exchange: normalize/shingle/hash are native codegen'd
-    // expressions, so they run inline on the scan partitions; the
-    // repartition then materializes the HASHED shingle sets once and all
-    // three consumers (bucketing + both verification branches) reuse the
-    // exchange. Carrying sorted xxhash64 longs instead of shingle strings
+    // ONE exchange: raw (id, text) rows repartition first and the native
+    // codegen'd normalize/shingle/hash kernels run ABOVE it on every
+    // core (see charShingleSets for why: single-row-group scans would
+    // serialize anything below); all three consumers (bucketing + both
+    // verification branches) reuse the same exchange.
+    // Carrying sorted xxhash64 longs instead of shingle strings
     // shrinks the verification shuffle ~2× and turns per-pair Jaccard into
     // an allocation-free linear merge (collision odds and exactness:
     // see graft.functions.HashedSetExprs).
