@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: executes every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
@@ -10,6 +10,29 @@ import org.apache.spark.sql.SparkSession
   * plan — `count()` would let Catalyst prune the work.
   */
 object Bench {
+
+  /** Raw PRODUCTION near-dup operators, benched as their own rows. The
+    * oracled q10/q11/q18 run VALIDATED forms that additionally compute
+    * the exact ground truth (PPJoin / all-pairs) the oracle needs — so
+    * their bench rows price the correctness gate, not the operator a
+    * user runs. These rows show the operator cost: same operators, same
+    * parameters as the validated forms, minus the exact-truth pass.
+    * Not in SparkEntry.queries: the LSH outputs are hash-engine-specific
+    * (no DuckDB oracle), which is exactly why the gates exist.
+    */
+  val prodPaths: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prod_minhash_neardups" -> ((s, dir) =>
+      graft.operators.Dedup.minhashNearDups(Tables.documents(s, dir),
+        "text", "doc_id", shingleK = 5, numHashes = 64, bands = 16,
+        threshold = 0.7)),
+    "prod_simhash_neardups" -> ((s, dir) =>
+      graft.operators.Dedup.simhashNearDups(Tables.documents(s, dir),
+        "text", "doc_id", maxDist = 3)),
+    "prod_embedding_neardups" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDups(Tables.embeddings(s, dir),
+        "vec_id", dim = 64, threshold = 0.35)),
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,9 +51,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val allQueries = SparkEntry.queries ++ prodPaths
+
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try allQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -39,11 +64,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = allQueries.keys.toSeq.sorted
     // warm-ups amortize JVM/codegen startup: a light query for the session
-    // machinery, plus the FIRST measured query (q10 sorts first) so the
-    // first slot isn't the only one paying the heavy-family JIT cost that
-    // every later query gets amortized by its predecessors
+    // machinery, plus the FIRST measured query (the prod_* rows sort
+    // before q10) so the first slot isn't the only one paying the
+    // heavy-family JIT cost that every later query gets amortized by its
+    // predecessors
     once("q3_time_shift")
     once(names.head)
     // median-of-n INTERLEAVED repeats: the shared driver host alternates
@@ -61,30 +87,72 @@ object Bench {
     val reps = repsRaw.toIntOption.getOrElse(
       sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$repsRaw'"))
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val passes: Seq[Seq[(String, Double)]] =
-      (1 to reps).map(_ => names.map(n => n -> once(n)))
-    val results: Seq[(String, Double, Double)] = names.zipWithIndex.map {
-      case (n, i) =>
-        val s = passes.map(_(i)._2)
-        if (s.exists(_ < 0)) (n, -1.0, -1.0)
-        else {
-          val sorted = s.sorted
-          (n, sorted(sorted.size / 2), sorted.last - sorted.head)
-        }
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach(_ => names.foreach(n => samples(n) :+= once(n)))
+
+    // (median, central spread) of a query's samples. Spread is the range
+    // of the CENTRAL half once >= 4 samples exist (the adaptive pass adds
+    // samples, and a plain max-min can only grow with n — one transient
+    // outlier would make convergence impossible by construction); at the
+    // base n=3 it degrades to max-min, the r8 definition.
+    def stats(s: Vector[Double]): (Double, Double) = {
+      val sorted = s.sorted
+      val n = sorted.size
+      (sorted(n / 2), sorted((3 * n) / 4 min (n - 1)) - sorted(n / 4))
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
+
+    // ADAPTIVE reps: median-of-3 was not converging for the >10 s queries
+    // on the contended driver host (BENCH_r08: q10 spread 19.7 s vs
+    // median 16.5). Queries whose central spread exceeds half their
+    // median earn extra interleaved reps — bounded rounds, noisy set
+    // only — so adjudications don't hinge on one lucky/unlucky window.
+    // The 0.5 s floor keeps sub-second queries (scheduling noise
+    // dominates; nothing is adjudicated on them) from burning reps.
+    val extraRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4")
+      .toIntOption.getOrElse(
+        sys.error("SPARK_GRAFT_BENCH_EXTRA must be an integer"))
+    var round = 0
+    var noisy = Seq.empty[String]
+    while (round < extraRounds && {
+      noisy = names.filter { n =>
+        val s = samples(n)
+        s.forall(_ >= 0) && {
+          val (med, spread) = stats(s)
+          med >= 0.5 && spread > 0.5 * med
+        }
+      }
+      noisy.nonEmpty
+    }) {
+      noisy.foreach(n => samples(n) :+= once(n))
+      round += 1
+    }
+
+    val results: Seq[(String, Double, Double, Int)] = names.map { n =>
+      val s = samples(n)
+      if (s.exists(_ < 0)) (n, -1.0, -1.0, s.size)
+      else { val (med, spread) = stats(s); (n, med, spread, s.size) }
+    }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp) => "\"" + k + f"\":$sp%.3f" }
+    val spreads = results.map { case (k, _, sp, _) => "\"" + k + f"\":$sp%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val repMap = results.map { case (k, _, _, r) => "\"" + k + s"\":$r" }
+      .mkString("{", ",", "}")
+    // the suite total the driver adjudicates stays ORACLE-QUERY-ONLY: the
+    // prod_* rows are additional information, not a change to the metric's
+    // population (a round-over-round total comparison must compare the
+    // same query set)
+    val total = results.collect {
+      case (k, med, _, _) if med >= 0 && !k.startsWith("prod_") => med }.sum
     val nFailed = results.count(_._2 < 0)
-    // full record (per-query median + max-min spread maps) goes to the file
-    // only: the driver captures just a stdout TAIL, and the per-query map
-    // has outgrown that window before (BENCH_r04 "parsed": null). The LAST
-    // stdout line is a compact fixed-size total so the driver's parse can
-    // never truncate.
+    // full record (per-query median + central-spread + rep-count maps)
+    // goes to the file only: the driver captures just a stdout TAIL, and
+    // the per-query map has outgrown that window before (BENCH_r04
+    // "parsed": null). The LAST stdout line is a compact fixed-size total
+    // so the driver's parse can never truncate.
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"repeats":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"repeats":$reps,"extra_rounds":$round,"queries":$qs,"spread":$spreads,"reps":$repMap,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }

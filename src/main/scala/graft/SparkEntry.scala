@@ -522,6 +522,10 @@ object SparkEntry {
     "q138_boilerplate" -> ((s, dir) =>
       Dedup.boilerplateWindows(Tables.documents(s, dir), "text", "doc_id",
         minDocs = 3)),
+    "q139_bigram_surprisal" -> ((s, dir) =>
+      Pipelines.bigramSurprisal(Tables.documents(s, dir), "text", "doc_id")),
+    "q140_cdc_dedup" -> ((s, dir) =>
+      Pipelines.cdcDedupStats(Tables.documents(s, dir), "text", "doc_id")),
   )
 
   /** q136 parameters, shared with the oracle builder. */
@@ -2204,7 +2208,7 @@ object SparkEntry {
         |FROM shipped s
         |JOIN tot t ON s.l_partkey = t.l_partkey
         |JOIN supplier ON s_suppkey = s.l_suppkey
-        |WHERE supp_qty > 0.3 * part_qty""".stripMargin,
+        |WHERE 100 * supp_qty > 30 * part_qty""".stripMargin,
     // q122 (validated, q48 semantics): the oracled rows are the EXACT
     // new-doc set; recall_ok pins the zero-shuffle bloom gate's
     // false-positive loss under its 0.95 floor (fpp = 0.01).
@@ -2360,6 +2364,78 @@ object SparkEntry {
         |    FROM t WHERE len(t) >= 40))
         |SELECT win, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    // q139: q133's grid discipline extended to the bigram mixture; the λ
+    // literals are CAST to DOUBLE so DuckDB computes the mixture in IEEE
+    // double like the engine (its bare decimals would evaluate 1 - 0.7
+    // exactly and desync grid rounding of boundary terms).
+    "q139_bigram_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, toks[i] AS cur,
+        |         CASE WHEN i > 1 THEN toks[i - 1] ELSE NULL END AS prev
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM d)),
+        |c1 AS (SELECT cur, count(*) AS c1 FROM t GROUP BY 1),
+        |n AS (SELECT sum(c1) AS N FROM c1),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM t
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |cf AS (SELECT prev, sum(c2) AS cf FROM c2 GROUP BY 1),
+        |terms AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(-ln(CASE WHEN t.prev IS NULL
+        |      THEN CAST(c1.c1 AS DOUBLE) / CAST(n.N AS DOUBLE)
+        |      ELSE CAST(0.7 AS DOUBLE)
+        |             * (CAST(c2.c2 AS DOUBLE) / CAST(cf.cf AS DOUBLE))
+        |           + (1 - CAST(0.7 AS DOUBLE))
+        |             * (CAST(c1.c1 AS DOUBLE) / CAST(n.N AS DOUBLE)) END)
+        |      * 1000000) AS DECIMAL(18,0)) AS mic
+        |  FROM t
+        |  JOIN c1 USING (cur)
+        |  LEFT JOIN c2 ON c2.prev = t.prev AND c2.cur = t.cur
+        |  LEFT JOIN cf ON cf.prev = t.prev, n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6)
+        |    AS sum_nll,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    / count(*), 6) AS avg_nll
+        |FROM terms GROUP BY 1""".stripMargin,
+    // q140: the oracle recomputes every window hash (the k-char
+    // polynomial fold, q15's ascii-per-char convention), derives the cut
+    // points, slices the chunks, and groups on the raw chunk TEXT where
+    // the engine groups on xxhash64 — the standing collision audit.
+    "q140_cdc_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |cps AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    list_transform(string_split(t, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT)) AS cs
+        |  FROM t WHERE len(t) > 0),
+        |b AS (
+        |  SELECT doc_id, t, n,
+        |    list_filter(range(8, n + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-7:i]),
+        |        (a, x) -> (a * 31 + x) % 1000000007) % 64 = 0) AS ends
+        |  FROM cps),
+        |bl AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(ends) > 0 AND ends[-1] = n THEN ends
+        |         ELSE list_append(ends, n) END AS es
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id,
+        |    substr(t, CASE WHEN i = 1 THEN 1 ELSE es[i - 1] + 1 END,
+        |      es[i] - CASE WHEN i = 1 THEN 0 ELSE es[i - 1] END) AS chunk
+        |  FROM (SELECT doc_id, t, es, unnest(range(1, len(es) + 1)) AS i
+        |        FROM bl)),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shared_chunks
+        |FROM ch JOIN df USING (chunk) GROUP BY 1""".stripMargin,
   )
 
   /** q134 oracle: the 21-bit-per-dimension interleave written out as

@@ -34,7 +34,25 @@ object Tables {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions._
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // LongType is assumed to be NANOS (the nanosAsLong surfacing of
+      // TIMESTAMP(NANOS)) — but a future generator flip to raw int64
+      // micros/millis would ALSO surface as LongType and silently land
+      // 1000x off. Guard per row: after the nanos→micros division the
+      // value must be a plausible epoch instant (1990..2100); anything
+      // else fails loudly instead of desyncing every event query. The
+      // range check is one codegen'd compare — no extra job, no footer
+      // read.
+      case LongType => df.withColumn("ts", expr(
+        """CASE
+          |  WHEN ts IS NULL THEN NULL
+          |  WHEN ts div 1000 BETWEEN 631152000000000 AND 4102444800000000
+          |    THEN timestamp_micros(ts div 1000)
+          |  ELSE timestamp_micros(CAST(raise_error(concat(
+          |    'events.ts: LongType value ', ts,
+          |    ' is not plausible epoch nanos (1990..2100); ',
+          |    'generator encoding drifted - fix Tables.normalizeTs'))
+          |    AS BIGINT))
+          |END""".stripMargin))
       case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _: TimestampType => df
       case other => sys.error(s"events.ts: unexpected parquet type $other")

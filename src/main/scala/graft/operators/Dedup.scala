@@ -74,12 +74,16 @@ object Dedup {
     // serial set build dominated the q10/q11 gates). Shuffling the raw
     // (id, text) rows first costs the same bytes and lets every core
     // build sets; consumers above still share the one exchange.
+    // the set build is the FUSED window-hash kernel: one byte-offset walk
+    // + one long sort per doc, no intermediate shingle strings —
+    // bit-identical to hashed_sorted_set(char_shingles(...)) (parity
+    // spec'd in WindowHashSpec; the r9 profile put the string-built sets
+    // at ~7.6 s of the 10.2 s exact gate at sf0.1)
     Hashing.repartitionForCompute(
       docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
       .select(col("id"),
-        graft.functions.HashedSetExprs.hashedSortedSet(
-          graft.functions.CharShinglesExpr.charShingles(
-            TextShingles.normalize(col("__txt")), shingleK)).as("hs"))
+        graft.functions.WindowHashExprs.windowHashSortedSet(
+          TextShingles.normalize(col("__txt")), shingleK).as("hs"))
 
   /** MinHash+LSH near-duplicate pairs: candidates from shared LSH buckets,
     * verified by exact Jaccard on shingle sets. Output: (doc_a, doc_b,
@@ -258,11 +262,18 @@ object Dedup {
     // (≈(1−t)·Σ|set| rows, ids + two ints), so materializing it once is
     // the iterative-reuse device (cf. clusterPairs), not a cache crutch;
     // at 100 TB this would be a persisted intermediate dataset.
+    // eager=false: merely CONSTRUCTING this DataFrame (explain, plan
+    // specs, audits) must not launch a Spark job — the checkpoint
+    // materializes on the first real action and is shared from there.
+    // Tradeoff, either way: localCheckpoint blocks are UNREPLICATED
+    // executor-local state — a lost executor kills the query (no lineage
+    // recompute) and the whole gate reruns; acceptable for a validation
+    // gate, and the reason the production operators don't checkpoint.
     val prefix = posting.join(freq, Seq("blk", "gram"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("blk"), col("gram"), col("id"), col("n"), col("r"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // size filter (PPJoin's second pruning axis): jaccard(A,B) >= t forces
     // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
     // min >= t·max is NECESSARY — candidates that fail it are killed at
@@ -437,20 +448,25 @@ object Dedup {
     */
   def substringDupPairs(docs: DataFrame, textCol: String, idCol: String,
       windowChars: Int = 40, maxDocsPerWindow: Int = 20): DataFrame = {
-    val norm = TextShingles.normalize(col(textCol))
-    // ONE exchange on the window key: the df aggregate, the df-band join,
-    // and both sides of the pair self-join all consume this partitioning,
-    // so the posting table (|text| rows per doc) shuffles once, not three
+    // ONE exchange on the window key ABOVE the id-repartitioned expansion
+    // (the inner repartition parallelizes the single-row-group testdata
+    // scan; at real multi-file scale it is a no-op-sized safety net): the
+    // df aggregate, the df-band join, and both sides of the pair
+    // self-join all consume the `w` partitioning, so the posting table
+    // (|text| rows per doc) shuffles once above the expansion, not three
     // times (ReuseExchange on the identical subtree; the aggregate and
-    // joins below it add no new exchange).
+    // joins below it add no new exchange). Window hashing is the fused
+    // native kernel (WindowHashExprs): per-position xxhash64 over byte
+    // slices of ONE shared buffer — bit-identical to
+    // xxhash64(substr(...)), minus the per-position string copy and the
+    // per-position Catalyst tree walk.
     val wins = Hashing.repartitionForCompute(
       Hashing.repartitionForCompute(
         docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
         .select(col("id"), TextShingles.normalize(col("__txt")).as("__t"))
         .filter(length(col("__t")) >= windowChars)
-        .select(col("id"), explode(array_distinct(transform(
-          sequence(lit(1), length(col("__t")) - (windowChars - 1)),
-          i => xxhash64(col("__t").substr(i, lit(windowChars)))))).as("w")),
+        .select(col("id"), explode(graft.functions.WindowHashExprs
+          .windowHashes(col("__t"), windowChars)).as("w")),
       "w")
     val banded = wins
       .join(wins.groupBy(col("w")).agg(count(lit(1)).as("__df")), Seq("w"))
@@ -468,36 +484,47 @@ object Dedup {
     * `minDocs` documents are licenses, navigation chrome, headers — the
     * text a pipeline strips globally rather than pairwise-dedupes (Lee et
     * al.'s frequency cutoff, reported instead of dropped). Emits each
-    * boilerplate window's doc count and per-doc coverage stats so a
-    * cleaning rule can be tuned from data. Cost: TWO PASSES, neither of
-    * which shuffles window text for the whole corpus — pass 1 counts on
-    * xxhash64(win) (8-byte keys, map-side-combinable; measured 2× faster
-    * than the string-keyed single pass at sf0.1), pass 2 re-expands the
-    * windows map-only and broadcast-joins the tiny survivor set to
-    * recover each boilerplate window's text. No pair join anywhere
-    * (boilerplate df² pair lists are exactly what this form avoids).
-    * Counting on hashes carries the same cross-window collision budget
-    * as q137's pairs — and the oracle groups on raw text, so a
-    * collision-merged count would fail the hash compare.
+    * boilerplate window's text and document count.
+    *
+    * Scale design: ONE window expansion, and window TEXT never shuffles
+    * corpus-wide. The expansion emits (h = xxhash64(window), pos) structs
+    * (8+4 bytes, fused native kernel — no per-position string), hash-
+    * partitioned on h; the df aggregate and the survivor probe join BOTH
+    * consume that one exchange. Window text is recovered AFTER the
+    * frequency cut, by re-slicing each surviving (id, pos) from the
+    * normalized source doc — so string work is proportional to the
+    * boilerplate hits, not the corpus. No pair join anywhere (boilerplate
+    * df² pair lists are exactly what this form avoids), and no forced
+    * broadcast: on a 100 TB web crawl the ≥minDocs survivor set IS the
+    * boilerplate of the web — potentially 10⁸⁺ rows — so the joins are
+    * plain equi-joins and AQE picks broadcast only when the runtime size
+    * genuinely fits. Counting on hashes carries the same cross-window
+    * collision budget as q137's pairs — and the oracle groups on raw
+    * text, so a collision-merged count would fail the hash compare.
     */
   def boilerplateWindows(docs: DataFrame, textCol: String, idCol: String,
       windowChars: Int = 40, minDocs: Int = 10): DataFrame = {
-    val norm = TextShingles.normalize(col(textCol))
-    def expand(out: Column => Column): DataFrame = Hashing
-      .repartitionForCompute(
-        docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+    // base is partitioned on id BELOW the normalize projection: the
+    // expansion consumes it (single-row-group parallelism fix), and the
+    // final text-recovery join on id reuses the same exchange subtree.
+    val base = Hashing.repartitionForCompute(
+      docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
       .select(col("id"), TextShingles.normalize(col("__txt")).as("__t"))
       .filter(length(col("__t")) >= windowChars)
-      .select(col("id"), explode(array_distinct(transform(
-        sequence(lit(1), length(col("__t")) - (windowChars - 1)),
-        i => out(col("__t").substr(i, lit(windowChars)))))).as("win"))
-    val survivors = expand(w => xxhash64(w))
-      .groupBy(col("win").as("h"))
+    val hits = Hashing.repartitionForCompute(
+      base.select(col("id"), explode(graft.functions.WindowHashExprs
+        .windowHashPos(col("__t"), windowChars)).as("hp"))
+        .select(col("id"), col("hp.h").as("h"), col("hp.pos").as("pos")),
+      "h")
+    val survivors = hits
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    expand(identity)
-      .join(broadcast(survivors), xxhash64(col("win")) === col("h"))
-      .select(col("win"), col("n_docs"))
+    hits
+      .join(survivors, Seq("h"))
+      .join(base, Seq("id"))
+      .select(col("__t").substr(col("pos"), lit(windowChars)).as("win"),
+        col("n_docs"))
       .distinct()
   }
 

@@ -687,6 +687,107 @@ object Pipelines {
       .withColumn("sum_nll", round(col("sum_nll"), 6))
   }
 
+  /** Q139: interpolated BIGRAM-LM scoring — the one-step-up sibling of
+    * [[unigramSurprisal]]: each token after the first is scored by the
+    * Jelinek-Mercer mixture λ·P(cur|prev) + (1−λ)·P(cur), the classic
+    * backoff that keeps unseen-in-context tokens finite; the first token
+    * (no context) scores by its unigram alone. Context probability is
+    * P(cur|prev) = c2(prev,cur) / Σ_x c2(prev,x) — the denominator is
+    * derived FROM the bigram table (occurrences of prev as a context),
+    * so the distribution sums to exactly 1 per context.
+    *
+    * Scale design: two corpus-sized aggregations (unigram + bigram
+    * counts, both map-side combinable) and the per-doc re-aggregate;
+    * every probability join hits a VOCABULARY-bounded table (Heaps' law
+    * — AQE broadcasts them when they fit, shuffles on their own keys
+    * when not). Determinism follows q133's discipline exactly: per-token
+    * surprisal rounds to the 1e-6 grid, sums as decimal micros (order-
+    * independent), and the λ mixture is computed in IEEE double on both
+    * engines (the oracle casts its literals to DOUBLE — DuckDB would
+    * otherwise evaluate 1 − 0.7 in exact decimal and desync the grid
+    * rounding of boundary terms).
+    */
+  def bigramSurprisal(docs: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val base = docs.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val firsts = base.select(col(idCol), col("__toks").getItem(0).as("cur"))
+    val bigrams = base
+      .select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val c1 = docs.select(explode(toks).as("cur"))
+      .groupBy(col("cur")).agg(count(lit(1)).as("c1"))
+    val n = c1.agg(sum(col("c1")).as("N"))
+    val c2 = bigrams.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+    val cf = c2.groupBy(col("prev")).agg(sum(col("c2")).as("cf"))
+    val uniP = col("c1").cast("double") / col("N").cast("double")
+    val firstTerms = firsts
+      .join(c1, Seq("cur"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), round(-log(uniP) * 1e6).cast("long").as("mic"))
+    val biTerms = bigrams
+      .join(c2, Seq("prev", "cur"))
+      .join(cf, Seq("prev"))
+      .join(c1, Seq("cur"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), round(-log(
+        lit(lambda) * (col("c2").cast("double") / col("cf").cast("double")) +
+          (lit(1.0) - lit(lambda)) * uniP) * 1e6).cast("long").as("mic"))
+    firstTerms.unionByName(biTerms)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("mic").cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", round(col("sum_nll") / col("n_tokens"), 6))
+      .withColumn("sum_nll", round(col("sum_nll"), 6))
+  }
+
+  /** Q140: CONTENT-DEFINED-CHUNK dedup statistics — chunk every document
+    * at content-defined boundaries ([[graft.functions.CdcChunksExpr]]:
+    * rolling-hash cut points, the rsync/LBFS device) and report, per
+    * document, how many of its chunks also occur in OTHER documents.
+    * This is the storage-dedup view of the corpus: fixed-stride chunks
+    * (q132) lose all alignment after one insertion, while CDC chunks
+    * re-align — so `shared_chunks` finds the shifted copies q108's
+    * token-chunk passage dedup misses.
+    *
+    * Scale design: the chunk expansion is a map-only native kernel above
+    * the id-repartitioned scan (single-row-group parallelism, cf.
+    * charShingleSets); the document-frequency aggregate and the back-
+    * join count on xxhash64(chunk) LONGS, so chunk text never shuffles
+    * corpus-wide — one 8-byte-keyed exchange that the df aggregate and
+    * the probe join share, exactly the q138 shape. The oracle groups on
+    * the raw chunk text, so the engine's hash-collision budget is
+    * audited by every run (q137 precedent).
+    */
+  def cdcDedupStats(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, modulus: Int = 64): DataFrame = {
+    val occ = Hashing.repartitionForCompute(
+      docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"), explode(graft.functions.CdcChunksExpr.cdcChunks(
+        graft.operators.TextShingles.normalize(col("__txt")), k, modulus))
+        .as("chunk"))
+      .select(col("id"), xxhash64(col("chunk")).as("h"))
+    val hashed = Hashing.repartitionForCompute(occ, "h")
+    val dfTab = hashed
+      .groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("df"))
+    hashed
+      .join(dfTab, Seq("h"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("df") >= 2).cast("long")).as("shared_chunks"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Q134: Z-ORDER clustering key — interleaves the low `bitsPerDim` bits
     * of two integer dimensions into one locality-preserving sort key, the
     * standard multi-dimensional data-layout device (Delta/Iceberg OPTIMIZE

@@ -1566,12 +1566,21 @@ object Relational {
     * the partitioning on l_partkey, so the second aggregation and the
     * back-join RE-USE the first shuffle's exchange (AQE keeps them
     * co-partitioned — no second fact-sized shuffle). Quantities are
-    * integral, so sums and the share compare are exact.
+    * integral, so the sums are exact in any numeric type — and the share
+    * compare is kept exact ENGINE-INDEPENDENTLY by clearing the
+    * fraction: `100·supp_qty > round(100·minShare)·part_qty` multiplies
+    * integral values by integers (exact in double, decimal, or int),
+    * where `minShare·part_qty` would round differently in double (Spark)
+    * vs exact decimal (DuckDB, were a generator round to flip l_quantity
+    * to DECIMAL) on exact-boundary rows.
     */
   def dominantSuppliers(lineitem: DataFrame, part: DataFrame,
       supplier: DataFrame, namePattern: String = "small%",
       yearStart: String = "1996-01-01", yearEnd: String = "1997-01-01",
       minShare: Double = 0.3): DataFrame = {
+    val sharePct = math.round(minShare * 100)
+    require(sharePct == minShare * 100,
+      s"minShare must be a whole percentage for the exact compare, got $minShare")
     val shipped = lineitem
       .filter(col("l_shipdate") >= lit(yearStart) &&
         col("l_shipdate") < lit(yearEnd))
@@ -1585,7 +1594,7 @@ object Relational {
       .agg(sum(col("supp_qty")).as("part_qty"))
     shipped
       .join(totals, "l_partkey")
-      .filter(col("supp_qty") > lit(minShare) * col("part_qty"))
+      .filter(lit(100L) * col("supp_qty") > lit(sharePct) * col("part_qty"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_name"),
         col("supp_qty"), round(col("supp_qty") / col("part_qty"), 6)

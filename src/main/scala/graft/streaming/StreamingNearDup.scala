@@ -68,16 +68,46 @@ object StreamingNearDup {
 
   /** Wire the gate onto a stream: every micro-batch is filtered through
     * [[admitNew]] and handed to `sink`. Returns the started query.
+    *
+    * INDEX-REFRESH SEMANTICS (pinned form): `index` is a DataFrame whose
+    * PLAN is re-executed every micro-batch — but what that re-execution
+    * sees is fixed at construction time for the common shapes: a file
+    * source pins its FILE LISTING when the DataFrame is created (a
+    * snapshot directory swapped underneath it is NOT picked up — new
+    * files are invisible, replaced files error), and a `.cache()`d index
+    * serves every batch from the materialized blocks. So this overload
+    * means "gate against THIS corpus snapshot for the stream's
+    * lifetime" — the right semantics when admission decisions must be
+    * consistent across a run. For a corpus that is re-indexed while the
+    * stream runs, use [[ingestGateRefreshing]].
     */
   def ingestGate(stream: DataFrame, index: DataFrame, textCol: String,
       idCol: String, checkpoint: String,
       sink: (DataFrame, Long) => Unit,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): StreamingQuery =
+    ingestGateRefreshing(stream, () => index, textCol, idCol, checkpoint,
+      sink, shingleK, numHashes, bands, threshold)
+
+  /** The refreshing form: `indexSource` is re-invoked at EVERY
+    * micro-batch, so a snapshot swap (e.g. the batch pipeline published
+    * a new corpus index directory and repointed a symlink/manifest)
+    * takes effect at the NEXT batch boundary — each batch is gated
+    * against exactly one index snapshot, never a mix. The thunk should
+    * construct a fresh DataFrame (fresh file listing); admission
+    * decisions already made in earlier batches are NOT revisited (the
+    * gate is append-only — replaying history against a new index is a
+    * batch job, not a streaming concern).
+    */
+  def ingestGateRefreshing(stream: DataFrame, indexSource: () => DataFrame,
+      textCol: String, idCol: String, checkpoint: String,
+      sink: (DataFrame, Long) => Unit,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        sink(admitNew(b, index, textCol, idCol, shingleK, numHashes,
+        sink(admitNew(b, indexSource(), textCol, idCol, shingleK, numHashes,
           bands, threshold), batchId)
       }
       .start()

@@ -392,6 +392,45 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast-only joins after the one fact aggregation:\n$plan")
   }
 
+  test("q138 boilerplate: no forced broadcast; one expansion exchange reused") {
+    val df = Dedup.boilerplateWindows(Tables.documents(spark, sf), "text",
+      "doc_id", minDocs = 3)
+    // the survivor set is DATA-DEPENDENT (on a web crawl it is the
+    // boilerplate of the web) — a build-side-forced broadcast would
+    // bypass AQE's size check and OOM the driver at exactly the scale
+    // the operator targets. No hint anywhere in the plan: AQE alone
+    // decides the join strategy from runtime sizes.
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"q138 must not force a join strategy:\n$analyzed")
+    // the (h, pos) expansion is built once: the df aggregate and the
+    // survivor probe join consume the SAME hash-on-h exchange
+    val plan = executedPlan(df)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expansion exchange must be shared by aggregate and probe:\n$plan")
+  }
+
+  test("global: no query plans an unpartitioned Window over unaggregated input") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // a Window with empty partitioning funnels its whole input through
+    // ONE task — fatal on a fact table, fine on an already-reduced frame
+    // (one row per day/group). Every global Window in the suite must
+    // therefore sit above an Aggregate (or an aggregate-derived spine).
+    graft.SparkEntry.queries.foreach { case (name, f) =>
+      val plan = f(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: logical.Window if w.partitionSpec.isEmpty =>
+          val reduced = w.child.collectFirst {
+            case _: logical.Aggregate => ()
+            case l: logical.GlobalLimit => ()
+          }.isDefined
+          assert(reduced,
+            s"$name: global Window over unaggregated input:\n${w.child}")
+        case _ =>
+      }
+    }
+  }
+
   test("q77 pmi: unigram-count exchange is built once and reused for both joins") {
     val df = TextAnalysis.bigramPmi(Tables.documents(spark, sf), "text", minCount = 2)
     val plan = executedPlan(df)

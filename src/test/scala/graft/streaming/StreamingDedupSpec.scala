@@ -95,6 +95,47 @@ class StreamingDedupSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("near-dup ingest gate: index swap mid-stream takes effect at the next batch") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpusV1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpusV2 = Seq((2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    // pre-materialized snapshots: the swap is a pointer flip, the way a
+    // production pipeline repoints a manifest at a new index directory
+    val v1 = StreamingNearDup.corpusIndex(corpusV1, "text", "doc_id").cache()
+    val v2 = StreamingNearDup.corpusIndex(corpusV2, "text", "doc_id").cache()
+    @volatile var current = v1
+    val in = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.Map[Long, Set[Long]]()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("neardup_refresh").toString
+    val q = StreamingNearDup.ingestGateRefreshing(
+      in.toDF().toDF("doc_id", "text"), () => current, "text", "doc_id",
+      ckpt,
+      (df, id) => admitted.synchronized {
+        admitted(id) = df.select($"doc_id").as[Long].collect().toSet
+      })
+    try {
+      // batch 1 against v1: the v1 dup blocked, the v2-like doc admitted
+      // (v2 is not live yet)
+      in.addData((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+      current = v2 // snapshot swap BETWEEN batches
+      // batch 2 against v2: now the v2 dup is blocked and the v1 text —
+      // no longer in the live index — is admitted; earlier decisions are
+      // not revisited
+      in.addData((12L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (13L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = admitted.toMap
+    assert(byBatch.values.flatten.toSet == Set(11L, 12L),
+      s"got $byBatch")
+    v1.unpersist(); v2.unpersist()
+  }
+
   test("near-dup ingest gate: stop/restart resumes from the checkpoint without re-admitting") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
