@@ -142,9 +142,65 @@ object WindowHashExprs {
     new GenericArrayData(out)
   }
 
+  /** Sorted distinct xxhash64 values of the WORD n-grams of a normalized
+    * (single-space-separated) string — the fused form of
+    * `hashed_sorted_set(word_ngrams(s, n))`. Key fact making it
+    * bit-identical with zero gram-string allocation: on normalized text
+    * the space-joined gram "wᵢ … wᵢ₊ₙ₋₁" IS a contiguous byte slice of
+    * the source (exactly one 0x20 byte separates consecutive tokens, and
+    * 0x20 never occurs inside a multi-byte UTF-8 sequence), so hashing
+    * `bytes[start(wᵢ), end(wᵢ₊ₙ₋₁))` equals hashing the constructed
+    * string — including `split(" ", -1)` empty-token edges, where the
+    * join degenerates to the same slice. Fewer than n tokens → one gram
+    * of all tokens (the whole string), matching [[WordNgramsExpr]].
+    */
+  def computeNgramSortedSet(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // token boundaries: starts(i) .. ends(i) in bytes; numToks = spaces+1
+    var spaces = 0
+    var b = 0
+    while (b < bytes.length) { if (bytes(b) == 0x20) spaces += 1; b += 1 }
+    val numToks = spaces + 1
+    val starts = new Array[Int](numToks)
+    val ends = new Array[Int](numToks)
+    starts(0) = 0
+    var t = 0
+    b = 0
+    while (b < bytes.length) {
+      if (bytes(b) == 0x20) { ends(t) = b; t += 1; starts(t) = b + 1 }
+      b += 1
+    }
+    ends(t) = bytes.length
+    val last = math.max(numToks - n, 0)
+    val hs = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) {
+      val j = math.min(i + n, numToks) - 1
+      val off = starts(i)
+      hs(i) = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + off, ends(j) - off, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var wr = 0
+    i = 0
+    while (i <= last) {
+      if (wr == 0 || hs(i) != hs(wr - 1)) { hs(wr) = hs(i); wr += 1 }
+      i += 1
+    }
+    val out = new Array[Any](wr)
+    i = 0
+    while (i < wr) { out(i) = hs(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def windowHashes(c: Column, windowChars: Int): Column =
     GraftBridge.column(
       WindowXxHashesExpr(GraftBridge.expression(c), windowChars))
+
+  def ngramHashSortedSet(c: Column, n: Int): Column =
+    GraftBridge.column(
+      NgramXxHashSortedSetExpr(GraftBridge.expression(c), n))
 
   def windowHashSortedSet(c: Column, windowChars: Int): Column =
     GraftBridge.column(
@@ -214,6 +270,36 @@ case class WindowXxHashSortedSetExpr(child: Expression, windowChars: Int)
     copy(child = newChild)
 
   override def prettyName: String = "window_xxhash_sorted_set"
+}
+
+/** `hashed_sorted_set(word_ngrams(s, n))` as one fused kernel — see
+  * [[WindowHashExprs.computeNgramSortedSet]].
+  */
+case class NgramXxHashSortedSetExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_xxhash_sorted_set expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashExprs.computeNgramSortedSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WindowHashExprs.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $cls.MODULE$$.computeNgramSortedSet($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_xxhash_sorted_set"
 }
 
 /** The positional variant: array of (h, pos) structs, distinct by hash,

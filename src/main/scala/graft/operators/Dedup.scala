@@ -223,13 +223,16 @@ object Dedup {
     // repartition the raw rows BEFORE the n-gram build (cf.
     // charShingleSets: the single-row-group scan would otherwise compute
     // every gram set on one core under the exchange)
+    // gram-set build is the FUSED kernel: on normalized text every
+    // space-joined n-gram is a contiguous byte slice of the source, so
+    // the set is built with zero gram-string allocation — bit-identical
+    // to hashed_sorted_set(word_ngrams(...)) (WindowHashSpec parity)
     val d = Hashing.repartitionForCompute(
       docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(textCol).as("__txt")), "id")
       .select(col("blk"), col("id"),
-        graft.functions.HashedSetExprs.hashedSortedSet(
-          graft.functions.WordNgramsExpr.wordNgrams(
-            TextShingles.normalize(col("__txt")), n)).as("g"))
+        graft.functions.WindowHashExprs.ngramHashSortedSet(
+          TextShingles.normalize(col("__txt")), n).as("g"))
     prefixFilteredJaccardPairs(d, threshold)
   }
 
