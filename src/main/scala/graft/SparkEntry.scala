@@ -526,6 +526,23 @@ object SparkEntry {
       Pipelines.bigramSurprisal(Tables.documents(s, dir), "text", "doc_id")),
     "q140_cdc_dedup" -> ((s, dir) =>
       Pipelines.cdcDedupStats(Tables.documents(s, dir), "text", "doc_id")),
+    // q141: same train/bench split as q69; windowChars=40 per Lee et al.
+    "q141_substring_contamination" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val d = Tables.documents(s, dir)
+      Contamination.substringOverlapPairs(
+        d.filter(f.pmod(f.col("doc_id"), f.lit(10)) =!= 7),
+        d.filter(f.pmod(f.col("doc_id"), f.lit(10)) === 7),
+        "text", "doc_id", windowChars = 40)
+    }),
+    "q142_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, dir), "text", "doc_id")),
+    "q143_domain_concentration" -> ((s, dir) =>
+      TextAnalysis.domainConcentration(Tables.documents(s, dir), "text", "doc_id")),
+    "q144_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text", "doc_id")),
+    "q145_rendezvous_shards" -> ((s, dir) =>
+      Pipelines.rendezvousShards(Tables.documents(s, dir), "doc_id")),
   )
 
   /** q136 parameters, shared with the oracle builder. */
@@ -2436,6 +2453,135 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS shared_chunks
         |FROM ch JOIN df USING (chunk) GROUP BY 1""".stripMargin,
+    // q141: the oracle joins on the raw 40-char window STRINGS where the
+    // engine joins on xxhash64 — the standing collision audit (cf. q137/
+    // q140). range(1, n+2-w) is end-exclusive: i in 1..n-w+1.
+    "q141_substring_contamination" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id AS train_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 40 + 2),
+        |      i -> substr(t, i, 40)))) AS win
+        |  FROM n WHERE doc_id % 10 <> 7 AND len(t) >= 40),
+        |bw AS (
+        |  SELECT doc_id AS bench_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 40 + 2),
+        |      i -> substr(t, i, 40)))) AS win
+        |  FROM n WHERE doc_id % 10 = 7 AND len(t) >= 40)
+        |SELECT t.train_id AS train_id, b.bench_id AS bench_id,
+        |  count(*) AS n_shared_windows
+        |FROM tw t JOIN bw b USING (win)
+        |GROUP BY 1, 2""".stripMargin,
+    // q142: every feature is an exact ppm integer (floor division //, all
+    // operands non-negative) and the weights are integers, so score_micro
+    // is BIGINT arithmetic — no float boundary anywhere.
+    "q142_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(coalesce(text, '')) AS BIGINT) AS nc,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS nt,
+        |    CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+        |      '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS ns,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''), '[^\w\s]')) AS BIGINT) AS np,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS BIGINT) AS nd
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    (ns * 1000000) // greatest(nt, 1) AS stop_ppm,
+        |    (np * 1000000) // greatest(nc, 1) AS punct_ppm,
+        |    (nd * 1000000) // greatest(nc, 1) AS digit_ppm,
+        |    least(((nc * 1000000) // greatest(nt, 1)) // 1000, 20000)
+        |      AS mean_tok_len_milli
+        |  FROM f)
+        |SELECT doc_id, stop_ppm, punct_ppm, digit_ppm, mean_tok_len_milli,
+        |  -2500000 + 30 * stop_ppm - 15 * punct_ppm - 10 * digit_ppm
+        |    + 200 * mean_tok_len_milli AS score_micro,
+        |  CAST((-2500000 + 30 * stop_ppm - 15 * punct_ppm - 10 * digit_ppm
+        |    + 200 * mean_tok_len_milli) > 0 AS INTEGER) AS keep
+        |FROM p""".stripMargin,
+    // q143: q75's synthetic-URL construction verbatim; shares on the exact
+    // ppm grid — one floor division at the end of exact BIGINT sums.
+    "q143_domain_concentration" ->
+      """WITH u AS (
+        |  SELECT doc_id, text || ' see https://site' ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '.example.org/page/' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' and http://tracker.common.net/pixel' ELSE '' END AS tu
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(tu, 'https?://([^/\s]+)', 1)) AS domain
+        |      FROM u),
+        |c AS (SELECT domain, count(*) AS n_mentions FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_mentions) AS BIGINT) AS N,
+        |               CAST(sum(n_mentions * n_mentions) AS BIGINT) AS sumsq
+        |        FROM c),
+        |r AS (SELECT domain, n_mentions,
+        |        CAST(row_number() OVER (ORDER BY n_mentions DESC, domain)
+        |          AS INTEGER) AS rank,
+        |        CAST(sum(n_mentions) OVER (ORDER BY n_mentions DESC, domain
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT rank, domain, n_mentions,
+        |  (n_mentions * 1000000) // tot.N AS share_ppm,
+        |  (cum * 1000000) // tot.N AS cum_share_ppm,
+        |  (tot.sumsq * 1000000) // (tot.N * tot.N) AS hhi_ppm
+        |FROM r, tot""".stripMargin,
+    // q144: word-BIGRAM units (the whitespace-token vocab of this corpus
+    // is 31 entries — any vocab covers it; bigrams have ~900); vocab =
+    // top-500 under the TOTAL order (count desc, gram asc) via
+    // row_number — deterministic at the cutoff, = the engine's
+    // orderBy+limit. Docs with < 2 tokens have no gram rows (absent on
+    // both sides). range(1, len) is end-exclusive: i in 1..len-1.
+    "q144_vocab_coverage" ->
+      """WITH ts AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'),
+        |    ' ') AS ts
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |        i -> ts[i] || ' ' || ts[i + 1])) AS tok
+        |      FROM ts),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r
+        |        FROM c) WHERE r <= 500)
+        |SELECT t.doc_id AS doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  (CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS oov_ppm
+        |FROM t LEFT JOIN v ON t.tok = v.tok
+        |GROUP BY 1""".stripMargin,
+    // q145: the HRW score is the q49 multiplicative-hash convention plus
+    // an xor-fold (bounded BIGINT-exact in both engines); argmax via
+    // row_number under the same (score desc, shard asc) total order as
+    // the engine's struct-greatest.
+    "q145_rendezvous_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(range(0, 16)) AS s FROM documents),
+        |x AS (SELECT doc_id, s,
+        |        ((doc_id % 1000003) * 2654435761 + s * 40503)
+        |          % 4294967296 AS x
+        |      FROM s),
+        |sc AS (SELECT doc_id, s,
+        |        (xor(x, x >> 16) * 49157) % 1048573 AS sc
+        |       FROM x),
+        |a16 AS (SELECT doc_id, s FROM (
+        |          SELECT doc_id, s, row_number() OVER (
+        |            PARTITION BY doc_id ORDER BY sc DESC, s) AS r
+        |          FROM sc) WHERE r = 1),
+        |a15 AS (SELECT doc_id, s FROM (
+        |          SELECT doc_id, s, row_number() OVER (
+        |            PARTITION BY doc_id ORDER BY sc DESC, s) AS r
+        |          FROM sc WHERE s < 15) WHERE r = 1)
+        |SELECT a16.doc_id AS doc_id,
+        |  CAST(a16.s AS INTEGER) AS shard,
+        |  CAST(a15.s AS INTEGER) AS shard_after_removal,
+        |  CAST(a16.s <> a15.s AS INTEGER) AS moved
+        |FROM a16 JOIN a15 USING (doc_id)""".stripMargin,
   )
 
   /** q134 oracle: the 21-bit-per-dimension interleave written out as

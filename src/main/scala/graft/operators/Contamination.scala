@@ -91,4 +91,60 @@ object Contamination {
       .select(col("train_id")).distinct()
     train.join(broadcast(flagged), col(idCol) === col("train_id"), "left_anti")
   }
+
+  /** Q141: EXACT verbatim-substring contamination — (train doc, benchmark
+    * doc) pairs sharing at least one identical `windowChars`-character
+    * substring of normalized text at ANY alignment, with the count of
+    * distinct shared windows. The char-level, alignment-free member of
+    * the contamination ladder: [[ngramOverlapPairs]]'s word 4-grams miss
+    * benchmark text that survives tokenization drift (punctuation glued
+    * to a word, a digit reformatted) or that duplicates below the n-gram
+    * granularity; a 40-char sliding window catches any verbatim run ≥
+    * `windowChars` chars regardless of word boundaries — the
+    * decontamination test of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al. 2022, arXiv:2107.06499 §4.2) applied
+    * train-vs-eval instead of train-vs-train.
+    *
+    * Scale shape: the benchmark side stays MBs at any corpus scale, so
+    * its distinct window hashes BROADCAST; the training side is a
+    * map-only pass — the fused stride-1 kernel
+    * ([[graft.functions.WindowHashExprs]], zero per-position string
+    * allocation) emits (train_id, hash) pairs of 16 bytes that die at
+    * the broadcast-hash-join probe unless they match. The only exchange
+    * is the final (train_id, bench_id) count aggregation over MATCHED
+    * rows. Window equality is hash equality (xxhash64 over the window
+    * bytes): a false pair needs a 64-bit collision between a benchmark
+    * window and a training window — ~n_bench·n_train/2^64 expected
+    * corpus-wide, the same standing collision audit as q137/q140 (their
+    * oracles recompute on raw text, so a collision would surface as a
+    * hash-compare failure, not silent corruption).
+    */
+  def substringOverlapPairs(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, windowChars: Int = 40): DataFrame = {
+    import graft.functions.WindowHashExprs
+    def wins(df: DataFrame, alias: String) = df
+      .select(col(idCol).as(alias), TextShingles.normalize(col(textCol)).as("__norm"))
+      .select(col(alias),
+        explode(WindowHashExprs.windowHashes(col("__norm"), windowChars))
+          .as("win_hash"))
+    wins(train, "train_id")
+      .join(broadcast(wins(bench, "bench_id")), Seq("win_hash"))
+      // window hashes are distinct per doc on both sides (the kernel
+      // dedups), so count(*) per pair IS the distinct-shared-window count
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
+  /** The training corpus minus every document sharing a verbatim
+    * `windowChars`-char substring with the benchmark set — the
+    * substring-exact analogue of [[decontaminate]], same broadcast
+    * anti-join shape (flagged ids are bounded by the docs that actually
+    * collide with benchmark material).
+    */
+  def decontaminateExact(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, windowChars: Int = 40): DataFrame = {
+    val flagged = substringOverlapPairs(train, bench, textCol, idCol, windowChars)
+      .select(col("train_id")).distinct()
+    train.join(broadcast(flagged), col(idCol) === col("train_id"), "left_anti")
+  }
 }

@@ -832,4 +832,51 @@ object Pipelines {
         min(col("l_suppkey")).as("min_supp"),
         max(col("l_suppkey")).as("max_supp"))
   }
+
+  /** Per-(id, shard) rendezvous score — the q49 engine-reproducible
+    * multiplicative-hash convention (Knuth constant, BIGINT-exact in any
+    * engine): mix the shard index into the id with a large prime stride,
+    * then scatter. Shared with the oracle builder.
+    */
+  private def hrwScore(id: Column, shard: Int): Column = {
+    // bounded intermediates (no BIGINT overflow under ANSI): id is folded
+    // to < 1e6 before the Knuth multiply, the product + shard stride is
+    // folded to 32 bits, and the xor-fold breaks the multiply's
+    // monotonicity — without it the argmax degenerates to "largest
+    // pre-wrap shard" and the assignment is not a hash at all
+    val x = pmod(pmod(id, lit(1000003L)) * lit(2654435761L) +
+      lit(shard.toLong * 40503L), lit(4294967296L))
+    pmod(x.bitwiseXOR(shiftright(x, 16)) * lit(49157L), lit(1048573L))
+  }
+
+  /** Q145: rendezvous (highest-random-weight) shard assignment — the
+    * stable output-layout primitive of an INCREMENTALLY rebuilt dataset:
+    * doc → argmax over shards of a per-(doc, shard) hash score. Unlike
+    * `id mod N` (where changing N remaps ~everything, invalidating every
+    * downstream cache/bucket), removing a shard under HRW moves ONLY the
+    * documents that lived on the removed shard — ~1/N of the data — and
+    * every other doc's assignment is provably unchanged (its argmax set
+    * lost a non-winning candidate). The query emits assignments under
+    * `numShards` and under `numShards−1` plus the `moved` flag; the
+    * minimal-movement property is `moved ⟺ shard = numShards−1`, spec-
+    * asserted and visible to the oracle. Map-only, zero shuffle: the
+    * per-shard scores are `numShards` codegen'd integer expressions and
+    * the argmax is one `greatest` over (score, shard-tiebreak) structs —
+    * no explode, no per-row array. Tiebreak: smallest shard index
+    * (encoded as the NEGATED index inside the max).
+    */
+  def rendezvousShards(docs: DataFrame, idCol: String,
+      numShards: Int = 16): DataFrame = {
+    require(numShards >= 2, s"numShards: $numShards")
+    def argmax(n: Int): Column = if (n == 1) lit(0) else {
+      val best = greatest((0 until n).map(s =>
+        struct(hrwScore(col(idCol), s).as("sc"), lit(-s).as("ns"))): _*)
+      (-best.getField("ns")).cast("int")
+    }
+    docs.select(col(idCol).as("doc_id"),
+        argmax(numShards).as("shard"),
+        argmax(numShards - 1).as("shard_after_removal"))
+      .withColumn("moved",
+        (col("shard") =!= col("shard_after_removal")).cast("int"))
+  }
 }

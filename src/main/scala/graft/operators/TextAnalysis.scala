@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** SQL `div` (integral division) as a Column — floor-toward-zero on
+    * longs, identical semantics to DuckDB's `//` for non-negative
+    * operands. The Column API has no integer-division method; routing
+    * through the Catalyst expression keeps callers out of `expr()`
+    * string splicing.
+    */
+  private[graft] def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Whitespace token count (0 for empty/blank text). */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
@@ -515,5 +527,128 @@ object TextAnalysis {
       round(fc, 6).as("dup_tok_char_frac"),
       (f2 <= max2gramFrac && f3 <= max3gramFrac && fc <= maxDupCharFrac)
         .cast("int").as("keep"))
+  }
+
+  /** Q142 weights: (intercept_micro, w per ppm feature). Integer weights
+    * over ppm-grid features keep the score BIGINT-exact — shared with the
+    * oracle builder so the engines cannot drift.
+    */
+  val ClassifierWeights: Map[String, Long] = Map(
+    "intercept" -> -2500000L,
+    "stop_ppm" -> 30L, // natural prose has stopwords — reward
+    "punct_ppm" -> -15L, // symbol soup / markup — penalize
+    "digit_ppm" -> -10L, // tables, serial numbers — penalize
+    "mean_tok_len_cap" -> 200L) // degenerate short tokens score low
+
+  /** Q142: fixed-weight linear quality classifier — the fasttext-style
+    * "quality classifier" stage of a pretraining pipeline (CCNet /
+    * GPT-3's WebText classifier), distilled to its data-engine shape: a
+    * dot product of document features against published weights, scoring
+    * 100 TB map-only with zero shuffle. The features are RATIO signals
+    * (stopword density, punctuation density, digit density, mean token
+    * length), which naively means float division → engine-dependent ulps
+    * → an unhashable score. Instead every feature lands on an exact ppm
+    * integer grid (`1e6·a div b` — floor division, identical in any
+    * engine) and the weights are integers, so `score_micro` is
+    * BIGINT-exact arithmetic end to end and `keep = score_micro > 0` has
+    * no float boundary to flip. The real-valued classifier this mirrors
+    * is recovered by scaling: score = score_micro / 1e6.
+    */
+  def qualityClassifier(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nChars = length(t).cast("long")
+    val nToks = tokenCount(t)
+    val nStop = size(regexp_extract_all(lower(t),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0))).cast("long")
+    val nPunct = size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("long")
+    val nDigit = size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long")
+    // ppm features: floor division on positive longs — engine-identical
+    def ppm(num: Column, den: Column): Column =
+      idiv(num * lit(1000000L), greatest(den, lit(1L)))
+    val stopPpm = ppm(nStop, nToks)
+    val punctPpm = ppm(nPunct, nChars)
+    val digitPpm = ppm(nDigit, nChars)
+    // mean token length in milli-chars, capped at 20.000 so one pathological
+    // unbroken-run doc can't dominate the linear score
+    val meanTokLenCap = least(idiv(ppm(nChars, nToks), lit(1000L)), lit(20000L))
+    val w = ClassifierWeights
+    val score = lit(w("intercept")) +
+      lit(w("stop_ppm")) * stopPpm +
+      lit(w("punct_ppm")) * punctPpm +
+      lit(w("digit_ppm")) * digitPpm +
+      lit(w("mean_tok_len_cap")) * meanTokLenCap
+    docs.select(col(idCol),
+      stopPpm.as("stop_ppm"), punctPpm.as("punct_ppm"),
+      digitPpm.as("digit_ppm"), meanTokLenCap.as("mean_tok_len_milli"),
+      score.as("score_micro"),
+      (score > 0).cast("int").as("keep"))
+  }
+
+  /** Q143: domain-concentration report — "is this crawl dominated by a
+    * handful of hosts?", the provenance-diversity gate run before a
+    * corpus ships. Per domain: mention count, corpus share, cumulative
+    * share in rank order; plus the corpus Herfindahl–Hirschman index
+    * broadcast onto every row. Shares are exact ppm integers
+    * (`1e6·n div N`; HHI = `1e6·Σn² div N²` — Σn² is an exact BIGINT sum,
+    * ONE division at the end), so no float summation-order drift. The
+    * heavy work is [[domainCounts]]'s single aggregation; rank/cumsum
+    * windows and the HHI scalar run over the already-reduced domain table
+    * (rows = distinct domains, not documents), and the one-row HHI
+    * aggregate is a broadcast nested loop — the same already-reduced
+    * global-window pattern as q110's boundary bucket.
+    */
+  def domainConcentration(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = domainCounts(docs, textCol, idCol)
+      .select(col("domain"), col("n_mentions"))
+    val tot = counts.agg(
+      sum(col("n_mentions")).as("__N"),
+      sum(col("n_mentions") * col("n_mentions")).as("__sumSq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_mentions").desc, col("domain"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum", sum(col("n_mentions")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("domain"), col("n_mentions"),
+        idiv(col("n_mentions") * lit(1000000L), col("__N")).as("share_ppm"),
+        idiv(col("__cum") * lit(1000000L), col("__N")).as("cum_share_ppm"),
+        idiv(col("__sumSq") * lit(1000000L), col("__N") * col("__N"))
+          .as("hhi_ppm"))
+  }
+
+  /** Q144: vocabulary coverage / OOV rate — "how much of this corpus does
+    * a k-entry vocabulary cover?", the tokenizer-fit diagnostic run when
+    * choosing or auditing a vocab. The unit is the word `n`-gram
+    * (duplicates kept — coverage weights by OCCURRENCE, the token stream
+    * a tokenizer actually sees), and the vocab is the top `vocabSize`
+    * grams by corpus frequency under the TOTAL order (count desc, gram
+    * asc) — deterministic at the cutoff, mirrored exactly by the
+    * oracle's row_number. Two passes over the gram stream by design:
+    * pass 1 aggregates counts (one shuffle on gram, map-side partials),
+    * the reduced table sorts-and-limits to the vocab (tiny); pass 2
+    * re-tokenizes and probes the BROADCAST vocab — corpus text never
+    * shuffles, and the per-doc OOV aggregation shuffles only (id, counts)
+    * pairs. A "cache the exploded grams" formulation would materialize
+    * the corpus × gram-count blowup to save the cheaper of two scans —
+    * the wrong trade at 100 TB.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, vocabSize: Int = 500): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextShingles.allWordNgramsOf(
+        split(TextShingles.normalize(coalesce(col(textCol), lit(""))), " "), n))
+        .as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_grams"), col("n_oov"),
+        idiv(col("n_oov") * lit(1000000L), col("n_grams")).as("oov_ppm"))
   }
 }

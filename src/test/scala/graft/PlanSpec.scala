@@ -441,4 +441,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"probability joins must broadcast (frequent-set side is small):\n$plan")
   }
+
+  test("q142/q145: per-document scoring is map-only — zero shuffle") {
+    // the quality classifier and the HRW shard assignment both score every
+    // document independently; ANY exchange in these plans is a bug
+    Seq(
+      TextAnalysis.qualityClassifier(Tables.documents(spark, sf), "text", "doc_id"),
+      Pipelines.rendezvousShards(Tables.documents(spark, sf), "doc_id")
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("Exchange"),
+        s"map-only query planned a shuffle:\n$plan")
+    }
+  }
+
+  test("q144 vocab coverage: corpus text never shuffles; vocab broadcasts") {
+    val df = TextAnalysis.vocabCoverage(Tables.documents(spark, sf), "text", "doc_id")
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe must broadcast:\n$plan")
+    // exchanges: gram-count agg (pass 1) + per-doc OOV agg (pass 2); the
+    // vocab sort-limit is a TakeOrdered, not a global sort exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected 2 shuffles (two aggs), saw $shuffles:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cutoff must be a bounded top-k, not a full sort:\n$plan")
+  }
 }

@@ -86,4 +86,73 @@ class ContaminationSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
       s"train text must never shuffle — one exchange (the id-pair agg):\n$plan")
   }
+
+  test("substringOverlapPairs matches brute-force window intersection on testdata") {
+    val (train, bench) = split(Tables.documents(spark, sf))
+    val got = Contamination
+      .substringOverlapPairs(train, bench, "text", "doc_id", windowChars = 40)
+      .as[(Long, Long, Long)].collect().toSet
+
+    def winSets(df: DataFrame): Seq[(Long, Set[String])] = df
+      .select($"doc_id", TextShingles.normalize($"text").as("n"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        (id, if (t == null || t.length < 40) Set.empty[String]
+        else (0 to t.length - 40).map(i => t.substring(i, i + 40)).toSet)
+      }
+
+    val expect = (for {
+      (ti, tw) <- winSets(train)
+      (bi, bw) <- winSets(bench)
+      shared = tw.intersect(bw).size if shared >= 1
+    } yield (ti, bi, shared.toLong)).toSet
+
+    assert(got == expect)
+    assert(got.nonEmpty, "testdata must contain verbatim cross-slice substrings")
+  }
+
+  test("substring contamination: crafted verbatim run found, near-miss not") {
+    val benchRun = "this exact forty char benchmark sentence!" // 41 chars
+    val train = Seq(
+      (1L, s"prefix words then $benchRun and a suffix"),
+      (2L, "this exact Forty char benchmark sentence! differs by case only after norm"),
+      (3L, "completely unrelated training document text with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((7L, benchRun)).toDF("doc_id", "text")
+    val got = Contamination
+      .substringOverlapPairs(train, bench, "text", "doc_id", windowChars = 40)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 embeds the 41-char run verbatim -> shares both 40-char
+    // windows; doc 2 differs only by case, which normalize() folds ->
+    // also contaminated (by design: the windows match post-normalization)
+    assert(got == Set((1L, 7L, 2L), (2L, 7L, 2L)))
+  }
+
+  test("decontaminateExact drops exactly the substring-flagged train docs") {
+    val (train, bench) = split(Tables.documents(spark, sf))
+    val flagged = Contamination
+      .substringOverlapPairs(train, bench, "text", "doc_id")
+      .select($"train_id").as[Long].collect().toSet
+    val kept = Contamination
+      .decontaminateExact(train, bench, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    val all = train.select($"doc_id").as[Long].collect().toSet
+    assert(kept == all -- flagged)
+    assert(flagged.nonEmpty && kept.nonEmpty)
+  }
+
+  test("substring probe: bench windows broadcast; one exchange (pair agg)") {
+    val (train, bench) = split(Tables.documents(spark, sf))
+    val df = Contamination.substringOverlapPairs(train, bench, "text", "doc_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark windows must broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"train text must never shuffle — one exchange (the id-pair agg):\n$plan")
+  }
 }

@@ -551,4 +551,46 @@ class PipelinesSpec extends SparkSpec {
     assert(spans.count(_ < globalSpan) >= spans.length - 1)
     got.unpersist()
   }
+
+  test("rendezvousShards: minimal movement — moved ⟺ assigned to the removed shard") {
+    val got = Pipelines.rendezvousShards(
+      Tables.documents(spark, sf), "doc_id", numShards = 16)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, s16, s15, moved) =>
+      assert(s16 >= 0 && s16 < 16 && s15 >= 0 && s15 < 15)
+      assert((moved == 1) == (s16 == 15), s"doc $id: HRW must move ONLY " +
+        s"docs from the removed shard (shard=$s16, after=$s15, moved=$moved)")
+      if (moved == 0) assert(s16 == s15)
+    }
+    // the removed shard held ~1/16 of the corpus — movement is bounded
+    val movedN = got.count(_._4 == 1)
+    assert(movedN > 0 && movedN < got.length / 8,
+      s"moved $movedN of ${got.length} — expected ~1/16")
+  }
+
+  test("rendezvousShards: assignment balanced and deterministic") {
+    val a = Pipelines.rendezvousShards(
+      Tables.documents(spark, sf), "doc_id", numShards = 16)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val b = Pipelines.rendezvousShards(
+      Tables.documents(spark, sf), "doc_id", numShards = 16)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(a == b, "assignment must be a pure function of the id")
+    val byShard = a.groupBy(_._2).view.mapValues(_.size)
+    assert(byShard.keys.toSet == (0 until 16).toSet, "every shard populated")
+    // xor-fold mixing: no shard takes a degenerate share
+    assert(byShard.values.max < 3 * byShard.values.min + 16,
+      s"skewed assignment: ${byShard.toMap}")
+  }
+
+  test("rendezvousShards: numShards=2 edge — removal collapses to shard 0") {
+    val got = Pipelines.rendezvousShards(
+      Tables.documents(spark, sf), "doc_id", numShards = 2)
+      .as[(Long, Int, Int, Int)].collect()
+    got.foreach { case (_, s2, s1, moved) =>
+      assert(s1 == 0)
+      assert((moved == 1) == (s2 == 1))
+    }
+  }
 }
