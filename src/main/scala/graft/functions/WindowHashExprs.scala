@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,7 +55,7 @@ object WindowHashExprs {
     */
   def computeDistinct(s: UTF8String, w: Int): ArrayData = {
     val numChars = s.numChars()
-    if (numChars < w) return new GenericArrayData(Array.emptyLongArray)
+    if (numChars < w) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val bytes = s.getBytes
     val offs = charOffsets(bytes, numChars)
     val nWin = numChars - w + 1
@@ -69,7 +70,7 @@ object WindowHashExprs {
       if (seen.add(h)) { out(k) = h; k += 1 }
       p += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
 
   /** Distinct window hashes WITH the 1-based char position of each
@@ -116,7 +117,7 @@ object WindowHashExprs {
     val numChars = s.numChars()
     val bytes = s.getBytes
     if (numChars < w) {
-      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(
+      return UnsafeArrayData.fromPrimitiveArray(Array(XXH64.hashUnsafeBytes(
         bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed)))
     }
     val offs = charOffsets(bytes, numChars)
@@ -136,10 +137,7 @@ object WindowHashExprs {
       if (wr == 0 || hs(i) != hs(wr - 1)) { hs(wr) = hs(i); wr += 1 }
       i += 1
     }
-    val out = new Array[Any](wr)
-    i = 0
-    while (i < wr) { out(i) = hs(i); i += 1 }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, wr))
   }
 
   /** Sorted distinct xxhash64 values of the WORD n-grams of a normalized
@@ -188,10 +186,7 @@ object WindowHashExprs {
       if (wr == 0 || hs(i) != hs(wr - 1)) { hs(wr) = hs(i); wr += 1 }
       i += 1
     }
-    val out = new Array[Any](wr)
-    i = 0
-    while (i < wr) { out(i) = hs(i); i += 1 }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, wr))
   }
 
   def windowHashes(c: Column, windowChars: Int): Column =
