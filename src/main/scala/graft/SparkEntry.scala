@@ -543,6 +543,34 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text", "doc_id")),
     "q145_rendezvous_shards" -> ((s, dir) =>
       Pipelines.rendezvousShards(Tables.documents(s, dir), "doc_id")),
+    "q146_containment_dups" -> ((s, dir) =>
+      Dedup.containmentDups(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, minGrams = 10, threshold = 0.6)),
+    "q147_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "text",
+        "doc_id", blockChars = 2, keyChars = 30, window = 5, n = 3,
+        threshold = 0.5)),
+    "q148_winnow_fingerprints" -> ((s, dir) =>
+      Winnowing.fingerprints(Tables.documents(s, dir), "text", "doc_id",
+        k = 8, w = 4)),
+    "q149_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), "text", "doc_id",
+        n = 3)),
+    "q150_winnow_dups" -> ((s, dir) =>
+      Winnowing.dupPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 8, w = 4, dfMax = 20, minShared = 10)),
+    "q151_dsir_weights" -> ((s, dir) =>
+      Pipelines.dsirWeights(Tables.documents(s, dir), "text", "doc_id",
+        "lang", targetLang = "en", buckets = 1024, alpha = 0.5)),
+    // q152: measured recall@10 of the PQ+rerank index (m=16 4-dim
+    // subspaces, 16x-rerank): 1.0 (sf0.001) / 0.99 (sf0.01) / 0.96
+    // (sf0.1) — floor 0.85
+    "q152_similarity_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopKValidated(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
+        dim = 64, m = 16, ksub = 16, rerank = 16, recallFloor = 0.85)
+    }),
   )
 
   /** q136 parameters, shared with the oracle builder. */
@@ -2582,6 +2610,124 @@ object SparkEntry {
         |  CAST(a15.s AS INTEGER) AS shard_after_removal,
         |  CAST(a16.s <> a15.s AS INTEGER) AS moved
         |FROM a16 JOIN a15 USING (doc_id)""".stripMargin,
+    // q146: exact all-pairs containment over word 3-grams (the engine's
+    // hashed sets mirror the string sets at the documented collision odds)
+    "q146_containment_dups" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE len(g) >= 10)
+        |SELECT doc_a, doc_b, round(c, 6) AS containment FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.g, b.g)) /
+        |           CAST(least(len(a.g), len(b.g)) AS DOUBLE) AS c
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |WHERE c >= 0.6""".stripMargin,
+    // q147: the SNM window self-join written out directly — blocks on the
+    // first 2 normalized chars, sorts by the 30-char key, compares each
+    // record to its 5 successors
+    "q147_sorted_neighborhood" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |k AS (SELECT doc_id, g, nt[1:2] AS blk, nt[1:30] AS key FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, doc_id) AS rn FROM k)
+        |SELECT least(doc_a0, doc_b0) AS doc_a, greatest(doc_a0, doc_b0) AS doc_b,
+        |       round(j, 6) AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS doc_a0, b.doc_id AS doc_b0,
+        |         len(list_intersect(a.g, b.g)) /
+        |           CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 5)
+        |WHERE j >= 0.5""".stripMargin,
+    // q148/q150: the winnowing k-gram hash is the engine-reproducible
+    // base-31/1e9+7 polynomial over code points; rightmost-min via the
+    // reversed-slice list_position; (hash, pos) encoded as
+    // hash*1048576+pos for list_distinct (struct histograms are
+    // unsupported), decoded on output
+    "q148_winnow_fingerprints" ->
+      """WITH nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents),
+        |ch AS (SELECT doc_id, list_transform(string_split(nt, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs FROM nt),
+        |kh AS (SELECT doc_id, list_transform(range(1, greatest(len(cs) - 7, 0) + 1),
+        |         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
+        |                (acc, x) -> (acc * 31 + x) % 1000000007)) AS kh
+        |       FROM ch WHERE len(cs) >= 8),
+        |sel AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(kh) - 3, 0) + 1),
+        |           j -> list_min(kh[j:j+3]) * 1048576 +
+        |                (j + 4 - list_position(list_reverse(kh[j:j+3]), list_min(kh[j:j+3]))))) AS enc
+        |        FROM kh WHERE len(kh) >= 4)
+        |SELECT doc_id, enc % 1048576 AS pos, enc // 1048576 AS fp
+        |FROM (SELECT doc_id, unnest(enc) AS enc FROM sel)""".stripMargin,
+    "q149_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' ')))) AS g
+        |  FROM documents),
+        |m AS (SELECT g, min(doc_id) AS fd FROM t GROUP BY 1)
+        |SELECT t.doc_id AS doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN m.fd = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN m.fd = t.doc_id THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM t JOIN m ON t.g = m.g GROUP BY 1""".stripMargin,
+    "q150_winnow_dups" ->
+      """WITH nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents),
+        |ch AS (SELECT doc_id, list_transform(string_split(nt, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs FROM nt),
+        |kh AS (SELECT doc_id, list_transform(range(1, greatest(len(cs) - 7, 0) + 1),
+        |         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
+        |                (acc, x) -> (acc * 31 + x) % 1000000007)) AS kh
+        |       FROM ch WHERE len(cs) >= 8),
+        |fp AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(kh) - 3, 0) + 1),
+        |           j -> list_min(kh[j:j+3])))) AS fp
+        |       FROM kh WHERE len(kh) >= 4),
+        |df AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+        |k AS (SELECT fp.doc_id, fp.fp FROM fp JOIN df USING (fp) WHERE df BETWEEN 2 AND 20)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |FROM k a JOIN k b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 10""".stripMargin,
+    // q151: one log per BUCKET rounded to the 1e-6 grid, then exact
+    // decimal sums (q133's discipline); alpha = 0.5, buckets = 1024 so
+    // the smoothing denominators are +512.0 in double on both engines
+    "q151_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' '), t -> t <> '')) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) % 1024 AS bkt
+        |      FROM toks),
+        |rc AS (SELECT bkt, count(*) AS rc FROM b GROUP BY 1),
+        |tc AS (SELECT bkt, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
+        |d AS (SELECT rc.bkt, rc.rc, coalesce(tc.tc, 0) AS tc FROM rc LEFT JOIN tc USING (bkt)),
+        |tot AS (SELECT sum(rc) AS R, sum(tc) AS T FROM d),
+        |lr AS (SELECT d.bkt,
+        |         CAST(round(ln(((CAST(tc AS DOUBLE) + 0.5) / (CAST(T AS DOUBLE) + 512.0)) /
+        |                       ((CAST(rc AS DOUBLE) + 0.5) / (CAST(R AS DOUBLE) + 512.0))) * 1000000)
+        |           AS DECIMAL(18,0)) AS lr6
+        |       FROM d, tot)
+        |SELECT b.doc_id AS doc_id, b.lang AS lang, count(*) AS n_tokens,
+        |  round(CAST(sum(lr.lr6) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6) AS weight
+        |FROM b JOIN lr USING (bkt) GROUP BY 1, 2""".stripMargin,
+    // q152 (validated ANN): same exact brute-force oracle shape as
+    // q17/q32; recall_ok pins the PQ index at its measured floor
+    "q152_similarity_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT probe_id, e.vec_id,
+        |         list_dot_product(p, v) /
+        |         (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))) AS s
+        |  FROM probes, e WHERE e.vec_id != probe_id)
+        |SELECT probe_id, vec_id, round(s, 6) AS sim, rank, 1 AS recall_ok FROM (
+        |  SELECT probe_id, vec_id, s,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
+        |  FROM cand) WHERE rank <= 10""".stripMargin,
   )
 
   /** q134 oracle: the 21-bit-per-dimension interleave written out as

@@ -35,6 +35,13 @@ object HashedSetExprs {
   /** Exact Jaccard of two sorted long arrays (linear merge). */
   def sortedLongJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedLongJaccardExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Exact |a ∩ b| of two sorted long arrays (linear merge) — the
+    * containment/overlap-coefficient verifier's kernel, where Jaccard's
+    * union denominator is the wrong normalizer.
+    */
+  def sortedLongOverlap(a: Column, b: Column): Column =
+    GraftBridge.column(SortedLongOverlapExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 /** See [[HashedSetExprs.hashedSortedSet]]. */
@@ -123,11 +130,49 @@ case class SortedLongJaccardExpr(left: Expression, right: Expression)
 object SortedLongJaccardExpr {
   /** |a ∩ b| / |a ∪ b| by linear merge of two sorted unique arrays. */
   def compute(a: ArrayData, b: ArrayData): Double = {
+    val inter = SortedLongOverlapExpr.compute(a, b)
+    val union = a.numElements() + b.numElements() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+/** See [[HashedSetExprs.sortedLongOverlap]]. */
+case class SortedLongOverlapExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_long_overlap expects two array<long>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongOverlapExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SortedLongOverlapExpr.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls.MODULE$$.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_long_overlap"
+}
+
+object SortedLongOverlapExpr {
+  /** |a ∩ b| by linear merge of two sorted unique arrays. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
-    var inter = 0
+    var inter = 0L
     while (i < na && j < nb) {
       val x = a.getLong(i)
       val y = b.getLong(j)
@@ -135,7 +180,6 @@ object SortedLongJaccardExpr {
       else if (x < y) i += 1
       else j += 1
     }
-    val union = na + nb - inter
-    if (union == 0) 0.0 else inter.toDouble / union
+    inter
   }
 }

@@ -905,6 +905,138 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
   }
+
+  /** Q146: containment (overlap-coefficient) near-dup pairs — pairs where
+    * |A∩B| / min(|A|,|B|) >= threshold over word n-gram sets. The metric
+    * Jaccard misses: a short document quoted or extended inside a longer
+    * one has high containment but low Jaccard (the union is dominated by
+    * the longer doc), and near-superset pairs are exactly what a
+    * training-data pipeline must catch when crawls re-publish articles
+    * with added boilerplate.
+    *
+    * Scale design — the PPJoin prefix principle adapted to containment:
+    * overlap >= ceil(t·n_small) forces a common gram inside the SMALLER
+    * record's first n − ceil(t·n) + 1 grams under any fixed per-record
+    * order (no shared order needed for this bound: if none of the first
+    * n−o+1 grams is shared, at most o−1 remain). So the probe side is
+    * every record's prefix (rarest-first, so prefix grams have short
+    * posting lists) joined against the FULL inverted index restricted to
+    * partners LARGER in (n, id) order — each unordered pair meets exactly
+    * once with the smaller record supplying the prefix. The positional
+    * filter reuses the shared global (df, gram) rank: at the pair's first
+    * common gram, overlap <= 1 + min(n_s − r_s, n_l − r_l), pruning
+    * candidates before the distinct. There is no size filter — containment
+    * imposes no size relation (that is the point of the metric) — so the
+    * df-bounded prefix join IS the scale control. Verification is the
+    * allocation-free sorted-long merge, overlap / min exact.
+    */
+  def containmentDups(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minGrams: Int = 10,
+      threshold: Double = 0.6): DataFrame = {
+    val d = Hashing.repartitionForCompute(
+      docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"),
+        graft.functions.WindowHashExprs.ngramHashSortedSet(
+          TextShingles.normalize(col("__txt")), n).as("g"))
+      .filter(size(col("g")) >= minGrams)
+    val posting = d.select(col("id"), size(col("g")).as("nn"),
+      explode(col("g")).as("gram"))
+    val freq = posting.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    // ranked full posting: probe prefix AND larger-side index both come
+    // from this one frame — localCheckpoint for the same tree-sharing
+    // reason as prefixFilteredJaccardPairs (lazy: no job on construction)
+    val ranked = posting.join(freq, Seq("gram"))
+      .withColumn("r", row_number().over(w))
+      .select(col("gram"), col("id"), col("nn"), col("r"))
+      .localCheckpoint(eager = false)
+    val probe = ranked.filter(
+      col("r") <= col("nn") - ceil(lit(threshold) * col("nn")) + 1)
+    val pairs = probe
+      .select(col("gram"), col("id").as("__ids"), col("nn").as("__ns"),
+        col("r").as("__rs"))
+      .join(ranked.select(col("gram"), col("id").as("__idl"),
+        col("nn").as("__nl"), col("r").as("__rl")), Seq("gram"))
+      // l strictly larger in (n, id): each unordered pair generated once,
+      // with the smaller record on the prefix side
+      .filter(col("__ns") < col("__nl") ||
+        (col("__ns") === col("__nl") && col("__ids") < col("__idl")))
+      // positional: overlap <= 1 + min(remaining) must reach t·n_small;
+      // 1e-9 slack only ever keeps a boundary pair
+      .filter(lit(1.0) +
+        least(col("__ns") - col("__rs"), col("__nl") - col("__rl")).cast("double") >=
+        lit(threshold) * col("__ns").cast("double") - lit(1e-9))
+      .select(least(col("__ids"), col("__idl")).as("doc_a"),
+        greatest(col("__ids"), col("__idl")).as("doc_b"))
+      .distinct()
+    pairs
+      .join(d.select(col("id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
+      .join(d.select(col("id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
+      .withColumn("containment",
+        graft.functions.HashedSetExprs.sortedLongOverlap(col("g_a"), col("g_b"))
+          .cast("double") /
+          least(size(col("g_a")), size(col("g_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** Q147: sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    * merge/purge SNM, the third blocking family next to LSH banding and
+    * prefix filtering): sort records by a cheap surrogate key (here the
+    * first `keyChars` of the normalized text), then compare each record
+    * only to its `window` successors in sort order, verifying candidates
+    * with exact word-n-gram Jaccard. Catches near-dups whose edits are
+    * late in the document (shared prefix ⇒ adjacent in sort order) at
+    * O(n·window) comparisons.
+    *
+    * Scale design: blocking on the first `blockChars` characters makes
+    * the sort a per-block WINDOW (partitionBy block — no global
+    * row_number, no single-partition sort); blocks distribute across the
+    * cluster and the per-block neighbor self-join is rank-banded, so the
+    * shuffle moves (block, rank, gram-set) rows once. A skewed block
+    * (every web page starting "<!doctype html>") is the method's known
+    * failure mode — at 100 TB pick key offsets past common boilerplate or
+    * run multi-pass SNM with rotated keys; the parameters expose that
+    * choice.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockChars: Int = 2,
+      keyChars: Int = 30,
+      window: Int = 5,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val d = Hashing.repartitionForCompute(
+      docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"), TextShingles.normalize(col("__txt")).as("__nt"))
+      .select(col("id"),
+        substring(col("__nt"), 1, blockChars).as("blk"),
+        substring(col("__nt"), 1, keyChars).as("key"),
+        graft.functions.WindowHashExprs.ngramHashSortedSet(col("__nt"), n)
+          .as("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("key"), col("id"))
+    val r = d.withColumn("rn", row_number().over(w))
+    r.select(col("blk"), col("rn").as("__ra"), col("id").as("__ida"),
+        col("g").as("g_a"))
+      .join(r.select(col("blk"), col("rn").as("__rb"), col("id").as("__idb"),
+        col("g").as("g_b")), Seq("blk"))
+      .filter((col("__rb") - col("__ra")).between(1, window))
+      .withColumn("jaccard",
+        graft.functions.HashedSetExprs.sortedLongJaccard(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 }
 
 /** Shared helpers for the dedup family. */

@@ -879,4 +879,68 @@ object Pipelines {
       .withColumn("moved",
         (col("shard") =!= col("shard_after_removal")).cast("int"))
   }
+
+  /** Q151: DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023) — score
+    * every raw document by how target-like its hashed n-gram feature
+    * distribution is: weight(doc) = Σ_tokens log(p_target(bucket) /
+    * p_raw(bucket)), with unigram features hashed into `buckets` bins and
+    * add-α smoothing on both distributions. Documents with high weight
+    * resemble the target domain (here: the `targetLang` slice standing in
+    * for "high-quality reference corpus"); resampling by weight is the
+    * DSIR selection step.
+    *
+    * Scale design: the feature distributions are one map-side-combinable
+    * aggregation over hashed tokens to a FIXED `buckets`-sized table;
+    * the per-bucket log-ratio table (≤ buckets rows) broadcasts back onto
+    * the token stream (map-only probe), and only (doc, micros) pairs
+    * shuffle for the per-doc sum. Determinism follows q133's grid
+    * discipline: each bucket's log-ratio is rounded to the 1e-6 grid once
+    * (one log per BUCKET, not per token), summed exactly as decimal
+    * micros — partition-order- and engine-independent. The bucket hash is
+    * the engine-reproducible base-31 polynomial
+    * ([[graft.functions.PolyHashExprs]]), so the oracle rebuilds the
+    * identical buckets.
+    */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, targetLang: String = "en", buckets: Int = 1024,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      explode(filter(
+        split(TextShingles.normalize(coalesce(col(textCol), lit(""))), " "),
+        t => t =!= "")).as("tok"))
+    // ONE corpus-sized pass: reduce the token stream to per-(doc, bucket)
+    // counts immediately (map-side combinable). This reduced table is the
+    // subtree all three consumers (raw distribution, target distribution,
+    // per-doc scorer) share — the aggregation exchange is identical in
+    // each, so ReuseExchange runs the scan+explode+partial-agg once; the
+    // naive per-token formulation would read the corpus three times.
+    val db = toks.select(col("doc_id"), col("lang"),
+      pmod(graft.functions.PolyHashExprs.polyHash(col("tok")),
+        lit(buckets.toLong)).as("bkt"))
+      .groupBy(col("doc_id"), col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val raw = db.groupBy(col("bkt")).agg(sum(col("c")).as("rc"))
+    val tgt = db.filter(col("lang") === targetLang)
+      .groupBy(col("bkt")).agg(sum(col("c")).as("tc"))
+    val dist = raw.join(tgt, Seq("bkt"), "left_outer")
+      .select(col("bkt"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = dist.agg(sum(col("rc")).as("R"), sum(col("tc")).as("T"))
+    val lr = dist.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        round(log(
+          ((col("tc").cast("double") + lit(alpha)) /
+            (col("T").cast("double") + lit(alpha * buckets))) /
+          ((col("rc").cast("double") + lit(alpha)) /
+            (col("R").cast("double") + lit(alpha * buckets)))) * 1e6)
+          .cast("long").as("lr6"))
+    // c·lr6 stays far inside long range (c ≤ doc tokens, |lr6| ≤ ~2e7);
+    // the decimal sum keeps the per-doc total exact and order-independent
+    db.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum((col("c") * col("lr6")).cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("weight"))
+      .withColumn("weight", round(col("weight"), 6))
+  }
 }

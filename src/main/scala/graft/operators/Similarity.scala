@@ -229,6 +229,93 @@ object Similarity {
         .select(col("probe_id"), col("vec_id")),
       Seq("probe_id", "vec_id"), recallFloor)
 
+  /** Q152: product-quantization ANN with exact re-ranking (Jégou et al.,
+    * TPAMI 2011 — the FAISS `PQ` index family). Vectors are L2-normalized
+    * (so inner product = cosine), split into `m` subvectors, and each
+    * subvector quantized to its nearest codeword from a per-subspace
+    * `ksub`-entry codebook trained driver-side on a bounded hash-ordered
+    * sample (the IVF q32 sampling discipline). With ksub=16, m=8 the
+    * corpus representation in the scoring scan is ONE packed long per
+    * vector — 8 bytes instead of a 256-byte embedding — and scoring is
+    * ADC: each probe precomputes its m×ksub dot-product lookup table
+    * once (broadcast), each corpus row costs m table lookups. The top
+    * `rerank·k` ADC candidates per probe are then re-scored EXACTLY by a
+    * second corpus pass filtered through a broadcast hash semi-join (the
+    * Spark analogue of FAISS's refine-with-stored-vectors step), so
+    * final scores are true cosines and recall is the only approximation.
+    *
+    * Scale: codebook training is sample-bounded; encode is one map pass;
+    * the ADC scan shuffles only #probes×rerank·k partial-top-k rows; the
+    * rerank scan reads the corpus a second time but computes exact dots
+    * for only #probes×rerank·k rows. No all-pairs anywhere.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4,
+      sampleSize: Int = 2048): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val sample = corpus
+      .select(l2Normalize(toDoubleArray(col("embedding"))).as("v"),
+        xxhash64(col("vec_id")).as("r"))
+      .orderBy(col("r")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    // per-subspace codebooks; short samples pad with codeword 0 (argmin
+    // ties take the lowest index, so duplicated pads are never selected)
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      val cents = KMeansLite.fitL2(sub, ksub, iters = 10, seed = 42L + mi)
+      Array.tabulate(ksub)(j => cents(math.min(j, cents.length - 1)))
+    }
+    val cbFlat: Array[Double] =
+      cb.flatMap(_.flatMap(_.toSeq))
+    val coded = corpus.select(col("vec_id"),
+      graft.functions.PqExprs.pqEncode(
+        l2Normalize(toDoubleArray(col("embedding"))), cbFlat, m, ksub, dsub)
+        .as("code"))
+    val lut = array((for (mi <- 0 until m; j <- 0 until ksub) yield
+      dot(slice(col("p_norm"), mi * dsub + 1, dsub), typedLit(cb(mi)(j).toSeq))): _*)
+    val p = broadcast(probes
+      .select(col("vec_id").as("probe_id"),
+        l2Normalize(toDoubleArray(col("embedding"))).as("p_norm"))
+      .select(col("probe_id"), lut.as("lut")))
+    val topCand = udaf(new TopKAgg(rerank * k), ExpressionEncoder[Scored]())
+    val cand = coded
+      .join(p, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.PqExprs.adcScore(col("code"), col("lut"), m, ksub)
+          .as("adc"))
+      .groupBy("probe_id")
+      .agg(topCand(col("adc"), col("vec_id")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("s"))
+      .select(col("probe_id"), col("s.id").as("vec_id"))
+    val topk = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+    corpus.select(col("vec_id"), col("embedding").as("c_emb"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"))), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("p_emb"), col("c_emb")).as("sim"))
+      .groupBy("probe_id")
+      .agg(topk(col("sim"), col("vec_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(
+        col("probe_id"),
+        col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Q152 (validated): exact top-k + `recall_ok` pinning [[pqTopK]]. */
+  def pqTopKValidated(corpus: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 4,
+      recallFloor: Double = 0.7): DataFrame =
+    Dedup.withRecallFlag(
+      bruteForceTopK(corpus, probes, k),
+      pqTopK(corpus, probes, k, dim, m, ksub, rerank)
+        .select(col("probe_id"), col("vec_id")),
+      Seq("probe_id", "vec_id"), recallFloor)
+
   /** Q57: per-label embedding centroids in long `(label, dim, mean_val)`
     * layout — class prototypes for probing/NN-classifier init and dataset
     * cartography. Shape at scale: posexplode fans each vector into

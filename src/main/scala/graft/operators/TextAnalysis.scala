@@ -651,4 +651,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"), col("n_oov"),
         idiv(col("n_oov") * lit(1000000L), col("n_grams")).as("oov_ppm"))
   }
+
+  /** Q149: per-document n-gram NOVELTY — the fraction of a document's
+    * distinct word n-grams whose corpus-wide first occurrence (minimum
+    * doc id) is this document. The standard measure of how much NEW text
+    * an incremental crawl batch actually contributes (a batch of
+    * re-crawls scores ~0) and a cheap duplicate-cluster tiebreaker:
+    * within a near-dup cluster, the lowest-novelty members are the
+    * derivative copies.
+    *
+    * Scale design: documents explode to DISTINCT hashed grams (8-byte
+    * longs — strings never leave the fused first projection), ONE
+    * aggregation on the gram key computes min(doc_id) with map-side
+    * partials, and the per-doc re-aggregate joins exploded grams to the
+    * reduced first-occurrence table on the same gram partitioning —
+    * Catalyst reuses the gram exchange for the groupBy and the join
+    * probe (the PPJoin posting/freq shape). No corpus-sized all-pairs
+    * anywhere; 64-bit collisions merge two grams' first-occurrence at
+    * the documented ~n²/2⁶⁴ odds.
+    */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = Hashing.repartitionForCompute(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt")),
+      "doc_id")
+      .select(col("doc_id"),
+        explode(graft.functions.WindowHashExprs.ngramHashSortedSet(
+          TextShingles.normalize(col("__txt")), n)).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("__fd"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
 }

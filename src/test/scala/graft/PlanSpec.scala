@@ -467,4 +467,49 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"vocab cutoff must be a bounded top-k, not a full sort:\n$plan")
   }
+
+  test("q148 winnowing: map-only — one compute repartition, no join/agg/window") {
+    val df = Winnowing.fingerprints(Tables.documents(spark, sf), "text", "doc_id")
+    val plan = executedPlan(df)
+    assert(!plan.contains("Join"), s"fingerprinting must not join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"),
+      s"fingerprinting must not aggregate:\n$plan")
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"only the single-row-group compute repartition allowed, saw $shuffles:\n$plan")
+  }
+
+  test("q151 dsir: per-(doc,bucket) reduction shared; bucket table broadcasts") {
+    val df = Pipelines.dsirWeights(Tables.documents(spark, sf), "text",
+      "doc_id", "lang")
+    val plan = executedPlan(df)
+    // the raw/target distributions and the per-doc scorer all consume the
+    // SAME (doc, lang, bkt) aggregation — one corpus pass, not three
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"per-(doc,bucket) reduction must be computed once:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio table must broadcast onto the reduced rows:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in dsir justifies a sort-merge join:\n$plan")
+  }
+
+  test("q152 pq: probe LUTs broadcast to the code scan; rerank joins broadcast") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = Similarity.pqTopK(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3), 5,
+      dim = 64, m = 16, ksub = 16, rerank = 4)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC scan must broadcast the probe LUTs:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate/rerank joins must broadcast, not sort-merge:\n$plan")
+  }
+
+  test("q146 containment: no cartesian product anywhere in the pair pipeline") {
+    val df = Dedup.containmentDups(Tables.documents(spark, sf), "text",
+      "doc_id", n = 3, minGrams = 10, threshold = 0.6)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"containment must candidate-generate via the prefix join:\n$plan")
+  }
 }
