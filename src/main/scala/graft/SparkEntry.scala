@@ -571,6 +571,8 @@ object SparkEntry {
         emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
         dim = 64, m = 16, ksub = 16, rerank = 16, recallFloor = 0.85)
     }),
+    "q153_hilbert_layout" -> ((s, dir) =>
+      Pipelines.hilbertLayout(Tables.lineitem(s, dir))),
   )
 
   /** q136 parameters, shared with the oracle builder. */
@@ -2728,7 +2730,46 @@ object SparkEntry {
         |  SELECT probe_id, vec_id, s,
         |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
         |  FROM cand) WHERE rank <= 10""".stripMargin,
+    // q153: the 21-level rotate-and-accumulate written out as chained
+    // CTEs, GENERATED from the same (bits, buckets) the engine uses
+    "q153_hilbert_layout" -> hilbertOracleSql,
   )
+
+  /** q153 oracle: one CTE per curve level — rx/ry extraction, the
+    * s²·((3·rx) XOR ry) accumulation, consumed-bit masking, and the
+    * quadrant rotation as CASE arms, generated from the same parameters
+    * as [[graft.operators.Pipelines.hilbertLayout]] (bits = 21,
+    * buckets = 64). Same engines-cannot-drift device as
+    * [[zorderOracleSql]].
+    */
+  private def hilbertOracleSql: String = {
+    val bits = 21
+    val buckets = 64
+    val mask = (1L << bits) - 1
+    val base = s"SELECT CAST(l_partkey AS BIGINT) & $mask AS x, " +
+      s"CAST(l_suppkey AS BIGINT) & $mask AS y, CAST(0 AS BIGINT) AS d, " +
+      "l_partkey, l_suppkey FROM lineitem"
+    val levels = (0 until bits).reverse.zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      s"""h${i + 1} AS (SELECT
+         |  CASE WHEN ((y >> $k) & 1) = 1 THEN x & ${s - 1}
+         |       WHEN ((x >> $k) & 1) = 1 THEN ${s - 1} - (y & ${s - 1})
+         |       ELSE y & ${s - 1} END AS x,
+         |  CASE WHEN ((y >> $k) & 1) = 1 THEN y & ${s - 1}
+         |       WHEN ((x >> $k) & 1) = 1 THEN ${s - 1} - (x & ${s - 1})
+         |       ELSE x & ${s - 1} END AS y,
+         |  d + ${s * s} * xor(3 * ((x >> $k) & 1), (y >> $k) & 1) AS d,
+         |  l_partkey, l_suppkey FROM h$i)""".stripMargin
+    }
+    s"""WITH h0 AS ($base),
+       |${levels.mkString(",\n")},
+       |m AS (SELECT max(d) AS mh FROM h$bits)
+       |SELECT (d * $buckets) // (mh + 1) AS hbucket, count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM h$bits, m
+       |GROUP BY 1""".stripMargin
+  }
 
   /** q134 oracle: the 21-bit-per-dimension interleave written out as
     * integer arithmetic, generated from the same parameters as

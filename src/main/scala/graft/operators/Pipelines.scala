@@ -833,6 +833,31 @@ object Pipelines {
         max(col("l_suppkey")).as("max_supp"))
   }
 
+  /** Q153: the q134 layout demo on the HILBERT curve — same proportional
+    * bucketing and per-bucket min-max envelopes, but keyed by
+    * [[graft.functions.HilbertKeyExpr]] instead of the bit interleave.
+    * Hilbert's unit-step property (consecutive keys are grid neighbors —
+    * no z-curve seam jumps) tightens the per-file envelopes that drive
+    * multi-dimensional scan skipping; the spec measures the improvement
+    * against q134 directly. Same scale shape: one codegen'd key
+    * expression, a broadcast scalar max, one aggregation.
+    */
+  def hilbertLayout(lineitem: DataFrame, buckets: Int = 64,
+      bits: Int = 21): DataFrame = {
+    val hdf = lineitem.withColumn("h",
+      graft.functions.HilbertKeyExpr.hilbertKey(
+        col("l_partkey"), col("l_suppkey"), bits))
+    val mx = hdf.agg(max(col("h")).as("mh"))
+    hdf.crossJoin(broadcast(mx))
+      .withColumn("hbucket", expr(s"(h * $buckets) div (mh + 1)"))
+      .groupBy(col("hbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+  }
+
   /** Per-(id, shard) rendezvous score — the q49 engine-reproducible
     * multiplicative-hash convention (Knuth constant, BIGINT-exact in any
     * engine): mix the shard index into the id with a large prime stride,
