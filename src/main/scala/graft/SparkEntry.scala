@@ -573,7 +573,28 @@ object SparkEntry {
     }),
     "q153_hilbert_layout" -> ((s, dir) =>
       Pipelines.hilbertLayout(Tables.lineitem(s, dir))),
+    // q154: the salted join's oracle is the PLAIN join — the gate itself
+    // proves salting preserves join semantics exactly
+    "q154_salted_join" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Skew.saltedJoin(
+        Tables.lineitem(s, dir),
+        Tables.part(s, dir).withColumnRenamed("p_partkey", "l_partkey"),
+        "l_partkey", salt = 8)
+        .groupBy(f.col("p_brand"))
+        .agg(
+          f.sum((f.col("l_extendedprice") *
+            (f.lit(1.0) - f.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double").as("revenue"),
+          f.count(f.lit(1)).as("n_lines"))
+    }),
+    "q155_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Scores(Tables.documents(s, dir), "text", "doc_id",
+        Bm25QueryTerms)),
   )
+
+  /** q155 query terms, shared with the oracle builder. */
+  private val Bm25QueryTerms: Seq[String] = Seq("table", "join", "scan", "hash")
 
   /** q136 parameters, shared with the oracle builder. */
   private val TemperatureWeights: Map[String, Double] = Map(
@@ -2733,7 +2754,46 @@ object SparkEntry {
     // q153: the 21-level rotate-and-accumulate written out as chained
     // CTEs, GENERATED from the same (bits, buckets) the engine uses
     "q153_hilbert_layout" -> hilbertOracleSql,
+    "q154_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |       AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    // q155: Lucene-style BM25 with per-term 1e-6-grid contributions
+    // summed exactly; query terms generated from the shared constant
+    "q155_bm25" -> bm25OracleSql,
   )
+
+  /** q155 oracle, generated from [[Bm25QueryTerms]] and the same
+    * (k1, b) = (1.2, 0.75) the engine query uses.
+    */
+  private def bm25OracleSql: String = {
+    val terms = Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' '), t -> t <> '')) AS term
+       |  FROM documents),
+       |db AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(c) AS len FROM db GROUP BY 1),
+       |corpus AS (SELECT count(*) AS N, sum(len) AS toks FROM dl),
+       |q(term) AS (VALUES $terms),
+       |tf AS (SELECT db.doc_id, db.term, db.c FROM db JOIN q USING (term)),
+       |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id,
+       |        CAST(round(ln((CAST(N AS DOUBLE) - CAST(dfreq AS DOUBLE) + 0.5) /
+       |               (CAST(dfreq AS DOUBLE) + 0.5) + 1.0) *
+       |          (CAST(c AS DOUBLE) * 2.2) /
+       |          (CAST(c AS DOUBLE) + 1.2 *
+       |            (0.25 + 0.75 * CAST(len AS DOUBLE) /
+       |              (CAST(toks AS DOUBLE) / CAST(N AS DOUBLE)))) * 1000000)
+       |          AS DECIMAL(18,0)) AS mic
+       |      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), corpus)
+       |SELECT doc_id, count(*) AS n_terms_matched,
+       |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6)
+       |    AS score
+       |FROM s GROUP BY 1""".stripMargin
+  }
 
   /** q153 oracle: one CTE per curve level — rx/ry extraction, the
     * s²·((3·rx) XOR ry) accumulation, consumed-bit masking, and the

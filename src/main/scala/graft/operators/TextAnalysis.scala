@@ -652,6 +652,54 @@ object TextAnalysis {
         idiv(col("n_oov") * lit(1000000L), col("n_grams")).as("oov_ppm"))
   }
 
+  /** Q155: BM25 relevance scores of every document against a fixed query
+    * term set — the retrieval scoring a RAG pipeline runs over its corpus
+    * (Robertson-Spärck Jones probabilistic weighting with the Lucene
+    * positive-bounded idf: ln((N − df + 0.5)/(df + 0.5) + 1)). Length
+    * normalization uses the document's FULL token count against the
+    * corpus average.
+    *
+    * Scale design: ONE corpus-sized token aggregation to (doc, term,
+    * count) — the subtree both the doc-length re-aggregate and the
+    * query-term filter share (ReuseExchange, the q151 device); the idf
+    * table is |query|-bounded and broadcasts; corpus scalars (N, avg
+    * len) broadcast as a one-row frame. Determinism: each term's score
+    * contribution rounds to the 1e-6 grid and sums exactly (q133's
+    * decimal-micros discipline), so per-doc totals are partition- and
+    * engine-order-independent.
+    */
+  def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(filter(
+        split(TextShingles.normalize(coalesce(col(textCol), lit(""))), " "),
+        t => t =!= "")).as("term"))
+    val db = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val docLen = db.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+    val corpus = docLen.agg(count(lit(1)).as("N"), sum(col("len")).as("toks"))
+    val tf = db.filter(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val scoreMicros = round(
+      log((col("N").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
+        (col("dfreq").cast("double") + lit(0.5)) + lit(1.0)) *
+        (col("c").cast("double") * lit(k1 + 1.0)) /
+        (col("c").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("len").cast("double") /
+            (col("toks").cast("double") / col("N").cast("double")))) * 1e6)
+      .cast("long")
+    tf.join(docLen, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        (sum(scoreMicros.cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("score"))
+      .withColumn("score", round(col("score"), 6))
+  }
+
   /** Q149: per-document n-gram NOVELTY — the fraction of a document's
     * distinct word n-grams whose corpus-wide first occurrence (minimum
     * doc id) is this document. The standard measure of how much NEW text

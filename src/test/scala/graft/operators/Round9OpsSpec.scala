@@ -130,6 +130,46 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
   }
 
+  test("bm25Scores == local reference; more query-term mass ranks higher") {
+    val qs = Seq("table", "join", "scan", "hash")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val lens = rows.map { case (id, t) => id -> toks(t).size }.toMap
+    val n = rows.length.toDouble
+    val avg = lens.values.sum.toDouble / n
+    val dfreq = qs.map(q =>
+      q -> rows.count { case (_, t) => toks(t).contains(q) }).toMap
+    val expect = rows.flatMap { case (id, t) =>
+      val tc = toks(t).groupBy(identity).view.mapValues(_.size)
+      val matched = qs.filter(q => tc.contains(q))
+      if (matched.isEmpty) None
+      else {
+        val mics = matched.map { q =>
+          val c = tc(q).toDouble
+          val idf = math.log((n - dfreq(q) + 0.5) / (dfreq(q) + 0.5) + 1.0)
+          math.round(idf * (c * 2.2) /
+            (c + 1.2 * (0.25 + 0.75 * lens(id) / avg)) * 1e6)
+        }
+        Some((id, matched.size.toLong,
+          BigDecimal(mics.sum) / BigDecimal(1000000) match {
+            case x => x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }))
+      }
+    }.toSet
+    val got = TextAnalysis.bm25Scores(docs, "text", "doc_id", qs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expect)
+    // directional: a doc stuffed with query terms outranks one without
+    val d2 = Seq((1L, "table join scan hash table join scan hash"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.bm25Scores(d2, "text", "doc_id", qs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, _, s) => id -> s }.toMap
+    assert(s2.contains(1L) && !s2.contains(2L))
+  }
+
   test("dsirWeights: target-language docs score higher on average") {
     val got = Pipelines.dsirWeights(docs, "text", "doc_id", "lang",
       targetLang = "en")
