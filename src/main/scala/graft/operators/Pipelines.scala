@@ -935,16 +935,21 @@ object Pipelines {
         split(TextShingles.normalize(coalesce(col(textCol), lit(""))), " "),
         t => t =!= "")).as("tok"))
     // ONE corpus-sized pass: reduce the token stream to per-(doc, bucket)
-    // counts immediately (map-side combinable). This reduced table is the
-    // subtree all three consumers (raw distribution, target distribution,
-    // per-doc scorer) share — the aggregation exchange is identical in
-    // each, so ReuseExchange runs the scan+explode+partial-agg once; the
-    // naive per-token formulation would read the corpus three times.
+    // counts immediately (map-side combinable), then MATERIALIZE the
+    // reduced table (lazy localCheckpoint, the PPJoin-prefix device) so
+    // its three consumers — raw distribution, target distribution,
+    // per-doc scorer — share one scan. ReuseExchange alone cannot unify
+    // them: Catalyst pushes the lang filter BELOW the aggregation for
+    // the target branch and prunes lang out of the raw branch, so the
+    // three subtrees differ and each would re-read the corpus. The
+    // checkpointed table is docs × ≤buckets rows — at 100 TB, a
+    // persisted intermediate dataset, not a cache crutch.
     val db = toks.select(col("doc_id"), col("lang"),
       pmod(graft.functions.PolyHashExprs.polyHash(col("tok")),
         lit(buckets.toLong)).as("bkt"))
       .groupBy(col("doc_id"), col("lang"), col("bkt"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val raw = db.groupBy(col("bkt")).agg(sum(col("c")).as("rc"))
     val tgt = db.filter(col("lang") === targetLang)
       .groupBy(col("bkt")).agg(sum(col("c")).as("tc"))

@@ -676,11 +676,26 @@ object TextAnalysis {
       explode(filter(
         split(TextShingles.normalize(coalesce(col(textCol), lit(""))), " "),
         t => t =!= "")).as("term"))
-    val db = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("c"))
-    val docLen = db.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
-    val corpus = docLen.agg(count(lit(1)).as("N"), sum(col("len")).as("toks"))
-    val tf = db.filter(col("term").isin(queryTerms: _*))
+    // ONE corpus pass: a wide conditional aggregation emits the doc
+    // length AND each query term's count as columns of a single per-doc
+    // row (query sets are small by nature — this is a |query|-wide agg,
+    // not a vocabulary-wide one). The doc-count-sized result is
+    // materialized (lazy localCheckpoint) because its consumers — corpus
+    // scalars, document frequencies, scoring — prune differently and
+    // would each re-read the corpus otherwise (the q151 differentiated-
+    // subtree case); stack() then unpivots back to (doc, term, c) rows
+    // for scoring.
+    val termCols = queryTerms.map(q =>
+      sum(when(col("term") === q, 1L).otherwise(0L)).as(s"c_$q"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("len"), termCols: _*)
+      .localCheckpoint(eager = false)
+    val corpus = perDoc.agg(count(lit(1)).as("N"), sum(col("len")).as("toks"))
+    val stackArgs = queryTerms
+      .map(q => s"'${q.replace("'", "''")}', `c_$q`").mkString(", ")
+    val tf = perDoc.select(col("doc_id"), col("len"),
+      expr(s"stack(${queryTerms.size}, $stackArgs) AS (term, c)"))
+      .filter(col("c") > 0)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val scoreMicros = round(
       log((col("N").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
@@ -690,8 +705,7 @@ object TextAnalysis {
           (lit(1.0 - b) + lit(b) * col("len").cast("double") /
             (col("toks").cast("double") / col("N").cast("double")))) * 1e6)
       .cast("long")
-    tf.join(docLen, Seq("doc_id"))
-      .join(broadcast(dfreq), Seq("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(corpus))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_matched"),
