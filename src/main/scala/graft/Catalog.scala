@@ -76,6 +76,16 @@ object Catalog {
       graft.functions.ByteEntropyExpr(e(0))),
     "nfc_normalize" -> arity("nfc_normalize(s)", 1)(e =>
       graft.functions.NfcNormalizeExpr(e(0))),
+    "sorted_long_overlap" -> arity("sorted_long_overlap(a, b)", 2)(e =>
+      graft.functions.SortedLongOverlapExpr(e(0), e(1))),
+    "poly_hash" -> arity("poly_hash(s)", 1)(e =>
+      graft.functions.PolyHashExpr(e(0))),
+    "poly_window_hashes" -> arity("poly_window_hashes(s, k)", 2)(e =>
+      graft.functions.PolyWindowHashExpr(e(0), litLong(e(1), "k (argument 2)").toInt)),
+    "winnow_select" -> arity("winnow_select(hashes, w)", 2)(e =>
+      graft.functions.WinnowSelectExpr(e(0), litLong(e(1), "w (argument 2)").toInt)),
+    "hilbert_key" -> arity("hilbert_key(x, y, bits)", 3)(e =>
+      graft.functions.HilbertKeyExpr(e(0), e(1), litLong(e(2), "bits (argument 3)").toInt)),
   )
 
   /** Register graft-native functions in an existing session's registry. */

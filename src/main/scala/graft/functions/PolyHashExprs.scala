@@ -25,6 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen'd kernel. acc stays < 2^30, so acc*31+cp < 2^36 — no overflow
   * in either engine's BIGINT arithmetic.
   *
+  * NOT the same fold as [[RollingHashExpr]], deliberately: rolling_hash
+  * iterates UTF-16 units (`charAt` — mirroring Spark's own
+  * `split(s,"")`/`ascii` SQL semantics, its parity contract), while this
+  * family iterates Unicode CODE POINTS — mirroring DuckDB's
+  * `string_split(s,'')`/`ascii`, which splits by code point. The two
+  * agree on all BMP text and diverge exactly on surrogate pairs; an
+  * oracle built on DuckDB string functions needs the code-point fold.
+  *
   * Winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms
   * for Document Fingerprinting", SIGMOD 2003) selects from the
   * per-position k-gram hash sequence the minimum of every w-window,

@@ -61,6 +61,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r2.getLong(0) == (('a' * 31 + 'b') * 31 + 'c') % 1000000007L)
     assert(math.abs(r2.getDouble(1) - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
     assert(r2.getSeq[Byte](2).nonEmpty && r2.getDouble(3) > 0)
+    // round-9 natives: poly_hash (code-point fold == rolling_hash on BMP),
+    // winnowing selection, overlap count, hilbert key
+    val r3 = spark.sql(
+      """SELECT poly_hash('abc') AS ph,
+        |       size(winnow_select(poly_window_hashes('abcdefghijklmnop', 8), 4)) AS nw,
+        |       sorted_long_overlap(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ov,
+        |       hilbert_key(0L, 0L, 4) AS h00,
+        |       hilbert_key(0L, 1L, 4) AS h01""".stripMargin).collect().head
+    assert(r3.getLong(0) == (('a' * 31 + 'b') * 31 + 'c') % 1000000007L)
+    assert(r3.getInt(1) > 0)
+    assert(r3.getLong(2) == 2L)
+    // this orientation's first steps: (0,0)=0, (1,0)=1, (1,1)=2, (0,1)=3
+    assert(r3.getLong(3) == 0L && r3.getLong(4) == 3L)
   }
 
   test("aggregation via SQL equals DataFrame operator") {
