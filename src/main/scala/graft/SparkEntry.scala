@@ -591,6 +591,12 @@ object SparkEntry {
     "q155_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Scores(Tables.documents(s, dir), "text", "doc_id",
         Bm25QueryTerms)),
+    "q156_containment_prune" -> ((s, dir) =>
+      Dedup.containmentPrune(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, minGrams = 10, threshold = 0.6)),
+    "q157_anomaly_windows" -> ((s, dir) =>
+      Relational.dailyAnomalyWindows(Tables.events(s, dir),
+        trailing = 7, sigma = 2.0)),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -2764,6 +2770,49 @@ object SparkEntry {
     // q155: Lucene-style BM25 with per-term 1e-6-grid contributions
     // summed exactly; query terms generated from the shared constant
     "q155_bm25" -> bm25OracleSql,
+    // q156: q146's pair set + the loser rule (smaller gram set, ties to
+    // the higher id) as a NOT-IN prune over the sized corpus
+    "q156_containment_prune" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |f AS (SELECT doc_id, g FROM d WHERE len(g) >= 10),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             len(a.g) AS na, len(b.g) AS nb
+        |      FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.g, b.g)) /
+        |              CAST(least(len(a.g), len(b.g)) AS DOUBLE) >= 0.6),
+        |losers AS (SELECT DISTINCT
+        |    CASE WHEN na < nb THEN doc_a
+        |         WHEN nb < na THEN doc_b
+        |         ELSE greatest(doc_a, doc_b) END AS doc_id
+        |  FROM p)
+        |SELECT doc_id, len(g) AS n_grams FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    // q157: mean/σ from INTEGER window sums (Σn, Σn²) so both engines
+    // compute identical doubles; only complete 7-day frames emit
+    "q157_anomaly_windows" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, epoch_day, n,
+        |    sum(n) OVER w AS s1, sum(n * n) OVER w AS s2, count(*) OVER w AS cnt
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, epoch_day, n,
+        |  round(CAST(s1 AS DOUBLE) / 7.0, 6) AS trail_mean,
+        |  round(sqrt(greatest((CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0, 0.0)), 6)
+        |    AS trail_std,
+        |  CAST(abs(CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0) >
+        |    2.0 * sqrt(greatest((CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0, 0.0))
+        |    AS INTEGER) AS is_anomaly
+        |FROM win WHERE cnt = 7""".stripMargin,
   )
 
   /** q155 oracle, generated from [[Bm25QueryTerms]] and the same

@@ -986,6 +986,39 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Q156: the containment KEEP POLICY — the pipeline step q146's pair
+    * report exists for: drop each containment pair's CONTAINED side (the
+    * smaller gram set — the quoted/derived document), keep supersets and
+    * everything unpaired. Loser rule is total: smaller gram count, ties
+    * to the HIGHER doc id (the later crawl is the derivative copy).
+    * A doc contained in several supersets is dropped once (distinct
+    * losers); survivors emit with their gram count. Scale: the pair set
+    * is tiny relative to the corpus, so the prune is one broadcast-able
+    * left-anti join over the sized corpus.
+    */
+  def containmentPrune(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minGrams: Int = 10,
+      threshold: Double = 0.6): DataFrame = {
+    val sized = docs.select(col(idCol).as("doc_id"),
+      size(graft.functions.WindowHashExprs.ngramHashSortedSet(
+        TextShingles.normalize(col(textCol)), n)).as("n_grams"))
+    val pairs = containmentDups(docs, textCol, idCol, n, minGrams, threshold)
+    val losers = pairs
+      .join(sized.select(col("doc_id").as("doc_a"), col("n_grams").as("__na")),
+        Seq("doc_a"))
+      .join(sized.select(col("doc_id").as("doc_b"), col("n_grams").as("__nb")),
+        Seq("doc_b"))
+      .select(when(col("__na") < col("__nb"), col("doc_a"))
+        .when(col("__nb") < col("__na"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    sized.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Q147: sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     * merge/purge SNM, the third blocking family next to LSH banding and
     * prefix filtering): sort records by a cheap surrogate key (here the

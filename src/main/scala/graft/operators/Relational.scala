@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -669,6 +669,54 @@ object Relational {
       sumW.cast("double").as("sum_win"),
       round(sumW.cast("double") / cntW, 6).as("avg_win"))
   }
+
+  /** Q157: trailing-window anomaly detection over daily event volumes —
+    * the ops-monitoring primitive for an ingest pipeline: each
+    * (event_type, day)'s count against the mean/σ of its own previous
+    * `trailing` days, flagged beyond `sigma` deviations. Detects both
+    * spikes (crawler loops, spam floods) and droughts (a dead source).
+    *
+    * Determinism: mean and σ derive from INTEGER window sums (Σn, Σn²,
+    * the textbook (Σn² − (Σn)²/T)/(T−1)) — both engines compute the same
+    * doubles from the same integers, where a native stddev aggregate
+    * would expose each engine's accumulation order. Windows only over
+    * the already-reduced (type × day) table; only complete trailing
+    * frames emit (the first `trailing` days per type are warm-up). σ = 0
+    * with a deviating count still flags — a constant history makes ANY
+    * change anomalous.
+    */
+  def dailyAnomalyWindows(events: DataFrame, trailing: Int = 7,
+      sigma: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("epoch_day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(-trailing, -1)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val cnt = count(lit(1)).over(w)
+    val t = trailing.toDouble
+    daily
+      .select(col("event_type"), col("epoch_day").cast("long").as("epoch_day"),
+        col("n"), s1.as("__s1"), s2.as("__s2"), cnt.as("__cnt"))
+      .filter(col("__cnt") === trailing)
+      .select(col("event_type"), col("epoch_day"), col("n"),
+        round(mean_from(col("__s1"), t), 6).as("trail_mean"),
+        round(std_from(col("__s1"), col("__s2"), t), 6).as("trail_std"),
+        (abs(col("n").cast("double") - mean_from(col("__s1"), t)) >
+          lit(sigma) * std_from(col("__s1"), col("__s2"), t)).cast("int")
+          .as("is_anomaly"))
+  }
+
+  private def mean_from(s1: Column, t: Double): Column =
+    s1.cast("double") / lit(t)
+
+  private def std_from(s1: Column, s2: Column, t: Double): Column =
+    sqrt(greatest((s2.cast("double") -
+      s1.cast("double") * s1.cast("double") / lit(t)) / lit(t - 1.0),
+      lit(0.0)))
 
   /** Q60: fixed-width histogram of order prices — the data-profiling
     * primitive next to q43. Bucket index is plain integer arithmetic

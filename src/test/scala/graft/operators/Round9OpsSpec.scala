@@ -130,6 +130,40 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
   }
 
+  test("containmentPrune: superset survives, contained copy dropped, unpaired intact") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val pad = (1 to 60).map(i => s"pad$i").mkString(" ")
+    val d = Seq(
+      (1L, a),                      // contained in 2 -> dropped
+      (2L, s"$pad $a $pad"),        // superset -> survives
+      (3L, "totally unrelated words that pair with nothing at all here " +
+        "zz yy xx ww vv uu tt ss")  // unpaired -> survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPrune(d, "text", "doc_id",
+      n = 3, minGrams = 5, threshold = 0.9)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === Set(2L, 3L))
+  }
+
+  test("dailyAnomalyWindows: planted spike day flags, steady days don't") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    // 10 steady days of 5 events, then a 50-event spike on day 11
+    val rows = (0 until 10).flatMap(day =>
+      (0 until 5).map(i => (day * 5 + i).toLong -> day)) ++
+      (0 until 50).map(i => (1000 + i).toLong -> 10)
+    val ev = rows.map { case (id, day) =>
+      (id, new java.sql.Timestamp(base + day * 86400000L), 1L, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.dailyAnomalyWindows(ev, trailing = 7, sigma = 2.0)
+      .select(col("epoch_day"), col("is_anomaly")).as[(Long, Int)]
+      .collect().toMap
+    val spikeDay = got.keys.max
+    assert(got(spikeDay) === 1, s"spike day must flag: $got")
+    assert(got.filter(_._1 != spikeDay).values.forall(_ == 0),
+      s"steady days must not flag: $got")
+  }
+
   test("bm25Scores == local reference; more query-term mass ranks higher") {
     val qs = Seq("table", "join", "scan", "hash")
     val rows = docs.select(col("doc_id"), col("text"))
