@@ -597,6 +597,38 @@ object SparkEntry {
     "q157_anomaly_windows" -> ((s, dir) =>
       Relational.dailyAnomalyWindows(Tables.events(s, dir),
         trailing = 7, sigma = 2.0)),
+    // q158: customer↔supplier interaction bipartite (both edge
+    // orientations); node ids disambiguate as supplier + 1e6. Ranks are
+    // exact integer micro-units, so the oracle unrolls the same 4
+    // power-iteration rounds as CTEs and matches bit-for-bit
+    "q158_pagerank" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          f.col("o_orderkey") === f.col("l_orderkey"))
+        .select(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = e0.select(f.explode(f.array(
+        f.struct(f.col("c").as("src"),
+          (f.col("sk") + f.lit(1000000L)).as("dst")),
+        f.struct((f.col("sk") + f.lit(1000000L)).as("src"),
+          f.col("c").as("dst")))).as("e"))
+        .select(f.col("e.src").as("src"), f.col("e.dst").as("dst"))
+      Graph.pageRankMicros(edges, "src", "dst", iters = 4)
+        .select(
+          f.when(f.col("node") >= 1000000L, f.lit("supplier"))
+            .otherwise(f.lit("customer")).as("kind"),
+          f.when(f.col("node") >= 1000000L, f.col("node") - 1000000L)
+            .otherwise(f.col("node")).as("key"),
+          f.col("rank"))
+    }),
+    "q159_trigram_backoff" -> ((s, dir) =>
+      Pipelines.trigramBackoffSurprisal(Tables.documents(s, dir),
+        "text", "doc_id")),
+    "q160_ks_drift" -> ((s, dir) =>
+      Relational.ksDrift(Tables.events(s, dir), splitDay = 15)),
+    "q161_coactivity" -> ((s, dir) =>
+      EventJoins.coActivityPairs(Tables.events(s, dir), binMinutes = 120)),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -2813,6 +2845,146 @@ object SparkEntry {
         |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0, 0.0))
         |    AS INTEGER) AS is_anomaly
         |FROM win WHERE cnt = 7""".stripMargin,
+    // q158: ranks live on an exact integer micro-grid (floor division
+    // only), so the oracle unrolls the same 4 power-iteration rounds and
+    // matches bit-for-bit; every sum casts back to BIGINT (DuckDB sums
+    // widen to HUGEINT, which pandas would float-ify)
+    "q158_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, 1000000 + sk AS dst FROM e0
+        |      UNION ALL
+        |      SELECT 1000000 + sk AS src, c AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rnk FROM deg),
+        |r1 AS (SELECT e.dst AS node, CAST(150000 +
+        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
+        |       FROM e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT e.dst AS node, CAST(150000 +
+        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
+        |       FROM e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT e.dst AS node, CAST(150000 +
+        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
+        |       FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src
+        |       GROUP BY 1),
+        |r4 AS (SELECT e.dst AS node, CAST(150000 +
+        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
+        |       FROM e JOIN deg d USING (src) JOIN r3 r ON r.node = e.src
+        |       GROUP BY 1)
+        |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+        |         AS kind,
+        |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+        |         AS key,
+        |       rnk AS "rank"
+        |FROM r4""".stripMargin,
+    // q159: counts from the train split, held-out docs scored with the
+    // same nested backoff CASE (association order matters for IEEE
+    // parity); α literals cast to DOUBLE — the q139 lesson
+    "q159_trigram_backoff" ->
+      """WITH trd AS (
+        |  SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |trt AS (
+        |  SELECT toks[i] AS cur,
+        |         CASE WHEN i > 1 THEN toks[i - 1] END AS p1,
+        |         CASE WHEN i > 2 THEN toks[i - 2] END AS p2
+        |  FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM trd)),
+        |c1 AS (SELECT cur, count(*) AS c1 FROM trt GROUP BY 1),
+        |nv AS (SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM c1),
+        |c2 AS (SELECT p1, cur, count(*) AS c2 FROM trt
+        |       WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |cf1 AS (SELECT p1, CAST(sum(c2) AS BIGINT) AS cf1 FROM c2 GROUP BY 1),
+        |c3 AS (SELECT p2, p1, cur, count(*) AS c3 FROM trt
+        |       WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |cf2 AS (SELECT p2, p1, CAST(sum(c3) AS BIGINT) AS cf2 FROM c3
+        |        GROUP BY 1, 2),
+        |hd AS (
+        |  SELECT doc_id, toks FROM (
+        |    SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |    FROM documents WHERE doc_id % 10 = 7)
+        |  WHERE len(toks) > 0),
+        |tt AS (
+        |  SELECT doc_id, i, toks[i] AS cur,
+        |         CASE WHEN i > 1 THEN toks[i - 1] END AS p1,
+        |         CASE WHEN i > 2 THEN toks[i - 2] END AS p2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM hd)),
+        |terms AS (
+        |  SELECT tt.doc_id,
+        |    CAST(round(-ln(CASE WHEN tt.i = 1 THEN
+        |        CAST(coalesce(c1.c1, 0) + 1 AS DOUBLE)
+        |          / CAST(nv.N + nv.V AS DOUBLE)
+        |      WHEN tt.i = 2 THEN
+        |        CASE WHEN c2.c2 IS NOT NULL
+        |          THEN CAST(c2.c2 AS DOUBLE) / CAST(cf1.cf1 AS DOUBLE)
+        |          ELSE CAST(0.4 AS DOUBLE) *
+        |            (CAST(coalesce(c1.c1, 0) + 1 AS DOUBLE)
+        |              / CAST(nv.N + nv.V AS DOUBLE)) END
+        |      ELSE
+        |        CASE WHEN c3.c3 IS NOT NULL
+        |          THEN CAST(c3.c3 AS DOUBLE) / CAST(cf2.cf2 AS DOUBLE)
+        |          ELSE CAST(0.4 AS DOUBLE) * (CASE WHEN c2.c2 IS NOT NULL
+        |            THEN CAST(c2.c2 AS DOUBLE) / CAST(cf1.cf1 AS DOUBLE)
+        |            ELSE CAST(0.4 AS DOUBLE) *
+        |              (CAST(coalesce(c1.c1, 0) + 1 AS DOUBLE)
+        |                / CAST(nv.N + nv.V AS DOUBLE)) END) END
+        |      END) * 1000000) AS DECIMAL(18,0)) AS mic
+        |  FROM tt
+        |  LEFT JOIN c1 USING (cur)
+        |  LEFT JOIN c2 ON c2.p1 = tt.p1 AND c2.cur = tt.cur
+        |  LEFT JOIN cf1 ON cf1.p1 = tt.p1
+        |  LEFT JOIN c3 ON c3.p2 = tt.p2 AND c3.p1 = tt.p1 AND c3.cur = tt.cur
+        |  LEFT JOIN cf2 ON cf2.p2 = tt.p2 AND cf2.p1 = tt.p1, nv)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6)
+        |    AS sum_nll,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    / count(*), 6) AS avg_nll
+        |FROM terms GROUP BY 1""".stripMargin,
+    // q160: D's numerator is exact integers (max|cumA·nB − cumB·nA|);
+    // every sum casts back to BIGINT before the window/products
+    "q160_ks_drift" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vq,
+        |         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS a
+        |  FROM events),
+        |g AS (SELECT event_type, vq, CAST(sum(a) AS BIGINT) AS ca,
+        |             CAST(sum(1 - a) AS BIGINT) AS cb
+        |      FROM p GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |        CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY vq)
+        |          AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY vq)
+        |          AS BIGINT) AS cumb
+        |      FROM g),
+        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b
+        |      FROM g GROUP BY 1)
+        |SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+        |  max(abs(cuma * n_b - cumb * n_a)) AS d_num,
+        |  round(CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE) /
+        |        CAST(max(n_a) * max(n_b) AS DOUBLE), 6) AS ks_d
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    // q161: the oracle runs the PLAIN theta self-join the binned engine
+    // plan exists to avoid — same pair set proves candidate completeness
+    "q161_coactivity" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(min(epoch_us(ts)) AS BIGINT) AS s,
+        |         CAST(max(epoch_us(ts)) AS BIGINT) AS e
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.day AS day, a.user_id AS u_a, b.user_id AS u_b
+        |      FROM s a JOIN s b ON a.day = b.day AND a.user_id < b.user_id
+        |       AND a.s <= b.e AND b.s <= a.e),
+        |n AS (SELECT day, count(*) AS n_users FROM s GROUP BY 1)
+        |SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+        |         AS epoch_day,
+        |       n_users, count(*) AS overlap_pairs
+        |FROM p JOIN n USING (day)
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** q155 oracle, generated from [[Bm25QueryTerms]] and the same

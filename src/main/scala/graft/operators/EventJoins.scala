@@ -212,4 +212,60 @@ object EventJoins {
         col("event_id"), col("user_id"), col("ts"),
         coalesce(col("status"), lit("missed")).as("status"))
   }
+
+  /** Q161: BINNED interval-overlap self-join — the missing member of the
+    * temporal-join family next to the point-lookup interval join (q1) and
+    * the as-of join (q109): both INPUTS are intervals, and a pair matches
+    * when the intervals intersect. Demo: per-(user, day) activity spans
+    * ([first event ts, last event ts], closed) from `events`; output is
+    * each day's count of OVERLAPPING user pairs — "who was co-active".
+    *
+    * Scale design — why not the theta join: `a.s <= b.e AND b.s <= a.e`
+    * has no equi-component beyond the day, so Catalyst would plan a
+    * per-day nested loop: O(Σ_day n_day²) comparisons on 10⁹ spans/day.
+    * The standard fix (genomics/ad-tech "bin join", cf. the LSH-band
+    * shape of q10): explode every interval onto the fixed-width time
+    * bins it covers (`binMinutes`), equi-join on (day, bin) — overlapping
+    * intervals MUST share a covering bin, so candidates are complete —
+    * then dedup the (a, b) candidate pair once per pair and apply the
+    * exact predicate. Comparisons collapse from per-day-quadratic to
+    * per-bin-local; bins/interval is bounded by interval length /
+    * binMinutes (here ≤ 1440/binMinutes, a fixed fan-out ≤ 12 at the
+    * 2-hour default). The pair dedup rides the same exchange as the
+    * count; `a < b` halves the candidate space before the join output
+    * materializes.
+    */
+  def coActivityPairs(events: DataFrame, binMinutes: Int = 120): DataFrame = {
+    require(binMinutes >= 1 && binMinutes <= 1440,
+      s"binMinutes out of range: $binMinutes")
+    val binUs = binMinutes.toLong * 60L * 1000000L
+    val spans = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .select(col("user_id"), col("day"),
+        unix_micros(col("s")).as("s"), unix_micros(col("e")).as("e"))
+    val binned = spans.select(col("user_id"), col("day"), col("s"), col("e"),
+      explode(sequence(floor(col("s") / binUs).cast("long"),
+        floor(col("e") / binUs).cast("long"))).as("bin"))
+    val a = binned.select(col("day"), col("bin"),
+      col("user_id").as("u_a"), col("s").as("s_a"), col("e").as("e_a"))
+    val b = binned.select(col("day"), col("bin"),
+      col("user_id").as("u_b"), col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, Seq("day", "bin"))
+      .filter(col("u_a") < col("u_b"))
+      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      // one candidate pair can share several bins — count each pair once
+      .select(col("day"), col("u_a"), col("u_b")).distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("overlap_pairs"))
+      // context column: distinct active users that day (the pair-count
+      // denominator n·(n−1)/2); the span table re-aggregates, tiny
+      .join(spans.groupBy(col("day")).agg(count(lit(1)).as("n_users")),
+        Seq("day"))
+      // epoch_day BIGINT, not DATE — the repo's cross-engine date
+      // canonicalization convention (cf. q90/q157)
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+          .as("epoch_day"),
+        col("n_users"), col("overlap_pairs"))
+  }
 }

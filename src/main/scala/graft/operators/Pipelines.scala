@@ -973,4 +973,93 @@ object Pipelines {
           lit(1000000L).cast("decimal(7,0)")).cast("double").as("weight"))
       .withColumn("weight", round(col("weight"), 6))
   }
+
+  /** Q159: STUPID-BACKOFF TRIGRAM-LM scoring of a HELD-OUT split — the
+    * top of the q133→q139 LM ladder and the first member where backoff
+    * is actually live: q133/q139 self-score the corpus, so every n-gram
+    * they look up exists by construction; here counts come from the
+    * TRAIN split (`doc_id % holdMod != holdRem`, the q49/q141 split
+    * convention) and the HELD-OUT docs are scored against them, so
+    * unseen trigrams/bigrams/unigrams all occur and the Brants et al.
+    * 2007 "stupid backoff" chain S₃ = c₃/cf₂ | α·S₂, S₂ = c₂/cf₁ | α·S₁
+    * does real work. S₁ is add-one smoothed ((c₁+1)/(N+V)) so the chain
+    * terminates finitely on OOV tokens; position 1 scores by S₁,
+    * position 2 by S₂, the rest by S₃ — exactly the score a distributed
+    * KenLM-style perplexity filter computes per document.
+    *
+    * Scale design: the count tables (c1/c2/c3 + their context sums) are
+    * n-gram-VOCABULARY-bounded (Heaps' law), built by map-side-combinable
+    * aggregations over the train split; the held-out side explodes
+    * (cur, prev, prev2) once and left-joins the count tables — AQE
+    * broadcasts each that fits, shuffles on its own gram key when not.
+    * The scalar (N, V) pair broadcasts. Per-token surprisal rounds to
+    * the 1e-6 grid and sums as exact decimal micros (q133 discipline):
+    * partition- and engine-order-independent; only ln() and the IEEE
+    * double chain must agree across engines, and the backoff products
+    * associate identically because the oracle mirrors this exact CASE
+    * nesting (α literals cast to DOUBLE there — the q139 lesson).
+    */
+  def trigramBackoffSurprisal(docs: DataFrame, textCol: String,
+      idCol: String, holdMod: Int = 10, holdRem: Int = 7,
+      alpha: Double = 0.4): DataFrame = {
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val isHeld = pmod(col(idCol), lit(holdMod)) === lit(holdRem)
+    val trainT = docs.filter(!isHeld)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "cur")))
+      .select(col("cur"),
+        when(col("pos") >= 1, element_at(col("__toks"), col("pos")))
+          .as("p1"),
+        when(col("pos") >= 2, element_at(col("__toks"), col("pos") - 1))
+          .as("p2"))
+    val c1 = trainT.groupBy(col("cur")).agg(count(lit(1)).as("c1"))
+    val nv = c1.agg(sum(col("c1")).as("N"), count(lit(1)).as("V"))
+    val c2 = trainT.filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("cur")).agg(count(lit(1)).as("c2"))
+    val cf1 = c2.groupBy(col("p1")).agg(sum(col("c2")).as("cf1"))
+    val c3 = trainT.filter(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("cur"))
+      .agg(count(lit(1)).as("c3"))
+    val cf2 = c3.groupBy(col("p2"), col("p1")).agg(sum(col("c3")).as("cf2"))
+    val held = docs.filter(isHeld)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "cur")))
+      .select(col(idCol), col("pos"), col("cur"),
+        when(col("pos") >= 1, element_at(col("__toks"), col("pos")))
+          .as("p1"),
+        when(col("pos") >= 2, element_at(col("__toks"), col("pos") - 1))
+          .as("p2"))
+    val s1 = (coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
+      (col("N") + col("V")).cast("double")
+    val s2 = when(col("c2").isNotNull,
+      col("c2").cast("double") / col("cf1").cast("double"))
+      .otherwise(lit(alpha) * s1)
+    val s3 = when(col("c3").isNotNull,
+      col("c3").cast("double") / col("cf2").cast("double"))
+      .otherwise(lit(alpha) * s2)
+    val s = when(col("pos") === 0, s1)
+      .when(col("pos") === 1, s2)
+      .otherwise(s3)
+    held
+      .join(c1, Seq("cur"), "left")
+      .join(c2, Seq("p1", "cur"), "left")
+      .join(cf1, Seq("p1"), "left")
+      .join(c3, Seq("p2", "p1", "cur"), "left")
+      .join(cf2, Seq("p2", "p1"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol),
+        round(-log(s) * 1e6).cast("long").as("mic"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("mic").cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", round(col("sum_nll") / col("n_tokens"), 6))
+      .withColumn("sum_nll", round(col("sum_nll"), 6))
+  }
 }

@@ -1648,4 +1648,51 @@ object Relational {
         col("supp_qty"), round(col("supp_qty") / col("part_qty"), 6)
           .as("qty_share"))
   }
+
+  /** Q160: two-sample KOLMOGOROV–SMIRNOV drift statistic per event type —
+    * the distribution-shift monitor a continuously-ingesting training
+    * pipeline runs between "the corpus so far" and "this week's crawl":
+    * D = sup|ECDF_A − ECDF_B| over the metric column, here between the
+    * first `splitDay` days of the month and the rest. Unlike the
+    * mean/σ z-score family (q95/q157), KS sees SHAPE drift — a variance
+    * blow-up or bimodal split with an unchanged mean still fires.
+    *
+    * Exactness: values quantize to the 1e-6 grid (longs), and D's
+    * numerator is computed as max|cumA·nB − cumB·nA| — INTEGERS, so the
+    * supremum is exact and engine-independent; only the final report
+    * ratio divides. ECDF convention: both cumulative counts step at
+    * every observed point (right-continuous, evaluated at grid points —
+    * the sup over a step-function pair is attained at a step, so
+    * scanning observed points IS the sup).
+    *
+    * Scale design: the corpus-sized scan reduces FIRST to per-(type,
+    * grid-value) counts (map-side combinable; support bounded by the
+    * grid, not the row count), so the ordered cumulative walk runs over
+    * the aggregated table. The walk partitions by event type — few
+    * groups, the documented Window skew caveat — but its input is the
+    * grid-bounded distinct-value table, not the fact table, so the
+    * per-partition walk is O(support), fine at any corpus size.
+    */
+  def ksDrift(events: DataFrame, splitDay: Int = 15): DataFrame = {
+    val pts = events
+      .select(col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vq"),
+        (dayofmonth(col("ts")) <= splitDay).as("a"))
+      .groupBy(col("event_type"), col("vq"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vq"))
+    val tot = pts.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    pts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .join(tot, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+          .as("d_num"))
+      .withColumn("ks_d", round(col("d_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"), 6))
+  }
 }
