@@ -628,7 +628,16 @@ object SparkEntry {
     "q160_ks_drift" -> ((s, dir) =>
       Relational.ksDrift(Tables.events(s, dir), splitDay = 15)),
     "q161_coactivity" -> ((s, dir) =>
-      EventJoins.coActivityPairs(Tables.events(s, dir), binMinutes = 120)),
+      EventJoins.coActivityPairs(Tables.events(s, dir))),
+    "q162_dup_span_ladder" -> ((s, dir) =>
+      Dedup.dupSpanLadder(Tables.documents(s, dir), "text", "doc_id",
+        widths = Seq(20, 40, 80))),
+    // q163: triangle diagnostics over q146's containment-dup graph
+    "q163_dup_graph_triangles" -> ((s, dir) =>
+      Graph.triangleStats(
+        Dedup.containmentDups(Tables.documents(s, dir), "text", "doc_id",
+          n = 3, minGrams = 10, threshold = 0.6),
+        "doc_a", "doc_b")),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -2985,6 +2994,66 @@ object SparkEntry {
         |       n_users, count(*) AS overlap_pairs
         |FROM p JOIN n USING (day)
         |GROUP BY 1, 2""".stripMargin,
+    // q162: the oracle materializes every ladder window as a STRING and
+    // groups on it where the engine groups xxhash64 longs — the standing
+    // collision audit (q137/q140/q141 convention); every input doc gets
+    // a row (0 = clean)
+    "q162_dup_span_ladder" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, 20 AS w,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 20 + 2),
+        |      i -> substr(t, i, 20)))) AS win
+        |  FROM n WHERE len(t) >= 20
+        |  UNION ALL
+        |  SELECT doc_id, 40 AS w,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 40 + 2),
+        |      i -> substr(t, i, 40)))) AS win
+        |  FROM n WHERE len(t) >= 40
+        |  UNION ALL
+        |  SELECT doc_id, 80 AS w,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 80 + 2),
+        |      i -> substr(t, i, 80)))) AS win
+        |  FROM n WHERE len(t) >= 80),
+        |d AS (SELECT w, win FROM u GROUP BY 1, 2 HAVING count(*) >= 2),
+        |m AS (SELECT u.doc_id, max(u.w) AS mw FROM u JOIN d USING (w, win)
+        |      GROUP BY 1)
+        |SELECT n.doc_id, CAST(coalesce(m.mw, 0) AS INTEGER) AS max_dup_win
+        |FROM n LEFT JOIN m USING (doc_id)""".stripMargin,
+    // q163: q146's pair derivation, then triangles by the orientation-free
+    // id-ordered triple join (the engine's degree-ordered orientation
+    // finds the same set — triangles are orientation-independent)
+    "q163_dup_graph_triangles" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |f AS (SELECT * FROM d WHERE len(g) >= 10),
+        |p AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.g, b.g)) /
+        |           CAST(least(len(a.g), len(b.g)) AS DOUBLE) AS c
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |  WHERE c >= 0.6),
+        |deg AS (SELECT id, count(*) AS degree FROM (
+        |    SELECT doc_a AS id FROM p UNION ALL SELECT doc_b FROM p)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        |        FROM p e1 JOIN p e2 ON e2.doc_a = e1.doc_b
+        |        JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |tn AS (SELECT id, count(*) AS nt FROM (
+        |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.id AS doc_id, deg.degree,
+        |  CAST(coalesce(tn.nt, 0) AS BIGINT) AS n_triangles,
+        |  round(CASE WHEN deg.degree >= 2
+        |    THEN CAST(2 * coalesce(tn.nt, 0) AS DOUBLE) /
+        |         CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+        |FROM deg LEFT JOIN tn USING (id)""".stripMargin,
   )
 
   /** q155 oracle, generated from [[Bm25QueryTerms]] and the same

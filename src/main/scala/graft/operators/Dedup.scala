@@ -531,6 +531,62 @@ object Dedup {
       .distinct()
   }
 
+  /** Q162: duplicated-span LADDER — per document, the LONGEST window
+    * width from a geometric ladder at which some window of the doc also
+    * occurs in another document. q137 answers "which PAIRS share 40-char
+    * spans"; this answers the per-document severity question a filter
+    * thresholds on: `max_dup_win = 0` is clean, `20` is phrase reuse,
+    * `80` is wholesale copying — the bucketed estimate of Lee et al.
+    * 2022's longest-duplicated-substring, without a distributed suffix
+    * array. Monotone by construction (an 80-char cross-doc window
+    * contains duplicated 40s and 20s), so "max width with a hit" is
+    * well-defined.
+    *
+    * Scale design: ONE corpus scan expands all ladder widths in one
+    * fused pass (concat of the [[graft.functions.WindowHashExprs]]
+    * per-width distinct-hash kernels — (width, hash) pairs, no window
+    * strings), ONE exchange hash-partitioned on the window hash that
+    * both the (width, hash) document-frequency aggregate and the probe
+    * join consume (partitioning on `h` clusters every (w, h) group —
+    * same device as q137/q138). Posting volume is Σ_w |text| rows of 12
+    * bytes; the per-doc answer re-aggregates on id. Dup decisions ride
+    * xxhash64 longs; the oracle groups raw window STRINGS — the standing
+    * collision audit. Docs shorter than the smallest width emit 0, not
+    * nothing: a row per input doc is the filter-stage contract.
+    */
+  def dupSpanLadder(docs: DataFrame, textCol: String, idCol: String,
+      widths: Seq[Int] = Seq(20, 40, 80)): DataFrame = {
+    require(widths.nonEmpty && widths == widths.sorted && widths.head >= 2,
+      s"widths must be ascending and >= 2: $widths")
+    val base = Hashing.repartitionForCompute(
+      docs.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"), TextShingles.normalize(col("__txt")).as("__t"))
+    // the fused kernel returns an EMPTY array for docs shorter than w,
+    // so no length guard is needed per rung
+    val perWidth = widths.map { w =>
+      transform(graft.functions.WindowHashExprs.windowHashes(col("__t"), w),
+        h => struct(lit(w).as("w"), h.as("h")))
+    }
+    val occ = Hashing.repartitionForCompute(
+      base.select(col("id"),
+        explode(concat(perWidth: _*)).as("e"))
+        .select(col("id"), col("e.w").as("w"), col("e.h").as("h")),
+      "h")
+    val dup = occ
+      .groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("w"), col("h"))
+    val hit = occ
+      .join(dup, Seq("w", "h"))
+      .groupBy(col("id"))
+      .agg(max(col("w")).as("max_dup_win"))
+    base.select(col("id"))
+      .join(hit, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("max_dup_win"), lit(0)).cast("int").as("max_dup_win"))
+  }
+
   /** EXACT all-pairs cosine near-dup pairs — the ground-truth side of
     * [[embeddingNearDupsValidated]]. All-pairs by design: this is the
     * validation-priced exact pass (the production surface is

@@ -47,19 +47,24 @@ object Graph {
   def pageRankMicros(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var ranks = deg.select(col("src").as("node"),
-      lit(1000000L).as("rank"))
+    // outdegree rides the edge list itself (one window over the src
+    // exchange — per-src groups are out-degree lists, never unbounded),
+    // so each round joins ONE table, not two
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
+      .persist()
+    var ranks = ed.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1000000L))
     var round = 0
     while (round < iters) {
       // name-based join condition: `src` exists only on the left, `node`
       // only on the right — round k+1's rank lineage contains round k's
       // copy of the edge attributes, so dataframe-captured column refs
       // would hit the classic self-join ambiguity
-      val next = e.join(deg, Seq("src"))
-        .join(ranks, col("src") === col("node"))
+      val next = ed.join(ranks, col("src") === col("node"))
         .groupBy(col("dst").as("__dst"))
         .agg(sum(expr("rank div deg")).as("__in"))
         .select(col("__dst").as("node"),
@@ -68,7 +73,67 @@ object Graph {
       ranks = if (round % 8 == 0) next.localCheckpoint() else next
     }
     val out = ranks.localCheckpoint()
-    e.unpersist()
+    ed.unpersist()
     out
+  }
+
+  /** Q163: per-node TRIANGLE COUNT + local clustering coefficient over an
+    * undirected pair graph — the near-dup-graph DIAGNOSTIC the keep-one
+    * policy (q55/q156) silently assumes: near-duplication is
+    * quasi-transitive, so a healthy dup graph is clique-ish (clustering
+    * near 1); low coefficients at high degree mean the similarity
+    * threshold is CHAINING unrelated docs through hubs, and collapsing
+    * those components would over-delete. Triangles per node and
+    * C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) make that inspectable per doc.
+    *
+    * Scale design — degree-ordered orientation (the MapReduce-classic
+    * device): every undirected edge is directed from its (degree, id)-
+    * smaller endpoint, so wedge enumeration fans out from each node's
+    * HIGHER-ORDERED neighbors only — O(Σ d⁺(v)²) = O(m^{3/2}) wedge rows
+    * on any graph instead of Σ deg² (a web-scale hub with 10⁸ neighbors
+    * contributes nothing as a wedge center unless its neighbors outrank
+    * it). Each triangle is counted exactly once (its smallest-ordered
+    * vertex is the wedge center). The edge list is lazily
+    * localCheckpoint'd: the upstream pair pipeline (often an expensive
+    * near-dup join) runs once, not once per downstream reference.
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ek = e
+      .join(deg.select(col("id").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dhi")), Seq("hi"))
+    // orient from the (deg, id)-smaller endpoint; lo < hi already, so the
+    // degree tie resolves to lo → the condition collapses to dlo <= dhi
+    val cond = col("dlo") <= col("dhi")
+    val o = ek.select(
+      when(cond, col("lo")).otherwise(col("hi")).as("src"),
+      when(cond, col("hi")).otherwise(col("lo")).as("dst"),
+      when(cond, col("dhi")).otherwise(col("dlo")).as("ddst"))
+    val wedges = o.select(col("src"), col("dst").as("u"), col("ddst").as("du"))
+      .join(o.select(col("src"), col("dst").as("v"), col("ddst").as("dv")),
+        Seq("src"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+    // the closing edge is oriented u → v because (deg, id)-order placed
+    // u before v — one equi-join closes every wedge
+    val tris = wedges
+      .join(o.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+      .select(col("src").as("a"), col("u").as("b"), col("v").as("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("deg") >= 2,
+          (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)), 6).as("clustering"))
   }
 }

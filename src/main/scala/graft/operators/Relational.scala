@@ -1673,14 +1673,21 @@ object Relational {
     * grid-bounded distinct-value table, not the fact table, so the
     * per-partition walk is O(support), fine at any corpus size.
     */
-  def ksDrift(events: DataFrame, splitDay: Int = 15): DataFrame = {
-    val pts = events
+  def ksDrift(events: DataFrame, splitDay: Int = 15): DataFrame =
+    ksFromCounts(events
       .select(col("event_type"),
         round(col("value") * 1e6).cast("long").as("vq"),
         (dayofmonth(col("ts")) <= splitDay).as("a"))
       .groupBy(col("event_type"), col("vq"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
-        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb")))
+
+  /** The KS core over pre-reduced counts (event_type, vq, ca, cb) — also
+    * the per-batch body of [[graft.streaming.StreamingDriftMonitor]],
+    * which joins a micro-batch's counts against a pinned baseline and
+    * hands the merged table here.
+    */
+  def ksFromCounts(pts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("vq"))
     val tot = pts.groupBy(col("event_type"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))

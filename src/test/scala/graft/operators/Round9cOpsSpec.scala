@@ -129,7 +129,7 @@ class Round9cOpsSpec extends SparkSpec {
 
   // ---- q161 coActivityPairs ------------------------------------------
 
-  test("coactivity: binned pair set == plain theta-join reference (sf0.001)") {
+  test("coactivity sweep count == plain theta-join reference (sf0.001)") {
     val spans = events
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(unix_micros(min(col("ts"))).as("s"),
@@ -145,18 +145,27 @@ class Round9cOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("overlap_pairs"))
       .select(datediff(col("day"), lit("1970-01-01")).cast("long")
         .as("epoch_day"), col("overlap_pairs"))
-    val got = EventJoins.coActivityPairs(events, binMinutes = 120)
+    val got = EventJoins.coActivityPairs(events)
       .select(col("epoch_day"), col("overlap_pairs"))
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
   }
 
-  test("coactivity: result is bin-width invariant (candidate completeness)") {
-    val w120 = EventJoins.coActivityPairs(events, binMinutes = 120)
-    val w30 = EventJoins.coActivityPairs(events, binMinutes = 30)
+  test("binned enumeration: complete (bin-width invariant) and == sweep count") {
+    val w120 = EventJoins.intervalOverlapPairsBinned(events, binMinutes = 120)
+    val w30 = EventJoins.intervalOverlapPairsBinned(events, binMinutes = 30)
     assert(w120.exceptAll(w30).isEmpty && w30.exceptAll(w120).isEmpty)
+    val enumCounts = w120.groupBy(col("day"))
+      .agg(count(lit(1)).as("overlap_pairs"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+        .as("epoch_day"), col("overlap_pairs"))
+    val sweep = EventJoins.coActivityPairs(events)
+      .filter(col("overlap_pairs") > 0)
+      .select(col("epoch_day"), col("overlap_pairs"))
+    assert(enumCounts.exceptAll(sweep).isEmpty &&
+      sweep.exceptAll(enumCounts).isEmpty)
   }
 
-  test("coactivity: disjoint same-day spans do not pair") {
+  test("coactivity: disjoint same-day spans do not pair; touching spans do") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
       (1L, ts("2024-01-05 08:00:00")), (1L, ts("2024-01-05 09:00:00")),
@@ -164,8 +173,16 @@ class Round9cOpsSpec extends SparkSpec {
       (3L, ts("2024-01-05 08:30:00")), (3L, ts("2024-01-05 20:30:00")))
       .toDF("user_id", "ts")
     // 3 spans the whole day and overlaps both; 1 vs 2 are disjoint
-    val got = EventJoins.coActivityPairs(ev, binMinutes = 120)
+    val got = EventJoins.coActivityPairs(ev)
       .select(col("n_users"), col("overlap_pairs")).as[(Long, Long)].head()
     assert(got == ((3L, 2L)), s"got $got")
+    // touching at one micro: end(1) == start(2) -> closed intervals pair
+    val touch = Seq(
+      (1L, ts("2024-01-05 08:00:00")), (1L, ts("2024-01-05 09:00:00")),
+      (2L, ts("2024-01-05 09:00:00")), (2L, ts("2024-01-05 10:00:00")))
+      .toDF("user_id", "ts")
+    val t = EventJoins.coActivityPairs(touch)
+      .select(col("overlap_pairs")).as[Long].head()
+    assert(t === 1L)
   }
 }
