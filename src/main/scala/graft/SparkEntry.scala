@@ -638,6 +638,14 @@ object SparkEntry {
         Dedup.containmentDups(Tables.documents(s, dir), "text", "doc_id",
           n = 3, minGrams = 10, threshold = 0.6),
         "doc_a", "doc_b")),
+    // q164: greedy runs on an integer grid, so the oracle unrolls the
+    // same k selection steps as chained CTEs and matches exactly
+    "q164_mmr_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        k = 8, c = 24)
+    }),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3054,7 +3062,77 @@ object SparkEntry {
         |         CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
         |    ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
         |FROM deg LEFT JOIN tn USING (id)""".stripMargin,
+    "q164_mmr_topk" -> mmrOracleSql,
   )
+
+  /** q164 oracle: the greedy MMR selection unrolled as `k` chained CTE
+    * steps — legal because every comparison the greedy makes is on exact
+    * integers (micro-grid rel/sims, tenths-scale score, floor division),
+    * so "argmax per step" is a deterministic window rank both engines
+    * agree on. Generated from the same (k, c, λ) the engine query uses.
+    */
+  private def mmrOracleSql: String = {
+    val k = 8; val c = 24; val lam = 7; val probeMax = 3
+    val steps = (2 to k).map { t =>
+      s"""sel$t AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, s, rel, mmr, $t AS rank FROM (
+         |    SELECT cnd.probe_id, cnd.vec_id, cnd.s, cnd.rel,
+         |           ($lam * cnd.rel - ${10 - lam} * m.ms) // 10 AS mmr,
+         |           row_number() OVER (PARTITION BY cnd.probe_id
+         |             ORDER BY $lam * cnd.rel - ${10 - lam} * m.ms DESC,
+         |                      cnd.vec_id) AS rn
+         |    FROM cand cnd
+         |    JOIN (SELECT p.probe_id, p.a_id, max(p.sim) AS ms
+         |          FROM pairsim p JOIN selall${t - 1} sl
+         |            ON sl.probe_id = p.probe_id AND sl.vec_id = p.b_id
+         |          GROUP BY 1, 2) m
+         |      ON m.probe_id = cnd.probe_id AND m.a_id = cnd.vec_id
+         |    LEFT JOIN selall${t - 1} x
+         |      ON x.probe_id = cnd.probe_id AND x.vec_id = cnd.vec_id
+         |    WHERE x.vec_id IS NULL
+         |  ) WHERE rn = 1),
+         |selall$t AS MATERIALIZED (SELECT probe_id, vec_id FROM selall${t - 1}
+         |  UNION ALL SELECT probe_id, vec_id FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(t => s"SELECT * FROM sel$t")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v AS p FROM e
+       |           WHERE vec_id < $probeMax),
+       |cand0 AS MATERIALIZED (
+       |  SELECT probe_id, e.vec_id,
+       |         list_dot_product(p, v) /
+       |         (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v)))
+       |           AS s, v
+       |  FROM probes, e WHERE e.vec_id != probe_id),
+       |cand AS MATERIALIZED (
+       |  SELECT probe_id, vec_id, s, v,
+       |         CAST(round(s * 1000000) AS BIGINT) AS rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |          ORDER BY s DESC, vec_id) AS rn FROM cand0)
+       |  WHERE rn <= $c),
+       |pairsim AS MATERIALIZED (
+       |  SELECT a.probe_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CAST(round(list_dot_product(a.v, b.v) /
+       |           (sqrt(list_dot_product(a.v, a.v)) *
+       |            sqrt(list_dot_product(b.v, b.v))) * 1000000) AS BIGINT)
+       |           AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.probe_id = b.probe_id AND a.vec_id != b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT probe_id, vec_id, s, rel, ($lam * rel) // 10 AS mmr,
+       |         1 AS rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |          ORDER BY $lam * rel DESC, vec_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |selall1 AS MATERIALIZED (SELECT probe_id, vec_id FROM sel1),
+       |$steps
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |       round(s, 6) AS sim,
+       |       round(CAST(mmr AS DOUBLE) / 1000000, 6) AS mmr
+       |FROM ($unionAll)""".stripMargin
+  }
 
   /** q155 oracle, generated from [[Bm25QueryTerms]] and the same
     * (k1, b) = (1.2, 0.75) the engine query uses.

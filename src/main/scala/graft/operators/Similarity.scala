@@ -339,4 +339,107 @@ object Similarity {
       .select(col("label"), col("dim"),
         col("n"),
         round(col("sum_micro").cast("double") / (col("n") * 1e6), 6).as("mean_val"))
+
+  /** Q164: MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * DIVERSIFIED top-k — the retrieval re-ranker a data-selection
+    * pipeline uses where plain top-k returns k near-copies of the same
+    * hit: greedily select k items maximizing
+    * {{{ λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) }}}
+    * over a candidate pool of the `c` most probe-similar vectors.
+    *
+    * Determinism: the greedy argmax runs ENTIRELY on an integer grid —
+    * rel and pairwise sims quantize to micros (the same
+    * BigDecimal-HALF_UP rounding Catalyst's `round` applies), the MMR
+    * score is the integer `floorDiv(7·rel − 3·maxsim, 10)` (λ = 0.7 as
+    * the exact rational 7/10 — DuckDB's `//` is floor division, ties
+    * break to the smaller vec_id), so both engines select the identical
+    * sequence; float drift cannot flip an argmax. Candidate-pool
+    * membership uses the raw double ordering (sim DESC, vec_id) — the
+    * same ordering, hence the same pool, on both engines (q7 precedent).
+    *
+    * Scale design: the corpus is touched ONCE by the broadcast-probe
+    * scoring scan; the top-`c` pool cutoff is the [[windowTopK]] ranking
+    * over scored rows. The greedy itself is inherently sequential in k
+    * but operates on c ≤ a few dozen rows PER PROBE — it runs
+    * executor-side via `flatMapGroups` (each probe's pool is one group;
+    * O(k·c) 64-dim cosines per probe), so a million probes parallelize
+    * across the cluster with no driver involvement and no quadratic
+    * blow-up anywhere. The per-pair cosine replicates the fused kernel's
+    * fold order exactly (sequential accumulators, `d/(√na·√nb)`), which
+    * is what lets the oracle's `list_dot_product` chain match bit-for-bit.
+    */
+  def mmrTopK(corpus: DataFrame, probes: DataFrame, k: Int = 8,
+      c: Int = 24, lambdaNum: Int = 7): DataFrame = {
+    require(k >= 1 && c >= k, s"need 1 <= k <= c, got k=$k c=$c")
+    require(lambdaNum >= 0 && lambdaNum <= 10,
+      s"lambdaNum is tenths, got $lambdaNum")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val pool = scored(corpus, probes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= c)
+      .select(col("probe_id"), col("vec_id"), col("sim"),
+        col("c_emb").cast("array<float>").as("v"))
+      .as[(Long, Long, Double, Seq[Float])]
+    val lam = lambdaNum
+    val sel = pool.groupByKey(_._1).flatMapGroups { (pid, it) =>
+      def micro(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          d += x * y; na += x * x; nb += y * y; i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val cs = it.toArray.map(t => (t._2, t._3, micro(t._3 * 1e6),
+        t._4.toArray))
+      val nC = cs.length
+      val taken = new Array[Boolean](nC)
+      // maxsim-to-selected per candidate, updated after each pick —
+      // O(k·c) pair cosines total
+      val maxSim = Array.fill(nC)(Long.MinValue)
+      val out = Seq.newBuilder[(Long, Long, Long, Double, Long)]
+      var rank = 1
+      while (rank <= math.min(k, nC)) {
+        var best = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < nC) {
+          if (!taken(i)) {
+            val ms = if (maxSim(i) == Long.MinValue) 0L else maxSim(i)
+            // compare on the UNDIVIDED tenths-scale integer — floorDiv
+            // collapses scores 10 apart and would coarsen tie-breaks
+            val score = lam * cs(i)._3 - (10 - lam) * ms
+            if (best == -1 || score > bestScore ||
+              (score == bestScore && cs(i)._1 < cs(best)._1)) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += ((pid, rank.toLong, cs(best)._1, cs(best)._2,
+          Math.floorDiv(bestScore, 10)))
+        var j = 0
+        while (j < nC) {
+          if (!taken(j)) {
+            val s = micro(cos(cs(j)._4, cs(best)._4) * 1e6)
+            if (s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
+        rank += 1
+      }
+      out.result().iterator
+    }
+    sel.toDF("probe_id", "rank", "vec_id", "s", "mmr_micro")
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("s"), 6).as("sim"),
+        round(col("mmr_micro").cast("double") / lit(1000000.0), 6).as("mmr"))
+  }
 }
