@@ -646,6 +646,18 @@ object SparkEntry {
         emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
         k = 8, c = 24)
     }),
+    "q165_weighted_sample" -> ((s, dir) =>
+      Pipelines.weightedSample(Tables.documents(s, dir), "doc_id", "lang",
+        "n_chars", k = 5)),
+    "q166_funnel" -> ((s, dir) =>
+      Relational.funnel(Tables.events(s, dir))),
+    "q167_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir), "text", "doc_id")),
+    "q168_quantile_sketch" -> ((s, dir) =>
+      Relational.quantileSketchValidated(Tables.events(s, dir))),
+    "q169_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(Tables.documents(s, dir), "text",
+        topK = 20)),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -2867,35 +2879,19 @@ object SparkEntry {
     // matches bit-for-bit; every sum casts back to BIGINT (DuckDB sums
     // widen to HUGEINT, which pandas would float-ify)
     "q158_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
-        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        |e AS (SELECT c AS src, 1000000 + sk AS dst FROM e0
-        |      UNION ALL
-        |      SELECT 1000000 + sk AS src, c AS dst FROM e0),
-        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rnk FROM deg),
-        |r1 AS (SELECT e.dst AS node, CAST(150000 +
-        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
-        |       FROM e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src
-        |       GROUP BY 1),
-        |r2 AS (SELECT e.dst AS node, CAST(150000 +
-        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
-        |       FROM e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src
-        |       GROUP BY 1),
-        |r3 AS (SELECT e.dst AS node, CAST(150000 +
-        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
-        |       FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src
-        |       GROUP BY 1),
-        |r4 AS (SELECT e.dst AS node, CAST(150000 +
-        |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
-        |       FROM e JOIN deg d USING (src) JOIN r3 r ON r.node = e.src
-        |       GROUP BY 1)
-        |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
-        |         AS kind,
-        |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
-        |         AS key,
-        |       rnk AS "rank"
-        |FROM r4""".stripMargin,
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (
+         |      SELECT c AS src, 1000000 + sk AS dst FROM e0
+         |      UNION ALL
+         |      SELECT 1000000 + sk AS src, c AS dst FROM e0),
+         |${pageRankRoundsSql(4)}
+         |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+         |         AS kind,
+         |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+         |         AS key,
+         |       rnk AS "rank"
+         |FROM r4""".stripMargin,
     // q159: counts from the train split, held-out docs scored with the
     // same nested backoff CASE (association order matters for IEEE
     // parity); α literals cast to DOUBLE — the q139 lesson
@@ -3063,7 +3059,137 @@ object SparkEntry {
         |    ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
         |FROM deg LEFT JOIN tn USING (id)""".stripMargin,
     "q164_mmr_topk" -> mmrOracleSql,
+    // q165: the A-ES key needs only ln + one division over the repo's
+    // multiplicative hash — both engines compute identical doubles
+    "q165_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         ((doc_id % 1000003) * 2654435761) >> 16 AS hh
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         ln(CAST((hh % 1048576) + 1 AS DOUBLE) /
+        |            CAST(1048577 AS DOUBLE)) /
+        |           CAST(n_chars + 1 AS DOUBLE) AS key
+        |  FROM h)
+        |SELECT lang, doc_id, n_chars, round(key, 6) AS es_key,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY key DESC, doc_id) AS rank FROM k)
+        |WHERE rank <= 5""".stripMargin,
+    // q166: chained first-touch stage CTEs; latency sums integer SECONDS
+    // before one mirrored double division chain
+    "q166_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t) AS t
+        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s2.t2) AS t
+        |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t2
+        |       GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s3.t2) AS t
+        |       FROM events e JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t2
+        |       GROUP BY 1),
+        |r AS (
+        |  SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users,
+        |         CAST(NULL AS DOUBLE) AS avg_hours_from_prev FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'view', count(*),
+        |         round(CAST(sum((t2 - t) // 1000000) AS DOUBLE) / count(*)
+        |           / 3600.0, 6) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'click', count(*),
+        |         round(CAST(sum((t2 - t) // 1000000) AS DOUBLE) / count(*)
+        |           / 3600.0, 6) FROM s3
+        |  UNION ALL
+        |  SELECT 4, 'purchase', count(*),
+        |         round(CAST(sum((t2 - t) // 1000000) AS DOUBLE) / count(*)
+        |           / 3600.0, 6) FROM s4)
+        |SELECT * FROM r WHERE n_users > 0""".stripMargin,
+    // q167: integer regex-run counts (identical in Java regex and RE2 for
+    // these classes) + one literal-mirrored double expression
+    "q167_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+        |    AS words,
+        |  CAST(greatest(len(regexp_extract_all(coalesce(text, ''),
+        |    '[.!?]+')), 1) AS BIGINT) AS sentences,
+        |  CAST(len(regexp_extract_all(coalesce(text, ''),
+        |    '[aeiouyAEIOUY]+')) AS BIGINT) AS syllables,
+        |  round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) *
+        |        (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) *
+        |        (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 6)
+        |    AS fre
+        |FROM documents
+        |WHERE len(regexp_extract_all(coalesce(text, ''), '\S+')) > 0"""
+        .stripMargin,
+    // q168: exact percentiles are the oracle-checked columns (q37
+    // parity); the GK rank-contract flag pins to 1 (q29 pattern)
+    "q168_quantile_sketch" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  1 AS approx_rank_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q169: word-adjacency graph + the shared exact pagerank rounds;
+    // node ids from a row_number over the binary-sorted vocabulary
+    "q169_textrank" ->
+      s"""WITH n AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+         |             AS t FROM documents),
+         |tk AS (SELECT list_filter(string_split(t, ' '), x -> x <> '')
+         |         AS toks FROM n),
+         |ap AS MATERIALIZED (
+         |  SELECT DISTINCT least(toks[i], toks[i + 1]) AS wa,
+         |                  greatest(toks[i], toks[i + 1]) AS wb
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+         |        FROM tk WHERE len(toks) > 1)
+         |  WHERE toks[i] != toks[i + 1]),
+         |v AS MATERIALIZED (
+         |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT)
+         |           AS nid
+         |  FROM (SELECT wa AS word FROM ap UNION SELECT wb FROM ap)),
+         |e AS MATERIALIZED (
+         |  SELECT a.nid AS src, b.nid AS dst
+         |  FROM ap JOIN v a ON a.word = ap.wa JOIN v b ON b.word = ap.wb
+         |  UNION ALL
+         |  SELECT b.nid AS src, a.nid AS dst
+         |  FROM ap JOIN v a ON a.word = ap.wa JOIN v b ON b.word = ap.wb),
+         |${pageRankRoundsSql(4)}
+         |SELECT word, rnk AS "rank", CAST(pos AS BIGINT) AS pos FROM (
+         |  SELECT v.word, r.rnk,
+         |         row_number() OVER (ORDER BY r.rnk DESC, v.word) AS pos
+         |  FROM r4 r JOIN v ON v.nid = r.node)
+         |WHERE pos <= 20""".stripMargin,
   )
+
+  /** Shared PageRank power-iteration rounds (q158/q169 oracles): emits
+    * the deg/r0..r`iters` CTE chain over an already-defined `e(src, dst)`
+    * CTE — the exact integer-grid round
+    * r' = 150000 + (85·Σ(r div deg)) div 100 the engine loop computes.
+    * MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    * references e/deg — inlining would re-expand the edge derivation
+    * once per round (the q164 lesson). Sums cast back to BIGINT (DuckDB
+    * widens to HUGEINT, which pandas float-ifies).
+    */
+  private def pageRankRoundsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |       SELECT e.dst AS node, CAST(150000 +
+         |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
+         |       FROM e JOIN deg d USING (src) JOIN r${t - 1} r ON r.node = e.src
+         |       GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rnk FROM deg),
+       |$rounds""".stripMargin
+  }
 
   /** q164 oracle: the greedy MMR selection unrolled as `k` chained CTE
     * steps — legal because every comparison the greedy makes is on exact

@@ -1062,4 +1062,48 @@ object Pipelines {
       .withColumn("avg_nll", round(col("sum_nll") / col("n_tokens"), 6))
       .withColumn("sum_nll", round(col("sum_nll"), 6))
   }
+
+  /** Q165: WEIGHTED sampling without replacement, k per stratum — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): each record draws a key
+    * ln(u)/w from a uniform u and its weight w, and the k LARGEST keys
+    * per stratum are exactly a weight-proportional without-replacement
+    * sample. This is the quality-weighted subsampler a curation pipeline
+    * uses where [[stratifiedSample]]'s flat per-stratum rates can't
+    * prefer better documents: here w = n_chars + 1 (longer docs
+    * proportionally likelier; +1 keeps empty docs drawable).
+    *
+    * Determinism: u comes from the repo's engine-portable multiplicative
+    * hash on the id ([[hashBucket]]'s device widened to 2²⁰ buckets,
+    * +1/(M+1) so u ∈ (0,1] and ln is finite) — NOT `rand()`, whose
+    * output depends on partitioning. The key needs only ln and one
+    * division (IEEE-identical across engines, q36/q133 precedent), and
+    * ties break by id, so the sample is reproducible, auditable, and
+    * engine-exact — the properties that make hash sampling the
+    * production device.
+    *
+    * Scale: the key is a map-only expression; per-stratum top-k is the
+    * one shuffle (TakeOrdered-class work; a windowed rank here since k
+    * rows per stratum are tiny). No global sort, no driver data.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = 1048576L // 2^20
+    val guarded = when(col(idCol) < 0, raise_error(
+      concat(lit("weightedSample: negative id "), col(idCol).cast("string"),
+        lit(" — the hash is not engine-portable for negative ids"))))
+      .otherwise(col(idCol))
+    val h = shiftright(pmod(guarded, lit(1000003L)) * lit(2654435761L), 16)
+    val u = (pmod(h, lit(m)) + lit(1L)).cast("double") /
+      lit((m + 1).toDouble)
+    val key = log(u) / (col(weightCol) + lit(1L)).cast("double")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("es_key").desc, col(idCol))
+    docs
+      .select(col(stratumCol), col(idCol), col(weightCol), key.as("es_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
 }

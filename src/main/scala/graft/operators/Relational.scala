@@ -1702,4 +1702,104 @@ object Relational {
       .withColumn("ks_d", round(col("d_num").cast("double") /
         (col("n_a") * col("n_b")).cast("double"), 6))
   }
+
+  /** Q166: ORDERED funnel analysis — how many users progress through the
+    * event sequence stage₁ → stage₂ → … with each step STRICTLY after
+    * the previous (the product-analytics primitive the transition matrix
+    * q72 and cohort retention q71 don't answer: order matters, and a
+    * purchase before the first view must not count). Emits one row per
+    * stage: users reaching it and the mean hours from the previous stage
+    * (conversion latency).
+    *
+    * Semantics: stage 1 anchors at each user's EARLIEST stage-1 event;
+    * stage i+1 at the earliest stage-(i+1) event strictly after the
+    * user's stage-i time — the standard "first touch" funnel, computed
+    * exactly. Latency sums integer SECONDS (floor micros/1e6 — exact in
+    * both engines, and the sum stays far inside double's 2⁵³ integer
+    * range where raw micro sums would not) before one double division
+    * chain mirrored literal-for-literal in the oracle.
+    *
+    * Scale: one filtered pass per stage over the events table (filters
+    * pushed to the scan), each reduced map-side to one row per user
+    * before its equi-join on user_id — |users| rows shuffle per stage,
+    * never raw events. Stage count is a constant; the loop composes a
+    * single Catalyst plan, no driver data.
+    */
+  /** Q168 (validated, q29/q44 pattern): the QUANTILE-SKETCH member of the
+    * sketch family (HLL q29, CMS q44, bloom q51/q122, minhash q10, PQ
+    * q152): `percentile_approx` (Greenwald–Khanna summaries — the
+    * mergeable sketch a 1000-executor cluster aggregates where exact
+    * percentiles would shuffle every value) validated IN-BAND against its
+    * rank contract. The deterministic oracle-checked columns are the
+    * EXACT percentiles (one `percentile` pass; DuckDB quantile_cont
+    * parity per q37); the sketch side emits only `approx_rank_ok`: for
+    * each target q, the approx value's true rank interval
+    * [#(v < approx), #(v ≤ approx)] must intersect
+    * q·n ± (n/accuracy + 1) — the GK guarantee (+1 float slack). A
+    * rank-based check, not |approx − exact|: GK bounds RANK error, and
+    * the flag stays deterministic even though the sketch's merge order
+    * varies with partitioning.
+    *
+    * Scale: two passes over events (the percentile aggregate and the
+    * rank count), the 3-row-per-type probe table broadcasts.
+    */
+  def quantileSketchValidated(events: DataFrame,
+      accuracy: Int = 1000): DataFrame = {
+    val qlit = array(lit(0.5), lit(0.95), lit(0.99))
+    val probes = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("__ex"),
+        percentile_approx(col("value"), qlit, lit(accuracy)).as("__ap"))
+    val flat = probes.select(col("event_type"), col("n_events"),
+      posexplode(col("__ap")).as(Seq("qi", "av")))
+    val slack = col("n_events").cast("double") / lit(accuracy.toDouble) +
+      lit(1.0)
+    val target = element_at(qlit, col("qi") + 1) *
+      col("n_events").cast("double")
+    val checks = events.select(col("event_type"), col("value"))
+      .join(broadcast(flat), Seq("event_type"))
+      .groupBy(col("event_type"), col("qi"), col("av"), col("n_events"))
+      .agg(sum((col("value") < col("av")).cast("long")).as("rlo"),
+        sum((col("value") <= col("av")).cast("long")).as("rhi"))
+      .select(col("event_type"),
+        (col("rlo").cast("double") <= target + slack &&
+          col("rhi").cast("double") >= target - slack).cast("int").as("ok"))
+      .groupBy(col("event_type")).agg(min(col("ok")).as("approx_rank_ok"))
+    probes.join(checks, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        col("__ex").getItem(0).as("p50"),
+        col("__ex").getItem(1).as("p95"),
+        col("__ex").getItem(2).as("p99"),
+        col("approx_rank_ok"))
+  }
+
+  def funnel(events: DataFrame,
+      stages: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    require(stages.size >= 2, s"need >= 2 stages, got $stages")
+    val us = unix_micros(col("ts"))
+    var reached = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(us).as("t"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    rows += reached.agg(
+      lit(1).as("stage"), lit(stages.head).as("event_type"),
+      count(lit(1)).as("n_users"),
+      lit(null).cast("double").as("avg_hours_from_prev"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = events.filter(col("event_type") === st)
+        .select(col("user_id"), us.as("t2"))
+        .join(reached, Seq("user_id"))
+        .filter(col("t2") > col("t"))
+        .groupBy(col("user_id"))
+        .agg(min(col("t2")).as("t2"), min(col("t")).as("t"))
+      rows += nxt
+        .select(expr("(t2 - t) div 1000000").as("dsec"))
+        .agg(lit(i + 1).as("stage"), lit(st).as("event_type"),
+          count(lit(1)).as("n_users"),
+          round(sum(col("dsec")).cast("double") / count(lit(1)) /
+            lit(3600.0), 6).as("avg_hours_from_prev"))
+      reached = nxt.select(col("user_id"), col("t2").as("t"))
+    }
+    rows.reduce(_ unionByName _).filter(col("n_users") > 0)
+  }
 }

@@ -756,4 +756,96 @@ object TextAnalysis {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
   }
+
+  /** Q167: READABILITY scoring — Flesch reading ease per document, the
+    * classic grade-level quality signal next to the ratio rules (q13/q46)
+    * and the LM-surprisal family (q133/q139/q159): too-hard AND too-easy
+    * both correlate with junk (OCR soup scores hard; keyword stuffing
+    * scores trivially easy). FRE = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with the standard regex approximations:
+    * sentences = runs of [.!?] (floored at 1), syllables = vowel-group
+    * runs per word — a documented heuristic (true syllabification needs
+    * a dictionary), applied identically in both engines.
+    *
+    * Exactness: all three inputs are INTEGER regex-run counts — the same
+    * count in Java regex and RE2 for these simple classes — and the
+    * score is one literal-mirrored double expression (every literal cast
+    * to DOUBLE in the oracle, the q139 lesson). Map-only, zero shuffle;
+    * docs with no words emit nothing (no distribution to score).
+    */
+  /** Q169: TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    * keywords as PageRank over the word-adjacency graph, composing the
+    * integer-grid power iteration ([[Graph.pageRankMicros]]) with the
+    * text stack: normalized tokens → distinct unordered adjacent word
+    * pairs (self-loops dropped) → both orientations → 4 exact rounds →
+    * top-`topK` words by rank. The words the corpus keeps circling back
+    * to adjoin MANY distinct other words and inherit rank from them —
+    * the graph view of salience that raw frequency (q42) and tf-idf
+    * (q36) don't capture.
+    *
+    * Determinism end-to-end: node ids are a row_number over the SORTED
+    * vocabulary (binary string order, identical in both engines), ranks
+    * are the q158 integer grid, and the top-k orders by (rank DESC,
+    * word). The two unpartitioned windows here run over
+    * VOCABULARY-BOUNDED aggregates (the distinct-word table and the
+    * |V|-row rank table), not the corpus — the documented justification
+    * for a global window. Edge building shuffles distinct (wa, wb)
+    * string pairs once; everything after runs on longs.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, topK: Int = 20,
+      iters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(TextShingles.normalize(col(textCol)), " "),
+      t => t =!= "")
+    val base = docs.select(toks.as("__toks"))
+      .filter(size(col("__toks")) > 1)
+    val adj = base.select(explode(zip_with(
+        slice(col("__toks"), lit(1),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        (a, b) => struct(least(a, b).as("wa"), greatest(a, b).as("wb"))))
+        .as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(col("wa") =!= col("wb"))
+      .distinct()
+    val vocab = adj
+      .select(explode(array(col("wa"), col("wb"))).as("word")).distinct()
+      .withColumn("nid",
+        row_number().over(Window.orderBy(col("word"))).cast("long"))
+    val edges = adj
+      .join(vocab.select(col("word").as("wa"), col("nid").as("na")),
+        Seq("wa"))
+      .join(vocab.select(col("word").as("wb"), col("nid").as("nb")),
+        Seq("wb"))
+      .select(explode(array(
+        struct(col("na").as("src"), col("nb").as("dst")),
+        struct(col("nb").as("src"), col("na").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val ranks = Graph.pageRankMicros(edges, "src", "dst", iters)
+    ranks.join(vocab, ranks("node") === vocab("nid"))
+      .select(col("word"), col("rank"))
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("rank").desc, col("word"))).cast("long"))
+      .filter(col("pos") <= topK)
+  }
+
+  def readability(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs
+      .select(col(idCol),
+        regexp_count(t, lit("\\S+")).cast("long").as("words"),
+        greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+          .as("sentences"),
+        regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long")
+          .as("syllables"))
+      .filter(col("words") > 0)
+      .withColumn("fre", round(
+        lit(206.835) -
+          lit(1.015) * (col("words").cast("double") /
+            col("sentences").cast("double")) -
+          lit(84.6) * (col("syllables").cast("double") /
+            col("words").cast("double")), 6))
+  }
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q165 A-ES weighted sampling, q166 ordered funnel, q167 readability:
+  * local-reference pins and the semantic properties each exists for.
+  */
+class SampleFunnelReadabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q165 weightedSample -------------------------------------------
+
+  private def esKey(id: Long, w: Long): Double = {
+    val h = ((id % 1000003L) * 2654435761L) >> 16
+    val u = ((h % 1048576L) + 1).toDouble / 1048577.0
+    math.log(u) / (w + 1).toDouble
+  }
+
+  test("weighted sample == local A-ES reference on sf0.001 documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expect = docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq
+      .flatMap { case (lang, rows) =>
+        rows.toSeq.map { case (_, id, nc) => (id, nc, esKey(id, nc)) }
+          .sortBy { case (id, _, k) => (-k, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, nc, k), i) =>
+            (lang, id, nc,
+              BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble, (i + 1).toLong)
+          }
+      }.toSet
+    val got = Pipelines.weightedSample(docs, "doc_id", "lang", "n_chars")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("raising a weight can only promote (monotone in w at fixed u)") {
+    val base = (1L to 100L).map(id => (id, "s", 10L)).toDF("id", "g", "w")
+    val sel1 = Pipelines.weightedSample(base, "id", "g", "w")
+      .select(col("id")).as[Long].collect().toSet
+    val loser = (1L to 100L).find(!sel1.contains(_)).get
+    val boosted = (1L to 100L)
+      .map(id => (id, "s", if (id == loser) 1000000000L else 10L))
+      .toDF("id", "g", "w")
+    val sel2 = Pipelines.weightedSample(boosted, "id", "g", "w")
+      .select(col("id")).as[Long].collect().toSet
+    assert(sel2.contains(loser), s"boosted $loser must enter the sample")
+  }
+
+  test("weighted sample is partition-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Pipelines.weightedSample(docs, "doc_id", "lang", "n_chars")
+    val b = Pipelines.weightedSample(docs.repartition(11), "doc_id", "lang",
+      "n_chars")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  // ---- q166 funnel ----------------------------------------------------
+
+  test("funnel: order matters, stages chain strictly, latency exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered path, 1h between stages
+      (1L, "signup", ts("2024-01-05 08:00:00")),
+      (1L, "view", ts("2024-01-05 09:00:00")),
+      (1L, "click", ts("2024-01-05 10:00:00")),
+      (1L, "purchase", ts("2024-01-05 11:00:00")),
+      // user 2: purchase BEFORE click — stops at view
+      (2L, "signup", ts("2024-01-05 08:00:00")),
+      (2L, "view", ts("2024-01-05 10:00:00")),
+      (2L, "purchase", ts("2024-01-05 09:00:00")),
+      // user 3: view BEFORE signup — view must not count
+      (3L, "view", ts("2024-01-05 07:00:00")),
+      (3L, "signup", ts("2024-01-05 08:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Relational.funnel(ev)
+      .select(col("stage"), col("event_type"), col("n_users"),
+        col("avg_hours_from_prev"))
+      .as[(Int, String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1) == (("signup", 3L, None)))
+    // user 1 converts in 1h, user 2 in 2h -> avg 1.5
+    assert(got(2) == (("view", 2L, Some(1.5))))
+    assert(got(3) == (("click", 1L, Some(1.0))))
+    assert(got(4) == (("purchase", 1L, Some(1.0))))
+  }
+
+  test("funnel: users with zero stage-1 events never appear") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((9L, "view", ts("2024-01-05 09:00:00")),
+      (9L, "purchase", ts("2024-01-05 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    // no signups at all -> stage 1 count 0 -> nothing emitted
+    assert(Relational.funnel(ev).count() === 0L)
+  }
+
+  // ---- q167 readability ----------------------------------------------
+
+  test("readability: hand-computed Flesch on a two-sentence doc") {
+    val docs = Seq((1L, "The cat sat. The dog ran!"),
+      (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length === 1, "empty/null docs emit nothing")
+    val (_, w, s2, sy, fre) = got(0)
+    assert((w, s2, sy) == ((6L, 2L, 6L)))
+    // 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert(fre === 119.19)
+  }
+
+  test("readability: polysyllabic prose scores harder than simple prose") {
+    val docs = Seq(
+      (1L, "I like tea. You like me. We sit here."),
+      (2L, "Extraordinary bureaucratic onomatopoeia necessitates " +
+        "unquestionably interdisciplinary reorganization."))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.readability(docs, "text", "doc_id")
+      .select(col("doc_id"), col("fre")).as[(Long, Double)].collect().toMap
+    assert(f(1L) > f(2L), s"got $f")
+  }
+}
