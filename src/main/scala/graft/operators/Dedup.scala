@@ -572,13 +572,16 @@ object Dedup {
         explode(concat(perWidth: _*)).as("e"))
         .select(col("id"), col("e.w").as("w"), col("e.h").as("h")),
       "h")
-    val dup = occ
-      .groupBy(col("w"), col("h"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2)
-      .select(col("w"), col("h"))
+    // df as a WINDOW COUNT riding the same h-exchange (h-partitioning
+    // clusters every (w, h) group) — the df-aggregate + self-join form
+    // recomputed the whole fused expansion on both sides because column
+    // pruning differentiated the exchange subtrees (ScanAudit: 3 scans,
+    // 0 reused; the q90 lesson)
     val hit = occ
-      .join(dup, Seq("w", "h"))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w"), col("h"))))
+      .filter(col("__df") >= 2)
       .groupBy(col("id"))
       .agg(max(col("w")).as("max_dup_win"))
     base.select(col("id"))

@@ -253,13 +253,16 @@ object EventJoins {
     */
   def coActivityPairs(events: DataFrame): DataFrame = {
     val spans = daySpans(events)
-    // endpoint stream: starts tie-break BEFORE ends so an end at the same
-    // micro as a start is NOT counted as "ended before" (touching spans
-    // overlap)
-    val pts = spans.select(col("day"), col("s").as("t"),
-        lit(0).as("tie"), lit(0L).as("is_end"))
-      .unionByName(spans.select(col("day"), col("e").as("t"),
-        lit(1).as("tie"), lit(1L).as("is_end")))
+    // endpoint stream via ONE explode (a self-union would aggregate the
+    // span table twice — ScanAudit caught the doubled events scan);
+    // starts tie-break BEFORE ends so an end at the same micro as a
+    // start is NOT counted as "ended before" (touching spans overlap)
+    val pts = spans.select(col("day"), explode(array(
+        struct(col("s").as("t"), lit(0).as("tie"), lit(0L).as("is_end")),
+        struct(col("e").as("t"), lit(1).as("tie"), lit(1L).as("is_end"))))
+        .as("p"))
+      .select(col("day"), col("p.t").as("t"), col("p.tie").as("tie"),
+        col("p.is_end").as("is_end"))
     val w = Window.partitionBy(col("day")).orderBy(col("t"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val disjoint = pts

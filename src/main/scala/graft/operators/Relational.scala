@@ -1746,10 +1746,14 @@ object Relational {
   def quantileSketchValidated(events: DataFrame,
       accuracy: Int = 1000): DataFrame = {
     val qlit = array(lit(0.5), lit(0.95), lit(0.99))
+    // lazily checkpointed: the probe table is consumed by both the rank
+    // check and the final join — without it the percentile pass over
+    // events runs twice (ScanAudit: 3 scans)
     val probes = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("__ex"),
         percentile_approx(col("value"), qlit, lit(accuracy)).as("__ap"))
+      .localCheckpoint(false)
     val flat = probes.select(col("event_type"), col("n_events"),
       posexplode(col("__ap")).as(Seq("qi", "av")))
     val slack = col("n_events").cast("double") / lit(accuracy.toDouble) +
