@@ -658,6 +658,30 @@ object SparkEntry {
     "q169_textrank" -> ((s, dir) =>
       TextAnalysis.textRankKeywords(Tables.documents(s, dir), "text",
         topK = 20)),
+    // q170: q158's graph with edge MULTIPLICITY (lineitem count per
+    // customer-supplier pair) driving proportional rank flow
+    "q170_pagerank_weighted" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          f.col("o_orderkey") === f.col("l_orderkey"))
+        .groupBy(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
+        .agg(f.count(f.lit(1)).as("w"))
+      val edges = e0.select(f.explode(f.array(
+        f.struct(f.col("c").as("src"),
+          (f.col("sk") + f.lit(1000000L)).as("dst"), f.col("w")),
+        f.struct((f.col("sk") + f.lit(1000000L)).as("src"),
+          f.col("c").as("dst"), f.col("w")))).as("e"))
+        .select(f.col("e.src").as("src"), f.col("e.dst").as("dst"),
+          f.col("e.w").as("w"))
+      Graph.pageRankMicrosWeighted(edges, "src", "dst", "w", iters = 4)
+        .select(
+          f.when(f.col("node") >= 1000000L, f.lit("supplier"))
+            .otherwise(f.lit("customer")).as("kind"),
+          f.when(f.col("node") >= 1000000L, f.col("node") - 1000000L)
+            .otherwise(f.col("node")).as("key"),
+          f.col("rank"))
+    }),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3167,7 +3191,42 @@ object SparkEntry {
          |         row_number() OVER (ORDER BY r.rnk DESC, v.word) AS pos
          |  FROM r4 r JOIN v ON v.nid = r.node)
          |WHERE pos <= 20""".stripMargin,
+    // q170: weighted rounds — rank flows in proportion to edge weight,
+    // still floor division only
+    "q170_pagerank_weighted" ->
+      s"""WITH e0 AS (SELECT o_custkey AS c, l_suppkey AS sk,
+         |              count(*) AS w
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |            GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |      SELECT c AS src, 1000000 + sk AS dst, w FROM e0
+         |      UNION ALL
+         |      SELECT 1000000 + sk AS src, c AS dst, w FROM e0),
+         |${pageRankWeightedRoundsSql(4)}
+         |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+         |         AS kind,
+         |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+         |         AS key,
+         |       rnk AS "rank"
+         |FROM r4""".stripMargin,
   )
+
+  /** Weighted sibling of [[pageRankRoundsSql]] over `e(src, dst, w)`:
+    * per-edge flow (rnk·w) // wsum, the q170 engine loop exactly.
+    */
+  private def pageRankWeightedRoundsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |       SELECT e.dst AS node, CAST(150000 +
+         |         (85 * CAST(sum((r.rnk * e.w) // d.wsum) AS BIGINT)) // 100 AS BIGINT) AS rnk
+         |       FROM e JOIN wdeg d USING (src) JOIN r${t - 1} r ON r.node = e.src
+         |       GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+       |        FROM e GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rnk FROM wdeg),
+       |$rounds""".stripMargin
+  }
 
   /** Shared PageRank power-iteration rounds (q158/q169 oracles): emits
     * the deg/r0..r`iters` CTE chain over an already-defined `e(src, dst)`

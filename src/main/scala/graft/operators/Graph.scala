@@ -77,6 +77,47 @@ object Graph {
     out
   }
 
+  /** Q170: WEIGHTED PageRank — the realistic form of [[pageRankMicros]]:
+    * edges carry a multiplicity/strength `w` (order counts, link counts,
+    * co-occurrence counts), and a node distributes rank to neighbors in
+    * proportion to edge weight:
+    * {{{ r'(v) = 150000 + (85 · Σ_{(u,v,w)∈E} ((r(u)·w) div W(u))) div 100 }}}
+    * with W(u) = Σ outgoing weight — still floor division only, so the
+    * grid determinism of the unweighted loop carries over exactly (with
+    * all weights 1 this IS the unweighted iteration, spec-asserted).
+    * Magnitudes: r ≤ |V|·10⁶ by mass conservation and r·w stays far
+    * inside long for any realistic multiplicity.
+    *
+    * Same per-round plan as the unweighted form: the weight sum rides
+    * the edge list via one window (per-src groups are adjacency lists),
+    * one shuffle join + one aggregation per round.
+    */
+  def pageRankMicrosWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .withColumn("wsum", sum(col("w"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
+      .persist()
+    var ranks = ed.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1000000L))
+    var round = 0
+    while (round < iters) {
+      val next = ed.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst").as("__dst"))
+        .agg(sum(expr("(rank * w) div wsum")).as("__in"))
+        .select(col("__dst").as("node"),
+          (lit(150000L) + expr("(85 * __in) div 100")).as("rank"))
+      round += 1
+      ranks = if (round % 8 == 0) next.localCheckpoint() else next
+    }
+    val out = ranks.localCheckpoint()
+    ed.unpersist()
+    out
+  }
+
   /** Q163: per-node TRIANGLE COUNT + local clustering coefficient over an
     * undirected pair graph — the near-dup-graph DIAGNOSTIC the keep-one
     * policy (q55/q156) silently assumes: near-duplication is

@@ -50,6 +50,26 @@ class Round9cOpsSpec extends SparkSpec {
     assert(shuffled == a)
   }
 
+  test("weighted pagerank: proportional flow on a weighted star; w=1 == unweighted") {
+    // hub 0 <-> leaves 1,2 with weights 3,1 (both orientations).
+    // W(hub)=4: leaf1' = 150000 + (85*(1e6*3 div 4)) div 100 = 787500,
+    // leaf2' = 150000 + (85*(1e6*1 div 4)) div 100 = 362500,
+    // hub'   = 150000 + (85*(1e6+1e6)) div 100     = 1850000
+    val we = Seq((0L, 1L, 3L), (1L, 0L, 3L), (0L, 2L, 1L), (2L, 0L, 1L))
+    val got = Graph.pageRankMicrosWeighted(
+      we.toDF("src", "dst", "w"), "src", "dst", "w", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1850000L, 1L -> 787500L, 2L -> 362500L),
+      s"got $got")
+    // all-ones weights reduce to the unweighted iteration exactly
+    val edges = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val unw = pr(edges, iters = 4)
+    val w1 = Graph.pageRankMicrosWeighted(
+      edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+      "src", "dst", "w", iters = 4).as[(Long, Long)].collect().toMap
+    assert(w1 == unw)
+  }
+
   // ---- q159 trigramBackoffSurprisal ----------------------------------
 
   test("trigram stupid backoff: hand-computed held-out chain") {
