@@ -682,6 +682,10 @@ object SparkEntry {
             .otherwise(f.col("node")).as("key"),
           f.col("rank"))
     }),
+    // q171: the oracle is the FULL REBUILD over all days — the merge's
+    // strongest equivalence check (q135 precedent)
+    "q171_incremental_agg" -> ((s, dir) =>
+      Pipelines.incrementalDailyAgg(Tables.events(s, dir))),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3209,6 +3213,14 @@ object SparkEntry {
          |         AS key,
          |       rnk AS "rank"
          |FROM r4""".stripMargin,
+    // q171: full rebuild — one aggregate over ALL events; the engine's
+    // snapshot+delta merge must land on identical rows
+    "q171_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(round(value * 1000000) AS DECIMAL(18,0))) /
+        |    CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6) AS sum_value,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 
   /** Weighted sibling of [[pageRankRoundsSql]] over `e(src, dst, w)`:

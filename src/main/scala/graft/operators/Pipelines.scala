@@ -1063,6 +1063,48 @@ object Pipelines {
       .withColumn("sum_nll", round(col("sum_nll"), 6))
   }
 
+  /** Q171: INCREMENTAL AGGREGATE maintenance — refresh a materialized
+    * per-(user, event_type) daily-rollup from a CHANGE BATCH without
+    * touching history: the q135 discipline applied to aggregates instead
+    * of dimension rows. The previous aggregate snapshot (built from days
+    * < `cutoverDay`) full-outer-merges with the delta batch's own
+    * aggregate — counts add, sums add (decimal-exact micros), last_ts
+    * takes the max — so work is O(|snapshot keys| + |delta|), never a
+    * rescan of the full fact history. On a 100 TB events table with a
+    * daily feed, that is the difference between a merge and a rebuild.
+    *
+    * Additivity is the whole contract: every maintained measure must be
+    * a commutative monoid (count, micro-sum, max). Non-additive measures
+    * (exact medians) need the full rebuild this operator exists to
+    * avoid — which is exactly why the ORACLE here is the full rebuild
+    * over ALL days (the q135 strongest-oracle trick): any merge bug,
+    * lost key, or double-counted delta desyncs it.
+    */
+  def incrementalDailyAgg(events: DataFrame,
+      cutoverDay: Int = 25): DataFrame = {
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6).cast("decimal(18,0)")).as("vmic"),
+          max(unix_micros(col("ts"))).as("last_us"))
+    val prev = agg(events.filter(dayofmonth(col("ts")) < cutoverDay))
+    val delta = agg(events.filter(dayofmonth(col("ts")) >= cutoverDay))
+    prev.select(col("user_id"), col("event_type"), col("n").as("n_a"),
+        col("vmic").as("v_a"), col("last_us").as("t_a"))
+      .join(delta.select(col("user_id"), col("event_type"),
+        col("n").as("n_b"), col("vmic").as("v_b"), col("last_us").as("t_b")),
+        Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n_events"),
+        ((coalesce(col("v_a"), lit(0L).cast("decimal(18,0)")) +
+          coalesce(col("v_b"), lit(0L).cast("decimal(18,0)"))) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("sum_value"),
+        greatest(coalesce(col("t_a"), lit(Long.MinValue)),
+          coalesce(col("t_b"), lit(Long.MinValue))).as("last_us"))
+      .withColumn("sum_value", round(col("sum_value"), 6))
+  }
+
   /** Q165: WEIGHTED sampling without replacement, k per stratum — the
     * Efraimidis–Spirakis A-ES scheme (IPL 2006): each record draws a key
     * ln(u)/w from a uniform u and its weight w, and the k LARGEST keys

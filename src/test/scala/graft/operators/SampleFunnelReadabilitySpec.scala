@@ -97,6 +97,36 @@ class SampleFunnelReadabilitySpec extends SparkSpec {
     assert(Relational.funnel(ev).count() === 0L)
   }
 
+  // ---- q171 incrementalDailyAgg --------------------------------------
+
+  test("incremental agg merge == direct full aggregate (all key cases)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key A: only before cutover; key B: only after; key C: both sides
+    val ev = Seq(
+      (1L, "a", 1.5, ts("2024-01-10 08:00:00")),
+      (1L, "a", 2.5, ts("2024-01-11 08:00:00")),
+      (2L, "b", 10.0, ts("2024-01-27 08:00:00")),
+      (3L, "c", 1.0, ts("2024-01-05 08:00:00")),
+      (3L, "c", 2.0, ts("2024-01-28 08:00:00")))
+      .toDF("user_id", "event_type", "value", "ts")
+    val got = Pipelines.incrementalDailyAgg(ev, cutoverDay = 25)
+      .as[(Long, String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, "a")) == ((2L, 4.0)))
+    assert(got((2L, "b")) == ((1L, 10.0)))
+    assert(got((3L, "c")) == ((2L, 3.0)))
+    // and on real data the merge equals the direct one-pass aggregate
+    val events = graft.Tables.events(spark, sf)
+    val direct = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round((sum(round(col("value") * 1e6).cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double"), 6)
+          .as("sum_value"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val inc = Pipelines.incrementalDailyAgg(events, cutoverDay = 15)
+    assert(inc.exceptAll(direct).isEmpty && direct.exceptAll(inc).isEmpty)
+  }
+
   // ---- q167 readability ----------------------------------------------
 
   test("readability: hand-computed Flesch on a two-sentence doc") {
