@@ -686,6 +686,11 @@ object SparkEntry {
     // strongest equivalence check (q135 precedent)
     "q171_incremental_agg" -> ((s, dir) =>
       Pipelines.incrementalDailyAgg(Tables.events(s, dir))),
+    // q172: exactly 100 rows at EVERY scale factor — the exact-size
+    // invariant per-stratum rate sampling cannot give
+    "q172_proportional_holdout" -> ((s, dir) =>
+      Pipelines.proportionalHoldout(Tables.documents(s, dir), "doc_id",
+        "lang", totalK = 100)),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3221,6 +3226,29 @@ object SparkEntry {
         |    CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE), 6) AS sum_value,
         |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q172: integer Hamilton apportionment + the q165 hash order — every
+    // sum cast back to BIGINT per the HUGEINT convention
+    "q172_proportional_holdout" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cnt),
+        |quota AS (SELECT lang, n, (n * 100) // nt AS k0,
+        |                 n * 100 - ((n * 100) // nt) * nt AS rem
+        |          FROM cnt, tot),
+        |spare AS (SELECT CAST(100 - sum(k0) AS BIGINT) AS R FROM quota),
+        |alloc AS (SELECT lang, n AS n_stratum,
+        |            k0 + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+        |              lang) <= R THEN 1 ELSE 0 END AS k_alloc
+        |          FROM quota, spare),
+        |h AS (SELECT lang, doc_id,
+        |        ((doc_id % 1000003) * 2654435761) >> 16 AS hh
+        |      FROM documents),
+        |r AS (SELECT h.lang, h.doc_id,
+        |        CAST(row_number() OVER (PARTITION BY h.lang
+        |          ORDER BY h.hh, h.doc_id) AS BIGINT) AS sel_rank,
+        |        a.n_stratum, CAST(a.k_alloc AS BIGINT) AS k_alloc
+        |      FROM h JOIN alloc a USING (lang))
+        |SELECT lang, doc_id, sel_rank, n_stratum, k_alloc
+        |FROM r WHERE sel_rank <= k_alloc""".stripMargin,
   )
 
   /** Weighted sibling of [[pageRankRoundsSql]] over `e(src, dst, w)`:

@@ -1105,6 +1105,57 @@ object Pipelines {
       .withColumn("sum_value", round(col("sum_value"), 6))
   }
 
+  /** Q172: EXACT-SIZE proportional holdout — select exactly `totalK`
+    * rows, allocated across strata by the largest-remainder method
+    * (Hamilton apportionment): k_i = ⌊n_i·K/N⌋, then the K − Σ⌊·⌋
+    * leftover seats go to the strata with the largest integer
+    * remainders n_i·K − k_i·N (ties by stratum name). Per-stratum rate
+    * sampling (q56) cannot do this: independent rounding drifts the
+    * global size by ±|strata| rows, and an eval set that is "about 1%"
+    * is not a budget. Membership within each stratum follows the q165
+    * hash order (reproducible, partition-invariant, rand()-free).
+    *
+    * Everything is INTEGER arithmetic — quotas, remainders, seat ranks —
+    * so both engines allocate identical k_i and select identical rows.
+    * Scale: two windows over the STRATA-BOUNDED count table (seat
+    * assignment), one scalar broadcast, and one per-stratum ranked
+    * top-k_i over the corpus (the only corpus-sized work).
+    */
+  def proportionalHoldout(docs: DataFrame, idCol: String,
+      stratumCol: String, totalK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalK >= 1, s"totalK must be >= 1, got $totalK")
+    val cnt = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // "nt", not "N": Spark resolves case-insensitively by default, so a
+    // column named N is ambiguous against n
+    val tot = cnt.agg(sum(col("n")).as("nt"))
+    val quota = cnt.crossJoin(broadcast(tot))
+      .withColumn("k0", expr(s"(n * $totalK) div nt"))
+      .withColumn("rem", col("n") * lit(totalK.toLong) - col("k0") * col("nt"))
+    val spare = quota.agg((lit(totalK.toLong) - sum(col("k0"))).as("R"))
+    // strata-bounded global windows (seat ranking over |strata| rows)
+    val seatW = Window.orderBy(col("rem").desc, col(stratumCol))
+    val alloc = quota.crossJoin(broadcast(spare))
+      .withColumn("seat", row_number().over(seatW))
+      .select(col(stratumCol), col("n").as("n_stratum"),
+        (col("k0") + (col("seat") <= col("R")).cast("long")).as("k_alloc"))
+    val h = {
+      val guarded = when(col(idCol) < 0, raise_error(
+        concat(lit("proportionalHoldout: negative id "),
+          col(idCol).cast("string"))))
+        .otherwise(col(idCol))
+      shiftright(pmod(guarded, lit(1000003L)) * lit(2654435761L), 16)
+    }
+    val selW = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+    docs.select(col(stratumCol), col(idCol), h.as("__h"))
+      .join(alloc, Seq(stratumCol))
+      .withColumn("sel_rank", row_number().over(selW).cast("long"))
+      .filter(col("sel_rank") <= col("k_alloc"))
+      .select(col(stratumCol), col(idCol), col("sel_rank"),
+        col("n_stratum"), col("k_alloc"))
+  }
+
   /** Q165: WEIGHTED sampling without replacement, k per stratum — the
     * Efraimidis–Spirakis A-ES scheme (IPL 2006): each record draws a key
     * ln(u)/w from a uniform u and its weight w, and the k LARGEST keys

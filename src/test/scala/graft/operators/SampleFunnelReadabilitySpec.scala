@@ -127,6 +127,33 @@ class SampleFunnelReadabilitySpec extends SparkSpec {
     assert(inc.exceptAll(direct).isEmpty && direct.exceptAll(inc).isEmpty)
   }
 
+  // ---- q172 proportionalHoldout --------------------------------------
+
+  test("largest-remainder allocation: exact total on an awkward split") {
+    // strata sizes 1,2,4 with K=5: quotas 5/7,10/7,20/7 -> floors 0,1,2
+    // (sum 3), remainders 5,3,6 -> the 2 spare seats go to c (rem 6)
+    // then a (rem 5): allocation 1,1,3 — flat rounding could never sum
+    // to exactly 5
+    val docs = (Seq((1L, "a")) ++ (2L to 3L).map((_, "b")) ++
+      (4L to 7L).map((_, "c"))).toDF("doc_id", "lang")
+    val got = Pipelines.proportionalHoldout(docs, "doc_id", "lang",
+      totalK = 5)
+    val alloc = got.select(col("lang"), col("k_alloc"))
+      .distinct().as[(String, Long)].collect().toMap
+    assert(alloc == Map("a" -> 1L, "b" -> 1L, "c" -> 3L), s"got $alloc")
+    assert(got.count() === 5L)
+  }
+
+  test("holdout is exactly K rows, within-stratum-bounded, partition-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Pipelines.proportionalHoldout(docs, "doc_id", "lang", 100)
+    assert(a.count() === 100L)
+    assert(a.filter(col("k_alloc") > col("n_stratum")).isEmpty)
+    val b = Pipelines.proportionalHoldout(docs.repartition(13), "doc_id",
+      "lang", 100)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   // ---- q167 readability ----------------------------------------------
 
   test("readability: hand-computed Flesch on a two-sentence doc") {
