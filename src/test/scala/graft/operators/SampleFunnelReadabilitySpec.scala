@@ -154,6 +154,21 @@ class SampleFunnelReadabilitySpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("negative ids fail loudly in the new hash-ordered samplers") {
+    // same contract as hashBucket (PipelinesSpec): signed % semantics
+    // differ per engine, so refuse rather than silently diverge
+    val neg = Seq((-1L, "s", 10L)).toDF("id", "g", "w")
+    val e1 = intercept[Exception] {
+      Pipelines.weightedSample(neg, "id", "g", "w").collect()
+    }
+    assert(e1.getMessage.contains("negative id"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Pipelines.proportionalHoldout(
+        Seq((-1L, "s")).toDF("id", "g"), "id", "g", 1).collect()
+    }
+    assert(e2.getMessage.contains("negative id"), e2.getMessage)
+  }
+
   // ---- q167 readability ----------------------------------------------
 
   test("readability: hand-computed Flesch on a two-sentence doc") {
