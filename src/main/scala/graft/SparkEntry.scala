@@ -691,6 +691,31 @@ object SparkEntry {
     "q172_proportional_holdout" -> ((s, dir) =>
       Pipelines.proportionalHoldout(Tables.documents(s, dir), "doc_id",
         "lang", totalK = 100)),
+    // q173: deterministic synchronous LPA over the q158 bipartite
+    "q173_label_propagation" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          f.col("o_orderkey") === f.col("l_orderkey"))
+        .select(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = e0.select(f.explode(f.array(
+        f.struct(f.col("c").as("src"),
+          (f.col("sk") + f.lit(1000000L)).as("dst")),
+        f.struct((f.col("sk") + f.lit(1000000L)).as("src"),
+          f.col("c").as("dst")))).as("e"))
+        .select(f.col("e.src").as("src"), f.col("e.dst").as("dst"))
+      Graph.labelPropagation(edges, "src", "dst", iters = 4)
+        .select(
+          f.when(f.col("node") >= 1000000L, f.lit("supplier"))
+            .otherwise(f.lit("customer")).as("kind"),
+          f.when(f.col("node") >= 1000000L, f.col("node") - 1000000L)
+            .otherwise(f.col("node")).as("key"),
+          f.col("lbl").as("community"))
+    }),
+    "q174_multitouch" -> ((s, dir) =>
+      EventJoins.multiTouchAttribution(Tables.events(s, dir),
+        windowHours = 24)),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3249,7 +3274,71 @@ object SparkEntry {
         |      FROM h JOIN alloc a USING (lang))
         |SELECT lang, doc_id, sel_rank, n_stratum, k_alloc
         |FROM r WHERE sel_rank <= k_alloc""".stripMargin,
+    // q173: the same 4 synchronous rounds unrolled — per-node label
+    // histogram, pick (count DESC, label ASC)
+    "q173_label_propagation" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (
+         |      SELECT c AS src, 1000000 + sk AS dst FROM e0
+         |      UNION ALL
+         |      SELECT 1000000 + sk AS src, c AS dst FROM e0),
+         |${lpaRoundsSql(4)}
+         |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+         |         AS kind,
+         |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+         |         AS key,
+         |       lbl AS community
+         |FROM l4""".stripMargin,
+    // q174: integer ppm credits; the per-purchase invariant sum = 1e6 is
+    // what makes the floor-division remainder pinning matter
+    "q174_multitouch" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS pt
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.user_id, p.p_id, v.view_id, v.vt
+        |      FROM p JOIN v ON v.user_id = p.user_id
+        |       AND v.vt <= p.pt AND v.vt >= p.pt - 86400000000),
+        |r AS (SELECT user_id, p_id, view_id,
+        |        row_number() OVER (PARTITION BY p_id ORDER BY vt, view_id)
+        |          AS pos,
+        |        count(*) OVER (PARTITION BY p_id) AS n
+        |      FROM j),
+        |c AS (SELECT user_id, view_id,
+        |        CASE WHEN n = 1 THEN 1000000
+        |             WHEN n = 2 THEN 500000
+        |             WHEN pos = 1 OR pos = n THEN 400000
+        |             ELSE (200000 // (n - 2)) +
+        |                  CASE WHEN pos = 2
+        |                       THEN 200000 - (200000 // (n - 2)) * (n - 2)
+        |                       ELSE 0 END
+        |        END AS credit
+        |      FROM r)
+        |SELECT user_id, view_id, CAST(sum(credit) AS BIGINT) AS credit_ppm,
+        |       count(*) AS n_purchases_credited
+        |FROM c GROUP BY 1, 2""".stripMargin,
   )
+
+  /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,
+    * the incoming-label histogram per node and the (count DESC, label
+    * ASC) argmax — integer-deterministic, MATERIALIZED per the standing
+    * chained-CTE rule.
+    */
+  private def lpaRoundsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""c$t AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+         |       FROM e JOIN l${t - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (
+         |       SELECT node, lbl FROM (
+         |         SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, lbl) AS rn FROM c$t)
+         |       WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT src AS node, src AS lbl
+       |       FROM (SELECT DISTINCT src FROM e)),
+       |$rounds""".stripMargin
+  }
 
   /** Weighted sibling of [[pageRankRoundsSql]] over `e(src, dst, w)`:
     * per-edge flow (rnk·w) // wsum, the q170 engine loop exactly.

@@ -281,6 +281,53 @@ object EventJoins {
           .cast("long").as("overlap_pairs"))
   }
 
+  /** Q174: position-based MULTI-TOUCH attribution (the "U-shaped" model)
+    * — the credit-assignment sibling of last-touch attribution (q33):
+    * every purchase distributes exactly 1,000,000 ppm of credit over the
+    * views that preceded it within `windowHours`: 40% to the FIRST touch,
+    * 40% to the LAST, the middle 20% split across interior touches
+    * (n = 1 → all of it; n = 2 → 50/50). Credits are INTEGER ppm with
+    * floor division and the remainder pinned to the first interior touch,
+    * so Σ credit per purchase is EXACTLY 10⁶ (spec-asserted) and both
+    * engines assign identical integers — a float model would leak ppm
+    * under any reordering.
+    *
+    * Scale: both sides filter map-side (predicate pushed to the scan),
+    * join once on user with the time-range predicate, and the position
+    * windows partition by PURCHASE — each partition is one journey,
+    * bounded by views-per-window, never corpus-sized.
+    */
+  def multiTouchAttribution(events: DataFrame,
+      windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1: $windowHours")
+    val winUs = windowHours.toLong * 3600L * 1000000L
+    val pur = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("pt"))
+    val vw = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("vt"))
+    val j = pur.join(vw, Seq("user_id"))
+      .filter(col("vt") <= col("pt") && col("vt") >= col("pt") - winUs)
+    val wAsc = Window.partitionBy(col("p_id")).orderBy(col("vt"),
+      col("view_id"))
+    val wAll = Window.partitionBy(col("p_id"))
+    j.withColumn("pos", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("credit", expr(
+        """CASE WHEN n = 1 THEN 1000000
+          |     WHEN n = 2 THEN 500000
+          |     WHEN pos = 1 OR pos = n THEN 400000
+          |     ELSE (200000 div (n - 2)) +
+          |          CASE WHEN pos = 2
+          |               THEN 200000 - (200000 div (n - 2)) * (n - 2)
+          |               ELSE 0 END
+          |END""".stripMargin))
+      .groupBy(col("user_id"), col("view_id"))
+      .agg(sum(col("credit")).as("credit_ppm"),
+        count(lit(1)).as("n_purchases_credited"))
+  }
+
   /** The pair-ENUMERATION form: binned interval-overlap self-join
     * emitting each overlapping (day, u_a, u_b) pair. This is the right
     * plan when intervals are SPARSE (genomics ranges, ad impressions,

@@ -118,6 +118,54 @@ object Graph {
     out
   }
 
+  /** Q173: synchronous LABEL PROPAGATION (Raghavan et al. 2007) —
+    * community detection as the iterative sibling of the component
+    * labeling in [[Dedup.clusterPairs]]: where min-label flooding merges
+    * everything CONNECTED, LPA converges to locally-dense groups (each
+    * node adopts its neighbors' MOST FREQUENT label), the structure a
+    * mixture builder wants when near-dup components chain too broadly
+    * or a marketplace graph needs segmenting.
+    *
+    * Classic LPA is notoriously non-deterministic (random order, random
+    * tie-breaks); this is the DETERMINISTIC synchronous form: a fixed
+    * number of rounds, all updates computed from the PREVIOUS round's
+    * labels, ties broken (count DESC, label ASC) — integer counts and
+    * integer labels, so every engine and partitioning lands on the same
+    * assignment, and the oracle can unroll the same rounds as CTEs.
+    * Callers feed both orientations of undirected edges (the
+    * [[pageRankMicros]] convention); every node then has in-neighbors.
+    *
+    * Per round: ONE shuffle join (labels onto the persisted edge list)
+    * + one (node, label) count aggregation + a per-node rank over its
+    * label histogram — each node's group is its degree, never unbounded.
+    * Linear lineage; checkpoint every 8th round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var round = 0
+    while (round < iters) {
+      val w = Window.partitionBy(col("__dst"))
+        .orderBy(col("__c").desc, col("lbl"))
+      val next = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("__dst"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__dst").as("node"), col("lbl"))
+      round += 1
+      labels = if (round % 8 == 0) next.localCheckpoint() else next
+    }
+    val out = labels.localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Q163: per-node TRIANGLE COUNT + local clustering coefficient over an
     * undirected pair graph — the near-dup-graph DIAGNOSTIC the keep-one
     * policy (q55/q156) silently assumes: near-duplication is

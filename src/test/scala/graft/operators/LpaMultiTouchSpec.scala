@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q173 deterministic synchronous LPA + q174 U-shaped multi-touch
+  * attribution: hand-traced convergence, the exact-ppm invariant, and
+  * partition invariance.
+  */
+class LpaMultiTouchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(
+      edges.flatMap(e => Seq(e, e.swap)).toDF("src", "dst"),
+      "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("lpa: two triangles joined by a bridge split into two communities") {
+    // {1,2,3} and {4,5,6} cliques, bridge 3-4; hand-traced synchronous
+    // rounds with (count DESC, label ASC) stabilize at labels 1 and 3
+    val got = lpa(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)), iters = 4)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+  }
+
+  test("lpa is partition-invariant on the bipartite demo graph") {
+    val edges = (for (c <- 1L to 6L; s <- 1L to 3L if (c + s) % 2 == 0)
+      yield (c, 100L + s)).flatMap(e => Seq(e, e.swap))
+    val a = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", 4)
+    val b = Graph.labelPropagation(edges.toDF("src", "dst").repartition(7),
+      "src", "dst", 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("multi-touch: hand journeys — U-shape, remainder pinning, window cut") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: five views then purchase -> 400000 / 66668 / 66666 /
+      // 66666 / 400000 (remainder 2 pinned to the first interior)
+      (1L, 10L, "view", ts("2024-01-05 01:00:00")),
+      (1L, 11L, "view", ts("2024-01-05 02:00:00")),
+      (1L, 12L, "view", ts("2024-01-05 03:00:00")),
+      (1L, 13L, "view", ts("2024-01-05 04:00:00")),
+      (1L, 14L, "view", ts("2024-01-05 05:00:00")),
+      (1L, 15L, "purchase", ts("2024-01-05 06:00:00")),
+      // user 2: single view -> all 1e6; a second view OUTSIDE the 24h
+      // window must not dilute it
+      (2L, 20L, "view", ts("2024-01-02 00:00:00")),
+      (2L, 21L, "view", ts("2024-01-05 01:00:00")),
+      (2L, 22L, "purchase", ts("2024-01-05 02:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventJoins.multiTouchAttribution(ev, windowHours = 24)
+      .select(col("view_id"), col("credit_ppm")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(10L -> 400000L, 11L -> 66668L, 12L -> 66666L,
+      13L -> 66666L, 14L -> 400000L, 21L -> 1000000L), s"got $got")
+  }
+
+  test("multi-touch conserves exactly 1e6 ppm per credited purchase (sf0.001)") {
+    val events = graft.Tables.events(spark, sf)
+    val total = EventJoins.multiTouchAttribution(events)
+      .agg(sum(col("credit_ppm"))).as[Long].head()
+    // purchases with >= 1 view in the 24h lookback
+    val pur = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("pt"))
+    val vw = events.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vt"))
+    val credited = pur.join(vw, Seq("user_id"))
+      .filter(col("vt") <= col("pt") &&
+        col("vt") >= col("pt") - lit(24L * 3600L * 1000000L))
+      .select(col("p_id")).distinct().count()
+    assert(total === credited * 1000000L,
+      s"total=$total credited=$credited")
+  }
+}
