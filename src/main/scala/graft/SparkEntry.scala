@@ -716,6 +716,16 @@ object SparkEntry {
     "q174_multitouch" -> ((s, dir) =>
       EventJoins.multiTouchAttribution(Tables.events(s, dir),
         windowHours = 24)),
+    // q175: supplier-supplier similarity via shared customers
+    "q175_item_cf" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Graph.itemCosineSimilarity(
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir),
+            f.col("o_orderkey") === f.col("l_orderkey"))
+          .select(f.col("o_custkey").as("u"), f.col("l_suppkey").as("it")),
+        "u", "it", maxCustDeg = 50, minCo = 2)
+    }),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3318,6 +3328,23 @@ object SparkEntry {
         |SELECT user_id, view_id, CAST(sum(credit) AS BIGINT) AS credit_ppm,
         |       count(*) AS n_purchases_credited
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // q175: the capped co-occurrence join written out plainly; degrees on
+    // the same capped set so the cosine is internally consistent
+    "q175_item_cf" ->
+      """WITH i0 AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS it
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ud AS (SELECT u, count(*) AS udeg FROM i0 GROUP BY 1),
+        |i AS MATERIALIZED (
+        |  SELECT i0.u, i0.it FROM i0 JOIN ud USING (u) WHERE udeg <= 50),
+        |d AS (SELECT it, count(*) AS deg FROM i GROUP BY 1),
+        |p AS (SELECT a.it AS it_a, b.it AS it_b, count(*) AS co
+        |      FROM i a JOIN i b ON a.u = b.u AND a.it < b.it
+        |      GROUP BY 1, 2)
+        |SELECT p.it_a, p.it_b, p.co,
+        |  round(CAST(p.co AS DOUBLE) /
+        |        sqrt(CAST(da.deg * db.deg AS DOUBLE)), 6) AS cosine
+        |FROM p JOIN d da ON da.it = p.it_a JOIN d db ON db.it = p.it_b
+        |WHERE p.co >= 2""".stripMargin,
   )
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,

@@ -166,6 +166,51 @@ object Graph {
     out
   }
 
+  /** Q175: ITEM-ITEM cosine similarity over a bipartite interaction
+    * graph — the collaborative-filtering primitive ("suppliers serving
+    * the same customers are substitutes"): for items a, b with customer
+    * sets A, B, sim = |A∩B| / √(|A|·|B|), computed EXACTLY via the
+    * co-occurrence self-join on the shared customer.
+    *
+    * Scale: the quadratic hazard is the per-customer fan-out (a customer
+    * touching d items contributes d² co-pairs — one hot key can dwarf
+    * the corpus), so customers above `maxCustDeg` are EXCLUDED before
+    * pair generation — the standard CF practice (power users carry no
+    * discriminative signal, and dropping them bounds per-key work at
+    * cap²). Degrees are computed on the SAME capped interaction set, so
+    * the cosine stays internally consistent; `minCo` prunes the
+    * singleton-co-occurrence noise floor before the output
+    * materializes. Everything is integer until the one final √ division.
+    */
+  def itemCosineSimilarity(interactions: DataFrame, userCol: String,
+      itemCol: String, maxCustDeg: Int = 50, minCo: Int = 2): DataFrame = {
+    require(maxCustDeg >= 2 && minCo >= 1,
+      s"bad params: maxCustDeg=$maxCustDeg minCo=$minCo")
+    val i0 = interactions.select(col(userCol).cast("long").as("u"),
+      col(itemCol).cast("long").as("it")).distinct()
+    val capped = i0
+      .withColumn("__ud", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      .filter(col("__ud") <= maxCustDeg)
+      .select(col("u"), col("it"))
+      .localCheckpoint(false)
+    val deg = capped.groupBy(col("it")).agg(count(lit(1)).as("deg"))
+    val pairs = capped.select(col("u"), col("it").as("it_a"))
+      .join(capped.select(col("u"), col("it").as("it_b")), Seq("u"))
+      .filter(col("it_a") < col("it_b"))
+      .groupBy(col("it_a"), col("it_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    pairs
+      .join(deg.select(col("it").as("it_a"), col("deg").as("d_a")),
+        Seq("it_a"))
+      .join(deg.select(col("it").as("it_b"), col("deg").as("d_b")),
+        Seq("it_b"))
+      .select(col("it_a"), col("it_b"), col("co"),
+        round(col("co").cast("double") /
+          sqrt((col("d_a") * col("d_b")).cast("double")), 6).as("cosine"))
+  }
+
   /** Q163: per-node TRIANGLE COUNT + local clustering coefficient over an
     * undirected pair graph — the near-dup-graph DIAGNOSTIC the keep-one
     * policy (q55/q156) silently assumes: near-duplication is

@@ -34,6 +34,29 @@ class LpaMultiTouchSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  // ---- q175 itemCosineSimilarity -------------------------------------
+
+  test("item-cf: hand cosine, minCo floor, and the hot-user cap") {
+    val inter = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 300L)).toDF("u", "it")
+    val got = Graph.itemCosineSimilarity(inter, "u", "it",
+      maxCustDeg = 50, minCo = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    // co(100,200)=2, deg(100)=3, deg(200)=2 -> 2/sqrt(6); (100,300)
+    // falls under the minCo floor
+    assert(got.toSeq === Seq((100L, 200L, 2L, 0.816497)), s"got ${got.toSeq}")
+    // a power user is the ONLY link between 400 and 500: capped out,
+    // the pair disappears (and 400/500 also leave the degree base)
+    val hot = (1L to 10L).map(i => (99L, i * 1000L)) ++
+      Seq((99L, 400L), (99L, 500L), (50L, 400L), (51L, 500L))
+    val capped = Graph.itemCosineSimilarity(
+      (inter.as[(Long, Long)].collect().toSeq ++ hot).toDF("u", "it"),
+      "u", "it", maxCustDeg = 5, minCo = 1)
+      .select(col("it_a"), col("it_b")).as[(Long, Long)].collect().toSet
+    assert(!capped.contains((400L, 500L)), s"got $capped")
+    assert(capped.contains((100L, 200L)))
+  }
+
   test("multi-touch: hand journeys — U-shape, remainder pinning, window cut") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
