@@ -512,4 +512,55 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"containment must candidate-generate via the prefix join:\n$plan")
   }
+
+  test("q160 ks drift: the ordered walk runs over the REDUCED count table") {
+    val df = Relational.ksDrift(Tables.events(spark, sf))
+    val plan = executedPlan(df)
+    // the window must sit above a partial+final aggregate of the corpus,
+    // not above raw events: exactly one corpus-sized exchange feeds it
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      s"expected map-side reduction before the ECDF walk:\n$plan")
+    assert(plan.contains("Window"), s"expected the cumulative walk:\n$plan")
+  }
+
+  test("q165 weighted sample: map-only key, one per-stratum rank shuffle") {
+    val df = Pipelines.weightedSample(Tables.documents(spark, sf),
+      "doc_id", "lang", "n_chars")
+    val plan = executedPlan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle (stratum rank), saw $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q162 dup-span ladder: df rides ONE window-hash exchange (no pair join)") {
+    val df = Dedup.dupSpanLadder(Tables.documents(spark, sf), "text",
+      "doc_id")
+    val plan = executedPlan(df)
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("CartesianProduct"))
+    // the q162 reuse fix: no second expansion subtree — the fused
+    // window-hash kernel appears exactly once in the executed plan
+    val kernels = "window_xxhashes".r.findAllIn(plan.toLowerCase).length
+    assert(kernels <= 3, s"expansion must not be recomputed per width-side:\n$plan")
+  }
+
+  test("q174 multi-touch: journey windows partition by purchase, filters pushed") {
+    val df = EventJoins.multiTouchAttribution(Tables.events(spark, sf))
+    val plan = scanMeta(df)
+    assert(plan.contains("EqualTo(event_type,purchase)") &&
+      plan.contains("EqualTo(event_type,view)"),
+      s"stage filters must reach the scan:\n$plan")
+    val exec = executedPlan(df)
+    assert(exec.contains("Window"), "position windows expected")
+    assert(!exec.contains("CartesianProduct"))
+  }
+
+  test("q158/q173 iterative graph: no cartesian, no sort-merge in a round") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    for (df <- Seq(Graph.pageRankMicros(e, "src", "dst", 2),
+      Graph.labelPropagation(e, "src", "dst", 2))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"round plan:\n$plan")
+    }
+  }
 }
