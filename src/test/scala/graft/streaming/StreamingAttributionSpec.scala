@@ -51,7 +51,11 @@ class StreamingAttributionSpec extends SparkSpec {
         s"late view not attributed: $a")
     } finally {
       q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // do NOT conf.unset the provider here: unset falls below the
+      // session-builder default to the hard default (HDFSBacked), and
+      // every transformWithState suite that runs later in the same
+      // shared session then fails with
+      // STATE_STORE_MULTIPLE_COLUMN_FAMILIES
     }
   }
 
@@ -86,7 +90,11 @@ class StreamingAttributionSpec extends SparkSpec {
       assert(totalStateRows <= 2, s"state not evicted: $totalStateRows rows")
     } finally {
       q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // do NOT conf.unset the provider here: unset falls below the
+      // session-builder default to the hard default (HDFSBacked), and
+      // every transformWithState suite that runs later in the same
+      // shared session then fails with
+      // STATE_STORE_MULTIPLE_COLUMN_FAMILIES
     }
   }
 
@@ -142,7 +150,11 @@ class StreamingAttributionSpec extends SparkSpec {
         s"equal-ts clicks mishandled: $dup")
     } finally {
       q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // do NOT conf.unset the provider here: unset falls below the
+      // session-builder default to the hard default (HDFSBacked), and
+      // every transformWithState suite that runs later in the same
+      // shared session then fails with
+      // STATE_STORE_MULTIPLE_COLUMN_FAMILIES
     }
   }
 }

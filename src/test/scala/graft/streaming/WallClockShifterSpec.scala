@@ -44,7 +44,9 @@ class WallClockShifterSpec extends SparkSpec {
       assert(elapsed >= delayMs, s"emitted after ${elapsed}ms < ${delayMs}ms delay")
     } finally {
       q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // keep the session's RocksDB provider default: conf.unset falls to
+      // the hard default (HDFSBacked) and breaks later transformWithState
+      // suites with STATE_STORE_MULTIPLE_COLUMN_FAMILIES
     }
   }
 
@@ -74,7 +76,9 @@ class WallClockShifterSpec extends SparkSpec {
       assert(elapsed < delayMs, s"old record was re-delayed (${elapsed}ms)")
     } finally {
       q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // keep the session's RocksDB provider default: conf.unset falls to
+      // the hard default (HDFSBacked) and breaks later transformWithState
+      // suites with STATE_STORE_MULTIPLE_COLUMN_FAMILIES
     }
   }
 
