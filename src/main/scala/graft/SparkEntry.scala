@@ -716,6 +716,9 @@ object SparkEntry {
     "q174_multitouch" -> ((s, dir) =>
       EventJoins.multiTouchAttribution(Tables.events(s, dir),
         windowHours = 24)),
+    "q176_event_trigrams" -> ((s, dir) =>
+      Relational.eventTrigramPatterns(Tables.events(s, dir),
+        minSupportUsers = 5)),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3345,6 +3348,20 @@ object SparkEntry {
         |        sqrt(CAST(da.deg * db.deg AS DOUBLE)), 6) AS cosine
         |FROM p JOIN d da ON da.it = p.it_a JOIN d db ON db.it = p.it_b
         |WHERE p.co >= 2""".stripMargin,
+    // q176: the same (ts, event_id) total order drives DuckDB's lag
+    "q176_event_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 2) OVER w AS t1,
+        |         lag(event_type, 1) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, event_type AS t3,
+        |       count(DISTINCT user_id) AS support_users,
+        |       count(*) AS n_occurrences
+        |FROM s WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
   )
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,

@@ -1777,6 +1777,34 @@ object Relational {
         col("approx_rank_ok"))
   }
 
+  /** Q176: SEQUENTIAL pattern mining, the trigram unit step — which
+    * ordered event-type triples do users actually walk, and how many
+    * distinct users support each? The transition matrix (q72) sees only
+    * pairwise steps and the funnel (q166) only one fixed path; trigram
+    * support surfaces the paths worth promoting INTO funnels. Support
+    * counts DISTINCT users (the sequential-mining convention — one
+    * looping user must not dominate), occurrences counted alongside.
+    *
+    * Per-user ordering is (ts, event_id) — total and engine-identical.
+    * The lag window partitions by user (bounded by per-user event
+    * count); the support aggregate is map-side combinable on the
+    * (t1, t2, t3) key. One corpus scan, two exchanges.
+    */
+  def eventTrigramPatterns(events: DataFrame,
+      minSupportUsers: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(countDistinct(col("user_id")).as("support_users"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("support_users") >= minSupportUsers)
+  }
+
   def funnel(events: DataFrame,
       stages: Seq[String] = Seq("signup", "view", "click", "purchase"))
       : DataFrame = {

@@ -34,6 +34,32 @@ class LpaMultiTouchSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  // ---- q176 eventTrigramPatterns -------------------------------------
+
+  test("event trigrams: per-user ordered sequences, distinct-user support") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 walks a-b-c twice (support must count the USER once);
+    // user 2 walks it once; user 3 walks a-c-b (different order!)
+    def walk(u: Long, base: Int, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) =>
+        (u, (base + i).toLong, t, ts(f"2024-01-05 ${8 + i}%02d:00:00"))
+      }
+    val ev = (walk(1L, 10, Seq("a", "b", "c", "a", "b", "c")) ++
+      walk(2L, 20, Seq("a", "b", "c")) ++
+      walk(3L, 30, Seq("a", "c", "b")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Relational.eventTrigramPatterns(ev, minSupportUsers = 2)
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    // a-b-c: users {1,2}, occurrences 3 (user 1 twice)
+    assert(got == Map(("a", "b", "c") -> ((2L, 3L))), s"got $got")
+    // order sensitivity: a-c-b exists only for user 3 -> under support
+    val all = Relational.eventTrigramPatterns(ev, minSupportUsers = 1)
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    assert(all.contains(("a", "c", "b")))
+  }
+
   // ---- q175 itemCosineSimilarity -------------------------------------
 
   test("item-cf: hand cosine, minCo floor, and the hot-user cap") {
