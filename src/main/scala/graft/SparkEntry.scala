@@ -719,6 +719,9 @@ object SparkEntry {
     "q176_event_trigrams" -> ((s, dir) =>
       Relational.eventTrigramPatterns(Tables.events(s, dir),
         minSupportUsers = 5)),
+    "q177_skew_report" -> ((s, dir) =>
+      Skew.joinKeySkewReport(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3362,6 +3365,31 @@ object SparkEntry {
         |FROM s WHERE t1 IS NOT NULL
         |GROUP BY 1, 2, 3
         |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // q177: integer ppm shares; entropy terms on a 1e-9 grid summed as
+    // exact decimal nanos (the q133 device at finer grain)
+    "q177_skew_report" ->
+      """WITH u AS (
+        |  SELECT 'l_orderkey' AS key_col, l_orderkey AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |c AS (SELECT key_col, v, count(*) AS c FROM u GROUP BY 1, 2),
+        |r AS (SELECT key_col, v, c,
+        |        row_number() OVER (PARTITION BY key_col
+        |          ORDER BY c DESC, v) AS rk,
+        |        CAST(sum(c) OVER (PARTITION BY key_col) AS BIGINT) AS nt
+        |      FROM c),
+        |t AS (SELECT key_col, c, rk, nt,
+        |        CAST(round(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |          ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000000)
+        |          AS DECIMAL(20,0)) AS term
+        |      FROM r)
+        |SELECT key_col, max(nt) AS n_rows, count(*) AS n_distinct,
+        |  (max(c) * 1000000) // max(nt) AS top1_ppm,
+        |  (CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT)
+        |     * 1000000) // max(nt) AS top10_ppm,
+        |  round(CAST(sum(term) / CAST(1000000000 AS DECIMAL(10,0))
+        |    AS DOUBLE), 6) AS entropy
+        |FROM t GROUP BY 1""".stripMargin,
   )
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,

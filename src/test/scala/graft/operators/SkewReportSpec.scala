@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q177 join-key skew report: hand-computed shares/entropy on planted
+  * skew, the direction the diagnostic exists for, and grid determinism.
+  */
+class SkewReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted hot key: shares and entropy are exact") {
+    // hot: 90 rows of key 7 + 10 distinct singletons
+    val rows = Seq.fill(90)(7L) ++ (100L to 109L)
+    val df = rows.map(Tuple1(_)).toDF("k")
+    val got = Skew.joinKeySkewReport(df, Seq("k"))
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    val (_, n, d, top1, top10, h) = got
+    assert((n, d, top1) == ((100L, 11L, 900000L)))
+    // top-10 = hot key + 9 singletons = 99 rows
+    assert(top10 === 990000L)
+    // exact entropy: 0.9 ln(1/0.9) + 10 * 0.01 ln(100), each term on the
+    // 1e-9 grid before the exact sum
+    def t(p: Double) = math.rint(-p * math.log(p) * 1e9) / 1e9
+    val expect = BigDecimal(t(0.9) + 10 * t(0.01))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h === expect, s"entropy $h vs $expect")
+  }
+
+  test("uniform keys approach ln(n); hot keys depress entropy") {
+    val uniform = (1L to 64L).map(Tuple1(_)).toDF("k")
+    val hU = Skew.joinKeySkewReport(uniform, Seq("k"))
+      .select(col("entropy")).as[Double].head()
+    assert(math.abs(hU - math.log(64.0)) < 1e-6)
+    val hot = (Seq.fill(63)(1L) ++ Seq(2L)).map(Tuple1(_)).toDF("k")
+    val hH = Skew.joinKeySkewReport(hot, Seq("k"))
+      .select(col("entropy")).as[Double].head()
+    assert(hH < 0.1 && hH < hU)
+  }
+
+  test("report is partition-invariant on real lineitem keys") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val a = Skew.joinKeySkewReport(li, Seq("l_partkey", "l_suppkey"))
+    val b = Skew.joinKeySkewReport(li.repartition(13),
+      Seq("l_partkey", "l_suppkey"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
