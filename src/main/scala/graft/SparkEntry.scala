@@ -722,6 +722,8 @@ object SparkEntry {
     "q177_skew_report" -> ((s, dir) =>
       Skew.joinKeySkewReport(Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+    "q178_conversion_ci" -> ((s, dir) =>
+      Relational.conversionWilson(Tables.events(s, dir))),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3390,6 +3392,39 @@ object SparkEntry {
         |  round(CAST(sum(term) / CAST(1000000000 AS DECIMAL(10,0))
         |    AS DOUBLE), 6) AS entropy
         |FROM t GROUP BY 1""".stripMargin,
+    // q178: one literal-mirrored IEEE chain (every literal cast to
+    // DOUBLE); counts exact
+    "q178_conversion_ci" ->
+      """WITH pu AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS BIGINT) AS epoch_day, user_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT epoch_day,
+        |         CAST(sum(v) AS BIGINT) AS trials,
+        |         CAST(sum(v * p) AS BIGINT) AS conversions
+        |  FROM pu GROUP BY 1),
+        |c AS (SELECT epoch_day, trials, conversions,
+        |        CAST(conversions AS DOUBLE) / CAST(trials AS DOUBLE) AS p,
+        |        CAST(trials AS DOUBLE) AS n,
+        |        CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+        |      FROM d WHERE trials > 0)
+        |SELECT epoch_day, trials, conversions, round(p, 6) AS rate,
+        |  round(((p + z2 / (CAST(2.0 AS DOUBLE) * n)) -
+        |    CAST(1.96 AS DOUBLE) *
+        |      sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n +
+        |        z2 / (CAST(4.0 AS DOUBLE) * n * n))) /
+        |    (CAST(1.0 AS DOUBLE) + z2 / n), 6) AS wilson_lo,
+        |  round(((p + z2 / (CAST(2.0 AS DOUBLE) * n)) +
+        |    CAST(1.96 AS DOUBLE) *
+        |      sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n +
+        |        z2 / (CAST(4.0 AS DOUBLE) * n * n))) /
+        |    (CAST(1.0 AS DOUBLE) + z2 / n), 6) AS wilson_hi
+        |FROM c""".stripMargin,
   )
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,

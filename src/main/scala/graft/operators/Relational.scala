@@ -1777,6 +1777,50 @@ object Relational {
         col("approx_rank_ok"))
   }
 
+  /** Q178: conversion rate with WILSON 95% confidence bounds — the
+    * statistically honest form of the daily view→purchase rate: the
+    * plain ratio on a 50-view day swings wildly, and the normal
+    * approximation misbehaves near 0/1; Wilson's score interval is the
+    * standard fix (what A/B dashboards should use). Emitted per day:
+    * trials (views), conversions (purchases), the point rate, and the
+    * Wilson bounds at z = 1.96.
+    *
+    * The binomial framing needs conversions ⊆ trials, so rates are
+    * per-USER: trials = distinct users who viewed that day, conversions
+    * = viewing users who also purchased that day (raw event counts can
+    * exceed 1 purchase per view and push p past 1 — sqrt of a negative).
+    * Counts are exact integers; the interval is ONE literal-mirrored
+    * IEEE double chain (every literal cast to DOUBLE in the oracle — the
+    * q139 lesson), no accumulation, rounded at 6dp. Days with zero
+    * viewers emit nothing.
+    */
+  def conversionWilson(events: DataFrame, z: Double = 1.96): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(
+        max((col("event_type") === "view").cast("int")).as("__v"),
+        max((col("event_type") === "purchase").cast("int")).as("__p"))
+      .groupBy(col("day"))
+      .agg(
+        sum(col("__v").cast("long")).as("trials"),
+        sum((col("__v") * col("__p")).cast("long")).as("conversions"))
+      .filter(col("trials") > 0)
+    val n = col("trials").cast("double")
+    val p = col("conversions").cast("double") / n
+    val z2 = lit(z) * lit(z)
+    val center = p + z2 / (lit(2.0) * n)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2 / n
+    daily.select(
+      datediff(col("day"), lit("1970-01-01")).cast("long").as("epoch_day"),
+      col("trials"), col("conversions"),
+      round(p, 6).as("rate"),
+      round((center - margin) / denom, 6).as("wilson_lo"),
+      round((center + margin) / denom, 6).as("wilson_hi"))
+  }
+
   /** Q176: SEQUENTIAL pattern mining, the trigram unit step — which
     * ordered event-type triples do users actually walk, and how many
     * distinct users support each? The transition matrix (q72) sees only

@@ -38,6 +38,32 @@ class SkewReportSpec extends SparkSpec {
     assert(hH < 0.1 && hH < hU)
   }
 
+  test("wilson interval: hand case, containment, and the small-n widening") {
+    import graft.operators.Relational
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // day 1: 4 viewers, 1 converts (conversion needs BOTH same day);
+    // a purchase-only user must not count as a trial or a conversion
+    val ev = ((1L to 4L).map(u =>
+      (u, "view", ts("2024-01-05 08:00:00"))) ++ Seq(
+      (1L, "purchase", ts("2024-01-05 09:00:00")),
+      (9L, "purchase", ts("2024-01-05 09:00:00"))))
+      .toDF("user_id", "event_type", "ts")
+    val r = Relational.conversionWilson(ev)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    val (_, trials, conv, rate, lo, hi) = r
+    assert((trials, conv, rate) == ((4L, 1L, 0.25)))
+    // Wilson hand-check: z=1.96, n=4, p=0.25
+    val z = 1.96; val n = 4.0; val p = 0.25; val z2 = z * z
+    val c0 = p + z2 / (2.0 * n)
+    val m = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    val d = 1.0 + z2 / n
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(lo === r6((c0 - m) / d) && hi === r6((c0 + m) / d),
+      s"got ($lo, $hi)")
+    assert(lo >= 0.0 && hi <= 1.0 && lo < rate && rate < hi)
+  }
+
   test("report is partition-invariant on real lineitem keys") {
     val li = graft.Tables.lineitem(spark, sf)
     val a = Skew.joinKeySkewReport(li, Seq("l_partkey", "l_suppkey"))
