@@ -724,6 +724,10 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
     "q178_conversion_ci" -> ((s, dir) =>
       Relational.conversionWilson(Tables.events(s, dir))),
+    "q179_ab_ztest" -> ((s, dir) =>
+      Relational.abConversionZ(Tables.events(s, dir))),
+    "q180_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir), "text", "lang")),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3425,6 +3429,66 @@ object SparkEntry {
         |        z2 / (CAST(4.0 AS DOUBLE) * n * n))) /
         |    (CAST(1.0 AS DOUBLE) + z2 / n), 6) AS wilson_hi
         |FROM c""".stripMargin,
+    // q179: same user-DAY conversion semantics as q178 (lifetime
+    // conversion saturates to 1 here and zeroes the z denominator)
+    "q179_ab_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id, CAST(ts AS DATE)),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN v ELSE 0 END)
+        |           AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN v * p ELSE 0 END)
+        |           AS BIGINT) AS x_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN v ELSE 0 END)
+        |           AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN v * p ELSE 0 END)
+        |           AS BIGINT) AS x_b
+        |  FROM pu),
+        |c AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |         CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |         CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |         CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |           AS pool
+        |  FROM a)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  round((pa - pb) / sqrt(pool * (CAST(1.0 AS DOUBLE) - pool) *
+        |    (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |     CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))), 6) AS z_stat,
+        |  CAST(abs((pa - pb) / sqrt(pool * (CAST(1.0 AS DOUBLE) - pool) *
+        |    (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |     CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))) >
+        |    CAST(1.96 AS DOUBLE) AS INTEGER) AS significant
+        |FROM c""".stripMargin,
+    // q180: the q14 heuristic replayed per doc, then the row-normalized
+    // confusion cells (recall reads off the diagonal)
+    "q180_lang_confusion" ->
+      """WITH pred AS (
+        |  SELECT lang AS lang_declared,
+        |    CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |         WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        |         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pas)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|del|que|por|con|para)\b')) AS h_es
+        |    FROM documents)),
+        |cells AS (SELECT lang_declared, lang_pred, count(*) AS n
+        |          FROM pred GROUP BY 1, 2),
+        |t AS (SELECT lang_declared,
+        |        CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1)
+        |SELECT c.lang_declared, c.lang_pred, c.n,
+        |       (c.n * 1000000) // t.rt AS row_ppm
+        |FROM cells c JOIN t USING (lang_declared)""".stripMargin,
   )
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,

@@ -1821,6 +1821,50 @@ object Relational {
       round((center + margin) / denom, 6).as("wilson_hi"))
   }
 
+  /** Q179: two-proportion A/B z-test — the experiment-readout primitive:
+    * users split into arms by id parity (deterministic, and exactly how
+    * a real assignment hash works), conversion at USER-DAY granularity
+    * as in q178 (viewing user-days vs user-days that also purchased, so
+    * x ⊆ n per arm; corpus-LIFETIME conversion saturates to 1 on this
+    * data — every user eventually purchases — and a saturated pool
+    * zeroes the z denominator), then the pooled two-proportion
+    * z statistic
+    * {{{ z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)) }}}
+    * and the |z| > 1.96 significance verdict. Counts exact; the z chain
+    * is one literal-mirrored IEEE expression; the verdict is a double
+    * compare both engines resolve identically.
+    */
+  def abConversionZ(events: DataFrame, z: Double = 1.96): DataFrame = {
+    val perUser = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("__day"))
+      .agg(max((col("event_type") === "view").cast("int")).as("__v"),
+        max((col("event_type") === "purchase").cast("int")).as("__p"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("__v"),
+        (col("__v") * col("__p")).as("__c"))
+    val one = perUser.agg(
+      sum(when(col("arm") === 0, col("__v")).otherwise(0)).cast("long")
+        .as("n_a"),
+      sum(when(col("arm") === 0, col("__c")).otherwise(0)).cast("long")
+        .as("x_a"),
+      sum(when(col("arm") === 1, col("__v")).otherwise(0)).cast("long")
+        .as("n_b"),
+      sum(when(col("arm") === 1, col("__c")).otherwise(0)).cast("long")
+        .as("x_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("x_a").cast("double") / na
+    val pb = col("x_b").cast("double") / nb
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val zStat = (pa - pb) /
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    one.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(zStat, 6).as("z_stat"),
+      (abs(zStat) > lit(z)).cast("int").as("significant"))
+  }
+
   /** Q176: SEQUENTIAL pattern mining, the trigram unit step — which
     * ordered event-type triples do users actually walk, and how many
     * distinct users support each? The transition matrix (q72) sees only

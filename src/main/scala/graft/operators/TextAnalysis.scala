@@ -830,6 +830,34 @@ object TextAnalysis {
       .filter(col("pos") <= topK)
   }
 
+  /** Q180: LANGUAGE-ID CONFUSION MATRIX — evaluate the n-gram heuristic
+    * classifier (q14) against the corpus's declared labels: one row per
+    * (declared, predicted) cell with count and the cell's share of the
+    * declared language (integer ppm, row-normalized — the standard
+    * confusion-matrix view, so per-language recall reads straight off
+    * the diagonal). The audit an ingest pipeline runs before trusting
+    * either column: a hot off-diagonal cell means the heuristic (or the
+    * upstream label) is systematically wrong for that pair.
+    *
+    * One map-only classification pass + one (declared, predicted)
+    * aggregate; the row totals ride a window over the |langs|²-bounded
+    * cell table.
+    */
+  def langConfusion(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs
+      .select(col(langCol).as("lang_declared"),
+        langIdColumn(col(textCol)).as("lang_pred"))
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("__rt", sum(col("n"))
+        .over(Window.partitionBy(col("lang_declared"))))
+      .select(col("lang_declared"), col("lang_pred"), col("n"),
+        expr("(n * 1000000) div __rt").as("row_ppm"))
+  }
+
   def readability(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))

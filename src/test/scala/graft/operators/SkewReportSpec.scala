@@ -64,6 +64,44 @@ class SkewReportSpec extends SparkSpec {
     assert(lo >= 0.0 && hi <= 1.0 && lo < rate && rate < hi)
   }
 
+  test("ab z-test: hand counts, pooled z, significance verdict") {
+    import graft.operators.Relational
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // arm 0 (even users): user-days 2@d1, 4@d1 -> 2 trials, 1 converts;
+    // arm 1 (odd): 1@d1, 3@d1 -> 2 trials, both convert
+    val ev = Seq(
+      (2L, "view", ts("2024-01-05 08:00:00")),
+      (2L, "purchase", ts("2024-01-05 09:00:00")),
+      (4L, "view", ts("2024-01-05 08:00:00")),
+      (1L, "view", ts("2024-01-05 08:00:00")),
+      (1L, "purchase", ts("2024-01-05 09:00:00")),
+      (3L, "view", ts("2024-01-05 08:00:00")),
+      (3L, "purchase", ts("2024-01-05 09:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val r = Relational.abConversionZ(ev)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Int)].head()
+    assert((r._1, r._2, r._3, r._4) == ((2L, 1L, 2L, 2L)))
+    // z = (0.5 - 1.0)/sqrt(0.75*0.25*(1/2+1/2)) = -1.154701
+    assert(r._5 === 0.5 && r._6 === 1.0)
+    assert(r._7 === -1.154701 && r._8 === 0, s"got $r")
+  }
+
+  test("lang confusion: diagonal recall and off-diagonal cells in ppm") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("en", "the cat and the dog of the town is that it was for"),
+      ("en", "the house and garden of it is that"),
+      ("de", "der hund und die katze ist nicht ein problem"),
+      ("de", "the quick brown fox jumps over the lazy dog")) // mislabeled
+      .toDF("lang", "text")
+    val got = TextAnalysis.langConfusion(docs, "text", "lang")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("en", "en")) == ((2L, 1000000L)))
+    assert(got(("de", "de")) == ((1L, 500000L)))
+    assert(got(("de", "en")) == ((1L, 500000L)), s"got $got")
+  }
+
   test("report is partition-invariant on real lineitem keys") {
     val li = graft.Tables.lineitem(spark, sf)
     val a = Skew.joinKeySkewReport(li, Seq("l_partkey", "l_suppkey"))
