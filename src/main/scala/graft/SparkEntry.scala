@@ -728,6 +728,15 @@ object SparkEntry {
       Relational.abConversionZ(Tables.events(s, dir))),
     "q180_lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir), "text", "lang")),
+    "q181_markov_kstep" -> ((s, dir) =>
+      Relational.markovKStep(Tables.events(s, dir), steps = 4)),
+    // q182: baskets = orders, items = parts on the order's lineitems
+    "q182_basket_pairs" -> ((s, dir) =>
+      Graph.basketPairLift(
+        Tables.lineitem(s, dir).select(
+          org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2, maxBasketSize = 20)),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3489,6 +3498,76 @@ object SparkEntry {
         |SELECT c.lang_declared, c.lang_pred, c.n,
         |       (c.n * 1000000) // t.rt AS row_ppm
         |FROM cells c JOIN t USING (lang_declared)""".stripMargin,
+    // q181: the same 4 integer flow rounds unrolled (q158 discipline on
+    // a row-stochastic matrix)
+    "q181_markov_kstep" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev, event_type AS cur, count(*) AS c
+        |       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |trr AS MATERIALIZED (
+        |  SELECT prev, cur, c,
+        |         CAST(sum(c) OVER (PARTITION BY prev) AS BIGINT) AS rs
+        |  FROM tr),
+        |st AS MATERIALIZED (SELECT DISTINCT prev FROM trr),
+        |v0 AS (SELECT prev AS state,
+        |         1000000 // (SELECT count(*) FROM st) AS mass FROM st),
+        |v1 AS MATERIALIZED (
+        |  SELECT state, CAST(sum(mass) AS BIGINT) AS mass FROM (
+        |    SELECT t.cur AS state,
+        |           CAST(sum((v.mass * t.c) // t.rs) AS BIGINT) AS mass
+        |    FROM trr t JOIN v0 v ON v.state = t.prev GROUP BY 1
+        |    UNION ALL
+        |    SELECT v.state, v.mass FROM v0 v
+        |    WHERE v.state NOT IN (SELECT prev FROM st))
+        |  GROUP BY 1),
+        |v2 AS MATERIALIZED (
+        |  SELECT state, CAST(sum(mass) AS BIGINT) AS mass FROM (
+        |    SELECT t.cur AS state,
+        |           CAST(sum((v.mass * t.c) // t.rs) AS BIGINT) AS mass
+        |    FROM trr t JOIN v1 v ON v.state = t.prev GROUP BY 1
+        |    UNION ALL
+        |    SELECT v.state, v.mass FROM v1 v
+        |    WHERE v.state NOT IN (SELECT prev FROM st))
+        |  GROUP BY 1),
+        |v3 AS MATERIALIZED (
+        |  SELECT state, CAST(sum(mass) AS BIGINT) AS mass FROM (
+        |    SELECT t.cur AS state,
+        |           CAST(sum((v.mass * t.c) // t.rs) AS BIGINT) AS mass
+        |    FROM trr t JOIN v2 v ON v.state = t.prev GROUP BY 1
+        |    UNION ALL
+        |    SELECT v.state, v.mass FROM v2 v
+        |    WHERE v.state NOT IN (SELECT prev FROM st))
+        |  GROUP BY 1),
+        |v4 AS MATERIALIZED (
+        |  SELECT state, CAST(sum(mass) AS BIGINT) AS mass FROM (
+        |    SELECT t.cur AS state,
+        |           CAST(sum((v.mass * t.c) // t.rs) AS BIGINT) AS mass
+        |    FROM trr t JOIN v3 v ON v.state = t.prev GROUP BY 1
+        |    UNION ALL
+        |    SELECT v.state, v.mass FROM v3 v
+        |    WHERE v.state NOT IN (SELECT prev FROM st))
+        |  GROUP BY 1)
+        |SELECT state, mass AS mass_micros FROM v4""".stripMargin,
+    // q182: capped basket pair join; lift on pure integers
+    "q182_basket_pairs" ->
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it
+        |            FROM lineitem),
+        |sz AS (SELECT b, count(*) AS bs FROM b0 GROUP BY 1),
+        |i AS MATERIALIZED (
+        |  SELECT b0.b, b0.it FROM b0 JOIN sz USING (b) WHERE bs <= 20),
+        |tot AS (SELECT count(DISTINCT b) AS nb FROM i),
+        |s AS (SELECT it, count(*) AS cnt FROM i GROUP BY 1),
+        |p AS (SELECT a.it AS it_a, b2.it AS it_b, count(*) AS co
+        |      FROM i a JOIN i b2 ON a.b = b2.b AND a.it < b2.it
+        |      GROUP BY 1, 2)
+        |SELECT p.it_a, p.it_b, p.co,
+        |  (p.co * tot.nb * 1000000) // (sa.cnt * sb.cnt) AS lift_ppm
+        |FROM p JOIN s sa ON sa.it = p.it_a JOIN s sb ON sb.it = p.it_b, tot
+        |WHERE p.co >= 2""".stripMargin,
   )
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,

@@ -215,6 +215,52 @@ object Graph {
           sqrt((col("d_a") * col("d_b")).cast("double")), 6).as("cosine"))
   }
 
+  /** Q182: MARKET-BASKET pair mining — frequent same-basket item pairs
+    * with support and LIFT, the classic association-rule unit (distinct
+    * from [[itemCosineSimilarity]]: that one finds items bought by the
+    * same CUSTOMERS across baskets; this one finds items bought
+    * TOGETHER). lift = P(a,b)/(P(a)·P(b)) computed entirely on integers
+    * as (co·N·10⁶) div (c_a·c_b) — > 10⁶ means genuinely associated,
+    * < 10⁶ anti-associated.
+    *
+    * Scale: per-basket pair fan-out is basket-size² — real basket data
+    * has a heavy tail (a wholesale order with 10⁴ items contributes 10⁸
+    * pairs), so baskets above `maxBasketSize` are excluded up front
+    * (standard practice; such baskets carry no pairwise signal). The
+    * min-support floor prunes before lift joins. Magnitudes: co ≤ N, so
+    * co·N·10⁶ stays far inside long for any realistic basket count per
+    * partition of a date-bucketed run.
+    */
+  def basketPairLift(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Int = 5,
+      maxBasketSize: Int = 20): DataFrame = {
+    require(minSupport >= 1 && maxBasketSize >= 2,
+      s"bad params: minSupport=$minSupport maxBasketSize=$maxBasketSize")
+    val b0 = baskets.select(col(basketCol).cast("long").as("b"),
+      col(itemCol).cast("long").as("it")).distinct()
+    val capped = b0
+      .withColumn("__bs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .filter(col("__bs") <= maxBasketSize)
+      .select(col("b"), col("it"))
+      .localCheckpoint(false)
+    val tot = capped.agg(countDistinct(col("b")).as("nb"))
+    val supp = capped.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+    capped.select(col("b"), col("it").as("it_a"))
+      .join(capped.select(col("b"), col("it").as("it_b")), Seq("b"))
+      .filter(col("it_a") < col("it_b"))
+      .groupBy(col("it_a"), col("it_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minSupport)
+      .join(supp.select(col("it").as("it_a"), col("cnt").as("c_a")),
+        Seq("it_a"))
+      .join(supp.select(col("it").as("it_b"), col("cnt").as("c_b")),
+        Seq("it_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("it_a"), col("it_b"), col("co"),
+        expr("(co * nb * 1000000) div (c_a * c_b)").as("lift_ppm"))
+  }
+
   /** Q163: per-node TRIANGLE COUNT + local clustering coefficient over an
     * undirected pair graph — the near-dup-graph DIAGNOSTIC the keep-one
     * policy (q55/q156) silently assumes: near-duplication is

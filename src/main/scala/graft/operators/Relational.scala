@@ -1865,6 +1865,55 @@ object Relational {
       (abs(zStat) > lit(z)).cast("int").as("significant"))
   }
 
+  /** Q181: k-STEP MARKOV distribution over the event-transition matrix —
+    * q72's matrix put to work: starting uniform, where does probability
+    * mass sit after `steps` transitions? The forward-looking journey
+    * summary ("after 4 clicks of behavior, users are mostly in X") that
+    * the static matrix doesn't answer. Exact integer flows (the q158
+    * discipline): mass in micro-units, per-edge flow = (v(s)·c(s,t)) div
+    * rowsum(s), floor division only — engine- and partition-identical,
+    * oracle-unrollable. Floor losses stay in the system as dropped
+    * micro-units (documented; sums stay within |states| micros of 10⁶).
+    *
+    * The transition counts come from per-user (prev → cur) steps over
+    * the (ts, event_id) total order. All post-count tables are
+    * |event-types|²-sized — the corpus is touched once. ABSORBING
+    * states (targets with no outgoing transitions) carry their mass
+    * forward unchanged — without the carry-over a sink state would
+    * silently DRAIN mass from the system each round.
+    */
+  def markovKStep(events: DataFrame, steps: Int = 4): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps out of range: $steps")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rs", sum(col("c"))
+        .over(Window.partitionBy(col("prev"))))
+      .localCheckpoint(false)
+    val sources = trans.select(col("prev")).distinct()
+    val states = sources.select(col("prev").as("state"))
+    val nStates = states.count()
+    var v = states.withColumn("mass",
+      expr(s"1000000 div ${nStates}L"))
+    var i = 0
+    while (i < steps) {
+      val flows = trans.join(v, col("prev") === col("state"))
+        .groupBy(col("cur").as("state"))
+        .agg(sum(expr("(mass * c) div rs")).as("mass"))
+      val absorbed = v.join(sources, col("state") === col("prev"),
+        "left_anti")
+      v = flows.unionByName(absorbed)
+        .groupBy(col("state")).agg(sum(col("mass")).as("mass"))
+      i += 1
+    }
+    v.select(col("state"), col("mass").as("mass_micros"))
+  }
+
   /** Q176: SEQUENTIAL pattern mining, the trigram unit step — which
     * ordered event-type triples do users actually walk, and how many
     * distinct users support each? The transition matrix (q72) sees only

@@ -60,6 +60,49 @@ class LpaMultiTouchSpec extends SparkSpec {
     assert(all.contains(("a", "c", "b")))
   }
 
+  // ---- q181 markovKStep ----------------------------------------------
+
+  test("markov k-step: hand flows, floor losses, absorbing carry-over") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-05 $h%02d:00:00")
+    // transitions: a->b twice (users 1,2), b->a once, b->c once; c absorbs
+    val ev = Seq(
+      (1L, 10L, "a", ts(1)), (1L, 11L, "b", ts(2)), (1L, 12L, "a", ts(3)),
+      (2L, 20L, "a", ts(1)), (2L, 21L, "b", ts(2)), (2L, 22L, "c", ts(3)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    // counts: a->b: 2 (rs_a=2); b->a: 1, b->c: 1 (rs_b=2); states {a,b}
+    // v0 = 500000 each
+    // step1: b += 500000 (from a); a += 250000, c += 250000 (from b)
+    val v1 = Relational.markovKStep(ev, steps = 1)
+      .as[(String, Long)].collect().toMap
+    assert(v1 == Map("a" -> 250000L, "b" -> 500000L, "c" -> 250000L), s"$v1")
+    // step2: from a(250k)->b 250k; from b(500k)->a 250k, c 250k;
+    // c's 250k CARRIES (absorbing): c = 250k + 250k
+    val v2 = Relational.markovKStep(ev, steps = 2)
+      .as[(String, Long)].collect().toMap
+    assert(v2 == Map("a" -> 250000L, "b" -> 250000L, "c" -> 500000L), s"$v2")
+    assert(v2.values.sum === 1000000L, "mass conserved incl. absorber")
+  }
+
+  // ---- q182 basketPairLift -------------------------------------------
+
+  test("basket pairs: hand lift, support floor, oversized-basket cap") {
+    // baskets: {A,B} x3, {A,C}, {B,C}; N=5 capped baskets
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 10L), (4L, 30L), (5L, 20L), (5L, 30L))
+    val got = Graph.basketPairLift(rows.toDF("b", "it"), "b", "it",
+      minSupport = 2, maxBasketSize = 20)
+      .as[(Long, Long, Long, Long)].collect()
+    // co(10,20)=3, c10=4, c20=4, N=5 -> lift = 3*5*1e6 // 16 = 937500
+    assert(got.toSeq === Seq((10L, 20L, 3L, 937500L)), s"got ${got.toSeq}")
+    // a giant basket holding the only 40-50 pair is capped away
+    val withGiant = rows ++ (1L to 25L).map(i => (9L, 100L + i)) ++
+      Seq((9L, 40L), (9L, 50L))
+    val capped = Graph.basketPairLift(withGiant.toDF("b", "it"), "b", "it",
+      minSupport = 1, maxBasketSize = 20)
+      .select(col("it_a"), col("it_b")).as[(Long, Long)].collect().toSet
+    assert(!capped.contains((40L, 50L)), s"got $capped")
+  }
+
   // ---- q175 itemCosineSimilarity -------------------------------------
 
   test("item-cf: hand cosine, minCo floor, and the hot-user cap") {
