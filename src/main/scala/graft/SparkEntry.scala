@@ -730,6 +730,8 @@ object SparkEntry {
       TextAnalysis.langConfusion(Tables.documents(s, dir), "text", "lang")),
     "q181_markov_kstep" -> ((s, dir) =>
       Relational.markovKStep(Tables.events(s, dir), steps = 4)),
+    "q183_length_powerlaw" -> ((s, dir) =>
+      TextAnalysis.docLengthPowerLaw(Tables.documents(s, dir), "n_chars")),
     // q182: baskets = orders, items = parts on the order's lineitems
     "q182_basket_pairs" -> ((s, dir) =>
       Graph.basketPairLift(
@@ -3568,6 +3570,28 @@ object SparkEntry {
         |  (p.co * tot.nb * 1000000) // (sa.cnt * sb.cnt) AS lift_ppm
         |FROM p JOIN s sa ON sa.it = p.it_a JOIN s sb ON sb.it = p.it_b, tot
         |WHERE p.co >= 2""".stripMargin,
+    // q183: integer log2 binning (binary-string length — float log can
+    // misbin exact powers of two); regr_* parity per q99
+    "q183_length_powerlaw" ->
+      """WITH b AS (
+        |  SELECT CAST(length(bin(CAST(n_chars AS BIGINT))) - 1 AS BIGINT)
+        |           AS bin,
+        |         count(*) AS n_docs
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1),
+        |f AS (
+        |  SELECT regr_slope(ln(CAST(n_docs AS DOUBLE)),
+        |           ln(power(CAST(2.0 AS DOUBLE), CAST(bin AS DOUBLE))))
+        |           AS slope,
+        |         regr_intercept(ln(CAST(n_docs AS DOUBLE)),
+        |           ln(power(CAST(2.0 AS DOUBLE), CAST(bin AS DOUBLE))))
+        |           AS intercept,
+        |         regr_r2(ln(CAST(n_docs AS DOUBLE)),
+        |           ln(power(CAST(2.0 AS DOUBLE), CAST(bin AS DOUBLE))))
+        |           AS r2
+        |  FROM b)
+        |SELECT b.bin, b.n_docs, round(f.slope, 6) AS slope,
+        |       round(f.intercept, 6) AS intercept, round(f.r2, 6) AS r2
+        |FROM b, f""".stripMargin,
   )
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,

@@ -858,6 +858,45 @@ object TextAnalysis {
         expr("(n * 1000000) div __rt").as("row_ppm"))
   }
 
+  /** Q183: DOC-LENGTH POWER-LAW FIT — corpus shape diagnostics: bucket
+    * document lengths into log₂ bins and fit ln(count) against
+    * ln(bin center) with OLS. Web-scale text lengths are roughly
+    * power-law; a slope far from the expected regime (or a broken fit)
+    * is the cheap tripwire for truncation bugs, boilerplate floods, or
+    * a generator change upstream. Emits the per-bin histogram rows plus
+    * the fitted slope/intercept/r² repeated alongside (one result set,
+    * self-describing).
+    *
+    * Cross-engine: bins are integer (floor log₂ via bit length — no
+    * float log in the binning); the fit uses regr_slope/intercept/r2 on
+    * ln() doubles (q99 parity precedent). The histogram is one
+    * map-side-combinable aggregate; the fit runs over |bins| rows.
+    */
+  def docLengthPowerLaw(docs: DataFrame, lenCol: String): DataFrame = {
+    val bins = docs
+      .filter(col(lenCol) > 0)
+      // floor(log2(n)) = 63 - leading zeros; expressed portably as the
+      // bit length of the value via repeated comparison-free arithmetic:
+      // floor(ln(n)/ln(2)) on doubles can misbin exact powers of two, so
+      // use the integer form both engines share: length of the binary
+      // string minus 1
+      .select((length(conv(col(lenCol).cast("long").cast("string"),
+        10, 2)) - 1).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_docs"))
+    val fit = bins.agg(
+      regr_slope(log(col("n_docs").cast("double")),
+        log(pow(lit(2.0), col("bin").cast("double")))).as("slope"),
+      regr_intercept(log(col("n_docs").cast("double")),
+        log(pow(lit(2.0), col("bin").cast("double")))).as("intercept"),
+      regr_r2(log(col("n_docs").cast("double")),
+        log(pow(lit(2.0), col("bin").cast("double")))).as("r2"))
+    bins.crossJoin(broadcast(fit))
+      .select(col("bin"), col("n_docs"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+  }
+
   def readability(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))

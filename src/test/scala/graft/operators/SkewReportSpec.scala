@@ -102,6 +102,23 @@ class SkewReportSpec extends SparkSpec {
     assert(got(("de", "en")) == ((1L, 500000L)), s"got $got")
   }
 
+  test("power-law fit: exact-power-of-two binning and a perfect-fit line") {
+    import graft.operators.TextAnalysis
+    // lengths planted on exact powers of two: 2^k appears 2^(8-k) times
+    // -> ln(count) = 8 ln2 - 1.0 * ln(center): slope exactly -1, r2 = 1
+    val rows = (for (k <- 2 to 6; _ <- 1 to (1 << (8 - k)))
+      yield (1 << k).toLong).map(Tuple1(_)).toDF("n_chars")
+    val got = TextAnalysis.docLengthPowerLaw(rows, "n_chars")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val bins = got.map(r => r._1 -> r._2).toMap
+    // the integer binning must put 2^k in bin k, not k-1 (the float-log
+    // trap this binning exists to avoid)
+    assert(bins == Map(2L -> 64L, 3L -> 32L, 4L -> 16L, 5L -> 8L,
+      6L -> 4L), s"got $bins")
+    assert(got.forall(r => r._3 === -1.0 && r._5 === 1.0),
+      s"slope/r2: ${got.head}")
+  }
+
   test("report is partition-invariant on real lineitem keys") {
     val li = graft.Tables.lineitem(spark, sf)
     val a = Skew.joinKeySkewReport(li, Seq("l_partkey", "l_suppkey"))
