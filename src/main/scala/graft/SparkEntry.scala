@@ -598,9 +598,11 @@ object SparkEntry {
       Relational.dailyAnomalyWindows(Tables.events(s, dir),
         trailing = 7, sigma = 2.0)),
     // q158: customer↔supplier interaction bipartite (both edge
-    // orientations); node ids disambiguate as supplier + 1e6. Ranks are
-    // exact integer micro-units, so the oracle unrolls the same 4
-    // power-iteration rounds as CTEs and matches bit-for-bit
+    // orientations); node ids disambiguate by PARITY (customer 2k,
+    // supplier 2k+1) — an offset scheme collides once keys outgrow it
+    // (custkey = 150k·SF passes 1e6 at SF≈7). Ranks are exact integer
+    // micro-units, so the oracle unrolls the same 4 power-iteration
+    // rounds as CTEs and matches bit-for-bit
     "q158_pagerank" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
       val e0 = Tables.orders(s, dir)
@@ -609,17 +611,16 @@ object SparkEntry {
         .select(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
         .distinct()
       val edges = e0.select(f.explode(f.array(
-        f.struct(f.col("c").as("src"),
-          (f.col("sk") + f.lit(1000000L)).as("dst")),
-        f.struct((f.col("sk") + f.lit(1000000L)).as("src"),
-          f.col("c").as("dst")))).as("e"))
+        f.struct((f.col("c") * f.lit(2L)).as("src"),
+          (f.col("sk") * f.lit(2L) + f.lit(1L)).as("dst")),
+        f.struct((f.col("sk") * f.lit(2L) + f.lit(1L)).as("src"),
+          (f.col("c") * f.lit(2L)).as("dst")))).as("e"))
         .select(f.col("e.src").as("src"), f.col("e.dst").as("dst"))
       Graph.pageRankMicros(edges, "src", "dst", iters = 4)
         .select(
-          f.when(f.col("node") >= 1000000L, f.lit("supplier"))
+          f.when(f.col("node") % 2 === 1, f.lit("supplier"))
             .otherwise(f.lit("customer")).as("kind"),
-          f.when(f.col("node") >= 1000000L, f.col("node") - 1000000L)
-            .otherwise(f.col("node")).as("key"),
+          f.expr("node div 2").as("key"),
           f.col("rank"))
     }),
     "q159_trigram_backoff" -> ((s, dir) =>
@@ -668,18 +669,17 @@ object SparkEntry {
         .groupBy(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
         .agg(f.count(f.lit(1)).as("w"))
       val edges = e0.select(f.explode(f.array(
-        f.struct(f.col("c").as("src"),
-          (f.col("sk") + f.lit(1000000L)).as("dst"), f.col("w")),
-        f.struct((f.col("sk") + f.lit(1000000L)).as("src"),
-          f.col("c").as("dst"), f.col("w")))).as("e"))
+        f.struct((f.col("c") * f.lit(2L)).as("src"),
+          (f.col("sk") * f.lit(2L) + f.lit(1L)).as("dst"), f.col("w")),
+        f.struct((f.col("sk") * f.lit(2L) + f.lit(1L)).as("src"),
+          (f.col("c") * f.lit(2L)).as("dst"), f.col("w")))).as("e"))
         .select(f.col("e.src").as("src"), f.col("e.dst").as("dst"),
           f.col("e.w").as("w"))
       Graph.pageRankMicrosWeighted(edges, "src", "dst", "w", iters = 4)
         .select(
-          f.when(f.col("node") >= 1000000L, f.lit("supplier"))
+          f.when(f.col("node") % 2 === 1, f.lit("supplier"))
             .otherwise(f.lit("customer")).as("kind"),
-          f.when(f.col("node") >= 1000000L, f.col("node") - 1000000L)
-            .otherwise(f.col("node")).as("key"),
+          f.expr("node div 2").as("key"),
           f.col("rank"))
     }),
     // q171: the oracle is the FULL REBUILD over all days — the merge's
@@ -700,17 +700,16 @@ object SparkEntry {
         .select(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
         .distinct()
       val edges = e0.select(f.explode(f.array(
-        f.struct(f.col("c").as("src"),
-          (f.col("sk") + f.lit(1000000L)).as("dst")),
-        f.struct((f.col("sk") + f.lit(1000000L)).as("src"),
-          f.col("c").as("dst")))).as("e"))
+        f.struct((f.col("c") * f.lit(2L)).as("src"),
+          (f.col("sk") * f.lit(2L) + f.lit(1L)).as("dst")),
+        f.struct((f.col("sk") * f.lit(2L) + f.lit(1L)).as("src"),
+          (f.col("c") * f.lit(2L)).as("dst")))).as("e"))
         .select(f.col("e.src").as("src"), f.col("e.dst").as("dst"))
       Graph.labelPropagation(edges, "src", "dst", iters = 4)
         .select(
-          f.when(f.col("node") >= 1000000L, f.lit("supplier"))
+          f.when(f.col("node") % 2 === 1, f.lit("supplier"))
             .otherwise(f.lit("customer")).as("kind"),
-          f.when(f.col("node") >= 1000000L, f.col("node") - 1000000L)
-            .otherwise(f.col("node")).as("key"),
+          f.expr("node div 2").as("key"),
           f.col("lbl").as("community"))
     }),
     "q174_multitouch" -> ((s, dir) =>
@@ -2973,14 +2972,13 @@ object SparkEntry {
       s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
          |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |e AS MATERIALIZED (
-         |      SELECT c AS src, 1000000 + sk AS dst FROM e0
+         |      SELECT 2 * c AS src, 2 * sk + 1 AS dst FROM e0
          |      UNION ALL
-         |      SELECT 1000000 + sk AS src, c AS dst FROM e0),
+         |      SELECT 2 * sk + 1 AS src, 2 * c AS dst FROM e0),
          |${pageRankRoundsSql(4)}
-         |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+         |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
          |         AS kind,
-         |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
-         |         AS key,
+         |       node // 2 AS key,
          |       rnk AS "rank"
          |FROM r4""".stripMargin,
     // q159: counts from the train split, held-out docs scored with the
@@ -3080,15 +3078,16 @@ object SparkEntry {
         |         CAST(min(epoch_us(ts)) AS BIGINT) AS s,
         |         CAST(max(epoch_us(ts)) AS BIGINT) AS e
         |  FROM events GROUP BY 1, 2),
-        |p AS (SELECT a.day AS day, a.user_id AS u_a, b.user_id AS u_b
+        |p AS (SELECT a.day AS day, count(*) AS overlap_pairs
         |      FROM s a JOIN s b ON a.day = b.day AND a.user_id < b.user_id
-        |       AND a.s <= b.e AND b.s <= a.e),
+        |       AND a.s <= b.e AND b.s <= a.e
+        |      GROUP BY 1),
         |n AS (SELECT day, count(*) AS n_users FROM s GROUP BY 1)
-        |SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+        |SELECT CAST(datediff('day', DATE '1970-01-01', n.day) AS BIGINT)
         |         AS epoch_day,
-        |       n_users, count(*) AS overlap_pairs
-        |FROM p JOIN n USING (day)
-        |GROUP BY 1, 2""".stripMargin,
+        |       n_users, CAST(coalesce(p.overlap_pairs, 0) AS BIGINT)
+        |         AS overlap_pairs
+        |FROM n LEFT JOIN p USING (day)""".stripMargin,
     // q162: the oracle materializes every ladder window as a STRING and
     // groups on it where the engine groups xxhash64 longs — the standing
     // collision audit (q137/q140/q141 convention); every input doc gets
@@ -3229,8 +3228,12 @@ object SparkEntry {
         |  quantile_cont(value, 0.99) AS p99,
         |  1 AS approx_rank_ok
         |FROM events GROUP BY event_type""".stripMargin,
-    // q169: word-adjacency graph + the shared exact pagerank rounds;
-    // node ids from a row_number over the binary-sorted vocabulary
+    // q169: word-adjacency graph + the shared exact pagerank rounds.
+    // Node ids here are the raw word STRINGS where the engine rides
+    // xxhash64 longs — rank values are id-independent (the iteration
+    // sums over neighbors, never compares ids), so this is the standing
+    // collision audit: a hash collision engine-side merges two nodes
+    // and fails the compare
     "q169_textrank" ->
       s"""WITH n AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
          |             AS t FROM documents),
@@ -3242,21 +3245,15 @@ object SparkEntry {
          |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
          |        FROM tk WHERE len(toks) > 1)
          |  WHERE toks[i] != toks[i + 1]),
-         |v AS MATERIALIZED (
-         |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT)
-         |           AS nid
-         |  FROM (SELECT wa AS word FROM ap UNION SELECT wb FROM ap)),
          |e AS MATERIALIZED (
-         |  SELECT a.nid AS src, b.nid AS dst
-         |  FROM ap JOIN v a ON a.word = ap.wa JOIN v b ON b.word = ap.wb
+         |  SELECT wa AS src, wb AS dst FROM ap
          |  UNION ALL
-         |  SELECT b.nid AS src, a.nid AS dst
-         |  FROM ap JOIN v a ON a.word = ap.wa JOIN v b ON b.word = ap.wb),
+         |  SELECT wb AS src, wa AS dst FROM ap),
          |${pageRankRoundsSql(4)}
          |SELECT word, rnk AS "rank", CAST(pos AS BIGINT) AS pos FROM (
-         |  SELECT v.word, r.rnk,
-         |         row_number() OVER (ORDER BY r.rnk DESC, v.word) AS pos
-         |  FROM r4 r JOIN v ON v.nid = r.node)
+         |  SELECT node AS word, rnk,
+         |         row_number() OVER (ORDER BY rnk DESC, node) AS pos
+         |  FROM r4)
          |WHERE pos <= 20""".stripMargin,
     // q170: weighted rounds — rank flows in proportion to edge weight,
     // still floor division only
@@ -3266,14 +3263,13 @@ object SparkEntry {
          |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |            GROUP BY 1, 2),
          |e AS MATERIALIZED (
-         |      SELECT c AS src, 1000000 + sk AS dst, w FROM e0
+         |      SELECT 2 * c AS src, 2 * sk + 1 AS dst, w FROM e0
          |      UNION ALL
-         |      SELECT 1000000 + sk AS src, c AS dst, w FROM e0),
+         |      SELECT 2 * sk + 1 AS src, 2 * c AS dst, w FROM e0),
          |${pageRankWeightedRoundsSql(4)}
-         |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+         |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
          |         AS kind,
-         |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
-         |         AS key,
+         |       node // 2 AS key,
          |       rnk AS "rank"
          |FROM r4""".stripMargin,
     // q171: full rebuild — one aggregate over ALL events; the engine's
@@ -3313,14 +3309,13 @@ object SparkEntry {
       s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
          |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |e AS MATERIALIZED (
-         |      SELECT c AS src, 1000000 + sk AS dst FROM e0
+         |      SELECT 2 * c AS src, 2 * sk + 1 AS dst FROM e0
          |      UNION ALL
-         |      SELECT 1000000 + sk AS src, c AS dst FROM e0),
+         |      SELECT 2 * sk + 1 AS src, 2 * c AS dst FROM e0),
          |${lpaRoundsSql(4)}
-         |SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+         |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
          |         AS kind,
-         |       CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
-         |         AS key,
+         |       node // 2 AS key,
          |       lbl AS community
          |FROM l4""".stripMargin,
     // q174: integer ppm credits; the per-purchase invariant sum = 1e6 is
@@ -3604,13 +3599,15 @@ object SparkEntry {
       s"""c$t AS (SELECT e.dst AS node, l.lbl, count(*) AS c
          |       FROM e JOIN l${t - 1} l ON l.node = e.src GROUP BY 1, 2),
          |l$t AS MATERIALIZED (
-         |       SELECT node, lbl FROM (
-         |         SELECT node, lbl, row_number() OVER (PARTITION BY node
-         |           ORDER BY c DESC, lbl) AS rn FROM c$t)
-         |       WHERE rn = 1)""".stripMargin
+         |       SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+         |       FROM l${t - 1} p LEFT JOIN (
+         |         SELECT node, lbl FROM (
+         |           SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, lbl) AS rn FROM c$t)
+         |         WHERE rn = 1) w USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""l0 AS MATERIALIZED (SELECT src AS node, src AS lbl
-       |       FROM (SELECT DISTINCT src FROM e)),
+    s"""l0 AS MATERIALIZED (SELECT node, node AS lbl FROM
+       |       (SELECT src AS node FROM e UNION SELECT dst FROM e)),
        |$rounds""".stripMargin
   }
 
@@ -3620,14 +3617,19 @@ object SparkEntry {
   private def pageRankWeightedRoundsSql(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""r$t AS MATERIALIZED (
-         |       SELECT e.dst AS node, CAST(150000 +
-         |         (85 * CAST(sum((r.rnk * e.w) // d.wsum) AS BIGINT)) // 100 AS BIGINT) AS rnk
-         |       FROM e JOIN wdeg d USING (src) JOIN r${t - 1} r ON r.node = e.src
-         |       GROUP BY 1)""".stripMargin
+         |       SELECT n.node, CAST(150000 +
+         |         (85 * CAST(coalesce(f.infl, 0) AS BIGINT)) // 100 AS BIGINT) AS rnk
+         |       FROM pnodes n LEFT JOIN (
+         |         SELECT e.dst AS node,
+         |                CAST(sum((r.rnk * e.w) // d.wsum) AS BIGINT) AS infl
+         |         FROM e JOIN wdeg d USING (src) JOIN r${t - 1} r ON r.node = e.src
+         |         GROUP BY 1) f USING (node))""".stripMargin
     }.mkString(",\n")
     s"""wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
        |        FROM e GROUP BY 1),
-       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rnk FROM wdeg),
+       |pnodes AS MATERIALIZED (SELECT src AS node FROM e
+       |        UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rnk FROM pnodes),
        |$rounds""".stripMargin
   }
 
@@ -3643,13 +3645,18 @@ object SparkEntry {
   private def pageRankRoundsSql(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"""r$t AS MATERIALIZED (
-         |       SELECT e.dst AS node, CAST(150000 +
-         |         (85 * CAST(sum(r.rnk // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rnk
-         |       FROM e JOIN deg d USING (src) JOIN r${t - 1} r ON r.node = e.src
-         |       GROUP BY 1)""".stripMargin
+         |       SELECT n.node, CAST(150000 +
+         |         (85 * CAST(coalesce(f.infl, 0) AS BIGINT)) // 100 AS BIGINT) AS rnk
+         |       FROM pnodes n LEFT JOIN (
+         |         SELECT e.dst AS node,
+         |                CAST(sum(r.rnk // d.deg) AS BIGINT) AS infl
+         |         FROM e JOIN deg d USING (src) JOIN r${t - 1} r ON r.node = e.src
+         |         GROUP BY 1) f USING (node))""".stripMargin
     }.mkString(",\n")
     s"""deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rnk FROM deg),
+       |pnodes AS MATERIALIZED (SELECT src AS node FROM e
+       |        UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rnk FROM pnodes),
        |$rounds""".stripMargin
   }
 

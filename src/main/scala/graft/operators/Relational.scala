@@ -1703,28 +1703,6 @@ object Relational {
         (col("n_a") * col("n_b")).cast("double"), 6))
   }
 
-  /** Q166: ORDERED funnel analysis — how many users progress through the
-    * event sequence stage₁ → stage₂ → … with each step STRICTLY after
-    * the previous (the product-analytics primitive the transition matrix
-    * q72 and cohort retention q71 don't answer: order matters, and a
-    * purchase before the first view must not count). Emits one row per
-    * stage: users reaching it and the mean hours from the previous stage
-    * (conversion latency).
-    *
-    * Semantics: stage 1 anchors at each user's EARLIEST stage-1 event;
-    * stage i+1 at the earliest stage-(i+1) event strictly after the
-    * user's stage-i time — the standard "first touch" funnel, computed
-    * exactly. Latency sums integer SECONDS (floor micros/1e6 — exact in
-    * both engines, and the sum stays far inside double's 2⁵³ integer
-    * range where raw micro sums would not) before one double division
-    * chain mirrored literal-for-literal in the oracle.
-    *
-    * Scale: one filtered pass per stage over the events table (filters
-    * pushed to the scan), each reduced map-side to one row per user
-    * before its equi-join on user_id — |users| rows shuffle per stage,
-    * never raw events. Stage count is a constant; the loop composes a
-    * single Catalyst plan, no driver data.
-    */
   /** Q168 (validated, q29/q44 pattern): the QUANTILE-SKETCH member of the
     * sketch family (HLL q29, CMS q44, bloom q51/q122, minhash q10, PQ
     * q152): `percentile_approx` (Greenwald–Khanna summaries — the
@@ -1942,6 +1920,28 @@ object Relational {
       .filter(col("support_users") >= minSupportUsers)
   }
 
+  /** Q166: ORDERED funnel analysis — how many users progress through the
+    * event sequence stage₁ → stage₂ → … with each step STRICTLY after
+    * the previous (the product-analytics primitive the transition matrix
+    * q72 and cohort retention q71 don't answer: order matters, and a
+    * purchase before the first view must not count). Emits one row per
+    * stage: users reaching it and the mean hours from the previous stage
+    * (conversion latency).
+    *
+    * Semantics: stage 1 anchors at each user's EARLIEST stage-1 event;
+    * stage i+1 at the earliest stage-(i+1) event strictly after the
+    * user's stage-i time — the standard "first touch" funnel, computed
+    * exactly. Latency sums integer SECONDS (floor micros/1e6 — exact in
+    * both engines, and the sum stays far inside double's 2⁵³ integer
+    * range where raw micro sums would not) before one double division
+    * chain mirrored literal-for-literal in the oracle.
+    *
+    * Scale: one filtered pass per stage over the events table (filters
+    * pushed to the scan), each reduced map-side to one row per user
+    * before its equi-join on user_id — |users| rows shuffle per stage,
+    * never raw events. Stage count is a constant; the loop composes a
+    * single Catalyst plan, no driver data.
+    */
   def funnel(events: DataFrame,
       stages: Seq[String] = Seq("signup", "view", "click", "purchase"))
       : DataFrame = {

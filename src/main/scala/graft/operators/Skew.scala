@@ -62,8 +62,14 @@ object Skew {
   def joinKeySkewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     import org.apache.spark.sql.expressions.Window
+    // cast to STRING, not long: a string join key (a common skew
+    // candidate) cast to long is NULL for every row, which would collapse
+    // the report to n_distinct=1 / top1_ppm=1e6 with no error. String
+    // cast is injective on numerics, so counts/shares are unchanged; only
+    // the tie-break order among equal-count values differs, which no
+    // output column observes.
     val perCol = keyCols.map { k =>
-      df.select(lit(k).as("key_col"), col(k).cast("long").as("v"))
+      df.select(lit(k).as("key_col"), col(k).cast("string").as("v"))
     }.reduce(_ unionByName _)
     val counts = perCol.groupBy(col("key_col"), col("v"))
       .agg(count(lit(1)).as("c"))

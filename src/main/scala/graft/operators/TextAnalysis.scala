@@ -757,22 +757,6 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams"), 6))
   }
 
-  /** Q167: READABILITY scoring — Flesch reading ease per document, the
-    * classic grade-level quality signal next to the ratio rules (q13/q46)
-    * and the LM-surprisal family (q133/q139/q159): too-hard AND too-easy
-    * both correlate with junk (OCR soup scores hard; keyword stuffing
-    * scores trivially easy). FRE = 206.835 − 1.015·(words/sentences) −
-    * 84.6·(syllables/words), with the standard regex approximations:
-    * sentences = runs of [.!?] (floored at 1), syllables = vowel-group
-    * runs per word — a documented heuristic (true syllabification needs
-    * a dictionary), applied identically in both engines.
-    *
-    * Exactness: all three inputs are INTEGER regex-run counts — the same
-    * count in Java regex and RE2 for these simple classes — and the
-    * score is one literal-mirrored double expression (every literal cast
-    * to DOUBLE in the oracle, the q139 lesson). Map-only, zero shuffle;
-    * docs with no words emit nothing (no distribution to score).
-    */
   /** Q169: TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
     * keywords as PageRank over the word-adjacency graph, composing the
     * integer-grid power iteration ([[Graph.pageRankMicros]]) with the
@@ -783,14 +767,20 @@ object TextAnalysis {
     * the graph view of salience that raw frequency (q42) and tf-idf
     * (q36) don't capture.
     *
-    * Determinism end-to-end: node ids are a row_number over the SORTED
-    * vocabulary (binary string order, identical in both engines), ranks
-    * are the q158 integer grid, and the top-k orders by (rank DESC,
-    * word). The two unpartitioned windows here run over
-    * VOCABULARY-BOUNDED aggregates (the distinct-word table and the
-    * |V|-row rank table), not the corpus — the documented justification
-    * for a global window. Edge building shuffles distinct (wa, wb)
-    * string pairs once; everything after runs on longs.
+    * Determinism end-to-end: node ids are xxhash64 of the word (rank
+    * values are id-independent — the power iteration sums over
+    * neighbors, never compares ids — so any injective word→id map gives
+    * identical ranks; the oracle runs the SAME rounds on the raw word
+    * strings as node ids, which is the standing collision audit: a hash
+    * collision would merge two nodes and fail the compare). Ranks are
+    * the q158 integer grid; the top-k orders by (rank DESC, word).
+    *
+    * Scale: NO global window anywhere — the previous form ranked the
+    * corpus-wide vocabulary through `row_number().over(Window.orderBy)`,
+    * a single-task sort of tens of millions of rows at 100×. Ids are now
+    * map-side hashes, the top-k is TakeOrderedAndProject-bounded
+    * (orderBy+limit), and the only window runs over the already-limited
+    * `topK` rows to number the final positions.
     */
   def textRankKeywords(docs: DataFrame, textCol: String, topK: Int = 20,
       iters: Int = 4): DataFrame = {
@@ -811,23 +801,19 @@ object TextAnalysis {
       .distinct()
     val vocab = adj
       .select(explode(array(col("wa"), col("wb"))).as("word")).distinct()
-      .withColumn("nid",
-        row_number().over(Window.orderBy(col("word"))).cast("long"))
-    val edges = adj
-      .join(vocab.select(col("word").as("wa"), col("nid").as("na")),
-        Seq("wa"))
-      .join(vocab.select(col("word").as("wb"), col("nid").as("nb")),
-        Seq("wb"))
-      .select(explode(array(
-        struct(col("na").as("src"), col("nb").as("dst")),
-        struct(col("nb").as("src"), col("na").as("dst")))).as("e"))
+      .withColumn("nid", xxhash64(col("word")))
+    val edges = adj.select(explode(array(
+        struct(xxhash64(col("wa")).as("src"), xxhash64(col("wb")).as("dst")),
+        struct(xxhash64(col("wb")).as("src"), xxhash64(col("wa")).as("dst"))))
+        .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val ranks = Graph.pageRankMicros(edges, "src", "dst", iters)
     ranks.join(vocab, ranks("node") === vocab("nid"))
       .select(col("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(topK)
       .withColumn("pos", row_number()
         .over(Window.orderBy(col("rank").desc, col("word"))).cast("long"))
-      .filter(col("pos") <= topK)
   }
 
   /** Q180: LANGUAGE-ID CONFUSION MATRIX — evaluate the n-gram heuristic
@@ -897,6 +883,22 @@ object TextAnalysis {
         round(col("r2"), 6).as("r2"))
   }
 
+  /** Q167: READABILITY scoring — Flesch reading ease per document, the
+    * classic grade-level quality signal next to the ratio rules (q13/q46)
+    * and the LM-surprisal family (q133/q139/q159): too-hard AND too-easy
+    * both correlate with junk (OCR soup scores hard; keyword stuffing
+    * scores trivially easy). FRE = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with the standard regex approximations:
+    * sentences = runs of [.!?] (floored at 1), syllables = vowel-group
+    * runs per word — a documented heuristic (true syllabification needs
+    * a dictionary), applied identically in both engines.
+    *
+    * Exactness: all three inputs are INTEGER regex-run counts — the same
+    * count in Java regex and RE2 for these simple classes — and the
+    * score is one literal-mirrored double expression (every literal cast
+    * to DOUBLE in the oracle, the q139 lesson). Map-only, zero shuffle;
+    * docs with no words emit nothing (no distribution to score).
+    */
   def readability(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))

@@ -554,6 +554,21 @@ class PlanSpec extends SparkSpec {
     assert(!exec.contains("CartesianProduct"))
   }
 
+  test("q169 textrank: no global window over the corpus vocabulary") {
+    // node ids are map-side xxhash64, NOT a row_number over a global
+    // Window.orderBy (a single-task sort of the whole vocabulary at
+    // 100x); the final top-k must be TakeOrderedAndProject-bounded, so
+    // the ONLY window left numbers the already-limited topK rows
+    val df = TextAnalysis.textRankKeywords(
+      Tables.documents(spark, sf), "text", topK = 20)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be take-ordered, not a ranked global window:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows <= 1,
+      s"expected at most the post-limit pos window, got $windows:\n$plan")
+  }
+
   test("q158/q173 iterative graph: no cartesian, no sort-merge in a round") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")

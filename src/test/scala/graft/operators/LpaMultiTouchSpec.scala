@@ -25,6 +25,15 @@ class LpaMultiTouchSpec extends SparkSpec {
       4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
   }
 
+  test("lpa: a node with no in-neighbors keeps its own label (directed)") {
+    // 1 -> 2 directed only: node 1 never receives a label and must keep
+    // lbl=1 every round instead of vanishing; node 2 adopts 1's label
+    val got = Graph.labelPropagation(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L), s"got $got")
+  }
+
   test("lpa is partition-invariant on the bipartite demo graph") {
     val edges = (for (c <- 1L to 6L; s <- 1L to 3L if (c + s) % 2 == 0)
       yield (c, 100L + s)).flatMap(e => Seq(e, e.swap))

@@ -50,6 +50,17 @@ class Round9cOpsSpec extends SparkSpec {
     assert(shuffled == a)
   }
 
+  test("pagerank: a source-only node keeps its teleport rank on a directed graph") {
+    // 1 -> 2 only. Node 1 has no in-edges: every round it must emit the
+    // pure teleport 150000 (the old inner-join form dropped it after
+    // round 1). Node 2: round 1 = 150000 + 85*(1e6 div 1) div 100 = 1e6;
+    // round 2 = 150000 + 85*150000 div 100 = 277500.
+    assert(pr(Seq((1L, 2L)), iters = 1) ==
+      Map(1L -> 150000L, 2L -> 1000000L))
+    assert(pr(Seq((1L, 2L)), iters = 2) ==
+      Map(1L -> 150000L, 2L -> 277500L))
+  }
+
   test("weighted pagerank: proportional flow on a weighted star; w=1 == unweighted") {
     // hub 0 <-> leaves 1,2 with weights 3,1 (both orientations).
     // W(hub)=4: leaf1' = 150000 + (85*(1e6*3 div 4)) div 100 = 787500,

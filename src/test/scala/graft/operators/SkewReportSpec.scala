@@ -27,6 +27,17 @@ class SkewReportSpec extends SparkSpec {
     assert(h === expect, s"entropy $h vs $expect")
   }
 
+  test("string join keys report real shares, not a long-cast NULL collapse") {
+    // a string key column must NOT degrade to n_distinct=1/top1=1e6
+    // (the old cast-to-long bug nulled every row)
+    val df = (Seq.fill(3)("us-east") ++ Seq("eu-west", "ap-south"))
+      .map(Tuple1(_)).toDF("region")
+    val got = Skew.joinKeySkewReport(df, Seq("region"))
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    val (_, n, d, top1, _, _) = got
+    assert((n, d, top1) == ((5L, 3L, 600000L)), s"got $got")
+  }
+
   test("uniform keys approach ln(n); hot keys depress entropy") {
     val uniform = (1L to 64L).map(Tuple1(_)).toDF("k")
     val hU = Skew.joinKeySkewReport(uniform, Seq("k"))
