@@ -738,6 +738,14 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("l_orderkey"),
           org.apache.spark.sql.functions.col("l_partkey")),
         "l_orderkey", "l_partkey", minSupport = 2, maxBasketSize = 20)),
+    // q184: 2-core of the q146/q163 containment dup graph — 4
+    // synchronous peel rounds (documented fixed-round semantics; the
+    // oracle unrolls the same rounds as CTEs)
+    "q184_kcore" -> ((s, dir) =>
+      Graph.kCorePeel(
+        Dedup.containmentDups(Tables.documents(s, dir), "text", "doc_id",
+          n = 3, minGrams = 10, threshold = 0.6),
+        "doc_a", "doc_b", k = 2, rounds = 4)),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3587,7 +3595,61 @@ object SparkEntry {
         |SELECT b.bin, b.n_docs, round(f.slope, 6) AS slope,
         |       round(f.intercept, 6) AS intercept, round(f.r2, 6) AS r2
         |FROM b, f""".stripMargin,
+    // q184: q163's pair derivation, then the same 4 synchronous peel
+    // rounds unrolled — per-round live degree via the alive-endpoint
+    // join, peel-all-below-k at once
+    "q184_kcore" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+         |  FROM documents),
+         |f AS (SELECT * FROM d WHERE len(g) >= 10),
+         |p AS (SELECT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_intersect(a.g, b.g)) /
+         |           CAST(least(len(a.g), len(b.g)) AS DOUBLE) AS c
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+         |  WHERE c >= 0.6),
+         |e AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         |${kCoreRoundsSql(k = 2, rounds = 4)}
+         |SELECT node AS doc_id, peel_round, deg,
+         |       CAST(CASE WHEN peel_round = 0 THEN 1 ELSE 0 END
+         |         AS INTEGER) AS in_kcore
+         |FROM (${(1 to 4).map(t =>
+              s"SELECT node, CAST($t AS BIGINT) AS peel_round, deg " +
+                s"FROM kd$t WHERE deg < 2").mkString("\n  UNION ALL ")}
+         |  UNION ALL
+         |  SELECT node, CAST(0 AS BIGINT) AS peel_round, deg
+         |  FROM kdfin)""".stripMargin,
   )
+
+  /** Synchronous k-core peel rounds over `e(src, dst)` (q184 oracle,
+    * both orientations already in `e`): per round the live-subgraph
+    * degree (count edges whose dst is still alive, left-joined back onto
+    * the alive set so zero-degree nodes peel too), then peel everything
+    * below `k` at once. Emits ka0..ka`rounds` (alive sets), kd1..kd`rounds`
+    * (per-round live degrees) and `kdfin` (survivor degrees) —
+    * MATERIALIZED per the standing chained-CTE rule.
+    */
+  private def kCoreRoundsSql(k: Int, rounds: Int): String = {
+    def degOver(alive: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT a.node, CAST(coalesce(c.cnt, 0) AS BIGINT) AS deg
+         |  FROM $alive a LEFT JOIN (
+         |    SELECT e.src AS node, count(*) AS cnt FROM e
+         |    JOIN $alive y ON y.node = e.dst GROUP BY 1) c
+         |    USING (node))""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""${degOver(s"ka${t - 1}", s"kd$t")},
+         |ka$t AS MATERIALIZED (SELECT node FROM kd$t WHERE deg >= $k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""ka0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |$steps,
+       |${degOver(s"ka$rounds", "kdfin")}""".stripMargin
+  }
 
   /** Synchronous-LPA rounds over `e(src, dst)` (q173 oracle): per round,
     * the incoming-label histogram per node and the (count DESC, label

@@ -289,6 +289,74 @@ object Graph {
         expr("(co * nb * 1000000) div (c_a * c_b)").as("lift_ppm"))
   }
 
+  /** Q184: K-CORE PEEL over an undirected pair graph — the density
+    * decomposition the near-dup keep-one policy and the LPA communities
+    * both lean on implicitly: the k-core is the maximal subgraph where
+    * every member keeps ≥ k neighbors AFTER all weaker nodes are
+    * removed, i.e. degree that survives peeling, where raw degree (q163)
+    * counts hub-chained noise too. On a dup graph the 2-core separates
+    * genuine duplicate clusters from bridge-chained stragglers.
+    *
+    * Semantics (documented FIXED-ROUND form, the q158/q173 discipline so
+    * the oracle unrolls the same rounds as CTEs): `rounds` SYNCHRONOUS
+    * peel rounds — each round computes every live node's degree within
+    * the live subgraph and removes ALL nodes with degree < k at once.
+    * Output per node: `peel_round` (1-based round it was peeled; 0 =
+    * survived all rounds = in the k-core under this round budget),
+    * `deg` (degree at peel time; for survivors, degree within the
+    * surviving subgraph), `in_kcore`. Extra rounds after convergence are
+    * no-ops, so any `rounds` ≥ the true peel depth gives the exact
+    * k-core; the fixed budget is what keeps both engines bit-identical.
+    *
+    * Scale: per round one semi-join pair (live filter on the persisted
+    * edge list) + one degree aggregation + one |V|-bounded left join —
+    * no driver state, no all-pairs. The per-round live-degree table is
+    * lazily checkpointed (consumed by peel AND survivor branches, and it
+    * truncates the loop's lineage). Edge list localCheckpoint'd once:
+    * upstream is typically an expensive near-dup pair pipeline.
+    */
+  def kCorePeel(pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 100,
+      s"bad params: k=$k rounds=$rounds")
+    val e = pairs.select(least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .select(explode(array(
+        struct(col("lo").as("src"), col("hi").as("dst")),
+        struct(col("hi").as("src"), col("lo").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(false)
+    // both orientations present → the src set IS the node universe
+    def liveDeg(alive: DataFrame): DataFrame = alive
+      .join(e.join(alive.select(col("node").as("dst")), Seq("dst"),
+          "left_semi")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+    var alive = e.select(col("src").as("node")).distinct()
+    var peeled: DataFrame = null
+    var round = 1
+    while (round <= rounds) {
+      // degree within the live subgraph: count only edges whose OTHER
+      // endpoint is still alive (this endpoint is alive by construction
+      // of the `alive` probe)
+      val d = liveDeg(alive).localCheckpoint(false)
+      val out = d.filter(col("deg") < k)
+        .select(col("node"), lit(round.toLong).as("peel_round"), col("deg"))
+      peeled = if (peeled == null) out else peeled.unionByName(out)
+      alive = d.filter(col("deg") >= k).select(col("node"))
+      round += 1
+    }
+    val survivors = liveDeg(alive)
+      .select(col("node"), lit(0L).as("peel_round"), col("deg"))
+    peeled.unionByName(survivors)
+      .select(col("node").as("doc_id"), col("peel_round"), col("deg"),
+        when(col("peel_round") === 0, lit(1)).otherwise(lit(0))
+          .as("in_kcore"))
+  }
+
   /** Q163: per-node TRIANGLE COUNT + local clustering coefficient over an
     * undirected pair graph — the near-dup-graph DIAGNOSTIC the keep-one
     * policy (q55/q156) silently assumes: near-duplication is
