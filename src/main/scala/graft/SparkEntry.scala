@@ -746,6 +746,15 @@ object SparkEntry {
         Dedup.containmentDups(Tables.documents(s, dir), "text", "doc_id",
           n = 3, minGrams = 10, threshold = 0.6),
         "doc_a", "doc_b", k = 2, rounds = 4)),
+    // q185: generalized CEP with negation — view, then click with no
+    // error in the gap, then purchase with no second view in the gap,
+    // all within 24h of the anchor view
+    "q185_cep_match" -> ((s, dir) =>
+      Cep.matchPattern(Tables.events(s, dir), Seq(
+        Cep.CepStep("view"),
+        Cep.CepStep("click", without = Seq("error")),
+        Cep.CepStep("purchase", without = Seq("view"))),
+        windowHours = 24)),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3623,6 +3632,39 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT node, CAST(0 AS BIGINT) AS peel_round, deg
          |  FROM kdfin)""".stripMargin,
+    // q185: each positive step is one min-aggregate join (earliest
+    // event strictly after the previous step, within 24h of the
+    // anchor); each veto is one NOT EXISTS over the gap the match
+    // actually used — integer micros end to end
+    "q185_cep_match" ->
+      """WITH a AS (SELECT user_id, event_id AS anchor_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS t0_us
+        |           FROM events WHERE event_type = 'view'),
+        |s1 AS (SELECT a.user_id, a.anchor_id, a.t0_us,
+        |         CAST(min(epoch_us(b.ts)) AS BIGINT) AS t1_us
+        |       FROM a JOIN events b ON b.user_id = a.user_id
+        |        AND b.event_type = 'click'
+        |        AND epoch_us(b.ts) > a.t0_us
+        |        AND epoch_us(b.ts) <= a.t0_us + 86400000000
+        |       GROUP BY 1, 2, 3),
+        |v1 AS (SELECT * FROM s1 m WHERE NOT EXISTS (
+        |         SELECT 1 FROM events c WHERE c.user_id = m.user_id
+        |          AND c.event_type = 'error'
+        |          AND epoch_us(c.ts) > m.t0_us
+        |          AND epoch_us(c.ts) < m.t1_us)),
+        |s2 AS (SELECT m.user_id, m.anchor_id, m.t0_us, m.t1_us,
+        |         CAST(min(epoch_us(b.ts)) AS BIGINT) AS t2_us
+        |       FROM v1 m JOIN events b ON b.user_id = m.user_id
+        |        AND b.event_type = 'purchase'
+        |        AND epoch_us(b.ts) > m.t1_us
+        |        AND epoch_us(b.ts) <= m.t0_us + 86400000000
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, anchor_id, t0_us, t1_us, t2_us
+        |FROM s2 m WHERE NOT EXISTS (
+        |  SELECT 1 FROM events c WHERE c.user_id = m.user_id
+        |   AND c.event_type = 'view'
+        |   AND epoch_us(c.ts) > m.t1_us
+        |   AND epoch_us(c.ts) < m.t2_us)""".stripMargin,
   )
 
   /** Synchronous k-core peel rounds over `e(src, dst)` (q184 oracle,
