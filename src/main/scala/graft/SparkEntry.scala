@@ -755,6 +755,20 @@ object SparkEntry {
         Cep.CepStep("click", without = Seq("error")),
         Cep.CepStep("purchase", without = Seq("view"))),
         windowHours = 24)),
+    // q186: graph-based ANN (NSW per IVF cell) — the validated gate
+    // emits the exact top-10 rows + recall_ok at the measured floor.
+    // Cell selection is the same quantizer as q32, so recall tracks the
+    // IVF operating point exactly: measured recall@10 0.56 (sf0.001) /
+    // 0.49 (sf0.01) / 0.51 (sf0.1) vs IVF's 0.49/0.51 — ef=32 makes the
+    // within-cell beam effectively exhaustive at these cell sizes, so
+    // the nProbe=4-of-16 cell hit rate is the binding constraint.
+    // Floor 0.4 (the q32 margin discipline)
+    "q186_similarity_nsw" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Nsw.nswTopKValidated(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
+        nCentroids = 16, nProbe = 4, m = 8, ef = 32, recallFloor = 0.4)
+    }),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3665,6 +3679,20 @@ object SparkEntry {
         |   AND c.event_type = 'view'
         |   AND epoch_us(c.ts) > m.t1_us
         |   AND epoch_us(c.ts) < m.t2_us)""".stripMargin,
+    // q186: the q32 oracle shape — exact top-10 (q7 parity) with the
+    // NSW recall flag pinned to 1
+    "q186_similarity_nsw" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT probe_id, e.vec_id,
+        |         list_dot_product(p, v) /
+        |         (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))) AS s
+        |  FROM probes, e WHERE e.vec_id != probe_id)
+        |SELECT probe_id, vec_id, round(s, 6) AS sim, rank, 1 AS recall_ok FROM (
+        |  SELECT probe_id, vec_id, s,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
+        |  FROM cand) WHERE rank <= 10""".stripMargin,
   )
 
   /** Synchronous k-core peel rounds over `e(src, dst)` (q184 oracle,

@@ -37,6 +37,7 @@ object RecallProbe {
     recall("pq_m16", Similarity.pqTopK(emb, probes, k, dim = 64, m = 16, rerank = 16))
     recall("ivf", Similarity.ivfTopK(emb, probes, k))
     recall("lsh", Similarity.lshTopK(emb, probes, k, dim = 64))
+    recall("nsw", graft.operators.Nsw.nswTopK(emb, probes, k))
     spark.stop()
   }
 }
