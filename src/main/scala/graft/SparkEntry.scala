@@ -769,6 +769,12 @@ object SparkEntry {
         emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 10,
         nCentroids = 16, nProbe = 4, m = 8, ef = 32, recallFloor = 0.4)
     }),
+    // q187: GPT-2 regex pretokenizer gate — native lookahead-free
+    // scanner, losslessness pinned by DuckDB, token-sequence parity vs
+    // the literal java.util.regex pattern pinned in-band
+    "q187_gpt2_pretok" -> ((s, dir) =>
+      TextAnalysis.gpt2PretokenGate(Tables.documents(s, dir), "text",
+        "doc_id")),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3693,6 +3699,14 @@ object SparkEntry {
         |  SELECT probe_id, vec_id, s,
         |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
         |  FROM cand) WHERE rank <= 10""".stripMargin,
+    // q187: DuckDB cannot replay the lookahead split — it pins the
+    // losslessness invariant (summed pretoken chars == len(text)) and
+    // the in-band reference-implementation parity flag
+    "q187_gpt2_pretok" ->
+      """SELECT doc_id,
+        |  CAST(len(coalesce(text, '')) AS BIGINT) AS n_chars_total,
+        |  1 AS parity_ok
+        |FROM documents""".stripMargin,
   )
 
   /** Synchronous k-core peel rounds over `e(src, dst)` (q184 oracle,

@@ -883,6 +883,49 @@ object TextAnalysis {
         round(col("r2"), 6).as("r2"))
   }
 
+  /** Q187 (validated, the q29/q168 gate pattern): GPT-2 REGEX
+    * PRETOKENIZATION — the split every BPE-family tokenizer applies
+    * before merges, as the native lookahead-free scanner
+    * [[graft.functions.Gpt2PretokExpr]]. The `\s+(?!\S)` lookahead is
+    * not RE2-expressible, so DuckDB cannot replay the split; the oracle
+    * instead pins (a) the LOSSLESSNESS invariant — the summed character
+    * count of the emitted pretokens must equal `len(text)`, which DuckDB
+    * computes independently (any dropped/duplicated character breaks the
+    * hash compare) — and (b) the in-band `parity_ok` flag: per document,
+    * the scanner's token sequence is compared against the literal
+    * `java.util.regex` pattern (the local reference implementation,
+    * lookahead included); the oracle pins the flag to 1, so ANY
+    * divergence on ANY document fails the gate. Validation-priced: the
+    * reference regex runs next to the production scanner, the standing
+    * validated-gate trade.
+    *
+    * The one `udf` wraps the reference-implementation comparison — a
+    * backtracking java.util.regex run no Catalyst expression should
+    * reproduce (the production path IS the native expression feeding
+    * `n_chars_total`).
+    *
+    * Scale: map-only, zero shuffle; one scanner pass + one reference
+    * pass per document.
+    */
+  def gpt2PretokenGate(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val parity = udf { (text: String) =>
+      val t = if (text == null) "" else text
+      val a = graft.functions.Gpt2PretokExpr.split(t)
+      val b = graft.functions.Gpt2PretokExpr.refSplit(t)
+      if (a.sameElements(b)) 1 else 0
+    }
+    docs
+      .select(col(idCol),
+        graft.functions.Gpt2PretokExpr
+          .gpt2Pretokenize(coalesce(col(textCol), lit(""))).as("__toks"),
+        parity(col(textCol)).as("parity_ok"))
+      .select(col(idCol),
+        aggregate(col("__toks"), lit(0L),
+          (acc, t) => acc + length(t).cast("long")).as("n_chars_total"),
+        col("parity_ok"))
+  }
+
   /** Q167: READABILITY scoring — Flesch reading ease per document, the
     * classic grade-level quality signal next to the ratio rules (q13/q46)
     * and the LM-surprisal family (q133/q139/q159): too-hard AND too-easy
