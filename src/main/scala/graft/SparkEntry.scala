@@ -775,6 +775,13 @@ object SparkEntry {
     "q187_gpt2_pretok" -> ((s, dir) =>
       TextAnalysis.gpt2PretokenGate(Tables.documents(s, dir), "text",
         "doc_id")),
+    // q188: bounded-depth harmonic centrality over the containment dup
+    // graph — 3 synchronous BFS levels, integer micro-harmonic sums
+    "q188_harmonic" -> ((s, dir) =>
+      Graph.harmonicCentrality(
+        Dedup.containmentDups(Tables.documents(s, dir), "text", "doc_id",
+          n = 3, minGrams = 10, threshold = 0.6),
+        "doc_a", "doc_b", maxDepth = 3)),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3699,6 +3706,31 @@ object SparkEntry {
         |  SELECT probe_id, vec_id, s,
         |         row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rank
         |  FROM cand) WHERE rank <= 10""".stripMargin,
+    // q188: q163's pair derivation + 3 unrolled synchronous BFS levels
+    // (each frontier expands from the previous FRESH set, anti-joined
+    // against everything visited); harmonic as exact 1e6 // dist sums
+    "q188_harmonic" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+         |  FROM documents),
+         |f AS (SELECT * FROM d WHERE len(g) >= 10),
+         |p AS (SELECT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_intersect(a.g, b.g)) /
+         |           CAST(least(len(a.g), len(b.g)) AS DOUBLE) AS c
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+         |  WHERE c >= 0.6),
+         |e AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         |${bfsRoundsSql(3)}
+         |SELECT root AS doc_id, count(*) AS n_reached,
+         |       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+         |FROM (${(1 to 3).map(t =>
+              s"SELECT root, node, $t AS dist FROM bh$t")
+              .mkString("\n  UNION ALL ")})
+         |GROUP BY 1""".stripMargin,
     // q187: DuckDB cannot replay the lookahead split — it pins the
     // losslessness invariant (summed pretoken chars == len(text)) and
     // the in-band reference-implementation parity flag
@@ -3708,6 +3740,29 @@ object SparkEntry {
         |  1 AS parity_ok
         |FROM documents""".stripMargin,
   )
+
+  /** Synchronous BFS levels over `e(src, dst)` (q188 oracle, both
+    * orientations already in `e`): bv0 seeds every node at itself,
+    * bh`t` is level t's FRESH frontier (expanded from bh`t-1` only,
+    * anti-joined against the full visited set bv`t-1`) — the engine's
+    * frontier loop exactly. MATERIALIZED per the chained-CTE rule.
+    */
+  private def bfsRoundsSql(maxDepth: Int): String = {
+    val steps = (1 to maxDepth).map { t =>
+      val prev = if (t == 1) "bv0" else s"bh${t - 1}"
+      s"""bh$t AS MATERIALIZED (
+         |  SELECT DISTINCT fr.root, e.dst AS node
+         |  FROM $prev fr JOIN e ON e.src = fr.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM bv${t - 1} x
+         |    WHERE x.root = fr.root AND x.node = e.dst)),
+         |bv$t AS MATERIALIZED (
+         |  SELECT root, node FROM bv${t - 1}
+         |  UNION ALL SELECT root, node FROM bh$t)""".stripMargin
+    }.mkString(",\n")
+    s"""bv0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS root, src AS node FROM e),
+       |$steps""".stripMargin
+  }
 
   /** Synchronous k-core peel rounds over `e(src, dst)` (q184 oracle,
     * both orientations already in `e`): per round the live-subgraph

@@ -357,6 +357,66 @@ object Graph {
           .as("in_kcore"))
   }
 
+  /** Q188: bounded-depth HARMONIC CENTRALITY over an undirected pair
+    * graph — the BFS-frontier member of the graph family (PageRank
+    * measures inherited endorsement, k-core survival density; harmonic
+    * centrality measures PROXIMITY: H(v) = Σ_{u≠v} 1/d(u,v), the
+    * standard closeness variant that stays defined on disconnected
+    * graphs). Depth is BOUNDED at `maxDepth` (contributions beyond K
+    * hops are ≤ 1/(K+1) each and k-hop reach sets explode on dense
+    * graphs — the documented fixed-horizon form, scoped to sparse
+    * graphs like the containment dup graph, where reach sets stay
+    * cluster-sized).
+    *
+    * Exactness: distances are exact BFS levels (synchronous frontier
+    * expansion, all on integers); the score is the integer micro-sum
+    * Σ 1000000 div d — floor division per term, so both engines land on
+    * identical longs.
+    *
+    * Scale: per level one frontier-edge equi-join (partitioned on the
+    * frontier node) + one anti-join against the visited set on
+    * (root, node) + one distinct — the visited table is the Σ-reach
+    * bound, which is the inherent cost of multi-source BFS; per-level
+    * lazy checkpoints truncate the loop lineage. No driver state.
+    */
+  def harmonicCentrality(pairs: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16, s"bad maxDepth: $maxDepth")
+    val e = pairs.select(least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .select(explode(array(
+        struct(col("lo").as("src"), col("hi").as("dst")),
+        struct(col("hi").as("src"), col("lo").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(false)
+    var visited = e.select(col("src").as("root"))
+      .distinct()
+      .select(col("root"), col("root").as("node"), lit(0).as("dist"))
+      .localCheckpoint(false)
+    var frontier = visited.select(col("root"), col("node"))
+    var depth = 1
+    while (depth <= maxDepth) {
+      val expanded = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("root"), col("dst").as("node"))
+        .distinct()
+      val fresh = expanded
+        .join(visited.select(col("root"), col("node")),
+          Seq("root", "node"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited
+        .unionByName(fresh.withColumn("dist", lit(depth)))
+      frontier = fresh
+      depth += 1
+    }
+    visited.filter(col("dist") >= 1)
+      .groupBy(col("root").as("doc_id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_micro"))
+  }
+
   /** Q163: per-node TRIANGLE COUNT + local clustering coefficient over an
     * undirected pair graph — the near-dup-graph DIAGNOSTIC the keep-one
     * policy (q55/q156) silently assumes: near-duplication is

@@ -49,4 +49,40 @@ class KCoreSpec extends SparkSpec {
     val b = Graph.kCorePeel(df.repartition(7), "a", "b", 2, 4)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  // ---- q188 harmonicCentrality ---------------------------------------
+
+  private def harmonic(pairs: Seq[(Long, Long)], depth: Int) =
+    Graph.harmonicCentrality(pairs.toDF("a", "b"), "a", "b", depth)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("hand-traced harmonic sums on the path + triangle, depth 3") {
+    val got = harmonic(pathPlusTriangle, depth = 3)
+    // path 1-2-3-4-5: node 1 reaches 2@1, 3@2, 4@3 ->
+    //   1e6 + 1e6//2 + 1e6//3 = 1833333; node 2 adds both neighbors at
+    //   1; center 3 reaches everything within 2. Triangle nodes see
+    //   their 2 neighbors at distance 1 and nothing else (components
+    //   must not leak).
+    val expect = Map(
+      1L -> ((3L, 1833333L)), 5L -> ((3L, 1833333L)),
+      2L -> ((4L, 2833333L)), 4L -> ((4L, 2833333L)),
+      3L -> ((4L, 3000000L)),
+      6L -> ((2L, 2000000L)), 7L -> ((2L, 2000000L)),
+      8L -> ((2L, 2000000L)))
+    assert(got == expect, s"got $got")
+  }
+
+  test("depth bound truncates: the path ends see less at depth 1") {
+    val got = harmonic(pathPlusTriangle, depth = 1)
+    assert(got(1L) === ((1L, 1000000L)) && got(3L) === ((2L, 2000000L)),
+      s"got $got")
+  }
+
+  test("harmonic is partition-invariant") {
+    val df = pathPlusTriangle.toDF("a", "b")
+    val a = Graph.harmonicCentrality(df, "a", "b", 3)
+    val b = Graph.harmonicCentrality(df.repartition(5), "a", "b", 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
