@@ -29,14 +29,16 @@ object Graph {
     * — i.e. damping 0.85 with the classic (1−d) teleport term, all in
     * BIGINT floor division (`div` here ≡ DuckDB `//`: both truncate
     * toward zero, identical on the non-negative ranks this loop
-    * produces). The node universe is src ∪ dst, and every round
-    * LEFT-joins the inflow back onto it, so a source-only node (out-
-    * edges, no in-edges — possible on general directed graphs even
+    * produces). The node universe is src ∪ dst; a source-only node
+    * (out-edges, no in-edges — possible on general directed graphs even
     * though the undirected callers emit both orientations) holds its
     * teleport rank 150,000 every round instead of silently vanishing
-    * after round 1. Sink nodes receive inflow but redistribute nothing
-    * (dangling mass is deliberately dropped, the common web-graph
-    * choice).
+    * after round 1. Because every rank is positive, "receives inflow"
+    * is STATIC (exactly the nodes with ≥1 in-edge), so the fix costs no
+    * per-round join: each round is the inflow aggregation UNION a
+    * once-computed persisted src-only table at the teleport constant.
+    * Sink nodes receive inflow but redistribute nothing (dangling mass
+    * is deliberately dropped, the common web-graph choice).
     *
     * Scale design: the edge list is the only corpus-sized table. It is
     * persisted ONCE and every round reuses it — per round exactly one
@@ -61,32 +63,36 @@ object Graph {
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("src"))))
       .persist()
-    // node universe = src ∪ dst, persisted: the |V|-bounded table every
-    // round left-joins against (broadcast-sized next to the edge list)
-    val nodes = ed.select(col("src").as("node"))
+    // source-only nodes (no in-edges) never receive inflow — a STATIC
+    // set, since ranks are always positive; they ride every round as a
+    // constant-teleport union branch. Empty for both-orientation
+    // callers, so those plans match the plain inner-join iteration.
+    val srcOnly = ed.select(col("src").as("node")).distinct()
+      .join(ed.select(col("dst").as("node")).distinct(), Seq("node"),
+        "left_anti")
+      .persist()
+    var ranks = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
-      .distinct().persist()
-    var ranks = nodes.withColumn("rank", lit(1000000L))
+      .distinct()
+      .withColumn("rank", lit(1000000L))
     var round = 0
     while (round < iters) {
       // name-based join condition: `src` exists only on the left, `node`
       // only on the right — round k+1's rank lineage contains round k's
       // copy of the edge attributes, so dataframe-captured column refs
       // would hit the classic self-join ambiguity
-      val inflow = ed.join(ranks, col("src") === col("node"))
+      val next = ed.join(ranks, col("src") === col("node"))
         .groupBy(col("dst").as("__dst"))
         .agg(sum(expr("rank div deg")).as("__in"))
-      // left join back onto V: no inflow → pure teleport 150000
-      val next = nodes.join(inflow, col("node") === col("__dst"), "left")
-        .select(col("node"),
-          (lit(150000L) +
-            expr("(85 * coalesce(__in, 0L)) div 100")).as("rank"))
+        .select(col("__dst").as("node"),
+          (lit(150000L) + expr("(85 * __in) div 100")).as("rank"))
+        .unionByName(srcOnly.withColumn("rank", lit(150000L)))
       round += 1
       ranks = if (round % 8 == 0) next.localCheckpoint() else next
     }
     val out = ranks.localCheckpoint()
     ed.unpersist()
-    nodes.unpersist()
+    srcOnly.unpersist()
     out
   }
 
@@ -114,25 +120,28 @@ object Graph {
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("src"))))
       .persist()
-    val nodes = ed.select(col("src").as("node"))
+    val srcOnly = ed.select(col("src").as("node")).distinct()
+      .join(ed.select(col("dst").as("node")).distinct(), Seq("node"),
+        "left_anti")
+      .persist()
+    var ranks = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
-      .distinct().persist()
-    var ranks = nodes.withColumn("rank", lit(1000000L))
+      .distinct()
+      .withColumn("rank", lit(1000000L))
     var round = 0
     while (round < iters) {
-      val inflow = ed.join(ranks, col("src") === col("node"))
+      val next = ed.join(ranks, col("src") === col("node"))
         .groupBy(col("dst").as("__dst"))
         .agg(sum(expr("(rank * w) div wsum")).as("__in"))
-      val next = nodes.join(inflow, col("node") === col("__dst"), "left")
-        .select(col("node"),
-          (lit(150000L) +
-            expr("(85 * coalesce(__in, 0L)) div 100")).as("rank"))
+        .select(col("__dst").as("node"),
+          (lit(150000L) + expr("(85 * __in) div 100")).as("rank"))
+        .unionByName(srcOnly.withColumn("rank", lit(150000L)))
       round += 1
       ranks = if (round % 8 == 0) next.localCheckpoint() else next
     }
     val out = ranks.localCheckpoint()
     ed.unpersist()
-    nodes.unpersist()
+    srcOnly.unpersist()
     out
   }
 
@@ -150,11 +159,13 @@ object Graph {
     * labels, ties broken (count DESC, label ASC) — integer counts and
     * integer labels, so every engine and partitioning lands on the same
     * assignment, and the oracle can unroll the same rounds as CTEs.
-    * The node universe is src ∪ dst; a node with no in-neighbors this
-    * round (possible on general directed graphs) KEEPS its previous
-    * label rather than dropping out — undirected callers feeding both
-    * orientations (the [[pageRankMicros]] convention) never hit that
-    * branch.
+    * The node universe is src ∪ dst; a node with no in-neighbors
+    * (possible on general directed graphs) KEEPS its own label rather
+    * than dropping out. Like [[pageRankMicros]]'s teleport branch, the
+    * no-in-neighbor set is STATIC (every in-edge source always carries
+    * a label), so the fix is a once-computed src-only union branch
+    * whose label never moves — no per-round join, and empty for the
+    * both-orientation undirected callers.
     *
     * Per round: the vocabulary-sized label table broadcasts onto the
     * persisted edge list (AQE), then ONE repartition on dst feeds BOTH
@@ -169,13 +180,17 @@ object Graph {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).persist()
-    val nodes = e.select(col("src").as("node"))
+    val srcOnly = e.select(col("src").as("node")).distinct()
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"),
+        "left_anti")
+      .persist()
+    var labels = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().persist()
-    var labels = nodes.withColumn("lbl", col("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
     var round = 0
     while (round < iters) {
-      val upd = e.join(labels, col("src") === col("node"))
+      val next = e.join(labels, col("src") === col("node"))
         .select(col("dst"), col("lbl"))
         .repartition(col("dst"))
         .groupBy(col("dst"), col("lbl"))
@@ -184,21 +199,15 @@ object Graph {
         // lexicographic struct max = (count DESC, label ASC): labels are
         // non-negative, so max(-lbl) picks the minimum label on count ties
         .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
-        .select(col("dst").as("__dst"), (-col("__m.__nl")).as("__lbl"))
-      // no in-neighbors this round → keep the previous label. This
-      // references `labels` TWICE (histogram input + left side), so
-      // without a per-round cut the plan tree would DOUBLE each round
-      // (2^iters leaf evaluations — measured 4.3 → 10.2 s at sf0.1);
-      // a lazy per-round localCheckpoint materializes each round once
-      val next = labels.join(upd, col("node") === col("__dst"), "left")
-        .select(col("node"),
-          coalesce(col("__lbl"), col("lbl")).as("lbl"))
+        .select(col("dst").as("node"), (-col("__m.__nl")).as("lbl"))
+        // no in-neighbors ever → keep the own label (static set)
+        .unionByName(srcOnly.withColumn("lbl", col("node")))
       round += 1
-      labels = next.localCheckpoint(false)
+      labels = if (round % 8 == 0) next.localCheckpoint() else next
     }
     val out = labels.localCheckpoint()
     e.unpersist()
-    nodes.unpersist()
+    srcOnly.unpersist()
     out
   }
 
