@@ -782,6 +782,23 @@ object SparkEntry {
         Dedup.containmentDups(Tables.documents(s, dir), "text", "doc_id",
           n = 3, minGrams = 10, threshold = 0.6),
         "doc_a", "doc_b", maxDepth = 3)),
+    // q189: per-day basket pairs — baskets are (day, user), items ride
+    // the props JSON key on view events. minSupport=1 at test SFs: the
+    // synthetic item space (k in 0..99) makes same-day cross-user pair
+    // repeats vanishingly rare, and a floor of 2 would gate an empty
+    // (vacuous) oracle
+    "q189_daily_basket_pairs" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Graph.windowedBasketPairs(
+        Tables.events(s, dir)
+          .filter(f.col("event_type") === "view")
+          .select(
+            f.datediff(f.to_date(f.col("ts")), f.lit("1970-01-01"))
+              .cast("long").as("d"),
+            f.col("user_id").as("b"),
+            f.get_json_object(f.col("props"), "$.k").cast("long").as("it")),
+        "d", "b", "it", minSupport = 1, maxBasketSize = 20)
+    }),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3731,6 +3748,28 @@ object SparkEntry {
               s"SELECT root, node, $t AS dist FROM bh$t")
               .mkString("\n  UNION ALL ")})
          |GROUP BY 1""".stripMargin,
+    // q189: distinct (day, user, item) -> basket-size cap -> id-ordered
+    // pair self-join (the oracle's plain form of the engine's array
+    // fan-out) -> per-day support with the min-support floor
+    "q189_daily_basket_pairs" ->
+      """WITH x AS (
+        |  SELECT DISTINCT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    user_id AS b,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |ok AS (SELECT d, b FROM (
+        |    SELECT d, b, count(*) AS n FROM x GROUP BY 1, 2)
+        |  WHERE n BETWEEN 2 AND 20),
+        |p AS (SELECT x1.d, x1.it AS it_a, x2.it AS it_b
+        |      FROM x x1
+        |      JOIN x x2 ON x2.d = x1.d AND x2.b = x1.b AND x1.it < x2.it
+        |      JOIN ok ON ok.d = x1.d AND ok.b = x1.b)
+        |SELECT d AS epoch_day, it_a, it_b, count(*) AS support
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
     // q187: DuckDB cannot replay the lookahead split — it pins the
     // losslessness invariant (summed pretoken chars == len(text)) and
     // the in-band reference-implementation parity flag

@@ -370,6 +370,52 @@ object Graph {
           .as("in_kcore"))
   }
 
+  /** Q189: WINDOWED basket-pair mining — [[basketPairLift]]'s per-window
+    * form: frequent same-basket item pairs per day (or any window
+    * column), the time-resolved association unit a monitoring pipeline
+    * tracks ("which items started co-occurring THIS day"), and the
+    * batch dual of [[graft.streaming.StreamingBasketPairs]].
+    *
+    * Scale: distinct (window, basket, item) first (one shuffle), then
+    * basket sizes via a count aggregate on the SAME (window, basket)
+    * partitioning and a semi-join cap — `collect_set` only ever
+    * aggregates baskets already proven ≤ `maxBasketSize`, so the agg
+    * buffer is bounded (a mega-basket cannot OOM a reducer; q182
+    * rationale, enforced pre-collection). Pair fan-out is a pure
+    * array HOF over the ≤cap sorted set — no self-join; the pair count
+    * is one final aggregate. Support counts baskets (each basket
+    * contributes a pair once — set semantics).
+    */
+  def windowedBasketPairs(df: DataFrame, dayCol: String, basketCol: String,
+      itemCol: String, minSupport: Int = 2,
+      maxBasketSize: Int = 20): DataFrame = {
+    require(minSupport >= 1 && maxBasketSize >= 2,
+      s"bad params: minSupport=$minSupport maxBasketSize=$maxBasketSize")
+    val dedup = df.select(col(dayCol).cast("long").as("d"),
+        col(basketCol).cast("long").as("b"),
+        col(itemCol).cast("long").as("it"))
+      .filter(col("it").isNotNull)
+      .distinct()
+    val okSizes = dedup.groupBy(col("d"), col("b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBasketSize))
+      .select(col("d"), col("b"))
+    val baskets = dedup.join(okSizes, Seq("d", "b"), "left_semi")
+      .groupBy(col("d"), col("b"))
+      .agg(sort_array(collect_set(col("it"))).as("items"))
+    baskets
+      .select(col("d"),
+        explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("it_a"), y.as("it_b")))))).as("p"))
+      .groupBy(col("d"), col("p.it_a").as("it_a"),
+        col("p.it_b").as("it_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("d").as("epoch_day"), col("it_a"), col("it_b"),
+        col("support"))
+  }
+
   /** Q188: bounded-depth HARMONIC CENTRALITY over an undirected pair
     * graph — the BFS-frontier member of the graph family (PageRank
     * measures inherited endorsement, k-core survival density; harmonic
