@@ -799,6 +799,11 @@ object SparkEntry {
             f.get_json_object(f.col("props"), "$.k").cast("long").as("it")),
         "d", "b", "it", minSupport = 1, maxBasketSize = 20)
     }),
+    // q190: output-file bin packing via the two-pass range-partitioned
+    // cumulative sum (the scale-safe form of a per-lang global window)
+    "q190_file_bins" -> ((s, dir) =>
+      Pipelines.packedFileBins(Tables.documents(s, dir), "lang", "doc_id",
+        "n_chars", targetUnits = 100000L)),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3770,6 +3775,14 @@ object SparkEntry {
         |      JOIN ok ON ok.d = x1.d AND ok.b = x1.b)
         |SELECT d AS epoch_day, it_a, it_b, count(*) AS support
         |FROM p GROUP BY 1, 2, 3""".stripMargin,
+    // q190: the oracle runs the PLAIN per-lang window cumsum the
+    // engine's two-pass form exists to avoid — identical final offsets
+    // prove the partial-prefix algebra
+    "q190_file_bins" ->
+      """SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS sz,
+        |  (CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+        |     AS BIGINT) - n_chars) // 100000 AS bin
+        |FROM documents""".stripMargin,
     // q187: DuckDB cannot replay the lookahead split — it pins the
     // losslessness invariant (summed pretoken chars == len(text)) and
     // the in-band reference-implementation parity flag

@@ -890,6 +890,81 @@ object Pipelines {
     * no explode, no per-row array. Tiebreak: smallest shard index
     * (encoded as the NEGATED index inside the max).
     */
+  /** Q190: OUTPUT-FILE BIN PACKING — assign each document to a
+    * fixed-budget output bin (the "compact to ~1 GB files" step every
+    * corpus writer runs): per language, docs in id order fill bins of
+    * `targetUnits` (bin = the doc's START offset div target, so a doc
+    * never splits and bins overflow by at most one doc — the standard
+    * streaming-fill contract).
+    *
+    * The interesting part is HOW the per-lang running offset is
+    * computed at scale: the naive form is `sum(size) OVER (PARTITION BY
+    * lang ORDER BY id)` — and a language is most of a corpus, so that
+    * window is the same single-task global sort q169's replan removed.
+    * This is the TWO-PASS RANGE-PARTITIONED form: (1) range-repartition
+    * by (lang, id) and take each partition's per-lang PARTIAL sum — a
+    * tiny (numPartitions × langs) table; (2) prefix-sum those partials
+    * driver-side (bounded rows — the KMeansLite/sample discipline) and
+    * broadcast-join the offsets back, adding a within-partition running
+    * sum whose window is keyed by (partition id, lang) — every window
+    * group is at most one partition's rows, so no task ever sorts more
+    * than its partition. The FINAL cumulative value is independent of
+    * where the range boundaries fall (prefix sums are associative), so
+    * the result is partition-invariant — spec'd against the plain
+    * global-window form.
+    *
+    * Works on any monotone size proxy (chars here; bytes in
+    * production). Range-partitioner boundaries come from sampling, but
+    * they only decide WHERE the partials split, never the result.
+    */
+  def packedFileBins(docs: DataFrame, langCol: String, idCol: String,
+      sizeCol: String, targetUnits: Long = 100000L,
+      numPartitions: Int = 32): DataFrame = {
+    require(targetUnits >= 1 && numPartitions >= 1,
+      s"bad params: target=$targetUnits parts=$numPartitions")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(langCol).as("lang"),
+        col(idCol).cast("long").as("doc_id"),
+        col(sizeCol).cast("long").as("sz"))
+      .repartitionByRange(numPartitions, col("lang"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      // LOAD-BEARING checkpoint: the range partitioner samples, so a
+      // re-evaluation could draw different boundaries — pass 1's
+      // collected partials and pass 2's rows must see the SAME __pid
+      // assignment, i.e. the same materialized shuffle output
+      .localCheckpoint(false)
+    // pass 1: per-(partition, lang) partials — numPartitions × |langs|
+    // rows, driver-bounded by construction
+    val partials = base.groupBy(col("__pid"), col("lang"))
+      .agg(sum(col("sz")).as("__psum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[(Int, String), Long] = partials
+      .groupBy(_._2).flatMap { case (lang, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val prefix = sorted.scanLeft(0L)(_ + _._3)
+        sorted.map(_._1).zip(prefix).map { case (pid, off) =>
+          (pid, lang) -> off
+        }
+      }
+    val offCol = {
+      // bounded literal map: (pid, lang) -> offset of everything before
+      val entries = offsets.toSeq.flatMap { case ((pid, lang), off) =>
+        Seq(concat_ws(" ", lit(pid), lit(lang)), lit(off))
+      }
+      element_at(map(entries: _*),
+        concat_ws(" ", col("__pid"), col("lang")))
+    }
+    // pass 2: within-partition running sum — window groups are at most
+    // one range partition's rows, never a corpus-wide lang
+    val w = Window.partitionBy(col("__pid"), col("lang"))
+      .orderBy(col("doc_id"))
+    base
+      .withColumn("__cum", sum(col("sz")).over(w) + offCol)
+      .select(col("lang"), col("doc_id"), col("sz"),
+        expr(s"(__cum - sz) div ${targetUnits}L").as("bin"))
+  }
+
   def rendezvousShards(docs: DataFrame, idCol: String,
       numShards: Int = 16): DataFrame = {
     require(numShards >= 2, s"numShards: $numShards")
