@@ -377,14 +377,15 @@ object Graph {
     * batch dual of [[graft.streaming.StreamingBasketPairs]].
     *
     * Scale: distinct (window, basket, item) first (one shuffle), then
-    * basket sizes via a count aggregate on the SAME (window, basket)
-    * partitioning and a semi-join cap — `collect_set` only ever
+    * the basket-size cap as a COUNT WINDOW riding the same (window,
+    * basket) partitioning (the q182 device — a semi-join against a
+    * separate size aggregate re-evaluated the whole distinct subtree:
+    * ScanAudit measured 2 corpus scans) — `collect_set` only ever
     * aggregates baskets already proven ≤ `maxBasketSize`, so the agg
-    * buffer is bounded (a mega-basket cannot OOM a reducer; q182
-    * rationale, enforced pre-collection). Pair fan-out is a pure
-    * array HOF over the ≤cap sorted set — no self-join; the pair count
-    * is one final aggregate. Support counts baskets (each basket
-    * contributes a pair once — set semantics).
+    * buffer is bounded (a mega-basket cannot OOM a reducer). Pair
+    * fan-out is a pure array HOF over the ≤cap sorted set — no
+    * self-join; the pair count is one final aggregate. Support counts
+    * baskets (each basket contributes a pair once — set semantics).
     */
   def windowedBasketPairs(df: DataFrame, dayCol: String, basketCol: String,
       itemCol: String, minSupport: Int = 2,
@@ -396,11 +397,11 @@ object Graph {
         col(itemCol).cast("long").as("it"))
       .filter(col("it").isNotNull)
       .distinct()
-    val okSizes = dedup.groupBy(col("d"), col("b"))
-      .agg(count(lit(1)).as("__n"))
+    val baskets = dedup
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d"), col("b"))))
       .filter(col("__n").between(2, maxBasketSize))
-      .select(col("d"), col("b"))
-    val baskets = dedup.join(okSizes, Seq("d", "b"), "left_semi")
       .groupBy(col("d"), col("b"))
       .agg(sort_array(collect_set(col("it"))).as("items"))
     baskets
