@@ -804,6 +804,23 @@ object SparkEntry {
     "q190_file_bins" -> ((s, dir) =>
       Pipelines.packedFileBins(Tables.documents(s, dir), "lang", "doc_id",
         "n_chars", targetUnits = 100000L)),
+    // q191: Fellegi-Sunter record-linkage weights — block on
+    // mktsegment; compare nation, acctbal k-bucket, and the last two
+    // name digits; emit probable matches (score > 0, needs >= 2
+    // agreeing fields at these u's)
+    "q191_record_linkage" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Linkage.fellegiSunter(
+        Tables.customer(s, dir).select(
+          f.col("c_custkey").as("id"),
+          f.col("c_mktsegment").as("b1"),
+          f.col("c_nationkey").as("f1"),
+          f.floor(f.col("c_acctbal") / f.lit(1000.0)).cast("long").as("f2"),
+          f.substring(f.col("c_name"), -2, 1).as("f3"),
+          f.substring(f.col("c_name"), -1, 1).as("f4")),
+        "id", Seq("b1"), Seq("f1", "f2", "f3", "f4"),
+        m = 0.9, minScore = 0.0)
+    }),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3775,6 +3792,52 @@ object SparkEntry {
         |      JOIN ok ON ok.d = x1.d AND ok.b = x1.b)
         |SELECT d AS epoch_day, it_a, it_b, count(*) AS support
         |FROM p GROUP BY 1, 2, 3""".stripMargin,
+    // q191: u estimates as exact integer ratios in one mirrored IEEE
+    // division; weights literal-mirrored (1.0 - 0.9 written out, never
+    // a folded 0.1 — the q139 lesson); blocked pairs via the same
+    // equi-join
+    "q191_record_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_mktsegment AS b1,
+        |    c_nationkey AS f1,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS f2,
+        |    substr(c_name, length(c_name) - 1, 1) AS f3,
+        |    substr(c_name, length(c_name), 1) AS f4
+        |  FROM customer),
+        |u1 AS (SELECT CAST(sum(n * n) AS DOUBLE) /
+        |         (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+        |       FROM (SELECT count(*) AS n FROM c GROUP BY f1)),
+        |u2 AS (SELECT CAST(sum(n * n) AS DOUBLE) /
+        |         (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+        |       FROM (SELECT count(*) AS n FROM c GROUP BY f2)),
+        |u3 AS (SELECT CAST(sum(n * n) AS DOUBLE) /
+        |         (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+        |       FROM (SELECT count(*) AS n FROM c GROUP BY f3)),
+        |u4 AS (SELECT CAST(sum(n * n) AS DOUBLE) /
+        |         (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+        |       FROM (SELECT count(*) AS n FROM c GROUP BY f4)),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN 1 ELSE 0 END AS g1,
+        |        CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN 1 ELSE 0 END AS g2,
+        |        CASE WHEN a.f3 IS NOT DISTINCT FROM b.f3 THEN 1 ELSE 0 END AS g3,
+        |        CASE WHEN a.f4 IS NOT DISTINCT FROM b.f4 THEN 1 ELSE 0 END AS g4
+        |      FROM c a JOIN c b ON a.b1 = b.b1 AND a.id < b.id)
+        |SELECT id_a, id_b, n_agree, score FROM (
+        |  SELECT id_a, id_b, g1 + g2 + g3 + g4 AS n_agree,
+        |    round(
+        |      (CASE WHEN g1 = 1 THEN ln(CAST(0.9 AS DOUBLE) / u1.u)
+        |        ELSE ln((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) /
+        |                (CAST(1.0 AS DOUBLE) - u1.u)) END) +
+        |      (CASE WHEN g2 = 1 THEN ln(CAST(0.9 AS DOUBLE) / u2.u)
+        |        ELSE ln((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) /
+        |                (CAST(1.0 AS DOUBLE) - u2.u)) END) +
+        |      (CASE WHEN g3 = 1 THEN ln(CAST(0.9 AS DOUBLE) / u3.u)
+        |        ELSE ln((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) /
+        |                (CAST(1.0 AS DOUBLE) - u3.u)) END) +
+        |      (CASE WHEN g4 = 1 THEN ln(CAST(0.9 AS DOUBLE) / u4.u)
+        |        ELSE ln((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) /
+        |                (CAST(1.0 AS DOUBLE) - u4.u)) END), 6) AS score
+        |  FROM p, u1, u2, u3, u4)
+        |WHERE score > 0.0""".stripMargin,
     // q190: the oracle runs the PLAIN per-lang window cumsum the
     // engine's two-pass form exists to avoid — identical final offsets
     // prove the partial-prefix algebra
