@@ -821,6 +821,10 @@ object SparkEntry {
         "id", Seq("b1"), Seq("f1", "f2", "f3", "f4"),
         m = 0.9, minScore = 0.0)
     }),
+    // q192: Min-K%-prob membership scoring over the q159 held-out split
+    "q192_mink_prob" -> ((s, dir) =>
+      Contamination.minKProbScore(Tables.documents(s, dir), "text",
+        "doc_id", kPct = 20)),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3838,6 +3842,38 @@ object SparkEntry {
         |                (CAST(1.0 AS DOUBLE) - u4.u)) END), 6) AS score
         |  FROM p, u1, u2, u3, u4)
         |WHERE score > 0.0""".stripMargin,
+    // q192: q159's add-1 train-split surprisal chain, then the top-k%
+    // cut per doc — boundary ties share a mic value, so the selected
+    // sum is tie-invariant; k in integer arithmetic
+    "q192_mink_prob" ->
+      """WITH trt AS (
+        |  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))
+        |    AS tok
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |c AS (SELECT tok, count(*) AS c FROM trt GROUP BY 1),
+        |nv AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM c),
+        |hd AS (
+        |  SELECT doc_id, toks[i] AS tok, i
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM (SELECT doc_id,
+        |                regexp_extract_all(coalesce(text, ''), '\S+')
+        |                  AS toks
+        |              FROM documents WHERE doc_id % 10 = 7))),
+        |j AS (SELECT h.doc_id, h.i,
+        |        CAST(round(-ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
+        |          CAST(nv.N + nv.V AS DOUBLE)) * 1000000)
+        |          AS DECIMAL(18,0)) AS mic
+        |      FROM hd h LEFT JOIN c USING (tok), nv),
+        |r AS (SELECT doc_id, mic,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY mic DESC, i) AS rn,
+        |        count(*) OVER (PARTITION BY doc_id) AS n
+        |      FROM j)
+        |SELECT doc_id, max(n) AS n_tokens, max(k) AS k_tokens,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    / max(k), 6) AS mink_nll
+        |FROM (SELECT doc_id, mic, rn, n, (n * 20 + 99) // 100 AS k FROM r)
+        |WHERE rn <= k GROUP BY 1""".stripMargin,
     // q190: the oracle runs the PLAIN per-lang window cumsum the
     // engine's two-pass form exists to avoid — identical final offsets
     // prove the partial-prefix algebra

@@ -147,4 +147,60 @@ object Contamination {
       .select(col("train_id")).distinct()
     train.join(broadcast(flagged), col(idCol) === col("train_id"), "left_anti")
   }
+
+  /** Q192: MIN-K%-PROB membership/contamination scoring (Shi et al.
+    * 2023) — the model-side dual of the verbatim-overlap detectors
+    * above: a document the reference model has SEEN scores unusually
+    * high probability even on its rarest tokens, so the mean negative
+    * log-likelihood of the k% LEAST-probable (highest-surprisal) tokens
+    * separates seen from unseen far better than the full-document mean
+    * (which common tokens dominate). Here the "model" is the corpus's
+    * own add-1-smoothed unigram LM over the q159 train split — the
+    * repo's standing held-out discipline — so the score is fully
+    * engine-reproducible.
+    *
+    * Exactness: per-token surprisal −ln((c+1)/(N+V)) on the 1e-6 micro
+    * grid (the q133/q159 chain, literal-mirrored); the top-k% cut is a
+    * row_number over (mic DESC, position) — a boundary tie can pick
+    * either token, but tied tokens have EQUAL mic, so the selected SUM
+    * is tie-invariant; k = ceil(n·kPct/100) in integer arithmetic.
+    *
+    * Scale: unigram counts are one map-side-combinable aggregate; the
+    * probability join hits the vocabulary-bounded count table; both
+    * windows partition BY DOCUMENT (bounded by document length, never
+    * corpus-wide).
+    */
+  def minKProbScore(docs: DataFrame, textCol: String, idCol: String,
+      kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"kPct out of range: $kPct")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val counts = docs.filter(col(idCol) % 10 =!= 7)
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nv = counts.agg(sum(col("c")).as("N"), count(lit(1)).as("V"))
+    val held = docs.filter(col(idCol) % 10 === 7)
+      .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("i", "tok")))
+    val mic = round(-log(
+        (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("N") + col("V")).cast("double")) * 1e6).cast("long")
+    val scored = held.join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"), col("i"), mic.as("mic"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("mic").desc, col("i"))
+    scored
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("k", expr(s"(n * $kPct + 99) div 100"))
+      .filter(col("rn") <= col("k"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("k")).as("k_tokens"),
+        (sum(col("mic").cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("k_tokens"),
+        round(col("__s") / col("k_tokens"), 6).as("mink_nll"))
+  }
 }
