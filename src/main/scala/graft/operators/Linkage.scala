@@ -35,10 +35,13 @@ object Linkage {
       "need at least one block column and one comparison field")
     require(m > 0.0 && m < 1.0, s"m out of (0,1): $m")
     val cols = (idCol +: (blockCols ++ fieldCols)).distinct
-    val base = df.select(cols.map(col): _*)
+    // the projected base feeds SIX consumers (two pair sides + one
+    // count aggregate per field) — materialize it once instead of
+    // re-scanning the input per consumer (ScanAudit: 6 scans -> 1)
+    val base = df.select(cols.map(col): _*).localCheckpoint(false)
     // one row of u estimates, broadcast onto every candidate pair
     val uRow = broadcast(fieldCols.map { f =>
-      df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+      base.groupBy(col(f)).agg(count(lit(1)).as("__n"))
         .agg((sum(col("__n") * col("__n")).cast("double") /
           (sum(col("__n")).cast("double") *
             sum(col("__n")).cast("double"))).as(s"__u_$f"))
