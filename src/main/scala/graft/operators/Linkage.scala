@@ -20,11 +20,21 @@ import org.apache.spark.sql.functions._
   * constant, so both engines compute the identical double), and the
   * field sum is a fixed-order chain.
   *
-  * Scale: the u table is one count aggregate per field reduced to ONE
-  * row, broadcast via crossJoin; candidate generation is a blocked
-  * equi-join (block keys must be selective — the standard linkage
-  * contract; un-blocked linkage is quadratic by definition and the
-  * blocking families exist to avoid it). No driver data, no windows.
+  * Scale: the u estimates reduce to ONE row per run and ship as PLAN
+  * LITERALS (the IVF-centroid discipline — a crossJoin'd u row dragged
+  * the whole score expression into an interpreted nested-loop-join
+  * condition; as literals every ln(m/u) constant-folds and the pair
+  * scoring is a pure codegen projection). Candidate generation is a
+  * SALTED blocked join ([[Skew.saltedJoin]] on the composite block
+  * key — block keys are low-cardinality by nature, so a shuffle
+  * equi-join would serialize each block's quadratic fan-out onto one
+  * task) over a probe side spread by an explicit
+  * [[Hashing.repartitionForCompute]] (the fan-out happens AT the join,
+  * so AQE's byte-based coalescing under-provisions it otherwise).
+  * Block selectivity is still the linkage contract: un-blocked linkage
+  * is quadratic by definition and the blocking families exist to avoid
+  * it; salting buys parallelism, not asymptotics. No driver-side data
+  * beyond the |fields|-sized u row, no windows.
   */
 object Linkage {
 
@@ -39,26 +49,49 @@ object Linkage {
     // count aggregate per field) — materialize it once instead of
     // re-scanning the input per consumer (ScanAudit: 6 scans -> 1)
     val base = df.select(cols.map(col): _*).localCheckpoint(false)
-    // one row of u estimates, broadcast onto every candidate pair
-    val uRow = broadcast(fieldCols.map { f =>
+    // u estimates: one row, collected and embedded as plan literals so
+    // every weight constant-folds (see scaladoc)
+    val uRow = fieldCols.map { f =>
       base.groupBy(col(f)).agg(count(lit(1)).as("__n"))
         .agg((sum(col("__n") * col("__n")).cast("double") /
           (sum(col("__n")).cast("double") *
             sum(col("__n")).cast("double"))).as(s"__u_$f"))
-    }.reduce(_.crossJoin(_)))
-    def side(tag: String) = base.select(
-      (col(idCol).as(s"id_$tag") +:
-        blockCols.map(c => col(c).as(s"__b_${c}_$tag"))) ++
-        fieldCols.map(c => col(c).as(s"${c}_$tag")): _*)
-    val pairs = side("a").join(side("b"),
-      blockCols.map(c => col(s"__b_${c}_a") === col(s"__b_${c}_b"))
-        .reduce(_ && _) && col("id_a") < col("id_b"))
-      .crossJoin(uRow)
+    }.reduce(_.crossJoin(_)).collect().head
+    val u: Map[String, Double] =
+      fieldCols.zipWithIndex.map { case (f, i) =>
+        f -> uRow.getDouble(i)
+      }.toMap
+    // block keys are LOW-CARDINALITY by nature (that is what makes them
+    // blocks), so a plain equi-join would shuffle every row of a block
+    // onto one task no matter how the input is partitioned — the
+    // all-pairs fan-out then runs serially per block (measured 13.5 s
+    // at sf0.1, the suite's slowest row). SALT it: the composite block
+    // key joins through Skew.saltedJoin, which scatters the probe side
+    // over `salt` sub-keys and replicates the build side salt× —
+    // blocks×salt-way parallelism for salt× duplication of one side.
+    // Rows with a NULL in any block column are dropped first on both
+    // sides (SQL equality semantics — NULL never joins), which also
+    // keeps the concatenated key faithful to the tuple.
+    def side(tag: String) = base
+      .filter(blockCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(
+        (col(idCol).as(s"id_$tag") +:
+          blockCols.map(c => col(c).as(s"__b_${c}_$tag"))) ++
+          fieldCols.map(c => col(c).as(s"${c}_$tag")): _*)
+    def withBlk(tag: String) = side(tag)
+      .withColumn("__blk", concat_ws("\u0001",
+        blockCols.map(c => col(s"__b_${c}_$tag").cast("string")): _*))
+      .drop(blockCols.map(c => s"__b_${c}_$tag"): _*)
+    val pairs = Skew.saltedJoin(
+      Hashing.repartitionForCompute(withBlk("a"), "id_a"),
+      withBlk("b"), "__blk", salt = 8)
+      .filter(col("id_a") < col("id_b"))
+      .drop("__blk")
     val agrees: Seq[Column] = fieldCols.map(f =>
       col(s"${f}_a") <=> col(s"${f}_b"))
     val weights: Seq[Column] = fieldCols.zip(agrees).map { case (f, g) =>
-      when(g, log(lit(m) / col(s"__u_$f")))
-        .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - col(s"__u_$f"))))
+      when(g, log(lit(m) / lit(u(f))))
+        .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u(f)))))
     }
     pairs
       .select(col("id_a"), col("id_b"),
