@@ -825,6 +825,20 @@ object SparkEntry {
     "q192_mink_prob" -> ((s, dir) =>
       Contamination.minKProbScore(Tables.documents(s, dir), "text",
         "doc_id", kPct = 20)),
+    // q193: EM-refined (p, m, u) over q191's blocked agreement vectors
+    // — 2 unrolled rounds, grid-exact posteriors
+    "q193_linkage_em" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Linkage.emRefine(
+        Tables.customer(s, dir).select(
+          f.col("c_custkey").as("id"),
+          f.col("c_mktsegment").as("b1"),
+          f.col("c_nationkey").as("f1"),
+          f.floor(f.col("c_acctbal") / f.lit(1000.0)).cast("long").as("f2"),
+          f.substring(f.col("c_name"), -2, 1).as("f3"),
+          f.substring(f.col("c_name"), -1, 1).as("f4")),
+        "id", Seq("b1"), Seq("f1", "f2", "f3", "f4"), rounds = 2)
+    }),
     // q175: supplier-supplier similarity via shared customers
     "q175_item_cf" -> ((s, dir) => {
       val f = org.apache.spark.sql.functions
@@ -3874,6 +3888,9 @@ object SparkEntry {
         |    / max(k), 6) AS mink_nll
         |FROM (SELECT doc_id, mic, rn, n, (n * 20 + 99) // 100 AS k FROM r)
         |WHERE rn <= k GROUP BY 1""".stripMargin,
+    // q193: the EM rounds unrolled (generator keeps the association
+    // order in lock-step with the engine's fold)
+    "q193_linkage_em" -> emLinkageOracleSql(2),
     // q190: the oracle runs the PLAIN per-lang window cumsum the
     // engine's two-pass form exists to avoid — identical final offsets
     // prove the partial-prefix algebra
@@ -3891,6 +3908,81 @@ object SparkEntry {
         |  1 AS parity_ok
         |FROM documents""".stripMargin,
   )
+
+  /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM
+    * rounds unrolled as CTE triples (ew = grid posteriors, es = BIGINT
+    * micro sums, ep = the round's parameters as mirrored IEEE
+    * divisions). Every product chain is LEFT-ASSOCIATED exactly like
+    * the engine's fold, and every 1−x is written out (never a folded
+    * constant) — the q139 lesson at EM scale.
+    */
+  private def emLinkageOracleSql(rounds: Int): String = {
+    val fs = 1 to 4
+    def gList = fs.map(i => s"g$i").mkString(", ")
+    def chain(base: String, term: Int => String): String =
+      fs.foldLeft(base)((acc, i) => s"($acc * ${term(i)})")
+    def cse(i: Int, hit: String, miss: String) =
+      s"CASE WHEN g$i = 1 THEN $hit ELSE $miss END"
+    def ewCte(r: Int): String = {
+      val (from, num, alt) =
+        if (r == 1) ("pr, u1, u2, u3, u4",
+          chain("CAST(0.1 AS DOUBLE)", i => cse(i, "CAST(0.9 AS DOUBLE)",
+            "(CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))")),
+          chain("(CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))",
+            i => cse(i, s"u$i.u", s"(CAST(1.0 AS DOUBLE) - u$i.u)")))
+        else (s"pr, ep${r - 1}",
+          chain(s"ep${r - 1}.p", i => cse(i, s"ep${r - 1}.m$i",
+            s"(CAST(1.0 AS DOUBLE) - ep${r - 1}.m$i)")),
+          chain(s"(CAST(1.0 AS DOUBLE) - ep${r - 1}.p)",
+            i => cse(i, s"ep${r - 1}.uu$i",
+              s"(CAST(1.0 AS DOUBLE) - ep${r - 1}.uu$i)")))
+      s"""ew$r AS MATERIALIZED (
+         |  SELECT $gList,
+         |    CAST(round(1000000.0 * (num / (num + alt))) AS BIGINT) AS w
+         |  FROM (SELECT $gList, $num AS num, $alt AS alt FROM $from))"""
+        .stripMargin
+    }
+    def esCte(r: Int): String =
+      s"""es$r AS (SELECT count(*) AS n, CAST(sum(w) AS BIGINT) AS sw,
+         |  ${fs.map(i => s"CAST(sum(w * g$i) AS BIGINT) AS swg$i, " +
+              s"CAST(sum(g$i) AS BIGINT) AS sg$i").mkString(",\n  ")}
+         |  FROM ew$r)""".stripMargin
+    def epCte(r: Int): String =
+      s"""ep$r AS (SELECT
+         |  CAST(sw AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS p,
+         |  ${fs.map(i =>
+              s"CAST(swg$i AS DOUBLE) / CAST(sw AS DOUBLE) AS m$i, " +
+              s"CAST(sg$i * 1000000 - swg$i AS DOUBLE) / " +
+              s"CAST(n * 1000000 - sw AS DOUBLE) AS uu$i")
+              .mkString(",\n  ")}
+         |  FROM es$r)""".stripMargin
+    val roundCtes = (1 to rounds)
+      .map(r => Seq(ewCte(r), esCte(r), epCte(r)).mkString(",\n"))
+      .mkString(",\n")
+    s"""WITH c AS (SELECT c_custkey AS id, c_mktsegment AS b1,
+       |    c_nationkey AS f1,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS f2,
+       |    substr(c_name, length(c_name) - 1, 1) AS f3,
+       |    substr(c_name, length(c_name), 1) AS f4
+       |  FROM customer),
+       |${fs.map(i =>
+            s"""u$i AS (SELECT CAST(sum(n * n) AS DOUBLE) /
+               |  (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+               |  FROM (SELECT count(*) AS n FROM c GROUP BY f$i))"""
+              .stripMargin).mkString(",\n")},
+       |pr AS (SELECT
+       |  ${fs.map(i =>
+            s"CASE WHEN a.f$i IS NOT DISTINCT FROM b.f$i THEN 1 ELSE 0 END AS g$i")
+            .mkString(",\n  ")}
+       |  FROM c a JOIN c b ON a.b1 = b.b1 AND a.id < b.id),
+       |$roundCtes
+       |SELECT field, p_est, m_est, u_est FROM (
+       |  ${fs.map(i =>
+            s"SELECT 'f$i' AS field, round(p, 6) AS p_est, " +
+              s"round(m$i, 6) AS m_est, round(uu$i, 6) AS u_est " +
+              s"FROM ep$rounds").mkString("\n  UNION ALL ")})"""
+      .stripMargin
+  }
 
   /** Synchronous BFS levels over `e(src, dst)` (q188 oracle, both
     * orientations already in `e`): bv0 seeds every node at itself,

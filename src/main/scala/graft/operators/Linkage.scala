@@ -38,40 +38,38 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  def fellegiSunter(df: DataFrame, idCol: String, blockCols: Seq[String],
-      fieldCols: Seq[String], m: Double = 0.9,
-      minScore: Double = 0.0): DataFrame = {
-    require(blockCols.nonEmpty && fieldCols.nonEmpty,
-      "need at least one block column and one comparison field")
-    require(m > 0.0 && m < 1.0, s"m out of (0,1): $m")
+  /** Projected, lazily-materialized input — one scan for all consumers
+    * (two pair sides + the per-field u aggregates).
+    */
+  private def project(df: DataFrame, idCol: String,
+      blockCols: Seq[String], fieldCols: Seq[String]): DataFrame = {
     val cols = (idCol +: (blockCols ++ fieldCols)).distinct
-    // the projected base feeds SIX consumers (two pair sides + one
-    // count aggregate per field) — materialize it once instead of
-    // re-scanning the input per consumer (ScanAudit: 6 scans -> 1)
-    val base = df.select(cols.map(col): _*).localCheckpoint(false)
-    // u estimates: one row, collected and embedded as plan literals so
-    // every weight constant-folds (see scaladoc)
+    df.select(cols.map(col): _*).localCheckpoint(false)
+  }
+
+  /** Frequency u-estimates u_f = Σ_v n_v² / n², collected as scalars
+    * (embedded as plan literals downstream — see [[fellegiSunter]]).
+    */
+  private def uEstimates(base: DataFrame,
+      fieldCols: Seq[String]): Map[String, Double] = {
     val uRow = fieldCols.map { f =>
       base.groupBy(col(f)).agg(count(lit(1)).as("__n"))
         .agg((sum(col("__n") * col("__n")).cast("double") /
           (sum(col("__n")).cast("double") *
             sum(col("__n")).cast("double"))).as(s"__u_$f"))
     }.reduce(_.crossJoin(_)).collect().head
-    val u: Map[String, Double] =
-      fieldCols.zipWithIndex.map { case (f, i) =>
-        f -> uRow.getDouble(i)
-      }.toMap
-    // block keys are LOW-CARDINALITY by nature (that is what makes them
-    // blocks), so a plain equi-join would shuffle every row of a block
-    // onto one task no matter how the input is partitioned — the
-    // all-pairs fan-out then runs serially per block (measured 13.5 s
-    // at sf0.1, the suite's slowest row). SALT it: the composite block
-    // key joins through Skew.saltedJoin, which scatters the probe side
-    // over `salt` sub-keys and replicates the build side salt× —
-    // blocks×salt-way parallelism for salt× duplication of one side.
-    // Rows with a NULL in any block column are dropped first on both
-    // sides (SQL equality semantics — NULL never joins), which also
-    // keeps the concatenated key faithful to the tuple.
+    fieldCols.zipWithIndex.map { case (f, i) =>
+      f -> uRow.getDouble(i)
+    }.toMap
+  }
+
+  /** Blocked candidate pairs with one 0/1 agreement column `g_<field>`
+    * per comparison field — the shared substrate of [[fellegiSunter]]
+    * and [[emRefine]]. Salted join + explicit probe repartition per the
+    * q191 plan saga (PLANS.md).
+    */
+  private def agreementPairs(base: DataFrame, idCol: String,
+      blockCols: Seq[String], fieldCols: Seq[String]): DataFrame = {
     def side(tag: String) = base
       .filter(blockCols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(
@@ -82,22 +80,115 @@ object Linkage {
       .withColumn("__blk", concat_ws("\u0001",
         blockCols.map(c => col(s"__b_${c}_$tag").cast("string")): _*))
       .drop(blockCols.map(c => s"__b_${c}_$tag"): _*)
-    val pairs = Skew.saltedJoin(
+    Skew.saltedJoin(
       Hashing.repartitionForCompute(withBlk("a"), "id_a"),
       withBlk("b"), "__blk", salt = 8)
       .filter(col("id_a") < col("id_b"))
-      .drop("__blk")
-    val agrees: Seq[Column] = fieldCols.map(f =>
-      col(s"${f}_a") <=> col(s"${f}_b"))
-    val weights: Seq[Column] = fieldCols.zip(agrees).map { case (f, g) =>
-      when(g, log(lit(m) / lit(u(f))))
+      .select(
+        col("id_a") +: col("id_b") +: fieldCols.map(f =>
+          when(col(s"${f}_a") <=> col(s"${f}_b"), 1).otherwise(0)
+            .as(s"g_$f")): _*)
+  }
+
+  def fellegiSunter(df: DataFrame, idCol: String, blockCols: Seq[String],
+      fieldCols: Seq[String], m: Double = 0.9,
+      minScore: Double = 0.0): DataFrame = {
+    require(blockCols.nonEmpty && fieldCols.nonEmpty,
+      "need at least one block column and one comparison field")
+    require(m > 0.0 && m < 1.0, s"m out of (0,1): $m")
+    val base = project(df, idCol, blockCols, fieldCols)
+    val u = uEstimates(base, fieldCols)
+    val pairs = agreementPairs(base, idCol, blockCols, fieldCols)
+    val weights: Seq[Column] = fieldCols.map { f =>
+      when(col(s"g_$f") === 1, log(lit(m) / lit(u(f))))
         .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u(f)))))
     }
     pairs
       .select(col("id_a"), col("id_b"),
-        agrees.map(g => when(g, 1).otherwise(0)).reduce(_ + _)
-          .as("n_agree"),
+        fieldCols.map(f => col(s"g_$f")).reduce(_ + _).as("n_agree"),
         round(weights.reduce(_ + _), 6).as("score"))
       .filter(col("score") > minScore)
+  }
+
+  /** Q193: EM-REFINED linkage parameters (the Winkler/Jaro application
+    * of EM to the Fellegi–Sunter model under conditional independence):
+    * instead of ASSUMING the true-match agreement rate m, estimate
+    * (p, m_f, u_f) from the agreement-vector data itself — E-step: each
+    * pair's posterior match probability
+    * {{{ w = p·Π_f t_f / (p·Π_f t_f + (1−p)·Π_f s_f) }}}
+    * with t_f = m_f or 1−m_f and s_f = u_f or 1−u_f by agreement;
+    * M-step: p = Σw/n, m_f = Σw·g_f / Σw, u_f = Σ(1−w)·g_f / Σ(1−w).
+    * A fixed `rounds` budget (the q158/q173 discipline) seeded from the
+    * frequency u's and a conventional m₀ prior.
+    *
+    * Determinism: the per-pair posterior is one literal-mirrored IEEE
+    * chain (fixed left-association; every round's parameters enter as
+    * DOUBLES both engines derive from the same integer sums), then
+    * ROUNDS TO THE 1e-6 GRID — the M-step sums are therefore BIGINT
+    * micro sums, order-independent under any partitioning, and each
+    * round's parameters are bit-identical across engines. The oracle
+    * unrolls the same rounds as CTEs.
+    *
+    * Scale: the agreement-pair table materializes once (lazy
+    * checkpoint) and each round is ONE map-side-combinable aggregate
+    * over it collecting 2·|fields|+2 longs to the driver —
+    * parameter-sized, the BPE-trainer class of driver iteration.
+    * Output is |fields| parameter rows.
+    */
+  def emRefine(df: DataFrame, idCol: String, blockCols: Seq[String],
+      fieldCols: Seq[String], rounds: Int = 2, p0: Double = 0.1,
+      m0: Double = 0.9): DataFrame = {
+    require(blockCols.nonEmpty && fieldCols.nonEmpty,
+      "need at least one block column and one comparison field")
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = project(df, idCol, blockCols, fieldCols)
+    val pairs = agreementPairs(base, idCol, blockCols, fieldCols)
+      .select(fieldCols.map(f => col(s"g_$f")): _*)
+      .localCheckpoint(false)
+    var p = p0
+    var mm: Map[String, Double] = fieldCols.map(_ -> m0).toMap
+    var uu: Map[String, Double] = uEstimates(base, fieldCols)
+    var r = 0
+    while (r < rounds) {
+      // fixed left-associated products, parameters as plan literals
+      val num = fieldCols.foldLeft(lit(p): Column)((acc, f) =>
+        acc * when(col(s"g_$f") === 1, lit(mm(f)))
+          .otherwise(lit(1.0) - lit(mm(f))))
+      val alt = fieldCols.foldLeft(lit(1.0) - lit(p): Column)((acc, f) =>
+        acc * when(col(s"g_$f") === 1, lit(uu(f)))
+          .otherwise(lit(1.0) - lit(uu(f))))
+      val scored = pairs
+        .withColumn("__num", num).withColumn("__alt", alt)
+        .select(fieldCols.map(f => col(s"g_$f")) :+
+          round(lit(1000000.0) *
+            (col("__num") / (col("__num") + col("__alt"))))
+            .cast("long").as("w"): _*)
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("w")).as("sw")) ++
+        fieldCols.flatMap(f => Seq(
+          sum(col("w") * col(s"g_$f")).as(s"swg_$f"),
+          sum(col(s"g_$f").cast("long")).as(s"sg_$f")))
+      val row = scored.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = row.getLong(0)
+      val sw = row.getLong(1)
+      require(sw > 0L && sw < n * 1000000L,
+        s"EM degenerated at round ${r + 1}: sw=$sw n=$n")
+      p = sw.toDouble / (n * 1000000L).toDouble
+      mm = fieldCols.zipWithIndex.map { case (f, i) =>
+        f -> row.getLong(2 + 2 * i).toDouble / sw.toDouble
+      }.toMap
+      uu = fieldCols.zipWithIndex.map { case (f, i) =>
+        val swg = row.getLong(2 + 2 * i)
+        val sg = row.getLong(3 + 2 * i)
+        f -> (sg * 1000000L - swg).toDouble /
+          (n * 1000000L - sw).toDouble
+      }.toMap
+      r += 1
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    fieldCols.map(f => (f, r6(p), r6(mm(f)), r6(uu(f))))
+      .toDF("field", "p_est", "m_est", "u_est")
   }
 }

@@ -38,6 +38,71 @@ class LinkageSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1)), s"got $got")
   }
 
+  // ---- q193 emRefine -------------------------------------------------
+
+  /** Straight-line EM reference over explicit agreement vectors,
+    * replicating the engine's grid math (1e-6 posterior rounding,
+    * integer micro sums, double divisions from longs).
+    */
+  private def emRef(gs: Seq[Seq[Int]], u0: Seq[Double], rounds: Int,
+      p0: Double = 0.1, m0: Double = 0.9): (Double, Seq[Double], Seq[Double]) = {
+    val nf = u0.size
+    var p = p0
+    var mm = Seq.fill(nf)(m0)
+    var uu = u0
+    (1 to rounds).foreach { _ =>
+      val ws = gs.map { g =>
+        var num = p; var alt = 1.0 - p
+        (0 until nf).foreach { i =>
+          num *= (if (g(i) == 1) mm(i) else 1.0 - mm(i))
+          alt *= (if (g(i) == 1) uu(i) else 1.0 - uu(i))
+        }
+        BigDecimal(1000000.0 * (num / (num + alt)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val n = gs.size.toLong
+      val sw = ws.sum
+      p = sw.toDouble / (n * 1000000L).toDouble
+      mm = (0 until nf).map { i =>
+        gs.zip(ws).map { case (g, w) => w * g(i) }.sum.toDouble / sw.toDouble
+      }
+      uu = (0 until nf).map { i =>
+        val swg = gs.zip(ws).map { case (g, w) => w * g(i) }.sum
+        val sg = gs.map(_(i).toLong).sum
+        (sg * 1000000L - swg).toDouble / (n * 1000000L - sw).toDouble
+      }
+    }
+    (p, mm, uu)
+  }
+
+  private def r6d(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("emRefine matches the straight-line grid reference") {
+    // one block of 5 records; field f: A,A,A,B,C -> agreements vary
+    val df = Seq((1L, "x", "A"), (2L, "x", "A"), (3L, "x", "A"),
+      (4L, "x", "B"), (5L, "x", "C")).toDF("id", "blk", "f")
+    val got = Linkage.emRefine(df, "id", Seq("blk"), Seq("f"), rounds = 2)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    // pairs (i<j): g=1 for (1,2),(1,3),(2,3); g=0 for the other 7
+    val gs = Seq(1, 1, 1, 0, 0, 0, 0, 0, 0, 0).map(Seq(_))
+    // u0 = (9+1+1)/25
+    val (p, mm, uu) = emRef(gs, Seq(11.0 / 25.0), rounds = 2)
+    assert(got === Seq(("f", r6d(p), r6d(mm.head), r6d(uu.head))),
+      s"got $got expect ($p, $mm, $uu)")
+  }
+
+  test("emRefine is partition-invariant (grid sums)") {
+    val c = graft.Tables.customer(spark, sf).select(
+      col("c_custkey").as("id"), col("c_mktsegment").as("b1"),
+      col("c_nationkey").as("f1"),
+      substring(col("c_name"), -1, 1).as("f2"))
+    val a = Linkage.emRefine(c, "id", Seq("b1"), Seq("f1", "f2"), 2)
+    val b = Linkage.emRefine(c.repartition(7), "id", Seq("b1"),
+      Seq("f1", "f2"), 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("score threshold keeps only probable matches on sf0.001 customers") {
     val c = graft.Tables.customer(spark, sf).select(
       col("c_custkey").as("id"),
