@@ -569,6 +569,26 @@ class PlanSpec extends SparkSpec {
       s"expected at most the post-limit pos window, got $windows:\n$plan")
   }
 
+  test("q191 linkage: salted blocked join, constant-folded weights, no NL join") {
+    val c = Tables.customer(spark, sf).select(
+      org.apache.spark.sql.functions.col("c_custkey").as("id"),
+      org.apache.spark.sql.functions.col("c_mktsegment").as("b1"),
+      org.apache.spark.sql.functions.col("c_nationkey").as("f1"),
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("c_name"), -1, 1).as("f2"))
+    val df = Linkage.fellegiSunter(c, "id", Seq("b1"), Seq("f1", "f2"),
+      0.9, minScore = -100.0)
+    val plan = executedPlan(df)
+    // the u row must ship as literals, not as a nested-loop cross join
+    // evaluating interpreted ln() per candidate pair (the 13.5 s saga)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"u row must be plan literals:\n$plan")
+    assert(plan.contains("__salt"),
+      s"blocked join must be salted (low-cardinality key):\n$plan")
+    assert(!plan.toLowerCase.contains("ln("),
+      s"weights must constant-fold:\n$plan")
+  }
+
   test("q158/q173 iterative graph: no cartesian, no sort-merge in a round") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
