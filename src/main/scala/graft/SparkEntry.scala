@@ -2391,7 +2391,9 @@ object SparkEntry {
         |WHERE s >= 0.35""".stripMargin,
     // q123 (TPC-H Q2 shape): correlated min decorrelated explicitly —
     // per-(part,supplier) min unit price, per-part min, equality join
-    // back, ties kept.
+    // back, ties kept. Unit cost is exact integer micro-units
+    // ((price-cents · 1e4) // quantity) — the round(price/qty, 6)
+    // double form hit the half-even-vs-half-up tie class at sf0.1
     "q123_cheapest_supplier" ->
       """WITH sup AS (
         |  SELECT s_suppkey, s_name, n_name
@@ -2401,17 +2403,20 @@ object SparkEntry {
         |  WHERE r.r_name = 'EUROPE'),
         |costs AS (
         |  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.n_name,
-        |         min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+        |         min((CAST(round(l_extendedprice * 100) AS BIGINT)
+        |              * 10000) // CAST(l_quantity AS BIGINT))
+        |           AS unit_cost_micro
         |  FROM lineitem l
         |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
         |  JOIN sup s ON l.l_suppkey = s.s_suppkey
         |  GROUP BY 1, 2, 3, 4, 5),
         |m AS (
-        |  SELECT p_partkey, min(unit_cost) AS min_cost
+        |  SELECT p_partkey, min(unit_cost_micro) AS min_cost
         |  FROM costs GROUP BY 1)
-        |SELECT c.p_partkey, c.p_name, c.s_name, c.n_name, c.unit_cost
+        |SELECT c.p_partkey, c.p_name, c.s_name, c.n_name,
+        |       c.unit_cost_micro
         |FROM costs c JOIN m ON c.p_partkey = m.p_partkey
-        |WHERE c.unit_cost = m.min_cost""".stripMargin,
+        |WHERE c.unit_cost_micro = m.min_cost""".stripMargin,
     // q124 (TPC-H Q11 shape): global-scalar HAVING — the comparison runs
     // in exact decimal (pv*n > 1.2*total) so no engine's summation order
     // can flip a borderline part; only display columns drop to double.

@@ -158,6 +158,14 @@ object Relational {
     * always), the part-type filter prunes lineitem through the part join —
     * at 100 TB the aggregation only ever sees qualifying rows. No
     * driver-side anything; part is joined, not broadcast (SF-proportional).
+    *
+    * Unit cost is EXACT INTEGER MICRO-UNITS: (price-cents · 10⁴) div
+    * quantity — prices are exact cents and TPC-H quantities integers,
+    * so the min/tie comparisons run on identical longs in both engines.
+    * The earlier `round(price/qty, 6)` double hit the half-even vs
+    * half-up tie class at sf0.1 (a quotient landing exactly on ...5 at
+    * the 6th decimal: Spark HALF_UP gave ...813, DuckDB's nearbyint
+    * gave ...812 — 1 row in 3373).
     */
   def cheapestRegionalSupplier(lineitem: DataFrame, part: DataFrame,
       supplier: DataFrame, nation: DataFrame, region: DataFrame,
@@ -174,15 +182,16 @@ object Relational {
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("s_name"), col("n_name"))
-      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6))
-        .as("unit_cost"))
+      .agg(min(expr("(CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " * 10000) div CAST(l_quantity AS BIGINT)"))
+        .as("unit_cost_micro"))
     val minCost = costs.groupBy(col("p_partkey").as("__pk"))
-      .agg(min(col("unit_cost")).as("min_cost"))
+      .agg(min(col("unit_cost_micro")).as("min_cost"))
     costs
       .join(minCost, col("p_partkey") === col("__pk"))
-      .filter(col("unit_cost") === col("min_cost"))
+      .filter(col("unit_cost_micro") === col("min_cost"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
-        col("unit_cost"))
+        col("unit_cost_micro"))
   }
 
   /** Q124: TPC-H Q11 shape — groups filtered by a GLOBAL-SCALAR

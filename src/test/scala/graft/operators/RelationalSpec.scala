@@ -853,10 +853,11 @@ class RelationalSpec extends SparkSpec {
       .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
     val got = Relational.cheapestRegionalSupplier(li, part, supplier,
       nation, region)
-      .as[(Long, String, String, String, Double)].collect().toSet
+      .as[(Long, String, String, String, Long)].collect().toSet
+    // unit cost in exact micro-units: 2.0 -> 2_000_000
     assert(got == Set(
-      (100L, "p_large", "s_eu_a", "FRANCE", 2.0),
-      (100L, "p_large", "s_eu_b", "FRANCE", 2.0)))
+      (100L, "p_large", "s_eu_a", "FRANCE", 2000000L),
+      (100L, "p_large", "s_eu_b", "FRANCE", 2000000L)))
   }
 
   test("partValueConcentration: relative threshold keeps the heavy tail exactly") {
