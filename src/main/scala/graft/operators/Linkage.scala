@@ -67,9 +67,37 @@ object Linkage {
     * per comparison field — the shared substrate of [[fellegiSunter]]
     * and [[emRefine]]. Salted join + explicit probe repartition per the
     * q191 plan saga (PLANS.md).
+    *
+    * Occupancy guard: candidate fan-out is occupancy² PER BLOCK, so one
+    * degenerate block key (an empty-string city, a default nation)
+    * turns the linkage quadratic no matter how good the other blocks
+    * are — salting spreads the pairs but cannot shrink their count.
+    * Before the join, one map-side-combinable count over the (already
+    * checkpointed) projection finds any block above
+    * `maxBlockOccupancy` and FAILS LOUDLY with the offending keys (the
+    * q182 oversized-basket device, eager form) instead of silently
+    * launching an O(occ²) stage. The default caps any single block at
+    * ~2³¹ candidate pairs; refine `blockCols` (or raise the cap
+    * deliberately) to proceed.
     */
   private def agreementPairs(base: DataFrame, idCol: String,
-      blockCols: Seq[String], fieldCols: Seq[String]): DataFrame = {
+      blockCols: Seq[String], fieldCols: Seq[String],
+      maxBlockOccupancy: Long): DataFrame = {
+    require(maxBlockOccupancy >= 2,
+      s"maxBlockOccupancy out of range: $maxBlockOccupancy")
+    val over = base
+      .filter(blockCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(blockCols.map(c => col(c).cast("string")): _*)
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxBlockOccupancy)
+      .limit(3).collect()
+    require(over.isEmpty,
+      s"linkage block occupancy over cap $maxBlockOccupancy — " +
+        "candidate fan-out is occupancy^2 per block; refine blockCols " +
+        "or raise maxBlockOccupancy. Offending block keys: " +
+        over.map(r => blockCols.indices.map(i => s"${blockCols(i)}=" +
+          r.getString(i)).mkString("(", ",", ")") +
+          s" occupancy=${r.getLong(blockCols.size)}").mkString("; "))
     def side(tag: String) = base
       .filter(blockCols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(
@@ -92,13 +120,15 @@ object Linkage {
 
   def fellegiSunter(df: DataFrame, idCol: String, blockCols: Seq[String],
       fieldCols: Seq[String], m: Double = 0.9,
-      minScore: Double = 0.0): DataFrame = {
+      minScore: Double = 0.0,
+      maxBlockOccupancy: Long = 65536L): DataFrame = {
     require(blockCols.nonEmpty && fieldCols.nonEmpty,
       "need at least one block column and one comparison field")
     require(m > 0.0 && m < 1.0, s"m out of (0,1): $m")
     val base = project(df, idCol, blockCols, fieldCols)
     val u = uEstimates(base, fieldCols)
-    val pairs = agreementPairs(base, idCol, blockCols, fieldCols)
+    val pairs =
+      agreementPairs(base, idCol, blockCols, fieldCols, maxBlockOccupancy)
     val weights: Seq[Column] = fieldCols.map { f =>
       when(col(s"g_$f") === 1, log(lit(m) / lit(u(f))))
         .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u(f)))))
@@ -137,14 +167,15 @@ object Linkage {
     */
   def emRefine(df: DataFrame, idCol: String, blockCols: Seq[String],
       fieldCols: Seq[String], rounds: Int = 2, p0: Double = 0.1,
-      m0: Double = 0.9): DataFrame = {
+      m0: Double = 0.9, maxBlockOccupancy: Long = 65536L): DataFrame = {
     require(blockCols.nonEmpty && fieldCols.nonEmpty,
       "need at least one block column and one comparison field")
     require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
     val spark = df.sparkSession
     import spark.implicits._
     val base = project(df, idCol, blockCols, fieldCols)
-    val pairs = agreementPairs(base, idCol, blockCols, fieldCols)
+    val pairs =
+      agreementPairs(base, idCol, blockCols, fieldCols, maxBlockOccupancy)
       .select(fieldCols.map(f => col(s"g_$f")): _*)
       .localCheckpoint(false)
     var p = p0

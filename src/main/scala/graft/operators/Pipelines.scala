@@ -950,10 +950,10 @@ object Pipelines {
     val offCol = {
       // bounded literal map: (pid, lang) -> offset of everything before
       val entries = offsets.toSeq.flatMap { case ((pid, lang), off) =>
-        Seq(concat_ws(" ", lit(pid), lit(lang)), lit(off))
+        Seq(concat_ws("\u0000", lit(pid), lit(lang)), lit(off))
       }
       element_at(map(entries: _*),
-        concat_ws(" ", col("__pid"), col("lang")))
+        concat_ws("\u0000", col("__pid"), col("lang")))
     }
     // pass 2: within-partition running sum — window groups are at most
     // one range partition's rows, never a corpus-wide lang

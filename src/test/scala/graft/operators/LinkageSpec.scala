@@ -120,4 +120,27 @@ class LinkageSpec extends SparkSpec {
     assert(nKept < nAll, "threshold must drop the bulk of non-matches")
     assert(kept.filter(col("score") <= 0.0).count() === 0L)
   }
+
+  test("oversized block fails loudly with the offending key") {
+    // block "hot" holds 5 records: occupancy 5 > cap 4 must refuse;
+    // cap 5 must pass and emit all C(5,2)+C(2,2) pairs
+    val df = ((1L to 5L).map(i => (i, "hot", i % 2)) ++
+      Seq((6L, "cold", 0L), (7L, "cold", 1L))).toDF("id", "blk", "f")
+    val e = intercept[IllegalArgumentException] {
+      Linkage.fellegiSunter(df, "id", Seq("blk"), Seq("f"),
+        m = 0.9, minScore = -100.0, maxBlockOccupancy = 4L).count()
+    }
+    assert(e.getMessage.contains("occupancy"), e.getMessage)
+    assert(e.getMessage.contains("blk=hot"), e.getMessage)
+    assert(e.getMessage.contains("occupancy=5"), e.getMessage)
+    val ok = Linkage.fellegiSunter(df, "id", Seq("blk"), Seq("f"),
+      m = 0.9, minScore = -100.0, maxBlockOccupancy = 5L).count()
+    assert(ok === 11L, s"got $ok")
+    // emRefine shares the guard
+    val e2 = intercept[IllegalArgumentException] {
+      Linkage.emRefine(df, "id", Seq("blk"), Seq("f"), rounds = 1,
+        maxBlockOccupancy = 4L).count()
+    }
+    assert(e2.getMessage.contains("blk=hot"), e2.getMessage)
+  }
 }
