@@ -33,6 +33,56 @@ object Bench {
         "vec_id", dim = 64, threshold = 0.35)),
   )
 
+  /** Silences ONE benign, identified error class on the DAGScheduler
+    * logger: `Failed to update accumulator N (Unknown class) ...
+    * non-existent accumulator`. Root cause (BENCH_r11 tail): SQL-metric
+    * accumulators are registered WEAKLY in `AccumulatorContext`; the
+    * bench loop runs ~200 queries x reps ≈ thousands of jobs in one
+    * JVM, each rep's QueryExecution becomes garbage the moment `once()`
+    * returns, and a GC between a job's last-needed result and the
+    * event-loop's processing of straggler task-completion events leaves
+    * those events pointing at cleared weak refs — DAGScheduler logs the
+    * miss at ERROR and drops the (already unwanted) metric update.
+    * Queries are unaffected (`failed: 0`); the spam only buries real
+    * errors in the tail the driver captures. Filtered per-message on
+    * the one logger, never by level — genuine DAGScheduler errors
+    * (task/stage failures) still print, and real query failures
+    * additionally surface via the `failed` counter. Best-effort: log
+    * hygiene must never fail the bench.
+    */
+  private def muteAccumulatorGcRace(): Unit = try {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.AbstractFilter
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    val name = "org.apache.spark.scheduler.DAGScheduler"
+    val lc = Option(conf.getLoggerConfig(name)).filter(_.getName == name)
+      .getOrElse {
+        // no dedicated config yet: make one that inherits appenders
+        // (additive) at the session's WARN level, so ONLY the filter
+        // below differs from the parent behavior
+        val fresh = new LoggerConfig(name,
+          org.apache.logging.log4j.Level.WARN, true)
+        conf.addLogger(name, fresh)
+        fresh
+      }
+    lc.addFilter(new AbstractFilter(Filter.Result.DENY,
+        Filter.Result.NEUTRAL) {
+      override def filter(event: LogEvent): Filter.Result = {
+        val msg = event.getMessage
+        if (msg != null &&
+            String.valueOf(msg.getFormattedMessage)
+              .contains("Failed to update accumulator")) Filter.Result.DENY
+        else Filter.Result.NEUTRAL
+      }
+    })
+    ctx.updateLoggers()
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] accumulator-spam filter not installed: $e")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,6 +100,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    muteAccumulatorGcRace()
 
     val allQueries = SparkEntry.queries ++ prodPaths
 

@@ -431,6 +431,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned windows: the source allowlist is exact (new sites must enroll)") {
+    // Every `WindowExec: No Partition Defined` warning in the bench tail
+    // traces to one of THESE sites, each of which windows a frame already
+    // reduced to a bounded row count — never a fact table:
+    //   Pipelines  seatW     q172: one row per stratum (largest-remainder seats)
+    //   Relational epoch_day q90-family: one row per day in the data's range
+    //   Relational allW      q177: the reduced per-key skew domain table
+    //   TextAnalysis rank    q144: vocab rows already TakeOrdered-limited
+    // A NEW unpartitioned window must be added here WITH its boundedness
+    // argument — otherwise it hides in the existing warning spray.
+    val allow = Set(
+      ("Pipelines.scala",
+        """val seatW = Window.orderBy(col("rem").desc, col(stratumCol))"""),
+      ("Relational.scala", """val w = Window.orderBy(col("epoch_day"))"""),
+      ("Relational.scala", """val allW = Window.partitionBy()"""),
+      ("TextAnalysis.scala",
+        """.over(Window.orderBy(col("rank").desc, col("word"))).cast("long"))"""),
+    )
+    val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
+    def scalaFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) scalaFiles(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+      }
+    val found = for {
+      f <- scalaFiles(new java.io.File("src/main/scala/graft"))
+      line <- scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+      t = line.trim
+      if !t.startsWith("*") && !t.startsWith("//") && !t.startsWith("/**")
+      if re.findFirstIn(t).isDefined
+    } yield (f.getName, t)
+    assert(found.toSet == allow,
+      s"unpartitioned-window sites drifted.\n  new: ${found.toSet -- allow}\n  gone: ${allow -- found.toSet}")
+  }
+
   test("q77 pmi: unigram-count exchange is built once and reused for both joins") {
     val df = TextAnalysis.bigramPmi(Tables.documents(spark, sf), "text", minCount = 2)
     val plan = executedPlan(df)
