@@ -849,6 +849,16 @@ object SparkEntry {
           .select(f.col("o_custkey").as("u"), f.col("l_suppkey").as("it")),
         "u", "it", maxCustDeg = 50, minCo = 2)
     }),
+    // q194: ExactSubstr maximal duplicated spans (suffix ranking); the
+    // oracled columns are the span geometry — max_match has no cheap SQL
+    // form and is spec'd against a local suffix array instead
+    "q194_exact_substr" -> ((s, dir) =>
+      ExactSubstr.maximalSpans(Tables.documents(s, dir), "text", "doc_id",
+          minLen = 40, windowCap = 64)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("span_start"),
+          org.apache.spark.sql.functions.col("span_len"),
+          org.apache.spark.sql.functions.col("n_dup_starts"))),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3912,6 +3922,30 @@ object SparkEntry {
         |  CAST(len(coalesce(text, '')) AS BIGINT) AS n_chars_total,
         |  1 AS parity_ok
         |FROM documents""".stripMargin,
+    // q194: INDEPENDENT algorithm — the suffix-ranking engine result
+    // must equal the gram-group-count form (a position is covered by a
+    // duplicated >=40-char substring iff its 40-gram occurs twice;
+    // islands of covered starts are the maximal spans)
+    "q194_exact_substr" ->
+      """WITH g AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 39)) AS pos
+        |        FROM documents WHERE len(text) >= 40)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) > 40
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |s AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM i)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len,
+        |  CAST(count(*) AS BIGINT) AS n_dup_starts
+        |FROM s GROUP BY doc_id, grp""".stripMargin,
   )
 
   /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM

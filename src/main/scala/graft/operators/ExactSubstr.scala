@@ -1,0 +1,280 @@
+package graft.operators
+
+import graft.functions.CommonPrefixLenExpr
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ExactSubstr dedup — MAXIMAL duplicated spans via distributed suffix
+  * ranking (the second algorithm of Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better", arXiv:2107.06499: build
+  * a suffix array over the corpus, mark every position covered by a
+  * substring of length >= `minLen` that occurs verbatim elsewhere, merge
+  * marked positions into removal spans). q137/q141/q162 approximate this
+  * with FIXED window widths; this operator emits the true maximal spans
+  * plus each span's longest observed match length.
+  *
+  * Algorithm, Spark-shaped:
+  *
+  * 1. SUFFIX RANKING BY SEEDED PREFIX DOUBLING. Every (doc, pos) suffix
+  *    gets an order-isomorphic rank of its first `windowCap` characters.
+  *    The seed ranks by the first windowCap/4 characters directly (one
+  *    range sort of short substring keys); each doubling round re-ranks
+  *    by the pair (rank(p), rank(p + coverage)) — after each round the
+  *    rank covers twice the characters, and every round ships two 8-byte
+  *    ranks per position NO MATTER how much text they summarize (the
+  *    point of prefix doubling at 100 TB: doubling to a 1 KiB window
+  *    never shuffles 1 KiB keys). The in-document rank lookup at
+  *    p + coverage is a `lead` over the per-document window (positions
+  *    are dense) — no self-join. The final doubling is FUSED into step
+  *    2's sort: ordering by (rank, rank-at-offset) is the
+  *    windowCap-coverage order without materializing its rank.
+  *
+  *    Each round's global dense rank costs exactly ONE shuffle: rows are
+  *    range-repartitioned and sorted on the key and lazily checkpointed
+  *    (LOAD-BEARING: the range partitioner samples, so both passes below
+  *    must see the same materialized boundaries), then two zero-shuffle
+  *    `mapPartitionsWithIndex` passes finish the job — pass 1 collects
+  *    <= numPartitions (distinct, first, last, count) stats rows, the
+  *    driver prefix-folds them into per-partition rank offsets (with a
+  *    -1 adjustment when a tie group straddles a boundary), pass 2
+  *    streams each sorted partition once, bumping a dense counter on key
+  *    change. (A `Window.partitionBy(partition_id)` or
+  *    `groupBy(partition_id).agg(count_distinct)` formulation would
+  *    re-shuffle what is already perfectly partitioned — measured 2.5x
+  *    slower end-to-end; this is the mapPartitions-is-legitimate case.)
+  *    Rounds END EARLY the moment ranks go fully distinct — the stats
+  *    pass answers that for free.
+  * 2. NEIGHBOR LCP. In suffix order, a suffix's longest match is against
+  *    one of its two order-neighbors (the suffix-array LCP property,
+  *    exact for match lengths <= windowCap: rank ties share the whole
+  *    capped prefix, and any lexicographic order clusters shared
+  *    prefixes contiguously, so the marked set is independent of how
+  *    ties break). One more range sort on (rank, rank-at-offset); each
+  *    partition streams once comparing every suffix's windowCap-char
+  *    prefix (re-derived from the docs table, never carried through the
+  *    rounds) with both neighbors via the shared byte-walk LCP kernel
+  *    ([[graft.functions.CommonPrefixLenExpr]], also exposed as a
+  *    codegen expression); the <= 2·numPartitions boundary prefixes ride
+  *    the driver stats pass.
+  * 3. SPAN MERGE. Positions with match length >= minLen each cover
+  *    [p, p+minLen); a per-doc island merge (partitioned window) unions
+  *    them into maximal spans.
+  *
+  * Exactness: a position is marked iff its minLen-gram occurs >= 2 times
+  * in the corpus — identical to the suffix-array removal mask, because
+  * any duplicated substring of length M >= minLen is a run of duplicated
+  * minLen-grams and every duplicated minLen-gram is itself a duplicated
+  * substring. That identity is what the DuckDB oracle recomputes
+  * (gram-group-count form, a completely independent algorithm); the
+  * per-position match lengths (capped at windowCap) are spec'd against a
+  * local suffix-array reference instead.
+  *
+  * windowCap bounds REPORTED match lengths, never span extents: spans
+  * merge beyond it through overlapping marked positions. minLen <=
+  * windowCap is required for the marking to be exact.
+  */
+object ExactSubstr {
+
+  /** One-shuffle global dense rank by `keyNames`: range sort + two
+    * mapPartitions passes (see the object scaladoc). Returns the sorted
+    * frame with a dense `__r` column appended, and whether every key was
+    * already distinct (the early-exit signal).
+    */
+  private def denseRankBy(df: DataFrame, keyNames: Seq[String],
+      parts: Int): (DataFrame, Boolean) = {
+    val spark = df.sparkSession
+    val keys = keyNames.map(col)
+    val sorted = df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .localCheckpoint(false)
+    val schema = sorted.schema
+    val ki = keyNames.map(schema.fieldIndex)
+    val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = ki.map(it.next().get)
+        var last = first
+        var nd = 1L
+        var n = 1L
+        while (it.hasNext) {
+          val k = ki.map(it.next().get)
+          n += 1
+          if (k != last) { nd += 1; last = k }
+        }
+        Iterator((pid, nd, first, last, n))
+      }
+    }.collect().sortBy(_._1)
+    if (stats.isEmpty)
+      return (sorted.withColumn("__r", lit(0L)), true)
+    var cum = 0L
+    var prevLast: Option[Seq[Any]] = None
+    val offsets = stats.map { case (pid, nd, first, last, _) =>
+      // a tie group straddling the boundary must not be counted twice
+      val start = cum - (if (prevLast.contains(first)) 1L else 0L)
+      cum = start + nd
+      prevLast = Some(last)
+      pid -> start
+    }.toMap
+    val allDistinct = cum == stats.map(_._5).sum
+    val outSchema = StructType(
+      schema.fields :+ StructField("__r", LongType, nullable = false))
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = offsets.getOrElse(pid, 0L)
+      var last: Seq[Any] = null
+      it.map { row =>
+        val k = ki.map(row.get)
+        if (last == null || k != last) { r += 1; last = k }
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    (spark.createDataFrame(ranked, outSchema), allDistinct)
+  }
+
+  /** Positions whose suffix shares a prefix of >= minLen chars with some
+    * other corpus suffix: (idCol, pos, match_len) — pos 1-based,
+    * match_len capped at windowCap.
+    */
+  def duplicatedPositions(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 40, windowCap: Int = 64): DataFrame = {
+    require(minLen >= 2, s"minLen too small: $minLen")
+    require(windowCap >= minLen && (windowCap & (windowCap - 1)) == 0,
+      s"windowCap must be a power of two >= minLen, got $windowCap")
+    val spark = docs.sparkSession
+    val parts =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = Hashing.repartitionForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .filter(col("__t").isNotNull && length(col("__t")) >= minLen)
+
+    // EVERY position is ranked (not only those with >= minLen left):
+    // the rank lookup at p + coverage reads short-tail positions, and
+    // dropping them would falsely tie suffixes that differ in their
+    // tails. Seed key: the first windowCap/4 characters — string order
+    // puts a shorter suffix before its extensions, the same convention
+    // the -1 sentinel keeps in the doubling rounds. windowCap/4 balances
+    // seed-key width against round count: the seed sort ships
+    // windowCap/4-byte keys once, then ONE pair round + the fused final
+    // sort reach windowCap (16-byte seed keys at the default cap — still
+    // nothing next to the text itself at 100 TB).
+    val seedLen = math.max(1, windowCap / 4)
+    val positions = base
+      .select(col("id"),
+        explode(sequence(lit(1L), length(col("__t")).cast("long")))
+          .as("pos"),
+        col("__t").substr(col("pos").cast("int"), lit(seedLen))
+          .as("__key"))
+    var (seeded, distinct) =
+      denseRankBy(positions, Seq("__key"), parts)
+    var cur = seeded.select(col("id"), col("pos"), col("__r").as("r"))
+    var coverage = seedLen
+    val idw = Window.partitionBy(col("id")).orderBy(col("pos"))
+    while (coverage * 2 < windowCap && !distinct) {
+      val paired = cur.withColumn("__k2",
+        coalesce(lead(col("r"), coverage).over(idw), lit(-1L)))
+      val (ranked, d) = denseRankBy(paired, Seq("r", "__k2"), parts)
+      cur = ranked.select(col("id"), col("pos"), col("__r").as("r"))
+      distinct = d
+      coverage *= 2
+    }
+
+    // final doubling fused into the neighbor sort: ordering by
+    // (r, r at +coverage) IS the windowCap-coverage suffix order
+    val finalKeyed = cur.withColumn("__k2",
+      coalesce(lead(col("r"), coverage).over(idw), lit(-1L)))
+    val sorted = finalKeyed.join(base, Seq("id"))
+      .select(col("id"), col("pos"), col("r"), col("__k2"),
+        col("__t").substr(col("pos").cast("int"), lit(windowCap))
+          .as("__pfx"))
+      .repartitionByRange(parts, col("r"), col("__k2"), col("id"),
+        col("pos"))
+      .sortWithinPartitions(col("r"), col("__k2"), col("id"), col("pos"))
+      .localCheckpoint(false)
+    val schema = sorted.schema
+    val pfxIdx = schema.fieldIndex("__pfx")
+    val idIdx = schema.fieldIndex("id")
+    val posIdx = schema.fieldIndex("pos")
+    // boundary prefixes: a partition's last row compares against the
+    // FIRST row of the next non-empty partition, its first row against
+    // the previous last — <= 2·parts strings to the driver
+    val bounds = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var first: String = null
+        var last: String = null
+        while (it.hasNext) {
+          val p = it.next().getString(pfxIdx)
+          if (first == null) first = p
+          last = p
+        }
+        Iterator((pid, first, last))
+      }
+    }.collect().sortBy(_._1)
+    val nextFirst: Map[Int, String] =
+      bounds.sliding(2).collect { case Array((pid, _, _), (_, f, _)) =>
+        pid -> f
+      }.toMap
+    val prevLast: Map[Int, String] =
+      bounds.sliding(2).collect { case Array((pid, _, l), (nPid, _, _)) =>
+        nPid -> l
+      }.toMap
+    val outSchema = StructType(Seq(
+      schema("id").copy(name = idCol),
+      StructField("pos", LongType, nullable = false),
+      StructField("match_len", LongType, nullable = false)))
+    val minL = minLen
+    val marked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      def lcp(a: String, b: String): Int =
+        if (a == null || b == null) 0
+        else CommonPrefixLenExpr.compute(
+          UTF8String.fromString(a), UTF8String.fromString(b))
+      val buf = it.buffered
+      var prev: String = prevLast.getOrElse(pid, null)
+      new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val row = buf.next()
+          val pfx = row.getString(pfxIdx)
+          val nxt =
+            if (buf.hasNext) buf.head.getString(pfxIdx)
+            else nextFirst.getOrElse(pid, null)
+          val m = math.max(lcp(pfx, prev), lcp(pfx, nxt))
+          prev = pfx
+          Row(row.get(idIdx), row.getLong(posIdx), m.toLong)
+        }
+      }.filter(_.getLong(2) >= minL)
+    }
+    spark.createDataFrame(marked, outSchema)
+  }
+
+  /** Maximal duplicated spans: (idCol, span_start, span_len,
+    * n_dup_starts, max_match). A span covers every character inside some
+    * duplicated substring of length >= minLen; n_dup_starts counts the
+    * marked start positions merged into it; max_match is the span's
+    * largest per-position match length (capped at windowCap).
+    */
+  def maximalSpans(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 40, windowCap: Int = 64): DataFrame = {
+    val marked =
+      duplicatedPositions(docs, textCol, idCol, minLen, windowCap)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // islands: position p covers [p, p+minLen); a gap > minLen between
+    // consecutive marked starts breaks the covered region
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) > minLen, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + minLen).as("span_len"),
+        count(lit(1)).as("n_dup_starts"),
+        max(col("match_len")).as("max_match"))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        col("n_dup_starts"), col("max_match"))
+  }
+}
