@@ -859,6 +859,16 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("span_start"),
           org.apache.spark.sql.functions.col("span_len"),
           org.apache.spark.sql.functions.col("n_dup_starts"))),
+    // q195: CEP with a KLEENE step — view, then 2-to-3 clicks with no
+    // error inside the run's used gap, then purchase before a 4th
+    // click, within 24h of the anchor
+    "q195_cep_kleene" -> ((s, dir) =>
+      Cep.matchPattern(Tables.events(s, dir), Seq(
+        Cep.CepStep("view"),
+        Cep.CepStep("click", without = Seq("error"),
+          minReps = 2, maxReps = Some(3)),
+        Cep.CepStep("purchase")),
+        windowHours = 24)),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3946,6 +3956,48 @@ object SparkEntry {
         |  CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len,
         |  CAST(count(*) AS BIGINT) AS n_dup_starts
         |FROM s GROUP BY doc_id, grp""".stripMargin,
+    // q195: the kleene step as window order statistics — t1 = the
+    // 2nd click (rn = 2), the run ceiling = the 4th (rn = 4) applied to
+    // the purchase completion AFTER its min-aggregate, exactly the
+    // engine's post-aggregation filter; veto = NOT EXISTS on the gap
+    // the match used
+    "q195_cep_kleene" ->
+      """WITH a AS (SELECT user_id, event_id AS anchor_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS t0_us
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT a.user_id, a.anchor_id, a.t0_us,
+        |        CAST(epoch_us(b.ts) AS BIGINT) AS t
+        |      FROM a JOIN events b ON b.user_id = a.user_id
+        |       AND b.event_type = 'click'
+        |       AND epoch_us(b.ts) > a.t0_us
+        |       AND epoch_us(b.ts) <= a.t0_us + 86400000000),
+        |r AS (SELECT user_id, anchor_id, t0_us, t,
+        |        row_number() OVER (PARTITION BY user_id, anchor_id
+        |                           ORDER BY t) AS rn,
+        |        count(*) OVER (PARTITION BY user_id, anchor_id) AS n1
+        |      FROM c),
+        |s1 AS (SELECT m2.user_id, m2.anchor_id, m2.t0_us, m2.t AS t1_us,
+        |         CAST(m2.n1 AS BIGINT) AS n1_reps, m4.t AS ceil_t
+        |       FROM (SELECT * FROM r WHERE rn = 2) m2
+        |       LEFT JOIN (SELECT user_id, anchor_id, t FROM r
+        |                  WHERE rn = 4) m4
+        |         ON m4.user_id = m2.user_id
+        |        AND m4.anchor_id = m2.anchor_id),
+        |v1 AS (SELECT * FROM s1 m WHERE NOT EXISTS (
+        |         SELECT 1 FROM events e2 WHERE e2.user_id = m.user_id
+        |          AND e2.event_type = 'error'
+        |          AND epoch_us(e2.ts) > m.t0_us
+        |          AND epoch_us(e2.ts) < m.t1_us)),
+        |s2 AS (SELECT m.user_id, m.anchor_id, m.t0_us, m.t1_us,
+        |         m.n1_reps, m.ceil_t,
+        |         CAST(min(epoch_us(b.ts)) AS BIGINT) AS t2_us
+        |       FROM v1 m JOIN events b ON b.user_id = m.user_id
+        |        AND b.event_type = 'purchase'
+        |        AND epoch_us(b.ts) > m.t1_us
+        |        AND epoch_us(b.ts) <= m.t0_us + 86400000000
+        |       GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT user_id, anchor_id, t0_us, t1_us, n1_reps, t2_us
+        |FROM s2 WHERE ceil_t IS NULL OR t2_us < ceil_t""".stripMargin,
   )
 
   /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM

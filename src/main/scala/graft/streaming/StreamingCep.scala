@@ -35,6 +35,12 @@ import graft.operators.Cep.CepStep
   *    same veto strictly inside);
   *  - an event of the gap's `without` set records the gap's earliest
   *    veto time;
+  *  - a QUANTIFIED step (minReps/maxReps — Kleene) counts repetitions
+  *    and completes at the minReps-th occurrence (veto checked against
+  *    that completion time, so a late veto INSIDE the repetition run
+  *    still retracts); after it completes, further occurrences of its
+  *    type keep counting, and exceeding maxReps before the next step
+  *    completes kills the match — the batch operator's ceiling rule;
   *  - a match whose window closes below the watermark is dropped (a
   *    cleanup timer at anchor+W guarantees this even for idle users).
   *
@@ -46,8 +52,12 @@ object StreamingCep {
   case class CEv(user_id: Long, event_id: Long, event_type: String,
       ts: Timestamp)
   case class PendEv(eventId: Long, tpe: String, tsUs: Long)
+  /** reps = occurrences folded into the CURRENT (quantified) step so
+    * far; run = total occurrences of the PREVIOUS step's type since
+    * that step's gap opened — the maxReps ceiling counter.
+    */
   case class OpenM(anchorId: Long, stage: Int, times: Seq[Long],
-      vetoUs: Long)
+      vetoUs: Long, reps: Int, run: Int)
   case class CepMatch(user_id: Long, anchor_id: Long, times_us: Seq[Long])
 
   private val NoVeto = Long.MinValue
@@ -98,23 +108,43 @@ object StreamingCep {
       if (later.isEmpty) pending.clear() else pending.put(later.toArray)
       var opens = open.get().toList
       val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
-      due.sortBy(_.tsUs).foreach { e =>
+      // equal-timestamp fold order: later pattern steps first. Every
+      // plain-step comparison is strict, so tie order never mattered
+      // before repetition; the run-ceiling COUNT is the one tie-
+      // sensitive quantity — batch counts run events STRICTLY before
+      // the next step's completion, so a completion folds before a
+      // same-timestamp run event (higher step index first; veto-only
+      // types last, matching their strictly-inside exclusion).
+      def stepIdx(tpe: String): Int = steps.indexWhere(_.tpe == tpe)
+      due.sortBy(e => (e.tsUs, -stepIdx(e.tpe))).foreach { e =>
         opens = opens.flatMap { m =>
           if (e.tsUs > m.times.head + windowUs) None // window closed
           else {
             val gap = steps(m.stage)
+            val prevStep = steps(m.stage - 1)
             val prev = m.times.last
             if (e.tpe == gap.tpe && e.tsUs > prev) {
-              if (m.vetoUs != NoVeto && m.vetoUs < e.tsUs)
+              val newReps = m.reps + 1
+              if (newReps < gap.minReps)
+                Some(m.copy(reps = newReps)) // collecting repetitions
+              else if (m.vetoUs != NoVeto && m.vetoUs < e.tsUs)
                 None // earliest completion vetoed -> match dead
               else {
                 val adv = m.copy(stage = m.stage + 1,
-                  times = m.times :+ e.tsUs, vetoUs = NoVeto)
+                  times = m.times :+ e.tsUs, vetoUs = NoVeto,
+                  reps = 0, run = newReps)
                 if (adv.stage == steps.length) {
                   out += CepMatch(key, adv.anchorId, adv.times)
                   None // completed
                 } else Some(adv)
               }
+            } else if (prevStep.maxReps.isDefined &&
+                e.tpe == prevStep.tpe && e.tsUs > prev) {
+              // the previous quantified step's run continues: blowing
+              // its ceiling before this step completes kills the match
+              val newRun = m.run + 1
+              if (newRun > prevStep.maxReps.get) None
+              else Some(m.copy(run = newRun))
             } else if (gap.without.contains(e.tpe) && e.tsUs > prev)
               Some(m.copy(vetoUs =
                 if (m.vetoUs == NoVeto) e.tsUs else math.min(m.vetoUs, e.tsUs)))
@@ -124,7 +154,7 @@ object StreamingCep {
         // per-anchor: every step-0 event opens its own match, including
         // one that just advanced an existing match of the same type
         if (e.tpe == steps(0).tpe)
-          opens = OpenM(e.eventId, 1, Seq(e.tsUs), NoVeto) :: opens
+          opens = OpenM(e.eventId, 1, Seq(e.tsUs), NoVeto, 0, 0) :: opens
       }
       // drop matches that can no longer complete: any completing event
       // must have ts <= anchor+W, and everything at or below wm has
@@ -139,7 +169,8 @@ object StreamingCep {
       steps: Seq[CepStep], windowHours: Int = 24,
       watermarkDelay: String = "10 seconds"): Dataset[CepMatch] = {
     import spark.implicits._
-    require(steps.size >= 2 && steps.head.without.isEmpty,
+    require(steps.size >= 2 && steps.head.without.isEmpty &&
+      steps.head.minReps == 1 && steps.head.maxReps.isEmpty,
       s"bad pattern: $steps")
     events
       .withWatermark("ts", watermarkDelay)
