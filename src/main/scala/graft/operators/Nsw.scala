@@ -50,11 +50,13 @@ object Nsw {
 
   /** Deterministic pseudo-random insertion key (the standing
     * multiplicative-hash device; non-negative ids only, like the
-    * sampling family).
+    * sampling family). Exposed within the library so the streaming
+    * index maintainer can reproduce the batch build order exactly.
     */
-  private def insertKey(id: Long): Long = ((id % 1000003L) * 2654435761L) >> 16
+  private[graft] def insertKey(id: Long): Long =
+    ((id % 1000003L) * 2654435761L) >> 16
 
-  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def cosLocal(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length && i < b.length) {
       d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
@@ -62,7 +64,7 @@ object Nsw {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def dotLocal(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var i = 0
     while (i < a.length && i < b.length) { d += a(i) * b(i); i += 1 }
     d
@@ -72,7 +74,7 @@ object Nsw {
     * deterministic insertion order. Exposed package-private for the
     * hand-traced spec.
     */
-  private[operators] final class CellGraph(pts: Array[(Long, Array[Double])],
+  private[graft] final class CellGraph(pts: Array[(Long, Array[Double])],
       m: Int, ef: Int) {
     // (sim desc, node asc) is "better" — a total order, so heap pops,
     // worst-kept comparisons and link choices are all deterministic
@@ -120,34 +122,43 @@ object Nsw {
     }
   }
 
-  /** Graph-based ANN top-k: NSW per IVF cell, beam-searched per probe.
-    * Same output shape as the other ANN operators: (probe_id, vec_id,
-    * sim, rank).
+  /** [[insertKey]] as a column expression (vec ids are non-negative, so
+    * the product stays below 2^51 and arithmetic shift == logical).
     */
-  def nswTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, ef: Int = 32,
-      sampleSize: Int = 2048): DataFrame = {
-    require(k >= 1 && nProbe >= 1 && nProbe <= nCentroids && m >= 1 &&
-      ef >= k, s"bad params: k=$k nProbe=$nProbe m=$m ef=$ef")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // the q32 coarse quantizer: bounded hash-ordered sample -> KMeansLite
+  private[graft] def insertKeyCol(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    shiftright((id % lit(1000003L)) * lit(2654435761L), 16)
+
+  /** Train the q32-discipline coarse quantizer on a bounded
+    * hash-ordered sample of the corpus.
+    */
+  private[graft] def trainCentroids(corpus: DataFrame, nCentroids: Int,
+      sampleSize: Int): Array[Array[Double]] = {
     val sample = corpus
       .select(toDoubleArray(col("embedding")).as("v"),
         xxhash64(col("vec_id")).as("r"))
       .orderBy(col("r")).limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = KMeansLite.fit(sample, nCentroids, iters = 10, seed = 42L)
+    KMeansLite.fit(sample, nCentroids, iters = 10, seed = 42L)
+  }
 
-    def bestCell(v: org.apache.spark.sql.Column) =
-      array_max(array(centroids.indices.map { i =>
-        struct(dot(v, typedLit(centroids(i))).as("s"), lit(i).as("cell"))
-      }: _*)).getField("cell")
+  /** Nearest-cell assignment column under a PINNED set of centroids. */
+  private[graft] def bestCellCol(centroids: Array[Array[Double]],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_max(array(centroids.indices.map { i =>
+      struct(dot(v, typedLit(centroids(i))).as("s"), lit(i).as("cell"))
+    }: _*)).getField("cell")
 
-    // probes are few (the broadcast-side contract of the whole ANN
-    // family): collect once, compute their nProbe cells driver-side
-    // with the same centroid dot, ship into the group closure
-    val probesByCell: Map[Int, Array[(Long, Array[Double])]] = probes
+  /** nProbe target cells per probe under a pinned quantizer, computed
+    * driver-side (probes are few — the broadcast-side contract of the
+    * whole ANN family).
+    */
+  private[graft] def probeCells(probes: DataFrame,
+      centroids: Array[Array[Double]], nProbe: Int)
+      : Map[Int, Array[(Long, Array[Double])]] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    probes
       .select(col("vec_id"), toDoubleArray(col("embedding")))
       .as[(Long, Seq[Double])].collect()
       .flatMap { case (pid, e) =>
@@ -157,16 +168,30 @@ object Nsw {
           .map { case (_, cell) => (cell, (pid, v)) }
       }
       .groupBy(_._1).map { case (c, a) => c -> a.map(_._2).sortBy(_._1) }
+  }
 
-    val perCell = corpus
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
-        bestCell(col("embedding")).as("cell"))
-      .as[(Long, Seq[Double], Int)]
+  /** Beam search over an explicitly cell-ASSIGNED and ORDERED corpus:
+    * rows (vec_id, v, cell, ord); each cell's NSW builds in (ord,
+    * vec_id) order. The batch operator passes ord = [[insertKey]]; the
+    * streaming maintained index appends arriving vectors with ord keys
+    * that sort AFTER the pinned snapshot — incremental NSW insertion
+    * realized as deterministic ordered construction (inserting into a
+    * kept graph and rebuilding in the same order are the same
+    * algorithm).
+    */
+  private[graft] def searchAssigned(assigned: DataFrame,
+      probesByCell: Map[Int, Array[(Long, Array[Double])]], k: Int,
+      m: Int, ef: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val perCell = assigned
+      .select(col("vec_id"), col("v"), col("cell"), col("ord"))
+      .as[(Long, Seq[Double], Int, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (cell, it) =>
         val targets = probesByCell.getOrElse(cell, Array.empty)
-        val pts = it.map(t => (t._1, t._2.toArray)).toArray
-          .sortBy(t => (insertKey(t._1), t._1))
+        val pts = it.map(t => (t._1, t._2.toArray, t._4)).toArray
+          .sortBy(t => (t._3, t._1)).map(t => (t._1, t._2))
         if (targets.isEmpty || pts.isEmpty) Iterator.empty
         else {
           val g = new CellGraph(pts, m, ef)
@@ -191,6 +216,23 @@ object Nsw {
         col("col.id").as("vec_id"),
         round(col("col.score"), 6).as("sim"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Graph-based ANN top-k: NSW per IVF cell, beam-searched per probe.
+    * Same output shape as the other ANN operators: (probe_id, vec_id,
+    * sim, rank).
+    */
+  def nswTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, ef: Int = 32,
+      sampleSize: Int = 2048): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= nCentroids && m >= 1 &&
+      ef >= k, s"bad params: k=$k nProbe=$nProbe m=$m ef=$ef")
+    val centroids = trainCentroids(corpus, nCentroids, sampleSize)
+    val assigned = corpus
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"),
+        bestCellCol(centroids, col("embedding")).as("cell"),
+        insertKeyCol(col("vec_id")).as("ord"))
+    searchAssigned(assigned, probeCells(probes, centroids, nProbe), k, m, ef)
   }
 
   /** Q186 (validated): exact top-k + `recall_ok` pinning [[nswTopK]] —
