@@ -869,6 +869,19 @@ object SparkEntry {
           minReps = 2, maxReps = Some(3)),
         Cep.CepStep("purchase")),
         windowHours = 24)),
+    // q196: the ExactSubstr REMOVAL step — cut the maximal duplicated
+    // spans out of every document; content verified via the
+    // engine-independent polynomial fingerprint of the cleaned text
+    "q196_exact_substr_clean" -> ((s, dir) =>
+      ExactSubstr.removeSpans(Tables.documents(s, dir), "text", "doc_id",
+          minLen = 40, windowCap = 64)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_spans"),
+          org.apache.spark.sql.functions.col("removed_chars"),
+          org.apache.spark.sql.functions.col("kept_chars"),
+          graft.functions.PolyHashExprs
+            .polyHash(org.apache.spark.sql.functions.col("text_clean"))
+            .as("clean_fp"))),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -3998,6 +4011,60 @@ object SparkEntry {
         |       GROUP BY 1, 2, 3, 4, 5, 6)
         |SELECT user_id, anchor_id, t0_us, t1_us, n1_reps, t2_us
         |FROM s2 WHERE ceil_t IS NULL OR t2_us < ceil_t""".stripMargin,
+    // q196: q194's independent span derivation + segment reconstruction
+    // (lag over spans -> kept segments -> string_agg) + the q15
+    // code-point polynomial fold over the cleaned text
+    "q196_exact_substr_clean" ->
+      """WITH g AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 39)) AS pos
+        |        FROM documents WHERE len(text) >= 40)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) > 40
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |s AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM i),
+        |sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 40 - 1 AS b
+        |       FROM s GROUP BY doc_id, grp),
+        |seg AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(b + 1) OVER (PARTITION BY doc_id ORDER BY a),
+        |             CAST(1 AS BIGINT)) AS sa,
+        |    a - 1 AS sb
+        |  FROM sp
+        |  UNION ALL
+        |  SELECT sp.doc_id, max(sp.b) + 1, max(CAST(len(dd.text) AS BIGINT))
+        |  FROM sp JOIN documents dd ON dd.doc_id = sp.doc_id
+        |  GROUP BY sp.doc_id),
+        |cl AS (
+        |  SELECT d2.doc_id,
+        |    string_agg(CASE WHEN seg.sb >= seg.sa
+        |      THEN substr(d2.text, CAST(seg.sa AS INTEGER),
+        |                  CAST(seg.sb - seg.sa + 1 AS INTEGER))
+        |      ELSE '' END, '' ORDER BY seg.sa) AS clean
+        |  FROM documents d2 JOIN seg ON seg.doc_id = d2.doc_id
+        |  GROUP BY d2.doc_id),
+        |st AS (SELECT doc_id, count(*) AS n_spans,
+        |         sum(b - a + 1) AS removed_chars
+        |       FROM sp GROUP BY doc_id)
+        |SELECT dd.doc_id,
+        |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+        |  CAST(len(dd.text) - coalesce(st.removed_chars, 0) AS BIGINT)
+        |    AS kept_chars,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(coalesce(cl.clean, dd.text), ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS clean_fp
+        |FROM documents dd
+        |LEFT JOIN st ON st.doc_id = dd.doc_id
+        |LEFT JOIN cl ON cl.doc_id = dd.doc_id""".stripMargin,
   )
 
   /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM

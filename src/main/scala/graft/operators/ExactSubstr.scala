@@ -249,6 +249,51 @@ object ExactSubstr {
     spark.createDataFrame(marked, outSchema)
   }
 
+  /** Apply the removal mask — Lee et al.'s actual dedup step: cut every
+    * maximal duplicated span out of each document. Returns every input
+    * row (docs without spans pass through untouched) as
+    * (idCol, text_clean, n_spans, removed_chars, kept_chars).
+    *
+    * The cut is pure composable column algebra, no UDF: the per-doc
+    * span list (sorted, disjoint by construction) turns into kept
+    * segments via `transform`+`zip_with` — starts = 1 :: each span's
+    * end+1, ends = each span's start-1 :: doc length — and the cleaned
+    * text is `concat_ws` of the segment substrings. One aggregation of
+    * the span table + one broadcast-or-shuffle join back to the docs;
+    * the heavy lifting happened in [[maximalSpans]].
+    */
+  def removeSpans(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 40, windowCap: Int = 64): DataFrame = {
+    val spans = maximalSpans(docs, textCol, idCol, minLen, windowCap)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("span_start"),
+          col("span_len")))).as("__sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("removed_chars"))
+    val emptySpans = array()
+      .cast("array<struct<span_start:bigint,span_len:bigint>>")
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("__sp", coalesce(col("__sp"), emptySpans))
+      .withColumn("__starts", concat(array(lit(1L)),
+        transform(col("__sp"),
+          x => x.getField("span_start") + x.getField("span_len"))))
+      .withColumn("__ends", concat(
+        transform(col("__sp"), x => x.getField("span_start") - 1),
+        array(length(col("__t")).cast("long"))))
+      .select(
+        col(idCol),
+        concat_ws("", zip_with(col("__starts"), col("__ends"),
+          (a, b) => when(b >= a,
+            col("__t").substr(a.cast("int"), (b - a + 1).cast("int")))
+            .otherwise(lit("")))).as("text_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        (length(col("__t")).cast("long") -
+          coalesce(col("removed_chars"), lit(0L))).as("kept_chars"))
+  }
+
   /** Maximal duplicated spans: (idCol, span_start, span_len,
     * n_dup_starts, max_match). A span covers every character inside some
     * duplicated substring of length >= minLen; n_dup_starts counts the

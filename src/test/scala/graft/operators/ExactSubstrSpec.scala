@@ -169,6 +169,52 @@ class ExactSubstrSpec extends SparkSpec {
     check(docs, 40, 64)
   }
 
+  test("removeSpans cuts exactly the reference spans out of each doc") {
+    // identical docs (fully covered -> empty), a partial overlap pair,
+    // an untouched doc, and a doc shorter than minLen (passes through)
+    val t = "exact duplicated span removal unit test 0123456789!" // > 40
+    val shared = (0 until 60).map(i => ('a' + (i * 7 % 26)).toChar)
+      .mkString
+    val docs = Seq(
+      (1L, t), (2L, t),
+      (3L, "PREFIX-3##" + shared + "##SUFFIX-3"),
+      (4L, "prefix-4@@" + shared + "@@suffix-4"),
+      (5L, ('A' to 'Z').mkString + ('0' to '9').mkString),
+      (6L, "short doc"))
+    val minLen = 40
+    val ref = reference(docs, minLen, 64)
+    def refClean(id: Long, text: String): String = {
+      val spans = ref.spans.filter(_._1 == id).sortBy(_._2)
+      val keptB = new StringBuilder
+      var cursor = 1L
+      spans.foreach { case (_, a, l, _, _) =>
+        keptB ++= text.substring(cursor.toInt - 1, a.toInt - 1)
+        cursor = a + l
+      }
+      keptB ++= text.substring(cursor.toInt - 1)
+      keptB.toString
+    }
+    val got = ExactSubstr.removeSpans(
+        docs.toDF("doc_id", "text"), "text", "doc_id", minLen, 64)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === docs.map(_._1).toSet, "every doc passes through")
+    docs.foreach { case (id, text) =>
+      val want = refClean(id, text)
+      val (_, clean, nSpans, removed, kept) = got(id)
+      assert(clean === want, s"doc $id cleaned text diverges")
+      assert(kept === want.length.toLong, s"doc $id kept_chars")
+      assert(removed === (text.length - want.length).toLong,
+        s"doc $id removed_chars")
+      assert(nSpans === ref.spans.count(_._1 == id).toLong,
+        s"doc $id n_spans")
+    }
+    // the identical pair is fully covered
+    assert(got(1L)._2 === "" && got(2L)._2 === "")
+    // the short and unique docs pass through verbatim
+    assert(got(5L)._2 === docs(4)._2 && got(6L)._2 === "short doc")
+  }
+
   test("common_prefix_len: UTF-8 boundary safety and plain ASCII walk") {
     def l(a: String, b: String): Int = CommonPrefixLenExpr.compute(
       UTF8String.fromString(a), UTF8String.fromString(b))
