@@ -882,6 +882,19 @@ object SparkEntry {
           graft.functions.PolyHashExprs
             .polyHash(org.apache.spark.sql.functions.col("text_clean"))
             .as("clean_fp"))),
+    // q197: suffix-level cross-corpus decontamination — maximal spans of
+    // TRAIN docs occurring verbatim in the held-out bench slice (the
+    // q69/q141 split); in-train duplication does not mark
+    "q197_cross_substr" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val d = Tables.documents(s, dir)
+      ExactSubstr.crossCorpusSpans(
+          d.filter(f.pmod(f.col("doc_id"), f.lit(10)) =!= 7),
+          d.filter(f.pmod(f.col("doc_id"), f.lit(10)) === 7),
+          "text", "doc_id", minLen = 40, windowCap = 64)
+        .select(f.col("doc_id"), f.col("span_start"), f.col("span_len"),
+          f.col("n_dup_starts"))
+    }),
   )
 
   /** q155 query terms, shared with the oracle builder. */
@@ -4065,6 +4078,33 @@ object SparkEntry {
         |FROM documents dd
         |LEFT JOIN st ON st.doc_id = dd.doc_id
         |LEFT JOIN cl ON cl.doc_id = dd.doc_id""".stripMargin,
+    // q197: the cross-corpus marking as a gram semi-join — train grams
+    // IN the bench gram set, islands as in q194
+    "q197_cross_substr" ->
+      """WITH tg AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 39)) AS pos
+        |        FROM documents WHERE doc_id % 10 <> 7 AND len(text) >= 40)),
+        |bg AS (
+        |  SELECT DISTINCT substr(text, CAST(pos AS INTEGER), 40) AS gram
+        |  FROM (SELECT text,
+        |          unnest(generate_series(1, len(text) - 39)) AS pos
+        |        FROM documents WHERE doc_id % 10 = 7 AND len(text) >= 40)),
+        |m AS (SELECT doc_id, pos FROM tg
+        |      WHERE gram IN (SELECT gram FROM bg)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) > 40
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |s AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM i)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len,
+        |  CAST(count(*) AS BIGINT) AS n_dup_starts
+        |FROM s GROUP BY doc_id, grp""".stripMargin,
   )
 
   /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM

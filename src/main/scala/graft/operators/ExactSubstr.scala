@@ -133,22 +133,13 @@ object ExactSubstr {
     (spark.createDataFrame(ranked, outSchema), allDistinct)
   }
 
-  /** Positions whose suffix shares a prefix of >= minLen chars with some
-    * other corpus suffix: (idCol, pos, match_len) — pos 1-based,
-    * match_len capped at windowCap.
+  /** The shared suffix-ranking pipeline: seed sort, doubling rounds,
+    * final fused neighbor sort. Returns the range-sorted, lazily
+    * checkpointed frame (id, pos, r, __k2, __pfx) in capped suffix
+    * order.
     */
-  def duplicatedPositions(docs: DataFrame, textCol: String, idCol: String,
-      minLen: Int = 40, windowCap: Int = 64): DataFrame = {
-    require(minLen >= 2, s"minLen too small: $minLen")
-    require(windowCap >= minLen && (windowCap & (windowCap - 1)) == 0,
-      s"windowCap must be a power of two >= minLen, got $windowCap")
-    val spark = docs.sparkSession
-    val parts =
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val base = Hashing.repartitionForCompute(
-        docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
-      .filter(col("__t").isNotNull && length(col("__t")) >= minLen)
-
+  private def rankSuffixes(base: DataFrame, minLen: Int, windowCap: Int,
+      parts: Int): DataFrame = {
     // EVERY position is ranked (not only those with >= minLen left):
     // the rank lookup at p + coverage reads short-tail positions, and
     // dropping them would falsely tie suffixes that differ in their
@@ -179,12 +170,11 @@ object ExactSubstr {
       distinct = d
       coverage *= 2
     }
-
     // final doubling fused into the neighbor sort: ordering by
     // (r, r at +coverage) IS the windowCap-coverage suffix order
     val finalKeyed = cur.withColumn("__k2",
       coalesce(lead(col("r"), coverage).over(idw), lit(-1L)))
-    val sorted = finalKeyed.join(base, Seq("id"))
+    finalKeyed.join(base, Seq("id"))
       .select(col("id"), col("pos"), col("r"), col("__k2"),
         col("__t").substr(col("pos").cast("int"), lit(windowCap))
           .as("__pfx"))
@@ -192,6 +182,33 @@ object ExactSubstr {
         col("pos"))
       .sortWithinPartitions(col("r"), col("__k2"), col("id"), col("pos"))
       .localCheckpoint(false)
+  }
+
+  private def checkParams(minLen: Int, windowCap: Int): Unit = {
+    require(minLen >= 2, s"minLen too small: $minLen")
+    require(windowCap >= minLen && (windowCap & (windowCap - 1)) == 0,
+      s"windowCap must be a power of two >= minLen, got $windowCap")
+  }
+
+  private def lcpOf(a: String, b: String): Int =
+    if (a == null || b == null) 0
+    else CommonPrefixLenExpr.compute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  /** Positions whose suffix shares a prefix of >= minLen chars with some
+    * other corpus suffix: (idCol, pos, match_len) — pos 1-based,
+    * match_len capped at windowCap.
+    */
+  def duplicatedPositions(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 40, windowCap: Int = 64): DataFrame = {
+    checkParams(minLen, windowCap)
+    val spark = docs.sparkSession
+    val parts =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = Hashing.repartitionForCompute(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .filter(col("__t").isNotNull && length(col("__t")) >= minLen)
+    val sorted = rankSuffixes(base, minLen, windowCap, parts)
     val schema = sorted.schema
     val pfxIdx = schema.fieldIndex("__pfx")
     val idIdx = schema.fieldIndex("id")
@@ -301,9 +318,16 @@ object ExactSubstr {
     * largest per-position match length (capped at windowCap).
     */
   def maximalSpans(docs: DataFrame, textCol: String, idCol: String,
-      minLen: Int = 40, windowCap: Int = 64): DataFrame = {
-    val marked =
-      duplicatedPositions(docs, textCol, idCol, minLen, windowCap)
+      minLen: Int = 40, windowCap: Int = 64): DataFrame =
+    islandsOf(
+      duplicatedPositions(docs, textCol, idCol, minLen, windowCap),
+      idCol, minLen)
+
+  /** Island-merge marked (idCol, pos, match_len) starts — each covering
+    * [p, p+minLen) — into maximal spans.
+    */
+  private def islandsOf(marked: DataFrame, idCol: String,
+      minLen: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     // islands: position p covers [p, p+minLen); a gap > minLen between
     // consecutive marked starts breaks the covered region
@@ -321,5 +345,111 @@ object ExactSubstr {
         max(col("match_len")).as("max_match"))
       .select(col(idCol), col("span_start"), col("span_len"),
         col("n_dup_starts"), col("max_match"))
+  }
+
+  /** CROSS-CORPUS spans — suffix-level decontamination (the ExactSubstr
+    * form of what q141's fixed windows approximate): positions of
+    * `docs` covered by a >= minLen substring that occurs VERBATIM in
+    * `otherDocs`, island-merged into maximal spans per doc. Within-
+    * corpus duplication does NOT mark (a training doc repeated in the
+    * training set is q194's business, not contamination).
+    *
+    * Mechanism: both corpora rank together (ids disambiguated as
+    * 2·id+side, which also keeps tie-breaks deterministic), and a
+    * position's best CROSS match is its nearest other-side neighbor in
+    * suffix order, in either direction — lcp(p, q) beyond the nearest
+    * other-side suffix q0 is min(lcp(p,q0), lcp(q0,q)) <= lcp(p,q0),
+    * the same interval argument as same-side marking. Each partition
+    * walks once with forward/backward nearest-other-side prefixes; the
+    * cross-partition carries ride the bounded driver stats pass.
+    */
+  def crossCorpusSpans(docs: DataFrame, otherDocs: DataFrame,
+      textCol: String, idCol: String, minLen: Int = 40,
+      windowCap: Int = 64): DataFrame = {
+    checkParams(minLen, windowCap)
+    val spark = docs.sparkSession
+    val parts =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def side(df: DataFrame, tag: Int) =
+      df.select((col(idCol).cast("long") * 2 + tag).as("id"),
+        col(textCol).as("__t"))
+    val base = Hashing.repartitionForCompute(
+        side(docs, 0).union(side(otherDocs, 1)), "id")
+      .filter(col("__t").isNotNull && length(col("__t")) >= minLen)
+    val sorted = rankSuffixes(base, minLen, windowCap, parts)
+    val schema = sorted.schema
+    val pfxIdx = schema.fieldIndex("__pfx")
+    val idIdx = schema.fieldIndex("id")
+    val posIdx = schema.fieldIndex("pos")
+    // per-partition first/last OTHER-side (bench) prefixes -> driver
+    // carries: nearest bench prefix before/after each partition
+    val bounds = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: String = null
+      var last: String = null
+      var any = false
+      while (it.hasNext) {
+        val row = it.next()
+        any = true
+        if (row.getLong(idIdx) % 2 == 1) {
+          val p = row.getString(pfxIdx)
+          if (first == null) first = p
+          last = p
+        }
+      }
+      if (any) Iterator((pid, Option(first), Option(last)))
+      else Iterator.empty
+    }.collect().sortBy(_._1)
+    val carryPrev = scala.collection.mutable.Map.empty[Int, String]
+    var run: String = null
+    bounds.foreach { case (pid, _, lastB) =>
+      if (run != null) carryPrev(pid) = run
+      lastB.foreach(run = _)
+    }
+    val carryNext = scala.collection.mutable.Map.empty[Int, String]
+    run = null
+    bounds.reverse.foreach { case (pid, firstB, _) =>
+      if (run != null) carryNext(pid) = run
+      firstB.foreach(run = _)
+    }
+    val cp = carryPrev.toMap
+    val cn = carryNext.toMap
+    val outSchema = StructType(Seq(
+      StructField(idCol, schema("id").dataType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("match_len", LongType, nullable = false)))
+    val minL = minLen
+    val marked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // partition-bounded buffering: the backward nearest-other-side
+      // scan needs the whole partition (the memory unit is one range
+      // partition of (id, pos, r, k2, pfx) rows — the same envelope as
+      // the partition sort that built it)
+      val rows = it.toArray
+      val n = rows.length
+      val nextB = new Array[String](n)
+      var carry = cn.getOrElse(pid, null)
+      var i = n - 1
+      while (i >= 0) {
+        nextB(i) = carry
+        if (rows(i).getLong(idIdx) % 2 == 1) carry = rows(i).getString(pfxIdx)
+        i -= 1
+      }
+      var prevB = cp.getOrElse(pid, null)
+      Iterator.range(0, n).flatMap { j =>
+        val row = rows(j)
+        val isBench = row.getLong(idIdx) % 2 == 1
+        val pfx = row.getString(pfxIdx)
+        val out = if (isBench) None
+        else {
+          val m = math.max(lcpOf(pfx, prevB), lcpOf(pfx, nextB(j)))
+          if (m >= minL)
+            Some(Row(row.getLong(idIdx) / 2, row.getLong(posIdx),
+              m.toLong))
+          else None
+        }
+        if (isBench) prevB = pfx
+        out
+      }
+    }
+    islandsOf(spark.createDataFrame(marked, outSchema), idCol, minLen)
   }
 }

@@ -215,6 +215,82 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got(5L)._2 === docs(4)._2 && got(6L)._2 === "short doc")
   }
 
+  /** Gram-identity reference for cross-corpus marking: a train position
+    * is covered iff its minLen-gram occurs anywhere in the bench side.
+    */
+  private def crossReference(train: Seq[(Long, String)],
+      bench: Seq[(Long, String)], minLen: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    val benchGrams = bench.flatMap { case (_, t) =>
+      (1 to t.length - minLen + 1).map(p => t.substring(p - 1, p - 1 + minLen))
+    }.toSet
+    train.flatMap { case (id, t) =>
+      val marked = (1 to t.length - minLen + 1).filter(p =>
+        benchGrams.contains(t.substring(p - 1, p - 1 + minLen)))
+      if (marked.isEmpty) Nil
+      else {
+        val islands = marked.tail.foldLeft(Vector(Vector(marked.head))) {
+          (acc, p) =>
+            if (p - acc.last.last > minLen) acc :+ Vector(p)
+            else acc.init :+ (acc.last :+ p)
+        }
+        islands.map(is => (id, is.head.toLong,
+          is.last.toLong - is.head + minLen, is.size.toLong))
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("cross-corpus spans mark ONLY bench-shared substrings (not in-train dups)") {
+    val benchPhrase = (0 until 55).map(i => ('a' + (i * 7 % 26)).toChar)
+      .mkString
+    val trainDup = (0 until 50).map(i => ('a' + (i * 11 % 26)).toChar)
+      .mkString.toUpperCase
+    val train = Seq(
+      (1L, "t1-head##" + benchPhrase + "##t1-tail"), // contaminated
+      (2L, "t2-head~~" + trainDup + "~~t2-tail"),    // in-train dup only
+      (3L, "t3-head!!" + trainDup + "!!t3-tail"),    // in-train dup only
+      (4L, ('a' to 'z').mkString + ('A' to 'Z').mkString)) // clean
+    val bench = Seq((9L, "bench-pre//" + benchPhrase + "//bench-post"))
+    val want = crossReference(train, bench, 40)
+    val got = ExactSubstr.crossCorpusSpans(
+        train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "text", "doc_id", minLen = 40, windowCap = 64)
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_dup_starts"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got === want, s"got $got want $want")
+    // the contaminated doc's span is exactly the 55-char bench phrase;
+    // the in-train duplicate pair must NOT mark (q194 semantics would)
+    assert(got.map(_._1).toSet === Set(1L))
+    assert(got.head._3 === 55L)
+    val sameSide = ExactSubstr.maximalSpans(
+        train.toDF("doc_id", "text"), "text", "doc_id", 40, 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(sameSide.map(_._1).toSet === Set(2L, 3L),
+      "q194 semantics mark the in-train pair (sanity split)")
+  }
+
+  test("cross-corpus fuzz: word-salad corpora match the gram reference") {
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Vector("spark", "table", "scan", "row", "agg", "key")
+    for (_ <- 1 to 8) {
+      def mk(n: Int) = (0 until n)
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val train = (1L to 4L).map(id => id -> mk(10 + rnd.nextInt(25)))
+      val bench = (1L to 2L).map(id => id -> mk(10 + rnd.nextInt(25)))
+      val want = crossReference(train, bench, 12)
+      val got = ExactSubstr.crossCorpusSpans(
+          train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "text", "doc_id", minLen = 12, windowCap = 16)
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          col("n_dup_starts"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(got === want, s"train=$train bench=$bench")
+    }
+  }
+
   test("common_prefix_len: UTF-8 boundary safety and plain ASCII walk") {
     def l(a: String, b: String): Int = CommonPrefixLenExpr.compute(
       UTF8String.fromString(a), UTF8String.fromString(b))
