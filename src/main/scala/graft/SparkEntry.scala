@@ -895,7 +895,17 @@ object SparkEntry {
         .select(f.col("doc_id"), f.col("span_start"), f.col("span_len"),
           f.col("n_dup_starts"))
     }),
+    // q198: blocklist phrase hits — one Aho-Corasick pass over the
+    // corpus for the whole pattern list, overlapping occurrences
+    // counted ("a a" exercises overlap at corpus scale)
+    "q198_blocklist_hits" -> ((s, dir) =>
+      TextAnalysis.blocklistHits(Tables.documents(s, dir), "text",
+        "doc_id", BlocklistPatterns)),
   )
+
+  /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
+  val BlocklistPatterns: Seq[String] =
+    Seq("table", "key agg", "row scan", "value", "fast", "a a")
 
   /** q155 query terms, shared with the oracle builder. */
   private val Bm25QueryTerms: Seq[String] = Seq("table", "join", "scan", "hash")
@@ -4105,6 +4115,20 @@ object SparkEntry {
         |  CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len,
         |  CAST(count(*) AS BIGINT) AS n_dup_starts
         |FROM s GROUP BY doc_id, grp""".stripMargin,
+    // q198: position-wise substring equality counts — the overlapping-
+    // occurrence semantics the automaton implements, computed the
+    // brute-force way
+    "q198_blocklist_hits" ->
+      """WITH pats(pat) AS (VALUES ('table'), ('key agg'), ('row scan'),
+        |                          ('value'), ('fast'), ('a a')),
+        |pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS p
+        |        FROM documents),
+        |h AS (SELECT doc_id, pat, count(*) AS n_hits
+        |      FROM pos CROSS JOIN pats
+        |      WHERE p + len(pat) - 1 <= len(text)
+        |        AND substr(text, CAST(p AS INTEGER), len(pat)) = pat
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, pat, CAST(n_hits AS BIGINT) AS n_hits FROM h""".stripMargin,
   )
 
   /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM

@@ -960,4 +960,29 @@ object TextAnalysis {
           lit(84.6) * (col("syllables").cast("double") /
             col("words").cast("double")), 6))
   }
+
+  /** Q198: BLOCKLIST / phrase-filter hits — per document, the count of
+    * every pattern occurrence (overlapping included) from a bounded
+    * phrase list, in ONE corpus pass via the codegen'd Aho-Corasick
+    * kernel ([[graft.functions.AhoCorasickExprs]]). The per-pattern
+    * alternative (`locate`/regexp per phrase) re-scans the corpus
+    * |patterns| times — at 100 TB the corpus pass IS the cost. Output:
+    * one row per (doc, pattern) with >= 1 hit. Map-only, zero shuffle;
+    * the pattern list is a plan literal from the filter config.
+    */
+  def blocklistHits(docs: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "empty pattern list")
+    docs
+      .select(col(idCol),
+        graft.functions.AhoCorasickExprs
+          .matchCounts(coalesce(col(textCol), lit("")), patterns)
+          .as("__c"))
+      .select(col(idCol), posexplode(col("__c")))
+      .filter(col("col") > 0)
+      .select(col(idCol),
+        element_at(typedLit(patterns), col("pos").cast("int") + 1)
+          .as("pat"),
+        col("col").as("n_hits"))
+  }
 }
