@@ -901,6 +901,10 @@ object SparkEntry {
     "q198_blocklist_hits" -> ((s, dir) =>
       TextAnalysis.blocklistHits(Tables.documents(s, dir), "text",
         "doc_id", BlocklistPatterns)),
+    // q199: k-anonymity generalization ladder — the whole ladder in one
+    // grouping-sets shuffle (release-gate governance audit)
+    "q199_kanon_ladder" -> ((s, dir) =>
+      Governance.kAnonymityLadder(Tables.customer(s, dir))),
   )
 
   /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
@@ -4129,6 +4133,32 @@ object SparkEntry {
         |        AND substr(text, CAST(p AS INTEGER), len(pat)) = pat
         |      GROUP BY 1, 2)
         |SELECT doc_id, pat, CAST(n_hits AS BIGINT) AS n_hits FROM h""".stripMargin,
+    // q199: class sizes per ladder level (UNION of GROUP BYs — the
+    // oracle may re-scan; the engine must not), then the per-level
+    // rollup. Balance bands are floor(x / literal double) mirrored.
+    "q199_kanon_ladder" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS b100,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b1k
+        |  FROM customer),
+        |cls AS (
+        |  SELECT CAST(0 AS BIGINT) AS level, count(*) AS k_class
+        |    FROM base GROUP BY nat, seg, b100
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), count(*) FROM base GROUP BY nat, seg, b1k
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), count(*) FROM base GROUP BY nat, seg
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), count(*) FROM base GROUP BY seg)
+        |SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(k_class) AS BIGINT) AS k_min,
+        |  CAST(sum(CASE WHEN k_class < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_classes,
+        |  CAST(sum(CASE WHEN k_class < 5 THEN k_class ELSE 0 END) AS BIGINT)
+        |    AS risky_rows,
+        |  CASE WHEN min(k_class) >= 5 THEN 1 ELSE 0 END AS anonymous
+        |FROM cls GROUP BY level""".stripMargin,
   )
 
   /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM

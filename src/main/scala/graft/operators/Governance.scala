@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-governance audits for training corpora — the release gate that
+  * runs AFTER the cleaning pipeline (PII redaction q47, decontamination
+  * q85/q197) and BEFORE data ships: does the kept table still
+  * re-identify people?
+  *
+  * K-ANONYMITY (Sweeney 2002): a table is k-anonymous w.r.t. a set of
+  * quasi-identifier (QI) columns iff every value combination that
+  * occurs, occurs at least k times — each record hides in a crowd of
+  * ≥ k. The practical question is not one number but a LADDER
+  * (Samarati's generalization lattice, walked along one path): how much
+  * must the QIs be coarsened (exact balance band → wide band → dropped)
+  * before the table clears the target k? Each ladder level reports its
+  * weakest class and how many rows sit in under-k classes — the
+  * re-identifiable population that level would leak.
+  *
+  * Scale: the WHOLE ladder is evaluated in ONE corpus shuffle.
+  * All levels are grouping sets of one projection, so Catalyst plans a
+  * single Expand (×|levels| in-flight rows) feeding ONE partial
+  * aggregation — map-side combine reduces each partition to its
+  * distinct classes per level before anything moves, so the shuffle
+  * carries class rows, not record rows. The second aggregation (ladder
+  * rollup) runs over class counts only — bounded by the number of
+  * distinct QI combinations, never by table size. No self-joins, no
+  * windows, no per-level re-scans (the naive UNION-of-GROUP-BYs plan
+  * reads the corpus once per level; at 100 TB that multiplier is the
+  * whole cost).
+  *
+  * Reference scope note: the reference engine
+  * (`/root/reference/src/test/scala/me/dummy/TimeoutJoinTest.scala`)
+  * has no governance surface; this extends the training-pipeline
+  * operator family mandated alongside it.
+  */
+object Governance {
+
+  /** Q199: k-anonymity audit of the customer QIs over a fixed
+    * generalization ladder. Levels (coarse→coarser):
+    *   0: (nation, segment, balance div 100)
+    *   1: (nation, segment, balance div 1000)
+    *   2: (nation, segment)
+    *   3: (segment)
+    * Emits one row per level: class count, weakest-class size `k_min`,
+    * classes and rows below `k`, and the pass flag.
+    *
+    * Balance bands use floor(x / literal-double) — one mirrored IEEE
+    * division + floor, identical across engines (the q139 literal
+    * discipline); negative balances band consistently because floor
+    * (not truncation) is used on both sides.
+    */
+  def kAnonymityLadder(customer: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, s"k out of range: $k")
+    val qi = customer.select(
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / lit(100.0)).as("b100"),
+      floor(col("c_acctbal") / lit(1000.0)).as("b1k"))
+    // grouping_id bit order follows the trailing column list
+    // (nat,seg,b100,b1k): a set's id has 1-bits at its MISSING columns.
+    val classes = qi
+      .groupingSets(
+        Seq(
+          Seq(col("nat"), col("seg"), col("b100")),
+          Seq(col("nat"), col("seg"), col("b1k")),
+          Seq(col("nat"), col("seg")),
+          Seq(col("seg"))),
+        col("nat"), col("seg"), col("b100"), col("b1k"))
+      .agg(count(lit(1)).as("k_class"), grouping_id().as("gid"))
+      .select(
+        when(col("gid") === 1, 0L)
+          .when(col("gid") === 2, 1L)
+          .when(col("gid") === 3, 2L)
+          .when(col("gid") === 11, 3L)
+          .as("level"),
+        col("k_class"))
+    classes
+      .groupBy(col("level"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("k_class")).as("k_min"),
+        sum(when(col("k_class") < k, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when(col("k_class") < k, col("k_class")).otherwise(0L))
+          .as("risky_rows"))
+      .select(col("level"), col("n_classes"), col("k_min"),
+        col("risky_classes"), col("risky_rows"),
+        (col("k_min") >= k).cast("int").as("anonymous"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q199 k-anonymity ladder: hand-planted equivalence classes, the
+  * negative-balance floor band, and the one-Expand/one-pass plan shape.
+  */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def customers(rows: Seq[(Long, String, Int, Double, String)]) =
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+
+  test("planted classes: ladder levels, k_min and risky counts are exact") {
+    // nation 1 / SEG_A: 6 rows all in band b100=1 (bal 100..199)
+    //   -> level-0 class of 6 (safe at k=5)
+    // nation 2 / SEG_A: 3 rows band 1 + 2 rows band 2
+    //   -> two risky level-0 classes (3 and 2 rows); level-2 class of 5 safe
+    val rows =
+      (1L to 6L).map(i => (i, s"c$i", 1, 150.0, "SEG_A")) ++
+        (7L to 9L).map(i => (i, s"c$i", 2, 150.0, "SEG_A")) ++
+        (10L to 11L).map(i => (i, s"c$i", 2, 250.0, "SEG_A"))
+    val got = Governance.kAnonymityLadder(customers(rows), k = 5)
+      .orderBy("level")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    // level 0: classes (1,A,1)=6, (2,A,1)=3, (2,A,2)=2 -> k_min 2,
+    // risky 2 classes / 5 rows
+    assert(got(0) == ((0L, 3L, 2L, 2L, 5L, 0)))
+    // level 1: bands collapse (all bal < 1000 -> b1k=0):
+    // (1,A,0)=6, (2,A,0)=5 -> anonymous at k=5
+    assert(got(1) == ((1L, 2L, 5L, 0L, 0L, 1)))
+    // level 2: same as level 1 without the band
+    assert(got(2) == ((2L, 2L, 5L, 0L, 0L, 1)))
+    // level 3: one class of 11
+    assert(got(3) == ((3L, 1L, 11L, 0L, 0L, 1)))
+  }
+
+  test("negative balances band by floor, not truncation") {
+    // bal -50: floor(-50/100) = -1, NOT 0 — truncation would merge the
+    // negative band into band 0 and overstate the crowd
+    val rows = Seq(
+      (1L, "a", 1, -50.0, "S"), (2L, "b", 1, -50.0, "S"),
+      (3L, "c", 1, 50.0, "S"), (4L, "d", 1, 50.0, "S"))
+    val lvl0 = Governance.kAnonymityLadder(customers(rows), k = 2)
+      .filter(col("level") === 0)
+      .as[(Long, Long, Long, Long, Long, Int)].head()
+    // two classes (bands -1 and 0) of 2 each
+    assert(lvl0 == ((0L, 2L, 2L, 0L, 0L, 1)))
+  }
+
+  test("the ladder is one Expand over one scan, not per-level re-reads") {
+    val df = Governance.kAnonymityLadder(
+      graft.Tables.customer(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("(?i)expand".r.findAllIn(plan).size == 1, plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+}
