@@ -905,6 +905,12 @@ object SparkEntry {
     // grouping-sets shuffle (release-gate governance audit)
     "q199_kanon_ladder" -> ((s, dir) =>
       Governance.kAnonymityLadder(Tables.customer(s, dir))),
+    // q200: Markov removal-effect attribution — data-driven channel
+    // credit from journey absorption probabilities (vs q174's
+    // positional heuristics); one corpus window pass + exact
+    // micro-grid value iteration on the tiny transition matrix
+    "q200_markov_attribution" -> ((s, dir) =>
+      Relational.markovRemovalEffect(Tables.events(s, dir))),
   )
 
   /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
@@ -4159,7 +4165,82 @@ object SparkEntry {
         |    AS risky_rows,
         |  CASE WHEN min(k_class) >= 5 THEN 1 ELSE 0 END AS anonymous
         |FROM cls GROUP BY level""".stripMargin,
+    // q200: journey transitions + 5 unrolled value-iteration scenarios
+    // (base + one per removed channel), built by the generator below
+    "q200_markov_attribution" -> markovRemovalOracleSql(12),
   )
+
+  /** q200 oracle: the engine's journey segmentation (per-user
+    * conversion-split windows) and transition counts in SQL, then
+    * `rounds` micro-grid value-iteration steps unrolled as CTEs for the
+    * base chain and for each removed channel. Masses are HUGEINT until
+    * the final BIGINT casts; every division is a single `//` per state
+    * per round, exactly mirroring the engine's `div` fold. The channel
+    * list is the driver data's fixed non-conversion event types.
+    */
+  private def markovRemovalOracleSql(rounds: Int): String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val scenarios = ("base", None) +: channels.map(c => (c, Some(c)))
+    def vCtes(tag: String, removed: Option[String]): String = {
+      val zero = s"v_${tag}_0 AS MATERIALIZED (" +
+        "SELECT DISTINCT f AS state, CAST(0 AS HUGEINT) AS mass FROM m)"
+      val steps = (1 to rounds).map { r =>
+        val mass = removed match {
+          case Some(c) =>
+            s"CASE WHEN m.f = '$c' THEN 0 ELSE " +
+              "sum(m.c * CASE WHEN m.t = 'CONV' THEN 1000000 " +
+              "WHEN m.t = 'NULL' THEN 0 " +
+              "ELSE COALESCE(p.mass, 0) END) // m.ns END"
+          case None =>
+            "sum(m.c * CASE WHEN m.t = 'CONV' THEN 1000000 " +
+              "WHEN m.t = 'NULL' THEN 0 " +
+              "ELSE COALESCE(p.mass, 0) END) // m.ns"
+        }
+        s"""v_${tag}_$r AS MATERIALIZED (
+           |  SELECT m.f AS state, $mass AS mass
+           |  FROM m LEFT JOIN v_${tag}_${r - 1} p ON m.t = p.state
+           |  GROUP BY m.f, m.ns)""".stripMargin
+      }
+      (zero +: steps).mkString(",\n")
+    }
+    val fin = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT mass FROM v_base_$rounds WHERE state = 'START') AS basep,
+         |  (SELECT mass FROM v_${c}_$rounds WHERE state = 'START')
+         |    AS removedp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isc,
+       |    COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS j
+       |  FROM events),
+       |t0 AS (SELECT event_type, isc,
+       |    lag(event_type) OVER w AS prv, lead(event_type) OVER w AS nxt
+       |  FROM e WINDOW w AS (PARTITION BY user_id, j ORDER BY ts, event_id)),
+       |tr AS (SELECT COALESCE(prv, 'START') AS f,
+       |         CASE WHEN isc = 1 THEN 'CONV' ELSE event_type END AS t
+       |       FROM t0
+       |       UNION ALL
+       |       SELECT event_type, 'NULL' FROM t0 WHERE nxt IS NULL AND isc = 0),
+       |m AS MATERIALIZED (
+       |  SELECT f, t, count(*) AS c,
+       |         sum(count(*)) OVER (PARTITION BY f) AS ns
+       |  FROM tr GROUP BY f, t),
+       |${scenarios.map { case (tag, rm) => vCtes(tag, rm) }.mkString(",\n")},
+       |fin AS ($fin),
+       |re AS (SELECT channel, basep, removedp, basep - removedp AS eff
+       |       FROM fin),
+       |tt AS (SELECT sum(eff) AS tot FROM re)
+       |SELECT channel, CAST(basep AS BIGINT) AS base_p_micros,
+       |  CAST(removedp AS BIGINT) AS removed_p_micros,
+       |  CAST(eff AS BIGINT) AS removal_effect_micros,
+       |  CAST(CASE WHEN tot = 0 THEN 0 ELSE (eff * 1000000) // tot END
+       |    AS BIGINT) AS share_micros
+       |FROM re, tt""".stripMargin
+  }
 
   /** q193 oracle: q191's pair/agreement derivation, then `rounds` EM
     * rounds unrolled as CTE triples (ew = grid posteriors, es = BIGINT

@@ -1901,6 +1901,121 @@ object Relational {
     v.select(col("state"), col("mass").as("mass_micros"))
   }
 
+  /** Q200: MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2014) — the
+    * data-driven answer to "which channel actually CAUSED conversions?"
+    * that the positional heuristics (q174's first/last/linear/U-shaped)
+    * assume away: model user journeys as a first-order Markov chain
+    * (START → channels → CONV/NULL), compute the chain's conversion
+    * probability, then re-compute it with each channel REMOVED (entering
+    * the removed channel is a dead end). A channel's attribution is the
+    * conversion probability it carries: its removal effect, normalized
+    * across channels.
+    *
+    * Journey semantics: per user, events order by (ts, event_id) — the
+    * repo's total order; each conversion event closes a journey (CONV)
+    * and the next event opens a new one; a trailing journey without a
+    * conversion ends in NULL (end of observation = non-converting, the
+    * standard convention). A journey whose first event converts
+    * contributes START → CONV.
+    *
+    * Exactness: conversion probabilities are absorption probabilities,
+    * computed by `rounds` fixed value-iteration steps on the micro grid
+    * (the q158/q181 discipline): p_i ← (Σ_j c_ij·p_j) div n_i with
+    * p(CONV)=10⁶, p(NULL)=0 — ONE floor division per state per round, so
+    * the iterate is bit-identical across engines and partitionings and
+    * the oracle unrolls it as CTE rounds. Fixed rounds, not
+    * convergence-tested: the k-round estimate IS the contract.
+    *
+    * Scale: the corpus is touched ONCE — one window shuffle on user_id
+    * builds per-journey transitions, one map-side-combinable groupBy
+    * reduces them to the (|channels|+1)² transition matrix. The matrix
+    * is driver-bounded BY CONTRACT (like the BPE merge table and the
+    * linkage u-row: states are event types, not rows) and the 5
+    * scenario iterations run in exact Long arithmetic on it; per-state
+    * flows stay inside Long as long as no state's outgoing count
+    * exceeds 2⁴³ (~8.8e12 — guarded loudly; raise to BigInt math, not
+    * silently, beyond it).
+    */
+  def markovRemovalEffect(events: DataFrame, convType: String = "purchase",
+      rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val spark = events.sparkSession
+    val isc = (col("event_type") === convType).cast("int")
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wJourney = Window.partitionBy(col("user_id"), col("j"))
+      .orderBy(col("ts"), col("event_id"))
+    val step = struct(
+      coalesce(col("prv"), lit("START")).as("f"),
+      when(col("isc") === 1, lit("CONV")).otherwise(col("event_type"))
+        .as("t"))
+    val terminal = struct(col("event_type").as("f"), lit("NULL").as("t"))
+    val counts = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        isc.as("isc"))
+      .withColumn("j", coalesce(
+        sum(col("isc")).over(wUser.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("isc"),
+        lag(col("event_type"), 1).over(wJourney).as("prv"),
+        lead(col("event_type"), 1).over(wJourney).as("nxt"))
+      .select(explode(concat(
+        array(step),
+        // slice-to-zero keeps the else branch exactly typed (an empty
+        // array literal would be array<null> and fail coercion)
+        when(col("nxt").isNull && col("isc") === 0, array(terminal))
+          .otherwise(slice(array(terminal), 1, 0)))).as("tr"))
+      .groupBy(col("tr.f").as("f"), col("tr.t").as("t"))
+      .agg(count(lit(1)).as("c"))
+      .collect()  // bounded by contract: (|event types|+2)² rows
+    val edges: Map[String, Seq[(String, Long)]] = counts
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (f, es) =>
+        f -> es.toSeq.map(e => (e._2, e._3)).sortBy(_._1)
+      }
+    val ns: Map[String, Long] = edges.map { case (f, es) =>
+      f -> es.map(_._2).sum
+    }
+    ns.foreach { case (f, n) => require(n <= (1L << 43),
+      s"markovRemovalEffect: state '$f' has $n outgoing transitions — " +
+        "beyond the Long flow envelope (2^43); widen the math to BigInt") }
+    val states = edges.keySet
+    val channels = (states - "START").toSeq.sorted
+    def absorb(removed: Option[String]): Long = {
+      var p: Map[String, Long] = states.map(_ -> 0L).toMap
+      var r = 0
+      while (r < rounds) {
+        p = states.map { i =>
+          if (removed.contains(i)) i -> 0L
+          else {
+            val flow = edges(i).map { case (t, c) =>
+              c * (t match {
+                case "CONV" => 1000000L
+                case "NULL" => 0L
+                case x => p(x)
+              })
+            }.sum
+            i -> flow / ns(i)
+          }
+        }.toMap
+        r += 1
+      }
+      p.getOrElse("START", 0L)
+    }
+    val base = absorb(None)
+    val rows = channels.map { ch =>
+      (ch, base, absorb(Some(ch)))
+    }
+    val effs = rows.map { case (_, b, rm) => b - rm }
+    val tot = effs.sum
+    import spark.implicits._
+    rows.zip(effs).map { case ((ch, b, rm), eff) =>
+      (ch, b, rm, eff, if (tot == 0L) 0L else eff * 1000000L / tot)
+    }.toDF("channel", "base_p_micros", "removed_p_micros",
+      "removal_effect_micros", "share_micros")
+  }
+
   /** Q176: SEQUENTIAL pattern mining, the trigram unit step — which
     * ordered event-type triples do users actually walk, and how many
     * distinct users support each? The transition matrix (q72) sees only
