@@ -911,6 +911,11 @@ object SparkEntry {
     // micro-grid value iteration on the tiny transition matrix
     "q200_markov_attribution" -> ((s, dir) =>
       Relational.markovRemovalEffect(Tables.events(s, dir))),
+    // q201: Jaro-Winkler title linkage on the native codegen kernel —
+    // prefix-blocked candidates, byte-walk scoring, micro-grid output
+    "q201_jaro_titles" -> ((s, dir) =>
+      Dedup.jaroWinklerTitlePairs(Tables.documents(s, dir), "text",
+        "doc_id")),
   )
 
   /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
@@ -4168,6 +4173,21 @@ object SparkEntry {
     // q200: journey transitions + 5 unrolled value-iteration scenarios
     // (base + one per removed channel), built by the generator below
     "q200_markov_attribution" -> markovRemovalOracleSql(12),
+    // q201: DuckDB's jaro_winkler_similarity was fuzz-matched
+    // bit-for-bit against the engine kernel (33k pairs: ASCII,
+    // multi-byte UTF-8, long strings), so the double compares and the
+    // micro floor are exact cross-engine
+    "q201_jaro_titles" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, substr(text, 1, 40) AS title FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        jaro_winkler_similarity(a.title, b.title) AS jw
+        |      FROM d a JOIN d b
+        |        ON substr(a.title, 1, 2) = substr(b.title, 1, 2)
+        |       AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(floor(jw * 1000000.0) AS BIGINT) AS jw_micros
+        |FROM p WHERE jw >= CAST(0.90 AS DOUBLE)""".stripMargin,
   )
 
   /** q200 oracle: the engine's journey segmentation (per-user

@@ -774,6 +774,54 @@ object Dedup {
         round(lit(1.0) - col("dist") / greatest(mx, lit(1.0)), 6).as("similarity"))
   }
 
+  /** Q201: JARO-WINKLER title linkage — fuzzy pairs over a fixed-width
+    * document key (the leading `titleLen` characters), scored by the
+    * native [[graft.functions.JaroWinklerExprs.jaroWinkler]] kernel. The
+    * proximity-and-prefix comparator complements q89's edit distance:
+    * JW rewards shared prefixes and tolerates transpositions, which is
+    * exactly the error model of human-keyed titles/names — and its
+    * prefix bias makes PREFIX BLOCKING the canonical candidate
+    * generator (pairs disagreeing on the first characters score low
+    * anyway, so the equi-join on the `prefixLen`-char key is the
+    * operator's own selectivity, formalized as contract).
+    *
+    * Scale: one scan projects (id, title); candidates are an equi-join
+    * on the prefix key — no all-pairs, and the JW walk runs inside
+    * whole-stage codegen once per candidate. Block occupancy is guarded
+    * eagerly like [[graft.operators.Linkage]]: a hot prefix (think
+    * "The " in real titles) is quadratic per block, so over-cap blocks
+    * fail loudly with the offending key instead of silently launching
+    * an O(occ²) stage — lengthen the prefix or pre-normalize titles.
+    */
+  def jaroWinklerTitlePairs(docs: DataFrame, textCol: String, idCol: String,
+      titleLen: Int = 40, prefixLen: Int = 2, minJw: Double = 0.90,
+      maxBlockOccupancy: Long = 100000L): DataFrame = {
+    require(titleLen > prefixLen && prefixLen >= 1,
+      s"bad titleLen/prefixLen: $titleLen/$prefixLen")
+    val t = docs
+      .select(col(idCol).as("id"),
+        substring(col(textCol), 1, titleLen).as("title"))
+      .withColumn("blk", substring(col("title"), 1, prefixLen))
+      .localCheckpoint(false)
+    val over = t.groupBy(col("blk")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxBlockOccupancy).limit(3).collect()
+    require(over.isEmpty,
+      s"jaroWinklerTitlePairs: prefix block occupancy over cap " +
+        s"$maxBlockOccupancy — candidate fan-out is occupancy^2 per " +
+        "block; lengthen prefixLen or normalize titles. Offending: " +
+        over.map(r => s"'${r.getString(0)}'=${r.getLong(1)}").mkString(", "))
+    val jw = graft.functions.JaroWinklerExprs.jaroWinkler(
+      col("title_a"), col("title_b"))
+    t.select(col("blk"), col("id").as("doc_a"), col("title").as("title_a"))
+      .join(t.select(col("blk"), col("id").as("doc_b"),
+        col("title").as("title_b")), Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jw", jw)
+      .filter(col("jw") >= lit(minJw))
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jw") * lit(1000000.0)).as("jw_micros"))
+  }
+
   /** Embedding-cosine near-dup pairs via OR-AMPLIFIED hyperplane LSH (no
     * all-pairs): a pair is a candidate if it collides in ANY of `tables`
     * independent `bits`-bit signatures, then every candidate is verified by

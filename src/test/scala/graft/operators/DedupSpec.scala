@@ -419,4 +419,29 @@ class DedupSpec extends SparkSpec {
     assert(report.nonEmpty && report.forall(_._2 == 5L))
     assert(report.forall(r => boiler.contains(r._1.take(20))))
   }
+
+  test("q201 JW title pairs: prefix blocking, threshold, occupancy guard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over at"),   // near-identical title
+      (3L, "the slow green turtle sits still"),    // same block, low JW
+      (4L, "zz completely different text here"))   // different block
+      .toDF("doc_id", "text")
+    val got = Dedup.jaroWinklerTitlePairs(docs, "text", "doc_id",
+      titleLen = 33, prefixLen = 2, minJw = 0.90)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)), got)
+    // micro value matches the kernel's own score floored
+    val jw = graft.functions.JaroWinklerSpec.reference(
+      "the quick brown fox jumps over it",
+      "the quick brown fox jumps over at")
+    assert(got.head._3 == math.floor(jw * 1000000.0).toLong)
+    // a hot prefix block over the cap fails loudly, naming the block
+    val hot = (1L to 9L).map(i => (i, s"aa title variant $i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaroWinklerTitlePairs(hot, "text", "doc_id",
+        titleLen = 20, prefixLen = 2, maxBlockOccupancy = 5L)
+    }
+    assert(e.getMessage.contains("'aa'=9"))
+  }
 }
