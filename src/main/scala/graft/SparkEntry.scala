@@ -916,6 +916,28 @@ object SparkEntry {
     "q201_jaro_titles" -> ((s, dir) =>
       Dedup.jaroWinklerTitlePairs(Tables.documents(s, dir), "text",
         "doc_id")),
+    // q202: golden-record survivorship — rule-blocked customer matches
+    // clustered (clusterPairs) and merged per deterministic rules:
+    // nation by mode (tie -> min), balance by max, id by cluster min
+    "q202_golden_record" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val base = Tables.customer(s, dir).select(
+        f.col("c_custkey").as("id"),
+        f.col("c_mktsegment").as("seg"),
+        f.floor(f.col("c_acctbal") / f.lit(1000.0)).as("b1k"),
+        f.substring(f.col("c_name"), -1, 1).as("sfx"),
+        f.col("c_nationkey").as("nat"),
+        f.col("c_acctbal").as("bal"))
+      val keys = Seq("seg", "b1k", "sfx")
+      val pairs = base
+        .select((keys.map(f.col) :+ f.col("id").as("ida")): _*)
+        .join(base.select((keys.map(f.col) :+ f.col("id").as("idb")): _*),
+          keys)
+        .filter(f.col("ida") < f.col("idb"))
+        .select(f.col("ida"), f.col("idb"))
+      Linkage.goldenRecords(base, "id", pairs, "ida", "idb",
+        modeCols = Seq("nat"), maxCols = Seq("bal"))
+    }),
   )
 
   /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
@@ -4188,6 +4210,30 @@ object SparkEntry {
         |SELECT doc_a, doc_b,
         |  CAST(floor(jw * 1000000.0) AS BIGINT) AS jw_micros
         |FROM p WHERE jw >= CAST(0.90 AS DOUBLE)""".stripMargin,
+    // q202: the pair rule is an exact equi-block, so components equal
+    // blocks — the oracle groups directly (sound BECAUSE the rule is an
+    // equivalence relation; the engine still runs the generic
+    // pairs -> components -> survivorship path). Mode tie-break is the
+    // deterministic rank window, never bare arg_max.
+    "q202_golden_record" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT c_custkey AS id, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b1k,
+        |    substr(c_name, -1, 1) AS sfx, c_nationkey AS nat,
+        |    c_acctbal AS bal
+        |  FROM customer),
+        |g AS (SELECT seg, b1k, sfx, CAST(min(id) AS BIGINT) AS cluster_id,
+        |        CAST(count(*) AS BIGINT) AS n_members, max(bal) AS bal
+        |      FROM c GROUP BY 1, 2, 3),
+        |mv AS (SELECT seg, b1k, sfx, nat, count(*) AS n
+        |       FROM c GROUP BY 1, 2, 3, 4),
+        |mr AS (SELECT seg, b1k, sfx, nat,
+        |         rank() OVER (PARTITION BY seg, b1k, sfx
+        |                      ORDER BY n DESC, nat ASC) AS r
+        |       FROM mv)
+        |SELECT g.cluster_id, g.n_members, mr.nat, g.bal
+        |FROM g JOIN mr ON g.seg = mr.seg AND g.b1k = mr.b1k
+        |  AND g.sfx = mr.sfx AND mr.r = 1""".stripMargin,
   )
 
   /** q200 oracle: the engine's journey segmentation (per-user

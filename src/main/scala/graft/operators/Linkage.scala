@@ -222,4 +222,60 @@ object Linkage {
     fieldCols.map(f => (f, r6(p), r6(mm(f)), r6(uu(f))))
       .toDF("field", "p_est", "m_est", "u_est")
   }
+
+  /** Q202: GOLDEN-RECORD survivorship — the last step of entity
+    * resolution, after candidate generation (blocking families), pair
+    * scoring ([[fellegiSunter]]/[[emRefine]]) and transitive closure
+    * ([[graft.operators.Dedup.clusterPairs]]): merge each matched
+    * cluster into ONE canonical record with deterministic per-field
+    * rules. Rules implemented: `modeCols` survive by most-frequent
+    * value with smallest-value tie-break (the only mode that is
+    * engine- and partition-independent — an unspecified-tie `arg_max`
+    * silently flips rows between runs); `maxCols` survive by maximum
+    * (the "best/latest value" rule); the canonical id is the cluster's
+    * minimum member id (matching clusterPairs' label convention, so
+    * `cluster_id` doubles as the surviving key). Unmatched records pass
+    * through as their own singleton clusters — a golden table is a
+    * FULL replacement of the input, not just the merged part.
+    *
+    * Contract: survivorship fields must be non-null (null ordering
+    * inside the tie-break struct differs across engines; normalize
+    * nulls upstream — the profile audit q43 is the gate for that).
+    *
+    * Scale: clusterPairs is O(diameter) bounded rounds over pair ids;
+    * the survivorship itself is one map-side-combinable aggregation
+    * per rule family over (cluster, value) — no windows over record
+    * scale, no driver data. The labeled projection is checkpointed
+    * once and shared by the core and per-mode-column aggregations.
+    */
+  def goldenRecords(records: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      modeCols: Seq[String], maxCols: Seq[String],
+      maxIters: Int = 20): DataFrame = {
+    require(modeCols.nonEmpty || maxCols.nonEmpty, "no survivorship rules")
+    val labels = graft.operators.Dedup.clusterPairs(
+        pairs.select(col(aCol), col(bCol)), aCol, bCol, maxIters)
+      .select(col("doc_id").as("__id"), col("cluster_id"))
+    val base = records
+      .join(labels, col(idCol) === col("__id"), "left")
+      .select((coalesce(col("cluster_id"), col(idCol)).as("__cluster") +:
+        col(idCol).as("__rid") +:
+        (modeCols ++ maxCols).distinct.map(col)): _*)
+      .localCheckpoint(false)
+    val core = base.groupBy(col("__cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        maxCols.map(c => max(col(c)).as(c)): _*)
+    val out = modeCols.foldLeft(core) { (acc, c) =>
+      val mode = base
+        .groupBy(col("__cluster"), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__cluster"))
+        .agg(min(struct((lit(0L) - col("__n")).as("negn"),
+          col(c).as("v"))).as("__m"))
+        .select(col("__cluster"), col("__m.v").as(c))
+      acc.join(mode, Seq("__cluster"))
+    }
+    out.select(col("__cluster").as("cluster_id") +: col("n_members") +:
+      (modeCols ++ maxCols).distinct.map(col): _*)
+  }
 }

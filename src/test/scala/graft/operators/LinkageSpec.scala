@@ -143,4 +143,22 @@ class LinkageSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("blk=hot"), e2.getMessage)
   }
+
+  test("q202 golden records: mode tie-break, max rule, singleton passthrough") {
+    // cluster {1,2,3,4}: nat 10 x2, 20 x2 (tie -> min 10); bal max 9.0
+    // cluster {6,7}: nat 30 x1, 20 x1 (tie -> min 20)
+    // singleton {9}: passes through verbatim
+    val recs = Seq(
+      (1L, 10, 3.0), (2L, 10, 9.0), (3L, 20, 1.0), (4L, 20, 2.0),
+      (6L, 30, 5.0), (7L, 20, 4.0),
+      (9L, 40, 7.0)).toDF("id", "nat", "bal")
+    // transitive chain 1-2, 2-3, 3-4 (NOT a clique: closure is the point)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("ida", "idb")
+    val got = Linkage.goldenRecords(recs, "id", pairs, "ida", "idb",
+      modeCols = Seq("nat"), maxCols = Seq("bal"))
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 10, 9.0), (6L, 2L, 20, 5.0), (9L, 1L, 40, 7.0)), got.toSeq)
+  }
 }
