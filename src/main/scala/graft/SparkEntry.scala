@@ -938,6 +938,27 @@ object SparkEntry {
       Linkage.goldenRecords(base, "id", pairs, "ida", "idb",
         modeCols = Seq("nat"), maxCols = Seq("bal"))
     }),
+    // q203: UNKEYED interval-overlap join (bin-blocked range join) —
+    // user sessions x global error-incident windows, exact overlap
+    // accounting; the naive plan is a BroadcastNestedLoopJoin
+    "q203_session_incidents" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val ev = Tables.events(s, dir)
+      val sessions = Relational.sessionize(ev).select(
+        f.col("user_id"),
+        f.unix_micros(f.col("session_start")).as("s_start"),
+        f.unix_micros(f.col("session_end")).as("s_end"))
+      val incidents = ev.filter(f.col("event_type") === "error").select(
+        (f.unix_micros(f.col("ts")) - f.lit(300000000L)).as("i_start"),
+        (f.unix_micros(f.col("ts")) + f.lit(300000000L)).as("i_end"))
+      IntervalJoin.overlapJoin(sessions, "s_start", "s_end",
+          incidents, "i_start", "i_end", binWidth = 3600000000L)
+        .groupBy(f.col("user_id"), f.col("s_start"))
+        .agg(f.count(f.lit(1)).as("n_incidents"),
+          f.sum(f.least(f.col("s_end"), f.col("i_end")) -
+            f.greatest(f.col("s_start"), f.col("i_start")))
+            .cast("long").as("overlap_micros"))
+    }),
   )
 
   /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
@@ -4234,6 +4255,41 @@ object SparkEntry {
         |SELECT g.cluster_id, g.n_members, mr.nat, g.bal
         |FROM g JOIN mr ON g.seg = mr.seg AND g.b1k = mr.b1k
         |  AND g.sfx = mr.sfx AND mr.r = 1""".stripMargin,
+    // q203: q34's session derivation + a plain range join (DuckDB's
+    // IEJoin handles the inequality natively; the ENGINE must not BNLJ
+    // — its bin-blocked plan is asserted in IntervalJoinSpec)
+    "q203_session_incidents" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sx AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |ses AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(min(ts)) AS s_start,
+        |         epoch_us(max(ts)) AS s_end
+        |  FROM sx GROUP BY user_id, sid),
+        |inc AS MATERIALIZED (
+        |  SELECT epoch_us(ts) - 300000000 AS i_start,
+        |         epoch_us(ts) + 300000000 AS i_end
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (SELECT ses.user_id, ses.s_start, ses.s_end,
+        |             inc.i_start, inc.i_end
+        |      FROM ses JOIN inc
+        |        ON ses.s_start <= inc.i_end AND inc.i_start <= ses.s_end)
+        |SELECT user_id, s_start, CAST(count(*) AS BIGINT) AS n_incidents,
+        |  CAST(sum(least(s_end, i_end) - greatest(s_start, i_start))
+        |    AS BIGINT) AS overlap_micros
+        |FROM p GROUP BY user_id, s_start""".stripMargin,
   )
 
   /** q200 oracle: the engine's journey segmentation (per-user

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** UNKEYED interval-overlap join — the range-join family Spark has no
+  * native strategy for: with no equi-key, `a.start <= b.end AND
+  * b.start <= a.end` plans as a BroadcastNestedLoopJoin (all-pairs
+  * per partition), which is exactly the operator you must never run at
+  * 100 TB. The standard fix is BIN BLOCKING (the same device as DuckDB/
+  * Postgres range-join rewrites and the Databricks range-join hint):
+  * explode each interval into the fixed-width grid bins it covers,
+  * equi-join on the bin, verify the exact overlap predicate, and emit
+  * each pair EXACTLY ONCE — no distinct — by keeping only the bin that
+  * contains max(start_a, start_b). (Two intervals overlap iff the later
+  * start lies in both; floor is monotone, so that bin is
+  * max(startbin_a, startbin_b) — a codegen'd compare, not a shuffle.)
+  *
+  * Cost model: shuffle volume is rows × bins-per-interval, so binWidth
+  * should sit near the MEDIAN interval length (wider → fewer copies but
+  * fatter bins to verify; narrower → the reverse). Degenerate inputs —
+  * one interval spanning the whole timeline — silently explode the
+  * copy count, so the operator guards rows against `maxBinsPerRow`
+  * eagerly and fails loudly with the worst offender (the linkage-guard
+  * discipline: refuse to launch a quadratic stage).
+  *
+  * Semantics: bounds are INCLUSIVE on both sides, on a NON-NEGATIVE
+  * integral grid (epoch micros here; `div` binning truncates toward
+  * zero, which equals floor only for non-negatives — guarded). Column
+  * names of the two inputs must be disjoint.
+  */
+object IntervalJoin {
+
+  /** Bin index of grid value `c` — BIGINT `div`, never `/` (Spark's
+    * `/` on longs is DOUBLE division; at epoch-micro magnitudes the
+    * quotient is inexact and the truncating cast can land one bin off).
+    */
+  private def bin(c: String, binWidth: Long): Column =
+    expr(s"CAST($c AS BIGINT) div ${binWidth}L")
+
+  /** Overlapping (left, right) row pairs, exactly once per pair. */
+  def overlapJoin(left: DataFrame, ls: String, le: String,
+      right: DataFrame, rs: String, re: String,
+      binWidth: Long, maxBinsPerRow: Long = 10000L): DataFrame = {
+    require(binWidth > 0, s"binWidth out of range: $binWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty, s"column collision across sides: $shared")
+    def guard(df: DataFrame, s: String, e: String, side: String): Unit = {
+      val w = df.agg(
+        max(bin(e, binWidth) - bin(s, binWidth) + lit(1L)).as("m"),
+        min(col(s).cast("long")).as("lo")).collect().head
+      if (!w.isNullAt(1)) require(w.getLong(1) >= 0L,
+        s"overlapJoin: negative $side start ${w.getLong(1)} — div-binning " +
+          "needs a non-negative grid; shift the values")
+      val m = if (w.isNullAt(0)) 0L else w.getLong(0)
+      require(m <= maxBinsPerRow,
+        s"overlapJoin: a $side interval covers $m bins of $binWidth " +
+          s"(cap $maxBinsPerRow) — a timeline-spanning interval would " +
+          "explode the bin copies; widen binWidth or cap interval length")
+    }
+    guard(left, ls, le, "left")
+    guard(right, rs, re, "right")
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
+      explode(sequence(bin(s, binWidth), bin(e, binWidth))))
+    binned(left, ls, le)
+      .join(binned(right, rs, re).withColumnRenamed("__bin", "__rbin"),
+        col("__bin") === col("__rbin"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .filter(col("__bin") === greatest(bin(ls, binWidth), bin(rs, binWidth)))
+      .drop("__bin", "__rbin")
+  }
+}
