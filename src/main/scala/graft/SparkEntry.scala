@@ -959,6 +959,10 @@ object SparkEntry {
             f.greatest(f.col("s_start"), f.col("i_start")))
             .cast("long").as("overlap_micros"))
     }),
+    // q204: l-diversity audit — homogeneity-attack exposure per QI
+    // class (k-anonymity's blind spot), deterministic dominant value
+    "q204_ldiversity" -> ((s, dir) =>
+      Governance.lDiversityAudit(Tables.customer(s, dir))),
   )
 
   /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
@@ -4290,6 +4294,30 @@ object SparkEntry {
         |  CAST(sum(least(s_end, i_end) - greatest(s_start, i_start))
         |    AS BIGINT) AS overlap_micros
         |FROM p GROUP BY user_id, s_start""".stripMargin,
+    // q204: per-class sensitive-value counts, dominant value by the
+    // deterministic (count desc, value asc) rank, integer micro share
+    "q204_ldiversity" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b1k,
+        |    c_mktsegment AS sens
+        |  FROM customer),
+        |cv AS (SELECT nat, b1k, sens, count(*) AS n
+        |       FROM c GROUP BY 1, 2, 3),
+        |cls AS (SELECT nat, b1k, CAST(sum(n) AS BIGINT) AS k_class,
+        |          CAST(count(*) AS BIGINT) AS l_distinct
+        |        FROM cv GROUP BY 1, 2),
+        |top AS (SELECT nat, b1k, sens, n,
+        |          rank() OVER (PARTITION BY nat, b1k
+        |                       ORDER BY n DESC, sens ASC) AS r
+        |        FROM cv)
+        |SELECT cls.nat, cls.b1k, cls.k_class, cls.l_distinct,
+        |  top.sens AS top_sensitive,
+        |  CAST((top.n * 1000000) // cls.k_class AS BIGINT)
+        |    AS top_share_micros,
+        |  CASE WHEN cls.l_distinct >= 3 THEN 1 ELSE 0 END AS diverse
+        |FROM cls JOIN top ON cls.nat = top.nat AND cls.b1k = top.b1k
+        |  AND top.r = 1""".stripMargin,
   )
 
   /** q200 oracle: the engine's journey segmentation (per-user

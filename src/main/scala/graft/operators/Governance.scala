@@ -88,4 +88,43 @@ object Governance {
         col("risky_classes"), col("risky_rows"),
         (col("k_min") >= k).cast("int").as("anonymous"))
   }
+
+  /** Q204: l-DIVERSITY audit (Machanavajjhala et al. 2007) — the attack
+    * k-anonymity misses: a class of k records is still leaky if they
+    * all share the SENSITIVE value (homogeneity: "everyone in this
+    * crowd has the same diagnosis"). Per equivalence class of the QIs
+    * (nation, balance band), report the diversity of the sensitive
+    * column (market segment): distinct sensitive values (`l_distinct`),
+    * the dominant value's share on the micro grid (homogeneity attack
+    * strength), and the pass flag against `l`.
+    *
+    * Determinism: the dominant value resolves ties by smallest value
+    * (the q202 survivorship discipline — an unspecified-tie argmax
+    * flips rows between partitionings); its share is one integer
+    * micro-division. Scale: one corpus shuffle to (class, sensitive)
+    * counts, then class-bounded aggregation — same posture as
+    * [[kAnonymityLadder]].
+    */
+  def lDiversityAudit(customer: DataFrame, l: Int = 3): DataFrame = {
+    require(l >= 2, s"l out of range: $l")
+    val counts = customer
+      .select(col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / lit(1000.0)).as("b1k"),
+        col("c_mktsegment").as("sens"))
+      .groupBy(col("nat"), col("b1k"), col("sens"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("nat"), col("b1k"))
+      .agg(
+        sum(col("n")).as("k_class"),
+        count(lit(1)).as("l_distinct"),
+        min(struct((lit(0L) - col("n")).as("negn"), col("sens").as("v")))
+          .as("__top"))
+      .select(col("nat"), col("b1k"), col("k_class"), col("l_distinct"),
+        col("__top.v").as("top_sensitive"),
+        // integer micro share — `div`, never `/` (double quotient)
+        expr("((0 - `__top`.negn) * 1000000L) div k_class")
+          .as("top_share_micros"),
+        (col("l_distinct") >= l).cast("int").as("diverse"))
+  }
 }

@@ -50,6 +50,22 @@ class GovernanceSpec extends SparkSpec {
     assert(lvl0 == ((0L, 2L, 2L, 0L, 0L, 1)))
   }
 
+  test("l-diversity: homogeneous class flagged, dominant tie-break is min") {
+    // class (1, band 0): 3x SEG_A only -> l=1, share 1e6, not diverse
+    // class (2, band 0): SEG_A x2, SEG_B x2, SEG_C x1 -> l=3, top tie
+    //   between A and B resolves to SEG_A (min); share = 2e6 div 5
+    val rows =
+      (1L to 3L).map(i => (i, s"c$i", 1, 100.0, "SEG_A")) ++
+        Seq((4L, "c4", 2, 100.0, "SEG_A"), (5L, "c5", 2, 100.0, "SEG_A"),
+          (6L, "c6", 2, 100.0, "SEG_B"), (7L, "c7", 2, 100.0, "SEG_B"),
+          (8L, "c8", 2, 100.0, "SEG_C"))
+    val got = Governance.lDiversityAudit(customers(rows), l = 3)
+      .orderBy("nat")
+      .as[(Int, Long, Long, Long, String, Long, Int)].collect()
+    assert(got(0) == ((1, 0L, 3L, 1L, "SEG_A", 1000000L, 0)))
+    assert(got(1) == ((2, 0L, 5L, 3L, "SEG_A", 400000L, 1)))
+  }
+
   test("the ladder is one Expand over one scan, not per-level re-reads") {
     val df = Governance.kAnonymityLadder(
       graft.Tables.customer(spark, sf))
