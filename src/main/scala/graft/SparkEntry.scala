@@ -963,7 +963,18 @@ object SparkEntry {
     // class (k-anonymity's blind spot), deterministic dominant value
     "q204_ldiversity" -> ((s, dir) =>
       Governance.lDiversityAudit(Tables.customer(s, dir))),
+    // q205: seeded-Laplace noised release of daily event counts —
+    // the DP release shape with the deterministic uniform device
+    "q205_noised_release" -> ((s, dir) =>
+      Governance.noisedDailyRelease(Tables.events(s, dir),
+        NoisedReleaseTypes)),
   )
+
+  /** q205's released group universe (plan literal, mirrored in the
+    * oracle; sorted — the index is the noise seed).
+    */
+  val NoisedReleaseTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
 
   /** q198's fixed phrase list (plan literal, mirrored in the oracle). */
   val BlocklistPatterns: Seq[String] =
@@ -4318,6 +4329,39 @@ object SparkEntry {
         |  CASE WHEN cls.l_distinct >= 3 THEN 1 ELSE 0 END AS diverse
         |FROM cls JOIN top ON cls.nat = top.nat AND cls.b1k = top.b1k
         |  AND top.r = 1""".stripMargin,
+    // q205: the multiplicative-hash uniform + inverse-CDF Laplace,
+    // every double literal and association mirrored (the q139/q165
+    // discipline; // 65536 == the engine's shiftright-16 on non-neg)
+    "q205_noised_release" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS epoch_day,
+        |    count(*) AS n
+        |  FROM events
+        |  WHERE event_type IN ('click','error','purchase','signup','view')
+        |  GROUP BY 1, 2),
+        |g AS (SELECT event_type, epoch_day, n,
+        |        epoch_day * 5 + CASE event_type
+        |          WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |          WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+        |          WHEN 'view' THEN 4 END AS gid
+        |      FROM d),
+        |u AS (SELECT event_type, epoch_day, n,
+        |        CAST((((gid % 1000003) * 2654435761) // 65536) % 1048576
+        |          + 1 AS DOUBLE) / CAST(1048577 AS DOUBLE) AS uu
+        |      FROM g),
+        |nz AS (SELECT event_type, epoch_day, n,
+        |        (CAST(0.0 AS DOUBLE) -
+        |          ((CAST(2.0 AS DOUBLE) * sign(uu - CAST(0.5 AS DOUBLE)))
+        |            * ln(CAST(1.0 AS DOUBLE)
+        |              - CAST(2.0 AS DOUBLE) * abs(uu - CAST(0.5 AS DOUBLE)))))
+        |          AS noise
+        |      FROM u)
+        |SELECT event_type, epoch_day,
+        |  greatest(CAST(0 AS BIGINT),
+        |    CAST(n AS BIGINT) + CAST(floor(noise) AS BIGINT)) AS released
+        |FROM nz""".stripMargin,
   )
 
   /** q200 oracle: the engine's journey segmentation (per-user

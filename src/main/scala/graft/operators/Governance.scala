@@ -127,4 +127,52 @@ object Governance {
           .as("top_share_micros"),
         (col("l_distinct") >= l).cast("int").as("diverse"))
   }
+
+  /** Q205: NOISED AGGREGATE RELEASE — the Laplace mechanism of
+    * differential privacy (Dwork et al. 2006) applied to per-group
+    * counts (sensitivity 1), with SEEDED noise: the Laplace sample is
+    * drawn by inverse CDF, X = −b·sgn(u−½)·ln(1−2|u−½|), from the
+    * repo's deterministic uniform device (the q165 multiplicative
+    * hash on a 2²⁰ grid) keyed by the GROUP, not the rows. Determinism
+    * is the REPRODUCIBILITY contract of this engine (oracle-checkable,
+    * re-run-stable); a production ε-DP release swaps the device for a
+    * true RNG — everything else (sensitivity accounting, clamping,
+    * release shape) is this operator. The grid device also bounds the
+    * tail: u ∈ [1,2²⁰]/(2²⁰+1), so |noise| ≤ b·ln(2²⁰+1)/… ≈ 13.9·b —
+    * no unbounded sample ever lands in a release.
+    *
+    * `types` is a plan literal (the q198 blocklist discipline): the
+    * group id feeding the seed is epoch_day·|types| + index-in-list,
+    * portable to any engine without string hashing. Released counts
+    * clamp at 0 (negative counts leak the true value's smallness).
+    *
+    * Scale: one corpus shuffle to daily counts (map-side combinable);
+    * the noise is a codegen'd per-group expression — no second pass,
+    * no driver data.
+    */
+  def noisedDailyRelease(events: DataFrame, types: Seq[String],
+      scale: Double = 2.0): DataFrame = {
+    require(types.nonEmpty && types == types.distinct.sorted,
+      s"types must be distinct and sorted (the index IS the seed): $types")
+    require(scale > 0.0, s"scale out of range: $scale")
+    val idx = types.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (t, i)) =>
+      when(col("event_type") === t, lit(i.toLong)).otherwise(acc)
+    }
+    val daily = events
+      .filter(col("event_type").isin(types: _*))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("epoch_day"))
+      .agg(count(lit(1)).as("n"))
+    val m = 1048576L // 2^20
+    val gid = col("epoch_day") * lit(types.size.toLong) + idx
+    val h = shiftright(pmod(gid, lit(1000003L)) * lit(2654435761L), 16)
+    val u = (pmod(h, lit(m)) + lit(1L)).cast("double") /
+      lit((m + 1).toDouble)
+    val v = u - lit(0.5)
+    val noise = lit(0.0) -
+      lit(scale) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+    daily.select(col("event_type"), col("epoch_day"),
+      greatest(lit(0L), col("n") + floor(noise)).as("released"))
+  }
 }

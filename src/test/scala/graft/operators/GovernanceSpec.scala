@@ -66,6 +66,41 @@ class GovernanceSpec extends SparkSpec {
     assert(got(1) == ((2, 0L, 5L, 3L, "SEG_A", 400000L, 1)))
   }
 
+  test("noised release: seeded Laplace matches a straight-line replica, clamps at 0") {
+    def ts(d: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:${i % 60}%02d:00")
+    // day 19723+d, type t: counts planted small so the clamp is reachable
+    val rows = for {
+      d <- 1 to 4; (t, n) <- Seq(("a", 1), ("b", 40)); i <- 1 to n
+    } yield (i.toLong * 100 + d, ts(d, i), 1L, t, 0.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val got = Governance.noisedDailyRelease(ev, Seq("a", "b"), scale = 2.0)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // straight-line replica of the device + inverse CDF
+    def released(epochDay: Long, idx: Long, n: Long): Long = {
+      val gid = epochDay * 2 + idx
+      val h = ((gid % 1000003L) * 2654435761L) >> 16
+      val u = ((h % 1048576L) + 1L).toDouble / 1048577.0
+      val v = u - 0.5
+      val noise = 0.0 - 2.0 * math.signum(v) * math.log(1.0 - 2.0 * math.abs(v))
+      math.max(0L, n + math.floor(noise).toLong)
+    }
+    assert(got.nonEmpty && got.size == 8)
+    got.foreach { case ((t, day), rel) =>
+      val idx = if (t == "a") 0L else 1L
+      val n = if (t == "a") 1L else 40L
+      assert(rel == released(day, idx, n), s"($t,$day)")
+      assert(rel >= 0L)
+    }
+    // the noise actually perturbs: not every group equals its true count
+    val perturbed = got.count { case ((t, _), rel) =>
+      rel != (if (t == "a") 1L else 40L)
+    }
+    assert(perturbed > 0, s"all groups unperturbed: $got")
+  }
+
   test("the ladder is one Expand over one scan, not per-level re-reads") {
     val df = Governance.kAnonymityLadder(
       graft.Tables.customer(spark, sf))
