@@ -968,6 +968,10 @@ object SparkEntry {
     "q205_noised_release" -> ((s, dir) =>
       Governance.noisedDailyRelease(Tables.events(s, dir),
         NoisedReleaseTypes)),
+    // q206: unigram-LM tokenizer (SentencePiece seed + Viterbi E-step)
+    // — the probability tokenizer next to BPE, on the native DP kernel
+    "q206_unigram_lm" -> ((s, dir) =>
+      UnigramLm.unigramPieceCounts(Tables.documents(s, dir), "text")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4362,7 +4366,73 @@ object SparkEntry {
         |  greatest(CAST(0 AS BIGINT),
         |    CAST(n AS BIGINT) + CAST(floor(noise) AS BIGINT)) AS released
         |FROM nz""".stripMargin,
+    // q206: the Viterbi DP unrolled position-by-position (generator
+    // below) — rank (cost ASC, split ASC) mirrors the kernel's
+    // strict-< ascending-j tie-break; ln/floor mirrored on the grid
+    "q206_unigram_lm" -> unigramOracleSql(maxWordLen = 16, maxPieceLen = 4),
   )
+
+  /** q206 oracle: word histogram + seed piece costs in SQL, then
+    * `maxWordLen` unrolled DP steps (each a rank-1 argmin over the
+    * previous positions' rows) and `maxWordLen` backtrace steps that
+    * re-read the final DP table. All CTEs are word-count-sized.
+    */
+  private def unigramOracleSql(maxWordLen: Int, maxPieceLen: Int): String = {
+    val dpSteps = (1 to maxWordLen).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT word, pos, cost, bp FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT word, $i AS pos, cost, bp FROM (
+         |    SELECT d.word AS word, d.cost + c.cost AS cost, d.pos AS bp,
+         |      row_number() OVER (PARTITION BY d.word
+         |        ORDER BY d.cost + c.cost ASC, d.pos ASC) AS rn
+         |    FROM d${i - 1} d JOIN c
+         |      ON c.piece = substr(d.word, CAST(d.pos + 1 AS INTEGER),
+         |                          $i - d.pos)
+         |    WHERE d.pos >= $i - $maxPieceLen AND d.pos < $i
+         |      AND len(d.word) >= $i)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val btSteps = (1 to maxWordLen).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT b.word AS word, d.bp AS pos,
+         |    substr(b.word, CAST(d.bp + 1 AS INTEGER),
+         |           CAST(b.pos - d.bp AS INTEGER)) AS piece
+         |  FROM b${k - 1} b JOIN d$maxWordLen d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }
+    val pieceUnion = (1 to maxWordLen)
+      .map(k => s"SELECT word, piece FROM b$k").mkString("\nUNION ALL\n")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, count(*) AS wcnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND len(word) <= $maxWordLen GROUP BY word),
+       |sp AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER))
+       |      AS piece,
+       |    CAST(sum(wcnt) AS BIGINT) AS cnt
+       |  FROM w,
+       |    unnest(generate_series(1, len(word))) AS ti(i),
+       |    unnest(generate_series(1, $maxPieceLen)) AS tl(l)
+       |  WHERE i + l - 1 <= len(word)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sp),
+       |c AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor((CAST(0.0 AS DOUBLE) -
+       |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS cost
+       |  FROM sp, tot),
+       |d0 AS MATERIALIZED (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, -1 AS bp FROM w),
+       |${dpSteps.mkString(",\n")},
+       |b0 AS (SELECT word, len(word) AS pos FROM w),
+       |${btSteps.mkString(",\n")},
+       |pieces AS ($pieceUnion)
+       |SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_uses
+       |FROM pieces JOIN w USING (word) GROUP BY piece""".stripMargin
+  }
 
   /** q200 oracle: the engine's journey segmentation (per-user
     * conversion-split windows) and transition counts in SQL, then
