@@ -972,6 +972,10 @@ object SparkEntry {
     // — the probability tokenizer next to BPE, on the native DP kernel
     "q206_unigram_lm" -> ((s, dir) =>
       UnigramLm.unigramPieceCounts(Tables.documents(s, dir), "text")),
+    // q207: the prune iteration — keep top-8 multi-char pieces +
+    // the character floor, re-segment (SentencePiece's size step)
+    "q207_unigram_prune" -> ((s, dir) =>
+      UnigramLm.unigramPrunedCounts(Tables.documents(s, dir), "text")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4369,41 +4373,93 @@ object SparkEntry {
     // q206: the Viterbi DP unrolled position-by-position (generator
     // below) — rank (cost ASC, split ASC) mirrors the kernel's
     // strict-< ascending-j tie-break; ln/floor mirrored on the grid
-    "q206_unigram_lm" -> unigramOracleSql(maxWordLen = 16, maxPieceLen = 4),
+    "q206_unigram_lm" ->
+      unigramOracleSql(maxWordLen = 16, maxPieceLen = 4, pruneKeep = None),
+    // q207: the same machinery chained — prune to top-8 multis + the
+    // character floor, then a second unrolled Viterbi pass
+    "q207_unigram_prune" ->
+      unigramOracleSql(maxWordLen = 16, maxPieceLen = 4,
+        pruneKeep = Some(8)),
   )
 
-  /** q206 oracle: word histogram + seed piece costs in SQL, then
-    * `maxWordLen` unrolled DP steps (each a rank-1 argmin over the
-    * previous positions' rows) and `maxWordLen` backtrace steps that
-    * re-read the final DP table. All CTEs are word-count-sized.
+  /** q206/q207 oracle: word histogram + piece costs in SQL, then per
+    * EM round `maxWordLen` unrolled DP steps (each a rank-1 argmin
+    * over the previous positions' rows) and `maxWordLen` backtrace
+    * steps re-reading the final DP table. Round r+1's costs come from
+    * round r's usage counts — SentencePiece's hard-EM shape, fully
+    * unrolled. All CTEs are word-count-sized.
     */
-  private def unigramOracleSql(maxWordLen: Int, maxPieceLen: Int): String = {
-    val dpSteps = (1 to maxWordLen).map { i =>
-      s"""d$i AS MATERIALIZED (
-         |  SELECT word, pos, cost, bp FROM d${i - 1}
-         |  UNION ALL
-         |  SELECT word, $i AS pos, cost, bp FROM (
-         |    SELECT d.word AS word, d.cost + c.cost AS cost, d.pos AS bp,
-         |      row_number() OVER (PARTITION BY d.word
-         |        ORDER BY d.cost + c.cost ASC, d.pos ASC) AS rn
-         |    FROM d${i - 1} d JOIN c
-         |      ON c.piece = substr(d.word, CAST(d.pos + 1 AS INTEGER),
-         |                          $i - d.pos)
-         |    WHERE d.pos >= $i - $maxPieceLen AND d.pos < $i
-         |      AND len(d.word) >= $i)
-         |  WHERE rn = 1)""".stripMargin
+  private def unigramOracleSql(maxWordLen: Int, maxPieceLen: Int,
+      pruneKeep: Option[Int]): String = {
+    // one Viterbi pass under cost table `cost`: DP + backtrace +
+    // per-word piece rows in CTE `${s}p`
+    def chain(s: String, cost: String): String = {
+      val dpSteps = (1 to maxWordLen).map { i =>
+        s"""${s}d$i AS MATERIALIZED (
+           |  SELECT word, pos, cost, bp FROM ${s}d${i - 1}
+           |  UNION ALL
+           |  SELECT word, $i AS pos, cost, bp FROM (
+           |    SELECT d.word AS word, d.cost + c.cost AS cost, d.pos AS bp,
+           |      row_number() OVER (PARTITION BY d.word
+           |        ORDER BY d.cost + c.cost ASC, d.pos ASC) AS rn
+           |    FROM ${s}d${i - 1} d JOIN $cost c
+           |      ON c.piece = substr(d.word, CAST(d.pos + 1 AS INTEGER),
+           |                          $i - d.pos)
+           |    WHERE d.pos >= $i - $maxPieceLen AND d.pos < $i
+           |      AND len(d.word) >= $i)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val btSteps = (1 to maxWordLen).map { k =>
+        s"""${s}b$k AS MATERIALIZED (
+           |  SELECT b.word AS word, d.bp AS pos,
+           |    substr(b.word, CAST(d.bp + 1 AS INTEGER),
+           |           CAST(b.pos - d.bp AS INTEGER)) AS piece
+           |  FROM ${s}b${k - 1} b JOIN ${s}d$maxWordLen d
+           |    ON d.word = b.word AND d.pos = b.pos
+           |  WHERE b.pos > 0)""".stripMargin
+      }
+      val pieceUnion = (1 to maxWordLen)
+        .map(k => s"SELECT word, piece FROM ${s}b$k").mkString("\nUNION ALL\n")
+      s"""${s}d0 AS MATERIALIZED (
+         |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, -1 AS bp
+         |  FROM w),
+         |${dpSteps.mkString(",\n")},
+         |${s}b0 AS (SELECT word, len(word) AS pos FROM w),
+         |${btSteps.mkString(",\n")},
+         |${s}p AS (${pieceUnion})""".stripMargin
     }
-    val btSteps = (1 to maxWordLen).map { k =>
-      s"""b$k AS MATERIALIZED (
-         |  SELECT b.word AS word, d.bp AS pos,
-         |    substr(b.word, CAST(d.bp + 1 AS INTEGER),
-         |           CAST(b.pos - d.bp AS INTEGER)) AS piece
-         |  FROM b${k - 1} b JOIN d$maxWordLen d
-         |    ON d.word = b.word AND d.pos = b.pos
-         |  WHERE b.pos > 0)""".stripMargin
-    }
-    val pieceUnion = (1 to maxWordLen)
-      .map(k => s"SELECT word, piece FROM b$k").mkString("\nUNION ALL\n")
+    def costCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor((CAST(0.0 AS DOUBLE) -
+         |      ln(CAST(cnt AS DOUBLE) /
+         |         (SELECT CAST(sum(cnt) AS DOUBLE) FROM $src)))
+         |      * 1000000.0) AS BIGINT) AS cost
+         |  FROM $src)""".stripMargin
+    def usageCte(name: String, pieceSrc: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |  FROM $pieceSrc JOIN w USING (word) GROUP BY piece)""".stripMargin
+    val round1 = Seq(costCte("c1", "sp"), chain("r1", "c1"))
+    val roundCtes = (pruneKeep match {
+      case None => round1
+      case Some(k) => round1 ++ Seq(
+        usageCte("n1", "r1p"),
+        // prune: top-k multis by (usage desc, piece asc) + the
+        // character floor (every seed single char, usage else 1)
+        s"""v2 AS MATERIALIZED (
+           |  SELECT piece, cnt FROM (
+           |    SELECT piece, cnt,
+           |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
+           |    FROM n1 WHERE len(piece) > 1)
+           |  WHERE r <= $k
+           |  UNION ALL
+           |  SELECT s.piece, COALESCE(n1.cnt, 1) AS cnt
+           |  FROM (SELECT DISTINCT piece FROM sp WHERE len(piece) = 1) s
+           |  LEFT JOIN n1 USING (piece))""".stripMargin,
+        costCte("c2", "v2"), chain("r2", "c2"))
+    }).mkString(",\n")
+    val finalSrc = if (pruneKeep.isEmpty) "r1p" else "r2p"
     s"""WITH w AS MATERIALIZED (
        |  SELECT word, count(*) AS wcnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -4417,21 +4473,9 @@ object SparkEntry {
        |    unnest(generate_series(1, $maxPieceLen)) AS tl(l)
        |  WHERE i + l - 1 <= len(word)
        |  GROUP BY 1),
-       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sp),
-       |c AS MATERIALIZED (
-       |  SELECT piece,
-       |    CAST(floor((CAST(0.0 AS DOUBLE) -
-       |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
-       |      * 1000000.0) AS BIGINT) AS cost
-       |  FROM sp, tot),
-       |d0 AS MATERIALIZED (
-       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, -1 AS bp FROM w),
-       |${dpSteps.mkString(",\n")},
-       |b0 AS (SELECT word, len(word) AS pos FROM w),
-       |${btSteps.mkString(",\n")},
-       |pieces AS ($pieceUnion)
+       |$roundCtes
        |SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_uses
-       |FROM pieces JOIN w USING (word) GROUP BY piece""".stripMargin
+       |FROM $finalSrc JOIN w USING (word) GROUP BY piece""".stripMargin
   }
 
   /** q200 oracle: the engine's journey segmentation (per-user

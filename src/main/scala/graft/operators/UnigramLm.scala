@@ -49,6 +49,39 @@ object UnigramLm {
       .groupBy(col("piece"))
       .agg(sum(col("wcnt")).as("cnt"))
 
+  /** (piece, count) rows → micro-grid −ln costs, mirrored literal by
+    * literal in the oracle's cost CTEs.
+    */
+  private def toCosts(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = counts.map(_._2).sum
+    counts.map { case (piece, cnt) =>
+      val p = cnt.toDouble / total.toDouble
+      (piece, math.floor((0.0 - math.log(p)) * 1000000.0).toLong)
+    }
+  }
+
+  /** Corpus-weighted piece usage of the Viterbi segmentation under
+    * `vocab` — the unigram E-step as a frame.
+    */
+  private def usageCounts(hist: DataFrame, vocab: Seq[(String, Long)],
+      maxPieceLen: Int): DataFrame =
+    hist
+      .select(col("wcnt"),
+        explode(graft.functions.UnigramViterbiExprs.segment(
+          col("word"), vocab, maxPieceLen)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("wcnt")).as("n_uses"))
+
+  private def seedVocab(hist: DataFrame, maxPieceLen: Int,
+      maxVocab: Int): Seq[(String, Long)] = {
+    val seed = seedPieceCounts(hist, maxPieceLen).collect()
+    require(seed.nonEmpty, "unigram: empty corpus")
+    require(seed.length <= maxVocab,
+      s"unigram: seed vocab ${seed.length} exceeds cap $maxVocab — " +
+        "raise maxVocab deliberately or lower maxPieceLen")
+    toCosts(seed.toSeq.map(r => (r.getString(0), r.getLong(1))))
+  }
+
   /** The full q206 pipeline: histogram → seed model → Viterbi
     * segmentation → weighted piece usage (piece, n_uses).
     */
@@ -57,22 +90,42 @@ object UnigramLm {
       maxVocab: Int = 262144): DataFrame = {
     val hist = wordHistogram(docs, textCol, maxWordLen)
       .localCheckpoint(false) // feeds the seed AND the segmentation pass
+    usageCounts(hist, seedVocab(hist, maxPieceLen, maxVocab), maxPieceLen)
+  }
+
+  /** Q207: the PRUNE step of unigram training — SentencePiece's
+    * vocabulary-size iteration: keep only the `keepMulti` most-used
+    * multi-character pieces from the seed E-step (ties by piece value,
+    * the q202 discipline) PLUS every single character at a usage floor
+    * of 1 (SentencePiece's character-coverage rule — characters are
+    * never pruned, so every word keeps a path by construction), then
+    * re-estimate costs over the shrunken vocabulary and re-segment.
+    * Words whose favorite pieces were pruned re-route through the
+    * survivors — the usage counts genuinely shift, which is what makes
+    * pruning an iteration and not a projection.
+    *
+    * Same scale posture as [[unigramPieceCounts]]: the corpus is
+    * touched once by the histogram; both E-steps are single passes
+    * over distinct words; the vocab stays driver-bounded by contract.
+    */
+  def unigramPrunedCounts(docs: DataFrame, textCol: String,
+      keepMulti: Int = 8, maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      maxVocab: Int = 262144): DataFrame = {
+    require(keepMulti >= 0, s"keepMulti out of range: $keepMulti")
+    val hist = wordHistogram(docs, textCol, maxWordLen)
+      .localCheckpoint(false)
     val seed = seedPieceCounts(hist, maxPieceLen).collect()
     require(seed.nonEmpty, "unigram: empty corpus")
     require(seed.length <= maxVocab,
-      s"unigram: seed vocab ${seed.length} exceeds cap $maxVocab — " +
-        "raise maxVocab deliberately or lower maxPieceLen")
-    val total = seed.map(_.getLong(1)).sum
-    val vocab: Seq[(String, Long)] = seed.toSeq.map { r =>
-      val p = r.getLong(1).toDouble / total.toDouble
-      (r.getString(0),
-        math.floor((0.0 - math.log(p)) * 1000000.0).toLong)
-    }
-    hist
-      .select(col("wcnt"),
-        explode(graft.functions.UnigramViterbiExprs.segment(
-          col("word"), vocab, maxPieceLen)).as("piece"))
-      .groupBy(col("piece"))
-      .agg(sum(col("wcnt")).as("n_uses"))
+      s"unigram: seed vocab ${seed.length} exceeds cap $maxVocab")
+    val seedCounts = seed.toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val v1 = toCosts(seedCounts)
+    val used = usageCounts(hist, v1, maxPieceLen).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val kept = used.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, n) => (-n, p) }.take(keepMulti)
+    val chars = seedCounts.map(_._1).filter(_.length == 1).distinct
+      .map(c => (c, used.getOrElse(c, 1L)))
+    usageCounts(hist, toCosts(kept ++ chars), maxPieceLen)
   }
 }

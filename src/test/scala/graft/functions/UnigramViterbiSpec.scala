@@ -61,6 +61,24 @@ class UnigramViterbiSpec extends SparkSpec {
     }
   }
 
+  test("q207 prune: dropped multis re-route through the char floor") {
+    // corpus where 'ab' dominates but keepMulti = 0 prunes ALL multis:
+    // every word must re-segment via single chars (the coverage rule)
+    val docs = Seq((1L, "ab ab abb")).toDF("doc_id", "text")
+    val got = graft.operators.UnigramLm
+      .unigramPrunedCounts(docs, "text", keepMulti = 0,
+        maxPieceLen = 2, maxWordLen = 4)
+      .as[(String, Long)].collect().toMap
+    // pruned vocab = chars only: a, b -> 'ab' x2 = a,b; 'abb' = a,b,b
+    assert(got == Map("a" -> 3L, "b" -> 4L), got)
+    // with keepMulti = 1 the top multi ('ab') survives and re-appears
+    val kept = graft.operators.UnigramLm
+      .unigramPrunedCounts(docs, "text", keepMulti = 1,
+        maxPieceLen = 2, maxWordLen = 4)
+      .as[(String, Long)].collect().toMap
+    assert(kept.contains("ab"), kept)
+  }
+
   test("q206 pipeline: tiny corpus piece usage is exact") {
     val docs = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")
     val got = graft.operators.UnigramLm
