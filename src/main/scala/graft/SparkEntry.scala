@@ -976,6 +976,11 @@ object SparkEntry {
     // the character floor, re-segment (SentencePiece's size step)
     "q207_unigram_prune" -> ((s, dir) =>
       UnigramLm.unigramPrunedCounts(Tables.documents(s, dir), "text")),
+    // q208: skip-gram positives + seeded unigram negative sampling on
+    // the O(log|V|) cumulative-range kernel
+    "q208_negative_sampling" -> ((s, dir) =>
+      NegativeSampling.skipgramWithNegatives(Tables.documents(s, dir),
+        "text", "doc_id")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4380,6 +4385,51 @@ object SparkEntry {
     "q207_unigram_prune" ->
       unigramOracleSql(maxWordLen = 16, maxPieceLen = 4,
         pruneKeep = Some(8)),
+    // q208: positional self-join pairs (== the engine's dense-position
+    // lag/lead windows), q15's list_reduce polynomial for the seed,
+    // range join against the cumulative table (the ENGINE uses the
+    // binary-search kernel instead — no per-draw join)
+    "q208_negative_sampling" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |                 ' ') AS toks
+        |  FROM documents),
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM d)),
+        |p AS MATERIALIZED (
+        |  SELECT a.token AS center, b.token AS context,
+        |    CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |    AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos
+        |  GROUP BY 1, 2),
+        |v AS MATERIALIZED (SELECT token, count(*) AS cnt FROM t
+        |                   GROUP BY token),
+        |cum AS MATERIALIZED (
+        |  SELECT token, cnt,
+        |    sum(cnt) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING)
+        |      AS cum_hi
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        |ks AS (SELECT CAST(unnest(generate_series(1, 2)) AS BIGINT) AS k),
+        |neg AS (
+        |  SELECT p.center, p.context, p.n_pos, ks.k,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(p.center || ' ' || p.context,
+        |                                    ''),
+        |                       c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) * 31 + ks.k)
+        |      % 1000000007) AS gid
+        |  FROM p CROSS JOIN ks),
+        |r AS (SELECT center, context, n_pos, k,
+        |        (((gid % 1000003) * 2654435761) // 65536)
+        |          % (SELECT total FROM tot) AS draw
+        |      FROM neg)
+        |SELECT r.center, r.context, r.n_pos, r.k, c.token AS negative
+        |FROM r JOIN cum c
+        |  ON r.draw < c.cum_hi AND r.draw >= c.cum_hi - c.cnt""".stripMargin,
   )
 
   /** q206/q207 oracle: word histogram + piece costs in SQL, then per
