@@ -69,4 +69,49 @@ object IntervalJoin {
       .filter(col("__bin") === greatest(bin(ls, binWidth), bin(rs, binWidth)))
       .drop("__bin", "__rbin")
   }
+
+  /** The STREAMING dual of [[overlapJoin]]: two unbounded interval
+    * streams joined on overlap. Spark's stream-stream join cannot
+    * express an unkeyed range predicate at all — but the bin IS an
+    * equi-key, which is exactly what the streaming join needs to
+    * shuffle-align state; the same exactly-once max-start-bin device
+    * then applies unchanged. State is evicted by watermark: both
+    * sides carry an event-time column derived from the interval END
+    * (an interval is inert once its end passes), and the join adds
+    * the time-range constraint |end_l − end_r| ≤ maxIntervalLen —
+    * sound because overlapping intervals' ends can differ by at most
+    * the longer interval's length, and maxIntervalLen bounds both
+    * sides BY CONTRACT (the batch guard's `maxBinsPerRow · binWidth`
+    * envelope, stated here as an explicit parameter since a stream
+    * cannot be pre-scanned).
+    *
+    * Emits in append mode once both watermarks pass; same inclusive
+    * bounds and exactly-once semantics as the batch operator
+    * (parity-spec'd in IntervalJoinSpec's streaming case).
+    */
+  def overlapJoinStream(left: DataFrame, ls: String, le: String,
+      right: DataFrame, rs: String, re: String,
+      binWidth: Long, maxIntervalLen: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(binWidth > 0, s"binWidth out of range: $binWidth")
+    require(maxIntervalLen > 0,
+      s"maxIntervalLen out of range: $maxIntervalLen")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty, s"column collision across sides: $shared")
+    def prep(df: DataFrame, s: String, e: String, tsName: String) = df
+      .withColumn(tsName, timestamp_micros(col(e).cast("long")))
+      .withWatermark(tsName, watermarkDelay)
+      .withColumn("__sbin", explode(sequence(bin(s, binWidth),
+        bin(e, binWidth))))
+    val l = prep(left, ls, le, "__lts")
+    val r = prep(right, rs, re, "__rts")
+      .withColumnRenamed("__sbin", "__srbin")
+    l.join(r,
+        col("__sbin") === col("__srbin") &&
+          col(ls) <= col(re) && col(rs) <= col(le) &&
+          col("__sbin") === greatest(bin(ls, binWidth), bin(rs, binWidth)) &&
+          col("__rts") >= col("__lts") - expr(s"INTERVAL $maxIntervalLen MICROSECOND") &&
+          col("__rts") <= col("__lts") + expr(s"INTERVAL $maxIntervalLen MICROSECOND"))
+      .drop("__sbin", "__srbin", "__lts", "__rts")
+  }
 }

@@ -64,6 +64,51 @@ class IntervalJoinSpec extends SparkSpec {
     assert(e3.getMessage.contains("collision"))
   }
 
+  test("streaming dual: append-mode overlap join ≡ batch on the same rows") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(5)
+    // micros-scale intervals (the watermark column is timestamp_micros)
+    val base = 1700000000000000L
+    val l = (1L to 40L).map { i =>
+      val s = base + rnd.nextInt(500000); (i, s, s + rnd.nextInt(40000))
+    }
+    val r = (1001L to 1040L).map { i =>
+      val s = base + rnd.nextInt(500000); (i, s, s + rnd.nextInt(40000))
+    }
+    val want = (for {
+      (li, ls, le) <- l; (ri, rs, re) <- r
+      if ls <= re && rs <= le
+    } yield (li, ri)).sorted
+    assert(want.nonEmpty)
+    val inL = MemoryStream[(Long, Long, Long)]
+    val inR = MemoryStream[(Long, Long, Long)]
+    // the two batches arrive out of event-time order — the watermark
+    // delay must cover that disorder or the second batch drops as late
+    val out = IntervalJoin.overlapJoinStream(
+      inL.toDF().toDF("lid", "ls", "le"), "ls", "le",
+      inR.toDF().toDF("rid", "rs", "re"), "rs", "re",
+      binWidth = 16384L, maxIntervalLen = 40000L,
+      watermarkDelay = "600 seconds")
+    assert(out.isStreaming)
+    val q = out.select("lid", "rid").writeStream.format("memory")
+      .queryName("sij_out").outputMode("append").start()
+    try {
+      inL.addData(l.take(20): _*); inR.addData(r.take(20): _*)
+      q.processAllAvailable()
+      inL.addData(l.drop(20): _*); inR.addData(r.drop(20): _*)
+      q.processAllAvailable()
+      // advance both watermarks past every interval end so the final
+      // joins flush
+      inL.addData((9999L, base + 10000000L, base + 10000001L))
+      inR.addData((9998L, base + 10000000L, base + 10000001L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sij_out").as[(Long, Long)].collect()
+      .filter(p => p._1 != 9999L && p._2 != 9998L).toSeq.sorted
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
+
   test("the plan is an equi-join on the bin, never a nested loop") {
     val l = (1L to 50L).map(i => (i, i * 10, i * 10 + 25))
     val r = (1L to 50L).map(i => (i + 100, i * 10 + 5, i * 10 + 30))
