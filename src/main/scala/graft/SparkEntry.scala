@@ -981,6 +981,15 @@ object SparkEntry {
     "q208_negative_sampling" -> ((s, dir) =>
       NegativeSampling.skipgramWithNegatives(Tables.documents(s, dir),
         "text", "doc_id")),
+    // q209: right-censored time-to-conversion — Nelson-Aalen cumulative
+    // hazard, integer-exact (no libm), risk sets by suffix sum over the
+    // bounded duration-day histogram
+    "q209_survival_hazard" -> ((s, dir) =>
+      Survival.nelsonAalenHazard(Tables.events(s, dir))),
+    // q210: t-closeness — per-class total-variation distance from the
+    // global sensitive distribution on the micro grid (skewness attack)
+    "q210_tcloseness" -> ((s, dir) =>
+      Governance.tClosenessAudit(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4430,6 +4439,66 @@ object SparkEntry {
         |SELECT r.center, r.context, r.n_pos, r.k, c.token AS negative
         |FROM r JOIN cum c
         |  ON r.draw < c.cum_hi AND r.draw >= c.cum_hi - c.cnt""".stripMargin,
+    // q209: per-user durations -> day histogram -> suffix-sum risk
+    // sets -> integer hazard steps; censoring at the global last day
+    "q209_survival_hazard" ->
+      """WITH ed AS (
+        |  SELECT user_id, event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d
+        |  FROM events),
+        |pu AS (SELECT user_id, min(d) AS day0,
+        |         min(CASE WHEN event_type = 'purchase' THEN d END) AS pday
+        |       FROM ed GROUP BY 1),
+        |oe AS (SELECT max(d) AS obs_end FROM ed),
+        |dur AS (SELECT
+        |          CASE WHEN pday IS NOT NULL THEN pday - day0
+        |               ELSE obs_end - day0 END AS t,
+        |          CASE WHEN pday IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |        FROM pu, oe),
+        |bt AS (SELECT t, count(*) AS n_at_t, CAST(sum(ev) AS BIGINT) AS d
+        |       FROM dur GROUP BY t),
+        |r AS (SELECT t, d,
+        |        CAST(sum(n_at_t) OVER (ORDER BY t DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM bt),
+        |h AS (SELECT t, n_risk, d, (d * 1000000) // n_risk AS step
+        |      FROM r WHERE d > 0)
+        |SELECT t, n_risk, d AS d_events,
+        |  CAST(step AS BIGINT) AS hazard_step_micros,
+        |  CAST(sum(step) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_hazard_micros
+        |FROM h""".stripMargin,
+    // q210: class x value grid completed by cross join, per-term
+    // micro-grid probabilities (the engine's overflow-safe estimator)
+    "q210_tcloseness" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b1k,
+        |    c_mktsegment AS sens
+        |  FROM customer),
+        |cv AS MATERIALIZED (SELECT nat, b1k, sens, count(*) AS n_cs
+        |                    FROM c GROUP BY 1, 2, 3),
+        |cls AS (SELECT nat, b1k, CAST(sum(n_cs) AS BIGINT) AS n_c
+        |        FROM cv GROUP BY 1, 2),
+        |g AS (SELECT sens, CAST(sum(n_cs) AS BIGINT) AS n_s
+        |      FROM cv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM g),
+        |grid AS (SELECT cls.nat, cls.b1k, cls.n_c, g.sens, g.n_s,
+        |           COALESCE(cv.n_cs, 0) AS n_cs
+        |         FROM cls CROSS JOIN g
+        |         LEFT JOIN cv ON cv.nat = cls.nat AND cv.b1k = cls.b1k
+        |           AND cv.sens = g.sens),
+        |term AS (SELECT nat, b1k, n_c,
+        |           abs((n_cs * 1000000) // n_c -
+        |               (n_s * 1000000) // (SELECT n_total FROM tot))
+        |             AS tm
+        |         FROM grid)
+        |SELECT nat, b1k, CAST(min(n_c) AS BIGINT) AS k_class,
+        |  CAST(sum(tm) // 2 AS BIGINT) AS tvd_micros,
+        |  CASE WHEN CAST(sum(tm) // 2 AS BIGINT) <= 300000 THEN 1 ELSE 0
+        |    END AS close
+        |FROM term GROUP BY 1, 2""".stripMargin,
   )
 
   /** q206/q207 oracle: word histogram + piece costs in SQL, then per

@@ -128,6 +128,57 @@ object Governance {
         (col("l_distinct") >= l).cast("int").as("diverse"))
   }
 
+  /** Q210: t-CLOSENESS audit (Li et al. 2007) — the attack l-diversity
+    * misses: a class can hold l distinct sensitive values and STILL
+    * leak if its distribution diverges from the table's (skewness
+    * attack: "this crowd is 90% segment X where the population is
+    * 20%"). Per QI class, the distance between the class's sensitive
+    * distribution and the global one; for categorical attributes the
+    * canonical distance is TOTAL VARIATION, ½·Σ|p_s − q_s|, computed
+    * with each probability floored to the micro grid FIRST —
+    * (n·10⁶) div total per term — so every quantity stays inside Long
+    * to 10⁹ rows (the cross-multiplied exact form |n_cs·N − n_s·N_c|
+    * overflows Long at ~2·10⁶ rows once the micro scale multiplies
+    * in) and the estimator is deterministic by construction; the
+    * per-term floor error is < 2·|values| micros, far inside any
+    * useful threshold.
+    *
+    * Absent sensitive values contribute their full global mass, so the
+    * class×value grid is completed by a cross join of the CLASS table
+    * with the (tiny) sensitive-value table before the sparse counts
+    * left-join in — never by re-scanning the corpus.
+    *
+    * Scale: ONE corpus shuffle to (class, sensitive) counts; the class
+    * totals, global totals and the completed grid are all re-aggregations
+    * of that checkpointed frame, bounded by |classes|·|values|.
+    */
+  def tClosenessAudit(customer: DataFrame, t: Double = 0.3): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"t out of range: $t")
+    val tMicros = math.round(t * 1000000L)
+    val cv = customer
+      .select(col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / lit(1000.0)).as("b1k"),
+        col("c_mktsegment").as("sens"))
+      .groupBy(col("nat"), col("b1k"), col("sens"))
+      .agg(count(lit(1)).as("n_cs"))
+      .localCheckpoint(false) // feeds class totals, global totals, grid
+    val cls = cv.groupBy(col("nat"), col("b1k"))
+      .agg(sum(col("n_cs")).as("n_c"))
+    val g = cv.groupBy(col("sens")).agg(sum(col("n_cs")).as("n_s"))
+    val grid = cls.crossJoin(broadcast(g))
+      .join(cv, Seq("nat", "b1k", "sens"), "left")
+      .na.fill(0L, Seq("n_cs"))
+    grid
+      .crossJoin(broadcast(g.agg(sum(col("n_s")).as("n_total"))))
+      .select(col("nat"), col("b1k"), col("n_c"),
+        abs(expr("(n_cs * 1000000L) div n_c") -
+          expr("(n_s * 1000000L) div n_total")).as("__term"))
+      .groupBy(col("nat"), col("b1k"))
+      .agg(first(col("n_c")).as("k_class"),
+        expr("sum(__term) div 2L").as("tvd_micros"))
+      .withColumn("close", (col("tvd_micros") <= tMicros).cast("int"))
+  }
+
   /** Q205: NOISED AGGREGATE RELEASE — the Laplace mechanism of
     * differential privacy (Dwork et al. 2006) applied to per-group
     * counts (sensitivity 1), with SEEDED noise: the Laplace sample is

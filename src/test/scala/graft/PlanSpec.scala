@@ -448,6 +448,11 @@ class PlanSpec extends SparkSpec {
       ("Relational.scala", """val allW = Window.partitionBy()"""),
       ("TextAnalysis.scala",
         """.over(Window.orderBy(col("rank").desc, col("word"))).cast("long"))"""),
+      // q209: both windows run over the duration-day HISTOGRAM (one row
+      // per distinct whole-day duration — bounded by the observation
+      // window, ~1100 rows for a 3-year corpus), never per-user rows
+      ("Survival.scala", """val riskW = Window.orderBy(col("t").desc)"""),
+      ("Survival.scala", """val hazW = Window.orderBy(col("t"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

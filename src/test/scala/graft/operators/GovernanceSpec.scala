@@ -66,6 +66,25 @@ class GovernanceSpec extends SparkSpec {
     assert(got(1) == ((2, 0L, 5L, 3L, "SEG_A", 400000L, 1)))
   }
 
+  test("t-closeness: skewed class flagged, population-matching class passes") {
+    // global: 9 SEG_A + 9 SEG_B -> q = (500000, 500000) exactly.
+    // nation 1: 6A only  -> p=(1e6, 0), tvd = 500000 -> FLAGGED at 0.3
+    // nation 2: 6B only  -> same by symmetry
+    // nation 3: 3A + 3B  -> p = q, tvd = 0 -> close
+    val rows =
+      (1L to 6L).map(i => (i, s"c$i", 1, 100.0, "SEG_A")) ++
+        (7L to 12L).map(i => (i, s"c$i", 2, 100.0, "SEG_B")) ++
+        Seq((13L, "x", 3, 100.0, "SEG_A"), (14L, "y", 3, 100.0, "SEG_A"),
+          (15L, "z", 3, 100.0, "SEG_A"), (16L, "p", 3, 100.0, "SEG_B"),
+          (17L, "q", 3, 100.0, "SEG_B"), (18L, "r", 3, 100.0, "SEG_B"))
+    val got = Governance.tClosenessAudit(customers(rows), t = 0.3)
+      .orderBy("nat")
+      .as[(Int, Long, Long, Long, Int)].collect()
+    assert(got(0) == ((1, 0L, 6L, 500000L, 0)))
+    assert(got(1) == ((2, 0L, 6L, 500000L, 0)))
+    assert(got(2) == ((3, 0L, 6L, 0L, 1)))
+  }
+
   test("noised release: seeded Laplace matches a straight-line replica, clamps at 0") {
     def ts(d: Int, i: Int) =
       java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:${i % 60}%02d:00")

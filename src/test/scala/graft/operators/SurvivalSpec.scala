@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q209 Nelson-Aalen: hand-computed risk sets with censoring, the
+  * conversion-on-entry edge, and the censoring-keeps-users-at-risk
+  * convention.
+  */
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Int, String)]) =
+    rows.zipWithIndex.map { case ((u, day, t), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 00:00:00"),
+        u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("hand case: censored users stay in the risk set, steps are exact") {
+    // u1: enters day0, converts day2 (t=2, event)
+    // u2: enters day0, converts day0 (t=0, event — conversion on entry)
+    // u3: enters day1, never converts; obs end = day4 -> censored t=3
+    // u4: enters day0, never converts -> censored t=4
+    val rows = Seq(
+      (1L, 0, "view"), (1L, 2, "purchase"),
+      (2L, 0, "purchase"),
+      (3L, 1, "view"), (3L, 2, "click"),
+      (4L, 0, "view"), (4L, 4, "view"))
+    val got = Survival.nelsonAalenHazard(ev(rows))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // durations: t=0 ev (u2), t=2 ev (u1), t=3 cens (u3), t=4 cens (u4)
+    // event days: 0 (n=4, d=1) and 2 (n=3, d=1)
+    assert(got.length == 2)
+    assert(got(0) == ((0L, 4L, 1L, 250000L, 250000L)))
+    assert(got(1) == ((2L, 3L, 1L, 333333L, 583333L)))
+  }
+
+  test("no conversions at all: empty curve, no division by anything") {
+    val rows = Seq((1L, 0, "view"), (2L, 1, "click"))
+    assert(Survival.nelsonAalenHazard(ev(rows)).count() == 0L)
+  }
+}
