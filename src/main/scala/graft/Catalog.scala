@@ -86,6 +86,8 @@ object Catalog {
       graft.functions.WinnowSelectExpr(e(0), litLong(e(1), "w (argument 2)").toInt)),
     "hilbert_key" -> arity("hilbert_key(x, y, bits)", 3)(e =>
       graft.functions.HilbertKeyExpr(e(0), e(1), litLong(e(2), "bits (argument 3)").toInt)),
+    "jaro_winkler" -> arity("jaro_winkler(a, b)", 2)(e =>
+      graft.functions.JaroWinklerExpr(e(0), e(1))),
   )
 
   /** Register graft-native functions in an existing session's registry. */

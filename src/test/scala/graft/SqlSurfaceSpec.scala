@@ -74,6 +74,10 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r3.getLong(2) == 2L)
     // this orientation's first steps: (0,0)=0, (1,0)=1, (1,1)=2, (0,1)=3
     assert(r3.getLong(3) == 0L && r3.getLong(4) == 3L)
+    // round-12 native: jaro_winkler (the pinned martha/marhta double)
+    val r4 = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
+    assert(r4.getDouble(0) == 0.9611111111111111)
   }
 
   test("aggregation via SQL equals DataFrame operator") {
