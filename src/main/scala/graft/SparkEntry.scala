@@ -990,6 +990,23 @@ object SparkEntry {
     // global sensitive distribution on the micro grid (skewness attack)
     "q210_tcloseness" -> ((s, dir) =>
       Governance.tClosenessAudit(Tables.customer(s, dir))),
+    // q211: reliability diagram + ECE terms for the lang-ID scorer —
+    // model-eval calibration on the micro grid
+    "q211_calibration" -> ((s, dir) =>
+      TextAnalysis.langCalibration(Tables.documents(s, dir))),
+    // q212: Pareto/ABC inventory classes by cross-multiplied cumulative
+    // share — no float share ever materializes
+    "q212_pareto_parts" -> ((s, dir) =>
+      Relational.paretoAbc(Tables.lineitem(s, dir))),
+    // q213: per-day peak concurrent sessions — sweep-line over q34's
+    // session intervals, day-partitioned running sum
+    "q213_peak_sessions" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val ses = Relational.sessionize(Tables.events(s, dir)).select(
+        f.unix_micros(f.col("session_start")).as("ss"),
+        f.unix_micros(f.col("session_end")).as("se"))
+      IntervalJoin.dailyPeakOverlap(ses, "ss", "se")
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4499,6 +4516,92 @@ object SparkEntry {
         |  CASE WHEN CAST(sum(tm) // 2 AS BIGINT) <= 300000 THEN 1 ELSE 0
         |    END AS close
         |FROM term GROUP BY 1, 2""".stripMargin,
+    // q211: the q14 stopword counters, confidence = winner share on
+    // the micro grid, decile buckets, per-bucket reliability terms
+    "q211_calibration" ->
+      """WITH h AS (SELECT lang,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS h_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\b')) AS h_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pas)\b')) AS h_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|del|que|por|con|para)\b')) AS h_es
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+        |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |       ELSE 'es' END AS pred,
+        |  greatest(h_en, h_de, h_fr, h_es) AS mx,
+        |  ((h_en + h_de) + h_fr) + h_es AS tot FROM h),
+        |f AS (SELECT lang, pred, (mx * 1000000) // (tot + 4) AS conf
+        |      FROM p WHERE tot > 0),
+        |b AS (SELECT least(conf // 100000, 9) AS bucket, conf,
+        |        CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
+        |      FROM f)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(conf) // count(*) AS BIGINT) AS mean_conf_micros,
+        |  CAST((sum(ok) * 1000000) // count(*) AS BIGINT) AS acc_micros,
+        |  CAST(abs(sum(conf) // count(*) -
+        |           (sum(ok) * 1000000) // count(*)) AS BIGINT)
+        |    AS gap_micros
+        |FROM b GROUP BY bucket""".stripMargin,
+    // q212: cross-multiplied cumulative-share classes over the part
+    // dimension
+    "q212_pareto_parts" ->
+      """WITH pp AS MATERIALIZED (
+        |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS qty
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(qty) AS BIGINT) AS tot FROM pp),
+        |r AS (SELECT l_partkey, qty,
+        |        sum(qty) OVER (ORDER BY qty DESC, l_partkey
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM pp),
+        |c AS (SELECT qty,
+        |        CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+        |             WHEN cum * 10 <= tot * 9 THEN 'B'
+        |             ELSE 'C' END AS abc_class, tot
+        |      FROM r, tot)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(qty) AS BIGINT) AS class_qty,
+        |  CAST((sum(qty) * 1000000) // min(tot) AS BIGINT) AS share_micros
+        |FROM c GROUP BY abc_class""".stripMargin,
+    // q213: q34's sessions -> per-day segments -> +1/-1 sweep,
+    // +1-before--1 at equal instants (touching intervals ARE concurrent)
+    "q213_peak_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |sx AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |ses AS MATERIALIZED (
+        |  SELECT epoch_us(min(ts)) AS ss, epoch_us(max(ts)) AS se
+        |  FROM sx GROUP BY user_id, sid),
+        |seg AS (SELECT d, greatest(ss, d * 86400000000) AS s2,
+        |          least(se, d * 86400000000 + 86399999999) AS e2
+        |        FROM (SELECT ss, se,
+        |                unnest(generate_series(ss // 86400000000,
+        |                                       se // 86400000000)) AS d
+        |              FROM ses)),
+        |pts AS (SELECT d, s2 AS t, 1 AS delta FROM seg
+        |        UNION ALL
+        |        SELECT d, e2, -1 FROM seg),
+        |run AS (SELECT d, sum(delta) OVER (PARTITION BY d
+        |          ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS r
+        |        FROM pts)
+        |SELECT d AS epoch_day, CAST(max(r) AS BIGINT) AS peak_concurrent,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_active
+        |FROM run GROUP BY d""".stripMargin,
   )
 
   /** q206/q207 oracle: word histogram + piece costs in SQL, then per

@@ -70,6 +70,43 @@ object IntervalJoin {
       .drop("__bin", "__rbin")
   }
 
+  /** Q213: DAILY PEAK OVERLAP — the sweep-line companion of
+    * [[overlapJoin]]: how many intervals are active AT ONCE, per day
+    * (peak concurrent sessions, the capacity-planning number a plain
+    * per-day count overstates and an average understates). Each
+    * interval splits into per-day segments (the bin device at day
+    * width), each segment emits +1/−1 boundary points, and a running
+    * sum ordered by (time, +1-before-−1) — inclusive bounds: touching
+    * intervals ARE concurrent — maxes per day. The sweep windows
+    * partition BY DAY, so no global funnel exists; points per day are
+    * 2× that day's active intervals.
+    */
+  def dailyPeakOverlap(df: DataFrame, s: String, e: String): DataFrame = {
+    val dayMicros = 86400000000L
+    val segs = df
+      .withColumn("__day", explode(sequence(bin(s, dayMicros),
+        bin(e, dayMicros))))
+      .select(col("__day"),
+        greatest(col(s).cast("long"), col("__day") * lit(dayMicros))
+          .as("__s"),
+        least(col(e).cast("long"),
+          col("__day") * lit(dayMicros) + lit(dayMicros - 1)).as("__e"))
+    val points = segs.select(col("__day"), explode(array(
+        struct(col("__s").as("t"), lit(1L).as("d")),
+        struct(col("__e").as("t"), lit(-1L).as("d")))).as("p"))
+      .select(col("__day"), col("p.t"), col("p.d"))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__day"))
+      .orderBy(col("t"), col("d").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    points
+      .withColumn("running", sum(col("d")).over(sweep))
+      .groupBy(col("__day").as("epoch_day"))
+      .agg(max(col("running")).as("peak_concurrent"),
+        expr("count(1) div 2").as("n_active"))
+  }
+
   /** The STREAMING dual of [[overlapJoin]]: two unbounded interval
     * streams joined on overlap. Spark's stream-stream join cannot
     * express an unkeyed range predicate at all — but the bin IS an

@@ -1852,6 +1852,37 @@ object Relational {
       (abs(zStat) > lit(z)).cast("int").as("significant"))
   }
 
+  /** Q212: PARETO / ABC analysis — the 80/20 inventory question ("how
+    * few parts carry 70% of the volume?") as exact integer arithmetic:
+    * parts rank by total shipped quantity (ties by key), the running
+    * share classifies A (≤70% cumulative), B (≤90%), C (rest) by
+    * CROSS-MULTIPLICATION (cum·10 ≤ total·7 — no float share ever
+    * materializes), and the output is one row per class. The fact
+    * table reduces map-side to one row per part before anything
+    * global happens; the ranking window runs over the PART DIMENSION
+    * (catalog-bounded, the q144 vocab-rank argument — enrolled in the
+    * PlanSpec allowlist).
+    */
+  def paretoAbc(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val cumW = Window.orderBy(col("qty").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .withColumn("cum", sum(col("qty")).over(cumW))
+      .crossJoin(broadcast(perPart.agg(sum(col("qty")).as("tot"))))
+      .withColumn("abc_class",
+        when(col("cum") * 10 <= col("tot") * 7, "A")
+          .when(col("cum") * 10 <= col("tot") * 9, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("qty")).as("class_qty"),
+        first(col("tot")).as("__tot"))
+      .select(col("abc_class"), col("n_parts"), col("class_qty"),
+        expr("(class_qty * 1000000L) div __tot").as("share_micros"))
+  }
+
   /** Q181: k-STEP MARKOV distribution over the event-transition matrix —
     * q72's matrix put to work: starting uniform, where does probability
     * mass sit after `steps` transitions? The forward-looking journey

@@ -82,6 +82,57 @@ object TextAnalysis {
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), langIdColumn(col(textCol)).as("lang_pred"))
 
+  /** Q211: CALIBRATION audit of the lang-ID classifier — the model-eval
+    * primitive a scored pipeline needs before its scores gate anything
+    * (reliability diagram + per-bucket expected-calibration-error
+    * terms): bucket documents by the classifier's CONFIDENCE (here the
+    * stopword-hit share of the winning language), then compare each
+    * bucket's mean confidence against its observed accuracy vs the
+    * corpus's labeled `lang`. A well-calibrated scorer has
+    * |accuracy − confidence| ≈ 0 per bucket; ECE is the n-weighted sum
+    * of the `gap_micros` column.
+    *
+    * Confidence is the LAPLACE-SMOOTHED winner share,
+    * mx/(tot + |langs|): the raw share mx/tot saturates at 1.0 whenever
+    * only one language hits at all (the universal case on short or
+    * domain text), flattening the diagram into a single bucket;
+    * smoothing makes confidence grow with EVIDENCE (one hit → 0.2,
+    * five unanimous hits → 0.55), which is what a calibratable score
+    * must do.
+    *
+    * Exactness: confidence, means and accuracies are all integer micro
+    * divisions (one `div` each); buckets are integer deciles (capped at
+    * 9 so confidence 1.0 lands in the top bucket). Undecidable docs
+    * (zero stopword hits) are excluded — they carry no confidence to
+    * calibrate. Scale: ONE map-only scoring pass (the regex counters
+    * are codegen'd) into a 10-row aggregation.
+    */
+  def langCalibration(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val hits = langStopwords.map { case (_, pat) =>
+      size(regexp_extract_all(lowered, lit(pat), lit(0))).cast("long")
+    }
+    val nLangs = langStopwords.size
+    docs
+      .select(col(langCol).as("truth"),
+        langIdColumn(col(textCol)).as("pred"),
+        greatest(hits: _*).as("mx"),
+        hits.reduce(_ + _).as("tot"))
+      .filter(col("tot") > 0)
+      .withColumn("conf", expr(s"(mx * 1000000L) div (tot + $nLangs)"))
+      .withColumn("bucket", least(expr("conf div 100000L"), lit(9L)))
+      .withColumn("ok", (col("pred") === col("truth")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("conf")).as("__sc"),
+        sum(col("ok")).as("__ok"))
+      .select(col("bucket"), col("n"),
+        expr("__sc div n").as("mean_conf_micros"),
+        expr("(__ok * 1000000L) div n").as("acc_micros"),
+        abs(expr("__sc div n") - expr("(__ok * 1000000L) div n"))
+          .as("gap_micros"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the normalized text:
     * fp = fold(chars, 0, (acc, ch) -> (acc * 31 + ascii(ch)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash). The modulus keeps
