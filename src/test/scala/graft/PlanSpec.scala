@@ -453,6 +453,11 @@ class PlanSpec extends SparkSpec {
       // window, ~1100 rows for a 3-year corpus), never per-user rows
       ("Survival.scala", """val riskW = Window.orderBy(col("t").desc)"""),
       ("Survival.scala", """val hazW = Window.orderBy(col("t"))"""),
+      // q212: the cumulative rank runs over the PART DIMENSION (one row
+      // per catalog part after the map-side fact reduction) — the q144
+      // vocab-rank boundedness argument
+      ("Relational.scala",
+        """val cumW = Window.orderBy(col("qty").desc, col("l_partkey"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =
