@@ -47,14 +47,15 @@ object NegativeSampling {
       .filter(col("context").isNotNull)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n_pos"))
-    val vocab = toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Cap-probed BEFORE the collect (DriverTables.collectCapped): the
+    // guard fires without the driver materializing an oversized vocab.
+    val vocab = DriverTables.collectCapped(
+        toks.groupBy(col("token")).agg(count(lit(1)).as("cnt")),
+        maxVocab, "negative-sampling vocab",
+        "the cumulative table must stay executor-shippable — raise " +
+          "maxVocab deliberately or pre-filter the corpus")
+      .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
-    require(vocab.nonEmpty, "negative sampling: empty corpus")
-    require(vocab.length <= maxVocab,
-      s"negative sampling: vocab ${vocab.length} exceeds cap $maxVocab " +
-        "— the cumulative table must stay executor-shippable")
     val bounds = vocab.map(_._2).scanLeft(0L)(_ + _).tail
     val total = bounds.last
     val gid = pmod(

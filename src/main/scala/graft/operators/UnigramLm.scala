@@ -72,15 +72,16 @@ object UnigramLm {
       .groupBy(col("piece"))
       .agg(sum(col("wcnt")).as("n_uses"))
 
-  private def seedVocab(hist: DataFrame, maxPieceLen: Int,
-      maxVocab: Int): Seq[(String, Long)] = {
-    val seed = seedPieceCounts(hist, maxPieceLen).collect()
-    require(seed.nonEmpty, "unigram: empty corpus")
-    require(seed.length <= maxVocab,
-      s"unigram: seed vocab ${seed.length} exceeds cap $maxVocab — " +
+  /** Seed vocab as (piece, count), cap-probed BEFORE the collect
+    * ([[DriverTables.collectCapped]] — the guard must fire without the
+    * driver ever materializing an oversized table).
+    */
+  private[operators] def seedCounts(hist: DataFrame, maxPieceLen: Int,
+      maxVocab: Int): Seq[(String, Long)] =
+    DriverTables.collectCapped(seedPieceCounts(hist, maxPieceLen),
+        maxVocab, "unigram seed vocab",
         "raise maxVocab deliberately or lower maxPieceLen")
-    toCosts(seed.toSeq.map(r => (r.getString(0), r.getLong(1))))
-  }
+      .toSeq.map(r => (r.getString(0), r.getLong(1)))
 
   /** The full q206 pipeline: histogram → seed model → Viterbi
     * segmentation → weighted piece usage (piece, n_uses).
@@ -90,7 +91,8 @@ object UnigramLm {
       maxVocab: Int = 262144): DataFrame = {
     val hist = wordHistogram(docs, textCol, maxWordLen)
       .localCheckpoint(false) // feeds the seed AND the segmentation pass
-    usageCounts(hist, seedVocab(hist, maxPieceLen, maxVocab), maxPieceLen)
+    usageCounts(hist, toCosts(seedCounts(hist, maxPieceLen, maxVocab)),
+      maxPieceLen)
   }
 
   /** Q207: the PRUNE step of unigram training — SentencePiece's
@@ -114,17 +116,13 @@ object UnigramLm {
     require(keepMulti >= 0, s"keepMulti out of range: $keepMulti")
     val hist = wordHistogram(docs, textCol, maxWordLen)
       .localCheckpoint(false)
-    val seed = seedPieceCounts(hist, maxPieceLen).collect()
-    require(seed.nonEmpty, "unigram: empty corpus")
-    require(seed.length <= maxVocab,
-      s"unigram: seed vocab ${seed.length} exceeds cap $maxVocab")
-    val seedCounts = seed.toSeq.map(r => (r.getString(0), r.getLong(1)))
-    val v1 = toCosts(seedCounts)
+    val seed = seedCounts(hist, maxPieceLen, maxVocab)
+    val v1 = toCosts(seed)
     val used = usageCounts(hist, v1, maxPieceLen).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     val kept = used.toSeq.filter(_._1.length > 1)
       .sortBy { case (p, n) => (-n, p) }.take(keepMulti)
-    val chars = seedCounts.map(_._1).filter(_.length == 1).distinct
+    val chars = seed.map(_._1).filter(_.length == 1).distinct
       .map(c => (c, used.getOrElse(c, 1L)))
     usageCounts(hist, toCosts(kept ++ chars), maxPieceLen)
   }
