@@ -108,15 +108,17 @@ object StreamingCep {
       if (later.isEmpty) pending.clear() else pending.put(later.toArray)
       var opens = open.get().toList
       val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
-      // equal-timestamp fold order: later pattern steps first. Every
-      // plain-step comparison is strict, so tie order never mattered
-      // before repetition; the run-ceiling COUNT is the one tie-
-      // sensitive quantity — batch counts run events STRICTLY before
-      // the next step's completion, so a completion folds before a
-      // same-timestamp run event (higher step index first; veto-only
-      // types last, matching their strictly-inside exclusion).
+      // equal-timestamp fold order: EARLIER pattern steps first. Every
+      // plain-step and veto comparison is strict, so tie order cannot
+      // change those; the run-ceiling COUNT is the one tie-sensitive
+      // quantity — batch's ceiling is strict (completion < the
+      // (maxReps+1)-th occurrence, Cep.scala `col(cur) < col(c)`), so a
+      // run event at the SAME timestamp as the next step's completion
+      // must fold FIRST and blow the ceiling before the completion can
+      // advance the match. Veto-only types (stepIdx −1) fold earliest,
+      // which is inert: vetoes only ever compare strictly.
       def stepIdx(tpe: String): Int = steps.indexWhere(_.tpe == tpe)
-      due.sortBy(e => (e.tsUs, -stepIdx(e.tpe))).foreach { e =>
+      due.sortBy(e => (e.tsUs, stepIdx(e.tpe))).foreach { e =>
         opens = opens.flatMap { m =>
           if (e.tsUs > m.times.head + windowUs) None // window closed
           else {

@@ -162,6 +162,84 @@ class StreamingCepSpec extends SparkSpec {
     assert(got.map(_.user_id).toSet === Set(2L), s"got ${got.toSeq}")
   }
 
+  test("kleene: ceiling COLLISION — next step at the same ts as the " +
+      "(maxReps+1)-th rep kills the match, matching batch") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = startKleene(in, "cep_kleene_collide", "10 seconds")
+    val ev = Seq(
+      // user 1: the purchase lands at EXACTLY the 4th click's timestamp
+      // — batch's ceiling is strict (cur < ceil), so the match dies; a
+      // completion-first tie fold would wrongly emit it
+      (1L, 10L, "view", ts("2024-01-05 09:00:00")),
+      (1L, 11L, "click", ts("2024-01-05 09:10:00")),
+      (1L, 12L, "click", ts("2024-01-05 09:20:00")),
+      (1L, 13L, "click", ts("2024-01-05 09:30:00")),
+      (1L, 14L, "click", ts("2024-01-05 09:40:00")),
+      (1L, 15L, "purchase", ts("2024-01-05 09:40:00")),
+      // user 2: veto at the SAME ts as the completing 2nd click — veto
+      // must be STRICTLY inside the gap, so the match survives (guards
+      // the fix from overcorrecting: rep-first must not veto-first-kill)
+      (2L, 20L, "view", ts("2024-01-05 09:00:00")),
+      (2L, 21L, "click", ts("2024-01-05 09:10:00")),
+      (2L, 22L, "click", ts("2024-01-05 09:20:00")),
+      (2L, 29L, "error", ts("2024-01-05 09:20:00")),
+      (2L, 25L, "purchase", ts("2024-01-05 09:35:00")))
+    try {
+      in.addData(ev: _*)
+      q.processAllAvailable()
+      in.addData((99L, 90L, "flush", ts("2024-01-06 23:59:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("cep_kleene_collide")
+      .as[StreamingCep.CepMatch].collect()
+      .map(m => (m.user_id, m.anchor_id, m.times_us.toList)).toSet
+    val batch = Cep.matchPattern(
+        ev.toDF("user_id", "event_id", "event_type", "ts"), kleene, 24)
+      .selectExpr("user_id", "anchor_id", "t0_us", "t1_us", "t2_us")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, List(r._3, r._4, r._5))).toSet
+    assert(batch.map(_._1) === Set(2L), s"batch sanity: $batch")
+    assert(stream === batch,
+      s"stream-only=${stream -- batch} batch-only=${batch -- stream}")
+  }
+
+  test("kleene stream == batch on seeded collision-dense random streams") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(9012)
+    val types = Array("view", "click", "click", "purchase", "error")
+    val base = ts("2024-01-05 00:00:00").getTime
+    (1 to 8).foreach { trial =>
+      // coarse 10-second grid over 40 s: same-timestamp completions,
+      // ceiling breakers, and vetoes are the point (the batch fuzz's
+      // collision discipline, replayed through the streaming fold)
+      val ev = (1 to 24).map { i =>
+        (1L + rnd.nextInt(3), trial * 1000L + i,
+          types(rnd.nextInt(types.length)),
+          new Timestamp(base + rnd.nextInt(4) * 10000L))
+      }
+      val in = MemoryStream[(Long, Long, String, Timestamp)]
+      val q = startKleene(in, s"cep_kleene_fuzz_$trial", "10 seconds")
+      try {
+        in.addData(ev: _*)
+        q.processAllAvailable()
+        in.addData((99L, 90L, "flush", ts("2024-01-06 23:59:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val stream = spark.table(s"cep_kleene_fuzz_$trial")
+        .as[StreamingCep.CepMatch].collect()
+        .map(m => (m.user_id, m.anchor_id, m.times_us.toList)).toSet
+      val batch = Cep.matchPattern(
+          ev.toDF("user_id", "event_id", "event_type", "ts"), kleene, 24)
+        .selectExpr("user_id", "anchor_id", "t0_us", "t1_us", "t2_us")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, List(r._3, r._4, r._5))).toSet
+      assert(stream === batch,
+        s"trial $trial: stream-only=${(stream -- batch).take(3)} " +
+          s"batch-only=${(batch -- stream).take(3)} events=${ev.toList}")
+    }
+  }
+
   test("kleene stream matches == batch operator on sf0.001 events") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = graft.Tables.events(spark, sf)
