@@ -118,9 +118,10 @@ object IntervalJoin {
     * the time-range constraint |end_l − end_r| ≤ maxIntervalLen —
     * sound because overlapping intervals' ends can differ by at most
     * the longer interval's length, and maxIntervalLen bounds both
-    * sides BY CONTRACT (the batch guard's `maxBinsPerRow · binWidth`
-    * envelope, stated here as an explicit parameter since a stream
-    * cannot be pre-scanned).
+    * sides — ENFORCED PER ROW with assert_true (the batch guard's
+    * `maxBinsPerRow · binWidth` envelope; a stream cannot be
+    * pre-scanned, so the check rides in codegen), as is the batch
+    * operator's non-negative-grid requirement.
     *
     * Emits in append mode once both watermarks pass; same inclusive
     * bounds and exactly-once semantics as the batch operator
@@ -136,6 +137,19 @@ object IntervalJoin {
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty, s"column collision across sides: $shared")
     def prep(df: DataFrame, s: String, e: String, tsName: String) = df
+      // the batch operator's eager guards, per-row since a stream
+      // cannot be pre-scanned: div-binning truncates toward zero, so a
+      // negative start would land one bin off and MISS pairs silently;
+      // an interval longer than maxIntervalLen breaks the watermark
+      // eviction bound the same silent way. Fail loudly instead.
+      .filter(assert_true(col(s) >= 0,
+        lit(s"overlapJoinStream: negative $s — div-binning needs a " +
+          "non-negative grid; shift the values")).isNull)
+      .filter(assert_true(
+        col(e).cast("long") - col(s).cast("long") <= maxIntervalLen,
+        lit(s"overlapJoinStream: interval [$s,$e] longer than " +
+          s"maxIntervalLen=$maxIntervalLen — the |end_l-end_r| state " +
+          "eviction bound would silently drop pairs")).isNull)
       .withColumn(tsName, timestamp_micros(col(e).cast("long")))
       .withWatermark(tsName, watermarkDelay)
       .withColumn("__sbin", explode(sequence(bin(s, binWidth),

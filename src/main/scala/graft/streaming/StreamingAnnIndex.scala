@@ -62,6 +62,10 @@ object StreamingAnnIndex {
     private var centroids: Array[Array[Double]] = _
     private var base: DataFrame = _          // (vec_id, v, cell, ord)
     private var delta: Option[DataFrame] = None
+    // highest batchId already indexed: foreachBatch is at-least-once,
+    // so a batch replayed after a failure between append and checkpoint
+    // commit must be skipped, not indexed twice
+    private var lastApplied: Long = Long.MinValue
 
     snapshot(corpus0)
 
@@ -82,8 +86,13 @@ object StreamingAnnIndex {
 
     /** Append one micro-batch of (vec_id, embedding) rows under the
       * pinned quantizer; they index after everything already present.
+      * IDEMPOTENT per batchId: a replayed batch (at-least-once
+      * foreachBatch) is a no-op, which is what makes [[maintain]]'s
+      * exactly-once claim true for the index's lifetime.
       */
     def append(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastApplied) return
+      lastApplied = batchId
       val ord = lit((batchId + 1L) * BatchOrdStride) +
         Nsw.insertKeyCol(col("vec_id"))
       val d = assign(batch, ord)
@@ -126,7 +135,9 @@ object StreamingAnnIndex {
   /** Wire maintenance onto a vector stream: every micro-batch appends
     * to the index; every `resnapshotEvery` batches the quantizer
     * retrains and the graphs rebuild (the refreshing cadence; 0 = never,
-    * the pinned form). Exactly-once via the checkpointed batch ids.
+    * the pinned form). Effectively exactly-once for the index's
+    * lifetime: foreachBatch delivers at-least-once, and
+    * [[MaintainedAnnIndex.append]] skips replayed batch ids.
     */
   def maintain(stream: DataFrame, index: MaintainedAnnIndex,
       checkpoint: String, resnapshotEvery: Int = 0): StreamingQuery =

@@ -109,6 +109,35 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == want, s"${got.size} vs ${want.size}")
   }
 
+  test("streaming guards: negative grid and over-length intervals fail loudly") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def chain(t: Throwable): String = {
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    }
+    def failWith(row: (Long, Long, Long), name: String): String = {
+      val inL = MemoryStream[(Long, Long, Long)]
+      val inR = MemoryStream[(Long, Long, Long)]
+      val out = IntervalJoin.overlapJoinStream(
+        inL.toDF().toDF("lid", "ls", "le"), "ls", "le",
+        inR.toDF().toDF("rid", "rs", "re"), "rs", "re",
+        binWidth = 100L, maxIntervalLen = 1000L)
+      val q = out.select("lid", "rid").writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try chain(intercept[Exception] {
+        inL.addData(row); inR.addData((1L, 0L, 10L))
+        q.processAllAvailable()
+      }) finally q.stop()
+    }
+    // a negative start would silently land one bin off in `div` binning
+    assert(failWith((1L, -5L, 5L), "sij_guard_neg").contains("negative"))
+    // an interval longer than maxIntervalLen would break the watermark
+    // eviction bound and silently drop pairs
+    assert(failWith((1L, 100L, 5000L), "sij_guard_len")
+      .contains("maxIntervalLen"))
+  }
+
   test("the plan is an equi-join on the bin, never a nested loop") {
     val l = (1L to 50L).map(i => (i, i * 10, i * 10 + 25))
     val r = (1L to 50L).map(i => (i + 100, i * 10 + 5, i * 10 + 30))

@@ -116,4 +116,28 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(served === rebuilt,
       "cadenced resnapshot must equal the batch rebuild")
   }
+
+  test("a replayed batch id is a no-op (at-least-once foreachBatch)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val basePart = emb.filter(col("vec_id") % 10 < 8)
+    val b0 = emb.filter(col("vec_id") % 10 === 8)
+    val b1 = emb.filter(col("vec_id") % 10 === 9)
+    val probes = emb.filter(col("vec_id") < 10)
+    val idx = new StreamingAnnIndex.MaintainedAnnIndex(basePart, k = K)
+    idx.append(b0, 0L)
+    val n = idx.corpus().count()
+    val got = idx.search(probes)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // the failure-replay sequence: batch 0 delivered again after a
+    // crash between append and checkpoint commit
+    idx.append(b0, 0L)
+    assert(idx.corpus().count() === n, "replay duplicated index rows")
+    assert(idx.search(probes)
+      .as[(Long, Long, Double, Long)].collect().toSet === got,
+      "replay changed search results")
+    // fresh ids still append
+    idx.append(b1, 1L)
+    assert(idx.corpus().count() === n + b1.count())
+  }
 }
