@@ -1007,6 +1007,30 @@ object SparkEntry {
         f.unix_micros(f.col("session_end")).as("se"))
       IntervalJoin.dailyPeakOverlap(ses, "ss", "se")
     }),
+    // q214: perceptual (dHash) near-dup over the media BYTES — the
+    // multimodal dedup member. Near-identical media planted by a
+    // one-byte same-length perturbation (one grid cell touched ->
+    // Hamming <= 2, the kernel's stability contract), replayed
+    // identically by the oracle; the 21-bit banded join is EXACT for
+    // maxDist 2, so engine == the oracle's all-pairs Hamming scan.
+    "q214_dhash_neardups" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val docs = Tables.documents(s, dir)
+        .select(f.col("doc_id"), f.col("text"))
+      val twins = docs.filter(f.pmod(f.col("doc_id"), f.lit(10)) === 0)
+        .select((f.col("doc_id") + f.lit(1000000L)).as("doc_id"),
+          f.concat(f.substring(f.col("text"), 1, 23), f.lit("~"),
+            f.expr("substring(text, 25)")).as("text"))
+      val media = docs.union(twins).select(f.col("doc_id"),
+        f.encode(f.col("text"), "UTF-8").as("payload"))
+      Dedup.dhashNearDups(media, "payload", "doc_id", maxDist = 2)
+    }),
+    // q215: the FULL unigram-LM EM loop — q206's E-step + q207's
+    // prune/re-estimate M-step iterated over a shrinking keep schedule
+    // (12 -> 8 -> 5 multis); one row per (round, piece) so the oracle
+    // pins EVERY round's piece-usage table, not just the final state
+    "q215_unigram_em" -> ((s, dir) =>
+      UnigramLm.unigramEmCounts(Tables.documents(s, dir), "text")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4602,17 +4626,67 @@ object SparkEntry {
         |SELECT d AS epoch_day, CAST(max(r) AS BIGINT) AS peak_concurrent,
         |  CAST(count(*) // 2 AS BIGINT) AS n_active
         |FROM run GROUP BY d""".stripMargin,
+    // q214: the oracle replays the fixed-grid dHash with integer ops on
+    // the hex-decoded payload (the q16 byte-decode device) and runs the
+    // PLAIN all-pairs Hamming scan the banded engine join must equal
+    // exactly (pigeonhole: distance <= 2 pairs share one of 3 chunks).
+    "q214_dhash_neardups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 23) || '~' || substr(text, 25)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |enc AS (SELECT doc_id, encode(text) AS p FROM corpus),
+        |m AS (SELECT doc_id, octet_length(p) AS n, hex(p) AS hx FROM enc),
+        |cells AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN ((j+1)*n)//64 > (j*n)//64 THEN
+        |        list_sum(list_transform(range((j*n)//64 + 1, ((j+1)*n)//64 + 1),
+        |          i -> (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', hx[2*i]) - 1)))
+        |        // (((j+1)*n)//64 - (j*n)//64)
+        |      ELSE 0 END) AS c
+        |  FROM m),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 63),
+        |      k -> CASE WHEN c[k+2] > c[k+1]
+        |                THEN (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END))
+        |      AS BIGINT) AS dh
+        |  FROM cells)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 2""".stripMargin,
+    // q215: four unrolled EM rounds (seed + three prunes at 12/8/5),
+    // every round's usage table unioned with its round number
+    "q215_unigram_em" ->
+      unigramRoundsSql(maxWordLen = 16, maxPieceLen = 4,
+        keeps = Seq(12, 8, 5), perRound = true),
   )
 
-  /** q206/q207 oracle: word histogram + piece costs in SQL, then per
-    * EM round `maxWordLen` unrolled DP steps (each a rank-1 argmin
-    * over the previous positions' rows) and `maxWordLen` backtrace
-    * steps re-reading the final DP table. Round r+1's costs come from
-    * round r's usage counts — SentencePiece's hard-EM shape, fully
-    * unrolled. All CTEs are word-count-sized.
+  /** q206/q207 oracle (single round / one prune): the rounds generator
+    * with a 0- or 1-element keep schedule.
     */
   private def unigramOracleSql(maxWordLen: Int, maxPieceLen: Int,
-      pruneKeep: Option[Int]): String = {
+      pruneKeep: Option[Int]): String =
+    unigramRoundsSql(maxWordLen, maxPieceLen, pruneKeep.toSeq,
+      perRound = false)
+
+  /** q206/q207/q215 oracle generator: word histogram + piece costs in
+    * SQL, then per EM round `maxWordLen` unrolled DP steps (each a
+    * rank-1 argmin over the previous positions' rows), `maxWordLen`
+    * backtrace steps re-reading the final DP table, the round's usage
+    * counts, and — after every non-final round — the prune CTE (top-k
+    * multis by (usage desc, piece), character floor). Round r+1's
+    * costs come from round r's pruned usage — SentencePiece's hard-EM
+    * shape, fully unrolled. All CTEs are word-count-sized. With
+    * `perRound` the final select unions every round's usage table
+    * (q215's per-round parity); otherwise only the last round's.
+    */
+  private def unigramRoundsSql(maxWordLen: Int, maxPieceLen: Int,
+      keeps: Seq[Int], perRound: Boolean): String = {
     // one Viterbi pass under cost table `cost`: DP + backtrace +
     // per-word piece rows in CTE `${s}p`
     def chain(s: String, cost: String): String = {
@@ -4662,26 +4736,34 @@ object SparkEntry {
       s"""$name AS MATERIALIZED (
          |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
          |  FROM $pieceSrc JOIN w USING (word) GROUP BY piece)""".stripMargin
-    val round1 = Seq(costCte("c1", "sp"), chain("r1", "c1"))
-    val roundCtes = (pruneKeep match {
-      case None => round1
-      case Some(k) => round1 ++ Seq(
-        usageCte("n1", "r1p"),
-        // prune: top-k multis by (usage desc, piece asc) + the
-        // character floor (every seed single char, usage else 1)
-        s"""v2 AS MATERIALIZED (
+    val nRounds = keeps.length + 1
+    val roundCtes = (1 to nRounds).flatMap { r =>
+      val base = Seq(
+        costCte(s"c$r", if (r == 1) "sp" else s"v$r"),
+        chain(s"r$r", s"c$r"),
+        usageCte(s"n$r", s"r${r}p"))
+      // prune: top-k multis by (usage desc, piece asc) + the
+      // character floor (every seed single char, usage else 1)
+      val prune = if (r > keeps.length) Nil else Seq(
+        s"""v${r + 1} AS MATERIALIZED (
            |  SELECT piece, cnt FROM (
            |    SELECT piece, cnt,
-           |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS r
-           |    FROM n1 WHERE len(piece) > 1)
-           |  WHERE r <= $k
+           |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+           |    FROM n$r WHERE len(piece) > 1)
+           |  WHERE rk <= ${keeps(r - 1)}
            |  UNION ALL
-           |  SELECT s.piece, COALESCE(n1.cnt, 1) AS cnt
+           |  SELECT s.piece, COALESCE(n$r.cnt, 1) AS cnt
            |  FROM (SELECT DISTINCT piece FROM sp WHERE len(piece) = 1) s
-           |  LEFT JOIN n1 USING (piece))""".stripMargin,
-        costCte("c2", "v2"), chain("r2", "c2"))
-    }).mkString(",\n")
-    val finalSrc = if (pruneKeep.isEmpty) "r1p" else "r2p"
+           |  LEFT JOIN n$r USING (piece))""".stripMargin)
+      base ++ prune
+    }.mkString(",\n")
+    val finalSelect =
+      if (perRound)
+        (1 to nRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS em_round, piece, " +
+            s"CAST(cnt AS BIGINT) AS n_uses FROM n$r")
+          .mkString("\nUNION ALL\n")
+      else s"SELECT piece, CAST(cnt AS BIGINT) AS n_uses FROM n$nRounds"
     s"""WITH w AS MATERIALIZED (
        |  SELECT word, count(*) AS wcnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -4696,8 +4778,7 @@ object SparkEntry {
        |  WHERE i + l - 1 <= len(word)
        |  GROUP BY 1),
        |$roundCtes
-       |SELECT piece, CAST(sum(wcnt) AS BIGINT) AS n_uses
-       |FROM $finalSrc JOIN w USING (word) GROUP BY piece""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   /** q200 oracle: the engine's journey segmentation (per-user

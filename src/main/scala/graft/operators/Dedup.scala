@@ -192,6 +192,47 @@ object Dedup {
       .distinct()
   }
 
+  /** PERCEPTUAL near-dup pairs over an opaque media `binary` column —
+    * the multimodal member of the near-dup family: fingerprint each
+    * payload with the fixed-grid dHash kernel
+    * ([[graft.functions.DHashExpr]]), then find pairs within Hamming
+    * distance `maxDist` by banding the 63-bit fingerprint into 3
+    * 21-bit chunks (pigeonhole: any pair within distance 2 agrees on
+    * at least one chunk), the q11 SimHash blocking machinery on the
+    * media axis. EXACT for maxDist <= 2 — the banded join returns
+    * precisely the all-pairs Hamming result the oracle computes, never
+    * running the quadratic stage: candidates come from 21-bit-chunk
+    * equi-joins, so corpus-scale cost is the posting-list join, not
+    * n². The kernel runs inline on the scan partitions (codegen), so
+    * the only shuffle is the chunk join itself.
+    */
+  def dhashNearDups(media: DataFrame, payloadCol: String, idCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val chunks = 3
+    require(maxDist >= 0 && maxDist < chunks,
+      s"maxDist ($maxDist) must be < $chunks: the pigeonhole guarantee (a " +
+        "pair within Hamming distance d shares at least one of d+1 chunks) " +
+        "breaks otherwise")
+    val base = media.select(col(idCol).as("id"),
+      graft.functions.DHashExpr.dhash(col(payloadCol)).as("fp"))
+    val chunked = base
+      .withColumn("chunk", explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("c"),
+          shiftright(col("fp"), c * 21).bitwiseAND(lit(0x1FFFFFL)).as("v"))
+      }: _*)))
+      .select(col("chunk.c"), col("chunk.v"), col("id"), col("fp"))
+    val a = chunked.select(col("c"), col("v"), col("id").as("doc_a"),
+      col("fp").as("fp_a"))
+    val b = chunked.select(col("c"), col("v"), col("id").as("doc_b"),
+      col("fp").as("fp_b"))
+    a.join(b, Seq("c", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** Word n-gram Jaccard near-dup pairs — EXACT (same output as all-pairs
     * within `blockCol` blocks, which is what the SQL oracle computes), but
     * planned with prefix filtering (PPJoin-style): two docs with

@@ -116,14 +116,67 @@ object UnigramLm {
     require(keepMulti >= 0, s"keepMulti out of range: $keepMulti")
     val hist = wordHistogram(docs, textCol, maxWordLen)
       .localCheckpoint(false)
-    val seed = seedCounts(hist, maxPieceLen, maxVocab)
-    val v1 = toCosts(seed)
-    val used = usageCounts(hist, v1, maxPieceLen).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    val kept = used.toSeq.filter(_._1.length > 1)
-      .sortBy { case (p, n) => (-n, p) }.take(keepMulti)
-    val chars = seed.map(_._1).filter(_.length == 1).distinct
-      .map(c => (c, used.getOrElse(c, 1L)))
-    usageCounts(hist, toCosts(kept ++ chars), maxPieceLen)
+    emRounds(hist, seedCounts(hist, maxPieceLen, maxVocab),
+      Seq(keepMulti), maxPieceLen).last
+  }
+
+  /** E-step usage frames for `keeps.length + 1` EM rounds: round 1
+    * segments under the seed model; after every non-final round the
+    * vocabulary prunes to the round's `keeps(r-1)` most-used
+    * multi-character pieces (ties by piece) plus the character floor,
+    * and costs re-estimate from the round's usage — Kudo 2018's
+    * iterate-then-shrink loop in hard-EM form. Non-final usage frames
+    * are lazily checkpointed so the prune collect and any downstream
+    * read execute the E-step once; the collect is bounded by
+    * construction (usage pieces are a subset of the round's vocab,
+    * itself cap-probed at the seed).
+    */
+  private def emRounds(hist: DataFrame, seed: Seq[(String, Long)],
+      keeps: Seq[Int], maxPieceLen: Int): Seq[DataFrame] = {
+    val charsInv = seed.map(_._1).filter(_.length == 1).distinct
+    var vocab = seed
+    (1 to keeps.length + 1).map { r =>
+      val usage = usageCounts(hist, toCosts(vocab), maxPieceLen)
+      if (r > keeps.length) usage
+      else {
+        val u = usage.localCheckpoint(false)
+        val used = u.collect()
+          .map(x => (x.getString(0), x.getLong(1))).toMap
+        val kept = used.toSeq.filter(_._1.length > 1)
+          .sortBy { case (p, n) => (-n, p) }.take(keeps(r - 1))
+        vocab = kept ++ charsInv.map(c => (c, used.getOrElse(c, 1L)))
+        u
+      }
+    }
+  }
+
+  /** Q215: the FULL unigram-LM EM loop (Kudo 2018) — q206's E-step and
+    * q207's prune+re-estimate M-step iterated to a fixed round count
+    * with a SHRINKING keep schedule (SentencePiece's vocabulary-size
+    * iteration; a same-size re-estimation round is a fixed point on
+    * word-histogram corpora, so the shrink is what makes every round
+    * move). Emits ONE row per (round, piece): the piece-usage table of
+    * every round, so the oracle pins per-round parity, not just the
+    * final state.
+    *
+    * Scale posture unchanged from q206/q207: the corpus is shuffled
+    * once into the word histogram; each round is one segmentation pass
+    * over DISTINCT words (Zipf-capped) with vocab costs shipped as
+    * codegen literals; driver tables stay cap-probed/bounded.
+    */
+  def unigramEmCounts(docs: DataFrame, textCol: String,
+      keeps: Seq[Int] = Seq(12, 8, 5), maxPieceLen: Int = 4,
+      maxWordLen: Int = 16, maxVocab: Int = 262144): DataFrame = {
+    require(keeps.nonEmpty && keeps.forall(_ >= 0),
+      s"bad keep schedule: $keeps")
+    val hist = wordHistogram(docs, textCol, maxWordLen)
+      .localCheckpoint(false)
+    emRounds(hist, seedCounts(hist, maxPieceLen, maxVocab),
+        keeps, maxPieceLen)
+      .zipWithIndex
+      .map { case (u, i) =>
+        u.select(lit(i + 1L).as("em_round"), col("piece"), col("n_uses"))
+      }
+      .reduce(_.union(_))
   }
 }
