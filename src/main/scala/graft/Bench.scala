@@ -33,6 +33,28 @@ object Bench {
         "vec_id", dim = 64, threshold = 0.35)),
   )
 
+  /** Fixed synthetic CALIBRATION row — pure CPU, data-independent:
+    * 1G codegen'd integer-hash rows on `defaultParallelism`
+    * partitions, one scalar aggregate, no input, no shuffle of note.
+    * The shared driver host demonstrably drifts (identical-code totals
+    * swung 179→299 s within round 12), so raw cross-round medians
+    * cannot separate regressions from machine weather. This row's
+    * median IS the weather: to read BENCH_r{N} vs r{N-1}, divide each
+    * query's median by the same round's `calib_cpu` median — a real
+    * regression moves a query RELATIVE to calib_cpu; uniform host
+    * inflation moves calib_cpu by the same factor. Excluded from the
+    * adjudicated total (same rule as the prod_* rows: the metric's
+    * population must stay the oracle-query set).
+    */
+  val calibration: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "calib_cpu" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.range(0L, 1L << 30, 1L, s.sparkContext.defaultParallelism)
+        .select(xxhash64(col("id"),
+          xxhash64(col("id"), xxhash64(col("id"), col("id")))).as("h"))
+        .agg(bit_xor(col("h")).as("chk")) // xor: overflow-free under ANSI
+    }))
+
   /** Silences ONE benign, identified error class on the DAGScheduler
     * logger: `Failed to update accumulator N (Unknown class) ...
     * non-existent accumulator`. Root cause (BENCH_r11 tail): SQL-metric
@@ -102,7 +124,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     muteAccumulatorGcRace()
 
-    val allQueries = SparkEntry.queries ++ prodPaths
+    val allQueries = SparkEntry.queries ++ prodPaths ++ calibration
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -192,11 +214,11 @@ object Bench {
     val repMap = results.map { case (k, _, _, r) => "\"" + k + s"\":$r" }
       .mkString("{", ",", "}")
     // the suite total the driver adjudicates stays ORACLE-QUERY-ONLY: the
-    // prod_* rows are additional information, not a change to the metric's
-    // population (a round-over-round total comparison must compare the
-    // same query set)
+    // prod_* and calib_* rows are additional information, not a change to
+    // the metric's population (a round-over-round total comparison must
+    // compare the same query set)
     val total = results.collect {
-      case (k, med, _, _) if med >= 0 && !k.startsWith("prod_") => med }.sum
+      case (k, med, _, _) if med >= 0 && k.startsWith("q") => med }.sum
     val nFailed = results.count(_._2 < 0)
     // full record (per-query median + central-spread + rep-count maps)
     // goes to the file only: the driver captures just a stdout TAIL, and

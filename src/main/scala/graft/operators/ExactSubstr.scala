@@ -33,9 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    windowCap-coverage order without materializing its rank.
   *
   *    Each round's global dense rank costs exactly ONE shuffle: rows are
-  *    range-repartitioned and sorted on the key and lazily checkpointed
+  *    range-repartitioned and sorted on the key and lazily pinned
   *    (LOAD-BEARING: the range partitioner samples, so both passes below
-  *    must see the same materialized boundaries), then two zero-shuffle
+  *    must see the same materialized boundaries; [[Pinning]] — local
+  *    blocks by default, which are NOT fault-tolerant on a cluster, or
+  *    reliable checkpoints via spark.graft.reliableCheckpointDir for
+  *    long cluster runs), then two zero-shuffle
   *    `mapPartitionsWithIndex` passes finish the job — pass 1 collects
   *    <= numPartitions (distinct, first, last, count) stats rows, the
   *    driver prefix-folds them into per-partition rank offsets (with a
@@ -87,9 +90,11 @@ object ExactSubstr {
       parts: Int): (DataFrame, Boolean) = {
     val spark = df.sparkSession
     val keys = keyNames.map(col)
-    val sorted = df.repartitionByRange(parts, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .localCheckpoint(false)
+    // determinism pin ([[Pinning]]): the sampled range boundaries must
+    // not re-draw between the stats collect and the distributed pass;
+    // local blocks by default, reliable checkpoint when configured
+    val sorted = Pinning.pin(df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*))
     val schema = sorted.schema
     val ki = keyNames.map(schema.fieldIndex)
     val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -181,7 +186,8 @@ object ExactSubstr {
       .repartitionByRange(parts, col("r"), col("__k2"), col("id"),
         col("pos"))
       .sortWithinPartitions(col("r"), col("__k2"), col("id"), col("pos"))
-      .localCheckpoint(false)
+      // determinism pin: the neighbor passes re-read this exact order
+      .transform(Pinning.pin(_))
   }
 
   private def checkParams(minLen: Int, windowCap: Int): Unit = {

@@ -928,11 +928,12 @@ object Pipelines {
         col(sizeCol).cast("long").as("sz"))
       .repartitionByRange(numPartitions, col("lang"), col("doc_id"))
       .withColumn("__pid", spark_partition_id())
-      // LOAD-BEARING checkpoint: the range partitioner samples, so a
-      // re-evaluation could draw different boundaries — pass 1's
-      // collected partials and pass 2's rows must see the SAME __pid
-      // assignment, i.e. the same materialized shuffle output
-      .localCheckpoint(false)
+      // LOAD-BEARING determinism pin ([[Pinning]]): the range
+      // partitioner samples, so a re-evaluation could draw different
+      // boundaries — pass 1's collected partials and pass 2's rows must
+      // see the SAME __pid assignment, i.e. the same materialized
+      // shuffle output; reliable checkpoint when configured
+      .transform(Pinning.pin(_))
     // pass 1: per-(partition, lang) partials — numPartitions × |langs|
     // rows, driver-bounded by construction
     val partials = base.groupBy(col("__pid"), col("lang"))
