@@ -1031,6 +1031,42 @@ object SparkEntry {
     // pins EVERY round's piece-usage table, not just the final state
     "q215_unigram_em" -> ((s, dir) =>
       UnigramLm.unigramEmCounts(Tables.documents(s, dir), "text")),
+    // q216: vocabulary coverage curve — minimal vocab size reaching
+    // 50/90/99% token mass, computed over distinct FREQUENCIES (the
+    // sqrt-bounded frame), never a vocab-sized global sort
+    "q216_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.coverageCurve(Tables.documents(s, dir), "text")),
+    // q217: source-level similarity via unionable minhash sketches +
+    // validation-priced exact set intersections (the q10/q11 gate form)
+    "q217_source_sketch_sim" -> ((s, dir) =>
+      Dedup.sourceMinhashSimilarity(Tables.documents(s, dir), "text",
+        "source")),
+    // q218: per-source duplication rate — ExactSubstr maximal spans
+    // rolled up to the source dimension (the report that drives
+    // source-level filtering decisions)
+    "q218_source_dup_rate" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val docs = Tables.documents(s, dir)
+      val perDoc = ExactSubstr.maximalSpans(docs, "text", "doc_id",
+          minLen = 40, windowCap = 64)
+        .groupBy(f.col("doc_id"))
+        .agg(f.sum(f.col("span_len")).as("dup_chars"))
+      docs.select(f.col("doc_id"), f.col("source"),
+          f.length(f.col("text")).cast("long").as("nc"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .groupBy(f.col("source"))
+        .agg(f.count(f.lit(1)).as("n_docs"),
+          f.sum(f.coalesce(f.col("dup_chars"), f.lit(0L))).as("dup_chars"),
+          f.sum(f.col("nc")).as("total_chars"))
+        .withColumn("dup_ppm", TextAnalysis.idiv(
+          f.col("dup_chars") * f.lit(1000000L), f.col("total_chars")))
+    }),
+    // q219: Heaps'-law vocabulary growth — new and cumulative distinct
+    // word trigrams per doc-id decile (each gram counted at its FIRST
+    // document; single words saturate instantly on a fixed vocabulary)
+    "q219_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), "text",
+        "doc_id")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4664,6 +4700,122 @@ object SparkEntry {
     "q215_unigram_em" ->
       unigramRoundsSql(maxWordLen = 16, maxPieceLen = 4,
         keeps = Seq(12, 8, 5), perRound = true),
+    // q216: the same frequency-group arithmetic — the crossing group is
+    // the unique one with needed in (cm - mass, cm]; the partial word
+    // count is one ceil division on the cross-multiplied needed mass
+    "q216_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    AS word
+        |  FROM documents),
+        |hist AS (SELECT word, count(*) AS cnt FROM toks
+        |         WHERE word <> '' GROUP BY word),
+        |freqs AS (SELECT cnt AS f, count(*) AS nw, cnt * count(*) AS mass
+        |          FROM hist GROUP BY cnt),
+        |cum AS (SELECT f, nw, mass,
+        |          sum(nw) OVER (ORDER BY f DESC) AS cw,
+        |          sum(mass) OVER (ORDER BY f DESC) AS cm
+        |        FROM freqs),
+        |tot AS (SELECT sum(mass) AS total FROM freqs),
+        |need AS (SELECT CAST(pct AS BIGINT) AS pct,
+        |           (pct * total + 99) // 100 AS needed, total
+        |         FROM (SELECT unnest([50, 90, 99]) AS pct), tot)
+        |SELECT pct,
+        |  CAST(cw - nw + (needed - cm + mass + f - 1) // f AS BIGINT)
+        |    AS vocab_size,
+        |  CAST(needed AS BIGINT) AS needed_mass,
+        |  CAST(total AS BIGINT) AS total_tokens
+        |FROM need JOIN cum ON cm >= needed AND cm - mass < needed""".stripMargin,
+    // q217: the sketch replayed on the q208 polynomial + the plain
+    // exact set join (both integer; min over the multiset == min over
+    // the distinct set, so the oracle sketches distinct words)
+    "q217_source_sketch_sim" ->
+      """WITH toks AS (
+        |  SELECT source AS src, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    AS word
+        |  FROM documents),
+        |w AS MATERIALIZED (SELECT DISTINCT src, word FROM toks
+        |                   WHERE word <> ''),
+        |ph AS MATERIALIZED (
+        |  SELECT src, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(word, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS p
+        |  FROM w),
+        |idx AS (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS i),
+        |sig AS MATERIALIZED (
+        |  SELECT src, i, min(((p + i) * 2654435761) % 1000000007) AS mh
+        |  FROM ph CROSS JOIN idx GROUP BY src, i),
+        |est AS (
+        |  SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matches
+        |  FROM sig a JOIN sig b ON a.i = b.i AND a.src < b.src
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT src, count(*) AS n FROM w GROUP BY src),
+        |inter AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS ix
+        |  FROM w a JOIN w b ON a.word = b.word AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT e.src_a, e.src_b, e.matches,
+        |  CAST(COALESCE(i.ix, 0) AS BIGINT) AS inter,
+        |  CAST(sa.n + sb.n - COALESCE(i.ix, 0) AS BIGINT) AS uni
+        |FROM est e
+        |LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+        |JOIN sizes sa ON sa.src = e.src_a
+        |JOIN sizes sb ON sb.src = e.src_b""".stripMargin,
+    // q218: the q194 gram-group-count span derivation rolled up to the
+    // source dimension
+    "q218_source_dup_rate" ->
+      """WITH g AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 39)) AS pos
+        |        FROM documents WHERE len(text) >= 40)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) > 40
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |s AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM i),
+        |spans AS (SELECT doc_id, max(pos) + 40 - min(pos) AS span_len
+        |          FROM s GROUP BY doc_id, grp),
+        |per_doc AS (SELECT doc_id, sum(span_len) AS dup_chars
+        |            FROM spans GROUP BY doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(COALESCE(pd.dup_chars, 0)) AS BIGINT) AS dup_chars,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(COALESCE(pd.dup_chars, 0)) * 1000000
+        |       // sum(len(text)) AS BIGINT) AS dup_ppm
+        |FROM documents LEFT JOIN per_doc pd USING (doc_id)
+        |GROUP BY source""".stripMargin,
+    // q219: first-occurrence decile per word TRIGRAM (q144's gram
+    // construction), cumulative over <= 10 rows
+    "q219_vocab_growth" ->
+      """WITH ts AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'),
+        |    ' ') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS gram
+        |      FROM ts),
+        |fd AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+        |n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |pb AS (SELECT (first_id * 10) // n AS bucket,
+        |         count(*) AS new_words
+        |       FROM fd, n GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(new_words AS BIGINT) AS new_words,
+        |  CAST(sum(new_words) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words
+        |FROM pb""".stripMargin,
   )
 
   /** q206/q207 oracle (single round / one prune): the rounds generator

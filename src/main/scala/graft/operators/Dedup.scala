@@ -233,6 +233,69 @@ object Dedup {
       .distinct()
   }
 
+  /** Q217: SOURCE-LEVEL similarity matrix via UNIONABLE minhash
+    * sketches — which corpus sources overlap (near-mirror feeds,
+    * shared boilerplate) without ever joining their contents: each
+    * source's word set reduces to a `numHashes`-slot min-signature
+    * (h_i(w) = ((poly(w) + i) · 2654435761) mod p over the code-point
+    * polynomial — seeded, oracle-replayable), and the estimated
+    * Jaccard of two sources is their slot-match fraction. The
+    * signature min is ASSOCIATIVE AND COMMUTATIVE, so at 100 TB it
+    * combines map-side per partition and unions incrementally as new
+    * data lands — per-source state is `numHashes` longs regardless of
+    * corpus size, and the pair stage is |sources|², never content ×
+    * content. The exact per-pair set intersection/union attached here
+    * is the VALIDATION price (the q10/q11 gate discipline): production
+    * runs the sketch alone.
+    *
+    * Duplicated words don't perturb the sketch (min over a multiset
+    * equals min over its set), so the token stream feeds the signature
+    * directly — no distinct before the combine.
+    */
+  def sourceMinhashSimilarity(docs: DataFrame, textCol: String,
+      srcCol: String, numHashes: Int = 64): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"numHashes out of range: $numHashes")
+    val words = docs.select(col(srcCol).as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " "))
+          .as("word"))
+      .filter(col("word") =!= "")
+    val sig = words
+      .select(col("src"),
+        graft.functions.PolyHashExprs.polyHash(col("word")).as("ph"))
+      .withColumn("i", explode(sequence(lit(0L), lit(numHashes - 1L))))
+      .select(col("src"), col("i"),
+        pmod((col("ph") + col("i")) * lit(2654435761L),
+          lit(1000000007L)).as("h"))
+      .groupBy(col("src"), col("i")).agg(min(col("h")).as("mh"))
+    val est = sig.select(col("src").as("src_a"), col("i"),
+        col("mh").as("ha"))
+      .join(sig.select(col("src").as("src_b"), col("i"),
+        col("mh").as("hb")), Seq("i"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+        .as("matches"))
+    // exact set sizes + intersections: validation-priced ground truth
+    val sets = words.distinct()
+    val sizes = sets.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = sets.select(col("src").as("src_a"), col("word"))
+      .join(sets.select(col("src").as("src_b"), col("word")), Seq("word"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left_outer")
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("matches"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))
+          .as("uni"))
+  }
+
   /** Word n-gram Jaccard near-dup pairs — EXACT (same output as all-pairs
     * within `blockCol` blocks, which is what the SQL oracle computes), but
     * planned with prefix filtering (PPJoin-style): two docs with

@@ -1036,4 +1036,93 @@ object TextAnalysis {
           .as("pat"),
         col("col").as("n_hits"))
   }
+
+  /** Q216: VOCABULARY COVERAGE CURVE — the tokenizer-sizing diagnostic:
+    * for each percentage threshold, the minimal vocabulary size whose
+    * cumulative token mass reaches it, taking words in (count desc,
+    * word) order. Computed WITHOUT a vocab-sized global sort: the word
+    * histogram reduces to one row per DISTINCT FREQUENCY (≤
+    * O(√total_tokens) rows, since Σ f·n_f = N), running sums window
+    * over that tiny frame, and the crossing group's partial word count
+    * is ceil division on the cross-multiplied needed mass — all
+    * integer, bit-identical across engines and partitionings. Words
+    * inside one frequency group are interchangeable for coverage, so
+    * the group-level computation equals the word-level scan exactly.
+    *
+    * Scale: one map-side-combinable corpus shuffle (the histogram),
+    * one vocab-sized shuffle down to distinct frequencies, then
+    * sqrt-bounded frames — the unpartitioned window is over distinct
+    * frequencies, never words (PlanSpec-enrolled boundedness).
+    */
+  def coverageCurve(docs: DataFrame, textCol: String,
+      thresholds: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.forall(t => t >= 1 && t <= 100),
+      s"thresholds must be percentages in [1,100]: $thresholds")
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(explode(split(TextShingles.normalize(col(textCol)), " "))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val freqs = hist.groupBy(col("cnt").as("f"))
+      .agg(count(lit(1)).as("nw"))
+      .withColumn("mass", col("f") * col("nw"))
+    // unpartitioned window over DISTINCT FREQUENCIES: sqrt-bounded
+    val w = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = freqs.select(col("f"), col("nw"), col("mass"),
+      sum(col("nw")).over(w).as("cw"), sum(col("mass")).over(w).as("cm"))
+    val tot = freqs.agg(sum(col("mass")).as("total"))
+    val th = tot.select(explode(
+        typedLit(thresholds.map(_.toLong))).as("pct"), col("total"))
+      .withColumn("needed",
+        idiv(col("pct") * col("total") + lit(99L), lit(100L)))
+    // needed ∈ (cm − mass, cm] picks exactly one crossing group
+    th.join(cum, col("cm") >= col("needed") &&
+        col("cm") - col("mass") < col("needed"))
+      .select(col("pct"),
+        (col("cw") - col("nw") +
+          idiv(col("needed") - col("cm") + col("mass") + col("f") - lit(1L),
+            col("f"))).as("vocab_size"),
+        col("needed").as("needed_mass"),
+        col("total").as("total_tokens"))
+  }
+
+  /** Q219: VOCABULARY GROWTH (Heaps'-law points) — new distinct word
+    * n-grams per corpus decile and the cumulative vocabulary, deciles
+    * taken in document-id order. The unit is the n-GRAM (q144's
+    * tokenizer-fit unit): single words saturate in the first documents
+    * of any fixed-vocabulary corpus, while gram combinations keep
+    * growing — the curve whose flattening rate is the classic
+    * diminishing-returns diagnostic for corpus expansion. Each gram
+    * contributes exactly once, at the bucket of its FIRST document:
+    * one map-side-combinable min per gram, a bucket histogram, and a
+    * cumulative window over ≤ buckets rows.
+    */
+  def vocabGrowth(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && buckets <= 10000, s"bad buckets: $buckets")
+    require(n >= 1 && n <= 8, s"bad n: $n")
+    import org.apache.spark.sql.expressions.Window
+    val firstDoc = docs
+      // pre-project the split (TextShingles' performance contract: the
+      // interpreted HOF must not re-run normalize per array element)
+      .select(col(idCol).cast("long").as("id"),
+        split(TextShingles.normalize(coalesce(col(textCol), lit(""))), " ")
+          .as("__toks"))
+      .select(col("id"),
+        explode(TextShingles.allWordNgramsOf(col("__toks"), n)).as("gram"))
+      .groupBy(col("gram")).agg(min(col("id")).as("first_id"))
+    val nDocs = docs.agg((max(col(idCol)).cast("long") + lit(1L)).as("n"))
+    val perBucket = firstDoc.crossJoin(broadcast(nDocs))
+      .select(idiv(col("first_id") * lit(buckets.toLong), col("n"))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
+    // unpartitioned window over ≤ buckets rows: bounded by contract
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.select(col("bucket"), col("new_words"),
+      sum(col("new_words")).over(w).as("cum_words"))
+  }
 }

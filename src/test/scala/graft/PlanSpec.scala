@@ -458,6 +458,13 @@ class PlanSpec extends SparkSpec {
       // vocab-rank boundedness argument
       ("Relational.scala",
         """val cumW = Window.orderBy(col("qty").desc, col("l_partkey"))"""),
+      // q216: the coverage running sums window over DISTINCT WORD
+      // FREQUENCIES (Σ f·n_f = N bounds them by O(√total_tokens)),
+      // never over words
+      ("TextAnalysis.scala", """val w = Window.orderBy(col("f").desc)"""),
+      // q219: the cumulative vocabulary window runs over ≤ `buckets`
+      // rows (caller-bounded, default 10)
+      ("TextAnalysis.scala", """val w = Window.orderBy(col("bucket"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =
