@@ -206,20 +206,32 @@ object Dedup {
     * n². The kernel runs inline on the scan partitions (codegen), so
     * the only shuffle is the chunk join itself.
     */
+  /** The dHash banding constant: 3 disjoint 21-bit chunks of the 63-bit
+    * fingerprint — pigeonhole-exact blocking for Hamming distance <= 2.
+    */
+  val DHashChunks = 3
+
+  /** Chunk array [(c, v)] of a 63-bit dHash fingerprint column. */
+  def dhashChunksOf(fp: Column): Column =
+    array((0 until DHashChunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftright(fp, c * 21).bitwiseAND(lit(0x1FFFFFL)).as("v"))
+    }: _*)
+
+  /** Guard shared by the batch pair join and the streaming gate. */
+  private[graft] def requireDhashDist(maxDist: Int): Unit =
+    require(maxDist >= 0 && maxDist < DHashChunks,
+      s"maxDist ($maxDist) must be < $DHashChunks: the pigeonhole " +
+        "guarantee (a pair within Hamming distance d shares at least one " +
+        "of d+1 chunks) breaks otherwise")
+
   def dhashNearDups(media: DataFrame, payloadCol: String, idCol: String,
       maxDist: Int = 2): DataFrame = {
-    val chunks = 3
-    require(maxDist >= 0 && maxDist < chunks,
-      s"maxDist ($maxDist) must be < $chunks: the pigeonhole guarantee (a " +
-        "pair within Hamming distance d shares at least one of d+1 chunks) " +
-        "breaks otherwise")
+    requireDhashDist(maxDist)
     val base = media.select(col(idCol).as("id"),
       graft.functions.DHashExpr.dhash(col(payloadCol)).as("fp"))
     val chunked = base
-      .withColumn("chunk", explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("c"),
-          shiftright(col("fp"), c * 21).bitwiseAND(lit(0x1FFFFFL)).as("v"))
-      }: _*)))
+      .withColumn("chunk", explode(dhashChunksOf(col("fp"))))
       .select(col("chunk.c"), col("chunk.v"), col("id"), col("fp"))
     val a = chunked.select(col("c"), col("v"), col("id").as("doc_a"),
       col("fp").as("fp_a"))

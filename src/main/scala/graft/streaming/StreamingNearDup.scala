@@ -111,4 +111,55 @@ object StreamingNearDup {
           bands, threshold), batchId)
       }
       .start()
+
+  // --- MEDIA (perceptual dHash) gate — the q214 family's streaming dual
+
+  /** Corpus dHash index: one row per (chunk, value) bucket membership,
+    * carrying the fingerprint for exact Hamming verification. Same
+    * publication contract as [[corpusIndex]]: built once per corpus
+    * snapshot by the batch pipeline, bucketed on (c, v) at scale.
+    */
+  def mediaCorpusIndex(corpus: DataFrame, payloadCol: String,
+      idCol: String): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+        graft.functions.DHashExpr.dhash(col(payloadCol)).as("corpus_fp"))
+      .withColumn("chunk", explode(Dedup.dhashChunksOf(col("corpus_fp"))))
+      .select(col("chunk.c"), col("chunk.v"), col("corpus_id"),
+        col("corpus_fp"))
+
+  /** Per-batch media gate (pure batch logic — also the spec's
+    * reference): admit media with no indexed payload within Hamming
+    * `maxDist`. Pigeonhole-EXACT for maxDist <= 2 (the q214 banding):
+    * the probe is a chunk equi-join, the verify one bit_count, so a
+    * batch costs posting-list work, never batch × corpus.
+    */
+  def admitNewMedia(batch: DataFrame, index: DataFrame,
+      payloadCol: String, idCol: String, maxDist: Int = 2): DataFrame = {
+    Dedup.requireDhashDist(maxDist)
+    val probe = batch.select(col(idCol).as("id"),
+        graft.functions.DHashExpr.dhash(col(payloadCol)).as("fp"))
+      .withColumn("chunk", explode(Dedup.dhashChunksOf(col("fp"))))
+      .select(col("chunk.c"), col("chunk.v"), col("id"), col("fp"))
+    val matched = probe
+      .join(index, Seq("c", "v"))
+      .filter(bit_count(col("fp").bitwiseXOR(col("corpus_fp"))) <= maxDist)
+      .select(col("id")).distinct()
+    batch.join(matched.withColumnRenamed("id", idCol), Seq(idCol),
+      "left_anti")
+  }
+
+  /** Wire the media gate onto a stream — same foreachBatch device and
+    * index-refresh semantics as [[ingestGateRefreshing]] (the thunk is
+    * re-invoked per batch; pass `() => index` for the pinned form).
+    */
+  def mediaIngestGate(stream: DataFrame, indexSource: () => DataFrame,
+      payloadCol: String, idCol: String, checkpoint: String,
+      sink: (DataFrame, Long) => Unit, maxDist: Int = 2): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        sink(admitNewMedia(b, indexSource(), payloadCol, idCol, maxDist),
+          batchId)
+      }
+      .start()
 }

@@ -105,4 +105,42 @@ class StreamingIngestSpec extends SparkSpec {
       assert(rows.size >= 2)
     } finally { q.stop(); spark.streams.removeListener(ch) }
   }
+
+  test("media dHash gate admits only perceptually-novel payloads (q214 dual)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(214)
+    def bytes(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+    val corpus = (1L to 20L).map(i => (i, bytes(100 + rnd.nextInt(200))))
+    val index = StreamingNearDup.mediaCorpusIndex(
+      corpus.toDF("media_id", "payload"), "payload", "media_id").cache()
+    // twin: one-byte same-length edit -> Hamming <= 2 -> blocked;
+    // copy: Hamming 0 -> blocked; novel: random -> admitted
+    val twin = corpus(3)._2.clone(); twin(50) = (twin(50) + 1).toByte
+    val copy = corpus(7)._2.clone()
+    val novel = bytes(150)
+    val arriving = Seq((101L, twin), (102L, copy), (103L, novel))
+    val admitted = scala.collection.mutable.Set[Long]()
+    val in = MemoryStream[(Long, Array[Byte])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("media_gate").toString
+    val q = StreamingNearDup.mediaIngestGate(
+      in.toDF().toDF("media_id", "payload"), () => index,
+      "payload", "media_id", ckpt,
+      (df, _) => admitted.synchronized {
+        admitted ++= df.select("media_id").collect().map(_.getLong(0))
+      })
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.toSet === Set(103L), s"admitted $admitted")
+    // stream gate == the batch reference on the same rows
+    val batchAdmit = StreamingNearDup.admitNewMedia(
+        arriving.toDF("media_id", "payload"),
+        StreamingNearDup.mediaCorpusIndex(
+          corpus.toDF("media_id", "payload"), "payload", "media_id"),
+        "payload", "media_id")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(batchAdmit === Set(103L))
+  }
 }
