@@ -1067,6 +1067,27 @@ object SparkEntry {
     "q219_vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(Tables.documents(s, dir), "text",
         "doc_id")),
+    // q220: frame-level perceptual dedup — items sharing sampled-frame
+    // dHash fingerprints; twins planted by replacing the HEAD bytes
+    // (frames past the first stay byte-identical)
+    "q220_frame_dedup" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val docs = Tables.documents(s, dir)
+        .select(f.col("doc_id"), f.col("text"))
+      val twins = docs.filter(f.pmod(f.col("doc_id"), f.lit(7)) === 0)
+        .select((f.col("doc_id") + f.lit(1000000L)).as("doc_id"),
+          f.concat(f.lit("~~~~~~~~~~"),
+            f.expr("substring(text, 11)")).as("text"))
+      val media = docs.union(twins).select(f.col("doc_id"),
+        f.lit("video").as("media_type"),
+        f.encode(f.col("text"), "UTF-8").as("payload"))
+      Multimodal.frameDhashDups(s, media, minShared = 1L)
+    }),
+    // q221: deterministic curriculum order — easy-to-hard by n_chars,
+    // strata (langs) interleaved round-robin
+    "q221_curriculum_order" -> ((s, dir) =>
+      Pipelines.curriculumOrder(Tables.documents(s, dir), "doc_id",
+        "lang", "n_chars")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4816,6 +4837,61 @@ object SparkEntry {
         |  CAST(sum(new_words) OVER (ORDER BY bucket
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words
         |FROM pb""".stripMargin,
+    // q220: the q214 dHash integer replay per SAMPLED FRAME (fixed
+    // 64-byte slices, every 2nd — Multimodal.frameSample's geometry),
+    // then the plain fp equi-join with the same df-cap
+    "q220_frame_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '~~~~~~~~~~' || substr(text, 11)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |enc AS (SELECT doc_id, encode(text) AS p FROM corpus),
+        |m AS (SELECT doc_id, octet_length(p) AS n, hex(p) AS hx FROM enc),
+        |fr AS (
+        |  SELECT doc_id, hx, CAST(k * 64 AS BIGINT) AS off,
+        |         least(64, n - k * 64) AS fn
+        |  FROM m, unnest(generate_series(0, greatest(1, n // 64) - 1, 2))
+        |    AS t(k)),
+        |cells AS MATERIALIZED (
+        |  SELECT doc_id, off,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN ((j+1)*fn)//64 > (j*fn)//64 THEN
+        |        list_sum(list_transform(
+        |          range(off + (j*fn)//64 + 1, off + ((j+1)*fn)//64 + 1),
+        |          i -> (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', hx[2*i]) - 1)))
+        |        // (((j+1)*fn)//64 - (j*fn)//64)
+        |      ELSE 0 END) AS c
+        |  FROM fr),
+        |h AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 63),
+        |      k -> CASE WHEN c[k+2] > c[k+1]
+        |                THEN (1::BIGINT << CAST(k AS INTEGER)) ELSE 0 END))
+        |      AS BIGINT) AS fp
+        |  FROM cells),
+        |ok AS (SELECT fp FROM h GROUP BY fp HAVING count(*) BETWEEN 2 AND 50)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM (SELECT * FROM h WHERE fp IN (SELECT fp FROM ok)) a
+        |JOIN (SELECT * FROM h WHERE fp IN (SELECT fp FROM ok)) b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
+    // q221: per-stratum rank + stratum index, both plain row_numbers
+    "q221_curriculum_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      - 1 AS rk
+        |  FROM documents),
+        |s AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS sidx
+        |      FROM (SELECT DISTINCT lang FROM documents)),
+        |ns AS (SELECT count(*) AS n FROM s)
+        |SELECT doc_id, lang,
+        |  CAST(rk AS BIGINT) AS rank_in_stratum,
+        |  CAST(rk * n + sidx AS BIGINT) AS position
+        |FROM r JOIN s USING (lang), ns""".stripMargin,
   )
 
   /** q206/q207 oracle (single round / one prune): the rounds generator

@@ -108,6 +108,41 @@ object Multimodal {
     }
   }
 
+  /** Q220: FRAME-LEVEL perceptual dedup — which media items share
+    * perceptually-identical sampled frames (re-encoded uploads, clipped
+    * copies, shared intros): [[frameSample]]'s slices each fingerprint
+    * with the fixed-grid dHash kernel ([[graft.functions.DHashExpr]]),
+    * and items sharing >= `minShared` DISTINCT frame fingerprints pair
+    * up through a plain fp equi-join — posting lists per fingerprint,
+    * never item × item. `dfCap` drops fingerprints present in more
+    * than `dfCap` items (black frames, standard intros — the hub
+    * fingerprints that would otherwise square the join), and the >= 2
+    * floor prunes singleton fps before the self-join; both are the
+    * df-capped-bucket discipline of the passage-dedup family. Frame
+    * membership is per-item DISTINCT, so repeated frames inside one
+    * item count once.
+    */
+  def frameDhashDups(spark: SparkSession, media: DataFrame,
+      minShared: Long = 1L, frameBytes: Int = 64, every: Int = 2,
+      dfCap: Long = 50L): DataFrame = {
+    require(minShared >= 1L, s"minShared out of range: $minShared")
+    require(dfCap >= 2L, s"dfCap must allow pairs: $dfCap")
+    val fps = frameSample(spark, media, frameBytes, every).toDF()
+      .select(col("doc_id"),
+        graft.functions.DHashExpr.dhash(col("data")).as("fp"))
+      .distinct()
+    val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("fp"))
+    val cand = fps.join(ok, Seq("fp"))
+    cand.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(cand.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Q9: documents ⋈ embeddings on id — the multimodal join: text metadata
     * plus vector-derived features in one row. Plain equi-join; Catalyst
     * broadcasts whichever side is small, both sides column-pruned at scan.

@@ -1275,4 +1275,38 @@ object Pipelines {
       .filter(col("rank") <= k)
       .withColumn("es_key", round(col("es_key"), 6))
   }
+
+  /** Q221: CURRICULUM TRAINING ORDER — a deterministic easy-to-hard,
+    * stratum-interleaved position for every document: within each
+    * stratum documents rank by (difficulty asc, id), and the global
+    * position is `rank · |strata| + stratum_index`, which walks strata
+    * round-robin while difficulty rises — the epoch-order generator a
+    * curriculum run consumes instead of a seeded shuffle (auditable,
+    * stable under re-runs and re-partitioning; positions of unequal
+    * strata leave gaps, which is harmless for ORDER BY consumption).
+    *
+    * Scale: the per-stratum rank window partitions BY STRATUM (the
+    * corpus-sized frame never funnels through one task); the stratum
+    * index table is one row per stratum (window over an aggregate,
+    * PlanSpec-enrolled) and broadcasts.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, stratumCol: String,
+      difficultyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rankW = Window.partitionBy(col(stratumCol))
+      .orderBy(col(difficultyCol), col(idCol))
+    val sidxW = Window.orderBy(col(stratumCol))
+    val strata = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol),
+        (row_number().over(sidxW) - 1).cast("long").as("sidx"))
+      .crossJoin(broadcast(
+        docs.select(col(stratumCol)).distinct().agg(
+          count(lit(1)).as("n_strata"))))
+    docs.select(col(idCol), col(stratumCol),
+        (row_number().over(rankW) - 1).cast("long").as("rank_in_stratum"))
+      .join(broadcast(strata), Seq(stratumCol))
+      .select(col(idCol), col(stratumCol), col("rank_in_stratum"),
+        (col("rank_in_stratum") * col("n_strata") + col("sidx"))
+          .as("position"))
+  }
 }

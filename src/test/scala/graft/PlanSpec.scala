@@ -465,6 +465,9 @@ class PlanSpec extends SparkSpec {
       // q219: the cumulative vocabulary window runs over ≤ `buckets`
       // rows (caller-bounded, default 10)
       ("TextAnalysis.scala", """val w = Window.orderBy(col("bucket"))"""),
+      // q221: the stratum-index window runs over one row per stratum
+      // (an aggregate of the stratum column — lang-cardinality rows)
+      ("Pipelines.scala", """val sidxW = Window.orderBy(col(stratumCol))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

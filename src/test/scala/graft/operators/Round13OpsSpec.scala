@@ -134,4 +134,66 @@ class Round13OpsSpec extends SparkSpec {
     // cumulative is the running sum of new_words
     assert(got.map(_._3).toSeq === got.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
   }
+
+  // --- q220 frame-level perceptual dedup ----------------------------
+
+  test("frameDhashDups == scala brute force on planted frame-sharing twins") {
+    val rnd = new scala.util.Random(2020)
+    def bytes(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+    val base = (1L to 30L).map(i => (i, bytes(80 + rnd.nextInt(400))))
+    // twins replace the HEAD 10 bytes: frames past the first identical
+    val twins = base.take(10).map { case (i, b) =>
+      val t = b.clone(); (0 until 10).foreach(j => t(j) = 0x7e.toByte)
+      (i + 100L, t)
+    }
+    val corpus = base ++ twins
+    val media = corpus.toDF("doc_id", "payload")
+      .select(col("doc_id"), lit("video").as("media_type"), col("payload"))
+    val got = Multimodal.frameDhashDups(spark, media, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    // independent replay of frameSample geometry + kernel + df-cap
+    val fps = corpus.map { case (id, b) =>
+      val nFrames = math.max(1, b.length / 64)
+      id -> (0 until nFrames by 2)
+        .map(k => graft.functions.DHashExpr.compute(
+          b.slice(k * 64, math.min(k * 64 + 64, b.length)))).toSet
+    }
+    val df = fps.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val okFp = df.filter { case (_, c) => c >= 2 && c <= 50 }.keySet
+    val want = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      shared = (fa & fb & okFp).size.toLong
+      if shared >= 1L
+    } yield (ia, ib, shared)).toSet
+    assert(got === want,
+      s"engine-only=${(got -- want).take(3)} brute-only=${(want -- got).take(3)}")
+    assert(want.exists { case (a, b, _) => b == a + 100L },
+      "no planted twin pair surfaced")
+  }
+
+  // --- q221 curriculum order ----------------------------------------
+
+  test("curriculumOrder interleaves strata while difficulty rises") {
+    val rnd = new scala.util.Random(2121)
+    val docs = (1L to 40L).map { i =>
+      (i, s"s${i % 3}", 10L + rnd.nextInt(100))
+    }
+    val got = Pipelines.curriculumOrder(
+        docs.toDF("doc_id", "stratum", "difficulty"),
+        "doc_id", "stratum", "difficulty")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length === 40)
+    // positions unique; position mod |strata| IS the stratum index
+    assert(got.map(_._4).distinct.length === 40)
+    val strata = docs.map(_._2).distinct.sorted
+    got.foreach { case (_, s, rk, posn) =>
+      assert(posn === rk * strata.length + strata.indexOf(s))
+    }
+    // within a stratum, difficulty is non-decreasing in position
+    val diff = docs.map(d => d._1 -> d._3).toMap
+    got.groupBy(_._2).values.foreach { rows =>
+      val ordered = rows.sortBy(_._4).map(r => diff(r._1))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
