@@ -88,6 +88,8 @@ object Catalog {
       graft.functions.HilbertKeyExpr(e(0), e(1), litLong(e(2), "bits (argument 3)").toInt)),
     "jaro_winkler" -> arity("jaro_winkler(a, b)", 2)(e =>
       graft.functions.JaroWinklerExpr(e(0), e(1))),
+    "dhash" -> arity("dhash(payload)", 1)(e =>
+      graft.functions.DHashExpr(e(0))),
   )
 
   /** Register graft-native functions in an existing session's registry. */

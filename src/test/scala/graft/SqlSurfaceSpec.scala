@@ -78,6 +78,12 @@ class SqlSurfaceSpec extends SparkSpec {
     val r4 = spark.sql(
       "SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
     assert(r4.getDouble(0) == 0.9611111111111111)
+    // round-13 native: dhash over a binary payload == the kernel
+    val r5 = spark.sql(
+      "SELECT dhash(encode('the quick brown fox jumps', 'UTF-8')) AS h")
+      .collect().head
+    assert(r5.getLong(0) == graft.functions.DHashExpr.compute(
+      "the quick brown fox jumps".getBytes("UTF-8")))
   }
 
   test("aggregation via SQL equals DataFrame operator") {
