@@ -1088,6 +1088,11 @@ object SparkEntry {
     "q221_curriculum_order" -> ((s, dir) =>
       Pipelines.curriculumOrder(Tables.documents(s, dir), "doc_id",
         "lang", "n_chars")),
+    // q222: Mondrian multidimensional k-anonymization — median-cut the
+    // (balance cents x nation) QI space until no side can keep k rows;
+    // release leaf boxes + counts (every box covers >= k individuals)
+    "q222_mondrian_kanon" -> ((s, dir) =>
+      Governance.mondrianAnonymize(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4892,7 +4897,63 @@ object SparkEntry {
         |  CAST(rk AS BIGINT) AS rank_in_stratum,
         |  CAST(rk * n + sidx AS BIGINT) AS position
         |FROM r JOIN s USING (lang), ns""".stripMargin,
+    // q222: the Mondrian recursion unrolled — per round: per-partition
+    // stats, cut-dimension choice, value-histogram cumulative window,
+    // lower median, both-sides->=k viability, heap re-assignment
+    "q222_mondrian_kanon" -> mondrianOracleSql(k = 25, rounds = 6),
   )
+
+  /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the
+    * (d1 = balance cents, d2 = nation) space — every CTE is either
+    * per-partition-bounded or the row-level assignment table, all
+    * integer arithmetic (lower median = smallest v with cum >=
+    * (n+1) div 2; split only when both sides keep >= k).
+    */
+  private def mondrianOracleSql(k: Int, rounds: Int): String = {
+    def roundCtes(r: Int): String = {
+      val p = s"p${r - 1}"
+      s"""s$r AS MATERIALIZED (
+         |  SELECT pid, count(*) AS n,
+         |    min(d1) AS lo1, max(d1) AS hi1,
+         |    min(d2) AS lo2, max(d2) AS hi2
+         |  FROM $p GROUP BY pid),
+         |c$r AS (SELECT pid, n,
+         |    CASE WHEN hi1 - lo1 >= hi2 - lo2 THEN 1 ELSE 2 END AS dim
+         |  FROM s$r WHERE n >= 2 * $k),
+         |v$r AS MATERIALIZED (
+         |  SELECT p.pid AS pid, c.n AS n, c.dim AS dim,
+         |    CASE WHEN c.dim = 1 THEN p.d1 ELSE p.d2 END AS v,
+         |    count(*) AS cnt
+         |  FROM $p p JOIN c$r c USING (pid) GROUP BY 1, 2, 3, 4),
+         |w$r AS MATERIALIZED (
+         |  SELECT pid, n, dim, v,
+         |    sum(cnt) OVER (PARTITION BY pid ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM v$r),
+         |m$r AS (SELECT pid, min(v) AS m FROM w$r
+         |        WHERE cum >= (n + 1) // 2 GROUP BY pid),
+         |x$r AS (SELECT w.pid AS pid, w.dim AS dim, m.m AS m
+         |  FROM w$r w JOIN m$r m ON m.pid = w.pid AND w.v = m.m
+         |  WHERE w.cum >= $k AND w.n - w.cum >= $k),
+         |p$r AS MATERIALIZED (
+         |  SELECT p.d1 AS d1, p.d2 AS d2,
+         |    CASE WHEN x.pid IS NULL THEN p.pid
+         |         ELSE p.pid * 2 + 1 +
+         |           CASE WHEN (CASE WHEN x.dim = 1 THEN p.d1 ELSE p.d2 END)
+         |                     <= x.m THEN 0 ELSE 1 END
+         |    END AS pid
+         |  FROM $p p LEFT JOIN x$r x USING (pid))""".stripMargin
+    }
+    s"""WITH p0 AS MATERIALIZED (
+       |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS d1,
+       |    CAST(c_nationkey AS BIGINT) AS d2, CAST(0 AS BIGINT) AS pid
+       |  FROM customer),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |SELECT pid, CAST(count(*) AS BIGINT) AS n,
+       |  min(d1) AS abal_lo, max(d1) AS abal_hi,
+       |  min(d2) AS nat_lo, max(d2) AS nat_hi
+       |FROM p$rounds GROUP BY pid""".stripMargin
+  }
 
   /** q206/q207 oracle (single round / one prune): the rounds generator
     * with a 0- or 1-element keep schedule.

@@ -226,4 +226,79 @@ object Governance {
     daily.select(col("event_type"), col("epoch_day"),
       greatest(lit(0L), col("n") + floor(noise)).as("released"))
   }
+
+  /** Q222: MONDRIAN multidimensional k-anonymization (LeFevre et al.
+    * 2006) — the generalization TRANSFORM next to the q199 audit
+    * ladder: recursively median-cut the 2-D quasi-identifier space
+    * (here balance cents × nation key) until no partition can split
+    * without a side dropping below `k`, then release each leaf as a
+    * generalized box (lo/hi per dimension) with its occupant count —
+    * every released box covers ≥ k individuals by construction.
+    *
+    * Determinism contract (both engines replay it exactly):
+    *  - cut dimension = the larger RAW integer range, ties to dim 1;
+    *  - cut point = the LOWER MEDIAN over the partition's value
+    *    histogram (smallest v with cum ≥ (n+1) div 2), left = (≤ m);
+    *  - a split only happens if both sides keep ≥ k rows;
+    *  - children take heap slots 2·pid+1 / 2·pid+2 (unsplit partitions
+    *    keep their slot — slots are assigned once, so ids never
+    *    collide), which makes the leaf ids themselves reproducible.
+    *
+    * Scale: each round is two map-side-combinable shuffles (per-pid
+    * stats; per-(pid, value) histogram — bounded by the VALUE DOMAIN
+    * per partition, never collected), one pid-PARTITIONED cumulative
+    * window, and a broadcast join-back of the ≤ 2^round split table.
+    * Rounds are fixed; each round lazily checkpoints the assignment
+    * frame so the loop-carried plan doesn't double per round (the
+    * BpeTrain round discipline). No driver-side data tables.
+    */
+  def mondrianAnonymize(customer: DataFrame, k: Int = 25,
+      rounds: Int = 6): DataFrame = {
+    require(k >= 2, s"k out of range: $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val half = (n: Column) => TextAnalysis.idiv(n + lit(1L), lit(2L))
+    var cur = customer.select(
+        round(col("c_acctbal") * 100).cast("long").as("d1"),
+        col("c_nationkey").cast("long").as("d2"),
+        lit(0L).as("pid"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val stats = cur.groupBy(col("pid")).agg(
+          count(lit(1)).as("n"),
+          min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
+          min(col("d2")).as("lo2"), max(col("d2")).as("hi2"))
+        .filter(col("n") >= 2L * k)
+        .select(col("pid"), col("n"),
+          when(col("hi1") - col("lo1") >= col("hi2") - col("lo2"), 1L)
+            .otherwise(2L).as("dim"))
+      val hist = cur.join(broadcast(stats), Seq("pid"))
+        .select(col("pid"), col("n"), col("dim"),
+          when(col("dim") === 1L, col("d1")).otherwise(col("d2")).as("v"))
+        .groupBy(col("pid"), col("n"), col("dim"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      val med = cum.filter(col("cum") >= half(col("n")))
+        .groupBy(col("pid")).agg(min(col("v")).as("m"))
+        .withColumnRenamed("pid", "mpid") // disambiguate the self-join
+      val splits = cum.join(med,
+          col("pid") === col("mpid") && col("v") === col("m"))
+        .filter(col("cum") >= k && col("n") - col("cum") >= k)
+        .select(col("pid"), col("dim"), col("m"))
+      cur = cur.join(broadcast(splits), Seq("pid"), "left_outer")
+        .select(col("d1"), col("d2"),
+          when(col("m").isNull, col("pid"))
+            .otherwise(col("pid") * 2L + lit(1L) +
+              when(when(col("dim") === 1L, col("d1"))
+                .otherwise(col("d2")) <= col("m"), 0L).otherwise(1L))
+            .as("pid"))
+        .localCheckpoint(false)
+    }
+    cur.groupBy(col("pid")).agg(
+      count(lit(1)).as("n"),
+      min(col("d1")).as("abal_lo"), max(col("d1")).as("abal_hi"),
+      min(col("d2")).as("nat_lo"), max(col("d2")).as("nat_hi"))
+  }
 }

@@ -127,4 +127,73 @@ class GovernanceSpec extends SparkSpec {
     assert("(?i)expand".r.findAllIn(plan).size == 1, plan)
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
+
+  // --- q222 Mondrian k-anonymization --------------------------------
+
+  /** Straight-line reference of the declared Mondrian recursion. */
+  private def mondrianRef(rows: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Map[Long, (Long, Long, Long, Long, Long)] = {
+    var parts: Map[Long, Seq[(Long, Long)]] = Map(0L -> rows)
+    for (_ <- 1 to rounds) {
+      parts = parts.toSeq.flatMap { case (pid, rs) =>
+        if (rs.size < 2 * k) Seq(pid -> rs)
+        else {
+          val r1 = rs.map(_._1).max - rs.map(_._1).min
+          val r2 = rs.map(_._2).max - rs.map(_._2).min
+          val dim = if (r1 >= r2) 1 else 2
+          def v(r: (Long, Long)) = if (dim == 1) r._1 else r._2
+          // lower median: smallest value whose cumulative count
+          // reaches (n+1)/2
+          val m = rs.map(v).sorted.apply((rs.size + 1) / 2 - 1)
+          val (left, right) = rs.partition(v(_) <= m)
+          if (left.size >= k && right.size >= k)
+            Seq((pid * 2 + 1) -> left, (pid * 2 + 2) -> right)
+          else Seq(pid -> rs)
+        }
+      }.toMap
+    }
+    parts.map { case (pid, rs) =>
+      pid -> ((rs.size.toLong, rs.map(_._1).min, rs.map(_._1).max,
+        rs.map(_._2).min, rs.map(_._2).max))
+    }
+  }
+
+  test("mondrian == straight-line recursion; every leaf keeps k rows") {
+    val rnd = new scala.util.Random(2222)
+    val rows = (1 to 200).map(_ =>
+      (rnd.nextInt(1000).toLong, rnd.nextInt(20).toLong))
+    // d1 enters as balance dollars = cents/100 (the operator re-derives
+    // cents with round(x*100))
+    val df = rows.zipWithIndex.map { case ((d1, d2), i) =>
+      (i.toLong, d1 / 100.0, d2.toInt)
+    }.toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val got = Governance.mondrianAnonymize(df, k = 10, rounds = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val want = mondrianRef(rows, k = 10, rounds = 5)
+    assert(got === want,
+      s"engine-only=${(got.toSet -- want.toSet).take(2)} " +
+        s"ref-only=${(want.toSet -- got.toSet).take(2)}")
+    // the k-anonymity property and full coverage
+    assert(got.values.forall(_._1 >= 10L))
+    assert(got.values.map(_._1).sum === 200L)
+    assert(got.size > 1, "nothing split — vacuous recursion")
+    // deterministic under a different input partitioning
+    val got2 = Governance.mondrianAnonymize(df.repartition(7), k = 10,
+        rounds = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got2 === got)
+  }
+
+  test("mondrian: an unsplittable corpus stays one box; guards fire") {
+    val tiny = (1L to 9L).map(i => (i, i.toDouble, 1))
+      .toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val one = Governance.mondrianAnonymize(tiny, k = 5, rounds = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(one.length === 1 && one.head._2 === 9L)
+    intercept[IllegalArgumentException] {
+      Governance.mondrianAnonymize(tiny, k = 1)
+    }
+  }
 }
