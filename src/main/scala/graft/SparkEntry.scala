@@ -1093,6 +1093,10 @@ object SparkEntry {
     // release leaf boxes + counts (every box covers >= k individuals)
     "q222_mondrian_kanon" -> ((s, dir) =>
       Governance.mondrianAnonymize(Tables.customer(s, dir))),
+    // q223: the row-level Mondrian RELEASE — every customer mapped to
+    // their leaf's generalized box (the table a consumer joins)
+    "q223_mondrian_release" -> ((s, dir) =>
+      Governance.mondrianRelease(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4901,6 +4905,9 @@ object SparkEntry {
     // stats, cut-dimension choice, value-histogram cumulative window,
     // lower median, both-sides->=k viability, heap re-assignment
     "q222_mondrian_kanon" -> mondrianOracleSql(k = 25, rounds = 6),
+    // q223: same unrolled recursion, row-level final select
+    "q223_mondrian_release" ->
+      mondrianOracleSql(k = 25, rounds = 6, release = true),
   )
 
   /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the
@@ -4909,7 +4916,8 @@ object SparkEntry {
     * integer arithmetic (lower median = smallest v with cum >=
     * (n+1) div 2; split only when both sides keep >= k).
     */
-  private def mondrianOracleSql(k: Int, rounds: Int): String = {
+  private def mondrianOracleSql(k: Int, rounds: Int,
+      release: Boolean = false): String = {
     def roundCtes(r: Int): String = {
       val p = s"p${r - 1}"
       s"""s$r AS MATERIALIZED (
@@ -4936,7 +4944,7 @@ object SparkEntry {
          |  FROM w$r w JOIN m$r m ON m.pid = w.pid AND w.v = m.m
          |  WHERE w.cum >= $k AND w.n - w.cum >= $k),
          |p$r AS MATERIALIZED (
-         |  SELECT p.d1 AS d1, p.d2 AS d2,
+         |  SELECT p.rid AS rid, p.d1 AS d1, p.d2 AS d2,
          |    CASE WHEN x.pid IS NULL THEN p.pid
          |         ELSE p.pid * 2 + 1 +
          |           CASE WHEN (CASE WHEN x.dim = 1 THEN p.d1 ELSE p.d2 END)
@@ -4944,15 +4952,26 @@ object SparkEntry {
          |    END AS pid
          |  FROM $p p LEFT JOIN x$r x USING (pid))""".stripMargin
     }
+    val finalSelect =
+      if (release)
+        s"""boxes AS (SELECT pid, min(d1) AS abal_lo, max(d1) AS abal_hi,
+           |    min(d2) AS nat_lo, max(d2) AS nat_hi
+           |  FROM p$rounds GROUP BY pid)
+           |SELECT p.rid AS c_custkey, p.pid AS pid, b.abal_lo, b.abal_hi,
+           |  b.nat_lo, b.nat_hi
+           |FROM p$rounds p JOIN boxes b USING (pid)""".stripMargin
+      else
+        s"""SELECT pid, CAST(count(*) AS BIGINT) AS n,
+           |  min(d1) AS abal_lo, max(d1) AS abal_hi,
+           |  min(d2) AS nat_lo, max(d2) AS nat_hi
+           |FROM p$rounds GROUP BY pid""".stripMargin
+    val finalCte = if (release) s",\n" else "\n"
     s"""WITH p0 AS MATERIALIZED (
-       |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS d1,
+       |  SELECT CAST(c_custkey AS BIGINT) AS rid,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS d1,
        |    CAST(c_nationkey AS BIGINT) AS d2, CAST(0 AS BIGINT) AS pid
        |  FROM customer),
-       |${(1 to rounds).map(roundCtes).mkString(",\n")}
-       |SELECT pid, CAST(count(*) AS BIGINT) AS n,
-       |  min(d1) AS abal_lo, max(d1) AS abal_hi,
-       |  min(d2) AS nat_lo, max(d2) AS nat_hi
-       |FROM p$rounds GROUP BY pid""".stripMargin
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}$finalCte$finalSelect""".stripMargin
   }
 
   /** q206/q207 oracle (single round / one prune): the rounds generator

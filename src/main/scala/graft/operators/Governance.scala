@@ -253,12 +253,39 @@ object Governance {
     * BpeTrain round discipline). No driver-side data tables.
     */
   def mondrianAnonymize(customer: DataFrame, k: Int = 25,
+      rounds: Int = 6): DataFrame =
+    mondrianAssign(customer, k, rounds).groupBy(col("pid")).agg(
+      count(lit(1)).as("n"),
+      min(col("d1")).as("abal_lo"), max(col("d1")).as("abal_hi"),
+      min(col("d2")).as("nat_lo"), max(col("d2")).as("nat_hi"))
+
+  /** Q223: the row-level RELEASE of the same recursion — every
+    * customer mapped to their leaf's generalized box, i.e. the
+    * anonymized table a downstream consumer actually joins against
+    * (the q222 summary is the release's per-box audit). One broadcast
+    * join of the assignment frame against the ≤ 2^rounds leaf boxes.
+    */
+  def mondrianRelease(customer: DataFrame, k: Int = 25,
       rounds: Int = 6): DataFrame = {
+    val assign = mondrianAssign(customer, k, rounds)
+    val boxes = assign.groupBy(col("pid")).agg(
+      min(col("d1")).as("abal_lo"), max(col("d1")).as("abal_hi"),
+      min(col("d2")).as("nat_lo"), max(col("d2")).as("nat_hi"))
+    assign.select(col("rid").as("c_custkey"), col("pid"))
+      .join(broadcast(boxes), Seq("pid"))
+  }
+
+  /** The shared Mondrian loop: per-row (rid, d1, d2, pid) after
+    * `rounds` median cuts.
+    */
+  private def mondrianAssign(customer: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     require(k >= 2, s"k out of range: $k")
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     import org.apache.spark.sql.expressions.Window
     val half = (n: Column) => TextAnalysis.idiv(n + lit(1L), lit(2L))
     var cur = customer.select(
+        col("c_custkey").cast("long").as("rid"),
         round(col("c_acctbal") * 100).cast("long").as("d1"),
         col("c_nationkey").cast("long").as("d2"),
         lit(0L).as("pid"))
@@ -288,7 +315,7 @@ object Governance {
         .filter(col("cum") >= k && col("n") - col("cum") >= k)
         .select(col("pid"), col("dim"), col("m"))
       cur = cur.join(broadcast(splits), Seq("pid"), "left_outer")
-        .select(col("d1"), col("d2"),
+        .select(col("rid"), col("d1"), col("d2"),
           when(col("m").isNull, col("pid"))
             .otherwise(col("pid") * 2L + lit(1L) +
               when(when(col("dim") === 1L, col("d1"))
@@ -296,9 +323,6 @@ object Governance {
             .as("pid"))
         .localCheckpoint(false)
     }
-    cur.groupBy(col("pid")).agg(
-      count(lit(1)).as("n"),
-      min(col("d1")).as("abal_lo"), max(col("d1")).as("abal_hi"),
-      min(col("d2")).as("nat_lo"), max(col("d2")).as("nat_hi"))
+    cur
   }
 }

@@ -186,6 +186,32 @@ class GovernanceSpec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("mondrian release: one row per customer, each inside its box") {
+    val rnd = new scala.util.Random(2323)
+    val rows = (1 to 120).map(i =>
+      (i.toLong, rnd.nextInt(1000) / 100.0, rnd.nextInt(20)))
+    val df = rows.toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val rel = Governance.mondrianRelease(df, k = 10, rounds = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rel.length === 120)
+    assert(rel.map(_._2).distinct.length === 120, "custkeys must be unique")
+    val byKey = rows.map(r =>
+      (r._1, (math.round(r._2 * 100), r._3.toLong))).toMap
+    rel.foreach { case (_, ck, lo1, hi1, lo2, hi2) =>
+      val (d1, d2) = byKey(ck)
+      assert(lo1 <= d1 && d1 <= hi1 && lo2 <= d2 && d2 <= hi2,
+        s"customer $ck outside its box")
+    }
+    // boxes agree with the summary form on the same data
+    val sum = Governance.mondrianAnonymize(df, k = 10, rounds = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    rel.groupBy(_._1).foreach { case (pid, rs) =>
+      assert(rs.map(r => (r._3, r._4, r._5, r._6)).distinct.toSeq ===
+        Seq(sum(pid)))
+    }
+  }
+
   test("mondrian: an unsplittable corpus stays one box; guards fire") {
     val tiny = (1L to 9L).map(i => (i, i.toDouble, 1))
       .toDF("c_custkey", "c_acctbal", "c_nationkey")
