@@ -289,7 +289,11 @@ object Governance {
         round(col("c_acctbal") * 100).cast("long").as("d1"),
         col("c_nationkey").cast("long").as("d2"),
         lit(0L).as("pid"))
-      .localCheckpoint(false)
+      // pinned per round through [[Pinning]]: locally a plan-truncation
+      // device (cuts are deterministic integer functions, so this is
+      // not a determinism pin), but on a cluster the reliable option
+      // keeps a 6-round job alive through executor loss
+      .transform(Pinning.pin(_))
     for (_ <- 1 to rounds) {
       val stats = cur.groupBy(col("pid")).agg(
           count(lit(1)).as("n"),
@@ -321,7 +325,7 @@ object Governance {
               when(when(col("dim") === 1L, col("d1"))
                 .otherwise(col("d2")) <= col("m"), 0L).otherwise(1L))
             .as("pid"))
-        .localCheckpoint(false)
+        .transform(Pinning.pin(_))
     }
     cur
   }
