@@ -1097,6 +1097,10 @@ object SparkEntry {
     // their leaf's generalized box (the table a consumer joins)
     "q223_mondrian_release" -> ((s, dir) =>
       Governance.mondrianRelease(Tables.customer(s, dir))),
+    // q224: l-diversity audit OF the Mondrian release — k-anonymity
+    // does not bound attribute disclosure; this does, per leaf box
+    "q224_mondrian_diversity" -> ((s, dir) =>
+      Governance.mondrianDiversity(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4908,6 +4912,28 @@ object SparkEntry {
     // q223: same unrolled recursion, row-level final select
     "q223_mondrian_release" ->
       mondrianOracleSql(k = 25, rounds = 6, release = true),
+    // q224: the unrolled recursion's final assignment joined to the
+    // sensitive attribute; dominant via row_number (c desc, seg)
+    "q224_mondrian_diversity" ->
+      (mondrianOracleSql(k = 25, rounds = 6, release = true)
+        .split("\nboxes AS ").head + // ends at the p6 CTE's trailing comma
+        """
+          |seg AS (SELECT p.pid AS pid, c.c_mktsegment AS seg,
+          |    count(*) AS c
+          |  FROM p6 p JOIN customer c ON c.c_custkey = p.rid
+          |  GROUP BY 1, 2),
+          |dom AS (SELECT pid, seg, c,
+          |    row_number() OVER (PARTITION BY pid
+          |      ORDER BY c DESC, seg) AS rk
+          |  FROM seg)
+          |SELECT s.pid AS pid, CAST(sum(s.c) AS BIGINT) AS n,
+          |  CAST(count(*) AS BIGINT) AS l_distinct,
+          |  any_value(d.seg) AS dominant,
+          |  CAST(any_value(d.c) * 1000000 // sum(s.c) AS BIGINT)
+          |    AS dom_ppm
+          |FROM seg s JOIN (SELECT * FROM dom WHERE rk = 1) d
+          |  ON d.pid = s.pid
+          |GROUP BY s.pid""".stripMargin),
   )
 
   /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the

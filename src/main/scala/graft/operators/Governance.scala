@@ -275,6 +275,31 @@ object Governance {
       .join(broadcast(boxes), Seq("pid"))
   }
 
+  /** Q224: l-DIVERSITY AUDIT of the Mondrian release — k-anonymity
+    * bounds re-identification but not ATTRIBUTE disclosure: a leaf box
+    * whose k occupants all share one sensitive value (here market
+    * segment) still leaks it. Per leaf: occupant count, distinct
+    * sensitive values, and the dominant value's share in ppm (ties to
+    * the smallest value, the q202 mode discipline) — the table a
+    * release gate thresholds before shipping q223's rows.
+    */
+  def mondrianDiversity(customer: DataFrame, k: Int = 25,
+      rounds: Int = 6): DataFrame = {
+    val seg = mondrianAssign(customer, k, rounds)
+      .withColumnRenamed("rid", "c_custkey")
+      .join(customer.select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment").as("seg")), Seq("c_custkey"))
+      .groupBy(col("pid"), col("seg")).agg(count(lit(1)).as("c"))
+    seg.groupBy(col("pid")).agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        min(struct((-col("c")).as("nc"), col("seg").as("s"))).as("m"))
+      .select(col("pid"), col("n"), col("l_distinct"),
+        col("m.s").as("dominant"),
+        TextAnalysis.idiv(-col("m.nc") * lit(1000000L), col("n"))
+          .as("dom_ppm"))
+  }
+
   /** The shared Mondrian loop: per-row (rid, d1, d2, pid) after
     * `rounds` median cuts.
     */

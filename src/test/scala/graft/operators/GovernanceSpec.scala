@@ -212,6 +212,34 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("mondrian diversity audit: dominant share and l are exact per leaf") {
+    val rnd = new scala.util.Random(2424)
+    val segs = Array("AUTO", "BUILDING", "FURNITURE")
+    val rows = (1 to 150).map(i => (i.toLong, rnd.nextInt(1000) / 100.0,
+      rnd.nextInt(20), segs(rnd.nextInt(3))))
+    val df = rows.toDF("c_custkey", "c_acctbal", "c_nationkey",
+      "c_mktsegment")
+    val got = Governance.mondrianDiversity(df, k = 10, rounds = 4)
+      .as[(Long, Long, Long, String, Long)].collect()
+    // reference: replay leaf assignment via the release, then count
+    val leaf = Governance.mondrianRelease(df, k = 10, rounds = 4)
+      .select(col("c_custkey"), col("pid"))
+      .as[(Long, Long)].collect().toMap
+    val segOf = rows.map(r => r._1 -> r._4).toMap
+    val byLeaf = leaf.groupBy(_._2).view
+      .mapValues(_.keys.toSeq.map(segOf)) // toSeq BEFORE map: a key-Set map would dedup segments
+    got.foreach { case (pid, n, l, dominant, ppm) =>
+      val ss = byLeaf(pid)
+      assert(n === ss.size.toLong)
+      assert(l === ss.distinct.size.toLong)
+      val counts = ss.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (s, c) => (-c, s) }
+      assert(dominant === counts.head._1)
+      assert(ppm === counts.head._2.toLong * 1000000L / n)
+    }
+    assert(got.map(_._2).sum === 150L)
+  }
+
   test("mondrian: an unsplittable corpus stays one box; guards fire") {
     val tiny = (1L to 9L).map(i => (i, i.toDouble, 1))
       .toDF("c_custkey", "c_acctbal", "c_nationkey")
