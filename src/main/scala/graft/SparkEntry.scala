@@ -1101,6 +1101,16 @@ object SparkEntry {
     // does not bound attribute disclosure; this does, per leaf box
     "q224_mondrian_diversity" -> ((s, dir) =>
       Governance.mondrianDiversity(Tables.customer(s, dir))),
+    // q225: pLSA topic model (Hofmann 1999) — 3 fixed EM rounds on the
+    // 1e-9 integer grid (the q193 discipline, distributed-parameter
+    // form); one row per (round, topic, word) so the oracle pins every
+    // round including the hash-seeded init
+    "q225_plsa_topics" -> ((s, dir) =>
+      TopicModel.plsaTopicRounds(Tables.documents(s, dir), "text")),
+    // q226: the final doc-topic mixtures — the table a mixture planner
+    // or topic-balance audit joins
+    "q226_plsa_doc_topics" -> ((s, dir) =>
+      TopicModel.plsaDocTopics(Tables.documents(s, dir), "text")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4934,7 +4944,93 @@ object SparkEntry {
           |FROM seg s JOIN (SELECT * FROM dom WHERE rk = 1) d
           |  ON d.pid = s.pid
           |GROUP BY s.pid""".stripMargin),
+    // q225/q226: the EM rounds unrolled — every probability an exact
+    // grid BIGINT, the one float op per value literal-mirrored
+    "q225_plsa_topics" ->
+      plsaRoundsSql(k = 3, rounds = 3, gridScale = 1000000000L,
+        docTopics = false),
+    "q226_plsa_doc_topics" ->
+      plsaRoundsSql(k = 3, rounds = 3, gridScale = 1000000000L,
+        docTopics = true),
   )
+
+  /** q225/q226 oracle generator: pLSA EM unrolled. Mirrors
+    * [[graft.operators.TopicModel]] exactly: q216's tokenizer, q217's
+    * polynomial word hash seeding P(w|z)⁰, uniform P(z|d)⁰, then per
+    * round one joint/denominator CTE (exact BIGINT products), the
+    * grid-rounded posterior (`round(G·joint/den)` — the single
+    * literal-mirrored float op), and BIGINT-sum M-step
+    * renormalizations. `docTopics` selects the final doc-topic table
+    * instead of the per-round topic-word union.
+    */
+  private def plsaRoundsSql(k: Int, rounds: Int, gridScale: Long,
+      docTopics: Boolean): String = {
+    val g = s"$gridScale.0"
+    val u0 = Math.round(gridScale.toDouble / k)
+    def roundCtes(r: Int): String =
+      s"""j$r AS MATERIALIZED (
+         |  SELECT nd.d, nd.w, nd.n, pw.z, pw.p * pd.p AS joint,
+         |    sum(pw.p * pd.p) OVER (PARTITION BY nd.d, nd.w) AS den
+         |  FROM nd JOIN pwz${r - 1} pw ON nd.w = pw.w
+         |          JOIN pzd${r - 1} pd ON nd.d = pd.d AND pd.z = pw.z),
+         |post$r AS MATERIALIZED (
+         |  SELECT d, w, n, z, CASE WHEN den > 0
+         |    THEN CAST(round($g * CAST(joint AS DOUBLE)
+         |      / CAST(den AS DOUBLE)) AS BIGINT)
+         |    ELSE $u0 END AS post
+         |  FROM j$r),
+         |swz$r AS MATERIALIZED (
+         |  SELECT w, z, sum(n * post) AS s FROM post$r GROUP BY 1, 2),
+         |pwz$r AS MATERIALIZED (
+         |  SELECT w, z, CASE WHEN sum(s) OVER (PARTITION BY z) > 0
+         |    THEN CAST(round($g * CAST(s AS DOUBLE)
+         |      / CAST(sum(s) OVER (PARTITION BY z) AS DOUBLE)) AS BIGINT)
+         |    ELSE 0 END AS p
+         |  FROM swz$r),
+         |sdz$r AS (SELECT d, z, sum(n * post) AS s FROM post$r
+         |          GROUP BY 1, 2),
+         |pzd$r AS MATERIALIZED (
+         |  SELECT d, z, CASE WHEN sum(s) OVER (PARTITION BY d) > 0
+         |    THEN CAST(round($g * CAST(s AS DOUBLE)
+         |      / CAST(sum(s) OVER (PARTITION BY d) AS DOUBLE)) AS BIGINT)
+         |    ELSE $u0 END AS p
+         |  FROM sdz$r)""".stripMargin
+    val finalSelect =
+      if (docTopics)
+        s"""SELECT d AS doc_id, z, p AS p_nano FROM pzd$rounds"""
+      else
+        (0 to rounds).map(r =>
+          s"SELECT $r AS round, z, w AS word, p AS p_nano FROM pwz$r")
+          .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS d, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+       |    AS w
+       |  FROM documents),
+       |nd AS MATERIALIZED (
+       |  SELECT d, w, count(*) AS n FROM toks WHERE w <> ''
+       |  GROUP BY 1, 2),
+       |zs AS (SELECT CAST(unnest(range(0, $k)) AS INTEGER) AS z),
+       |ph AS MATERIALIZED (
+       |  SELECT w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(w, ''),
+       |                   c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+       |  FROM (SELECT DISTINCT w FROM nd)),
+       |wt AS MATERIALIZED (
+       |  SELECT w, z, 1 + (ph + z * 2654435761) % 997 AS wt
+       |  FROM ph CROSS JOIN zs),
+       |pwz0 AS MATERIALIZED (
+       |  SELECT w, z, CAST(round($g * CAST(wt AS DOUBLE)
+       |    / CAST(sum(wt) OVER (PARTITION BY z) AS DOUBLE)) AS BIGINT)
+       |    AS p
+       |  FROM wt),
+       |pzd0 AS MATERIALIZED (
+       |  SELECT d, z, CAST($u0 AS BIGINT) AS p
+       |  FROM (SELECT DISTINCT d FROM nd) CROSS JOIN zs),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
 
   /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the
     * (d1 = balance cents, d2 = nation) space — every CTE is either
