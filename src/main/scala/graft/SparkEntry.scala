@@ -1111,6 +1111,11 @@ object SparkEntry {
     // or topic-balance audit joins
     "q226_plsa_doc_topics" -> ((s, dir) =>
       TopicModel.plsaDocTopics(Tables.documents(s, dir), "text")),
+    // q227: dominant principal component of the embedding corpus —
+    // exact integer grammian (per-partition partials), driver power
+    // iteration on the 1e-9 grid, map-only projection pass
+    "q227_pca_projection" -> ((s, dir) =>
+      Pca.pcaProject(Tables.embeddings(s, dir), "embedding", "vec_id")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4952,7 +4957,69 @@ object SparkEntry {
     "q226_plsa_doc_topics" ->
       plsaRoundsSql(k = 3, rounds = 3, gridScale = 1000000000L,
         docTopics = true),
+    // q227: the grammian + unrolled power iteration — every float sum
+    // a list_reduce left fold matching the engine's driver loops
+    "q227_pca_projection" ->
+      pcaOracleSql(dim = 64, quantScale = 10000L, iters = 12),
   )
+
+  /** q227 oracle generator: quantized grammian (exact integer sums via
+    * the N·d² self-join the ENGINE exists to avoid), centered matrix
+    * C = n·G − s·sᵀ cast losslessly to double, then `iters` unrolled
+    * power-iteration CTEs — each a fold-ordered matrix-vector product
+    * (`list_reduce`, mirroring the engine's fixed left folds), max-abs
+    * rescale, and 1e-9 grid round — and the fold-ordered projection.
+    */
+  private def pcaOracleSql(dim: Int, quantScale: Long,
+      iters: Int): String = {
+    def iterCtes(r: Int): String =
+      s"""v$r AS MATERIALIZED (
+         |  SELECT i, list_reduce(list_prepend(0.0,
+         |    list_transform(range(0, $dim),
+         |      j -> cr[j + 1] * u[j + 1])), (a, x) -> a + x) AS v
+         |  FROM cmat CROSS JOIN u${r - 1}),
+         |u$r AS MATERIALIZED (
+         |  SELECT list_transform(
+         |    list(CAST(round(1000000000.0 * v / m) AS BIGINT)
+         |      ORDER BY i), x -> CAST(x AS DOUBLE)) AS u
+         |  FROM v$r CROSS JOIN (SELECT max(abs(v)) AS m FROM v$r))"""
+        .stripMargin
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round($quantScale.0 * CAST(x AS DOUBLE)) AS BIGINT))
+       |    AS q
+       |  FROM embeddings),
+       |el AS MATERIALIZED (
+       |  SELECT vec_id, i, q[i + 1] AS qi
+       |  FROM qv CROSS JOIN (SELECT unnest(range(0, $dim)) AS i)),
+       |sums AS MATERIALIZED (SELECT i, sum(qi) AS s FROM el GROUP BY i),
+       |nrow AS (SELECT count(*) AS n FROM qv),
+       |gm AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi) AS g
+       |  FROM el a JOIN el b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |cm AS MATERIALIZED (
+       |  SELECT g.i AS i, g.j AS j,
+       |    CAST(n * g.g - sa.s * sb.s AS DOUBLE) AS c
+       |  FROM gm g JOIN sums sa ON sa.i = g.i
+       |             JOIN sums sb ON sb.i = g.j
+       |  CROSS JOIN nrow),
+       |cmat AS MATERIALIZED (
+       |  SELECT i, list(c ORDER BY j) AS cr FROM cm GROUP BY i),
+       |u0 AS (SELECT list_transform(range(0, $dim),
+       |  j -> 1000000000.0) AS u),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |unitv AS (
+       |  SELECT list_transform(u, x -> x / sqrt(list_reduce(
+       |    list_prepend(0.0, list_transform(u, y -> y * y)),
+       |    (a, b) -> a + b))) AS un
+       |  FROM u$iters)
+       |SELECT vec_id, CAST(round(list_reduce(list_prepend(0.0,
+       |    list_transform(range(0, $dim),
+       |      j -> CAST(q[j + 1] AS DOUBLE) * un[j + 1])),
+       |    (a, x) -> a + x)) AS BIGINT) AS pc1_q
+       |FROM qv CROSS JOIN unitv""".stripMargin
+  }
 
   /** q225/q226 oracle generator: pLSA EM unrolled. Mirrors
     * [[graft.operators.TopicModel]] exactly: q216's tokenizer, q217's

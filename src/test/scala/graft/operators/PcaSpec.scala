@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PCA projection (q227): straight-line reference parity on an inline
+  * corpus, dominant-variance property and repartition invariance on
+  * real embeddings, and the guards.
+  */
+class PcaSpec extends SparkSpec {
+
+  /** Single-threaded replica of Pca.pcaProject — same grids, same
+    * fold orders.
+    */
+  private def reference(vecs: Seq[(Long, Array[Float])], dim: Int,
+      qs: Long, iters: Int): Map[Long, Long] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => Math.round(qs.toDouble * x.toDouble))
+    }
+    val n = q.size.toLong
+    val s = new Array[Long](dim)
+    val g = Array.ofDim[Long](dim, dim)
+    q.foreach { case (_, v) =>
+      for (i <- 0 until dim) {
+        s(i) += v(i)
+        for (j <- i until dim) g(i)(j) += v(i) * v(j)
+      }
+    }
+    val c = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      c(i)(j) = (BigInt(n) * g(i)(j) - BigInt(s(i)) * s(j)).toDouble
+      c(j)(i) = c(i)(j)
+    }
+    var u = Array.fill(dim)(1000000000L)
+    for (_ <- 0 until iters) {
+      val v = (0 until dim).map { i =>
+        var acc = 0.0
+        for (j <- 0 until dim) acc += c(i)(j) * u(j).toDouble
+        acc
+      }
+      val m = v.map(math.abs).max
+      u = v.map(x => Math.round(1.0e9 * x / m)).toArray
+    }
+    var ss = 0.0
+    for (i <- 0 until dim) ss += u(i).toDouble * u(i).toDouble
+    val unit = u.map(_.toDouble / math.sqrt(ss))
+    q.map { case (id, v) =>
+      var acc = 0.0
+      for (j <- 0 until dim) acc += v(j).toDouble * unit(j)
+      id -> Math.round(acc)
+    }.toMap
+  }
+
+  test("projection matches the straight-line reference (dim 4)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { id =>
+      // correlated structure: dominant direction ~(1, 1, 0.2, -0.1)
+      val a = rnd.nextFloat() - 0.5f
+      id -> Array(a + 0.02f * rnd.nextFloat(), a - 0.02f * rnd.nextFloat(),
+        0.2f * a + 0.05f * rnd.nextFloat(), -0.1f * a)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Pca.pcaProject(df, "embedding", "vec_id", dim = 4,
+        quantScale = 1000L, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(vecs, 4, 1000L, 8))
+  }
+
+  test("pc1 variance dominates every coordinate axis on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val proj = Pca.pcaProject(emb, "embedding", "vec_id")
+      .collect().map(_.getLong(1).toDouble)
+    def variance(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+    }
+    val vPc = variance(proj.toSeq)
+    // per-axis variance in the same q units
+    val qRows = emb.select(transform(col("embedding"), x =>
+        round(lit(10000.0) * x.cast("double")).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0))
+    val axisVars = (0 until 64).map(i =>
+      variance(qRows.map(_(i).toDouble).toSeq))
+    assert(vPc >= axisVars.max,
+      s"pc1 variance $vPc below best axis ${axisVars.max}")
+  }
+
+  test("repartition-invariant and rerun-deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Pca.pcaProject(emb, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Pca.pcaProject(emb.repartition(13), "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("guards: wrong declared dim fails loudly; parameter ranges") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pca.pcaProject(df, "embedding", "vec_id", dim = 4).collect()
+    }
+    assert(ex.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Pca.pcaProject(df, "embedding", "vec_id", dim = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pca.pcaProject(df, "embedding", "vec_id", dim = 2, quantScale = 1L)
+    }
+  }
+}
