@@ -90,6 +90,17 @@ object Catalog {
       graft.functions.JaroWinklerExpr(e(0), e(1))),
     "dhash" -> arity("dhash(payload)", 1)(e =>
       graft.functions.DHashExpr(e(0))),
+    "wordpiece_encode_stats" ->
+      arity("wordpiece_encode_stats(text, vocab, max_sub)", 3) { e =>
+        require(e(1).foldable,
+          "vocab (argument 2) must be a literal array of strings")
+        val arr = e(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val vocab = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        graft.functions.WordPieceEncodeExpr(e(0), vocab,
+          litLong(e(2), "max_sub (argument 3)").toInt)
+      },
   )
 
   /** Register graft-native functions in an existing session's registry. */

@@ -1116,6 +1116,17 @@ object SparkEntry {
     // iteration on the 1e-9 grid, map-only projection pass
     "q227_pca_projection" -> ((s, dir) =>
       Pca.pcaProject(Tables.embeddings(s, dir), "embedding", "vec_id")),
+    // q228: WordPiece merge candidates — q111's single-round table
+    // ranked by the likelihood score n/(ln·rn) instead of raw count
+    "q228_wordpiece_candidates" -> ((s, dir) =>
+      Wordpiece.wordpiecePairCandidates(Tables.documents(s, dir),
+        "text", k = 20)),
+    // q229: per-doc token stats under the fixed WordPiece vocabulary —
+    // greedy longest-match native kernel, [UNK] on dead ends (q119's
+    // shape for the third tokenizer)
+    "q229_wordpiece_tokens" -> ((s, dir) =>
+      Wordpiece.wordpieceTokenStats(Tables.documents(s, dir), "text",
+        "doc_id")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4961,7 +4972,92 @@ object SparkEntry {
     // a list_reduce left fold matching the engine's driver loops
     "q227_pca_projection" ->
       pcaOracleSql(dim = 64, quantScale = 10000L, iters = 12),
+    // q228: q111's pair table + character counts; the score quotient is
+    // the same double chain in both engines, ordering (score DESC, l, r)
+    "q228_wordpiece_candidates" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |  FROM documents),
+        |cc AS MATERIALIZED (
+        |  SELECT c, count(*) AS cn FROM (
+        |    SELECT unnest(string_split(word, '')) AS c FROM w)
+        |  GROUP BY c),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INTEGER) + 1, 1) AS l,
+        |         substr(word, CAST(i AS INTEGER) + 2, 1) AS r
+        |  FROM (SELECT word, unnest(range(length(word) - 1)) AS i
+        |        FROM w WHERE length(word) >= 2)),
+        |pc AS MATERIALIZED (SELECT l, r, count(*) AS n FROM p
+        |                    GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT pc.l AS l, pc.r AS r, pc.n AS n, a.cn AS ln,
+        |    b.cn AS rn,
+        |    CAST(pc.n AS DOUBLE) / (CAST(a.cn AS DOUBLE)
+        |      * CAST(b.cn AS DOUBLE)) AS score
+        |  FROM pc JOIN cc a ON a.c = pc.l JOIN cc b ON b.c = pc.r)
+        |SELECT l, r, CAST(n AS BIGINT) AS n, CAST(ln AS BIGINT) AS ln,
+        |  CAST(rn AS BIGINT) AS rn,
+        |  CAST(row_number() OVER (ORDER BY score DESC, l, r)
+        |    AS INTEGER) AS rank
+        |FROM sc QUALIFY rank <= 20""".stripMargin,
+    // q229: the greedy longest-match walk unrolled per DISTINCT word
+    // (16 steps cover every corpus word), joined back to occurrences
+    "q229_wordpiece_tokens" ->
+      wordpieceEncodeOracleSql(graft.operators.Wordpiece.DefaultVocab,
+        graft.operators.Wordpiece.DefaultMaxSub, steps = 16),
   )
+
+  /** q229 oracle generator: WordPiece greedy encode unrolled — per
+    * step one CTE over the distinct-word table carrying
+    * (pos, cnt, unk); the match length is a longest-first CASE over
+    * `list_contains` probes of the literal vocabulary (continuation
+    * pieces probe with the `##` prefix); a dead end sets the [UNK]
+    * state (whole word = one token). `steps` must cover the longest
+    * corpus word — a longer word surfaces as a hash mismatch, never a
+    * silent wrong count.
+    */
+  private def wordpieceEncodeOracleSql(vocab: Seq[String], maxSub: Int,
+      steps: Int): String = {
+    val vlit = vocab.map(v => s"'$v'").mkString("[", ", ", "]")
+    val mlExpr = (maxSub to 1 by -1).map { k =>
+      val guard = if (k > 1) s"pos + ${k - 1} <= L AND " else ""
+      s"""WHEN ${guard}list_contains($vlit,
+         |        CASE WHEN pos = 1 THEN substr(word, pos, $k)
+         |             ELSE '##' || substr(word, pos, $k) END) THEN $k"""
+        .stripMargin
+    }.mkString("CASE WHEN pos > L THEN 0\n      ", "\n      ",
+      "\n      ELSE 0 END")
+    def stepCte(t: Int): String =
+      s"""s$t AS MATERIALIZED (
+         |  SELECT word, L,
+         |    CASE WHEN unk OR pos > L THEN pos
+         |         WHEN ml = 0 THEN L + 1 ELSE pos + ml END AS pos,
+         |    CASE WHEN unk OR pos > L THEN cnt
+         |         WHEN ml = 0 THEN 1 ELSE cnt + 1 END AS cnt,
+         |    CASE WHEN unk OR pos > L THEN unk
+         |         WHEN ml = 0 THEN TRUE ELSE unk END AS unk
+         |  FROM (SELECT word, L, pos, cnt, unk,
+         |      $mlExpr AS ml
+         |    FROM s${t - 1}))""".stripMargin
+    s"""WITH wocc AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+       |    AS word
+       |  FROM documents),
+       |w AS MATERIALIZED (SELECT DISTINCT word FROM wocc),
+       |s0 AS (SELECT word, length(word) AS L, 1 AS pos, 0 AS cnt,
+       |       FALSE AS unk FROM w),
+       |${(1 to steps).map(stepCte).mkString(",\n")},
+       |res AS MATERIALIZED (SELECT word, cnt, unk FROM s$steps),
+       |per AS (
+       |  SELECT o.doc_id AS doc_id, count(*) AS ws, sum(r.cnt) AS wp,
+       |    sum(CASE WHEN r.unk THEN 1 ELSE 0 END) AS un
+       |  FROM wocc o JOIN res r ON r.word = o.word GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(p.ws, 0) AS BIGINT) AS ws_tokens,
+       |  CAST(coalesce(p.wp, 0) AS BIGINT) AS wp_tokens,
+       |  CAST(coalesce(p.un, 0) AS BIGINT) AS unk_words
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+      .stripMargin
+  }
 
   /** q227 oracle generator: quantized grammian (exact integer sums via
     * the N·d² self-join the ENGINE exists to avoid), centered matrix

@@ -31,9 +31,9 @@ object BpeTrain {
     * unambiguous because [[wordTable]] strips the unit separator from
     * every word before the symbol split.
     */
-  private val SEP = ""
+  private[operators] val SEP = ""
 
-  private def pairsOf(symbols: Column): Column =
+  private[operators] def pairsOf(symbols: Column): Column =
     zip_with(
       slice(symbols, lit(1), greatest(size(symbols) - 1, lit(0))),
       slice(symbols, lit(2), greatest(size(symbols) - 1, lit(0))),
@@ -42,7 +42,7 @@ object BpeTrain {
   /** One corpus scan → the (word, freq, symbols) training table; symbols
     * start as single characters.
     */
-  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+  private[operators] def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(split(col(textCol), "\\s+")).as("raw"))
       // U+001F is the pair-encoding separator but is NOT Java-regex \s,
@@ -59,7 +59,7 @@ object BpeTrain {
   /** Apply merge (l, r) → l+r to a symbol array, greedy left-to-right:
     * fold symbols with a one-symbol lookbehind in the accumulator.
     */
-  private def applyMerge(symbols: Column, l: String, r: String): Column = {
+  private[operators] def applyMerge(symbols: Column, l: String, r: String): Column = {
     val folded = aggregate(
       symbols,
       struct(array().cast("array<string>").as("out"),

@@ -84,6 +84,13 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().head
     assert(r5.getLong(0) == graft.functions.DHashExpr.compute(
       "the quick brown fox jumps".getBytes("UTF-8")))
+    // round-14 native: wordpiece encode over a literal vocab == the
+    // greedy walk (ta ##ble + one [UNK])
+    val r6 = spark.sql(
+      "SELECT wordpiece_encode_stats('table dup', " +
+        "array('ta', '##ble', 'du'), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(r6 == Seq(2L, 3L, 1L))
   }
 
   test("aggregation via SQL equals DataFrame operator") {
