@@ -1127,6 +1127,14 @@ object SparkEntry {
     "q229_wordpiece_tokens" -> ((s, dir) =>
       Wordpiece.wordpieceTokenStats(Tables.documents(s, dir), "text",
         "doc_id")),
+    // q230: pLSA production inference — classify docs against the
+    // trained topic-word table with one EM fold-in step (the streaming
+    // gate's per-batch path, grid-exact like training)
+    "q230_plsa_assign" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TopicModel.assignTopics(docs, TopicModel.plsaModel(docs, "text"),
+        "text")
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4964,10 +4972,10 @@ object SparkEntry {
     // grid BIGINT, the one float op per value literal-mirrored
     "q225_plsa_topics" ->
       plsaRoundsSql(k = 3, rounds = 3, gridScale = 1000000000L,
-        docTopics = false),
+        output = "topics"),
     "q226_plsa_doc_topics" ->
       plsaRoundsSql(k = 3, rounds = 3, gridScale = 1000000000L,
-        docTopics = true),
+        output = "docs"),
     // q227: the grammian + unrolled power iteration — every float sum
     // a list_reduce left fold matching the engine's driver loops
     "q227_pca_projection" ->
@@ -5005,6 +5013,11 @@ object SparkEntry {
     "q229_wordpiece_tokens" ->
       wordpieceEncodeOracleSql(graft.operators.Wordpiece.DefaultVocab,
         graft.operators.Wordpiece.DefaultMaxSub, steps = 16),
+    // q230: the same unrolled EM plus the fold-in CTEs and the
+    // (p DESC, z ASC) argmax
+    "q230_plsa_assign" ->
+      plsaRoundsSql(k = 3, rounds = 3, gridScale = 1000000000L,
+        output = "assign"),
   )
 
   /** q229 oracle generator: WordPiece greedy encode unrolled — per
@@ -5127,7 +5140,9 @@ object SparkEntry {
     * instead of the per-round topic-word union.
     */
   private def plsaRoundsSql(k: Int, rounds: Int, gridScale: Long,
-      docTopics: Boolean): String = {
+      output: String): String = {
+    require(Set("topics", "docs", "assign")(output),
+      s"unknown plsa oracle output: $output")
     val g = s"$gridScale.0"
     val u0 = Math.round(gridScale.toDouble / k)
     def roundCtes(r: Int): String =
@@ -5158,13 +5173,41 @@ object SparkEntry {
          |      / CAST(sum(s) OVER (PARTITION BY d) AS DOUBLE)) AS BIGINT)
          |    ELSE $u0 END AS p
          |  FROM sdz$r)""".stripMargin
-    val finalSelect =
-      if (docTopics)
+    val finalSelect = output match {
+      case "docs" =>
         s"""SELECT d AS doc_id, z, p AS p_nano FROM pzd$rounds"""
-      else
+      case "assign" =>
+        // one fold-in step against pwz$rounds: uniform prior joint,
+        // grid posterior, doc renormalization, (p DESC, z ASC) argmax
+        s"""ja AS MATERIALIZED (
+           |  SELECT nd.d, nd.n, pw.z, pw.p * $u0 AS joint,
+           |    sum(pw.p * $u0) OVER (PARTITION BY nd.d, nd.w) AS den
+           |  FROM nd JOIN pwz$rounds pw ON nd.w = pw.w),
+           |posta AS MATERIALIZED (
+           |  SELECT d, n, z, CASE WHEN den > 0
+           |    THEN CAST(round($g * CAST(joint AS DOUBLE)
+           |      / CAST(den AS DOUBLE)) AS BIGINT)
+           |    ELSE $u0 END AS post
+           |  FROM ja),
+           |sda AS (SELECT d, z, sum(n * post) AS s FROM posta
+           |        GROUP BY 1, 2),
+           |pda AS MATERIALIZED (
+           |  SELECT d, z, CASE WHEN sum(s) OVER (PARTITION BY d) > 0
+           |    THEN CAST(round($g * CAST(s AS DOUBLE)
+           |      / CAST(sum(s) OVER (PARTITION BY d) AS DOUBLE))
+           |      AS BIGINT)
+           |    ELSE $u0 END AS p
+           |  FROM sda)
+           |SELECT d AS doc_id, z AS topic, p AS p_nano
+           |FROM (SELECT d, z, p, row_number() OVER (PARTITION BY d
+           |        ORDER BY p DESC, z) AS rk FROM pda)
+           |WHERE rk = 1""".stripMargin
+      case _ =>
         (0 to rounds).map(r =>
           s"SELECT $r AS round, z, w AS word, p AS p_nano FROM pwz$r")
           .mkString("\nUNION ALL ")
+    }
+    val tail = if (output == "assign") ",\n" else "\n"
     s"""WITH toks AS (
        |  SELECT doc_id AS d, unnest(string_split(
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
@@ -5191,8 +5234,8 @@ object SparkEntry {
        |pzd0 AS MATERIALIZED (
        |  SELECT d, z, CAST($u0 AS BIGINT) AS p
        |  FROM (SELECT DISTINCT d FROM nd) CROSS JOIN zs),
-       |${(1 to rounds).map(roundCtes).mkString(",\n")}
-       |$finalSelect""".stripMargin
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}$tail$finalSelect"""
+      .stripMargin
   }
 
   /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the

@@ -174,4 +174,60 @@ object TopicModel {
         posexplode(col("pd")).as(Seq("z", "p_nano")))
       .select(col("doc_id"), col("z"), col("p_nano"))
   }
+
+  /** The trained topic-word table — (w, pw: array<long>[k]) after the
+    * final round; the model [[assignTopics]] and the streaming gate
+    * classify against.
+    */
+  def plsaModel(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", k: Int = 3, rounds: Int = 3,
+      gridScale: Long = 1000000000L): DataFrame =
+    emRounds(docs, textCol, idCol, k, rounds, gridScale)._1.last
+
+  /** Q230: PRODUCTION inference — classify documents against a trained
+    * topic-word table with one EM fold-in step (uniform doc prior →
+    * E-step posterior → one M-step doc renormalization → argmax with
+    * the (p DESC, z ASC) tie rule). Same integer-grid arithmetic as
+    * training, so the result is engine-exact. Documents sharing no
+    * vocabulary with the model are unassignable and yield no row (the
+    * join is the coverage filter). `k`/`gridScale` must match the
+    * model's.
+    *
+    * Scale: one stream-static-joinable equi-join on word + one
+    * map-side-combinable aggregation per doc; the argmax is a
+    * max-of-struct aggregate, never a rank window.
+    */
+  def assignTopics(docs: DataFrame, pwz: DataFrame, textCol: String,
+      idCol: String = "doc_id", k: Int = 3,
+      gridScale: Long = 1000000000L): DataFrame = {
+    require(k >= 2 && k <= 16, s"topic count out of range: $k")
+    val u0 = Math.round(gridScale.toDouble / k)
+    val nd = tokenCounts(docs, textCol, idCol)
+    val post = nd.join(pwz, Seq("w"))
+      .withColumn("joint", transform(col("pw"), p => p * lit(u0)))
+      .withColumn("den",
+        aggregate(col("joint"), lit(0L), (acc, x) => acc + x))
+      .select(col("d"), col("n"),
+        array((0 until k).map(z =>
+          when(col("den") > 0, nano(col("joint")(z), col("den"), gridScale))
+            .otherwise(lit(u0))): _*).as("post"))
+    val sdz = post
+      .select(col("d") +:
+        (0 until k).map(z => (col("n") * col("post")(z)).as(s"c$z")): _*)
+      .groupBy(col("d"))
+      .agg(sum(col("c0")).as("s0"),
+        (1 until k).map(z => sum(col(s"c$z")).as(s"s$z")): _*)
+      .withColumn("sd", (0 until k).map(z => col(s"s$z")).reduce(_ + _))
+    sdz.select(col("d"),
+        array((0 until k).map(z =>
+          when(col("sd") > 0, nano(col(s"s$z"), col("sd"), gridScale))
+            .otherwise(lit(u0))): _*).as("pd"))
+      .select(col("d").as("doc_id"),
+        posexplode(col("pd")).as(Seq("z", "p")))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("p").as("p"), (-col("z")).as("nz"),
+        col("z").as("z"))).as("m"))
+      .select(col("doc_id"), col("m.z").as("topic"),
+        col("m.p").as("p_nano"))
+  }
 }
