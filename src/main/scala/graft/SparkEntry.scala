@@ -1135,6 +1135,11 @@ object SparkEntry {
       TopicModel.assignTopics(docs, TopicModel.plsaModel(docs, "text"),
         "text")
     }),
+    // q231: DP median per nation via the exponential mechanism —
+    // integer utilities, 1e-6-grid weights, one seeded uniform per
+    // group, exact cumulative-weight inversion
+    "q231_dp_median" -> ((s, dir) =>
+      Governance.dpMedianRelease(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5018,6 +5023,47 @@ object SparkEntry {
     "q230_plsa_assign" ->
       plsaRoundsSql(k = 3, rounds = 3, gridScale = 1000000000L,
         output = "assign"),
+    // q231: the same histogram/utility/weight/inversion chain — exp on
+    // the mirrored 0.25·(u−umax) argument (ε=0.5), q205's hash uniform
+    "q231_dp_median" ->
+      """WITH hist AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+        |    count(*) AS nv
+        |  FROM customer GROUP BY 1, 2),
+        |sc AS MATERIALIZED (
+        |  SELECT g, v, nv,
+        |    sum(nv) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(nv) OVER (PARTITION BY g) AS n
+        |  FROM hist),
+        |ut AS MATERIALIZED (
+        |  SELECT g, v, nv, cum, n,
+        |    0 - greatest(cum - nv, n - cum) AS u,
+        |    max(0 - greatest(cum - nv, n - cum))
+        |      OVER (PARTITION BY g) AS umax
+        |  FROM sc),
+        |wt AS MATERIALIZED (
+        |  SELECT g, v, n,
+        |    CAST(round(1000000.0 * exp(0.25 * CAST(u - umax AS DOUBLE)))
+        |      AS BIGINT) AS mw
+        |  FROM ut),
+        |pk AS MATERIALIZED (
+        |  SELECT g, v, n, mw,
+        |    sum(mw) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(mw) OVER (PARTITION BY g) AS w
+        |  FROM wt),
+        |th AS (
+        |  SELECT g, v, n, cumw,
+        |    CAST(floor(
+        |      (CAST((((g % 1000003) * 2654435761) >> 16) % 1048576 + 1
+        |        AS DOUBLE) / 1048577.0) * CAST(w AS DOUBLE))
+        |      AS BIGINT) AS t
+        |  FROM pk)
+        |SELECT g AS nationkey, CAST(max(n) AS BIGINT) AS n,
+        |  min(v) AS dp_median
+        |FROM th WHERE cumw > t GROUP BY g""".stripMargin,
   )
 
   /** q229 oracle generator: WordPiece greedy encode unrolled — per

@@ -227,6 +227,69 @@ object Governance {
       greatest(lit(0L), col("n") + floor(noise)).as("released"))
   }
 
+  /** Q231: DIFFERENTIALLY-PRIVATE per-group median via the EXPONENTIAL
+    * MECHANISM (McSherry & Talwar 2007) — the release path for a
+    * statistic Laplace noise fits badly (a noised median can land
+    * outside the data's support; the exponential mechanism releases an
+    * actual data value with probability ∝ exp(ε·u/2)). Utility is the
+    * standard median score u(v) = −max(#below v, #above v): maximal at
+    * the true median, sensitivity 1.
+    *
+    * Determinism (the q205 seeded-release discipline + the q193 grid):
+    *  - utilities are exact integers from one per-group value
+    *    histogram;
+    *  - weights round to the 1e-6 grid after one mirrored
+    *    exp(ε/2·(u−u_max)) chain (per-group max-shift keeps the best
+    *    candidate at weight exactly 10⁶, so the total is never 0; the
+    *    `exp`/`log` cross-engine agreement is the established q205/q133
+    *    precedent);
+    *  - ONE seeded uniform per group (the q205 integer hash chain on
+    *    the group key — the index IS the seed) picks the released
+    *    value by exact integer cumulative-weight inversion:
+    *    min v with cumw > floor(r·W).
+    *
+    * Scale: one map-side-combinable histogram shuffle, then
+    * value-domain-bounded per-group windows (partitioned — the
+    * Mondrian cumulative-window shape) and one aggregation. Nothing is
+    * collected; group count and value domain bound everything.
+    */
+  def dpMedianRelease(customer: DataFrame, eps: Double = 0.5)
+      : DataFrame = {
+    require(eps > 0.0 && eps <= 10.0, s"eps out of range: $eps")
+    val half = eps / 2.0
+    import org.apache.spark.sql.expressions.Window
+    val hist = customer
+      .select(col("c_nationkey").cast("long").as("g"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("nv"))
+    val byV = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("g"))
+    val scored = hist
+      .withColumn("cum", sum(col("nv")).over(byV))
+      .withColumn("n", sum(col("nv")).over(all))
+      .withColumn("u",
+        lit(0L) - greatest(col("cum") - col("nv"), col("n") - col("cum")))
+      .withColumn("umax", max(col("u")).over(all))
+      .withColumn("mw", round(lit(1000000.0) *
+        exp(lit(half) * (col("u") - col("umax")).cast("double")))
+        .cast("long"))
+    val m = 1048576L // 2^20, the q205 uniform grid
+    val picked = scored
+      .withColumn("cumw", sum(col("mw")).over(byV))
+      .withColumn("w", sum(col("mw")).over(all))
+      .withColumn("h",
+        shiftright(pmod(col("g"), lit(1000003L)) * lit(2654435761L), 16))
+      .withColumn("r", (pmod(col("h"), lit(m)) + lit(1L)).cast("double")
+        / lit((m + 1).toDouble))
+      .withColumn("t", floor(col("r") * col("w").cast("double")))
+    picked
+      .filter(col("cumw") > col("t"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("dp_median"), max(col("n")).as("n"))
+      .select(col("g").as("nationkey"), col("n"), col("dp_median"))
+  }
+
   /** Q222: MONDRIAN multidimensional k-anonymization (LeFevre et al.
     * 2006) — the generalization TRANSFORM next to the q199 audit
     * ladder: recursively median-cut the 2-D quasi-identifier space
