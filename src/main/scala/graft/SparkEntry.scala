@@ -1140,6 +1140,10 @@ object SparkEntry {
     // group, exact cumulative-weight inversion
     "q231_dp_median" -> ((s, dir) =>
       Governance.dpMedianRelease(Tables.customer(s, dir))),
+    // q232: Count-Min heavy hitters — d·w unionable counters, exact
+    // top-k as the validation price, overcount = collision error
+    "q232_countmin_hitters" -> ((s, dir) =>
+      Sketches.countMinHeavyHitters(Tables.documents(s, dir), "text")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5064,6 +5068,41 @@ object SparkEntry {
         |SELECT g AS nationkey, CAST(max(n) AS BIGINT) AS n,
         |  min(v) AS dp_median
         |FROM th WHERE cumw > t GROUP BY g""".stripMargin,
+    // q232: the sketch replayed — q217's polynomial hash, row-seeded
+    // permutation chain, cell sums, min-over-rows estimate
+    "q232_countmin_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    AS w
+        |  FROM documents),
+        |cnt AS MATERIALIZED (
+        |  SELECT w, count(*) AS n FROM toks WHERE w <> '' GROUP BY w),
+        |ph AS MATERIALIZED (
+        |  SELECT w, n, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM cnt),
+        |bk AS MATERIALIZED (
+        |  SELECT w, n, i, ((ph + i) * 2654435761) % 1000000007 % 512
+        |    AS b
+        |  FROM ph CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS i)),
+        |cells AS MATERIALIZED (
+        |  SELECT i, b, CAST(sum(n) AS BIGINT) AS cn FROM bk
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT w, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, w) AS INTEGER)
+        |      AS rank
+        |  FROM cnt QUALIFY rank <= 20)
+        |SELECT t.w AS word, CAST(t.n AS BIGINT) AS n,
+        |  CAST(min(c.cn) AS BIGINT) AS est,
+        |  CAST(min(c.cn) - t.n AS BIGINT) AS overcount, t.rank AS rank
+        |FROM top t JOIN bk ON bk.w = t.w
+        |JOIN cells c ON c.i = bk.i AND c.b = bk.b
+        |GROUP BY t.w, t.n, t.rank""".stripMargin,
   )
 
   /** q229 oracle generator: WordPiece greedy encode unrolled — per
