@@ -1144,6 +1144,11 @@ object SparkEntry {
     // top-k as the validation price, overcount = collision error
     "q232_countmin_hitters" -> ((s, dir) =>
       Sketches.countMinHeavyHitters(Tables.documents(s, dir), "text")),
+    // q233: top-3 principal components by deflation — per-vector
+    // projections, comp 0 dominant
+    "q233_pca_components" -> ((s, dir) =>
+      Pca.pcaTopComponents(Tables.embeddings(s, dir), "embedding",
+        "vec_id")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4989,6 +4994,11 @@ object SparkEntry {
     // a list_reduce left fold matching the engine's driver loops
     "q227_pca_projection" ->
       pcaOracleSql(dim = 64, quantScale = 10000L, iters = 12),
+    // q233: the same grammian + R deflation blocks (fold-ordered
+    // Rayleigh + rank-1 subtraction between components)
+    "q233_pca_components" ->
+      pcaOracleSql(dim = 64, quantScale = 10000L, iters = 12,
+        components = 3, single = false),
     // q228: q111's pair table + character counts; the score quotient is
     // the same double chain in both engines, ordering (score DESC, l, r)
     "q228_wordpiece_candidates" ->
@@ -5157,27 +5167,77 @@ object SparkEntry {
       .stripMargin
   }
 
-  /** q227 oracle generator: quantized grammian (exact integer sums via
-    * the N·d² self-join the ENGINE exists to avoid), centered matrix
-    * C = n·G − s·sᵀ cast losslessly to double, then `iters` unrolled
-    * power-iteration CTEs — each a fold-ordered matrix-vector product
-    * (`list_reduce`, mirroring the engine's fixed left folds), max-abs
-    * rescale, and 1e-9 grid round — and the fold-ordered projection.
+  /** q227/q233 oracle generator: quantized grammian (exact integer
+    * sums via the N·d² self-join the ENGINE exists to avoid), centered
+    * matrix C = n·G − s·sᵀ cast losslessly to double, then per
+    * COMPONENT `iters` unrolled power-iteration CTEs — each a
+    * fold-ordered matrix-vector product (`list_reduce`, mirroring the
+    * engine's fixed left folds), max-abs rescale, and 1e-9 grid
+    * round — the fold-ordered unit/Rayleigh/deflation CTEs between
+    * components, and the fold-ordered projections. `single` selects
+    * q227's (vec_id, pc1_q) shape.
     */
-  private def pcaOracleSql(dim: Int, quantScale: Long,
-      iters: Int): String = {
-    def iterCtes(r: Int): String =
-      s"""v$r AS MATERIALIZED (
+  private def pcaOracleSql(dim: Int, quantScale: Long, iters: Int,
+      components: Int = 1, single: Boolean = true): String = {
+    def iterCtes(c: Int, r: Int): String = {
+      val prev = if (r == 1) s"uv${c}_0" else s"uv${c}_${r - 1}"
+      s"""v${c}_$r AS MATERIALIZED (
          |  SELECT i, list_reduce(list_prepend(0.0,
          |    list_transform(range(0, $dim),
          |      j -> cr[j + 1] * u[j + 1])), (a, x) -> a + x) AS v
-         |  FROM cmat CROSS JOIN u${r - 1}),
-         |u$r AS MATERIALIZED (
+         |  FROM cmat$c CROSS JOIN $prev),
+         |uv${c}_$r AS MATERIALIZED (
          |  SELECT list_transform(
          |    list(CAST(round(1000000000.0 * v / m) AS BIGINT)
          |      ORDER BY i), x -> CAST(x AS DOUBLE)) AS u
-         |  FROM v$r CROSS JOIN (SELECT max(abs(v)) AS m FROM v$r))"""
+         |  FROM v${c}_$r CROSS JOIN
+         |    (SELECT max(abs(v)) AS m FROM v${c}_$r))"""
         .stripMargin
+    }
+    def componentCtes(c: Int): String = {
+      val base =
+        s"""uv${c}_0 AS (SELECT list_transform(range(0, $dim),
+           |  j -> 1000000000.0) AS u),
+           |${(1 to iters).map(r => iterCtes(c, r)).mkString(",\n")},
+           |unitv$c AS MATERIALIZED (
+           |  SELECT list_transform(u, x -> x / sqrt(list_reduce(
+           |    list_prepend(0.0, list_transform(u, y -> y * y)),
+           |    (a, b) -> a + b))) AS un
+           |  FROM uv${c}_$iters)""".stripMargin
+      val deflate = if (c >= components - 1) "" else
+        s""",
+           |vv$c AS MATERIALIZED (
+           |  SELECT i, list_reduce(list_prepend(0.0,
+           |    list_transform(range(0, $dim),
+           |      j -> cr[j + 1] * un[j + 1])), (a, x) -> a + x) AS v
+           |  FROM cmat$c CROSS JOIN unitv$c),
+           |lam$c AS (
+           |  SELECT list_reduce(list_prepend(0.0,
+           |    list(un[i + 1] * v ORDER BY i)), (a, x) -> a + x) AS lam
+           |  FROM vv$c CROSS JOIN unitv$c),
+           |cmat${c + 1} AS MATERIALIZED (
+           |  SELECT i, list_transform(range(0, $dim),
+           |    j -> cr[j + 1] - lam * un[i + 1] * un[j + 1]) AS cr
+           |  FROM cmat$c CROSS JOIN unitv$c CROSS JOIN lam$c)"""
+          .stripMargin
+      base + deflate
+    }
+    def projection(c: Int): String =
+      s"""list_reduce(list_prepend(0.0,
+         |    list_transform(range(0, $dim),
+         |      j -> CAST(q[j + 1] AS DOUBLE) * un[j + 1])),
+         |    (a, x) -> a + x)""".stripMargin
+    val finalSelect =
+      if (single)
+        s"""SELECT vec_id, CAST(round(${projection(0)}) AS BIGINT)
+           |  AS pc1_q
+           |FROM qv CROSS JOIN unitv0""".stripMargin
+      else
+        (0 until components).map(c =>
+          s"""SELECT vec_id, $c AS comp,
+             |  CAST(round(${projection(c)}) AS BIGINT) AS score_q
+             |FROM qv CROSS JOIN unitv$c""".stripMargin)
+          .mkString("\nUNION ALL ")
     s"""WITH qv AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round($quantScale.0 * CAST(x AS DOUBLE)) AS BIGINT))
@@ -5198,21 +5258,10 @@ object SparkEntry {
        |  FROM gm g JOIN sums sa ON sa.i = g.i
        |             JOIN sums sb ON sb.i = g.j
        |  CROSS JOIN nrow),
-       |cmat AS MATERIALIZED (
+       |cmat0 AS MATERIALIZED (
        |  SELECT i, list(c ORDER BY j) AS cr FROM cm GROUP BY i),
-       |u0 AS (SELECT list_transform(range(0, $dim),
-       |  j -> 1000000000.0) AS u),
-       |${(1 to iters).map(iterCtes).mkString(",\n")},
-       |unitv AS (
-       |  SELECT list_transform(u, x -> x / sqrt(list_reduce(
-       |    list_prepend(0.0, list_transform(u, y -> y * y)),
-       |    (a, b) -> a + b))) AS un
-       |  FROM u$iters)
-       |SELECT vec_id, CAST(round(list_reduce(list_prepend(0.0,
-       |    list_transform(range(0, $dim),
-       |      j -> CAST(q[j + 1] AS DOUBLE) * un[j + 1])),
-       |    (a, x) -> a + x)) AS BIGINT) AS pc1_q
-       |FROM qv CROSS JOIN unitv""".stripMargin
+       |${(0 until components).map(componentCtes).mkString(",\n")}
+       |$finalSelect""".stripMargin
   }
 
   /** q225/q226 oracle generator: pLSA EM unrolled. Mirrors

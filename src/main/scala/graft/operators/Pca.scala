@@ -37,28 +37,22 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  /** Q227: (vec_id, pc1_q) — every vector's projection onto the
-    * dominant principal component, in `quantScale⁻¹` units of the
-    * original embedding space, grid-rounded.
-    */
-  def pcaProject(emb: DataFrame, vecCol: String, idCol: String,
-      dim: Int = 64, quantScale: Long = 10000L, iters: Int = 12)
-      : DataFrame = {
-    require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
-    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
-    require(quantScale >= 100L && quantScale <= 100000000L,
-      s"quantScale out of range: $quantScale")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val tri = dim * (dim + 1) / 2
-
-    val qDf = emb.select(col(idCol).cast("long").as("vec_id"),
+  private def quantized(emb: DataFrame, vecCol: String, idCol: String,
+      quantScale: Long): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x =>
         round(lit(quantScale.toDouble) * x.cast("double")).cast("long"))
         .as("q"))
 
-    // per-partition partial grammian: one row of (n, Σq, upper-tri Σqqᵀ)
-    // per partition — driver table bounded by numPartitions by contract
+  /** Exact centered second-moment matrix C = n·Σqqᵀ − (Σq)(Σq)ᵀ as
+    * double-exact values (loud failure past 2^53) — the per-partition
+    * grammian pass described above.
+    */
+  private def centeredMatrix(qDf: DataFrame, dim: Int)
+      : Array[Array[Double]] = {
+    val spark = qDf.sparkSession
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
     val partials = qDf.select(col("q")).as[Array[Long]]
       .mapPartitions { it =>
         var n = 0L
@@ -90,9 +84,6 @@ object Pca {
       var t = 0
       while (t < tri) { gTot(t) += g(t); t += 1 }
     }
-
-    // C = n·G − s·sᵀ in BigInt, then ONE lossless conversion to double
-    // (loud failure if any cell exceeds 2^53 — lower quantScale)
     val c = Array.ofDim[Double](dim, dim)
     val maxExact = BigInt(1L << 53)
     var t = 0
@@ -111,20 +102,26 @@ object Pca {
       }
       i += 1
     }
+    c
+  }
 
-    // power iteration on the 1e-9 grid: fixed left folds, max-abs
-    // rescale + grid round per iteration (mirrored in the oracle)
+  /** Power iteration on the 1e-9 grid (fixed left folds, max-abs
+    * rescale + grid round per iteration); returns the UNIT eigenvector
+    * (fold-ordered norm).
+    */
+  private def dominantUnit(c: Array[Array[Double]], dim: Int,
+      iters: Int): Array[Double] = {
     var u = Array.fill(dim)(1000000000L)
     var it = 0
     while (it < iters) {
       val v = new Array[Double](dim)
-      var i2 = 0
-      while (i2 < dim) {
+      var i = 0
+      while (i < dim) {
         var acc = 0.0
         var j = 0
-        while (j < dim) { acc += c(i2)(j) * u(j).toDouble; j += 1 }
-        v(i2) = acc
-        i2 += 1
+        while (j < dim) { acc += c(i)(j) * u(j).toDouble; j += 1 }
+        v(i) = acc
+        i += 1
       }
       var m = 0.0
       v.foreach(x => if (math.abs(x) > m) m = math.abs(x))
@@ -133,16 +130,89 @@ object Pca {
       u = v.map(x => Math.round(1.0e9 * x / m))
       it += 1
     }
-    // unit eigenvector: fold-ordered norm, one divide per component
     var ss = 0.0
-    var i3 = 0
-    while (i3 < dim) { ss += u(i3).toDouble * u(i3).toDouble; i3 += 1 }
+    var i = 0
+    while (i < dim) { ss += u(i).toDouble * u(i).toDouble; i += 1 }
     val norm = math.sqrt(ss)
-    val unit = u.map(_.toDouble / norm).toSeq
+    u.map(_.toDouble / norm)
+  }
 
+  /** Q227: (vec_id, pc1_q) — every vector's projection onto the
+    * dominant principal component, in `quantScale⁻¹` units of the
+    * original embedding space, grid-rounded.
+    */
+  def pcaProject(emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int = 64, quantScale: Long = 10000L, iters: Int = 12)
+      : DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    require(quantScale >= 100L && quantScale <= 100000000L,
+      s"quantScale out of range: $quantScale")
+    val qDf = quantized(emb, vecCol, idCol, quantScale)
+    val unit = dominantUnit(centeredMatrix(qDf, dim), dim, iters).toSeq
     qDf.select(col("vec_id"),
       round(aggregate(
         zip_with(col("q"), typedlit(unit), (a, b) => a.cast("double") * b),
         lit(0.0), (acc, x) => acc + x)).cast("long").as("pc1_q"))
   }
+
+  /** Q233: top-R principal components by DEFLATION — after each
+    * component, subtract its rank-1 term from the matrix
+    * (C' = C − λ·u·uᵀ with λ the fold-ordered Rayleigh numerator
+    * uᵀCu over the UNIT vector) and re-run the same grid power
+    * iteration; all arithmetic stays the mirrored double chain, so the
+    * oracle unrolls R identical blocks. Returns (vec_id, comp,
+    * score_q) — comp 0 is the dominant component; projections are one
+    * map-only pass with all R unit vectors as plan literals.
+    */
+  def pcaTopComponents(emb: DataFrame, vecCol: String, idCol: String,
+      components: Int = 3, dim: Int = 64, quantScale: Long = 10000L,
+      iters: Int = 12): DataFrame = {
+    require(components >= 1 && components <= 16,
+      s"components out of range: $components")
+    require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    require(quantScale >= 100L && quantScale <= 100000000L,
+      s"quantScale out of range: $quantScale")
+    val qDf = quantized(emb, vecCol, idCol, quantScale)
+    val c = centeredMatrix(qDf, dim)
+    val units = Seq.newBuilder[Seq[Double]]
+    var comp = 0
+    while (comp < components) {
+      val unit = dominantUnit(c, dim, iters)
+      units += unit.toSeq
+      if (comp < components - 1) {
+        // λ = uᵀ C u, fixed fold order (inner j then outer i)
+        var lambda = 0.0
+        var i = 0
+        while (i < dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += c(i)(j) * unit(j); j += 1 }
+          lambda += unit(i) * acc
+          i += 1
+        }
+        i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) {
+            c(i)(j) = c(i)(j) - lambda * unit(i) * unit(j)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      comp += 1
+    }
+    val all = units.result()
+    qDf.select(col("vec_id") +: all.zipWithIndex.map { case (u, r) =>
+      round(aggregate(
+        zip_with(col("q"), typedlit(u), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)).cast("long").as(s"s$r")
+    }: _*)
+      .select(col("vec_id"), posexplode(array(
+        all.indices.map(r => col(s"s$r")): _*)).as(Seq("comp", "score_q")))
+      .select(col("vec_id"), col("comp"), col("score_q"))
+  }
+
 }

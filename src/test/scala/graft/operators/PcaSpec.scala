@@ -95,6 +95,59 @@ class PcaSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("top components: comp 0 equals pc1; components near-orthogonal") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val comps = Pca.pcaTopComponents(emb, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pc1 = Pca.pcaProject(emb, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byComp = comps.groupBy(_._2).view
+      .mapValues(_.map(t => t._1 -> t._3).toMap).toMap
+    assert(byComp.keySet === Set(0, 1, 2))
+    assert(byComp(0) === pc1)
+    // (the synthetic embeddings are near-isotropic — eigengap ~1% —
+    // so strict variance ORDERING is asserted on crafted anisotropic
+    // data below; here deflation's near-orthogonality is the check)
+    def corr(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val ids = a.keys.toSeq
+      val xa = ids.map(a(_).toDouble); val xb = ids.map(b(_).toDouble)
+      val ma = xa.sum / xa.size; val mb = xb.sum / xb.size
+      val cov = ids.indices.map(i => (xa(i) - ma) * (xb(i) - mb)).sum
+      cov / math.sqrt(xa.map(x => (x - ma) * (x - ma)).sum *
+        xb.map(x => (x - mb) * (x - mb)).sum)
+    }
+    // 0.15 not 0.05: with a ~1% eigengap 12 power iterations return a
+    // direction slightly off the true eigenvector, so deflation leaves
+    // a residual correlation of that size (measured 0.10 here)
+    assert(math.abs(corr(byComp(0), byComp(1))) < 0.15)
+    assert(math.abs(corr(byComp(0), byComp(2))) < 0.15)
+    assert(math.abs(corr(byComp(1), byComp(2))) < 0.15)
+  }
+
+  test("top components: variance ordering on anisotropic data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // axis variances ~ 100 : 10 : 1 : 0.1 along rotated directions
+    val vecs = (0L until 120L).map { id =>
+      val a = (rnd.nextFloat() - 0.5f) * 2f
+      val b = (rnd.nextFloat() - 0.5f) * 0.6f
+      val c = (rnd.nextFloat() - 0.5f) * 0.2f
+      val d = (rnd.nextFloat() - 0.5f) * 0.06f
+      id -> Array(a + d, a - d, b + c, b - c)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val comps = Pca.pcaTopComponents(df, "embedding", "vec_id",
+        components = 3, dim = 4, quantScale = 10000L, iters = 30)
+      .collect().map(r => (r.getInt(1), r.getLong(2).toDouble))
+    def variance(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+    }
+    val v = (0 to 2).map(c =>
+      variance(comps.filter(_._1 == c).map(_._2).toSeq))
+    assert(v(0) > v(1) && v(1) > v(2), s"variances not ordered: $v")
+  }
+
   test("guards: wrong declared dim fails loudly; parameter ranges") {
     import spark.implicits._
     val df = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
