@@ -1149,6 +1149,11 @@ object SparkEntry {
     "q233_pca_components" -> ((s, dir) =>
       Pca.pcaTopComponents(Tables.embeddings(s, dir), "embedding",
         "vec_id")),
+    // q234: cross-tokenizer fertility per language — both native
+    // kernels in one map-only pass, one aggregation
+    "q234_tokenizer_fertility" -> ((s, dir) =>
+      Wordpiece.tokenizerFertility(Tables.documents(s, dir), "text",
+        "lang")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4999,6 +5004,11 @@ object SparkEntry {
     "q233_pca_components" ->
       pcaOracleSql(dim = 64, quantScale = 10000L, iters = 12,
         components = 3, single = false),
+    // q234: the WordPiece walk core + the q119 BPE replace chain,
+    // rolled up per language
+    "q234_tokenizer_fertility" ->
+      fertilityOracleSql(graft.operators.Wordpiece.DefaultVocab,
+        graft.operators.Wordpiece.DefaultMaxSub, steps = 16),
     // q228: q111's pair table + character counts; the score quotient is
     // the same double chain in both engines, ordering (score DESC, l, r)
     "q228_wordpiece_candidates" ->
@@ -5126,6 +5136,19 @@ object SparkEntry {
     */
   private def wordpieceEncodeOracleSql(vocab: Seq[String], maxSub: Int,
       steps: Int): String = {
+    s"""WITH ${wordpieceCoreCtes(vocab, maxSub, steps)}
+       |SELECT d.doc_id, CAST(coalesce(p.ws, 0) AS BIGINT) AS ws_tokens,
+       |  CAST(coalesce(p.wp, 0) AS BIGINT) AS wp_tokens,
+       |  CAST(coalesce(p.un, 0) AS BIGINT) AS unk_words
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+      .stripMargin
+  }
+
+  /** The wocc→per CTE chain of [[wordpieceEncodeOracleSql]] (per-doc
+    * WordPiece stats), reusable inside larger oracles (q234).
+    */
+  private def wordpieceCoreCtes(vocab: Seq[String], maxSub: Int,
+      steps: Int): String = {
     val vlit = vocab.map(v => s"'$v'").mkString("[", ", ", "]")
     val mlExpr = (maxSub to 1 by -1).map { k =>
       val guard = if (k > 1) s"pos + ${k - 1} <= L AND " else ""
@@ -5147,7 +5170,7 @@ object SparkEntry {
          |  FROM (SELECT word, L, pos, cnt, unk,
          |      $mlExpr AS ml
          |    FROM s${t - 1}))""".stripMargin
-    s"""WITH wocc AS (
+    s"""wocc AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
        |    AS word
        |  FROM documents),
@@ -5159,12 +5182,48 @@ object SparkEntry {
        |per AS (
        |  SELECT o.doc_id AS doc_id, count(*) AS ws, sum(r.cnt) AS wp,
        |    sum(CASE WHEN r.unk THEN 1 ELSE 0 END) AS un
-       |  FROM wocc o JOIN res r ON r.word = o.word GROUP BY 1)
-       |SELECT d.doc_id, CAST(coalesce(p.ws, 0) AS BIGINT) AS ws_tokens,
-       |  CAST(coalesce(p.wp, 0) AS BIGINT) AS wp_tokens,
-       |  CAST(coalesce(p.un, 0) AS BIGINT) AS unk_words
-       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+       |  FROM wocc o JOIN res r ON r.word = o.word GROUP BY 1)"""
       .stripMargin
+  }
+
+  /** q234 oracle: the WordPiece per-doc core + the q119 BPE
+    * replace-chain (CTEs renamed bw/bs/bm/bt), rolled up per language.
+    */
+  private def fertilityOracleSql(vocab: Seq[String], maxSub: Int,
+      steps: Int): String = {
+    def wrap(s: String) = s"chr(31)||'$s'||chr(30)"
+    val merged = graft.operators.BpeTrain.DefaultMerges
+      .foldLeft("bs0") { case (e, (l, r)) =>
+        s"replace($e, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)})"
+      }
+    s"""WITH ${wordpieceCoreCtes(vocab, maxSub, steps)},
+       |bw AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(
+       |      replace(replace(text, chr(31), ''), chr(30), ''), '\\S+'))
+       |    AS word
+       |  FROM documents),
+       |bs AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      regexp_split_to_array(word, ''), c -> chr(31)||c||chr(30)),
+       |      '') AS bs0
+       |  FROM bw),
+       |bm AS (SELECT doc_id, $merged AS sm FROM bs),
+       |bt AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(sm) - len(replace(sm, chr(31), ''))) AS BIGINT)
+       |      AS bpe
+       |  FROM bm GROUP BY doc_id)
+       |SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(length(d.text), 0)) AS BIGINT) AS n_chars,
+       |  CAST(sum(coalesce(p.ws, 0)) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(coalesce(b.bpe, 0)) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(coalesce(p.wp, 0)) AS BIGINT) AS wp_tokens,
+       |  CAST(sum(coalesce(p.un, 0)) AS BIGINT) AS unk_words
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |LEFT JOIN bt b ON b.doc_id = d.doc_id
+       |GROUP BY d.lang""".stripMargin
   }
 
   /** q227/q233 oracle generator: quantized grammian (exact integer

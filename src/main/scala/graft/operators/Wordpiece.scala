@@ -184,4 +184,38 @@ object Wordpiece {
       stats.getItem(1).as("wp_tokens"),
       stats.getItem(2).as("unk_words"))
   }
+
+  /** Q234: CROSS-TOKENIZER FERTILITY — per language, how many tokens
+    * each tokenizer spends on the same text (chars/token is the
+    * fertility metric tokenizer selection reads): whitespace, BPE
+    * (q119's fixed merge table), and WordPiece (q229's vocabulary),
+    * plus the WordPiece [UNK] casualty count. One map-only pass runs
+    * BOTH native kernels per row, then one map-side-combinable
+    * aggregation — the corpus never shuffles.
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+      langCol: String, vocab: Seq[String] = DefaultVocab,
+      maxSub: Int = DefaultMaxSub,
+      merges: Seq[(String, String)] = BpeTrain.DefaultMerges)
+      : DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val wp = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordPieceEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(txt), vocab, maxSub))
+    val bpe = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BpeEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(txt), merges))
+    docs
+      .select(col(langCol).as("lang"),
+        length(txt).cast("long").as("nc"),
+        wp.getItem(0).as("ws"), wp.getItem(1).as("wp"),
+        wp.getItem(2).as("un"), bpe.getItem(1).as("bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bp")).as("bpe_tokens"),
+        sum(col("wp")).as("wp_tokens"),
+        sum(col("un")).as("unk_words"))
+  }
 }

@@ -164,6 +164,29 @@ class WordpieceSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L)))
   }
 
+  test("fertility rollup equals the per-doc kernels aggregated") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Wordpiece.tokenizerFertility(docs, "text", "lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val wp = Wordpiece.wordpieceTokenStats(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"), sum(col("ws_tokens")).as("ws"),
+        sum(col("wp_tokens")).as("wp"), sum(col("unk_words")).as("un"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val bpe = BpeTrain.bpeTokenStats(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang")).agg(sum(col("bpe_tokens")).as("bp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === wp.keySet)
+    got.foreach { case (lang, (nd, ws, bp, wpT, un)) =>
+      assert((nd, ws, wpT, un) === wp(lang), s"lang $lang wp side")
+      assert(bp === bpe(lang), s"lang $lang bpe side")
+    }
+  }
+
   test("parameter guards") {
     import spark.implicits._
     val docs = Seq("a").toDF("text")
