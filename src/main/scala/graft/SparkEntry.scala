@@ -1154,6 +1154,11 @@ object SparkEntry {
     "q234_tokenizer_fertility" -> ((s, dir) =>
       Wordpiece.tokenizerFertility(Tables.documents(s, dir), "text",
         "lang")),
+    // q235: interpolated Kneser-Ney bigram surprisal — the canonical
+    // LM smoothing, scored on the q159 held-out split
+    "q235_kneser_ney" -> ((s, dir) =>
+      Pipelines.kneserNeySurprisal(Tables.documents(s, dir), "text",
+        "doc_id")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5009,6 +5014,62 @@ object SparkEntry {
     "q234_tokenizer_fertility" ->
       fertilityOracleSql(graft.operators.Wordpiece.DefaultVocab,
         graft.operators.Wordpiece.DefaultMaxSub, steps = 16),
+    // q235: the q159 shell with the interpolated-KN algebra — one
+    // literal-mirrored chain per token, micro-grid rounded
+    "q235_kneser_ney" ->
+      """WITH trd AS (
+        |  SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |trt AS (
+        |  SELECT toks[i] AS cur,
+        |         CASE WHEN i > 1 THEN toks[i - 1] END AS p1
+        |  FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM trd)),
+        |bg AS MATERIALIZED (
+        |  SELECT p1, cur, count(*) AS c2 FROM trt
+        |  WHERE p1 IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT p1, CAST(sum(c2) AS BIGINT) AS cu,
+        |        count(*) AS n1f FROM bg GROUP BY 1),
+        |contw AS (SELECT cur, count(*) AS nb FROM bg GROUP BY 1),
+        |bt AS (SELECT count(*) AS B FROM bg),
+        |vt AS (SELECT count(DISTINCT cur) AS V FROM trt),
+        |hd AS (
+        |  SELECT doc_id, toks FROM (
+        |    SELECT doc_id,
+        |      regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |    FROM documents WHERE doc_id % 10 = 7)
+        |  WHERE len(toks) > 0),
+        |tt AS (
+        |  SELECT doc_id, i, toks[i] AS cur,
+        |         CASE WHEN i > 1 THEN toks[i - 1] END AS p1
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1))
+        |          AS i
+        |        FROM hd)),
+        |terms AS (
+        |  SELECT tt.doc_id,
+        |    CAST(round(-ln(CASE WHEN tt.i = 1 THEN
+        |        CAST(coalesce(cw.nb, 0) + 1 AS DOUBLE)
+        |          / CAST(bt.B + vt.V AS DOUBLE)
+        |      WHEN ctx.cu IS NOT NULL THEN
+        |        greatest(CAST(coalesce(bg.c2, 0) AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(ctx.cu AS DOUBLE)
+        |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cu AS DOUBLE)
+        |          * (CAST(coalesce(cw.nb, 0) + 1 AS DOUBLE)
+        |             / CAST(bt.B + vt.V AS DOUBLE))
+        |      ELSE CAST(coalesce(cw.nb, 0) + 1 AS DOUBLE)
+        |        / CAST(bt.B + vt.V AS DOUBLE)
+        |      END) * 1000000) AS DECIMAL(18,0)) AS mic
+        |  FROM tt
+        |  LEFT JOIN bg ON bg.p1 = tt.p1 AND bg.cur = tt.cur
+        |  LEFT JOIN ctx ON ctx.p1 = tt.p1
+        |  LEFT JOIN contw cw ON cw.cur = tt.cur
+        |  CROSS JOIN bt CROSS JOIN vt)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE),
+        |    6) AS sum_nll,
+        |  round(CAST(sum(mic) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)
+        |    / count(*), 6) AS avg_nll
+        |FROM terms GROUP BY 1""".stripMargin,
     // q228: q111's pair table + character counts; the score quotient is
     // the same double chain in both engines, ordering (score DESC, l, r)
     "q228_wordpiece_candidates" ->

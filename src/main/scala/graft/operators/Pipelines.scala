@@ -1075,6 +1075,83 @@ object Pipelines {
     * associate identically because the oracle mirrors this exact CASE
     * nesting (α literals cast to DOUBLE there — the q139 lesson).
     */
+  /** Q235: INTERPOLATED KNESER-NEY bigram surprisal (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form) — the canonical LM
+    * smoothing, completing the family next to add-one unigram (q133),
+    * bigram (q139) and stupid-backoff trigram (q159) surprisal:
+    * {{{ P(w|u) = max(c(u,w)−D, 0)/c(u) + D·N1+(u·)/c(u) · Pcont(w) }}}
+    * with the continuation probability Pcont(w) = (N1+(·w)+1)/(B+V)
+    * (add-one so held-out-only words stay finite; B = bigram types,
+    * V = train vocab), D = 0.75 fixed. Doc starts and unseen contexts
+    * fall back to Pcont.
+    *
+    * Determinism: every count is an exact BIGINT; each token's
+    * probability is ONE literal-mirrored double chain rounded to the
+    * 1e-6 micro grid (the q159 shell), so per-doc sums are exact
+    * DECIMAL sums of micro units.
+    *
+    * Scale: three map-side-combinable count aggregations over the
+    * train split (bigram/context/continuation — each vocabulary²-
+    * bounded, never corpus-bounded), two 1-row broadcast totals, and
+    * one scoring join per held-out token. No windows, no driver data.
+    */
+  def kneserNeySurprisal(docs: DataFrame, textCol: String,
+      idCol: String, holdMod: Int = 10, holdRem: Int = 7,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount out of range: $discount")
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => t =!= "")
+    val isHeld = pmod(col(idCol), lit(holdMod)) === lit(holdRem)
+    val trainT = docs.filter(!isHeld)
+      .select(toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(posexplode(col("__toks")).as(Seq("pos", "cur")),
+        col("__toks"))
+      .select(col("cur"),
+        when(col("pos") >= 1, element_at(col("__toks"), col("pos")))
+          .as("p1"))
+    val bg = trainT.filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("cur")).agg(count(lit(1)).as("c2"))
+    val ctx = bg.groupBy(col("p1"))
+      .agg(sum(col("c2")).as("cu"), count(lit(1)).as("n1f"))
+    val contw = bg.groupBy(col("cur")).agg(count(lit(1)).as("nb"))
+    val bTot = bg.agg(count(lit(1)).as("B"))
+    val vTot = trainT.select(col("cur")).distinct()
+      .agg(count(lit(1)).as("V"))
+    val held = docs.filter(isHeld)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "cur")))
+      .select(col(idCol), col("pos"), col("cur"),
+        when(col("pos") >= 1, element_at(col("__toks"), col("pos")))
+          .as("p1"))
+    val pc = (coalesce(col("nb"), lit(0L)) + lit(1L)).cast("double") /
+      (col("B") + col("V")).cast("double")
+    val s2 = greatest(coalesce(col("c2"), lit(0L)).cast("double") -
+        lit(discount), lit(0.0)) / col("cu").cast("double") +
+      lit(discount) * col("n1f").cast("double") /
+        col("cu").cast("double") * pc
+    val s = when(col("pos") === 0, pc)
+      .when(col("cu").isNotNull, s2)
+      .otherwise(pc)
+    held
+      .join(bg, Seq("p1", "cur"), "left")
+      .join(ctx, Seq("p1"), "left")
+      .join(contw, Seq("cur"), "left")
+      .crossJoin(broadcast(bTot))
+      .crossJoin(broadcast(vTot))
+      .select(col(idCol), round(-log(s) * 1e6).cast("long").as("mic"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("mic").cast("decimal(18,0)")) /
+          lit(1000000L).cast("decimal(7,0)")).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", round(col("sum_nll") / col("n_tokens"), 6))
+      .withColumn("sum_nll", round(col("sum_nll"), 6))
+  }
+
   def trigramBackoffSurprisal(docs: DataFrame, textCol: String,
       idCol: String, holdMod: Int = 10, holdRem: Int = 7,
       alpha: Double = 0.4): DataFrame = {
