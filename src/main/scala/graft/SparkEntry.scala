@@ -1159,6 +1159,16 @@ object SparkEntry {
     "q235_kneser_ney" -> ((s, dir) =>
       Pipelines.kneserNeySurprisal(Tables.documents(s, dir), "text",
         "doc_id")),
+    // q236: Kaplan-Meier product-limit curve — q209's direct
+    // survival-probability companion, integer-exact via the micro-grid
+    // recurrence over the bounded duration-day table
+    "q236_kaplan_meier" -> ((s, dir) =>
+      Survival.kaplanMeier(Tables.events(s, dir))),
+    // q237: Johnson-Lindenstrauss sign projection — 64 -> 16 dims,
+    // exact integer arithmetic end to end, map-only
+    "q237_random_projection" -> ((s, dir) =>
+      Pca.randomProjection(Tables.embeddings(s, dir), "embedding",
+        "vec_id")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4638,6 +4648,60 @@ object SparkEntry {
         |  CAST(sum(step) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS cum_hazard_micros
         |FROM h""".stripMargin,
+    // q236: q209's duration-day derivation + the integer product-limit
+    // recurrence replayed as a recursive CTE (floor division per step)
+    "q236_kaplan_meier" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT user_id, event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d
+        |  FROM events),
+        |pu AS (SELECT user_id, min(d) AS day0,
+        |         min(CASE WHEN event_type = 'purchase' THEN d END) AS pday
+        |       FROM ed GROUP BY 1),
+        |oe AS (SELECT max(d) AS obs_end FROM ed),
+        |dur AS (SELECT
+        |          CASE WHEN pday IS NOT NULL THEN pday - day0
+        |               ELSE obs_end - day0 END AS t,
+        |          CASE WHEN pday IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |        FROM pu, oe),
+        |bt AS (SELECT t, count(*) AS n_at_t, CAST(sum(ev) AS BIGINT) AS d
+        |       FROM dur GROUP BY t),
+        |r AS (SELECT t, d,
+        |        CAST(sum(n_at_t) OVER (ORDER BY t DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM bt),
+        |st AS MATERIALIZED (
+        |  SELECT t, n_risk, d,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+        |  FROM r WHERE d > 0),
+        |km AS (
+        |  SELECT rn, t, n_risk, d,
+        |    (1000000 * (n_risk - d)) // n_risk AS s
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.rn, n.t, n.n_risk, n.d,
+        |    (km.s * (n.n_risk - n.d)) // n.n_risk
+        |  FROM km JOIN st n ON n.rn = km.rn + 1)
+        |SELECT t, n_risk, d AS d_events, CAST(s AS BIGINT) AS km_ppm
+        |FROM km""".stripMargin,
+    // q237: the md5-parity sign matrix (affine mod-hash parities are
+    // linearly structured on the dense j,t grid), integer folds
+    "q237_random_projection" ->
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(10000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+        |    AS q
+        |  FROM embeddings),
+        |ts AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS t)
+        |SELECT vec_id, t,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 64),
+        |      j -> q[j + 1] * (1 - 2 * ((strpos('0123456789abcdef',
+        |        substr(md5(CAST(j AS VARCHAR) || '_'
+        |          || CAST(t AS VARCHAR)), 1, 1)) - 1) % 2)))),
+        |    (a, x) -> a + x) AS BIGINT) AS y
+        |FROM qv CROSS JOIN ts""".stripMargin,
     // q210: class x value grid completed by cross join, per-term
     // micro-grid probabilities (the engine's overflow-safe estimator)
     "q210_tcloseness" ->

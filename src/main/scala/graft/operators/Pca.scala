@@ -156,6 +156,48 @@ object Pca {
         lit(0.0), (acc, x) => acc + x)).cast("long").as("pc1_q"))
   }
 
+  /** Q237: JOHNSON–LINDENSTRAUSS random projection — reduce the
+    * embedding dimension with a seeded Rademacher (±1) matrix
+    * (Achlioptas 2003: sign matrices satisfy the JL lemma), the cheap
+    * scale path when downstream ops only need distances approximately:
+    * ||Rq_a − Rq_b||²/k ≈ ||q_a − q_b||². Signs derive from the
+    * parity of md5("j_t")'s first hex digit — NOT the repo's affine
+    * mod-hash chain, deliberately: parities of a·x mod p over the
+    * dense x = j·k+t grid are LINEARLY structured (measured row dot
+    * products up to 62/64 — a near-rank-deficient matrix that
+    * destroys the JL property; md5 measures ≤22/64, the true
+    * random-matrix scale). Both engines replay md5 identically, so
+    * the ENTIRE operator stays exact integer arithmetic — quantized
+    * inputs, ±1 literals, BIGINT fold — with zero float ops. One
+    * map-only pass, the sign matrix as plan literals.
+    *
+    * Output: (vec_id, t, y) — k rows per vector, y in quantScale⁻¹
+    * units (unscaled: divide by √k for distance-calibrated values).
+    */
+  def randomProjection(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int = 16, dim: Int = 64, quantScale: Long = 10000L)
+      : DataFrame = {
+    require(k >= 2 && k <= 1024, s"k out of range: $k")
+    require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
+    require(quantScale >= 100L && quantScale <= 100000000L,
+      s"quantScale out of range: $quantScale")
+    val qDf = quantized(emb, vecCol, idCol, quantScale)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def signOf(j: Int, t: Int): Long = {
+      val d = md.digest(s"${j}_$t".getBytes("UTF-8"))
+      1L - 2L * ((d(0) >> 4) & 0x1)
+    }
+    val signs: Seq[Seq[Long]] = (0 until k).map(t =>
+      (0 until dim).map(j => signOf(j, t)))
+    qDf.select(col("vec_id") +: signs.zipWithIndex.map { case (sg, t) =>
+      aggregate(zip_with(col("q"), typedlit(sg), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"y$t")
+    }: _*)
+      .select(col("vec_id"), posexplode(array(
+        (0 until k).map(t => col(s"y$t")): _*)).as(Seq("t", "y")))
+      .select(col("vec_id"), col("t"), col("y"))
+  }
+
   /** Q233: top-R principal components by DEFLATION — after each
     * component, subtract its rank-1 term from the matrix
     * (C' = C − λ·u·uᵀ with λ the fold-ordered Rayleigh numerator

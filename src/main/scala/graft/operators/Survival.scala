@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ (the counting-process sibling of
   * Kaplan–Meier), chosen deliberately because it is INTEGER-EXACT on
   * the micro grid: each step is one `(d·10⁶) div n` and the curve is a
-  * plain integer cumulative sum — no exp/log parity risk at all
-  * (Kaplan–Meier's running PRODUCT would need libm on both engines).
+  * plain integer cumulative sum — no exp/log parity risk at all.
+  * (Kaplan–Meier's running product is kept off libm too — see
+  * [[kaplanMeier]]'s micro-grid recurrence, q236.)
   *
   * Semantics: a user enters at their FIRST event (day 0), converts at
   * their first `convType` event, else censors at the corpus's last
@@ -59,5 +60,38 @@ object Survival {
         sum(col("hazard_step_micros")).over(hazW))
       .select(col("t"), col("n_risk"), col("d").as("d_events"),
         col("hazard_step_micros"), col("cum_hazard_micros"))
+  }
+
+  /** Q236: KAPLAN–MEIER product-limit survival curve — the direct
+    * survival-probability companion of [[nelsonAalenHazard]] (same
+    * entry/censoring semantics, same risk sets): S(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ). The running product is kept INTEGER-EXACT — no
+    * exp/ln parity risk — by the micro-grid recurrence
+    * {{{ S₀ = 10⁶;  Sᵢ = (Sᵢ₋₁ · (nᵢ − dᵢ)) div nᵢ }}}
+    * which the driver folds over the duration-day table (bounded by
+    * the observation window — the q209 argument; capped collect via
+    * [[DriverTables.collectCapped]]) and the oracle replays with a
+    * recursive CTE. Floor division per step, documented contract:
+    * S is a ≤1-ULP-per-step UNDER-estimate on the 1e-6 grid.
+    *
+    * Output: (t, n_risk, d_events, km_ppm) — one row per event day.
+    */
+  def kaplanMeier(events: DataFrame, convType: String = "purchase",
+      maxSteps: Int = 100000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = nelsonAalenHazard(events, convType)
+      .select(col("t"), col("n_risk"), col("d_events"))
+      .orderBy(col("t"))
+    val rows = DriverTables.collectCapped(steps, maxSteps,
+      "kaplanMeier duration-day table",
+      "an observation window this long is not day-grained — coarsen t")
+    var s = 1000000L
+    val out = rows.map { r =>
+      val (t, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      s = s * (n - d) / n
+      (t, n, d, s)
+    }
+    out.toSeq.toDF("t", "n_risk", "d_events", "km_ppm")
   }
 }

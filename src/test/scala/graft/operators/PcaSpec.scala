@@ -148,6 +148,41 @@ class PcaSpec extends SparkSpec {
     assert(v(0) > v(1) && v(1) > v(2), s"variances not ordered: $v")
   }
 
+  test("random projection: exact integer fold, JL distances preserved") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val proj = Pca.randomProjection(emb, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byVec = proj.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // straight-line check on one vector
+    val qRows = emb.select(col("vec_id"), transform(col("embedding"),
+        x => round(lit(10000.0) * x.cast("double")).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val someId = qRows.keys.head
+    val q = qRows(someId)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).foreach { t =>
+      val want = (0 until 64).map { j =>
+        val d = md.digest(s"${j}_$t".getBytes("UTF-8"))
+        q(j) * (1L - 2L * ((d(0) >> 4) & 0x1))
+      }.sum
+      assert(byVec(someId)(t) == want, s"t=$t")
+    }
+    // JL property: projected distance^2 / k tracks the original
+    // distance^2 within a generous constant for sampled pairs
+    val ids = qRows.keys.toSeq.sorted.take(20)
+    for (a <- ids.take(5); b <- ids.drop(5).take(10)) {
+      val d2 = (0 until 64).map(j =>
+        (qRows(a)(j) - qRows(b)(j)).toDouble).map(x => x * x).sum
+      val p2 = (0 until 16).map(t =>
+        (byVec(a)(t) - byVec(b)(t)).toDouble).map(x => x * x).sum / 16.0
+      // k=16 is a loose sketch (Var(p2/d2) ~ 2/k); the band checks
+      // distance preservation, not tight JL concentration
+      assert(p2 > d2 / 3.0 && p2 < d2 * 3.0,
+        s"pair ($a,$b): d2=$d2 p2=$p2")
+    }
+  }
+
   test("guards: wrong declared dim fails loudly; parameter ranges") {
     import spark.implicits._
     val df = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")

@@ -38,4 +38,35 @@ class SurvivalSpec extends SparkSpec {
     val rows = Seq((1L, 0, "view"), (2L, 1, "click"))
     assert(Survival.nelsonAalenHazard(ev(rows)).count() == 0L)
   }
+
+  test("kaplan-meier: integer recurrence matches a straight-line fold, " +
+      "same step table as the hazard, monotone") {
+    val events = graft.Tables.events(spark, sf)
+    val na = Survival.nelsonAalenHazard(events)
+      .orderBy(org.apache.spark.sql.functions.col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val km = Survival.kaplanMeier(events)
+      .orderBy(org.apache.spark.sql.functions.col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(km.map(x => (x._1, x._2, x._3)).toSeq === na.toSeq)
+    var s = 1000000L
+    km.foreach { case (_, n, d, got) =>
+      s = s * (n - d) / n
+      assert(got == s)
+    }
+    assert(km.nonEmpty)
+    km.foldLeft(1000000L) { case (prev, (_, _, _, sNow)) =>
+      assert(sNow <= prev && sNow >= 0L)
+      sNow
+    }
+  }
+
+  test("kaplan-meier cap fires before collecting an oversized table") {
+    val events = graft.Tables.events(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Survival.kaplanMeier(events, maxSteps = 1)
+    }
+    assert(ex.getMessage.contains("duration-day"))
+  }
 }
