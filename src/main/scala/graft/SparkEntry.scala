@@ -1169,6 +1169,11 @@ object SparkEntry {
     "q237_random_projection" -> ((s, dir) =>
       Pca.randomProjection(Tables.embeddings(s, dir), "embedding",
         "vec_id")),
+    // q238: per-source embedding-centroid drift — exact BIGINT
+    // centroid sums (cosine is scale-invariant), source-table pairs
+    "q238_source_drift" -> ((s, dir) =>
+      Similarity.sourceCentroidDrift(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4702,6 +4707,40 @@ object SparkEntry {
         |          || CAST(t AS VARCHAR)), 1, 1)) - 1) % 2)))),
         |    (a, x) -> a + x) AS BIGINT) AS y
         |FROM qv CROSS JOIN ts""".stripMargin,
+    // q238: integer centroid sums + one mirrored fold/sqrt/div chain
+    "q238_source_drift" ->
+      """WITH j AS MATERIALIZED (
+        |  SELECT d.source AS src, list_transform(e.embedding,
+        |    x -> CAST(round(10000.0 * CAST(x AS DOUBLE)) AS BIGINT))
+        |    AS q
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |ce AS MATERIALIZED (
+        |  SELECT src, i, CAST(sum(q[i + 1]) AS BIGINT) AS c
+        |  FROM j CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY 1, 2),
+        |cn AS (SELECT src, count(*) AS n FROM j GROUP BY 1),
+        |cv AS MATERIALIZED (
+        |  SELECT ce.src AS src, cn.n AS n, list(ce.c ORDER BY ce.i)
+        |    AS c
+        |  FROM ce JOIN cn ON cn.src = ce.src GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a,
+        |    b.n AS n_b,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 64),
+        |        i -> a.c[i + 1] * b.c[i + 1])), (x, y) -> x + y) AS dp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 64),
+        |        i -> a.c[i + 1] * a.c[i + 1])), (x, y) -> x + y) AS na2,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 64),
+        |        i -> b.c[i + 1] * b.c[i + 1])), (x, y) -> x + y) AS nb2
+        |  FROM cv a JOIN cv b ON a.src < b.src)
+        |SELECT src_a, src_b, n_a, n_b,
+        |  round(CAST(dp AS DOUBLE)
+        |    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+        |    6) AS cos
+        |FROM pr WHERE na2 > 0 AND nb2 > 0""".stripMargin,
     // q210: class x value grid completed by cross join, per-term
     // micro-grid probabilities (the engine's overflow-safe estimator)
     "q210_tcloseness" ->

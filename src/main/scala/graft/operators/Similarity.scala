@@ -442,4 +442,51 @@ object Similarity {
         round(col("s"), 6).as("sim"),
         round(col("mmr_micro").cast("double") / lit(1000000.0), 6).as("mmr"))
   }
+
+  /** Q238: SOURCE-CENTROID EMBEDDING DRIFT — pairwise cosine between
+    * per-source embedding centroids, the audit that catches one crawl
+    * source shifting its embedding distribution away from the rest
+    * (domain drift, scraper breakage, injected content).
+    *
+    * Exactness: vectors quantize to the 1e-4 grid, per-source CENTROID
+    * SUMS are exact BIGINT aggregations (cosine is scale-invariant, so
+    * the cosine of sums IS the cosine of means — no division ever
+    * happens on the distributed side), and each pair's cosine is one
+    * mirrored fold/sqrt/divide chain rounded to 6 dp.
+    *
+    * Scale: one equi-join (docs⋈embeddings on id), one
+    * map-side-combinable aggregation to |sources| rows of d sums, then
+    * an all-pairs join over the SOURCE table — |sources|² pairs, a
+    * dimension table by contract (the q217 source-similarity shape).
+    */
+  def sourceCentroidDrift(docs: DataFrame, emb: DataFrame,
+      dim: Int = 64, quantScale: Long = 10000L): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
+    val j = docs.select(col("doc_id"), col("source"))
+      .join(emb.select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x =>
+          round(lit(quantScale.toDouble) * x.cast("double")).cast("long"))
+          .as("q")), Seq("doc_id"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dim).map(i => sum(col("q")(i)).as(s"c$i"))
+    val cents = j.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source"), col("n"),
+        array((0 until dim).map(i => col(s"c$i")): _*).as("c"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x)
+    cents.select(col("source").as("src_a"), col("n").as("n_a"),
+        col("c").as("ca"))
+      .join(cents.select(col("source").as("src_b"), col("n").as("n_b"),
+        col("c").as("cb")), col("src_a") < col("src_b"))
+      .withColumn("dp", dot(col("ca"), col("cb")))
+      .withColumn("na2", dot(col("ca"), col("ca")))
+      .withColumn("nb2", dot(col("cb"), col("cb")))
+      .filter(col("na2") > 0 && col("nb2") > 0)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(col("dp").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6).as("cos"))
+  }
 }

@@ -149,4 +149,48 @@ class SimilaritySpec extends SparkSpec {
     assert(v.drop("recall_ok").collect().map(_.toSeq).toSet == exact)
     assert(v.select("recall_ok").distinct().as[Int].collect().toSeq == Seq(1))
   }
+
+  test("q238 source-centroid drift: reference parity and planted shift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // sources A/B share a direction; source C is shifted orthogonally
+    def vec(base: Array[Float]): Array[Float] =
+      base.map(x => x + 0.05f * (rnd.nextFloat() - 0.5f))
+    val a = Array.fill(8)(vec(Array(0.5f, 0.4f, 0.0f, 0.1f)))
+    val b = Array.fill(8)(vec(Array(0.45f, 0.45f, 0.05f, 0.1f)))
+    val c = Array.fill(8)(vec(Array(-0.1f, 0.0f, 0.6f, -0.4f)))
+    val rows = (a.map(("srcA", _)) ++ b.map(("srcB", _)) ++
+      c.map(("srcC", _))).zipWithIndex
+      .map { case ((s, v), i) => (i.toLong, s, v) }
+    val docs = rows.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "source")
+    val emb = rows.toSeq.map(r => (r._1, r._3))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sourceCentroidDrift(docs, emb, dim = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // straight-line reference: quantize, sum, cosine, round 6
+    def q(v: Array[Float]) = v.map(x => Math.round(10000.0 * x.toDouble))
+    val sums = rows.groupBy(_._2).view.mapValues { xs =>
+      val m = new Array[Long](4)
+      xs.foreach(r => q(r._3).zipWithIndex.foreach { case (x, i) =>
+        m(i) += x })
+      (xs.size.toLong, m)
+    }.toMap
+    def cos(x: Array[Long], y: Array[Long]): Double = {
+      val dp = (0 until 4).map(i => x(i) * y(i)).sum.toDouble
+      val r = dp / (math.sqrt((0 until 4).map(i => x(i) * x(i)).sum
+        .toDouble) * math.sqrt((0 until 4).map(i => y(i) * y(i)).sum
+        .toDouble))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (sa <- Seq("srcA", "srcB", "srcC"); sb <- Seq("srcA", "srcB",
+        "srcC") if sa < sb) {
+      val (na, ca) = sums(sa); val (nb, cb) = sums(sb)
+      assert(got((sa, sb)) === ((na, nb, cos(ca, cb))), s"$sa-$sb")
+    }
+    // the shifted source reads as drift: A-B cosine far above A-C, B-C
+    assert(got(("srcA", "srcB"))._3 > 0.95)
+    assert(got(("srcA", "srcC"))._3 < 0.5)
+    assert(got(("srcB", "srcC"))._3 < 0.5)
+  }
 }
