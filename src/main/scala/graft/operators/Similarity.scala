@@ -473,20 +473,37 @@ object Similarity {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("source"), col("n"),
         array((0 until dim).map(i => col(s"c$i")): _*).as("c"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-        (acc, x) => acc + x)
-    cents.select(col("source").as("src_a"), col("n").as("n_a"),
-        col("c").as("ca"))
-      .join(cents.select(col("source").as("src_b"), col("n").as("n_b"),
-        col("c").as("cb")), col("src_a") < col("src_b"))
-      .withColumn("dp", dot(col("ca"), col("cb")))
-      .withColumn("na2", dot(col("ca"), col("ca")))
-      .withColumn("nb2", dot(col("cb"), col("cb")))
+      .persist()
+    // pair dot products via the q217 shape — an EQUI-join on the
+    // coordinate index (a `src_a < src_b` theta join alone would plan
+    // a nested-loop cartesian, which PlanSpec forbids globally);
+    // integer sums commute, so this equals the per-pair fold exactly
+    val ce = cents.select(col("source"),
+      posexplode(col("c")).as(Seq("i", "ci")))
+    val dp = ce.select(col("source").as("src_a"), col("i"),
+        col("ci").as("ca"))
+      .join(ce.select(col("source").as("src_b"), col("i"),
+        col("ci").as("cb")), Seq("i"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca") * col("cb")).as("dp"))
+    val norms = ce.groupBy(col("source"))
+      .agg(sum(col("ci") * col("ci")).as("n2"))
+    val meta = cents.select(col("source"), col("n"))
+    val out = dp
+      .join(broadcast(norms.select(col("source").as("src_a"),
+        col("n2").as("na2"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("source").as("src_b"),
+        col("n2").as("nb2"))), Seq("src_b"))
+      .join(broadcast(meta.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(meta.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
       .filter(col("na2") > 0 && col("nb2") > 0)
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         round(col("dp").cast("double") /
           (sqrt(col("na2").cast("double")) *
             sqrt(col("nb2").cast("double"))), 6).as("cos"))
+    out
   }
 }
