@@ -1174,6 +1174,11 @@ object SparkEntry {
     "q238_source_drift" -> ((s, dir) =>
       Similarity.sourceCentroidDrift(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),
+    // q239: per-source HyperLogLog distinct-word estimate — 64
+    // max-mergeable registers, exact distinct as the validation price
+    "q239_hll_distinct" -> ((s, dir) =>
+      Sketches.hllSourceDistinct(Tables.documents(s, dir), "text",
+        "source")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4741,6 +4746,53 @@ object SparkEntry {
         |    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
         |    6) AS cos
         |FROM pr WHERE na2 > 0 AND nb2 > 0""".stripMargin,
+    // q239: the register derivation replayed — shared hash chain,
+    // integer rank ladder, dyadic indicator sum (1.0/(1<<M), never
+    // pow), the alpha_64 chain, ln small-range correction
+    "q239_hll_distinct" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |ph AS MATERIALIZED (
+        |  SELECT src, w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM w),
+        |hj AS (SELECT src, ph % 64 AS j,
+        |         (ph * 2654435761) % 1000000007 AS h
+        |       FROM ph),
+        |rg AS MATERIALIZED (
+        |  SELECT src, j, max(CASE WHEN h >= 536870912 THEN 1 WHEN h >= 268435456 THEN 2 WHEN h >= 134217728 THEN 3 WHEN h >= 67108864 THEN 4 WHEN h >= 33554432 THEN 5 WHEN h >= 16777216 THEN 6 WHEN h >= 8388608 THEN 7 WHEN h >= 4194304 THEN 8 WHEN h >= 2097152 THEN 9 WHEN h >= 1048576 THEN 10 WHEN h >= 524288 THEN 11 WHEN h >= 262144 THEN 12 WHEN h >= 131072 THEN 13 WHEN h >= 65536 THEN 14 WHEN h >= 32768 THEN 15 WHEN h >= 16384 THEN 16 WHEN h >= 8192 THEN 17 WHEN h >= 4096 THEN 18 WHEN h >= 2048 THEN 19 WHEN h >= 1024 THEN 20 WHEN h >= 512 THEN 21 WHEN h >= 256 THEN 22 WHEN h >= 128 THEN 23 WHEN h >= 64 THEN 24 WHEN h >= 32 THEN 25 WHEN h >= 16 THEN 26 WHEN h >= 8 THEN 27 WHEN h >= 4 THEN 28 WHEN h >= 2 THEN 29 WHEN h >= 1 THEN 30 ELSE 31 END) AS mj
+        |  FROM hj GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT src, count(*) AS present,
+        |    sum(1.0 / (CAST(1 AS BIGINT) << CAST(mj AS INTEGER)))
+        |      AS psum
+        |  FROM rg GROUP BY 1),
+        |es AS (
+        |  SELECT src, 64 - present AS zeros,
+        |    psum + CAST(64 - present AS DOUBLE) AS isum
+        |  FROM ps),
+        |ee AS (
+        |  SELECT src, zeros,
+        |    0.709 * 64.0 * 64.0 / isum AS raw
+        |  FROM es),
+        |fin AS (
+        |  SELECT src, zeros,
+        |    CASE WHEN raw <= 160.0 AND zeros > 0
+        |      THEN CAST(round(64.0 * ln(64.0
+        |        / CAST(zeros AS DOUBLE))) AS BIGINT)
+        |      ELSE CAST(round(raw) AS BIGINT) END AS est
+        |  FROM ee),
+        |ex AS (SELECT src, count(*) AS n_exact FROM w GROUP BY 1)
+        |SELECT ex.src AS source, CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |  fin.est AS hll_est, CAST(fin.zeros AS BIGINT) AS reg_zeros
+        |FROM ex JOIN fin ON fin.src = ex.src""".stripMargin,
     // q210: class x value grid completed by cross join, per-term
     // micro-grid probabilities (the engine's overflow-safe estimator)
     "q210_tcloseness" ->

@@ -19,20 +19,6 @@ object Sketches {
   private val Mult = 2654435761L
   private val Prime = 1000000007L
 
-  /** Q232: Count-Min heavy-hitter audit — build the sketch in one
-    * map-side-combinable pass, then report the top-k exact words with
-    * their sketch estimates (validation-priced ground truth, the
-    * q10/q11/q217 gate form; production reads the cells alone).
-    * Output: (word, n, est, overcount, rank); CMS never
-    * underestimates, so `overcount = est − n ≥ 0` measures collision
-    * error at this (d, w).
-    *
-    * Scale: cells = d·w counters via ONE groupBy over the token scan
-    * (map-side combine reduces each partition to ≤ d·w rows before the
-    * shuffle); the top-k uses the q111 windowless device
-    * (TakeOrderedAndProject); the estimate join touches k·d rows
-    * against the broadcast cell table.
-    */
   /** The raw mergeable sketch: (i, b, cn) cells over the corpus's
     * tokens — union shards by summing cells on (i, b). Production
     * surface for cross-shard frequency estimation; spec-pinned
@@ -58,6 +44,95 @@ object Sketches {
       .agg(sum(col("n")).as("cn"))
   }
 
+  /** The raw m = 64 HLL register table (src, j, mj) — union shards by
+    * per-cell MAX (spec-pinned in SketchesSpec).
+    */
+  def hllRegisters(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val m = 64
+    val words = docs.select(col(srcCol).as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .withColumn("ph", graft.functions.PolyHashExprs.polyHash(col("w")))
+      .withColumn("j", pmod(col("ph"), lit(m.toLong)))
+      .withColumn("h",
+        pmod(col("ph") * lit(Mult), lit(Prime)))
+    // rank = 1 + leading zeros of the 30-bit window: a pure integer
+    // compare ladder (h < 2^30 always, since Prime < 2^30)
+    val rho = (1 to 30).foldRight(lit(31L): org.apache.spark.sql.Column) {
+      case (r, els) =>
+        when(col("h") >= lit(1L << (30 - r)), lit(r.toLong)).otherwise(els)
+    }
+    words.withColumn("rho", rho)
+      .groupBy(col("src"), col("j")).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Q239: per-source DISTINCT-WORD estimation via a from-scratch
+    * HyperLogLog (Flajolet et al. 2007), m = 64 registers — the
+    * cardinality member of the mergeable-sketch family (q217 minhash
+    * for similarity, q232 Count-Min for frequency): registers union
+    * across shards by cell-wise MAX, so per-source vocabulary tracking
+    * costs 64 bytes of state per shard at any corpus size. The exact
+    * distinct count rides along as the validation price (the
+    * q10/q11/q217/q232 gate form).
+    *
+    * Exactness: register index and rank derive from the shared integer
+    * hash chain (rank = leading-zero ladder over the 30-bit mixed
+    * hash — pure integer compares, generated identically in both
+    * engines); the indicator sum Σ 2^(−Mⱼ) is a sum of 64 DYADIC
+    * fractions ≥ 2⁻³¹, exact in a double in ANY order (each term is
+    * `1.0 / (1 << M)`, never libm pow); the raw estimate is one
+    * mirrored double chain (α₆₄·m²/Σ) and the small-range correction
+    * m·ln(m/zeros) rides the established ln parity precedent.
+    * Output: (source, n_exact, hll_est, reg_zeros).
+    */
+  def hllSourceDistinct(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val m = 64
+    val alpha = 0.709 // the standard alpha_64 constant
+    val words = docs.select(col(srcCol).as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val regs = hllRegisters(docs, textCol, srcCol)
+    val perSrc = regs.groupBy(col("src"))
+      .agg(count(lit(1)).as("present"),
+        sum(lit(1.0) /
+          expr("shiftleft(cast(1 as bigint), cast(mj as int))"))
+          .as("psum"))
+      .withColumn("zeros", lit(m.toLong) - col("present"))
+      .withColumn("isum", col("psum") + col("zeros").cast("double"))
+      .withColumn("raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("isum"))
+      .withColumn("est",
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("zeros").cast("double"))))
+          .otherwise(round(col("raw"))).cast("long"))
+    val exact = words.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(perSrc, Seq("src"))
+      .select(col("src").as("source"), col("n_exact"),
+        col("est").as("hll_est"), col("zeros").as("reg_zeros"))
+  }
+
+  /** Q232: Count-Min heavy-hitter audit — build the sketch in one
+    * map-side-combinable pass, then report the top-k exact words with
+    * their sketch estimates (validation-priced ground truth, the
+    * q10/q11/q217 gate form; production reads the cells alone).
+    * Output: (word, n, est, overcount, rank); CMS never
+    * underestimates, so `overcount = est − n ≥ 0` measures collision
+    * error at this (d, w).
+    *
+    * Scale: cells = d·w counters via ONE groupBy over the token scan
+    * (map-side combine reduces each partition to ≤ d·w rows before the
+    * shuffle); the top-k uses the q111 windowless device
+    * (TakeOrderedAndProject); the estimate join touches k·d rows
+    * against the broadcast cell table.
+    */
   def countMinHeavyHitters(docs: DataFrame, textCol: String,
       depth: Int = 4, width: Int = 512, k: Int = 20): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")

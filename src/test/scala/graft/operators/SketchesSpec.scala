@@ -91,6 +91,58 @@ class SketchesSpec extends SparkSpec {
     rows.foreach { case (_, over) => assert(over >= 0) }
   }
 
+  test("hll: estimate matches the straight-line reference; registers " +
+      "max-merge across shards") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Sketches.hllSourceDistinct(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // straight-line replica
+    val words = docs.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w))).distinct
+    def ph(w: String): Long =
+      w.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    def rho(h: Long): Long =
+      (1 to 30).find(r => h >= (1L << (30 - r))).getOrElse(31).toLong
+    val regs = scala.collection.mutable.Map.empty[(String, Long), Long]
+    words.foreach { case (s, w) =>
+      val p = ph(w)
+      val key = (s, p % 64)
+      val r = rho(p * 2654435761L % 1000000007L)
+      if (r > regs.getOrElse(key, 0L)) regs(key) = r
+    }
+    words.map(_._1).distinct.foreach { s =>
+      val present = regs.keys.count(_._1 == s)
+      val zeros = 64L - present
+      val psum = regs.collect { case ((`s`, _), m) => 1.0 / (1L << m) }
+        .sum
+      val isum = psum + zeros.toDouble
+      val raw = 0.709 * 64.0 * 64.0 / isum
+      val est =
+        if (raw <= 160.0 && zeros > 0)
+          Math.round(64.0 * math.log(64.0 / zeros.toDouble))
+        else Math.round(raw)
+      val exact = words.count(_._1 == s).toLong
+      assert(got(s) === ((exact, est, zeros)), s"source $s")
+      // accuracy: within 20% of exact on this corpus
+      assert(math.abs(est - exact).toDouble / exact < 0.2, s"source $s")
+    }
+    // mergeability: registers of the whole corpus == per-cell MAX of
+    // the two doc-id-split shards
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "text", "source")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val whole = regMap(docs)
+    val a = regMap(docs.filter(col("doc_id") % 2 === 0))
+    val b = regMap(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+    assert(merged === whole)
+  }
+
   test("parameter guards") {
     import spark.implicits._
     val docs = Seq("a").toDF("text")
