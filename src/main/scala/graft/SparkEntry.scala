@@ -1179,6 +1179,12 @@ object SparkEntry {
     "q239_hll_distinct" -> ((s, dir) =>
       Sketches.hllSourceDistinct(Tables.documents(s, dir), "text",
         "source")),
+    // q240: the WordPiece TRAINER itself, oracled — 6 unrolled
+    // score-ranked merge rounds (the Mondrian/EM unroll discipline
+    // upgrading the trainer from spec-pinned to hash-checked)
+    "q240_wordpiece_train" -> ((s, dir) =>
+      Wordpiece.wordpieceTrainMerges(Tables.documents(s, dir), "text",
+        numMerges = 6)),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4793,6 +4799,13 @@ object SparkEntry {
         |SELECT ex.src AS source, CAST(ex.n_exact AS BIGINT) AS n_exact,
         |  fin.est AS hll_est, CAST(fin.zeros AS BIGINT) AS reg_zeros
         |FROM ex JOIN fin ON fin.src = ex.src""".stripMargin,
+    // q240: six unrolled trainer rounds — symbol lists via delimited
+    // regex groups, weighted pair/symbol counts, the double-score
+    // argmax (score DESC, l, r), merge applied with the q119 replace
+    // device (delimited tokens make matches exact and non-overlapping,
+    // replicating the greedy lookbehind fold)
+    "q240_wordpiece_train" -> wordpieceTrainOracleSql(rounds = 6),
+
     // q210: class x value grid completed by cross join, per-term
     // micro-grid probabilities (the engine's overflow-safe estimator)
     "q210_tcloseness" ->
@@ -5645,6 +5658,67 @@ object SparkEntry {
        |  FROM (SELECT DISTINCT d FROM nd) CROSS JOIN zs),
        |${(1 to rounds).map(roundCtes).mkString(",\n")}$tail$finalSelect"""
       .stripMargin
+  }
+
+
+  /** q240 oracle generator: the WordPiece trainer unrolled. Words ride
+    * as chr(31)/chr(30)-delimited symbol strings (the q119 pair
+    * encoding); per round: symbols via `regexp_extract_all` group
+    * capture, freq-weighted adjacent-pair and symbol counts, argmax by
+    * `n/(ln·rn)` (double chain mirrored, ties (l, r)), then ONE
+    * `replace` applying the merge — on delimited tokens a left-to-right
+    * non-overlapping replace equals the engine's greedy lookbehind
+    * fold (a token created by the merge cannot spuriously re-match:
+    * the pattern requires the full ␟l␞␟r␞ delimiters).
+    */
+  private def wordpieceTrainOracleSql(rounds: Int): String = {
+    def roundCtes(r: Int): String =
+      s"""sy$r AS MATERIALIZED (
+         |  SELECT s, freq, regexp_extract_all(s,
+         |    chr(31) || '([^' || chr(30) || ']*)' || chr(30), 1) AS sym
+         |  FROM w$r),
+         |pc$r AS MATERIALIZED (
+         |  SELECT sym[CAST(i AS INTEGER)] AS l,
+         |    sym[CAST(i AS INTEGER) + 1] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, sym, unnest(range(1, len(sym))) AS i
+         |        FROM sy$r)
+         |  GROUP BY 1, 2),
+         |sc$r AS MATERIALIZED (
+         |  SELECT se AS sb, CAST(sum(freq) AS BIGINT) AS cn
+         |  FROM (SELECT freq, unnest(sym) AS se FROM sy$r)
+         |  GROUP BY 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT pc.l AS l, pc.r AS r, pc.n AS n, a.cn AS ln,
+         |    b.cn AS rn
+         |  FROM pc$r pc JOIN sc$r a ON a.sb = pc.l
+         |               JOIN sc$r b ON b.sb = pc.r
+         |  ORDER BY CAST(pc.n AS DOUBLE)
+         |    / (CAST(a.cn AS DOUBLE) * CAST(b.cn AS DOUBLE)) DESC,
+         |    pc.l, pc.r
+         |  LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT replace(w.s,
+         |      chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+         |      chr(31) || m.l || m.r || chr(30)) AS s, w.freq AS freq
+         |  FROM w$r w CROSS JOIN m$r m)""".stripMargin
+    val finalSelect = (1 to rounds).map(r =>
+      s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
+         |  n AS pair_freq, ln AS left_freq, rn AS right_freq
+         |FROM m$r""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH w1 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(
+       |      regexp_split_to_array(word, ''),
+       |      c -> chr(31) || c || chr(30)), '') AS s,
+       |    count(*) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(
+       |      replace(replace(text, chr(31), ''), chr(30), ''), '\\S+'))
+       |      AS word
+       |    FROM documents)
+       |  WHERE word <> ''
+       |  GROUP BY 1),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |$finalSelect""".stripMargin
   }
 
   /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the
