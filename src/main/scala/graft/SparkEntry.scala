@@ -1185,6 +1185,10 @@ object SparkEntry {
     "q240_wordpiece_train" -> ((s, dir) =>
       Wordpiece.wordpieceTrainMerges(Tables.documents(s, dir), "text",
         numMerges = 6)),
+    // q241: the BPE trainer oracled the same way — count-ranked
+    "q241_bpe_train" -> ((s, dir) =>
+      BpeTrain.bpeTrainMerges(Tables.documents(s, dir), "text",
+        numMerges = 6)),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4805,6 +4809,9 @@ object SparkEntry {
     // device (delimited tokens make matches exact and non-overlapping,
     // replicating the greedy lookbehind fold)
     "q240_wordpiece_train" -> wordpieceTrainOracleSql(rounds = 6),
+    // q241: the same unroll, plain-count argmax, 4-column output
+    "q241_bpe_train" ->
+      wordpieceTrainOracleSql(rounds = 6, scored = false),
 
     // q210: class x value grid completed by cross join, per-term
     // micro-grid probabilities (the engine's overflow-safe estimator)
@@ -5661,17 +5668,27 @@ object SparkEntry {
   }
 
 
-  /** q240 oracle generator: the WordPiece trainer unrolled. Words ride
-    * as chr(31)/chr(30)-delimited symbol strings (the q119 pair
+  /** q240/q241 oracle generator: a subword TRAINER unrolled. Words
+    * ride as chr(31)/chr(30)-delimited symbol strings (the q119 pair
     * encoding); per round: symbols via `regexp_extract_all` group
-    * capture, freq-weighted adjacent-pair and symbol counts, argmax by
-    * `n/(ln·rn)` (double chain mirrored, ties (l, r)), then ONE
-    * `replace` applying the merge — on delimited tokens a left-to-right
-    * non-overlapping replace equals the engine's greedy lookbehind
-    * fold (a token created by the merge cannot spuriously re-match:
-    * the pattern requires the full ␟l␞␟r␞ delimiters).
+    * capture, freq-weighted adjacent-pair and symbol counts, the
+    * argmax — WordPiece's `n/(ln·rn)` double chain when `scored`,
+    * plain `n DESC` (BPE) otherwise; ties (l, r), which equals the
+    * engine's "pair string ASC" because the separator chr(31) sorts
+    * below every symbol character — then ONE `replace` applying the
+    * merge: on delimited tokens a left-to-right non-overlapping
+    * replace equals the engine's greedy lookbehind fold (a token
+    * created by the merge cannot spuriously re-match: the pattern
+    * requires the full ␟l␞␟r␞ delimiters).
     */
-  private def wordpieceTrainOracleSql(rounds: Int): String = {
+  private def wordpieceTrainOracleSql(rounds: Int,
+      scored: Boolean = true): String = {
+    val orderKey =
+      if (scored)
+        """CAST(pc.n AS DOUBLE)
+         |    / (CAST(a.cn AS DOUBLE) * CAST(b.cn AS DOUBLE))"""
+          .stripMargin
+      else "pc.n"
     def roundCtes(r: Int): String =
       s"""sy$r AS MATERIALIZED (
          |  SELECT s, freq, regexp_extract_all(s,
@@ -5693,19 +5710,22 @@ object SparkEntry {
          |    b.cn AS rn
          |  FROM pc$r pc JOIN sc$r a ON a.sb = pc.l
          |               JOIN sc$r b ON b.sb = pc.r
-         |  ORDER BY CAST(pc.n AS DOUBLE)
-         |    / (CAST(a.cn AS DOUBLE) * CAST(b.cn AS DOUBLE)) DESC,
-         |    pc.l, pc.r
+         |  ORDER BY $orderKey DESC, pc.l, pc.r
          |  LIMIT 1),
          |w${r + 1} AS MATERIALIZED (
          |  SELECT replace(w.s,
          |      chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
          |      chr(31) || m.l || m.r || chr(30)) AS s, w.freq AS freq
          |  FROM w$r w CROSS JOIN m$r m)""".stripMargin
-    val finalSelect = (1 to rounds).map(r =>
+    val finalSelect = (1 to rounds).map { r =>
+      val cols =
+        if (scored)
+          """n AS pair_freq, ln AS left_freq, rn AS right_freq"""
+        else """n AS pair_freq"""
       s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
-         |  n AS pair_freq, ln AS left_freq, rn AS right_freq
-         |FROM m$r""".stripMargin).mkString("\nUNION ALL ")
+         |  $cols
+         |FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL ")
     s"""WITH w1 AS MATERIALIZED (
        |  SELECT array_to_string(list_transform(
        |      regexp_split_to_array(word, ''),
