@@ -1266,7 +1266,7 @@ object SparkEntry {
     "q8_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
-        |       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |       CAST(sum(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))) AS BIGINT) AS n_tokens
         |FROM documents GROUP BY lang""".stripMargin,
     "q9_multimodal_join" ->
       """SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
@@ -1289,7 +1289,7 @@ object SparkEntry {
         |      range(1, greatest(length(nt) - 4, 1) + 1),
         |      i -> nt[i:i+4])) AS g
         |  FROM (SELECT doc_id,
-        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |          regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
         |        FROM documents))
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard, 1 AS recall_ok FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1304,7 +1304,7 @@ object SparkEntry {
         |      range(1, greatest(length(nt) - 4, 1) + 1),
         |      i -> nt[i:i+4])) AS g
         |  FROM (SELECT doc_id,
-        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |          regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
         |        FROM documents))
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard, 1 AS recall_ok FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1315,8 +1315,8 @@ object SparkEntry {
     "q12_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
         |  FROM documents)
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1326,10 +1326,10 @@ object SparkEntry {
     "q13_text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_measured,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
         |  round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
-        |  round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS stopword_ratio,
-        |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS mean_token_len
+        |  round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+        |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS DOUBLE), 1.0), 6) AS mean_token_len
         |FROM documents""".stripMargin,
     "q14_lang_id" ->
       """SELECT doc_id,
@@ -1348,7 +1348,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |      list_transform(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ''),
         |                     c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents""".stripMargin,
@@ -1545,7 +1545,7 @@ object SparkEntry {
         |k AS (SELECT lang, text FROM d WHERE rn = 1),
         |q AS (
         |  SELECT lang,
-        |         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |         len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS n_tokens,
         |         len(regexp_extract_all(text, '[^\w\s]')) /
         |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
         |  FROM k)
@@ -1571,7 +1571,7 @@ object SparkEntry {
     "q42_top_terms_per_lang" ->
       """WITH t AS (
         |  SELECT lang,
-        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS term
         |  FROM documents),
         |c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY 1, 2)
         |SELECT lang, term, n, rank FROM (
@@ -1623,7 +1623,7 @@ object SparkEntry {
     "q36_tfidf_terms" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
         |dl AS (SELECT doc_id, sum(c) AS n_toks FROM tf GROUP BY 1),
@@ -1657,7 +1657,7 @@ object SparkEntry {
     "q46_quality_rules" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |         string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS toks
         |  FROM documents),
         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
         |tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
@@ -1738,7 +1738,7 @@ object SparkEntry {
         |  SELECT lang, n_chars,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |        list_transform(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ''),
         |                       c -> CAST(ascii(c) AS BIGINT))),
         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |  FROM documents)
@@ -1773,7 +1773,7 @@ object SparkEntry {
     "q54_token_positions" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |         string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS toks
         |  FROM documents)
         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
         |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)""".stripMargin,
@@ -1783,8 +1783,8 @@ object SparkEntry {
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
         |  FROM documents),
         |p AS (
         |  SELECT t.a, t.b FROM (
@@ -1828,10 +1828,10 @@ object SparkEntry {
         |WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q59_bpe_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
         |  round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS DOUBLE)
-        |        / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6) AS bpe_per_word
+        |        / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS DOUBLE), 1.0), 6) AS bpe_per_word
         |FROM documents""".stripMargin,
     "q60_price_histogram" ->
       """SELECT bucket,
@@ -1942,8 +1942,8 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
-        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' '))) AS g
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+3], ' '))) AS g
         |  FROM documents),
         |t AS (SELECT doc_id AS train_id, len(g) AS n_train, unnest(g) AS gram
         |      FROM d WHERE doc_id % 10 <> 7),
@@ -1989,7 +1989,7 @@ object SparkEntry {
     // threshold boundary is the same IEEE arithmetic on each side.
     "q73_heavy_tokens" ->
       """WITH c AS (
-        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS term
         |  FROM documents),
         |n AS (SELECT term, count(*) AS n FROM c GROUP BY 1),
         |tot AS (SELECT sum(n) AS total FROM n)
@@ -1999,8 +1999,8 @@ object SparkEntry {
     "q74_sentence_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[^.!?]+[.!?]*')) AS BIGINT) AS n_sentences,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-        |  round(len(regexp_extract_all(text, '\S+')) /
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) /
         |        CAST(greatest(len(regexp_extract_all(text, '[^.!?]+[.!?]*')), 1) AS DOUBLE), 6)
         |    AS mean_sentence_toks,
         |  CAST(coalesce(list_max(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
@@ -2020,7 +2020,7 @@ object SparkEntry {
     // idf); probabilities are assembled in DOUBLE before the single ln.
     "q77_bigram_pmi" ->
       """WITH t AS (
-        |  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  SELECT string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS toks
         |  FROM documents),
         |uc AS (
         |  SELECT term, count(*) AS c FROM (SELECT unnest(toks) AS term FROM t)
@@ -2144,9 +2144,9 @@ object SparkEntry {
     "q89_fuzzy_pairs" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g,
-        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g,
+        |  regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
         |  FROM documents),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nt AS ta, b.nt AS tb,
@@ -2207,8 +2207,8 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
-        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' '))) AS g
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+3], ' '))) AS g
         |  FROM documents),
         |t AS (SELECT doc_id AS train_id, unnest(g) AS gram
         |      FROM d WHERE doc_id % 10 <> 7),
@@ -2334,7 +2334,7 @@ object SparkEntry {
     "q100_inverted_index" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id,
-        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) AS token
         |  FROM documents)
         |SELECT token, count(*) AS df,
         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_csv
@@ -2354,7 +2354,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT ((((doc_id % 1000003) * 2654435761) >> 16) % 16) AS shard,
         |    doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT shard, doc_id, n_tokens,
@@ -2409,7 +2409,7 @@ object SparkEntry {
         |k AS (SELECT doc_id, lang, text FROM d WHERE rn = 1),
         |q AS (
         |  SELECT doc_id, lang, text,
-        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
         |         len(regexp_extract_all(text, '[^\w\s]')) /
         |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
         |  FROM k),
@@ -2417,13 +2417,13 @@ object SparkEntry {
         |       WHERE n_tokens >= 10 AND punct_ratio <= 0.2),
         |tg AS (SELECT doc_id AS train_id,
         |         unnest(list_distinct(list_transform(
-        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
-        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
         |       FROM qq),
         |bg AS (SELECT doc_id AS bench_id,
         |         unnest(list_distinct(list_transform(
-        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
-        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
         |       FROM documents WHERE doc_id % 10 = 7),
         |flagged AS (
         |  SELECT DISTINCT train_id FROM tg JOIN bg USING (gram)
@@ -2487,7 +2487,7 @@ object SparkEntry {
     // non-null chunks is NULL where Spark's concat_ws is ''.
     "q108_passage_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |c0 AS (
         |  SELECT doc_id, toks,
@@ -2536,10 +2536,10 @@ object SparkEntry {
     "q110_token_budget" ->
       """WITH s AS (
         |  SELECT lang, doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
         |    round(len(regexp_extract_all(lower(text),
         |            '\b(the|a|an|and|or|of|to|in|is|it)\b'))
-        |          / greatest(CAST(len(regexp_extract_all(text, '\S+'))
+        |          / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))
         |                     AS DOUBLE), 1.0), 6) AS score
         |  FROM documents),
         |c AS (
@@ -2554,7 +2554,7 @@ object SparkEntry {
     // character-addressed substr, so multi-byte text agrees.
     "q111_bpe_candidates" ->
       """WITH w AS (
-        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |  SELECT unnest(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS word
         |  FROM documents),
         |p AS (
         |  SELECT substr(word, CAST(i AS INTEGER) + 1, 2) AS pair
@@ -2627,7 +2627,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM t),
         |k AS (SELECT doc_id, lang, text FROM d WHERE rn = 1),
-        |tk AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS toks FROM k),
+        |tk AS (SELECT doc_id, lang, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks FROM k),
         |c0 AS (
         |  SELECT doc_id, lang, toks,
         |    unnest(range((len(toks) + 19) // 20)) AS i
@@ -2651,7 +2651,7 @@ object SparkEntry {
         |  FROM m GROUP BY doc_id, lang),
         |q AS (
         |  SELECT doc_id, lang, text, n_dup_chunks,
-        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
         |         len(regexp_extract_all(text, '[^\w\s]')) /
         |           greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
         |  FROM s),
@@ -2659,13 +2659,13 @@ object SparkEntry {
         |       WHERE n_tokens >= 10 AND punct_ratio <= 0.2),
         |tg AS (SELECT doc_id AS train_id,
         |         unnest(list_distinct(list_transform(
-        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
-        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
         |       FROM qq),
         |bg AS (SELECT doc_id AS bench_id,
         |         unnest(list_distinct(list_transform(
-        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 3, 1) + 1),
-        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
+        |           range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 3, 1) + 1),
+        |           i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+3], ' ')))) AS gram
         |       FROM documents WHERE doc_id % 10 = 7),
         |flagged AS (
         |  SELECT DISTINCT train_id FROM tg JOIN bg USING (gram)
@@ -2685,7 +2685,7 @@ object SparkEntry {
     "q117_corpus_diff" ->
       """WITH o AS (
         |  SELECT doc_id, lang, text,
-        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS toks
         |  FROM documents WHERE doc_id % 10 <> 3),
         |n AS (
         |  SELECT doc_id, lang,
@@ -2694,7 +2694,7 @@ object SparkEntry {
         |  FROM documents),
         |n2 AS (
         |  SELECT doc_id, lang, text,
-        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |         CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS toks
         |  FROM n),
         |j AS (
         |  SELECT coalesce(n2.lang, o.lang) AS lang,
@@ -2712,7 +2712,7 @@ object SparkEntry {
     "q118_mixture_plan" ->
       """WITH t AS (
         |  SELECT lang, count(*) AS n_docs,
-        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |    CAST(sum(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))) AS BIGINT)
         |      AS tokens_available
         |  FROM documents GROUP BY lang),
         |w AS (
@@ -2908,7 +2908,7 @@ object SparkEntry {
     // Spark side deliberately avoids (RepetitionStatsExpr is map-only).
     "q121_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, toks, len(toks) AS n_toks,
@@ -2961,7 +2961,7 @@ object SparkEntry {
     // 1+stride, …, covering the tail once) replays in generate_series.
     "q132_doc_chunks" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |g AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
         |e AS (SELECT doc_id, toks,
@@ -2980,7 +2980,7 @@ object SparkEntry {
     "q133_unigram_surprisal" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok
+        |    unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')) AS tok
         |  FROM documents),
         |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
         |n AS (SELECT sum(c) AS N FROM c),
@@ -3017,7 +3017,7 @@ object SparkEntry {
     "q137_substring_dups" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
         |  FROM documents),
         |w AS (
         |  SELECT DISTINCT doc_id, sub FROM (
@@ -3035,7 +3035,7 @@ object SparkEntry {
     "q138_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
         |  FROM documents),
         |w AS (
         |  SELECT DISTINCT doc_id, win FROM (
@@ -3051,7 +3051,7 @@ object SparkEntry {
     // exactly and desync grid rounding of boundary terms).
     "q139_bigram_surprisal" ->
       """WITH d AS (
-        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |t AS (
         |  SELECT doc_id, toks[i] AS cur,
@@ -3088,7 +3088,7 @@ object SparkEntry {
     // the engine groups on xxhash64 — the standing collision audit.
     "q140_cdc_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
         |  FROM documents),
         |cps AS (
         |  SELECT doc_id, t, len(t) AS n,
@@ -3122,7 +3122,7 @@ object SparkEntry {
     // q140). range(1, n+2-w) is end-exclusive: i in 1..n-w+1.
     "q141_substring_contamination" ->
       """WITH n AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
         |  FROM documents),
         |tw AS (
         |  SELECT doc_id AS train_id,
@@ -3145,7 +3145,7 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT doc_id,
         |    CAST(len(coalesce(text, '')) AS BIGINT) AS nc,
-        |    CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS nt,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS nt,
         |    CAST(len(regexp_extract_all(lower(coalesce(text, '')),
         |      '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS ns,
         |    CAST(len(regexp_extract_all(coalesce(text, ''), '[^\w\s]')) AS BIGINT) AS np,
@@ -3202,7 +3202,7 @@ object SparkEntry {
     "q144_vocab_coverage" ->
       """WITH ts AS (
         |  SELECT doc_id, string_split(
-        |    regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'),
+        |    regexp_replace(lower(trim(coalesce(text, ''))), '[ \t\n\x0B\f\r]+', ' ', 'g'),
         |    ' ') AS ts
         |  FROM documents),
         |t AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
@@ -3250,8 +3250,8 @@ object SparkEntry {
     // hashed sets mirror the string sets at the documented collision odds)
     "q146_containment_dups" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
         |  FROM documents),
         |f AS (SELECT * FROM d WHERE len(g) >= 10)
         |SELECT doc_a, doc_b, round(c, 6) AS containment FROM (
@@ -3265,10 +3265,10 @@ object SparkEntry {
     // record to its 5 successors
     "q147_sorted_neighborhood" ->
       """WITH d AS (SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
         |  FROM documents),
         |k AS (SELECT doc_id, g, nt[1:2] AS blk, nt[1:30] AS key FROM d),
         |r AS (SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, doc_id) AS rn FROM k)
@@ -3286,7 +3286,7 @@ object SparkEntry {
     // hash*1048576+pos for list_distinct (struct histograms are
     // unsupported), decoded on output
     "q148_winnow_fingerprints" ->
-      """WITH nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents),
+      """WITH nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt FROM documents),
         |ch AS (SELECT doc_id, list_transform(string_split(nt, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs FROM nt),
         |kh AS (SELECT doc_id, list_transform(range(1, greatest(len(cs) - 7, 0) + 1),
         |         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
@@ -3300,8 +3300,8 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(enc) AS enc FROM sel)""".stripMargin,
     "q149_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' ')))) AS g
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' ')))) AS g
         |  FROM documents),
         |m AS (SELECT g, min(doc_id) AS fd FROM t GROUP BY 1)
         |SELECT t.doc_id AS doc_id, count(*) AS n_grams,
@@ -3310,7 +3310,7 @@ object SparkEntry {
         |    CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM t JOIN m ON t.g = m.g GROUP BY 1""".stripMargin,
     "q150_winnow_dups" ->
-      """WITH nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents),
+      """WITH nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt FROM documents),
         |ch AS (SELECT doc_id, list_transform(string_split(nt, ''), c -> CAST(ascii(c) AS BIGINT)) AS cs FROM nt),
         |kh AS (SELECT doc_id, list_transform(range(1, greatest(len(cs) - 7, 0) + 1),
         |         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
@@ -3331,7 +3331,7 @@ object SparkEntry {
     // the smoothing denominators are +512.0 in double on both engines
     "q151_dsir_weights" ->
       """WITH toks AS (SELECT doc_id, lang,
-        |    unnest(list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' '), t -> t <> '')) AS w
+        |    unnest(list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '), t -> t <> '')) AS w
         |  FROM documents),
         |b AS (SELECT doc_id, lang,
         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3381,8 +3381,8 @@ object SparkEntry {
     // the higher id) as a NOT-IN prune over the sized corpus
     "q156_containment_prune" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
         |  FROM documents),
         |f AS (SELECT doc_id, g FROM d WHERE len(g) >= 10),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3442,7 +3442,7 @@ object SparkEntry {
     // parity); α literals cast to DOUBLE — the q139 lesson
     "q159_trigram_backoff" ->
       """WITH trd AS (
-        |  SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  SELECT regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents WHERE doc_id % 10 <> 7),
         |trt AS (
         |  SELECT toks[i] AS cur,
@@ -3460,7 +3460,7 @@ object SparkEntry {
         |        GROUP BY 1, 2),
         |hd AS (
         |  SELECT doc_id, toks FROM (
-        |    SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |    SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS toks
         |    FROM documents WHERE doc_id % 10 = 7)
         |  WHERE len(toks) > 0),
         |tt AS (
@@ -3550,7 +3550,7 @@ object SparkEntry {
     // a row (0 = clean)
     "q162_dup_span_ladder" ->
       """WITH n AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
         |  FROM documents),
         |u AS (
         |  SELECT doc_id, 20 AS w,
@@ -3577,8 +3577,8 @@ object SparkEntry {
     // finds the same set — triangles are orientation-independent)
     "q163_dup_graph_triangles" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
         |  FROM documents),
         |f AS (SELECT * FROM d WHERE len(g) >= 10),
         |p AS (SELECT doc_a, doc_b FROM (
@@ -3660,7 +3660,7 @@ object SparkEntry {
     // these classes) + one literal-mirrored double expression
     "q167_readability" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+        |  CAST(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')) AS BIGINT)
         |    AS words,
         |  CAST(greatest(len(regexp_extract_all(coalesce(text, ''),
         |    '[.!?]+')), 1) AS BIGINT) AS sentences,
@@ -3673,7 +3673,7 @@ object SparkEntry {
         |        (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 6)
         |    AS fre
         |FROM documents
-        |WHERE len(regexp_extract_all(coalesce(text, ''), '\S+')) > 0"""
+        |WHERE len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')) > 0"""
         .stripMargin,
     // q168: exact percentiles are the oracle-checked columns (q37
     // parity); the GK rank-contract flag pins to 1 (q29 pattern)
@@ -3691,7 +3691,7 @@ object SparkEntry {
     // collision audit: a hash collision engine-side merges two nodes
     // and fails the compare
     "q169_textrank" ->
-      s"""WITH n AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      s"""WITH n AS (SELECT regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')
          |             AS t FROM documents),
          |tk AS (SELECT list_filter(string_split(t, ' '), x -> x <> '')
          |         AS toks FROM n),
@@ -4048,8 +4048,8 @@ object SparkEntry {
     // join, peel-all-below-k at once
     "q184_kcore" ->
       s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-         |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+         |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
          |  FROM documents),
          |f AS (SELECT * FROM d WHERE len(g) >= 10),
          |p AS (SELECT doc_a, doc_b FROM (
@@ -4123,8 +4123,8 @@ object SparkEntry {
     // against everything visited); harmonic as exact 1e6 // dist sums
     "q188_harmonic" ->
       s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 2, 1) + 1),
-         |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+         |    range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
          |  FROM documents),
          |f AS (SELECT * FROM d WHERE len(g) >= 10),
          |p AS (SELECT doc_a, doc_b FROM (
@@ -4216,7 +4216,7 @@ object SparkEntry {
     // sum is tie-invariant; k in integer arithmetic
     "q192_mink_prob" ->
       """WITH trt AS (
-        |  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+'))
+        |  SELECT unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+'))
         |    AS tok
         |  FROM documents WHERE doc_id % 10 <> 7),
         |c AS (SELECT tok, count(*) AS c FROM trt GROUP BY 1),
@@ -4225,7 +4225,7 @@ object SparkEntry {
         |  SELECT doc_id, toks[i] AS tok, i
         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
         |        FROM (SELECT doc_id,
-        |                regexp_extract_all(coalesce(text, ''), '\S+')
+        |                regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')
         |                  AS toks
         |              FROM documents WHERE doc_id % 10 = 7))),
         |j AS (SELECT h.doc_id, h.i,
@@ -4600,7 +4600,7 @@ object SparkEntry {
     "q208_negative_sampling" ->
       """WITH d AS MATERIALIZED (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |    string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
         |                 ' ') AS toks
         |  FROM documents),
         |t AS MATERIALIZED (
@@ -4763,7 +4763,7 @@ object SparkEntry {
       s"""WITH w AS MATERIALIZED (
         |  SELECT DISTINCT source AS src, w FROM (
         |    SELECT source, unnest(string_split(
-        |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+        |      regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
         |      AS w
         |    FROM documents)
         |  WHERE w <> ''),
@@ -4973,7 +4973,7 @@ object SparkEntry {
     "q216_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
         |    AS word
         |  FROM documents),
         |hist AS (SELECT word, count(*) AS cnt FROM toks
@@ -5000,7 +5000,7 @@ object SparkEntry {
     "q217_source_sketch_sim" ->
       """WITH toks AS (
         |  SELECT source AS src, unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
         |    AS word
         |  FROM documents),
         |w AS MATERIALIZED (SELECT DISTINCT src, word FROM toks
@@ -5067,7 +5067,7 @@ object SparkEntry {
     "q219_vocab_growth" ->
       """WITH ts AS (
         |  SELECT doc_id, string_split(
-        |    regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'),
+        |    regexp_replace(lower(trim(coalesce(text, ''))), '[ \t\n\x0B\f\r]+', ' ', 'g'),
         |    ' ') AS ts
         |  FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
@@ -5193,7 +5193,7 @@ object SparkEntry {
     // literal-mirrored chain per token, micro-grid rounded
     "q235_kneser_ney" ->
       """WITH trd AS (
-        |  SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |  SELECT regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents WHERE doc_id % 10 <> 7),
         |trt AS (
         |  SELECT toks[i] AS cur,
@@ -5211,7 +5211,7 @@ object SparkEntry {
         |hd AS (
         |  SELECT doc_id, toks FROM (
         |    SELECT doc_id,
-        |      regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+        |      regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS toks
         |    FROM documents WHERE doc_id % 10 = 7)
         |  WHERE len(toks) > 0),
         |tt AS (
@@ -5249,7 +5249,7 @@ object SparkEntry {
     // the same double chain in both engines, ordering (score DESC, l, r)
     "q228_wordpiece_candidates" ->
       """WITH w AS (
-        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |  SELECT unnest(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS word
         |  FROM documents),
         |cc AS MATERIALIZED (
         |  SELECT c, count(*) AS cn FROM (
@@ -5329,7 +5329,7 @@ object SparkEntry {
     "q232_countmin_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
         |    AS w
         |  FROM documents),
         |cnt AS MATERIALIZED (
@@ -5407,7 +5407,7 @@ object SparkEntry {
          |      $mlExpr AS ml
          |    FROM s${t - 1}))""".stripMargin
     s"""wocc AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))
        |    AS word
        |  FROM documents),
        |w AS MATERIALIZED (SELECT DISTINCT word FROM wocc),
@@ -5436,7 +5436,7 @@ object SparkEntry {
        |bw AS (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(
-       |      replace(replace(text, chr(31), ''), chr(30), ''), '\\S+'))
+       |      replace(replace(text, chr(31), ''), chr(30), ''), '[^ \\t\\n\\x0B\\f\\r]+'))
        |    AS word
        |  FROM documents),
        |bs AS (
@@ -5639,7 +5639,7 @@ object SparkEntry {
     val tail = if (output == "assign") ",\n" else "\n"
     s"""WITH toks AS (
        |  SELECT doc_id AS d, unnest(string_split(
-       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+       |    regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
        |    AS w
        |  FROM documents),
        |nd AS MATERIALIZED (
@@ -5732,7 +5732,7 @@ object SparkEntry {
        |      c -> chr(31) || c || chr(30)), '') AS s,
        |    count(*) AS freq
        |  FROM (SELECT unnest(regexp_extract_all(
-       |      replace(replace(text, chr(31), ''), chr(30), ''), '\\S+'))
+       |      replace(replace(text, chr(31), ''), chr(30), ''), '[^ \\t\\n\\x0B\\f\\r]+'))
        |      AS word
        |    FROM documents)
        |  WHERE word <> ''
@@ -6262,7 +6262,7 @@ object SparkEntry {
   private def bm25OracleSql: String = {
     val terms = Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH toks AS (SELECT doc_id,
-       |    unnest(list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' '), t -> t <> '')) AS term
+       |    unnest(list_filter(string_split(regexp_replace(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '), t -> t <> '')) AS term
        |  FROM documents),
        |db AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, sum(c) AS len FROM db GROUP BY 1),
@@ -6364,7 +6364,7 @@ object SparkEntry {
     s"""WITH w AS (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(
-       |      replace(replace(text, chr(31), ''), chr(30), ''), '\\S+')) AS word
+       |      replace(replace(text, chr(31), ''), chr(30), ''), '[^ \\t\\n\\x0B\\f\\r]+')) AS word
        |  FROM documents),
        |s AS (
        |  SELECT doc_id,

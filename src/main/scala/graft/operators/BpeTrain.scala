@@ -45,11 +45,13 @@ object BpeTrain {
   private[operators] def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(split(col(textCol), "\\s+")).as("raw"))
-      // U+001F is the pair-encoding separator but is NOT Java-regex \s,
-      // so a word containing it would survive the split and later
-      // mis-split the argmax pair string (corrupting that merge's l/r
-      // decomposition) — strip it from the symbol alphabet here.
-      .select(translate(col("raw"), SEP, "").as("word"))
+      // U+001F (the pair-encoding separator) and U+001E (the oracle's
+      // symbol-terminator) are NOT Java-regex \s, so words containing
+      // them would survive the split and later corrupt the delimited
+      // symbol encoding (engine pair strings / oracle regex parsing) —
+      // strip BOTH from the symbol alphabet here, matching
+      // BpeEncodeExpr.compute and the q240/q241 oracles.
+      .select(translate(col("raw"), SEP + "\u001E", "").as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
@@ -93,20 +95,26 @@ object BpeTrain {
     var words = wordTable(docs, textCol).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to numMerges) {
-      // count pairs weighted by word frequency; deterministic argmax via
-      // min over (-n, left, right)
+      // count pairs weighted by word frequency; deterministic argmax
+      // ordered (n DESC, l ASC, r ASC) on SPLIT columns — ordering by
+      // the concatenated pair string would rank symbols containing
+      // code points below U+001F differently from the (l, r) order the
+      // q241 oracle uses (wordpieceTrainMerges already splits)
       val top = words
         .select(col("freq"), explode(pairsOf(col("symbols"))).as("pair"))
         .groupBy(col("pair"))
         .agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("pair"))
+        .withColumn("l", split(col("pair"), SEP, 2).getItem(0))
+        .withColumn("r", split(col("pair"), SEP, 2).getItem(1))
+        .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
-        .as[(String, Long)]
+        .select(col("l"), col("r"), col("n"))
+        .as[(String, String, Long)]
         .collect()
       if (top.isEmpty) throw new IllegalStateException(
         s"bpeTrainMerges: no mergeable pair left at rank $rank of $numMerges")
-      val Array(l, r) = top.head._1.split(SEP, 2)
-      merges += ((rank, l, r, top.head._2))
+      val (l, r, n) = top.head
+      merges += ((rank, l, r, n))
       val next = words
         .withColumn("symbols", applyMerge(col("symbols"), l, r))
         .localCheckpoint()
@@ -121,7 +129,7 @@ object BpeTrain {
   /** BATCHED trainer: learn `numMerges` merges with one pair-count scan
     * per ROUND instead of per merge — each round accepts the top
     * `batchK` pairwise-DISJOINT pairs from a single count table
-    * (descending (count, pair-asc) walk; a pair sharing a symbol — left,
+    * (descending (count, l-asc, r-asc) walk; a pair sharing a symbol — left,
     * right, or the merged token — with an already-accepted pair this
     * round is SKIPPED, since applying the earlier merge invalidates its
     * count). This is the standard scalable-BPE device: the driver loop
@@ -167,9 +175,12 @@ object BpeTrain {
         .select(col("freq"), explode(pairsOf(col("symbols"))).as("pair"))
         .groupBy(col("pair"))
         .agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("pair"))
+        .withColumn("l", split(col("pair"), SEP, 2).getItem(0))
+        .withColumn("r", split(col("pair"), SEP, 2).getItem(1))
+        .orderBy(col("n").desc, col("l"), col("r"))
         .limit(batchK * 8)
-        .as[(String, Long)]
+        .select(col("l"), col("r"), col("n"))
+        .as[(String, String, Long)]
         .collect()
       prev.foreach(_.unpersist(blocking = false))
       prev = None
@@ -180,8 +191,7 @@ object BpeTrain {
       val accepted = Seq.newBuilder[(String, String, Long)]
       var k = 0
       top.iterator.takeWhile(_ => k < batchK && done + k < numMerges)
-        .foreach { case (pairStr, n) =>
-          val Array(l, r) = pairStr.split(SEP, 2)
+        .foreach { case (l, r, n) =>
           if (!touched(l) && !touched(r) && !touched(l + r)) {
             accepted += ((l, r, n))
             touched ++= Seq(l, r, l + r)

@@ -127,7 +127,12 @@ object Pca {
       v.foreach(x => if (math.abs(x) > m) m = math.abs(x))
       require(m > 0, s"power iteration degenerated at iteration $it " +
         "(zero matrix-vector product)")
-      u = v.map(x => Math.round(1.0e9 * x / m))
+      // round half AWAY FROM ZERO (-2.5 -> -3), matching both DuckDB
+      // round() and Spark round() — Math.round is half-up toward
+      // +infinity (-2.5 -> -2) and would diverge the grid from the
+      // q227/q233 oracles on a negative exact-.5 tie
+      u = v.map(x => Math.copySign(
+        Math.floor(Math.abs(1.0e9 * x / m) + 0.5), x).toLong)
       it += 1
     }
     var ss = 0.0

@@ -473,7 +473,9 @@ object Similarity {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("source"), col("n"),
         array((0 until dim).map(i => col(s"c$i")): _*).as("c"))
-      .persist()
+    // |sources| rows; consumed three times in one plan — exchange
+    // reuse shares the centroid shuffle, no persist (a persist here
+    // with no unpersist would leak the cache for the session)
     // pair dot products via the q217 shape — an EQUI-join on the
     // coordinate index (a `src_a < src_b` theta join alone would plan
     // a nested-loop cartesian, which PlanSpec forbids globally);

@@ -145,7 +145,6 @@ object Sketches {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .withColumn("ph", graft.functions.PolyHashExprs.polyHash(col("w")))
-      .persist()
     val bk = cnt.select(col("w"), col("n"), col("ph"),
         explode(sequence(lit(0L), lit(depth - 1L))).as("i"))
       .withColumn("b",
@@ -168,7 +167,9 @@ object Sketches {
       .agg(min(col("cn")).as("est"))
       .select(col("w").as("word"), col("n"), col("est"),
         (col("est") - col("n")).as("overcount"), col("rank"))
-    cnt.unpersist(blocking = false)
+    // `cnt` (vocabulary-bounded) is consumed three times in ONE plan:
+    // exchange reuse shares its shuffle, so no persist is needed — a
+    // persist released before the (lazy) result executes caches nothing
     out
   }
 }

@@ -57,10 +57,13 @@ object Wordpiece {
     * (score DESC, l ASC, r ASC). Output carries the exact integer
     * counts, never the float score.
     *
-    * Scale: two map-side-combinable aggregations over one corpus scan
-    * (persisted word explode), a broadcast join against the
-    * symbol-count table (alphabet-sized), and the q111 windowless
-    * top-k device (TakeOrderedAndProject, never a global rank window).
+    * Scale: ONE corpus scan (a map-side-combinable `groupBy(word)` to
+    * the vocabulary-bounded (word, freq) table — the BpeTrain
+    * argument; both count aggregations run freq-WEIGHTED over that
+    * compact table, and Spark's exchange reuse shares its shuffle
+    * between them), a broadcast join against the symbol-count table
+    * (alphabet-sized), and the q111 windowless top-k device
+    * (TakeOrderedAndProject, never a global rank window).
     */
   def wordpiecePairCandidates(docs: DataFrame, textCol: String,
       k: Int = 20): DataFrame = {
@@ -68,19 +71,20 @@ object Wordpiece {
     val words = docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-      .persist()
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val chars = words
-      .select(explode(filter(split(col("word"), ""), s => s =!= lit("")))
-        .as("c"))
-      .groupBy(col("c")).agg(count(lit(1)).as("cn"))
+      .select(col("freq"),
+        explode(filter(split(col("word"), ""), s => s =!= lit("")))
+          .as("c"))
+      .groupBy(col("c")).agg(sum(col("freq")).as("cn"))
     val pairs = words
       .filter(length(col("word")) >= 2)
-      .select(explode(transform(
+      .select(col("freq"), explode(transform(
         sequence(lit(1), length(col("word")) - 1),
         i => struct(col("word").substr(i, lit(1)).as("l"),
           col("word").substr(i + 1, lit(1)).as("r")))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("freq")).as("n"))
     val scored = pairs
       .join(broadcast(chars.select(col("c").as("l"), col("cn").as("ln"))),
         Seq("l"))
@@ -99,7 +103,6 @@ object Wordpiece {
       .select(col("s.l").as("l"), col("s.r").as("r"), col("s.n").as("n"),
         col("s.ln").as("ln"), col("s.rn").as("rn"),
         (col("pos") + 1).as("rank"))
-    words.unpersist(blocking = false)
     out
   }
 
