@@ -101,6 +101,20 @@ object Catalog {
         graft.functions.WordPieceEncodeExpr(e(0), vocab,
           litLong(e(2), "max_sub (argument 3)").toInt)
       },
+    // mergeable-sketch AGGREGATES (TypedImperativeAggregate): the
+    // analyzer wraps a bare AggregateFunction from the registry into
+    // AggregateExpression(Complete), honoring DISTINCT/FILTER syntax
+    "cm_sketch" -> arity("cm_sketch(w, depth, width)", 3)(e =>
+      graft.functions.CountMinSketchAgg(e(0),
+        litLong(e(1), "depth (argument 2)").toInt,
+        litLong(e(2), "width (argument 3)").toInt)),
+    "hll_registers" -> arity("hll_registers(w)", 1)(e =>
+      graft.functions.HllRegistersAgg(e(0))),
+    "hll_distinct" -> arity("hll_distinct(w)", 1)(e =>
+      graft.functions.HllDistinctAgg(e(0))),
+    "minhash_sketch" -> arity("minhash_sketch(w, num_hashes)", 2)(e =>
+      graft.functions.MinHashSketchAgg(e(0),
+        litLong(e(1), "num_hashes (argument 2)").toInt)),
   )
 
   /** Register graft-native functions in an existing session's registry. */

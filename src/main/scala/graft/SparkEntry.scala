@@ -1189,6 +1189,17 @@ object SparkEntry {
     "q241_bpe_train" -> ((s, dir) =>
       BpeTrain.bpeTrainMerges(Tables.documents(s, dir), "text",
         numMerges = 6)),
+    // q242-q244: the mergeable sketches as TypedImperativeAggregate
+    // SQL aggregates — one fixed-size buffer per (partition, group) on
+    // the wire; each oracled against the SAME DuckDB chain as its
+    // cell/register-table sibling (q232/q239/q217), proving the
+    // aggregate path bit-identical
+    "q242_cms_agg" -> ((s, dir) =>
+      Sketches.countMinCellsAgg(Tables.documents(s, dir), "text")),
+    "q243_hll_agg" -> ((s, dir) =>
+      Sketches.hllSourceDistinctAgg(Tables.documents(s, dir), "text")),
+    "q244_minhash_agg" -> ((s, dir) =>
+      Sketches.sourceMinhashSketchAgg(Tables.documents(s, dir), "text")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4812,6 +4823,91 @@ object SparkEntry {
     // q241: the same unroll, plain-count argmax, 4-column output
     "q241_bpe_train" ->
       wordpieceTrainOracleSql(rounds = 6, scored = false),
+    // q242: q232's cell derivation, cells as the output — the
+    // aggregate path must reproduce the cell-table path bit-for-bit
+    "q242_cms_agg" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
+        |    AS w
+        |  FROM documents),
+        |cnt AS MATERIALIZED (
+        |  SELECT w, count(*) AS n FROM toks WHERE w <> '' GROUP BY w),
+        |ph AS MATERIALIZED (
+        |  SELECT w, n, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM cnt),
+        |bk AS (
+        |  SELECT n, i, ((ph + i) * 2654435761) % 1000000007 % 512 AS b
+        |  FROM ph CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS i))
+        |SELECT i, b, CAST(sum(n) AS BIGINT) AS cn FROM bk
+        |GROUP BY 1, 2""".stripMargin,
+    // q243: q239's register + estimate chain, estimate columns only
+    // (the aggregate is the production path; q239 carries the exact
+    // validation)
+    "q243_hll_agg" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |ph AS MATERIALIZED (
+        |  SELECT src, w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM w),
+        |hj AS (SELECT src, ph % 64 AS j,
+        |         (ph * 2654435761) % 1000000007 AS h
+        |       FROM ph),
+        |rg AS MATERIALIZED (
+        |  SELECT src, j, max(CASE WHEN h >= 536870912 THEN 1 WHEN h >= 268435456 THEN 2 WHEN h >= 134217728 THEN 3 WHEN h >= 67108864 THEN 4 WHEN h >= 33554432 THEN 5 WHEN h >= 16777216 THEN 6 WHEN h >= 8388608 THEN 7 WHEN h >= 4194304 THEN 8 WHEN h >= 2097152 THEN 9 WHEN h >= 1048576 THEN 10 WHEN h >= 524288 THEN 11 WHEN h >= 262144 THEN 12 WHEN h >= 131072 THEN 13 WHEN h >= 65536 THEN 14 WHEN h >= 32768 THEN 15 WHEN h >= 16384 THEN 16 WHEN h >= 8192 THEN 17 WHEN h >= 4096 THEN 18 WHEN h >= 2048 THEN 19 WHEN h >= 1024 THEN 20 WHEN h >= 512 THEN 21 WHEN h >= 256 THEN 22 WHEN h >= 128 THEN 23 WHEN h >= 64 THEN 24 WHEN h >= 32 THEN 25 WHEN h >= 16 THEN 26 WHEN h >= 8 THEN 27 WHEN h >= 4 THEN 28 WHEN h >= 2 THEN 29 WHEN h >= 1 THEN 30 ELSE 31 END) AS mj
+        |  FROM hj GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT src, count(*) AS present,
+        |    sum(1.0 / (CAST(1 AS BIGINT) << CAST(mj AS INTEGER)))
+        |      AS psum
+        |  FROM rg GROUP BY 1),
+        |es AS (
+        |  SELECT src, 64 - present AS zeros,
+        |    psum + CAST(64 - present AS DOUBLE) AS isum
+        |  FROM ps),
+        |ee AS (
+        |  SELECT src, zeros,
+        |    0.709 * 64.0 * 64.0 / isum AS raw
+        |  FROM es)
+        |SELECT src AS source,
+        |  CASE WHEN raw <= 160.0 AND zeros > 0
+        |    THEN CAST(round(64.0 * ln(64.0
+        |      / CAST(zeros AS DOUBLE))) AS BIGINT)
+        |    ELSE CAST(round(raw) AS BIGINT) END AS hll_est,
+        |  CAST(zeros AS BIGINT) AS reg_zeros
+        |FROM ee""".stripMargin,
+    // q244: q217's sig CTE as the output — the aggregate's exploded
+    // signature must equal the row-explosion build slot for slot
+    "q244_minhash_agg" ->
+      """WITH toks AS (
+        |  SELECT source AS src, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
+        |    AS word
+        |  FROM documents),
+        |w AS MATERIALIZED (SELECT DISTINCT src, word FROM toks
+        |                   WHERE word <> ''),
+        |ph AS MATERIALIZED (
+        |  SELECT src, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(word, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS p
+        |  FROM w),
+        |idx AS (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS i)
+        |SELECT src, i,
+        |  CAST(min(((p + i) * 2654435761) % 1000000007) AS BIGINT) AS mh
+        |FROM ph CROSS JOIN idx GROUP BY src, i""".stripMargin,
 
     // q210: class x value grid completed by cross join, per-term
     // micro-grid probabilities (the engine's overflow-safe estimator)

@@ -172,4 +172,63 @@ object Sketches {
     // persist released before the (lazy) result executes caches nothing
     out
   }
+
+  /** The documents-table token stream shared by the sketch builders:
+    * normalize → split → non-empty.
+    */
+  private def tokens(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(col("source").as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Q242: [[countMinCells]] through the `cm_sketch` AGGREGATE
+    * ([[graft.functions.CountMinSketchAgg]]) — same (i, b, cn) cell
+    * table, but the shuffle carries ONE d·w buffer per partition
+    * (ObjectHashAggregate partial = the sketch itself) instead of the
+    * cell-path's per-word rows; the cell rows only materialize at the
+    * very end, by exploding the single merged buffer. The composable
+    * form: `cm_sketch` works under any GROUP BY.
+    */
+  def countMinCellsAgg(docs: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 512): DataFrame =
+    tokens(docs, textCol)
+      .agg(graft.functions.SketchAggs.cmSketch(col("w"), depth, width)
+        .as("cells"))
+      .select(posexplode(col("cells")).as(Seq("pos", "cn")))
+      .filter(col("cn") > 0L)
+      .select((col("pos") / width).cast("long").as("i"),
+        pmod(col("pos").cast("long"), lit(width.toLong)).as("b"),
+        col("cn"))
+
+  /** Q243: [[hllSourceDistinct]]'s estimate through the
+    * `hll_distinct` / `hll_registers` AGGREGATES — one 64-register
+    * buffer per (partition, source) on the wire, registers never
+    * explode into rows at all. Output (source, hll_est, reg_zeros)
+    * matches q239's estimate columns exactly (the exact count is
+    * q239's validation price; this is the production path).
+    */
+  def hllSourceDistinctAgg(docs: DataFrame, textCol: String): DataFrame =
+    tokens(docs, textCol)
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.hllDistinct(col("w")).as("hll_est"),
+        graft.functions.SketchAggs.hllRegistersAgg(col("w")).as("regs"))
+      .select(col("src").as("source"), col("hll_est"),
+        size(filter(col("regs"), r => r === 0L)).cast("long")
+          .as("reg_zeros"))
+
+  /** Q244: the q217 source minhash sig table through the
+    * `minhash_sketch` AGGREGATE — (src, i, mh) identical to
+    * [[Dedup.sourceMinhashSimilarity]]'s sketch stage, built as one
+    * numHashes-slot buffer per (partition, source) instead of a
+    * numHashes-way row explosion before the combine.
+    */
+  def sourceMinhashSketchAgg(docs: DataFrame, textCol: String,
+      numHashes: Int = 64): DataFrame =
+    tokens(docs, textCol)
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.minhashSketch(col("w"), numHashes)
+        .as("sig"))
+      .select(col("src"), posexplode(col("sig")).as(Seq("i", "mh")))
+      .select(col("src"), col("i").cast("long").as("i"), col("mh"))
 }

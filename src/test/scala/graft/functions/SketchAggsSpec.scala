@@ -1,0 +1,153 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Sketches}
+import org.apache.spark.sql.functions._
+
+/** The TypedImperativeAggregate sketches (q242/q243/q244): aggregate
+  * path == cell/register-TABLE path bit-for-bit, merge commutativity
+  * under any partitioning, and the SQL-registry surface (GROUP BY /
+  * HAVING composability — the reason they exist).
+  */
+class SketchAggsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("cm_sketch aggregate reproduces countMinCells cell-for-cell") {
+    val agg = Sketches.countMinCellsAgg(docs, "text")
+    val cells = Sketches.countMinCells(docs, "text")
+    assert(sortedRows(agg) === sortedRows(cells))
+  }
+
+  test("hll aggregate registers equal the register-table build") {
+    val regTable = Sketches.hllRegisters(docs, "text", "source")
+    val viaAgg = docs
+      .select(col("source").as("src"),
+        explode(split(graft.operators.TextShingles.normalize(col("text")),
+          " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("src"))
+      .agg(SketchAggs.hllRegistersAgg(col("w")).as("regs"))
+      .select(col("src"), posexplode(col("regs")).as(Seq("j", "mj")))
+      .filter(col("mj") > 0L) // table form omits untouched registers
+      .select(col("src"), col("j").cast("long").as("j"), col("mj"))
+    assert(sortedRows(viaAgg) === sortedRows(regTable))
+  }
+
+  test("hll_distinct estimate equals hllSourceDistinct's hll_est") {
+    val full = Sketches.hllSourceDistinct(docs, "text", "source")
+      .select(col("source"), col("hll_est"), col("reg_zeros"))
+    val agg = Sketches.hllSourceDistinctAgg(docs, "text")
+    assert(sortedRows(agg) === sortedRows(full))
+  }
+
+  test("minhash_sketch equals the q217 sig stage slot-for-slot") {
+    // the sig stage of sourceMinhashSimilarity, rebuilt literally
+    val words = docs.select(col("source").as("src"),
+        explode(split(graft.operators.TextShingles.normalize(col("text")),
+          " ")).as("word"))
+      .filter(col("word") =!= "")
+    val sig = words
+      .select(col("src"),
+        PolyHashExprs.polyHash(col("word")).as("ph"))
+      .withColumn("i", explode(sequence(lit(0L), lit(63L))))
+      .select(col("src"), col("i"),
+        pmod((col("ph") + col("i")) * lit(2654435761L),
+          lit(1000000007L)).as("h"))
+      .groupBy(col("src"), col("i")).agg(min(col("h")).as("mh"))
+    val agg = Sketches.sourceMinhashSketchAgg(docs, "text")
+    assert(sortedRows(agg) === sortedRows(
+      sig.select(col("src"), col("i"), col("mh"))))
+  }
+
+  test("partitioning independence: 1 vs 7 partitions, same sketches") {
+    val one = Sketches.countMinCellsAgg(docs.repartition(1), "text")
+    val many = Sketches.countMinCellsAgg(docs.repartition(7), "text")
+    assert(sortedRows(one) === sortedRows(many))
+    val h1 = Sketches.hllSourceDistinctAgg(docs.repartition(1), "text")
+    val h7 = Sketches.hllSourceDistinctAgg(docs.repartition(7), "text")
+    assert(sortedRows(h1) === sortedRows(h7))
+    val m1 = Sketches.sourceMinhashSketchAgg(docs.repartition(1), "text")
+    val m7 = Sketches.sourceMinhashSketchAgg(docs.repartition(7), "text")
+    assert(sortedRows(m1) === sortedRows(m7))
+  }
+
+  test("driver-side merge is associative and commutative") {
+    val a = CountMinSketchAgg(org.apache.spark.sql.GraftBridge.expression(lit("x")), 2, 16)
+    def buf(tokens: String*): Array[Long] = {
+      val b = a.createAggregationBuffer()
+      tokens.foreach(t => {
+        val ph = PolyHashExpr.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        var i = 0
+        while (i < 2) {
+          val h = java.lang.Math.floorMod((ph + i) * 2654435761L,
+            1000000007L)
+          b(i * 16 + (h % 16).toInt) += 1L
+          i += 1
+        }
+      })
+      b
+    }
+    val x = buf("join", "scan", "join")
+    val y = buf("hash", "scan")
+    val z = buf("sort")
+    val xy_z = a.merge(a.merge(x.clone(), y.clone()), z.clone())
+    val x_yz = a.merge(x.clone(), a.merge(y.clone(), z.clone()))
+    val yx = a.merge(y.clone(), x.clone())
+    val xy = a.merge(x.clone(), y.clone())
+    assert(xy_z.toSeq === x_yz.toSeq)
+    assert(xy.toSeq === yx.toSeq)
+  }
+
+  test("serialize/deserialize round-trips the buffer") {
+    val vals = Array(5L, 0L, Long.MaxValue, -1L, 42L)
+    assert(SketchAggs.deserializeLongs(
+      SketchAggs.serializeLongs(vals)).toSeq === vals.toSeq)
+  }
+
+  test("SQL surface: GROUP BY + HAVING composability") {
+    graft.Catalog.registerFunctions(spark)
+    docs.select(col("source").as("src"),
+        explode(split(graft.operators.TextShingles.normalize(col("text")),
+          " ")).as("w"))
+      .filter(col("w") =!= "")
+      .createOrReplaceTempView("toks_agg_spec")
+    val viaSql = spark.sql(
+      """SELECT src, hll_distinct(w) AS hll_est
+        |FROM toks_agg_spec GROUP BY src HAVING hll_distinct(w) > 0
+        |""".stripMargin)
+    val viaCol = Sketches.hllSourceDistinctAgg(docs, "text")
+      .select(col("source").as("src"), col("hll_est"))
+    assert(sortedRows(viaSql) === sortedRows(viaCol))
+    val cmSql = spark.sql(
+      "SELECT cm_sketch(w, 4, 512) AS cells FROM toks_agg_spec")
+    val cmCol = docs.select(
+        explode(split(graft.operators.TextShingles.normalize(col("text")),
+          " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(SketchAggs.cmSketch(col("w")).as("cells"))
+    assert(sortedRows(cmSql) === sortedRows(cmCol))
+    val mhSql = spark.sql(
+      """SELECT src, minhash_sketch(w, 64) AS sig
+        |FROM toks_agg_spec GROUP BY src""".stripMargin)
+    assert(mhSql.count() ===
+      Sketches.sourceMinhashSketchAgg(docs, "text")
+        .select("src").distinct().count())
+  }
+
+  test("parameter guards") {
+    intercept[IllegalArgumentException] {
+      CountMinSketchAgg(org.apache.spark.sql.GraftBridge.expression(lit("x")), 0, 512)
+    }
+    intercept[IllegalArgumentException] {
+      CountMinSketchAgg(org.apache.spark.sql.GraftBridge.expression(lit("x")), 4, 100) // not a power of two
+    }
+    intercept[IllegalArgumentException] {
+      MinHashSketchAgg(org.apache.spark.sql.GraftBridge.expression(lit("x")), 0)
+    }
+  }
+}
