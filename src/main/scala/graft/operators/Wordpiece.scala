@@ -169,6 +169,102 @@ object Wordpiece {
         "right_freq")
   }
 
+  /** BATCHED WordPiece trainer: learn `numMerges` merges with one
+    * scored-count scan per ROUND instead of per merge — the
+    * [[BpeTrain.bpeTrainMergesBatched]] device applied to the
+    * WordPiece likelihood ranking. Each round builds ONE
+    * (pair, n, ln, rn, score) table, walks it in (score DESC, l ASC,
+    * r ASC) order, and accepts up to `batchK` pairwise symbol-DISJOINT
+    * pairs (a pair sharing a symbol — left, right, or the merged
+    * token — with an already-accepted pair is SKIPPED). The
+    * conflict-skip rule is what keeps batched scores VALID: merging
+    * (a,b) only changes the corpus counts of symbols a, b, and ab and
+    * of pairs touching them, so a disjoint pair's n, ln, rn — hence
+    * its exact score — are unchanged by the earlier acceptance.
+    *
+    * Same batched-vs-sequential semantics caveat as BPE: a pair whose
+    * true sequential rank depends on a recount after an INTERACTING
+    * earlier merge may land at a different rank (it defers to the
+    * next round). Output is fully deterministic and engine-independent;
+    * batchK = 1 degenerates to [[wordpieceTrainMerges]] exactly
+    * (WordpieceTrainBatchedSpec pins both properties). At a 30k-merge
+    * production vocab this runs O(numMerges / batchK) Spark jobs,
+    * lifting the job-per-merge driver wall.
+    */
+  def wordpieceTrainMergesBatched(docs: DataFrame, textCol: String,
+      numMerges: Int, batchK: Int = 16): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 100000,
+      s"numMerges out of range: $numMerges")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = BpeTrain.wordTable(docs, textCol)
+      .localCheckpoint(eager = false)
+    // previous round's table: unpersisted only AFTER the collect has
+    // materialized the current round's lazy checkpoint (the BpeTrain
+    // discipline)
+    var prev: Option[DataFrame] = None
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
+    var done = 0
+    while (done < numMerges) {
+      val symCounts = words
+        .select(col("freq"), explode(col("symbols")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("cn"))
+      // limit batchK*8: the conflict walk skips past the top batchK;
+      // a too-short list costs an extra round, never correctness
+      val top = words
+        .select(col("freq"), explode(BpeTrain.pairsOf(col("symbols")))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .withColumn("l", split(col("pair"), BpeTrain.SEP, 2).getItem(0))
+        .withColumn("r", split(col("pair"), BpeTrain.SEP, 2).getItem(1))
+        .join(broadcast(symCounts.select(col("s").as("l"),
+          col("cn").as("ln"))), Seq("l"))
+        .join(broadcast(symCounts.select(col("s").as("r"),
+          col("cn").as("rn"))), Seq("r"))
+        .withColumn("score", col("n").cast("double") /
+          (col("ln").cast("double") * col("rn").cast("double")))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(batchK * 8)
+        .select(col("l"), col("r"), col("n"), col("ln"), col("rn"))
+        .as[(String, String, Long, Long, Long)]
+        .collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
+      if (top.isEmpty) throw new IllegalStateException(
+        s"wordpieceTrainMergesBatched: no mergeable pair left at rank " +
+          s"${done + 1} of $numMerges")
+      val touched = scala.collection.mutable.Set.empty[String]
+      val accepted = Seq.newBuilder[(String, String, Long, Long, Long)]
+      var k = 0
+      top.iterator.takeWhile(_ => k < batchK && done + k < numMerges)
+        .foreach { case (l, r, n, ln, rn) =>
+          if (!touched(l) && !touched(r) && !touched(l + r)) {
+            accepted += ((l, r, n, ln, rn))
+            touched ++= Seq(l, r, l + r)
+            k += 1
+          }
+        }
+      val batch = accepted.result()
+      batch.foreach { case (l, r, n, ln, rn) =>
+        done += 1
+        merges += ((done, l, r, n, ln, rn))
+      }
+      val next = words
+        .withColumn("symbols", batch.foldLeft(col("symbols")) {
+          case (s, (l, r, _, _, _)) => BpeTrain.applyMerge(s, l, r)
+        })
+        .localCheckpoint(eager = false)
+      prev = Some(words)
+      words = next
+    }
+    prev.foreach(_.unpersist(blocking = false))
+    words.unpersist(blocking = false)
+    merges.result()
+      .toDF("merge_rank", "left", "right", "pair_freq", "left_freq",
+        "right_freq")
+  }
+
   /** Q229: per-document token statistics under the fixed WordPiece
     * vocabulary — (doc_id, ws_tokens, wp_tokens, unk_words), the q119
     * shape for the WordPiece encoder. Map-only native kernel; the
