@@ -18,6 +18,17 @@ object GraftBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** The reliable-checkpoint file behind a `checkpoint()`ed Dataset's
+    * LogicalRDD leaf, when one exists — None for localCheckpoint
+    * (executor blocks, no files) and for un-checkpointed plans. Lets
+    * specs prove lineage actually truncated to surviving files under
+    * `spark.graft.reliableCheckpointDir`.
+    */
+  def reliableCheckpointFile(df: Dataset[_]): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(_.getCheckpointFile)
+
   /** Free the block-manager storage behind a `localCheckpoint()`ed
     * Dataset. `Dataset.unpersist` reaches only the cache manager, not the
     * checkpoint RDD the plan's `LogicalRDD` leaf wraps — without this,
