@@ -4,18 +4,21 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.TextShingles
 
-/** Streaming dual of q232's Count-Min sketch: maintain the d×w cell
-  * table over an UNBOUNDED token stream with exactly d·w rows of
-  * state — the sketch is the rare streaming aggregation that needs NO
-  * watermark, because bounded state is its entire point. Runs in
-  * update mode (a micro-batch re-emits only the cells it changed) or
-  * complete mode (the full d·w table — small by construction).
+/** Streaming duals of the mergeable sketches: maintain q232's
+  * Count-Min d×w cell table and q239's per-source HLL registers over
+  * UNBOUNDED token streams with sketch-sized state — these are the
+  * rare streaming aggregations that need NO watermark, because bounded
+  * state is their entire point. Run in update mode (a micro-batch
+  * re-emits only the cells/registers it changed) or complete mode (the
+  * full table — small by construction).
   *
-  * Equivalence contract (StreamingSketchSpec): the latest emitted value
-  * per cell equals [[graft.operators.Sketches.countMinCells]] over the
-  * same documents — per-occurrence hashing commutes with the batch
-  * side's count-then-weight formulation because cell values are plain
-  * sums.
+  * Equivalence contracts (StreamingSketchSpec / StreamingHllSpec): the
+  * latest emitted value per cell/register equals
+  * [[graft.operators.Sketches.countMinCells]] /
+  * [[graft.operators.Sketches.hllRegisters]] over the same documents —
+  * per-occurrence hashing commutes with the batch side's
+  * count-then-weight (sums) and distinct-then-hash (maxes)
+  * formulations because both are commutative monoids.
   */
 object StreamingSketch {
 
@@ -41,5 +44,33 @@ object StreamingSketch {
           lit(width.toLong)).as("b"))
       .groupBy(col("i"), col("b"))
       .agg(count(lit(1)).as("cn"))
+  }
+
+  /** (src, j, mj) HLL registers over everything seen so far —
+    * update-mode streaming aggregation with |sources|·64 bounded
+    * state rows. Registers are MAXES, so duplicate words across (or
+    * within) micro-batches cannot perturb them: no distinct pass, no
+    * watermark. The estimate chain (q239) is a downstream fold over
+    * 64 rows per source — run it per micro-batch in `foreachBatch`,
+    * or over the complete-mode table.
+    */
+  def hllRegistersStream(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val m = 64
+    val words = docs.select(col(srcCol).as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("ph", graft.functions.PolyHashExprs.polyHash(col("w")))
+      .withColumn("j", pmod(col("ph"), lit(m.toLong)))
+      .withColumn("h", pmod(col("ph") * lit(Mult), lit(Prime)))
+    // rank = 1 + leading zeros of the 30-bit window (h < Prime < 2^30):
+    // the same integer compare ladder as the batch build
+    val rho = (1 to 30).foldRight(lit(31L): org.apache.spark.sql.Column) {
+      case (r, els) =>
+        when(col("h") >= lit(1L << (30 - r)), lit(r.toLong)).otherwise(els)
+    }
+    words.withColumn("rho", rho)
+      .groupBy(col("src"), col("j")).agg(max(col("rho")).as("mj"))
   }
 }
