@@ -32,6 +32,41 @@ object Catalog {
     e.eval().asInstanceOf[Number].longValue()
   }
 
+  private def litArray(e: Expression, what: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, s"$what must be a literal array")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  }
+
+  private def litStrings(e: Expression, what: String): Seq[String] = {
+    val arr = litArray(e, what)
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  private def litLongs(e: Expression, what: String): Seq[Long] = {
+    val arr = litArray(e, what)
+    (0 until arr.numElements()).map(arr.getLong)
+  }
+
+  private def litDoubles(e: Expression, what: String): Array[Double] = {
+    val arr = litArray(e, what)
+    Array.tabulate(arr.numElements())(arr.getDouble)
+  }
+
+  /** A literal array<array<string>> of [left, right] pairs (the SQL
+    * shape of a merge table: `array(array('t','h'), array('th','e'))`).
+    */
+  private def litStringPairs(e: Expression,
+      what: String): Seq[(String, String)] = {
+    val outer = litArray(e, what)
+    (0 until outer.numElements()).map { i =>
+      val p = outer.getArray(i)
+      require(p != null && p.numElements() == 2,
+        s"$what element $i must be a 2-element [left, right] array")
+      (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+    }
+  }
+
   private def arity(name: String, n: Int)(
       f: Seq[Expression] => Expression): Seq[Expression] => Expression = { exprs =>
     require(exprs.size == n, s"$name takes $n argument(s), got ${exprs.size}")
@@ -101,6 +136,72 @@ object Catalog {
         graft.functions.WordPieceEncodeExpr(e(0), vocab,
           litLong(e(2), "max_sub (argument 3)").toInt)
       },
+    // round-15 completions: every remaining Column-API kernel in the
+    // SQL registry, so the function surface IS the full catalog
+    "bpe_encode_stats" ->
+      arity("bpe_encode_stats(text, merges)", 2)(e =>
+        graft.functions.BpeEncodeExpr(e(0),
+          litStringPairs(e(1), "merges (argument 2)"))),
+    "unigram_viterbi" ->
+      arity("unigram_viterbi(text, pieces, weights, max_piece_len)", 4) { e =>
+        val pieces = litStrings(e(1), "pieces (argument 2)")
+        val weights = litLongs(e(2), "weights (argument 3)")
+        require(pieces.length == weights.length,
+          s"pieces/weights length mismatch: ${pieces.length} vs ${weights.length}")
+        graft.functions.UnigramViterbiExpr(e(0), pieces.zip(weights),
+          litLong(e(3), "max_piece_len (argument 4)").toInt)
+      },
+    "aho_corasick_counts" ->
+      arity("aho_corasick_counts(text, patterns)", 2)(e =>
+        graft.functions.AhoCorasickCountsExpr(e(0),
+          litStrings(e(1), "patterns (argument 2)"))),
+    "gpt2_pretok" -> arity("gpt2_pretok(text)", 1)(e =>
+      graft.functions.Gpt2PretokExpr(e(0))),
+    "cdc_chunks" -> arity("cdc_chunks(text, k, modulus)", 3)(e =>
+      graft.functions.CdcChunksExpr(e(0),
+        litLong(e(1), "k (argument 2)").toInt,
+        litLong(e(2), "modulus (argument 3)").toInt)),
+    "pq_encode" ->
+      arity("pq_encode(vec, codebook, m, ksub, dsub)", 5)(e =>
+        graft.functions.PqEncodeExpr(e(0),
+          litDoubles(e(1), "codebook (argument 2)"),
+          litLong(e(2), "m (argument 3)").toInt,
+          litLong(e(3), "ksub (argument 4)").toInt,
+          litLong(e(4), "dsub (argument 5)").toInt)),
+    "adc_score" -> arity("adc_score(code, lut, m, ksub)", 4)(e =>
+      graft.functions.AdcLookupExpr(e(0), e(1),
+        litLong(e(2), "m (argument 3)").toInt,
+        litLong(e(3), "ksub (argument 4)").toInt)),
+    "common_prefix_len" -> arity("common_prefix_len(a, b)", 2)(e =>
+      graft.functions.CommonPrefixLenExpr(e(0), e(1))),
+    "range_lookup" ->
+      arity("range_lookup(v, bounds, values)", 3)(e =>
+        graft.functions.RangeLookupExpr(e(0),
+          litLongs(e(1), "bounds (argument 2)"),
+          litStrings(e(2), "values (argument 3)"))),
+    "repetition_stats" -> arity("repetition_stats(text)", 1)(e =>
+      graft.functions.RepetitionStatsExpr(e(0))),
+    "hyperplane_signature" ->
+      arity("hyperplane_signature(vec, dim, bits, seed)", 4)(e =>
+        graft.functions.HyperplaneSignatureExpr(e(0),
+          litLong(e(1), "dim (argument 2)").toInt,
+          litLong(e(2), "bits (argument 3)").toInt,
+          litLong(e(3), "seed (argument 4)"))),
+    "window_xxhashes" -> arity("window_xxhashes(text, w)", 2)(e =>
+      graft.functions.WindowXxHashesExpr(e(0),
+        litLong(e(1), "w (argument 2)").toInt)),
+    "window_xxhash_sorted_set" ->
+      arity("window_xxhash_sorted_set(text, w)", 2)(e =>
+        graft.functions.WindowXxHashSortedSetExpr(e(0),
+          litLong(e(1), "w (argument 2)").toInt)),
+    "ngram_xxhash_sorted_set" ->
+      arity("ngram_xxhash_sorted_set(normalized, n)", 2)(e =>
+        graft.functions.NgramXxHashSortedSetExpr(e(0),
+          litLong(e(1), "n (argument 2)").toInt)),
+    "window_xxhash_pos" ->
+      arity("window_xxhash_pos(text, w)", 2)(e =>
+        graft.functions.WindowXxHashPosExpr(e(0),
+          litLong(e(1), "w (argument 2)").toInt)),
     // mergeable-sketch AGGREGATES (TypedImperativeAggregate): the
     // analyzer wraps a bare AggregateFunction from the registry into
     // AggregateExpression(Complete), honoring DISTINCT/FILTER syntax

@@ -93,6 +93,70 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r6 == Seq(2L, 3L, 1L))
   }
 
+  test("round-15 natives: the FULL kernel catalog is SQL-callable") {
+    Catalog.registerFunctions(spark)
+    import graft.functions._
+    import org.apache.spark.sql.Column
+    // each row: (SQL invocation, the Column-API wrapper on the same
+    // literals) — parity pins the registration plumbing (name, arity,
+    // literal extraction) to the kernel the operators already use
+    def one(sqlExpr: String, colExpr: Column): Unit = {
+      val viaSql = spark.sql(s"SELECT $sqlExpr AS v").collect().head.get(0)
+      val viaCol = spark.range(1).select(colExpr.as("v"))
+        .collect().head.get(0)
+      assert(String.valueOf(viaSql) === String.valueOf(viaCol),
+        s"SQL '$sqlExpr' diverged from the Column wrapper")
+    }
+    one("bpe_encode_stats('the the th', array(array('t','h'), array('th','e')))",
+      org.apache.spark.sql.GraftBridge.column(BpeEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(lit("the the th")),
+        Seq("t" -> "h", "th" -> "e"))))
+    one("unigram_viterbi('abc', array('ab','c','a','b'), array(100L,50L,10L,10L), 2)",
+      UnigramViterbiExprs.segment(lit("abc"),
+        Seq("ab" -> 100L, "c" -> 50L, "a" -> 10L, "b" -> 10L), 2))
+    one("aho_corasick_counts('a table scan table', array('table','scan'))",
+      AhoCorasickExprs.matchCounts(lit("a table scan table"),
+        Seq("table", "scan")))
+    one("gpt2_pretok('Hello world, 42!')",
+      Gpt2PretokExpr.gpt2Pretokenize(lit("Hello world, 42!")))
+    one("cdc_chunks('the quick brown fox jumps over the lazy dog', 4, 8)",
+      CdcChunksExpr.cdcChunks(
+        lit("the quick brown fox jumps over the lazy dog"), 4, 8))
+    val codebook = Array(0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 2.0, 2.0)
+    val cbSql = codebook.map(d => s"${d}D").mkString("array(", ", ", ")")
+    one(s"pq_encode(array(0.9D, 1.1D, 0.1D, -0.1D), $cbSql, 2, 2, 2)",
+      PqExprs.pqEncode(
+        array(lit(0.9), lit(1.1), lit(0.1), lit(-0.1)), codebook, 2, 2, 2))
+    one("adc_score(1L, array(0.5D, 1.5D, 2.5D, 3.5D), 2, 2)",
+      PqExprs.adcScore(lit(1L),
+        array(lit(0.5), lit(1.5), lit(2.5), lit(3.5)), 2, 2))
+    one("common_prefix_len('abcd', 'abxy')",
+      PrefixLcpExprs.commonPrefixLen(lit("abcd"), lit("abxy")))
+    one("range_lookup(5L, array(2L, 7L, 10L), array('low', 'mid', 'high'))",
+      RangeLookupExprs.lookup(lit(5L), Seq(2L, 7L, 10L),
+        Seq("low", "mid", "high")))
+    one("repetition_stats(array('a', 'a', 'b', 'a'))",
+      RepetitionStatsExpr.repetitionStats(
+        array(lit("a"), lit("a"), lit("b"), lit("a"))))
+    one("hyperplane_signature(array(0.3D, -0.7D, 1.2D, 0.1D), 4, 8, 42L)",
+      VectorExprs.hyperplaneSignature(
+        array(lit(0.3), lit(-0.7), lit(1.2), lit(0.1)), 4, 8))
+    one("window_xxhashes('hello world abc', 8)",
+      WindowHashExprs.windowHashes(lit("hello world abc"), 8))
+    one("window_xxhash_sorted_set('hello world abc', 8)",
+      WindowHashExprs.windowHashSortedSet(lit("hello world abc"), 8))
+    one("ngram_xxhash_sorted_set('a b c d e', 2)",
+      WindowHashExprs.ngramHashSortedSet(lit("a b c d e"), 2))
+    one("window_xxhash_pos('hello world abc', 8)",
+      WindowHashExprs.windowHashPos(lit("hello world abc"), 8))
+    // and spot-check two literal values so the parity isn't vacuous
+    assert(spark.sql("SELECT common_prefix_len('abcd', 'abxy')")
+      .collect().head.getInt(0) === 2)
+    assert(spark.sql(
+      "SELECT aho_corasick_counts('a table scan table', array('table','scan'))")
+      .collect().head.getSeq[Long](0) === Seq(2L, 1L))
+  }
+
   test("aggregation via SQL equals DataFrame operator") {
     Catalog.registerTables(spark, sf)
     val viaSql = spark.sql(
