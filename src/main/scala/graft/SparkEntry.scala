@@ -1200,6 +1200,33 @@ object SparkEntry {
       Sketches.hllSourceDistinctAgg(Tables.documents(s, dir), "text")),
     "q244_minhash_agg" -> ((s, dir) =>
       Sketches.sourceMinhashSketchAgg(Tables.documents(s, dir), "text")),
+    // q245: GLOBAL distinct estimate by max-merging the per-source HLL
+    // shards — the engine only ever merges the (src, j, mj) shard
+    // table; the oracle builds registers from the undivided corpus
+    "q245_hll_union" -> ((s, dir) =>
+      Sketches.hllGlobalDistinct(Tables.documents(s, dir), "text",
+        "source")),
+    // q246: Zipf rank-frequency slope per source — grid-integer OLS
+    // over each source's top-32 vocabulary, natural-language diagnostic
+    "q246_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir), "text",
+        "source")),
+    // q247: per-source unigram KL vs corpus + token entropy —
+    // distribution-level drift, grid-integer numerators
+    "q247_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceLexicalDrift(Tables.documents(s, dir), "text",
+        "source")),
+    // q248: per-source bigram transition entropy — sequence-level
+    // predictability, same grid device
+    "q248_bigram_entropy" -> ((s, dir) =>
+      TextAnalysis.sourceBigramEntropy(Tables.documents(s, dir), "text",
+        "source")),
+    // q249: pairwise Jensen-Shannon divergence between sources —
+    // symmetric bounded drift matrix, grid-integer shared terms +
+    // closed-form only-word remainders
+    "q249_source_js" -> ((s, dir) =>
+      TextAnalysis.sourceJsDivergence(Tables.documents(s, dir), "text",
+        "source")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -4888,6 +4915,192 @@ object SparkEntry {
         |    ELSE CAST(round(raw) AS BIGINT) END AS hll_est,
         |  CAST(zeros AS BIGINT) AS reg_zeros
         |FROM ee""".stripMargin,
+    // q245: q239's register chain WITHOUT the source grouping — the
+    // oracle's direct global build must equal the engine's shard
+    // max-merge (sketch-union mergeability, hash-checked)
+    "q245_hll_union" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |dw AS MATERIALIZED (SELECT DISTINCT w FROM w),
+        |ph AS MATERIALIZED (
+        |  SELECT w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM dw),
+        |hj AS (SELECT ph % 64 AS j,
+        |         (ph * 2654435761) % 1000000007 AS h
+        |       FROM ph),
+        |rg AS MATERIALIZED (
+        |  SELECT j, max(CASE WHEN h >= 536870912 THEN 1 WHEN h >= 268435456 THEN 2 WHEN h >= 134217728 THEN 3 WHEN h >= 67108864 THEN 4 WHEN h >= 33554432 THEN 5 WHEN h >= 16777216 THEN 6 WHEN h >= 8388608 THEN 7 WHEN h >= 4194304 THEN 8 WHEN h >= 2097152 THEN 9 WHEN h >= 1048576 THEN 10 WHEN h >= 524288 THEN 11 WHEN h >= 262144 THEN 12 WHEN h >= 131072 THEN 13 WHEN h >= 65536 THEN 14 WHEN h >= 32768 THEN 15 WHEN h >= 16384 THEN 16 WHEN h >= 8192 THEN 17 WHEN h >= 4096 THEN 18 WHEN h >= 2048 THEN 19 WHEN h >= 1024 THEN 20 WHEN h >= 512 THEN 21 WHEN h >= 256 THEN 22 WHEN h >= 128 THEN 23 WHEN h >= 64 THEN 24 WHEN h >= 32 THEN 25 WHEN h >= 16 THEN 26 WHEN h >= 8 THEN 27 WHEN h >= 4 THEN 28 WHEN h >= 2 THEN 29 WHEN h >= 1 THEN 30 ELSE 31 END) AS mj
+        |  FROM hj GROUP BY 1),
+        |ps AS (
+        |  SELECT count(*) AS present,
+        |    sum(1.0 / (CAST(1 AS BIGINT) << CAST(mj AS INTEGER)))
+        |      AS psum
+        |  FROM rg),
+        |es AS (
+        |  SELECT 64 - present AS zeros,
+        |    psum + CAST(64 - present AS DOUBLE) AS isum
+        |  FROM ps),
+        |ee AS (SELECT zeros, 0.709 * 64.0 * 64.0 / isum AS raw FROM es),
+        |fin AS (
+        |  SELECT zeros,
+        |    CASE WHEN raw <= 160.0 AND zeros > 0
+        |      THEN CAST(round(64.0 * ln(64.0
+        |        / CAST(zeros AS DOUBLE))) AS BIGINT)
+        |      ELSE CAST(round(raw) AS BIGINT) END AS est
+        |  FROM ee),
+        |ex AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+        |              CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+        |       FROM w)
+        |SELECT ex.n_sources, ex.n_exact, fin.est AS hll_est,
+        |  CAST(fin.zeros AS BIGINT) AS reg_zeros
+        |FROM ex CROSS JOIN fin""".stripMargin,
+    // q246: the OLS chain replayed — milli-grid ln, exact BIGINT sums,
+    // one mirrored divide + round
+    "q246_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
+        |    AS w
+        |  FROM documents),
+        |wc AS MATERIALIZED (
+        |  SELECT source, w, count(*) AS f FROM toks WHERE w <> ''
+        |  GROUP BY 1, 2),
+        |rk AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(round(1000.0 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+        |    CAST(round(1000.0 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+        |  FROM (SELECT source, f,
+        |          row_number() OVER (PARTITION BY source
+        |                             ORDER BY f DESC, w) AS rank
+        |        FROM wc)
+        |  WHERE rank <= 32),
+        |ag AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM rk GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT source, n_top,
+        |  round(CAST(n_top * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n_top * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        |FROM ag""".stripMargin,
+    // q247: the KL/entropy chain replayed — double ln-argument with
+    // the mirrored multiplication shape, grid round, exact BIGINT
+    // numerators, one mirrored divide per output
+    "q247_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
+        |    AS w
+        |  FROM documents),
+        |wc AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS f FROM toks
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |cw AS MATERIALIZED (
+        |  SELECT w, CAST(sum(f) AS BIGINT) AS cw FROM wc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM cw),
+        |terms AS MATERIALIZED (
+        |  SELECT wc.source, wc.f,
+        |    CAST(sum(wc.f) OVER (PARTITION BY wc.source) AS BIGINT) AS ns,
+        |    cw.cw, (SELECT nn FROM tot) AS nn
+        |  FROM wc JOIN cw ON cw.w = wc.w),
+        |gr AS (
+        |  SELECT source, f, ns,
+        |    CAST(round(1000.0 * ln((CAST(f AS DOUBLE) * CAST(nn AS DOUBLE))
+        |      / (CAST(ns AS DOUBLE) * CAST(cw AS DOUBLE)))) AS BIGINT) AS r,
+        |    CAST(round(1000.0 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS lf
+        |  FROM terms),
+        |ag AS (
+        |  SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(sum(f * r) AS BIGINT) AS klg,
+        |    CAST(sum(f * lf) AS BIGINT) AS hfg
+        |  FROM gr GROUP BY 1)
+        |SELECT source, n_tokens, n_vocab,
+        |  round(CAST(klg AS DOUBLE)
+        |    / (1000.0 * CAST(n_tokens AS DOUBLE)), 6) AS kl_corpus,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(hfg AS DOUBLE)
+        |    / (1000.0 * CAST(n_tokens AS DOUBLE)), 6) AS entropy
+        |FROM ag""".stripMargin,
+    // q248: the transition-entropy chain replayed — per-source bigram
+    // counts from the token arrays, left-context totals, grid ln
+    "q248_bigram_entropy" ->
+      """WITH tk AS (
+        |  SELECT source, list_filter(string_split(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '),
+        |    t -> t <> '') AS t
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT source, t[CAST(i AS INTEGER)] AS x,
+        |    t[CAST(i AS INTEGER) + 1] AS y,
+        |    CAST(count(*) AS BIGINT) AS bxy
+        |  FROM (SELECT source, t, unnest(range(1, len(t))) AS i FROM tk)
+        |  GROUP BY 1, 2, 3),
+        |lx AS MATERIALIZED (
+        |  SELECT source, x, CAST(sum(bxy) AS BIGINT) AS bx
+        |  FROM bg GROUP BY 1, 2),
+        |gr AS (
+        |  SELECT bg.source, bg.bxy,
+        |    CAST(round(1000.0 * ln(CAST(lx.bx AS DOUBLE)
+        |      / CAST(bg.bxy AS DOUBLE))) AS BIGINT) AS r
+        |  FROM bg JOIN lx ON lx.source = bg.source AND lx.x = bg.x)
+        |SELECT source, CAST(sum(bxy) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(bxy * r) AS DOUBLE)
+        |    / (1000.0 * CAST(sum(bxy) AS DOUBLE)), 6) AS transition_entropy
+        |FROM gr GROUP BY 1""".stripMargin,
+    // q249: the JS chain replayed — shared-word grid terms via the
+    // word self-join, only-word remainders via (n - sum_shared)·ln2
+    "q249_source_js" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
+        |    AS w
+        |  FROM documents),
+        |wc AS MATERIALIZED (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS f FROM toks
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |tt AS MATERIALIZED (
+        |  SELECT source, CAST(sum(f) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |sh AS MATERIALIZED (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    a.f AS fa, b.f AS fb, ta.n AS na, tb.n AS nb,
+        |    CAST(round(1000.0 * ln(
+        |      (2.0 * CAST(a.f AS DOUBLE) * CAST(tb.n AS DOUBLE))
+        |      / (CAST(a.f AS DOUBLE) * CAST(tb.n AS DOUBLE)
+        |         + CAST(b.f AS DOUBLE) * CAST(ta.n AS DOUBLE))))
+        |      AS BIGINT) AS ra,
+        |    CAST(round(1000.0 * ln(
+        |      (2.0 * CAST(b.f AS DOUBLE) * CAST(ta.n AS DOUBLE))
+        |      / (CAST(a.f AS DOUBLE) * CAST(tb.n AS DOUBLE)
+        |         + CAST(b.f AS DOUBLE) * CAST(ta.n AS DOUBLE))))
+        |      AS BIGINT) AS rb
+        |  FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+        |  JOIN tt ta ON ta.source = a.source
+        |  JOIN tt tb ON tb.source = b.source),
+        |ag AS (
+        |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+        |    CAST(sum(fa * ra) AS BIGINT) AS ag,
+        |    CAST(sum(fb * rb) AS BIGINT) AS bg,
+        |    CAST(sum(fa) AS BIGINT) AS fab,
+        |    CAST(sum(fb) AS BIGINT) AS fbb
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  round((CAST(ag + (na - fab)
+        |           * CAST(round(1000.0 * ln(2.0)) AS BIGINT) AS DOUBLE)
+        |         / CAST(na AS DOUBLE)
+        |       + CAST(bg + (nb - fbb)
+        |           * CAST(round(1000.0 * ln(2.0)) AS BIGINT) AS DOUBLE)
+        |         / CAST(nb AS DOUBLE)) / (2.0 * 1000.0), 6) AS js
+        |FROM ag""".stripMargin,
     // q244: q217's sig CTE as the output — the aggregate's exploded
     // signature must equal the row-explosion build slot for slot
     "q244_minhash_agg" ->

@@ -119,6 +119,48 @@ object Sketches {
         col("est").as("hll_est"), col("zeros").as("reg_zeros"))
   }
 
+  /** Q245: GLOBAL distinct-word estimate by max-merging the per-source
+    * HLL register SHARDS — the union contract the sketch family
+    * promises, proven in the output: the engine never sees the global
+    * token stream (it merges the (src, j, mj) shard table), while the
+    * oracle derives registers from the undivided corpus, and the two
+    * must agree register-for-register. This is the 100-TB shape —
+    * per-shard sketches roll up to corpus totals without re-reading
+    * anything. The exact global distinct rides as the validation price
+    * (the q239 gate form). Output: one row
+    * (n_sources, n_exact, hll_est, reg_zeros).
+    */
+  def hllGlobalDistinct(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val m = 64
+    val alpha = 0.709
+    val shards = hllRegisters(docs, textCol, srcCol)
+    val global = shards.groupBy(col("j")).agg(max(col("mj")).as("mj"))
+    val est = global
+      .agg(count(lit(1)).as("present"),
+        sum(lit(1.0) /
+          expr("shiftleft(cast(1 as bigint), cast(mj as int))"))
+          .as("psum"))
+      .withColumn("zeros", lit(m.toLong) - col("present"))
+      .withColumn("isum", col("psum") + col("zeros").cast("double"))
+      .withColumn("raw",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("isum"))
+      .withColumn("hll_est",
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("zeros").cast("double"))))
+          .otherwise(round(col("raw"))).cast("long"))
+    val words = docs.select(col(srcCol).as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+    val exact = words.agg(
+      countDistinct(col("src")).as("n_sources"),
+      countDistinct(col("w")).as("n_exact"))
+    exact.crossJoin(broadcast(
+      est.select(col("hll_est"), col("zeros").as("reg_zeros"))))
+  }
+
   /** Q232: Count-Min heavy-hitter audit — build the sketch in one
     * map-side-combinable pass, then report the top-k exact words with
     * their sketch estimates (validation-priced ground truth, the

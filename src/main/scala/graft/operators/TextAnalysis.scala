@@ -1125,4 +1125,213 @@ object TextAnalysis {
     perBucket.select(col("bucket"), col("new_words"),
       sum(col("new_words")).over(w).as("cum_words"))
   }
+
+  /** Q247: PER-SOURCE LEXICAL DRIFT — the unigram-distribution KL
+    * divergence of each source against the whole corpus, plus the
+    * source's token entropy: the distribution-level companion to
+    * q238's embedding-centroid drift and q217's set-overlap
+    * similarity. A feed whose token distribution walks away from the
+    * corpus (template spam, language shift, scraper breakage) shows
+    * up here before any content join.
+    *
+    * Exactness (the q246 grid + ln-parity discipline): each word's
+    * log-ratio `ln(f·N / (n_s·c_w))` lands on a `grid⁻¹` integer
+    * grid, so the KL numerator Σ f·r is an exact BIGINT in any
+    * order; the final KL and entropy are one mirrored double
+    * divide (+ ln for entropy) rounded to 6 dp. The ln argument is
+    * built in DOUBLE (f·N overflows BIGINT at corpus scale) with the
+    * multiplication shape mirrored in the oracle.
+    *
+    * Scale: corpus counts derive FROM the (source, word) table (one
+    * corpus scan, vocabulary-bounded reuse), one equi-join on word,
+    * one |sources|-row aggregation.
+    */
+  def sourceLexicalDrift(docs: DataFrame, textCol: String,
+      srcCol: String, grid: Long = 1000L): DataFrame = {
+    require(grid >= 10L && grid <= 100000L, s"grid out of range: $grid")
+    val wc = docs.select(col(srcCol).as("source"),
+        explode(split(TextShingles.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val corpus = wc.groupBy(col("w")).agg(sum(col("f")).as("cw"))
+    val total = corpus.agg(sum(col("cw")).as("nn"))
+    val terms = wc
+      .join(corpus, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("ns",
+        sum(col("f")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))))
+      .select(col("source"), col("f"), col("ns"),
+        round(lit(grid.toDouble) *
+          log((col("f").cast("double") * col("nn").cast("double")) /
+            (col("ns").cast("double") * col("cw").cast("double"))))
+          .cast("long").as("r"),
+        round(lit(grid.toDouble) * log(col("f").cast("double")))
+          .cast("long").as("lf"))
+    terms.groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("f") * col("r")).as("klg"),
+        sum(col("f") * col("lf")).as("hfg"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        round(col("klg").cast("double") /
+          (lit(grid.toDouble) * col("n_tokens").cast("double")), 6)
+          .as("kl_corpus"),
+        round(log(col("n_tokens").cast("double")) -
+          col("hfg").cast("double") /
+            (lit(grid.toDouble) * col("n_tokens").cast("double")), 6)
+          .as("entropy"))
+  }
+
+  /** Q248: PER-SOURCE BIGRAM TRANSITION ENTROPY — the Markov-1
+    * entropy rate H = Σ b_xy·ln(b_x/b_xy) / B over each source's
+    * adjacent-token bigrams: how predictable the next word is given
+    * the current one. Template/boilerplate feeds collapse toward 0
+    * (deterministic transitions); natural text sits well above. The
+    * sequence-level sibling of q247's bag-of-words drift.
+    *
+    * Same exactness device: per-bigram log-ratio on the integer grid,
+    * exact BIGINT numerator, one mirrored divide, 6 dp.
+    *
+    * Scale: one map-side-combinable (source, x, y) count from the
+    * token-array scan, left-context totals derived FROM it (bounded
+    * reuse), a |sources|-row aggregation.
+    */
+  def sourceBigramEntropy(docs: DataFrame, textCol: String,
+      srcCol: String, grid: Long = 1000L): DataFrame = {
+    require(grid >= 10L && grid <= 100000L, s"grid out of range: $grid")
+    val toks = docs.select(col(srcCol).as("source"),
+      filter(split(TextShingles.normalize(col(textCol)), " "),
+        t => t =!= lit("")).as("t"))
+    val bc = toks
+      .select(col("source"), explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .groupBy(col("source"), col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("bxy"))
+    val left = bc.groupBy(col("source"), col("x"))
+      .agg(sum(col("bxy")).as("bx"))
+    bc.join(left, Seq("source", "x"))
+      .select(col("source"), col("bxy"),
+        round(lit(grid.toDouble) *
+          log(col("bx").cast("double") / col("bxy").cast("double")))
+          .cast("long").as("r"))
+      .groupBy(col("source"))
+      .agg(sum(col("bxy")).as("n_bigrams"),
+        sum(col("bxy") * col("r")).as("hg"))
+      .select(col("source"), col("n_bigrams"),
+        round(col("hg").cast("double") /
+          (lit(grid.toDouble) * col("n_bigrams").cast("double")), 6)
+          .as("transition_entropy"))
+  }
+
+  /** Q249: PAIRWISE SOURCE DIVERGENCE — the Jensen–Shannon divergence
+    * between every two sources' unigram distributions, the symmetric
+    * bounded companion to q247's KL-vs-corpus (JS ∈ [0, ln 2];
+    * mixture-planning reads it as "how much does adding feed B
+    * diversify feed A"). Pairs sharing no vocabulary are omitted (their
+    * JS is exactly ln 2 by definition) — the q217 inter-join
+    * discipline, |sources|² pair space over the vocabulary-bounded
+    * count table, never content × content.
+    *
+    * Exactness: the shared-word terms use the q246/q247 grid device —
+    * `ln(2·f_a·n_b / (f_a·n_b + f_b·n_a))` grid-rounds to BIGINT (ln
+    * argument built in DOUBLE, mirrored shape) and sums exactly; each
+    * side's ONLY-words remainder is `(n_a − Σ_shared f_a)·round(g·ln 2)`
+    * because a word absent from the other source contributes exactly
+    * p·ln 2. One mirrored double chain produces the 6-dp JS.
+    */
+  def sourceJsDivergence(docs: DataFrame, textCol: String,
+      srcCol: String, grid: Long = 1000L): DataFrame = {
+    require(grid >= 10L && grid <= 100000L, s"grid out of range: $grid")
+    val wc = docs.select(col(srcCol).as("source"),
+        explode(split(TextShingles.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val totals = wc.groupBy(col("source")).agg(sum(col("f")).as("n"))
+    val ln2g = round(lit(grid.toDouble) * log(lit(2.0))).cast("long")
+    val shared = wc.select(col("source").as("src_a"), col("w"),
+        col("f").as("fa"))
+      .join(wc.select(col("source").as("src_b"), col("w"),
+        col("f").as("fb")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("fa"), col("fb"),
+        col("na"), col("nb"),
+        round(lit(grid.toDouble) * log(
+          (lit(2.0) * col("fa").cast("double") * col("nb").cast("double"))
+            / (col("fa").cast("double") * col("nb").cast("double") +
+               col("fb").cast("double") * col("na").cast("double"))))
+          .cast("long").as("ra"),
+        round(lit(grid.toDouble) * log(
+          (lit(2.0) * col("fb").cast("double") * col("na").cast("double"))
+            / (col("fa").cast("double") * col("nb").cast("double") +
+               col("fb").cast("double") * col("na").cast("double"))))
+          .cast("long").as("rb"))
+    shared.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("fa") * col("ra")).as("ag"),
+        sum(col("fb") * col("rb")).as("bg"),
+        sum(col("fa")).as("fab"), sum(col("fb")).as("fbb"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(((col("ag") + (col("na") - col("fab")) * ln2g)
+          .cast("double") / col("na").cast("double") +
+          (col("bg") + (col("nb") - col("fbb")) * ln2g)
+            .cast("double") / col("nb").cast("double"))
+          / (lit(2.0) * lit(grid.toDouble)), 6).as("js"))
+  }
+
+  /** Q246: ZIPF RANK-FREQUENCY SLOPE per source — the OLS fit of
+    * ln(freq) on ln(rank) over each source's top-`topK` words, the
+    * classic "is this natural language or boilerplate/spam" corpus
+    * diagnostic (natural text sits near slope −1; template or
+    * machine-generated feeds flatten or steepen it). Companions:
+    * q216's coverage curve and q219's Heaps growth.
+    *
+    * Exactness: the ln values land on a `grid⁻¹` integer grid (the
+    * established grid + ln-parity discipline), so all four OLS sums
+    * are exact BIGINT in any aggregation order; the slope is one
+    * mirrored double divide rounded to 6 dp. Bounds: x ≤ grid·ln(topK),
+    * y ≤ grid·ln(corpus tokens) ≈ 2.8e4 at 100 TB — Σxy fits BIGINT
+    * with ~8 decimal digits to spare.
+    *
+    * Scale: one map-side-combinable (source, word) count, a window
+    * rank PARTITIONED by source over the vocabulary-bounded count
+    * table (never the corpus), then a |sources|-row aggregation.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, srcCol: String,
+      topK: Int = 32, grid: Long = 1000L): DataFrame = {
+    require(topK >= 2 && topK <= 100000, s"topK out of range: $topK")
+    require(grid >= 10L && grid <= 100000L, s"grid out of range: $grid")
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs.select(col(srcCol).as("source"),
+        explode(split(TextShingles.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("f").desc, col("w"))
+    val ranked = wc.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topK)
+      .select(col("source"),
+        round(lit(grid.toDouble) * log(col("rank").cast("double")))
+          .cast("long").as("x"),
+        round(lit(grid.toDouble) * log(col("f").cast("double")))
+          .cast("long").as("y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_top") >= 2)
+      .select(col("source"), col("n_top"),
+        round((col("n_top") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_top") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("zipf_slope"))
+  }
 }
