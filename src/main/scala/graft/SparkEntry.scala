@@ -1227,6 +1227,10 @@ object SparkEntry {
     "q249_source_js" -> ((s, dir) =>
       TextAnalysis.sourceJsDivergence(Tables.documents(s, dir), "text",
         "source")),
+    // q250: closed-form OLS — one scan to the exact moment sums,
+    // Cramer on nine driver scalars; price ~ quantity + discount
+    "q250_ols_price" -> ((s, dir) =>
+      Regression.olsPriceModel(Tables.lineitem(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5101,6 +5105,41 @@ object SparkEntry {
         |           * CAST(round(1000.0 * ln(2.0)) AS BIGINT) AS DOUBLE)
         |         / CAST(nb AS DOUBLE)) / (2.0 * 1000.0), 6) AS js
         |FROM ag""".stripMargin,
+    // q250: the normal-equations chain replayed — exact HUGEINT moment
+    // sums cast to DOUBLE, the same fixed 3x3 determinant shape
+    // a(ei-fh) - b(di-fg) + c(dh-eg), one mirrored divide per beta
+    "q250_ols_price" ->
+      """WITH d AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(100.0 * l_discount) AS BIGINT) AS x2,
+        |    CAST(round(100.0 * l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |    CAST(sum(x2 * y) AS DOUBLE) AS s2y
+        |  FROM d),
+        |dets AS (
+        |  SELECT nl,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM s)
+        |SELECT nl AS n_rows, round(det0 / det, 6) AS b0,
+        |  round(det1 / det, 6) AS b1, round(det2 / det, 6) AS b2
+        |FROM dets""".stripMargin,
     // q244: q217's sig CTE as the output — the aggregate's exploded
     // signature must equal the row-explosion build slot for slot
     "q244_minhash_agg" ->

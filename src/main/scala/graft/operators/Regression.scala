@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Closed-form ORDINARY LEAST SQUARES at corpus scale — the normal
+  * equations X'X·β = X'y solved exactly: the distributed side computes
+  * only the moment sums (one map-side-combinable aggregation over
+  * integer-grid features; DECIMAL(38,0) accumulators so 1e12-row
+  * fact tables cannot overflow), and the 3×3 Cramer solve runs on the
+  * driver over those nine scalars. No gradient steps, no sampling, no
+  * iteration — for a linear model the sums ARE the sufficient
+  * statistic, so a 100 TB fit costs exactly one scan.
+  *
+  * Exactness (the q227/q246 discipline): features land on integer
+  * grids, the moment sums are exact integers; determinants are formed
+  * in DOUBLE with one fixed multiplication shape mirrored verbatim in
+  * the oracle SQL (exact-integer → double conversion is
+  * round-to-nearest in both engines), and each coefficient is one
+  * mirrored divide rounded to 6 dp.
+  */
+object Regression {
+
+  /** Moment sums for y ~ 1 + x1 + x2 over pre-gridded integer columns:
+    * (n, s1, s2, s11, s12, s22, sy, s1y, s2y) as exact DECIMAL(38,0).
+    */
+  private def moments(d: DataFrame): Array[java.math.BigDecimal] = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val row = d.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("x1"))).as("s1"),
+      sum(dec(col("x2"))).as("s2"),
+      sum(dec(col("x1") * col("x1"))).as("s11"),
+      sum(dec(col("x1") * col("x2"))).as("s12"),
+      sum(dec(col("x2") * col("x2"))).as("s22"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x1") * col("y"))).as("s1y"),
+      sum(dec(col("x2") * col("y"))).as("s2y"))
+      .collect().head
+    Array.tabulate(9)(i => row.getDecimal(i))
+  }
+
+  /** det of [[a,b,c],[d,e,f],[g,h,i]] with the FIXED multiplication
+    * shape `a(ei−fh) − b(di−fg) + c(dh−eg)` — mirrored in the oracle.
+    */
+  private def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+      f: Double, g: Double, h: Double, i: Double): Double =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** Fit y ~ β0 + β1·x1 + β2·x2 over a frame with integer-grid columns
+    * (x1, x2, y). Output: ONE row
+    * (n_rows, b0, b1, b2) with coefficients rounded to 6 dp. Throws on
+    * a singular design (collinear features) — a silent NaN fit is a
+    * pipeline bug, not a result.
+    */
+  def olsFit2(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val m = moments(d).map(_.doubleValue())
+    val Array(n, s1, s2, s11, s12, s22, sy, s1y, s2y) = m
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    require(det != 0.0, "olsFit2: singular design matrix (collinear features)")
+    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, r6(det0 / det), r6(det1 / det), r6(det2 / det)))
+      .toDF("n_rows", "b0", "b1", "b2")
+  }
+
+  /** Q250: the lineitem PRICE MODEL — extendedprice (cents) regressed
+    * on quantity and discount (cents): the sanity regression every
+    * pricing/billing audit runs (RegressionSpec pins the solver
+    * itself against planted exact and straight-line-reference fits;
+    * what the coefficients SAY about the synthetic data is the
+    * oracle's business).
+    */
+  def olsPriceModel(lineitem: DataFrame): DataFrame =
+    olsFit2(lineitem.select(
+      // round, not bare cast: Spark double->long truncates while DuckDB
+      // CAST rounds — on the integral quantity grid round() is exact
+      // and identical in both engines
+      round(col("l_quantity")).cast("long").as("x1"),
+      round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
+      round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")))
+}
