@@ -1231,6 +1231,12 @@ object SparkEntry {
     // Cramer on nine driver scalars; price ~ quantity + discount
     "q250_ols_price" -> ((s, dir) =>
       Regression.olsPriceModel(Tables.lineitem(s, dir))),
+    // q251: edit-distance-1 fuzzy self-join via the FastSS deletion
+    // neighborhood — candidates from an equi-join on deletion keys,
+    // exact levenshtein verification, never all-pairs
+    "q251_fuzzy_join" -> ((s, dir) =>
+      Linkage.lev1Neighbors(Tables.customer(s, dir), "c_name",
+        "c_custkey")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5140,6 +5146,25 @@ object SparkEntry {
         |SELECT nl AS n_rows, round(det0 / det, 6) AS b0,
         |  round(det1 / det, 6) AS b1, round(det2 / det, 6) AS b2
         |FROM dets""".stripMargin,
+    // q251: the deletion-neighborhood chain replayed — the oracle
+    // builds the same {self} ∪ {single deletions} key set, joins, and
+    // verifies with DuckDB's levenshtein
+    "q251_fuzzy_join" ->
+      """WITH ks AS MATERIALIZED (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    unnest(list_prepend(c_name,
+        |      list_transform(range(1, len(c_name) + 1),
+        |        i -> substr(c_name, 1, CAST(i AS INTEGER) - 1)
+        |             || substr(c_name, CAST(i AS INTEGER) + 1)))) AS k
+        |  FROM customer),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.name AS name_a, b.name AS name_b
+        |  FROM ks a JOIN ks b ON a.k = b.k AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
     // q244: q217's sig CTE as the output — the aggregate's exploded
     // signature must equal the row-explosion build slot for slot
     "q244_minhash_agg" ->

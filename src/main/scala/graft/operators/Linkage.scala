@@ -278,4 +278,45 @@ object Linkage {
     out.select(col("__cluster").as("cluster_id") +: col("n_members") +:
       (modeCols ++ maxCols).distinct.map(col): _*)
   }
+
+  /** Q251: EDIT-DISTANCE-1 FUZZY SELF-JOIN via the FastSS deletion
+    * neighborhood (Bocek et al. 2007) — every pair of records whose
+    * names are within Levenshtein distance 1, WITHOUT an all-pairs
+    * comparison: two strings within one edit share a member of each
+    * other's single-deletion neighborhood (substitution: deleting the
+    * differing position from both yields the same string;
+    * insertion/deletion: the shorter string IS a deletion variant of
+    * the longer), so candidates come from an equi-join on the
+    * {self} ∪ {single deletions} key set — n·(L+1) key rows, posting
+    * lists bounded by the alphabet, never n². Each candidate pair is
+    * then VERIFIED with the exact `levenshtein` (identical semantics
+    * in Spark and DuckDB), so the output is exactly the all-pairs
+    * truth. The typo-linkage primitive q191/q202's blocked scorers
+    * assume upstream.
+    */
+  def lev1Neighbors(df: DataFrame, nameCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(nameCol).as("name"))
+    val keys = base.select(col("id"), col("name"),
+      explode(concat(
+        array(col("name")),
+        transform(sequence(lit(1), length(col("name"))),
+          i => concat(
+            col("name").substr(lit(1), i - lit(1)),
+            col("name").substr(i + lit(1), length(col("name")))))))
+        .as("k"))
+    val a = keys.select(col("k"), col("id").as("id_a"),
+      col("name").as("name_a"))
+    val b = keys.select(col("k"), col("id").as("id_b"),
+      col("name").as("name_b"))
+    a.join(b, Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1L)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }
