@@ -1237,6 +1237,15 @@ object SparkEntry {
     "q251_fuzzy_join" -> ((s, dir) =>
       Linkage.lev1Neighbors(Tables.customer(s, dir), "c_name",
         "c_custkey")),
+    // q252: the q250 fit under ridge λ=1e6 — same one-scan sums, the
+    // penalty on the non-intercept diagonal
+    "q252_ridge_price" -> ((s, dir) =>
+      Regression.ridgePriceModel(Tables.lineitem(s, dir))),
+    // q253: RFM segmentation — exact discrete-percentile boundaries
+    // broadcast over the per-customer rollup, map-only scoring (no
+    // global ntile window)
+    "q253_rfm_segments" -> ((s, dir) =>
+      Relational.rfmSegments(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5146,6 +5155,87 @@ object SparkEntry {
         |SELECT nl AS n_rows, round(det0 / det, 6) AS b0,
         |  round(det1 / det, 6) AS b1, round(det2 / det, 6) AS b2
         |FROM dets""".stripMargin,
+    // q252: the q250 chain with + 1e6 on the s11/s22 diagonal (added
+    // AFTER the double cast, mirroring the engine)
+    "q252_ridge_price" ->
+      """WITH d AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(100.0 * l_discount) AS BIGINT) AS x2,
+        |    CAST(round(100.0 * l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x1 * x1) AS DOUBLE) + 1000000.0 AS s11,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x2 * x2) AS DOUBLE) + 1000000.0 AS s22,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |    CAST(sum(x2 * y) AS DOUBLE) AS s2y
+        |  FROM d),
+        |dets AS (
+        |  SELECT nl,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM s)
+        |SELECT nl AS n_rows, round(det0 / det, 6) AS b0,
+        |  round(det1 / det, 6) AS b1, round(det2 / det, 6) AS b2
+        |FROM dets""".stripMargin,
+    // q253: the RFM chain replayed — per-customer rollup, twelve
+    // discrete-percentile boundaries, strict-greater scoring
+    "q253_rfm_segments" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS recency_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT
+        |    percentile_disc(0.2) WITHIN GROUP (ORDER BY CAST(recency_day AS DOUBLE)) AS r_q20,
+        |    percentile_disc(0.4) WITHIN GROUP (ORDER BY CAST(recency_day AS DOUBLE)) AS r_q40,
+        |    percentile_disc(0.6) WITHIN GROUP (ORDER BY CAST(recency_day AS DOUBLE)) AS r_q60,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY CAST(recency_day AS DOUBLE)) AS r_q80,
+        |    percentile_disc(0.2) WITHIN GROUP (ORDER BY CAST(frequency AS DOUBLE)) AS f_q20,
+        |    percentile_disc(0.4) WITHIN GROUP (ORDER BY CAST(frequency AS DOUBLE)) AS f_q40,
+        |    percentile_disc(0.6) WITHIN GROUP (ORDER BY CAST(frequency AS DOUBLE)) AS f_q60,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY CAST(frequency AS DOUBLE)) AS f_q80,
+        |    percentile_disc(0.2) WITHIN GROUP (ORDER BY CAST(monetary_cents AS DOUBLE)) AS m_q20,
+        |    percentile_disc(0.4) WITHIN GROUP (ORDER BY CAST(monetary_cents AS DOUBLE)) AS m_q40,
+        |    percentile_disc(0.6) WITHIN GROUP (ORDER BY CAST(monetary_cents AS DOUBLE)) AS m_q60,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY CAST(monetary_cents AS DOUBLE)) AS m_q80
+        |  FROM per),
+        |sc AS (
+        |  SELECT p.c_custkey, p.recency_day, p.frequency, p.monetary_cents,
+        |    1 + (CASE WHEN CAST(p.recency_day AS DOUBLE) > b.r_q20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.recency_day AS DOUBLE) > b.r_q40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.recency_day AS DOUBLE) > b.r_q60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.recency_day AS DOUBLE) > b.r_q80 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN CAST(p.frequency AS DOUBLE) > b.f_q20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.frequency AS DOUBLE) > b.f_q40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.frequency AS DOUBLE) > b.f_q60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.frequency AS DOUBLE) > b.f_q80 THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN CAST(p.monetary_cents AS DOUBLE) > b.m_q20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.monetary_cents AS DOUBLE) > b.m_q40 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.monetary_cents AS DOUBLE) > b.m_q60 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(p.monetary_cents AS DOUBLE) > b.m_q80 THEN 1 ELSE 0 END) AS m_score
+        |  FROM per p CROSS JOIN b)
+        |SELECT c_custkey, recency_day, frequency, monetary_cents,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM sc""".stripMargin,
     // q251: the deletion-neighborhood chain replayed — the oracle
     // builds the same {self} ∪ {single deletions} key set, joins, and
     // verifies with DuckDB's levenshtein

@@ -53,11 +53,23 @@ object Regression {
     * a singular design (collinear features) — a silent NaN fit is a
     * pipeline bug, not a result.
     */
-  def olsFit2(d: DataFrame): DataFrame = {
+  def olsFit2(d: DataFrame): DataFrame = ridgeFit2(d, 0.0)
+
+  /** Q252: RIDGE variant — the same one-scan moment sums with the L2
+    * penalty λ added to the non-intercept diagonal of X'X (the
+    * intercept is conventionally unpenalized). λ = 0 IS [[olsFit2]];
+    * a growing λ shrinks slopes toward 0 monotonically on a
+    * well-conditioned design (spec'd), and makes the collinear case
+    * solvable — the practical reason a pipeline fits ridge.
+    */
+  def ridgeFit2(d: DataFrame, lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda.isFinite, s"bad lambda: $lambda")
     val spark = d.sparkSession
     import spark.implicits._
     val m = moments(d).map(_.doubleValue())
-    val Array(n, s1, s2, s11, s12, s22, sy, s1y, s2y) = m
+    val Array(n, s1, s2, s11raw, s12, s22raw, sy, s1y, s2y) = m
+    val s11 = s11raw + lambda
+    val s22 = s22raw + lambda
     val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
     require(det != 0.0, "olsFit2: singular design matrix (collinear features)")
     val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
@@ -84,4 +96,17 @@ object Regression {
       round(col("l_quantity")).cast("long").as("x1"),
       round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
       round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")))
+
+  /** The q252 wrapper: the q250 price model under ridge λ = 1e6 —
+    * large enough to move the 6-dp coefficients on this design
+    * (non-vacuous oracle), small against s11/s22 so the fit stays
+    * recognizable.
+    */
+  def ridgePriceModel(lineitem: DataFrame,
+      lambda: Double = 1000000.0): DataFrame =
+    ridgeFit2(lineitem.select(
+      round(col("l_quantity")).cast("long").as("x1"),
+      round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
+      round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")),
+      lambda)
 }

@@ -463,6 +463,56 @@ object Relational {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Q253: RFM SEGMENTATION — every customer scored 1-5 on Recency
+    * (last order day), Frequency (order count) and Monetary (lifetime
+    * cents) against the EXACT 20/40/60/80 discrete-percentile
+    * boundaries of the customer population: the classic CRM cohort
+    * operator. Value-based scoring (1 + number of boundaries strictly
+    * below the value) instead of a global ntile window — ties get the
+    * same score deterministically on any engine AND the plan carries
+    * no single-partition window over the customer dimension: the
+    * boundaries are twelve scalar aggregates broadcast back over the
+    * per-customer rollup, so the scoring pass is map-only. Customers
+    * with no orders have no RFM (join-based, omitted).
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        datediff(to_date(max(col("o_orderdate"))), lit("1970-01-01"))
+          .cast("long").as("recency_day"),
+        count(lit(1)).as("frequency"),
+        sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+          .as("monetary_cents"))
+    def pd(c: String, p: Double) = expr(
+      s"percentile_disc($p) WITHIN GROUP (ORDER BY CAST($c AS DOUBLE))")
+      .as(s"${c.take(1)}_q${(p * 100).toInt}")
+    val bounds = per.agg(
+      pd("recency_day", 0.2), pd("recency_day", 0.4),
+      pd("recency_day", 0.6), pd("recency_day", 0.8),
+      pd("frequency", 0.2), pd("frequency", 0.4),
+      pd("frequency", 0.6), pd("frequency", 0.8),
+      pd("monetary_cents", 0.2), pd("monetary_cents", 0.4),
+      pd("monetary_cents", 0.6), pd("monetary_cents", 0.8))
+    def score(v: Column, qs: Seq[Column]): Column =
+      qs.foldLeft(lit(1L)) { (acc, q) =>
+        acc + when(v.cast("double") > q, 1L).otherwise(0L)
+      }
+    val b = (c: String, p: Double) => col(s"${c.take(1)}_q${(p * 100).toInt}")
+    per.crossJoin(broadcast(bounds))
+      .select(col("c_custkey"), col("recency_day"), col("frequency"),
+        col("monetary_cents"),
+        score(col("recency_day"),
+          Seq(0.2, 0.4, 0.6, 0.8).map(b("recency_day", _)))
+          .as("r_score"),
+        score(col("frequency"),
+          Seq(0.2, 0.4, 0.6, 0.8).map(b("frequency", _))).as("f_score"),
+        score(col("monetary_cents"),
+          Seq(0.2, 0.4, 0.6, 0.8).map(b("monetary_cents", _)))
+          .as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))

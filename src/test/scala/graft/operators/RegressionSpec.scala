@@ -70,6 +70,27 @@ class RegressionSpec extends SparkSpec {
     assert(e.getMessage.contains("singular"))
   }
 
+  test("ridge: lambda=0 equals OLS; slopes shrink toward 0; collinear becomes solvable") {
+    val d = (for (x1 <- 0L to 9L; x2 <- 0L to 9L)
+      yield (x1, x2, 3L + 2L * x1 + 5L * x2)).toDF("x1", "x2", "y")
+    assert(Regression.ridgeFit2(d, 0.0).collect().head ===
+      Regression.olsFit2(d).collect().head)
+    val slopes = Seq(0.0, 100.0, 10000.0).map { lam =>
+      val r = Regression.ridgeFit2(d, lam)
+        .as[(Long, Double, Double, Double)].collect().head
+      math.abs(r._3) + math.abs(r._4)
+    }
+    assert(slopes == slopes.sorted.reverse && slopes.distinct.size == 3,
+      s"slopes did not shrink monotonically: $slopes")
+    // collinear design: OLS throws, ridge solves
+    val coll = (0L until 50L).map(i => (i, 2 * i, 3 * i))
+      .toDF("x1", "x2", "y")
+    intercept[IllegalArgumentException](Regression.olsFit2(coll).collect())
+    val rr = Regression.ridgeFit2(coll, 1000.0)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(!rr._3.isNaN && !rr._4.isNaN)
+  }
+
   test("q250 price model runs on real lineitem with finite coefficients") {
     val li = graft.Tables.lineitem(spark, sf)
     val row = Regression.olsPriceModel(li)
