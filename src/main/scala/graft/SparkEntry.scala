@@ -1246,6 +1246,11 @@ object SparkEntry {
     // global ntile window)
     "q253_rfm_segments" -> ((s, dir) =>
       Relational.rfmSegments(Tables.orders(s, dir))),
+    // q254: logistic regression via IRLS — 3 Newton rounds, one
+    // scalar aggregation per round, driver state = 3 doubles; oracle
+    // unrolls the rounds (the Mondrian/EM discipline)
+    "q254_logit" -> ((s, dir) =>
+      Regression.logitSegmentModel(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5155,6 +5160,8 @@ object SparkEntry {
         |SELECT nl AS n_rows, round(det0 / det, 6) AS b0,
         |  round(det1 / det, 6) AS b1, round(det2 / det, 6) AS b2
         |FROM dets""".stripMargin,
+    // q254: three unrolled IRLS rounds on the customer table
+    "q254_logit" -> logitOracleSql(rounds = 3),
     // q252: the q250 chain with + 1e6 on the s11/s22 diagonal (added
     // AFTER the double cast, mirroring the engine)
     "q252_ridge_price" ->
@@ -6202,6 +6209,69 @@ object SparkEntry {
        |  GROUP BY 1),
        |${(1 to rounds).map(roundCtes).mkString(",\n")}
        |$finalSelect""".stripMargin
+  }
+
+  /** q254 oracle generator: `rounds` unrolled IRLS Newton rounds —
+    * each round one CROSS JOIN against the 1-row beta CTE, the 1e-6
+    * grid posterior (exp rides the q231 parity precedent), exact
+    * HUGEINT weighted moment sums cast to DOUBLE, and the SAME fixed
+    * 3x3 Cramer shape as the q250 oracle updating the betas.
+    */
+  private def logitOracleSql(rounds: Int): String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT d.x1, d.x2, d.y,
+         |    CAST(round(1000000.0 * (1.0 / (1.0 + exp(-(b.b0
+         |      + b.b1 * CAST(d.x1 AS DOUBLE)
+         |      + b.b2 * CAST(d.x2 AS DOUBLE)))))) AS BIGINT) AS pm
+         |  FROM d CROSS JOIN br${r - 1} b),
+         |s$r AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS nl,
+         |    CAST(sum(pm * (1000000 - pm)) AS DOUBLE) AS sw,
+         |    CAST(sum(pm * (1000000 - pm) * x1) AS DOUBLE) AS sw1,
+         |    CAST(sum(pm * (1000000 - pm) * x2) AS DOUBLE) AS sw2,
+         |    CAST(sum(pm * (1000000 - pm) * x1 * x1) AS DOUBLE) AS sw11,
+         |    CAST(sum(pm * (1000000 - pm) * x1 * x2) AS DOUBLE) AS sw12,
+         |    CAST(sum(pm * (1000000 - pm) * x2 * x2) AS DOUBLE) AS sw22,
+         |    CAST(sum(y * 1000000 - pm) AS DOUBLE) AS g0,
+         |    CAST(sum((y * 1000000 - pm) * x1) AS DOUBLE) AS g1,
+         |    CAST(sum((y * 1000000 - pm) * x2) AS DOUBLE) AS g2
+         |  FROM p$r),
+         |br$r AS MATERIALIZED (
+         |  SELECT s.nl AS nl,
+         |    b.b0 + 1000000.0 * (
+         |      (g0 * (sw11 * sw22 - sw12 * sw12)
+         |        - sw1 * (g1 * sw22 - sw12 * g2)
+         |        + sw2 * (g1 * sw12 - sw11 * g2))
+         |      / (sw * (sw11 * sw22 - sw12 * sw12)
+         |        - sw1 * (sw1 * sw22 - sw12 * sw2)
+         |        + sw2 * (sw1 * sw12 - sw11 * sw2))) AS b0,
+         |    b.b1 + 1000000.0 * (
+         |      (sw * (g1 * sw22 - sw12 * g2)
+         |        - g0 * (sw1 * sw22 - sw12 * sw2)
+         |        + sw2 * (sw1 * g2 - g1 * sw2))
+         |      / (sw * (sw11 * sw22 - sw12 * sw12)
+         |        - sw1 * (sw1 * sw22 - sw12 * sw2)
+         |        + sw2 * (sw1 * sw12 - sw11 * sw2))) AS b1,
+         |    b.b2 + 1000000.0 * (
+         |      (sw * (sw11 * g2 - g1 * sw12)
+         |        - sw1 * (sw1 * g2 - g1 * sw2)
+         |        + g0 * (sw1 * sw12 - sw11 * sw2))
+         |      / (sw * (sw11 * sw22 - sw12 * sw12)
+         |        - sw1 * (sw1 * sw22 - sw12 * sw2)
+         |        + sw2 * (sw1 * sw12 - sw11 * sw2))) AS b2
+         |  FROM s$r s CROSS JOIN br${r - 1} b)""".stripMargin
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(round(c_acctbal / 1000.0) AS BIGINT) AS x1,
+       |    CAST(c_nationkey AS BIGINT) AS x2,
+       |    CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM customer),
+       |br0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |SELECT nl AS n_rows, round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |  round(b2, 6) AS b2
+       |FROM br$rounds""".stripMargin
   }
 
   /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the

@@ -97,6 +97,77 @@ object Regression {
       round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
       round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")))
 
+  /** Q254: LOGISTIC REGRESSION via IRLS (Newton-Raphson on the
+    * log-likelihood) — `rounds` fixed iterations, each ONE distributed
+    * aggregation: with the current β as plan literals, every row
+    * contributes its 1e-6-grid posterior `pm = round(1e6·σ(z))`, the
+    * integer IRLS weight `pm·(1e6−pm)` and residual `y·1e6 − pm`, and
+    * the ten weighted moment sums accumulate exactly in DECIMAL(38,0);
+    * the driver solves the 3×3 Newton system with the same fixed
+    * Cramer shape as [[olsFit2]] and feeds β back as literals. The
+    * oracle unrolls the rounds as CTEs replicating the driver
+    * arithmetic verbatim (the Mondrian/EM unroll discipline); σ's
+    * `exp` rides the q231 exp-parity precedent, grid-rounded per row.
+    *
+    * 100-TB shape: `rounds` scans, zero shuffles beyond the scalar
+    * aggregation's partial-merge, driver state = 3 doubles.
+    */
+  def logisticFit2(d: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val spark = d.sparkSession
+    import spark.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    var (b0, b1, b2) = (0.0, 0.0, 0.0)
+    var n = 0L
+    for (_ <- 1 to rounds) {
+      val z = lit(b0) + lit(b1) * col("x1").cast("double") +
+        lit(b2) * col("x2").cast("double")
+      val pm = round(lit(1000000.0) *
+        (lit(1.0) / (lit(1.0) + exp(-z)))).cast("long")
+      val w = pm * (lit(1000000L) - pm)
+      val g = col("y") * lit(1000000L) - pm
+      val row = d.select(col("x1"), col("x2"), pm.as("pm"), w.as("w"),
+          g.as("g"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(dec(col("w"))).as("sw"),
+          sum(dec(col("w") * col("x1"))).as("sw1"),
+          sum(dec(col("w") * col("x2"))).as("sw2"),
+          sum(dec(col("w") * col("x1") * col("x1"))).as("sw11"),
+          sum(dec(col("w") * col("x1") * col("x2"))).as("sw12"),
+          sum(dec(col("w") * col("x2") * col("x2"))).as("sw22"),
+          sum(dec(col("g"))).as("g0"),
+          sum(dec(col("g") * col("x1"))).as("g1"),
+          sum(dec(col("g") * col("x2"))).as("g2"))
+        .collect().head
+      val m = Array.tabulate(10)(i => row.getDecimal(i).doubleValue())
+      val Array(nn, sw, sw1, sw2, sw11, sw12, sw22, g0, g1, g2) = m
+      n = nn.toLong
+      val det = det3(sw, sw1, sw2, sw1, sw11, sw12, sw2, sw12, sw22)
+      require(det != 0.0, "logisticFit2: singular IRLS system")
+      val det0 = det3(g0, sw1, sw2, g1, sw11, sw12, g2, sw12, sw22)
+      val det1 = det3(sw, g0, sw2, sw1, g1, sw12, sw2, g2, sw22)
+      val det2 = det3(sw, sw1, g0, sw1, sw11, g1, sw2, sw12, g2)
+      b0 = b0 + 1000000.0 * (det0 / det)
+      b1 = b1 + 1000000.0 * (det1 / det)
+      b2 = b2 + 1000000.0 * (det2 / det)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, r6(b0), r6(b1), r6(b2)))
+      .toDF("n_rows", "b0", "b1", "b2")
+  }
+
+  /** The q254 wrapper: P(mktsegment = BUILDING | acctbal, nation) on
+    * the customer table — acctbal in integer thousands, nationkey as
+    * the second feature.
+    */
+  def logitSegmentModel(customer: DataFrame, rounds: Int = 3): DataFrame =
+    logisticFit2(customer.select(
+      round(col("c_acctbal") / lit(1000.0)).cast("long").as("x1"),
+      col("c_nationkey").cast("long").as("x2"),
+      when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+        .as("y")), rounds)
+
   /** The q252 wrapper: the q250 price model under ridge λ = 1e6 —
     * large enough to move the 6-dp coefficients on this design
     * (non-vacuous oracle), small against s11/s22 so the fit stays

@@ -91,6 +91,61 @@ class RegressionSpec extends SparkSpec {
     assert(!rr._3.isNaN && !rr._4.isNaN)
   }
 
+  test("logistic IRLS matches a straight-line replica and finds a planted direction") {
+    // planted: y = 1 iff 2*x1 - x2 + noiseless threshold > 0
+    val rows = (for (x1 <- -5L to 5L; x2 <- -5L to 5L)
+      yield (x1, x2, if (2 * x1 - x2 > 0) 1L else 0L))
+    val got = Regression.logisticFit2(rows.toDF("x1", "x2", "y"), rounds = 3)
+      .as[(Long, Double, Double, Double)].collect().head
+    // straight-line replica of the exact grid arithmetic
+    var (b0, b1, b2) = (0.0, 0.0, 0.0)
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+        f: Double, g: Double, h: Double, i: Double): Double =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    for (_ <- 1 to 3) {
+      var (sw, sw1, sw2, sw11, sw12, sw22) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      var (g0, g1, g2) = (0.0, 0.0, 0.0)
+      rows.foreach { case (x1, x2, y) =>
+        val z = b0 + b1 * x1.toDouble + b2 * x2.toDouble
+        val pm = math.round(1000000.0 * (1.0 / (1.0 + math.exp(-z))))
+        val w = (pm * (1000000L - pm)).toDouble
+        val g = (y * 1000000L - pm).toDouble
+        sw += w; sw1 += w * x1; sw2 += w * x2
+        sw11 += w * x1 * x1; sw12 += w * x1 * x2; sw22 += w * x2 * x2
+        g0 += g; g1 += g * x1; g2 += g * x2
+      }
+      val det = det3(sw, sw1, sw2, sw1, sw11, sw12, sw2, sw12, sw22)
+      b0 += 1000000.0 * (det3(g0, sw1, sw2, g1, sw11, sw12, g2, sw12, sw22) / det)
+      b1 += 1000000.0 * (det3(sw, g0, sw2, sw1, g1, sw12, sw2, g2, sw22) / det)
+      b2 += 1000000.0 * (det3(sw, sw1, g0, sw1, sw11, g1, sw2, sw12, g2) / det)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === ((121L, r6(b0), r6(b1), r6(b2))))
+    // the planted direction: b1 positive, b2 negative, |b1| > |b2|
+    assert(got._3 > 0.0 && got._4 < 0.0 && got._3 > -got._4)
+  }
+
+  test("logistic: label independent of features -> base-rate intercept, ~0 slopes") {
+    // y depends only on i%10 (30% positives); x1/x2 on independent
+    // higher digits, balanced within each label
+    val rows = (0L until 200L).map(i =>
+      ((i / 10) % 2, (i / 20) % 2, if (i % 10 < 3) 1L else 0L))
+    val got = Regression.logisticFit2(rows.toDF("x1", "x2", "y"), rounds = 5)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(math.abs(got._2 - math.log(0.3 / 0.7)) < 0.01)
+    assert(math.abs(got._3) < 1e-3 && math.abs(got._4) < 1e-3)
+  }
+
+  test("logistic: partitioning independence") {
+    val d = (0L until 300L).map(i => (i % 7 - 3, i % 5 - 2,
+      if ((i * 13) % 3 == 0) 1L else 0L))
+      .toDF("x1", "x2", "y")
+    val one = Regression.logisticFit2(d.repartition(1)).collect().head
+    val many = Regression.logisticFit2(d.repartition(11)).collect().head
+    assert(one === many)
+  }
+
   test("q250 price model runs on real lineitem with finite coefficients") {
     val li = graft.Tables.lineitem(spark, sf)
     val row = Regression.olsPriceModel(li)
