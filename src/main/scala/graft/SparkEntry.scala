@@ -1251,6 +1251,10 @@ object SparkEntry {
     // unrolls the rounds (the Mondrian/EM discipline)
     "q254_logit" -> ((s, dir) =>
       Regression.logitSegmentModel(Tables.customer(s, dir))),
+    // q255: simplified silhouette per label — cluster-quality audit,
+    // exact integer centroid distances, K·d broadcast scoring pass
+    "q255_silhouette" -> ((s, dir) =>
+      Similarity.labelSilhouette(Tables.embeddings(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5162,6 +5166,42 @@ object SparkEntry {
         |FROM dets""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
+    // q255: the silhouette chain replayed — 1e-4 grid vectors, exact
+    // BIGINT ||n·x − S||² numerators, mirrored divides, micro-grid s
+    "q255_silhouette" ->
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS own, i AS dim,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+        |      * 10000.0 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |ce AS MATERIALIZED (
+        |  SELECT own AS lc, dim, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(qx) AS BIGINT) AS sc
+        |  FROM qv GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (
+        |  SELECT qv.vec_id, qv.own, ce.lc,
+        |    CAST(sum((qv.qx * ce.nc - ce.sc) * (qv.qx * ce.nc - ce.sc))
+        |      AS BIGINT) AS num,
+        |    max(ce.nc) AS nc
+        |  FROM qv JOIN ce ON ce.dim = qv.dim
+        |  GROUP BY 1, 2, 3),
+        |dd AS (SELECT vec_id, own, lc,
+        |    CAST(num AS DOUBLE) / CAST(nc * nc AS DOUBLE) AS d
+        |  FROM d2),
+        |pv AS (
+        |  SELECT vec_id, own,
+        |    max(CASE WHEN lc = own THEN d END) AS da,
+        |    min(CASE WHEN lc <> own THEN d END) AS db
+        |  FROM dd GROUP BY 1, 2),
+        |sm AS (SELECT own,
+        |    CAST(round(1000000.0 * (db - da) / greatest(da, db))
+        |      AS BIGINT) AS sm
+        |  FROM pv)
+        |SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(sm) AS DOUBLE)
+        |    / (1000000.0 * CAST(count(*) AS DOUBLE)), 6)
+        |    AS mean_silhouette
+        |FROM sm GROUP BY 1""".stripMargin,
     // q252: the q250 chain with + 1e6 on the s11/s22 diagonal (added
     // AFTER the double cast, mirroring the engine)
     "q252_ridge_price" ->

@@ -340,6 +340,59 @@ object Similarity {
         col("n"),
         round(col("sum_micro").cast("double") / (col("n") * 1e6), 6).as("mean_val"))
 
+  /** Q255: SIMPLIFIED SILHOUETTE per label — cluster-quality audit of
+    * a labeled embedding table: for each vector, a = squared distance
+    * to its OWN label centroid, b = min squared distance to any OTHER
+    * centroid, s = (b − a) / max(a, b) ∈ [−1, 1]; report each label's
+    * exact-count mean. The quality gate run after q55-style clustering
+    * or against upstream labels before class-balanced sampling.
+    * (Simplified = distance-to-centroid, the standard linear-cost
+    * variant of the O(n²) classic silhouette.)
+    *
+    * Exactness: vectors quantize to the 1e-4 grid; centroid sums are
+    * exact BIGINT, and distances compare as the rational
+    * ||n_c·x − S_c||² / n_c² — the numerator an exact BIGINT sum, one
+    * mirrored double divide per (vector, centroid); per-vector s
+    * micro-grids to BIGINT so the label mean is an exact sum + one
+    * divide (the q246 discipline).
+    *
+    * Scale: centroids are K·d rows (broadcast); the scoring pass is
+    * one equi-join on dim — corpus × K·d, map-side aggregated back to
+    * corpus × K then corpus rows; no all-pairs anywhere.
+    */
+  def labelSilhouette(emb: DataFrame, quantScale: Long = 10000L)
+      : DataFrame = {
+    require(quantScale >= 100L && quantScale <= 100000000L,
+      s"quantScale out of range: $quantScale")
+    val qv = emb.select(col("vec_id"), col("label").cast("long").as("own"),
+      posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("own"), col("dim"),
+        floor(col("x").cast("double") * quantScale + lit(0.5))
+          .cast("long").as("qx"))
+    val cents = qv.groupBy(col("own").as("lc"), col("dim"))
+      .agg(count(lit(1)).as("nc"), sum(col("qx")).as("sc"))
+    val d2 = qv
+      .join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("own"), col("lc"), col("nc"))
+      .agg(sum((col("qx") * col("nc") - col("sc")) *
+        (col("qx") * col("nc") - col("sc"))).as("num"))
+      .select(col("vec_id"), col("own"), col("lc"),
+        (col("num").cast("double") /
+          (col("nc") * col("nc")).cast("double")).as("d"))
+    val perVec = d2.groupBy(col("vec_id"), col("own"))
+      .agg(max(when(col("lc") === col("own"), col("d"))).as("da"),
+        min(when(col("lc") =!= col("own"), col("d"))).as("db"))
+      .select(col("vec_id"), col("own"),
+        round(lit(1000000.0) * (col("db") - col("da")) /
+          greatest(col("da"), col("db"))).cast("long").as("sm"))
+    perVec.groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sm")).as("smsum"))
+      .select(col("label"), col("n_vecs"),
+        round(col("smsum").cast("double") /
+          (lit(1000000.0) * col("n_vecs").cast("double")), 6)
+          .as("mean_silhouette"))
+  }
+
   /** Q164: MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * DIVERSIFIED top-k — the retrieval re-ranker a data-selection
     * pipeline uses where plain top-k returns k near-copies of the same

@@ -193,4 +193,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got(("srcA", "srcC"))._3 < 0.5)
     assert(got(("srcB", "srcC"))._3 < 0.5)
   }
+
+  test("q255 silhouette: planted tight clusters score near 1, mixed labels at/below 0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // two tight, well-separated clusters around (±10, 0, ..., 0)
+    def vec(center: Float, jitter: Float): Seq[Float] =
+      (center + jitter) +: Seq.fill(63)(0.0f)
+    val good = (0 until 20).map { i =>
+      val label = i % 2
+      (i.toLong, vec(if (label == 0) 10f else -10f, (i / 2) * 0.01f),
+        label)
+    }.toDF("vec_id", "embedding", "label")
+    val sGood = Similarity.labelSilhouette(good)
+      .select(col("label"), col("mean_silhouette"))
+      .as[(Long, Double)].collect().toMap
+    assert(sGood.keySet === Set(0L, 1L))
+    sGood.values.foreach(s => assert(s > 0.95, s"tight clusters: $s"))
+    // same points, labels assigned ORTHOGONALLY to geometry -> the own
+    // centroid sits between the blobs, silhouette collapses
+    val bad = (0 until 20).map { i =>
+      (i.toLong, vec(if (i < 10) 10f else -10f, (i % 10) * 0.01f),
+        i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    Similarity.labelSilhouette(bad)
+      .select(col("mean_silhouette")).as[Double].collect()
+      .foreach(s => assert(s < 0.1, s"mixed labels: $s"))
+    // partitioning independence
+    val r1 = Similarity.labelSilhouette(good.repartition(1)).collect()
+    val r7 = Similarity.labelSilhouette(good.repartition(7)).collect()
+    assert(r1.map(_.toString).sorted.toSeq ===
+      r7.map(_.toString).sorted.toSeq)
+  }
 }
