@@ -1255,6 +1255,11 @@ object SparkEntry {
     // exact integer centroid distances, K·d broadcast scoring pass
     "q255_silhouette" -> ((s, dir) =>
       Similarity.labelSilhouette(Tables.embeddings(s, dir))),
+    // q256: exact in-sample ROC AUC of the q254 model — the grid
+    // score makes the histogram bounded, so the ranking never touches
+    // corpus-sized windows
+    "q256_logit_auc" -> ((s, dir) =>
+      Regression.logitSegmentAuc(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5166,6 +5171,9 @@ object SparkEntry {
         |FROM dets""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
+    // q256: the same unroll + grid-score histogram + tie-aware exact
+    // AUC numerator
+    "q256_logit_auc" -> logitOracleSql(rounds = 3, auc = true),
     // q255: the silhouette chain replayed — 1e-4 grid vectors, exact
     // BIGINT ||n·x − S||² numerators, mirrored divides, micro-grid s
     "q255_silhouette" ->
@@ -6257,7 +6265,7 @@ object SparkEntry {
     * HUGEINT weighted moment sums cast to DOUBLE, and the SAME fixed
     * 3x3 Cramer shape as the q250 oracle updating the betas.
     */
-  private def logitOracleSql(rounds: Int): String = {
+  private def logitOracleSql(rounds: Int, auc: Boolean = false): String = {
     def roundCtes(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT d.x1, d.x2, d.y,
@@ -6308,10 +6316,35 @@ object SparkEntry {
        |      ELSE CAST(0 AS BIGINT) END AS y
        |  FROM customer),
        |br0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
-       |${(1 to rounds).map(roundCtes).mkString(",\n")}
-       |SELECT nl AS n_rows, round(b0, 6) AS b0, round(b1, 6) AS b1,
-       |  round(b2, 6) AS b2
-       |FROM br$rounds""".stripMargin
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}${
+      if (!auc)
+        s"""
+           |SELECT nl AS n_rows, round(b0, 6) AS b0, round(b1, 6) AS b1,
+           |  round(b2, 6) AS b2
+           |FROM br$rounds""".stripMargin
+      else
+        s""",
+           |sc AS MATERIALIZED (
+           |  SELECT CAST(round(1000000.0 * (1.0 / (1.0 + exp(-(b.b0
+           |    + b.b1 * CAST(d.x1 AS DOUBLE)
+           |    + b.b2 * CAST(d.x2 AS DOUBLE)))))) AS BIGINT) AS s, d.y
+           |  FROM d CROSS JOIN br$rounds b),
+           |h AS MATERIALIZED (
+           |  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+           |    CAST(sum(1 - y) AS BIGINT) AS neg
+           |  FROM sc GROUP BY 1),
+           |t AS (SELECT pos, neg,
+           |    COALESCE(CAST(sum(neg) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS cumneg
+           |  FROM h)
+           |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           |  CAST(sum(neg) AS BIGINT) AS n_neg,
+           |  round(CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+           |    / (2.0 * CAST(sum(pos) AS DOUBLE)
+           |       * CAST(sum(neg) AS DOUBLE)), 6) AS auc
+           |FROM t""".stripMargin
+    }""".stripMargin
   }
 
   /** q222 oracle generator: `rounds` unrolled Mondrian rounds over the

@@ -113,9 +113,29 @@ object Regression {
     * aggregation's partial-merge, driver state = 3 doubles.
     */
   def logisticFit2(d: DataFrame, rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     val spark = d.sparkSession
     import spark.implicits._
+    val (n, b0, b1, b2) = irlsBetas(d, rounds)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, r6(b0), r6(b1), r6(b2)))
+      .toDF("n_rows", "b0", "b1", "b2")
+  }
+
+  /** The grid posterior `round(1e6·σ(b0 + b1·x1 + b2·x2))` as a
+    * column — the scoring rule both the IRLS rounds and the q256 AUC
+    * evaluation share.
+    */
+  private def gridPosterior(b0: Double, b1: Double, b2: Double): Column = {
+    val z = lit(b0) + lit(b1) * col("x1").cast("double") +
+      lit(b2) * col("x2").cast("double")
+    round(lit(1000000.0) * (lit(1.0) / (lit(1.0) + exp(-z)))).cast("long")
+  }
+
+  /** The IRLS loop itself: (n_rows, b0, b1, b2), betas UNROUNDED. */
+  private def irlsBetas(d: DataFrame, rounds: Int)
+      : (Long, Double, Double, Double) = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     def dec(c: Column) = c.cast("decimal(38,0)")
     var (b0, b1, b2) = (0.0, 0.0, 0.0)
     var n = 0L
@@ -151,10 +171,40 @@ object Regression {
       b1 = b1 + 1000000.0 * (det1 / det)
       b2 = b2 + 1000000.0 * (det2 / det)
     }
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq((n, r6(b0), r6(b1), r6(b2)))
-      .toDF("n_rows", "b0", "b1", "b2")
+    (n, b0, b1, b2)
+  }
+
+  /** Q256: EXACT ROC AUC of the IRLS model evaluated in-sample — the
+    * eval metric a classifier audit actually reads, computed exactly
+    * from the GRID-SCORE HISTOGRAM: the 1e-6-grid posterior takes at
+    * most 1e6+1 distinct values, so a (score, label) count table
+    * bounds the ranking problem regardless of corpus size, and the
+    * tie-aware numerator `Σ_s pos_s·(2·cumneg_<s + neg_s)` (twice the
+    * concordant + tied/2 mass) is an exact BIGINT; AUC is one mirrored
+    * divide by 2·P·N, 6 dp. The cumulative window runs over the
+    * bounded score histogram — never corpus rows (enrolled in the
+    * PlanSpec allowlist with exactly that argument).
+    */
+  def logisticAuc(d: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, b0, b1, b2) = irlsBetas(d, rounds)
+    val hist = d.select(gridPosterior(b0, b1, b2).as("s"), col("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"),
+        sum(lit(1L) - col("y")).as("neg"))
+    val aucW = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = hist
+      .withColumn("cumneg",
+        coalesce(sum(col("neg")).over(aucW), lit(0L)))
+      .select((col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+        .as("num2"), col("pos"), col("neg"))
+    terms.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("num2")).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")), 6).as("auc"))
   }
 
   /** The q254 wrapper: P(mktsegment = BUILDING | acctbal, nation) on
@@ -162,11 +212,18 @@ object Regression {
     * the second feature.
     */
   def logitSegmentModel(customer: DataFrame, rounds: Int = 3): DataFrame =
-    logisticFit2(customer.select(
+    logisticFit2(segmentFeatures(customer), rounds)
+
+  /** The q256 wrapper: in-sample AUC of the q254 segment model. */
+  def logitSegmentAuc(customer: DataFrame, rounds: Int = 3): DataFrame =
+    logisticAuc(segmentFeatures(customer), rounds)
+
+  private def segmentFeatures(customer: DataFrame): DataFrame =
+    customer.select(
       round(col("c_acctbal") / lit(1000.0)).cast("long").as("x1"),
       col("c_nationkey").cast("long").as("x2"),
       when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
-        .as("y")), rounds)
+        .as("y"))
 
   /** The q252 wrapper: the q250 price model under ridge λ = 1e6 —
     * large enough to move the 6-dp coefficients on this design

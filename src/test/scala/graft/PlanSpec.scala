@@ -468,6 +468,10 @@ class PlanSpec extends SparkSpec {
       // q221: the stratum-index window runs over one row per stratum
       // (an aggregate of the stratum column — lang-cardinality rows)
       ("Pipelines.scala", """val sidxW = Window.orderBy(col(stratumCol))"""),
+      // q256: the AUC cumulative window runs over the GRID-SCORE
+      // HISTOGRAM (≤ 1e6+1 distinct posterior values by construction),
+      // never corpus rows
+      ("Regression.scala", """val aucW = Window.orderBy(col("s"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

