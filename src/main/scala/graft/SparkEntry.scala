@@ -1260,6 +1260,10 @@ object SparkEntry {
     // corpus-sized windows
     "q256_logit_auc" -> ((s, dir) =>
       Regression.logitSegmentAuc(Tables.customer(s, dir))),
+    // q257: the model's precision/recall curve — one row per distinct
+    // grid score, suffix sums over the bounded histogram
+    "q257_pr_curve" -> ((s, dir) =>
+      Regression.logitSegmentPrCurve(Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5174,6 +5178,8 @@ object SparkEntry {
     // q256: the same unroll + grid-score histogram + tie-aware exact
     // AUC numerator
     "q256_logit_auc" -> logitOracleSql(rounds = 3, auc = true),
+    // q257: the same unroll + suffix-cumulative PR table
+    "q257_pr_curve" -> logitOracleSql(rounds = 3, pr = true),
     // q255: the silhouette chain replayed — 1e-4 grid vectors, exact
     // BIGINT ||n·x − S||² numerators, mirrored divides, micro-grid s
     "q255_silhouette" ->
@@ -6265,7 +6271,8 @@ object SparkEntry {
     * HUGEINT weighted moment sums cast to DOUBLE, and the SAME fixed
     * 3x3 Cramer shape as the q250 oracle updating the betas.
     */
-  private def logitOracleSql(rounds: Int, auc: Boolean = false): String = {
+  private def logitOracleSql(rounds: Int, auc: Boolean = false,
+      pr: Boolean = false): String = {
     def roundCtes(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT d.x1, d.x2, d.y,
@@ -6317,7 +6324,34 @@ object SparkEntry {
        |  FROM customer),
        |br0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
        |${(1 to rounds).map(roundCtes).mkString(",\n")}${
-      if (!auc)
+      if (pr)
+        s""",
+           |sc AS MATERIALIZED (
+           |  SELECT CAST(round(1000000.0 * (1.0 / (1.0 + exp(-(b.b0
+           |    + b.b1 * CAST(d.x1 AS DOUBLE)
+           |    + b.b2 * CAST(d.x2 AS DOUBLE)))))) AS BIGINT) AS s, d.y
+           |  FROM d CROSS JOIN br$rounds b),
+           |h AS MATERIALIZED (
+           |  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+           |    CAST(sum(1 - y) AS BIGINT) AS neg
+           |  FROM sc GROUP BY 1),
+           |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_all FROM h),
+           |t AS (SELECT s,
+           |    CAST(sum(pos) OVER (ORDER BY s DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS tp,
+           |    CAST(sum(neg) OVER (ORDER BY s DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS fp
+           |  FROM h)
+           |SELECT t.s AS threshold, t.tp, t.fp,
+           |  CAST(tot.p_all - t.tp AS BIGINT) AS fn,
+           |  round(CAST(t.tp AS DOUBLE) / CAST(t.tp + t.fp AS DOUBLE), 6)
+           |    AS prec,
+           |  round(CAST(t.tp AS DOUBLE) / CAST(tot.p_all AS DOUBLE), 6)
+           |    AS rec
+           |FROM t CROSS JOIN tot""".stripMargin
+      else if (!auc)
         s"""
            |SELECT nl AS n_rows, round(b0, 6) AS b0, round(b1, 6) AS b1,
            |  round(b2, 6) AS b2

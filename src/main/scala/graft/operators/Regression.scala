@@ -207,6 +207,41 @@ object Regression {
             col("n_neg").cast("double")), 6).as("auc"))
   }
 
+  /** Q257: the PRECISION/RECALL CURVE of the IRLS model — one row per
+    * DISTINCT grid score s, reading "classify positive at threshold
+    * ≥ s": tp/fp from suffix-cumulative sums over the bounded
+    * (score, label) histogram (the q256 device — ≤ 1e6+1 rows by
+    * construction, never corpus rows), precision/recall as mirrored
+    * 6-dp divides. The threshold-picking table a deployment reads
+    * after the q256 scalar.
+    */
+  def logisticPrCurve(d: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, b0, b1, b2) = irlsBetas(d, rounds)
+    val hist = d.select(gridPosterior(b0, b1, b2).as("s"), col("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    // suffix sums: tp(s) = positives with score >= s
+    val prW = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("pos")).as("p_all"),
+      sum(col("neg")).as("n_all"))
+    hist
+      .withColumn("tp", sum(col("pos")).over(prW))
+      .withColumn("fp", sum(col("neg")).over(prW))
+      .crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6).as("prec"),
+        round(col("tp").cast("double") / col("p_all").cast("double"), 6)
+          .as("rec"))
+  }
+
+  /** The q257 wrapper on the q254 segment model. */
+  def logitSegmentPrCurve(customer: DataFrame, rounds: Int = 3): DataFrame =
+    logisticPrCurve(segmentFeatures(customer), rounds)
+
   /** The q254 wrapper: P(mktsegment = BUILDING | acctbal, nation) on
     * the customer table — acctbal in integer thousands, nationkey as
     * the second feature.

@@ -73,4 +73,27 @@ object StreamingSketch {
     words.withColumn("rho", rho)
       .groupBy(col("src"), col("j")).agg(max(col("rho")).as("mj"))
   }
+
+  /** (src, i, mh) per-source minhash signature slots over everything
+    * seen so far — the third monoid's streaming gate (sum = CMS,
+    * max = HLL, MIN = minhash): update-mode aggregation with
+    * |sources|·numHashes bounded state, no watermark; slot values are
+    * q217's chain exactly, so the maintained table can drop into the
+    * batch pair-similarity stage at any instant.
+    */
+  def minhashSketchStream(docs: DataFrame, textCol: String,
+      srcCol: String, numHashes: Int = 64): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"numHashes out of range: $numHashes")
+    docs.select(col(srcCol).as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+      .select(col("src"),
+        graft.functions.PolyHashExprs.polyHash(col("w")).as("ph"),
+        explode(sequence(lit(0L), lit(numHashes - 1L))).as("i"))
+      .select(col("src"), col("i"),
+        pmod((col("ph") + col("i")) * lit(Mult), lit(Prime)).as("h"))
+      .groupBy(col("src"), col("i")).agg(min(col("h")).as("mh"))
+  }
 }

@@ -472,6 +472,8 @@ class PlanSpec extends SparkSpec {
       // HISTOGRAM (≤ 1e6+1 distinct posterior values by construction),
       // never corpus rows
       ("Regression.scala", """val aucW = Window.orderBy(col("s"))"""),
+      // q257: the PR suffix window — same bounded score histogram
+      ("Regression.scala", """val prW = Window.orderBy(col("s").desc)"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

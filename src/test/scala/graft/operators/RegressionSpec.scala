@@ -171,6 +171,27 @@ class RegressionSpec extends SparkSpec {
     assert(got._3 >= 0.0 && got._3 <= 1.0)
   }
 
+  test("PR curve: separable data, cumulative/monotone structure holds") {
+    val sep = (for (x1 <- -5L to 5L; x2 <- -5L to 5L)
+      yield (x1, x2, if (2 * x1 - x2 > 0) 1L else 0L))
+      .toDF("x1", "x2", "y")
+    val rows = Regression.logisticPrCurve(sep, rounds = 5)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(-_._1) // threshold descending
+    assert(rows.nonEmpty)
+    val pAll = rows.map(r => r._2 + r._4).max
+    // suffix structure: tp+fn = P everywhere; tp/fp non-decreasing as
+    // the threshold drops; the lowest threshold has recall 1
+    rows.foreach { case (_, tp, fp, fn, prec, rec) =>
+      assert(tp + fn === pAll && tp >= 0 && fp >= 0)
+      assert(prec >= 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    }
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    assert(rows.last._6 === 1.0)
+    // separable model: the top threshold band is pure positives
+    assert(rows.head._5 === 1.0)
+  }
+
   test("q250 price model runs on real lineitem with finite coefficients") {
     val li = graft.Tables.lineitem(spark, sf)
     val row = Regression.olsPriceModel(li)

@@ -50,6 +50,47 @@ class StreamingHllSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhash dual: update-mode slots converge to the batch sig table") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      HllDoc(1L, "web", "join scan join hash table"),
+      HllDoc(2L, "pdf", "sort merge sort window sort"),
+      HllDoc(3L, "web", "join hash hash the fast"),
+      HllDoc(4L, "pdf", "the the scan merge window"))
+    def batchSig(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions._
+      df.select(col("source").as("src"),
+          explode(split(graft.operators.TextShingles
+            .normalize(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("src"),
+          graft.functions.PolyHashExprs.polyHash(col("word")).as("ph"))
+        .withColumn("i", explode(sequence(lit(0L), lit(15L))))
+        .select(col("src"), col("i"),
+          pmod((col("ph") + col("i")) * lit(2654435761L),
+            lit(1000000007L)).as("h"))
+        .groupBy(col("src"), col("i")).agg(min(col("h")).as("mh"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    }
+    val in = MemoryStream[HllDoc]
+    val q = StreamingSketch.minhashSketchStream(in.toDF(), "text",
+        "source", numHashes = 16)
+      .writeStream.format("memory").queryName("mh_sig")
+      .outputMode("complete").start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      assert(regMap(spark.table("mh_sig").collect()) ===
+        batchSig(docs.take(2).toDF()))
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val fin = regMap(spark.table("mh_sig").collect())
+      assert(fin === batchSig(docs.toDF()))
+      assert(fin.size <= 2 * 16)
+    } finally q.stop()
+  }
+
   test("register state survives stop/restart: restored maxes, no loss") {
     val root = java.nio.file.Files.createTempDirectory("graft_hll_rec")
     val srcDir = s"$root/src"
