@@ -1264,6 +1264,11 @@ object SparkEntry {
     // grid score, suffix sums over the bounded histogram
     "q257_pr_curve" -> ((s, dir) =>
       Regression.logitSegmentPrCurve(Tables.customer(s, dir))),
+    // q258: GROUPED OLS — one model per nation fit entirely in the
+    // plan (Cramer as column expressions over per-group exact sums)
+    "q258_grouped_ols" -> ((s, dir) =>
+      Regression.groupedOlsNation(Tables.orders(s, dir),
+        Tables.customer(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5180,6 +5185,48 @@ object SparkEntry {
     "q256_logit_auc" -> logitOracleSql(rounds = 3, auc = true),
     // q257: the same unroll + suffix-cumulative PR table
     "q257_pr_curve" -> logitOracleSql(rounds = 3, pr = true),
+    // q258: per-group exact sums, the same fixed Cramer shape as
+    // q250 in SQL expressions, R2 from the identity SSE = syy - b'X'y
+    "q258_grouped_ols" ->
+      """WITH d AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |    CAST(year(CAST(o.o_orderdate AS DATE)) - 1990 AS BIGINT)
+        |      AS x1,
+        |    CAST(round(c.c_acctbal / 1000.0) AS BIGINT) AS x2,
+        |    CAST(round(100.0 * o.o_totalprice) AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |s AS MATERIALIZED (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS nl,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |    CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM d GROUP BY 1),
+        |f AS (
+        |  SELECT nation, nl,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2,
+        |    syy - sy * sy / n AS sst, sy, s1y, s2y, syy
+        |  FROM s)
+        |SELECT nation, nl AS n_rows,
+        |  round(det0 / det, 6) AS b0,
+        |  round(det1 / det, 6) AS b1,
+        |  round(det2 / det, 6) AS b2,
+        |  round(1.0 - (syy - ((det0 / det) * sy + (det1 / det) * s1y
+        |    + (det2 / det) * s2y)) / sst, 6) AS r2
+        |FROM f WHERE det <> 0.0 AND sst > 0.0""".stripMargin,
     // q255: the silhouette chain replayed — 1e-4 grid vectors, exact
     // BIGINT ||n·x − S||² numerators, mirrored divides, micro-grid s
     "q255_silhouette" ->

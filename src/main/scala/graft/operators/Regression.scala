@@ -97,6 +97,75 @@ object Regression {
       round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
       round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")))
 
+  /** Q258: GROUPED OLS — one regression PER GROUP, fit entirely
+    * inside the plan: a single map-side-combinable aggregation
+    * produces each group's exact moment sums, and the 3×3 Cramer
+    * solve runs as COLUMN EXPRESSIONS over the group row (the same
+    * fixed det shape as [[olsFit2]]), so a million per-segment models
+    * cost exactly one scan + one |groups|-row projection — no driver
+    * loop, no per-group job. Also reports R² from the same sums
+    * (SSE = syy − β'X'y, valid because β solves the normal
+    * equations). Groups with a singular design or zero variance are
+    * dropped (HAVING det ≠ 0 and SST > 0, mirrored in the oracle).
+    */
+  def groupedOls2(d: DataFrame, groupCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(name: String) = col(name).cast("double")
+    val sums = d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nl"),
+        sum(dec(col("x1"))).as("s1d"),
+        sum(dec(col("x2"))).as("s2d"),
+        sum(dec(col("x1") * col("x1"))).as("s11d"),
+        sum(dec(col("x1") * col("x2"))).as("s12d"),
+        sum(dec(col("x2") * col("x2"))).as("s22d"),
+        sum(dec(col("y"))).as("syd"),
+        sum(dec(col("x1") * col("y"))).as("s1yd"),
+        sum(dec(col("x2") * col("y"))).as("s2yd"),
+        sum(dec(col("y") * col("y"))).as("syyd"))
+      .select(col(groupCol), col("nl"),
+        col("nl").cast("double").as("n"),
+        dbl("s1d").as("s1"), dbl("s2d").as("s2"), dbl("s11d").as("s11"),
+        dbl("s12d").as("s12"), dbl("s22d").as("s22"), dbl("syd").as("sy"),
+        dbl("s1yd").as("s1y"), dbl("s2yd").as("s2y"),
+        dbl("syyd").as("syy"))
+    // the fixed a(ei−fh) − b(di−fg) + c(dh−eg) shape, column form
+    def det3c(a: Column, b: Column, c: Column, d0: Column, e: Column,
+        f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d0 * i - f * g) + c * (d0 * h - e * g)
+    val det = det3c(col("n"), col("s1"), col("s2"), col("s1"),
+      col("s11"), col("s12"), col("s2"), col("s12"), col("s22"))
+    val det0 = det3c(col("sy"), col("s1"), col("s2"), col("s1y"),
+      col("s11"), col("s12"), col("s2y"), col("s12"), col("s22"))
+    val det1 = det3c(col("n"), col("sy"), col("s2"), col("s1"),
+      col("s1y"), col("s12"), col("s2"), col("s2y"), col("s22"))
+    val det2 = det3c(col("n"), col("s1"), col("sy"), col("s1"),
+      col("s11"), col("s1y"), col("s2"), col("s12"), col("s2y"))
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    val sst = col("syy") - col("sy") * col("sy") / col("n")
+    val sse = col("syy") -
+      (b0 * col("sy") + b1 * col("s1y") + b2 * col("s2y"))
+    sums
+      .withColumn("det", det).withColumn("sst", sst)
+      .filter(col("det") =!= 0.0 && col("sst") > 0.0)
+      .select(col(groupCol), col("nl").as("n_rows"),
+        round(b0, 6).as("b0"), round(b1, 6).as("b1"),
+        round(b2, 6).as("b2"),
+        round(lit(1.0) - sse / col("sst"), 6).as("r2"))
+  }
+
+  /** The q258 wrapper: per-NATION price model over orders⋈customer —
+    * totalprice (cents) on order year (offset 1990) and the
+    * customer's account balance (integer thousands).
+    */
+  def groupedOlsNation(orders: DataFrame, customer: DataFrame): DataFrame =
+    groupedOls2(orders.join(customer,
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        (year(col("o_orderdate")) - lit(1990)).cast("long").as("x1"),
+        round(col("c_acctbal") / lit(1000.0)).cast("long").as("x2"),
+        round(lit(100.0) * col("o_totalprice")).cast("long").as("y")),
+      "nation")
+
   /** Q254: LOGISTIC REGRESSION via IRLS (Newton-Raphson on the
     * log-likelihood) — `rounds` fixed iterations, each ONE distributed
     * aggregation: with the current β as plan literals, every row

@@ -192,6 +192,33 @@ class RegressionSpec extends SparkSpec {
     assert(rows.head._5 === 1.0)
   }
 
+  test("grouped OLS: per-group fits equal single fits; degenerate groups dropped") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // group A: y = 1 + 2x1 + 3x2 exactly; group B: y = 5 - x1 + 4x2;
+    // group C: collinear (x2 = 2*x1) -> dropped
+    val a = for (x1 <- 0L to 5L; x2 <- 0L to 5L)
+      yield ("A", x1, x2, 1L + 2 * x1 + 3 * x2)
+    val b = for (x1 <- 0L to 5L; x2 <- 0L to 5L)
+      yield ("B", x1, x2, 5L - x1 + 4 * x2)
+    val c = (0L until 20L).map(i => ("C", i, 2 * i, 3 * i))
+    val d = (a ++ b ++ c).toDF("g", "x1", "x2", "y")
+    val got = Regression.groupedOls2(d, "g")
+      .select(col("g"), col("n_rows"), col("b0"), col("b1"), col("b2"),
+        col("r2"))
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("A", "B")) // C singular, dropped
+    assert(got("A")._3 === 1.0 && got("A")._4 === 2.0 &&
+      got("A")._5 === 3.0 && got("A")._6 === 1.0)
+    assert(got("B")._3 === 5.0 && got("B")._4 === -1.0 &&
+      got("B")._5 === 4.0 && got("B")._6 === 1.0)
+    // grouped path equals the single-fit path per group
+    val single = Regression.olsFit2(
+      d.filter(col("g") === "A").drop("g"))
+      .as[(Long, Double, Double, Double)].collect().head
+    assert((got("A")._2, got("A")._3, got("A")._4, got("A")._5) === single)
+  }
+
   test("q250 price model runs on real lineitem with finite coefficients") {
     val li = graft.Tables.lineitem(spark, sf)
     val row = Regression.olsPriceModel(li)
