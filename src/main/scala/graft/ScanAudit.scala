@@ -12,7 +12,11 @@ object ScanAudit {
   def main(args: Array[String]): Unit = {
     val spark = Tables.session("scanaudit", 8)
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, f) =>
+    // optional name-substring filters after the dir (local iteration)
+    val only = args.drop(1).toSeq
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+      .foreach { case (name, f) =>
       try {
         val df = f(spark, dir)
         df.collect() // finalize THIS QueryExecution's adaptive plan (a
