@@ -1269,6 +1269,11 @@ object SparkEntry {
     "q258_grouped_ols" -> ((s, dir) =>
       Regression.groupedOlsNation(Tables.orders(s, dir),
         Tables.customer(s, dir))),
+    // q259: daily-revenue autocorrelation at lags 1..7 — exact
+    // integer deviations, HUGEINT/decimal covariances, lag self-join
+    // over the bounded day series
+    "q259_revenue_acf" -> ((s, dir) =>
+      Relational.revenueAcf(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5185,6 +5190,32 @@ object SparkEntry {
     "q256_logit_auc" -> logitOracleSql(rounds = 3, auc = true),
     // q257: the same unroll + suffix-cumulative PR table
     "q257_pr_curve" -> logitOracleSql(rounds = 3, pr = true),
+    // q259: the ACF chain replayed — day aggregate, r·n − S integer
+    // deviations, HUGEINT products, one mirrored divide per lag
+    "q259_revenue_acf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(r) AS BIGINT) AS s FROM daily),
+        |dev AS MATERIALIZED (
+        |  SELECT d, r * t.n - t.s AS dv FROM daily CROSS JOIN tot t),
+        |c0 AS (SELECT CAST(sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+        |         AS DOUBLE) AS c0
+        |       FROM dev),
+        |pairs AS (
+        |  SELECT l.lag AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT))
+        |      AS DOUBLE) AS ck
+        |  FROM dev a
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag) l
+        |  JOIN dev b ON b.d = a.d - l.lag
+        |  GROUP BY 1)
+        |SELECT p.lag, p.n_pairs, round(p.ck / c0.c0, 6) AS acf
+        |FROM pairs p CROSS JOIN c0 WHERE c0.c0 > 0.0""".stripMargin,
     // q258: per-group exact sums, the same fixed Cramer shape as
     // q250 in SQL expressions, R2 from the identity SSE = syy - b'X'y
     "q258_grouped_ols" ->

@@ -513,6 +513,52 @@ object Relational {
         col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
   }
 
+  /** Q259: AUTOCORRELATION of the daily-revenue series at lags 1..k —
+    * the stationarity/seasonality diagnostic read before any forecast
+    * (q126) is trusted: sample ACF(k) = Σ(r_t−μ)(r_{t−k}−μ) / Σ(r_t−μ)²
+    * over the day pairs present at each lag. A weekly cycle surfaces
+    * as a lag-7 peak.
+    *
+    * Exactness: deviations ride as the exact integers `r·n − S` (cents
+    * × day-count), products and sums in DECIMAL(38,0) (mirrored by
+    * DuckDB HUGEINT — ~26 digits at a 1e9-cents/day, 10k-day series,
+    * well inside both), one mirrored divide per lag, 6 dp. The day
+    * series is an aggregate (≤ days rows), so the lag self-join is
+    * dimension-sized — the corpus is touched once.
+    */
+  def revenueAcf(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 365, s"maxLag out of range: $maxLag")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("r") * col("n") - col("s")).as("dv"))
+    val c0 = dev.agg(sum(dec(col("dv")) * dec(col("dv"))).as("c0"),
+      max(col("n")).as("n"))
+    val lags = dev.select(col("d"), col("dv"),
+      explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+    val pairs = lags
+      .select(col("d"), col("dv"), col("lag"),
+        (col("d") - col("lag")).as("dk"))
+      .join(dev.select(col("d").as("dk"), col("dv").as("dvk")),
+        Seq("dk"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("dv")) * dec(col("dvk"))).as("ck"))
+    pairs.crossJoin(broadcast(c0))
+      // a constant series has no variance and no defined ACF — drop
+      // rather than emit NaN (mirrored WHERE in the oracle)
+      .filter(col("c0").cast("double") > 0.0)
+      .select(col("lag"), col("n_pairs"),
+        round(col("ck").cast("double") / col("c0").cast("double"), 6)
+          .as("acf"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Daily-revenue ACF (q259): a planted periodic series peaks at its
+  * period, a straight-line reference matches exactly, constant series
+  * drop (no defined ACF), and pair counts respect the day gaps.
+  */
+class AcfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Build a fake orders frame with one order per day, price = f(day). */
+  private def series(prices: Seq[Double]) =
+    prices.zipWithIndex.map { case (p, d) =>
+      (d.toLong, 1L, f"1970-01-01 00:00:00", p)
+    }.toDF("o_orderkey", "o_custkey", "ds", "o_totalprice")
+      .withColumn("o_orderdate",
+        to_timestamp(lit("1970-01-01 00:00:00")) +
+          make_dt_interval(col("o_orderkey")))
+      .drop("ds")
+
+  test("period-3 series: ACF(3) and ACF(6) near 1, off-period negative") {
+    val prices = (0 until 90).map(d => Seq(100.0, 200.0, 600.0)(d % 3))
+    val acf = Relational.revenueAcf(series(prices), maxLag = 7)
+      .select(col("lag"), col("acf"))
+      .as[(Long, Double)].collect().toMap
+    // sample ACF carries the (n-k)/n pair-count shrink at higher lags
+    assert(acf(3L) > 0.95 && acf(6L) > 0.9, s"period peaks: $acf")
+    assert(acf(1L) < 0.0 && acf(2L) < 0.0, s"off-period: $acf")
+  }
+
+  test("matches a straight-line sample-ACF reference") {
+    // deterministic pseudo-random series
+    val prices = (0 until 60).map(d =>
+      (((d * 2654435761L) % 997).toDouble + 100.0))
+    val got = Relational.revenueAcf(series(prices), maxLag = 5)
+      .select(col("lag"), col("n_pairs"), col("acf"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val cents = prices.map(p => math.round(100.0 * p))
+    val n = cents.length.toLong
+    val s = cents.sum
+    val dev = cents.map(_ * n - s)
+    val c0 = dev.map(v => BigInt(v) * BigInt(v)).sum
+    val want = (1 to 5).map { k =>
+      val ck = (k until cents.length)
+        .map(t => BigInt(dev(t)) * BigInt(dev(t - k))).sum
+      val acf = BigDecimal(ck.toDouble / c0.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k.toLong, (cents.length - k).toLong, acf)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("constant series yields no rows (zero variance)") {
+    val acf = Relational.revenueAcf(series(Seq.fill(30)(500.0)))
+    assert(acf.count() === 0L)
+  }
+}
