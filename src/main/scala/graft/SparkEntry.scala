@@ -1274,6 +1274,19 @@ object SparkEntry {
     // over the bounded day series
     "q259_revenue_acf" -> ((s, dir) =>
       Relational.revenueAcf(Tables.orders(s, dir))),
+    // q260: day-of-week seasonality index — q259's lag-7 companion,
+    // pure epoch-day arithmetic
+    "q260_dow_seasonality" -> ((s, dir) =>
+      Relational.dowSeasonality(Tables.orders(s, dir))),
+    // q261: word burstiness (per-doc count VMR incl. zero docs) —
+    // keyword-vs-glue diagnostic, windowless top-k
+    "q261_burstiness" -> ((s, dir) =>
+      TextAnalysis.wordBurstiness(Tables.documents(s, dir), "text",
+        "doc_id")),
+    // q262: hapax-legomena ratio per source — Zipf-tail health
+    "q262_hapax_ratio" -> ((s, dir) =>
+      TextAnalysis.hapaxRatio(Tables.documents(s, dir), "text",
+        "source")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5216,6 +5229,71 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT p.lag, p.n_pairs, round(p.ck / c0.c0, 6) AS acf
         |FROM pairs p CROSS JOIN c0 WHERE c0.c0 > 0.0""".stripMargin,
+    // q260: the seasonality chain replayed — integer dow arithmetic,
+    // cross-multiplied exact ratio, one mirrored divide
+    "q260_dow_seasonality" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |dw AS (SELECT (d + 4) % 7 AS dow, r FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |               CAST(sum(r) AS BIGINT) AS s_all FROM dw)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_dow,
+        |  round((CAST(sum(r) AS DOUBLE) * CAST(t.n_days AS DOUBLE))
+        |    / (CAST(t.s_all AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+        |    AS seasonal_index
+        |FROM dw CROSS JOIN tot t
+        |GROUP BY dow, t.n_days, t.s_all""".stripMargin,
+    // q261: the burstiness chain replayed — exact per-word Σc/Σc²,
+    // mirrored VMR doubles, windowless top-k on (vmr DESC, word)
+    "q261_burstiness" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |st AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM counts GROUP BY 1 HAVING count(*) >= 5),
+        |vm AS (
+        |  SELECT w, df, sc,
+        |    ((CAST(sc2 AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |        / CAST(t.n AS DOUBLE))
+        |     / (CAST(t.n AS DOUBLE) - 1.0))
+        |    / (CAST(sc AS DOUBLE) / CAST(t.n AS DOUBLE)) AS vmr
+        |  FROM st CROSS JOIN nd t),
+        |tk AS (SELECT w, df, sc, vmr,
+        |         CAST(row_number() OVER (ORDER BY vmr DESC, w)
+        |           AS BIGINT) AS rank
+        |       FROM vm QUALIFY rank <= 20)
+        |SELECT w AS word, df AS n_docs_with, sc AS n_occurrences,
+        |  round(vmr, 6) AS vmr, CAST(rank AS INTEGER) AS rank
+        |FROM tk""".stripMargin,
+    // q262: exact vocab/hapax counts, one mirrored divide
+    "q262_hapax_ratio" ->
+      """WITH wc AS MATERIALIZED (
+        |  SELECT source, w, count(*) AS f FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax,
+        |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM wc GROUP BY 1""".stripMargin,
     // q258: per-group exact sums, the same fixed Cramer shape as
     // q250 in SQL expressions, R2 from the identity SSE = syy - b'X'y
     "q258_grouped_ols" ->

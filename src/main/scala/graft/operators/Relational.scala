@@ -559,6 +559,34 @@ object Relational {
           .as("acf"))
   }
 
+  /** Q260: DAY-OF-WEEK SEASONALITY INDEX — each weekday's mean daily
+    * revenue relative to the overall daily mean (index 1.0 = flat),
+    * the companion read to q259's ACF lag-7 peak. Exact: day totals
+    * in cents, the index one mirrored divide of exact-integer ratios
+    * `(Σ_dow r · n_days) / (Σ r · n_dow)`, 6 dp. Day-of-week from
+    * epoch day arithmetic ((d + 4) mod 7: 1970-01-01 was a Thursday;
+    * 0 = Monday) — pure integers, no timezone/locale surface.
+    */
+  def dowSeasonality(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+      .select(pmod(col("d") + lit(4L), lit(7L)).as("dow"), col("r"))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      sum(dec(col("r"))).as("s_all"))
+    daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_dow"), sum(dec(col("r"))).as("s_dow"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_dow"),
+        round((col("s_dow").cast("double") *
+          col("n_days").cast("double")) /
+          (col("s_all").cast("double") * col("n_dow").cast("double")),
+          6).as("seasonal_index"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))

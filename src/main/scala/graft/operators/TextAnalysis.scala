@@ -1126,6 +1126,71 @@ object TextAnalysis {
       sum(col("new_words")).over(w).as("cum_words"))
   }
 
+  /** Q261: WORD BURSTINESS — the variance-to-mean ratio of each
+    * word's per-document count across the WHOLE corpus (documents
+    * where the word is absent count as zero): function words sit near
+    * Poisson (VMR ≈ 1 − μ·(…)), topical/bursty words spike — the
+    * classic keyword-vs-glue diagnostic (Church & Gale 1995). Top-k
+    * by VMR among words above a document-frequency floor (rare words
+    * have degenerate VMR), the q111 windowless top-k device.
+    *
+    * Exactness: Σc and Σc² per word are exact BIGINTs over present
+    * rows (absent docs contribute 0 to both), n_docs broadcasts, and
+    * VMR = ((Σc² − (Σc)²/n) / (n−1)) / (Σc/n) is one mirrored double
+    * chain rounded to 6 dp; the top-k orders by the IDENTICAL doubles
+    * (then word) on both engines.
+    */
+  def wordBurstiness(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 20, minDocs: Long = 5L): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    val counts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(TextShingles.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .filter(col("df") >= minDocs)
+      .crossJoin(broadcast(n))
+      .withColumn("vmr",
+        ((col("sc2").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - lit(1.0))) /
+          (col("sc").cast("double") / col("n").cast("double")))
+    stats
+      .orderBy(col("vmr").desc, col("w"))
+      .limit(k)
+      .agg(array_sort(collect_list(struct((-col("vmr")).as("negv"),
+        col("w").as("w"), col("df").as("df"), col("sc").as("sc"),
+        col("vmr").as("vmr")))).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.w").as("word"), col("s.df").as("n_docs_with"),
+        col("s.sc").as("n_occurrences"),
+        round(col("s.vmr"), 6).as("vmr"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Q262: HAPAX LEGOMENA RATIO per source — the share of each
+    * source's vocabulary appearing exactly once: young/organic corpora
+    * run hapax-rich (Zipf tail intact), template or deduplicated feeds
+    * collapse toward zero. Pure exact integers plus one mirrored
+    * 6-dp divide; companions q216 (coverage) and q219 (Heaps growth).
+    */
+  def hapaxRatio(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        explode(split(TextShingles.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"),
+          6).as("hapax_ratio"))
+
   /** Q247: PER-SOURCE LEXICAL DRIFT — the unigram-distribution KL
     * divergence of each source against the whole corpus, plus the
     * source's token entropy: the distribution-level companion to

@@ -56,4 +56,22 @@ class AcfSpec extends SparkSpec {
     val acf = Relational.revenueAcf(series(Seq.fill(30)(500.0)))
     assert(acf.count() === 0L)
   }
+
+  test("q260 seasonality: planted weekend spike shows up, flat series = 1.0") {
+    // day 0 = 1970-01-01 = Thursday -> dow (d+4)%7: 0=Mon..6=Sun
+    val prices = (0 until 70).map { d =>
+      val dow = (d + 4) % 7
+      if (dow >= 5) 900.0 else 100.0 // weekend 9x
+    }
+    val idx = Relational.dowSeasonality(series(prices))
+      .select(col("dow"), col("seasonal_index"))
+      .as[(Long, Double)].collect().toMap
+    assert(idx.keySet === (0L to 6L).toSet)
+    assert(idx(5L) > 2.0 && idx(6L) > 2.0, s"weekend: $idx")
+    (0L to 4L).foreach(d => assert(idx(d) < 1.0, s"weekday $d: $idx"))
+    // flat series: every index exactly 1.0
+    Relational.dowSeasonality(series(Seq.fill(70)(500.0)))
+      .select(col("seasonal_index")).as[Double].collect()
+      .foreach(v => assert(v === 1.0))
+  }
 }

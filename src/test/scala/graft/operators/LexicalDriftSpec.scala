@@ -80,6 +80,45 @@ class LexicalDriftSpec extends SparkSpec {
     assert(ent("br") > 0.0 && ent("br") < math.log(2.0) + 1e-6)
   }
 
+  test("q261 burstiness: a bursty word outranks a uniform one; VMR reference") {
+    // "zz" appears 10x in ONE doc of 20; "aa" once in every doc
+    val texts = (0 until 20).map { i =>
+      if (i == 0) ("aa " + Seq.fill(10)("zz").mkString(" "))
+      else "aa filler" + i.toString.takeRight(1)
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.wordBurstiness(df, "text", "doc_id",
+      k = 50, minDocs = 1L)
+      .select(col("word"), col("vmr"), col("rank"))
+      .as[(String, Double, Int)].collect()
+    val byWord = got.map(r => r._1 -> r._2).toMap
+    assert(byWord("zz") > byWord("aa"))
+    assert(got.minBy(_._3)._1 === "zz") // rank 1
+    // straight-line VMR for zz: counts = (10, 0 x19), n=20
+    val n = 20.0
+    val (sc, sc2) = (10.0, 100.0)
+    val want = ((sc2 - sc * sc / n) / (n - 1.0)) / (sc / n)
+    assert(math.abs(byWord("zz") -
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // uniform word: variance 0 -> VMR 0
+    assert(byWord("aa") === 0.0)
+  }
+
+  test("q262 hapax: all-distinct source ratio 1, all-repeated source 0") {
+    val df = Seq(
+      ("fresh", "alpha beta gamma delta"),
+      ("dup", "same same same words words")).toDF("source", "text")
+    val got = TextAnalysis.hapaxRatio(df, "text", "source")
+      .select(col("source"), col("vocab"), col("hapax"),
+        col("hapax_ratio"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("fresh") === (("fresh", 4L, 4L, 1.0)))
+    assert(got("dup") === (("dup", 2L, 0L, 0.0)))
+  }
+
   test("q249: JS is 0 for identical sources, bounded by ln 2, omits disjoint pairs") {
     val df = Seq(
       ("s1", "aa bb cc"), ("s2", "aa bb cc"),
