@@ -1287,6 +1287,18 @@ object SparkEntry {
     "q262_hapax_ratio" -> ((s, dir) =>
       TextAnalysis.hapaxRatio(Tables.documents(s, dir), "text",
         "source")),
+    // q263: Theil-Sen robust daily-revenue trend — all day pairs via
+    // the equi lag-join device (no BNLJ), median of pairwise slopes
+    "q263_theil_sen" -> ((s, dir) =>
+      Relational.theilSenTrend(Tables.orders(s, dir))),
+    // q264: revenue Gini across customers — exact rank/cents sums
+    // over the customer dimension, one mirrored divide
+    "q264_gini" -> ((s, dir) =>
+      Relational.revenueGini(Tables.orders(s, dir))),
+    // q265: Benford first-digit audit of order totals — integer
+    // digit plumbing, log10 expectations
+    "q265_benford" -> ((s, dir) =>
+      Relational.benfordAudit(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5294,6 +5306,60 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
         |FROM wc GROUP BY 1""".stripMargin,
+    // q263: the Theil-Sen chain replayed — day aggregate, lag-join
+    // pair set, mirrored slope divide, percentile_disc median
+    "q263_theil_sen" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |sl AS MATERIALIZED (
+        |  SELECT CAST(b.r - a.r AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+        |    AS slope
+        |  FROM daily a
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 4001)) AS BIGINT)
+        |              AS lag) l
+        |  JOIN daily b ON b.d = a.d + l.lag)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope), 6)
+        |    AS sen_slope_cents_per_day
+        |FROM sl""".stripMargin,
+    // q264: the Gini chain replayed — rank over (x, custkey), exact
+    // i·x sums, the 2·Σix − (n+1)·Σx over n·Σx mirrored divide
+    "q264_gini" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT x,
+        |         CAST(row_number() OVER (ORDER BY x, o_custkey)
+        |           AS BIGINT) AS i
+        |       FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  round((2.0 * CAST(sum(i * x) AS DOUBLE)
+        |    - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6)
+        |    AS gini
+        |FROM rk""".stripMargin,
+    // q265: the Benford chain replayed — first digit of the integer
+    // cents string, mirrored share divides, log10 expectations
+    "q265_benford" ->
+      """WITH dg AS MATERIALIZED (
+        |  SELECT TRY_CAST(substr(CAST(CAST(round(100.0 * o_totalprice)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |      FROM dg WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM h)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+        |    AS p_obs,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+        |    AS p_benford
+        |FROM h CROSS JOIN t""".stripMargin,
     // q258: per-group exact sums, the same fixed Cramer shape as
     // q250 in SQL expressions, R2 from the identity SSE = syy - b'X'y
     "q258_grouped_ols" ->

@@ -587,6 +587,95 @@ object Relational {
           6).as("seasonal_index"))
   }
 
+  /** Q263: THEIL–SEN robust trend of the daily-revenue series — the
+    * median of all pairwise slopes (r_j − r_i)/(j − i), the estimator
+    * that shrugs off the outlier days OLS chases. The pair set is
+    * generated WITHOUT a nested-loop join: each day explodes over lag
+    * literals 1..maxLagDays and equi-joins day+lag (the q259 device),
+    * so the plan stays BNLJ-free and the pair table is bounded by the
+    * day DIMENSION (≤ days·maxLag rows — ~1e8 at a 30-year corpus,
+    * never fact rows). Slopes are one mirrored double divide of exact
+    * cent/day integers; the median is percentile_disc (an actual pair
+    * slope — engine-identical selection on identical doubles).
+    */
+  def theilSenTrend(orders: DataFrame, maxLagDays: Int = 4000)
+      : DataFrame = {
+    require(maxLagDays >= 1 && maxLagDays <= 100000,
+      s"maxLagDays out of range: $maxLagDays")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val slopes = daily
+      .select(col("d"), col("r"),
+        explode(sequence(lit(1L), lit(maxLagDays.toLong))).as("lag"))
+      .select((col("d") + col("lag")).as("d2"), col("d").as("d1"),
+        col("r").as("r1"))
+      .join(daily.select(col("d").as("d2"), col("r").as("r2")),
+        Seq("d2"))
+      .select(((col("r2") - col("r1")).cast("double") /
+        (col("d2") - col("d1")).cast("double")).as("slope"))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+          .as("sen"))
+      .select(col("n_pairs"),
+        round(col("sen"), 6).as("sen_slope_cents_per_day"))
+  }
+
+  /** Q264: GINI COEFFICIENT of revenue concentration across
+    * customers — the Lorenz-curve scalar a marketplace-health audit
+    * reads next to q124/q143's share tables:
+    * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over per-customer revenue
+    * sorted ascending (ties broken by custkey — engine-identical).
+    * All sums exact in DECIMAL(38,0) (rank·cents ≤ ~1e9·1e9 per term),
+    * one mirrored divide, 6 dp. The rank window runs over the
+    * CUSTOMER DIMENSION after the map-side fact reduction (the q212
+    * cumW boundedness argument; PlanSpec-enrolled).
+    */
+  def revenueGini(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("x"))
+    val giniW = Window.orderBy(col("x"), col("o_custkey"))
+    per.withColumn("i", row_number().over(giniW).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("i")) * dec(col("x"))).as("six"))
+      .select(col("n").as("n_customers"),
+        round((lit(2.0) * col("six").cast("double") -
+          (col("n") + lit(1L)).cast("double") *
+            col("sx").cast("double")) /
+          (col("n").cast("double") * col("sx").cast("double")), 6)
+          .as("gini"))
+  }
+
+  /** Q265: BENFORD FIRST-DIGIT AUDIT of order totals — the observed
+    * first-significant-digit histogram against Benford's law
+    * P(d) = log10(1 + 1/d) — per digit the observed share next to the
+    * expected one (the log10 expectations ride the ln-parity
+    * precedent; shares are one mirrored divide each). The classic
+    * fabricated-data / unit-mixing detector for financial columns.
+    * First digit via string head of the integer cents — pure integer
+    * plumbing, no float logs on the data side.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val digits = orders
+      .select(substring(round(lit(100.0) * col("o_totalprice"))
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .filter(col("digit") >= 1L)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("p_obs"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
+          6).as("p_benford"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))

@@ -474,6 +474,10 @@ class PlanSpec extends SparkSpec {
       ("Regression.scala", """val aucW = Window.orderBy(col("s"))"""),
       // q257: the PR suffix window — same bounded score histogram
       ("Regression.scala", """val prW = Window.orderBy(col("s").desc)"""),
+      // q264: the Gini rank runs over the CUSTOMER DIMENSION after the
+      // map-side fact reduction — the q212 cumW boundedness argument
+      ("Relational.scala",
+        """val giniW = Window.orderBy(col("x"), col("o_custkey"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

@@ -57,6 +57,48 @@ class AcfSpec extends SparkSpec {
     assert(acf.count() === 0L)
   }
 
+  test("q263 Theil-Sen: recovers a planted slope through gross outliers") {
+    // y = 500 + 3*d dollars, with every 10th day corrupted 50x
+    val prices = (0 until 80).map { d =>
+      val base = 500.0 + 3.0 * d
+      if (d % 10 == 5) base * 50 else base
+    }
+    val got = Relational.theilSenTrend(series(prices), maxLagDays = 100)
+      .as[(Long, Double)].collect().head
+    // slope in cents/day: 300; the median shrugs off the outliers
+    // (a mean-of-slopes estimator lands far above — the 50x days
+    // contribute slopes in the tens of thousands)
+    assert(math.abs(got._2 - 300.0) < 1.0, s"sen: $got")
+    assert(got._1 > 1000L) // all day pairs within the lag cap
+  }
+
+  test("q264 Gini: uniform revenue -> 0, single-customer concentration -> near 1") {
+    def orders(weights: Seq[Double]) =
+      weights.zipWithIndex.map { case (w, i) =>
+        (i.toLong, i.toLong, "1970-01-01 00:00:00", w)
+      }.toDF("o_orderkey", "o_custkey", "ds", "o_totalprice")
+        .withColumn("o_orderdate", to_timestamp(col("ds"))).drop("ds")
+    val flat = Relational.revenueGini(orders(Seq.fill(50)(100.0)))
+      .as[(Long, Double)].collect().head
+    assert(flat === ((50L, 0.0)))
+    val spike = Relational.revenueGini(
+      orders(Seq.fill(49)(0.01) ++ Seq(100000.0)))
+      .as[(Long, Double)].collect().head
+    assert(spike._2 > 0.95, s"concentrated gini: $spike")
+  }
+
+  test("q265 Benford: expected probabilities pinned, observed shares sum to 1") {
+    val rows = Relational.benfordAudit(
+      graft.Tables.orders(spark, sf))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq === (1L to 9L))
+    val pb = rows.map(r => r._1 -> r._4).toMap
+    assert(pb(1L) === BigDecimal(math.log10(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+  }
+
   test("q260 seasonality: planted weekend spike shows up, flat series = 1.0") {
     // day 0 = 1970-01-01 = Thursday -> dow (d+4)%7: 0=Mon..6=Sun
     val prices = (0 until 70).map { d =>
