@@ -1299,6 +1299,18 @@ object SparkEntry {
     // digit plumbing, log10 expectations
     "q265_benford" -> ((s, dir) =>
       Relational.benfordAudit(Tables.orders(s, dir))),
+    // q266: referential-integrity audit across every FK edge —
+    // orphans + dead dimension rows, distinct-key joins only
+    "q266_ref_integrity" -> ((s, dir) =>
+      Relational.refIntegrityAudit(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    // q267: market-basket lift over order baskets at brand grain —
+    // basket self-join on the order key, windowless top-k
+    "q267_basket_lift" -> ((s, dir) =>
+      Relational.basketLift(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5306,6 +5318,69 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
         |FROM wc GROUP BY 1""".stripMargin,
+    // q266: each edge mirrored — distinct-key counts, full outer
+    // join, the same four guarded sums
+    "q266_ref_integrity" -> Seq(
+      ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("orders.custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("customer.nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("supplier.nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      ("nation.regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey")).map { case (nm, ct, ck, pt, pk) =>
+      s"""SELECT '$nm' AS fk_edge,
+         |  CAST(sum(COALESCE(c.cn, 0)) AS BIGINT) AS n_child_rows,
+         |  CAST(sum(CASE WHEN p.pn IS NULL THEN COALESCE(c.cn, 0)
+         |    ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+         |  CAST(sum(CASE WHEN p.pn IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_parent_keys,
+         |  CAST(sum(CASE WHEN c.cn IS NULL AND p.pn IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unreferenced_parents
+         |FROM (SELECT CAST($ck AS BIGINT) AS k, count(*) AS cn
+         |      FROM $ct GROUP BY 1) c
+         |FULL OUTER JOIN (SELECT CAST($pk AS BIGINT) AS k,
+         |      count(*) AS pn FROM $pt GROUP BY 1) p
+         |  ON p.k = c.k""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
+    // q267: the basket-lift chain replayed — distinct (order, brand)
+    // items, self-join pairs, integer cross-product lift, top-k on
+    // (lift DESC, a, b)
+    "q267_basket_lift" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n
+        |       FROM items),
+        |ic AS MATERIALIZED (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS c FROM items
+        |  GROUP BY 1),
+        |pr AS MATERIALIZED (
+        |  SELECT a.item AS a, b.item AS b,
+        |    CAST(count(*) AS BIGINT) AS cab
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sc AS (
+        |  SELECT pr.a, pr.b, pr.cab, ia.c AS ca, ib.c AS cb,
+        |    (CAST(no.n AS DOUBLE) * CAST(pr.cab AS DOUBLE))
+        |      / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift
+        |  FROM pr JOIN ic ia ON ia.item = pr.a
+        |  JOIN ic ib ON ib.item = pr.b CROSS JOIN no),
+        |tk AS (SELECT a, b, cab, ca, cb, lift,
+        |         CAST(row_number() OVER (ORDER BY lift DESC, a, b)
+        |           AS BIGINT) AS rank
+        |       FROM sc QUALIFY rank <= 20)
+        |SELECT a AS item_a, b AS item_b, cab AS n_both, ca AS n_a,
+        |  cb AS n_b, round(lift, 6) AS lift, CAST(rank AS INTEGER)
+        |  AS rank
+        |FROM tk""".stripMargin,
     // q263: the Theil-Sen chain replayed — day aggregate, lag-join
     // pair set, mirrored slope divide, percentile_disc median
     "q263_theil_sen" ->

@@ -676,6 +676,107 @@ object Relational {
           6).as("p_benford"))
   }
 
+  /** Q266: REFERENTIAL-INTEGRITY AUDIT across every FK edge of the
+    * star schema — per edge: child rows, orphans (child keys with no
+    * parent — broken ingestion), parent rows, and unreferenced
+    * parents (dead dimension rows — the usual sign a feed stopped).
+    * Each edge is two map-side-combinable key aggregations + one
+    * join on the DISTINCT key sets (dimension-sized, never fact-row
+    * joins); the fact table is touched once per edge.
+    */
+  def refIntegrityAudit(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val ck = child.groupBy(col(childKey).cast("long").as("k"))
+        .agg(count(lit(1)).as("cn"))
+      val pk = parent.groupBy(col(parentKey).cast("long").as("k"))
+        .agg(count(lit(1)).as("pn"))
+      ck.join(pk, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("cn"), lit(0L))).as("n_child_rows"),
+          sum(when(col("pn").isNull, coalesce(col("cn"), lit(0L)))
+            .otherwise(0L)).as("n_orphan_rows"),
+          sum(when(col("pn").isNotNull, 1L).otherwise(0L))
+            .as("n_parent_keys"),
+          sum(when(col("cn").isNull && col("pn").isNotNull, 1L)
+            .otherwise(0L)).as("n_unreferenced_parents"))
+        .select(lit(name).as("fk_edge"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_parent_keys"),
+          col("n_unreferenced_parents"))
+    }
+    Seq(
+      edge("lineitem.orderkey->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"),
+      edge("lineitem.partkey->part", lineitem, "l_partkey",
+        part, "p_partkey"),
+      edge("lineitem.suppkey->supplier", lineitem, "l_suppkey",
+        supplier, "s_suppkey"),
+      edge("orders.custkey->customer", orders, "o_custkey",
+        customer, "c_custkey"),
+      edge("customer.nationkey->nation", customer, "c_nationkey",
+        nation, "n_nationkey"),
+      edge("supplier.nationkey->nation", supplier, "s_nationkey",
+        nation, "n_nationkey"),
+      edge("nation.regionkey->region", nation, "n_regionkey",
+        region, "r_regionkey")).reduce(_.union(_))
+  }
+
+  /** Q267: MARKET-BASKET LIFT over order baskets — the top-k
+    * co-purchased part-brand pairs by lift
+    * `n_orders·c_ab / (c_a·c_b)` with a support floor: the
+    * recommendation/assortment primitive (q161's user-level
+    * co-activity, moved to the transactional basket grain). Pairs
+    * come from the basket SELF-JOIN on the order key — baskets are
+    * small by contract, so the pair table is Σ|basket|², never
+    * catalog²; lift is exact integer cross-products in one mirrored
+    * divide; top-k is the q111 windowless device on
+    * (lift DESC, a, b). Items are brand-granular (part groups) so
+    * supports are meaningful at any SF.
+    */
+  def basketLift(lineitem: DataFrame, part: DataFrame, k: Int = 20,
+      minSupport: Long = 3L): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    // basket item = distinct brand per order
+    val items = lineitem.select(col("l_orderkey").as("okey"),
+        col("l_partkey").as("pkey"))
+      .join(part.select(col("p_partkey").as("pkey"),
+        col("p_brand").as("item")), Seq("pkey"))
+      .select(col("okey"), col("item")).distinct()
+    val nOrders = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = items.select(col("okey"), col("item").as("a"))
+      .join(items.select(col("okey"), col("item").as("b")), Seq("okey"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minSupport)
+    val scored = pairs
+      .join(broadcast(ic.select(col("item").as("a"), col("c").as("ca"))),
+        Seq("a"))
+      .join(broadcast(ic.select(col("item").as("b"), col("c").as("cb"))),
+        Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        (col("n").cast("double") * col("cab").cast("double")) /
+          (col("ca").cast("double") * col("cb").cast("double")))
+    scored
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+      .agg(array_sort(collect_list(struct((-col("lift")).as("negl"),
+        col("a").as("a"), col("b").as("b"), col("cab").as("cab"),
+        col("ca").as("ca"), col("cb").as("cb"),
+        col("lift").as("lift")))).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.a").as("item_a"), col("s.b").as("item_b"),
+        col("s.cab").as("n_both"), col("s.ca").as("n_a"),
+        col("s.cb").as("n_b"), round(col("s.lift"), 6).as("lift"),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))
