@@ -1311,6 +1311,11 @@ object SparkEntry {
     "q267_basket_lift" -> ((s, dir) =>
       Relational.basketLift(Tables.lineitem(s, dir),
         Tables.part(s, dir))),
+    // q268: dup-cluster size histogram + singleton row — the dedup
+    // run's report card, over the q55 cluster labels
+    "q268_dup_cluster_sizes" -> ((s, dir) =>
+      Dedup.dupClusterSizes(Tables.documents(s, dir), "text",
+        "doc_id", "lang")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5318,6 +5323,36 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
         |FROM wc GROUP BY 1""".stripMargin,
+    // q268: the q55 recursive-CTE labels rolled up to a size
+    // histogram, singletons as the size-1 row
+    "q268_dup_cluster_sizes" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')[i:i+2], ' '))) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT t.a, t.b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b,
+        |           len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+        |  WHERE t.j >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.id),
+        |cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |szs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+        |h AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |        CAST(count(*) AS BIGINT) AS n_clusters
+        |      FROM szs GROUP BY 1)
+        |SELECT cluster_size, n_clusters FROM h
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  CAST((SELECT count(*) FROM documents)
+        |    - (SELECT count(*) FROM cl) AS BIGINT)""".stripMargin,
     // q266: each edge mirrored — distinct-key counts, full outer
     // join, the same four guarded sums
     "q266_ref_integrity" -> Seq(

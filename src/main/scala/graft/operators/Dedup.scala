@@ -1010,6 +1010,31 @@ object Dedup {
     * chain the whole corpus); raise `maxIters` deliberately if that is
     * intended.
     */
+  /** Q268: DUP-CLUSTER SIZE DISTRIBUTION — the histogram a dedup run
+    * reports: how many near-dup clusters of each size exist, plus the
+    * singleton count (docs in no cluster) as the size-1 row. The
+    * cluster labels come from [[clusterPairs]] over the q55 ngram-
+    * Jaccard pairs; the histogram itself is two dimension-sized
+    * aggregations over the (pinned) label table, so the expensive
+    * pair detection runs once.
+    */
+  def dupClusterSizes(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val clusters = clusterPairs(
+      ngramJaccardPairs(docs, textCol, idCol, blockCol, n, threshold),
+      "doc_a", "doc_b")
+    val hist = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(clusters.agg(count(lit(1)).as("nc"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("nd") - col("nc")).as("n_clusters"))
+    hist.unionByName(singles)
+  }
+
   def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
     // both edge orientations from ONE pass over the pair pipeline — a

@@ -444,4 +444,19 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("'aa'=9"))
   }
+
+  test("q268 dup-cluster sizes: planted 3-cluster + pair + singletons") {
+    import spark.implicits._
+    val near = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, near, "en"), (2L, near, "en"), (3L, near, "en"), // 3-cluster
+      (4L, "pack my box with five dozen brown jugs now ok", "en"),
+      (5L, "pack my box with five dozen brown jugs now no", "en"), // pair
+      (6L, "completely unrelated text lives here alone", "en"),
+      (7L, "another loner with its very own words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.dupClusterSizes(docs, "text", "doc_id", "lang")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
 }
