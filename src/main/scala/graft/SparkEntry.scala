@@ -1316,6 +1316,30 @@ object SparkEntry {
     "q268_dup_cluster_sizes" -> ((s, dir) =>
       Dedup.dupClusterSizes(Tables.documents(s, dir), "text",
         "doc_id", "lang")),
+    // q269: Welch's t-test URGENT vs LOW order totals — exact
+    // six-scalar moments, one mirrored double chain
+    "q269_welch_ttest" -> ((s, dir) =>
+      Stats.welchTTest(Tables.orders(s, dir), "o_orderpriority",
+        "o_totalprice", "1-URGENT", "5-LOW")),
+    // q270: one-way ANOVA F across order priorities — per-group
+    // moments, s_g²/n_g on the 1e6-cents² grid
+    "q270_anova_f" -> ((s, dir) =>
+      Stats.anovaF(Tables.orders(s, dir), "o_orderpriority",
+        "o_totalprice")),
+    // q271: Mann-Whitney U on quantities R vs N — tie-aware midranks
+    // over the 50-value histogram, exact ×2 rank grid
+    "q271_mann_whitney" -> ((s, dir) =>
+      Stats.mannWhitneyU(Tables.lineitem(s, dir), "l_returnflag",
+        "l_quantity", "R", "N")),
+    // q272: event-type × day-of-week association — χ²/Cramér's V/MI
+    // from micro-gridded cell terms over the 35-cell table
+    "q272_contingency" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.contingencyStats(Tables.events(s, dir),
+        f.col("event_type"),
+        f.pmod(f.datediff(f.to_date(f.col("ts")),
+          f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"))
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6215,6 +6239,155 @@ object SparkEntry {
         |FROM top t JOIN bk ON bk.w = t.w
         |JOIN cells c ON c.i = bk.i AND c.b = bk.b
         |GROUP BY t.w, t.n, t.rank""".stripMargin,
+    // q269: the Welch chain replayed — exact six-scalar conditional
+    // moments, the same mirrored m/v/se double chain
+    "q269_welch_ttest" ->
+      """WITH ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    sum(CASE WHEN g = '1-URGENT' THEN c ELSE 0 END) AS s1,
+        |    sum(CASE WHEN g = '5-LOW' THEN c ELSE 0 END) AS s2,
+        |    sum(CASE WHEN g = '1-URGENT' THEN c * c ELSE 0 END) AS q1,
+        |    sum(CASE WHEN g = '5-LOW' THEN c * c ELSE 0 END) AS q2
+        |  FROM (SELECT o_orderpriority AS g,
+        |          CAST(round(100.0 * o_totalprice) AS BIGINT) AS c
+        |        FROM orders
+        |        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+        |mv AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM ag),
+        |se AS (
+        |  SELECT n1, n2, m1, m2,
+        |    v1 / CAST(n1 AS DOUBLE) AS se1,
+        |    v2 / CAST(n2 AS DOUBLE) AS se2,
+        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS sse
+        |  FROM mv)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(m1, 4) AS mean_a_cents, round(m2, 4) AS mean_b_cents,
+        |  round((m1 - m2) / sqrt(sse), 6) AS t_stat,
+        |  round(sse * sse / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+        |    + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS df_welch
+        |FROM se""".stripMargin,
+    // q270: the ANOVA chain replayed — per-group exact moments, the
+    // s_g²/n_g terms folded in sorted group order (the q227 device)
+    "q270_anova_f" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS sg,
+        |    sum(CAST(round(100.0 * o_totalprice) AS BIGINT)
+        |      * CAST(round(100.0 * o_totalprice) AS BIGINT)) AS qg
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s, sum(qg) AS q,
+        |    list_reduce(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) ORDER BY g), (a, b) -> a + b) AS a
+        |  FROM per),
+        |fin AS (
+        |  SELECT k, n,
+        |    a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(q AS DOUBLE) - a AS ssw
+        |  FROM tot)
+        |SELECT k AS k_groups, n AS n_rows,
+        |  round(ssb / (CAST(k AS DOUBLE) - 1.0)
+        |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM fin""".stripMargin,
+    // q271: the Mann-Whitney chain replayed — midranks over the
+    // 50-value histogram on the ×2 integer grid, mirrored z
+    "q271_mann_whitney" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |r AS (
+        |  SELECT v, na, t,
+        |    coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM h),
+        |ag AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |    CAST(sum(t - na) AS BIGINT) AS n2,
+        |    CAST(sum(na * (2 * cumb + t + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r),
+        |fin AS (
+        |  SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1x2, ties,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+        |  FROM ag)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CAST(u1x2 AS DOUBLE) / 2.0, 2) AS u_a,
+        |  round((CAST(u1x2 AS DOUBLE) / 2.0
+        |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |      * ((nn + 1.0) - CAST(ties AS DOUBLE)
+        |        / (nn * (nn - 1.0)))), 6) AS z_score
+        |FROM fin""".stripMargin,
+    // q272: the contingency chain replayed — exact cell/marginal
+    // counts, χ²/MI cell terms on the 1e-9/1e-12 grids, mirrored
+    // verdict doubles
+    "q272_contingency" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT event_type AS a,
+        |    CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      + 4) % 7 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT c.a, c.b, c.o, t.n,
+        |    CAST(round(CAST(c.o * t.n - r.rt * x.ct AS DOUBLE)
+        |      * CAST(c.o * t.n - r.rt * x.ct AS DOUBLE)
+        |      / (CAST(t.n AS DOUBLE) * CAST(r.rt AS DOUBLE)
+        |        * CAST(x.ct AS DOUBLE)) * 1.0e9) AS BIGINT) AS chi_g,
+        |    CAST(round(CAST(r.rt AS DOUBLE) * CAST(x.ct AS DOUBLE)
+        |      / CAST(t.n AS DOUBLE) * 1.0e9) AS BIGINT) AS e_g,
+        |    CAST(round(CAST(c.o AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |      * ln(CAST(c.o AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |        / (CAST(r.rt AS DOUBLE) * CAST(x.ct AS DOUBLE)))
+        |      * 1.0e12) AS BIGINT) AS mi_g
+        |  FROM cells c JOIN rt r USING (a) JOIN ct x USING (b)
+        |  CROSS JOIN tot t),
+        |ag AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS c_levels,
+        |    CAST(sum(chi_g) AS BIGINT) AS chi_sum,
+        |    CAST(sum(e_g) AS BIGINT) AS e_sum,
+        |    CAST(sum(mi_g) AS BIGINT) AS mi_sum
+        |  FROM terms),
+        |fin AS (
+        |  SELECT n, r_levels, c_levels, mi_sum,
+        |    CAST(chi_sum AS DOUBLE) / 1.0e9
+        |      + (CAST(n AS DOUBLE) - CAST(e_sum AS DOUBLE) / 1.0e9)
+        |      AS chi2full
+        |  FROM ag)
+        |SELECT n, r_levels, c_levels,
+        |  round(chi2full, 6) AS chi2,
+        |  round(sqrt(chi2full / (CAST(n AS DOUBLE)
+        |    * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
+        |    AS cramers_v,
+        |  round(CAST(mi_sum AS DOUBLE) / 1.0e12, 6) AS mi_nats
+        |FROM fin""".stripMargin,
   )
 
   /** q229 oracle generator: WordPiece greedy encode unrolled — per

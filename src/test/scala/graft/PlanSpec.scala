@@ -478,6 +478,10 @@ class PlanSpec extends SparkSpec {
       // map-side fact reduction — the q212 cumW boundedness argument
       ("Relational.scala",
         """val giniW = Window.orderBy(col("x"), col("o_custkey"))"""),
+      // q271: the midrank window runs over the VALUE HISTOGRAM (one
+      // row per distinct measure value — ≤50 for quantities), never
+      // corpus rows
+      ("Stats.scala", """val rankW = Window.orderBy(col("v"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

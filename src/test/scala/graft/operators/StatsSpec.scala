@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hypothesis tests (q269–q272): known-answer references computed by
+  * hand, invariance pins (shift/scale behavior, independence → zero
+  * association), and boundary cases (equal groups → t = 0).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def groups(a: Seq[Double], b: Seq[Double]) =
+    (a.map(("A", _)) ++ b.map(("B", _)))
+      .toDF("g", "x")
+
+  test("q269 Welch: identical groups give t=0; known reference matches") {
+    val eq = Stats.welchTTest(
+      groups(Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0, 3.0, 4.0)),
+      "g", "x", "A", "B")
+      .select(col("t_stat")).as[Double].collect().head
+    assert(eq === 0.0)
+    // hand reference: a = [1,2,3,4,5], b = [2,4,6,8,10] (dollars)
+    val got = Stats.welchTTest(
+      groups(Seq(1, 2, 3, 4, 5).map(_.toDouble),
+        Seq(2, 4, 6, 8, 10).map(_.toDouble)), "g", "x", "A", "B")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    // cents: a mean 300 var 25000; b mean 600 var 100000
+    val se1 = 25000.0 / 5; val se2 = 100000.0 / 5
+    val t = (300.0 - 600.0) / math.sqrt(se1 + se2)
+    val df = math.pow(se1 + se2, 2) /
+      (se1 * se1 / 4 + se2 * se2 / 4)
+    assert(got._1 === 5L && got._2 === 5L)
+    assert(math.abs(got._5 - t) < 1e-6, s"t: $got vs $t")
+    assert(math.abs(got._6 - df) < 1e-3, s"df: $got vs $df")
+  }
+
+  test("q270 ANOVA: equal group means give F=0; known 3-group reference") {
+    val flat = Stats.anovaF(
+      groups(Seq(1.0, 2.0, 3.0), Seq(2.0, 1.0, 3.0)), "g", "x")
+      .select(col("f_stat")).as[Double].collect().head
+    assert(flat === 0.0)
+    // three groups, textbook one-way: [1,2,3], [2,3,4], [6,7,8]
+    val df3 = (Seq(1, 2, 3).map(v => ("g1", v.toDouble)) ++
+      Seq(2, 3, 4).map(v => ("g2", v.toDouble)) ++
+      Seq(6, 7, 8).map(v => ("g3", v.toDouble))).toDF("g", "x")
+    val got = Stats.anovaF(df3, "g", "x")
+      .as[(Long, Long, Double, Double)].collect().head
+    // cents means 200/300/700, grand 400; ssb = 3*(200²+100²+300²)=42e4...
+    // ssb = 3*((200-400)² + (300-400)² + (700-400)²) = 3*140000 = 420000
+    // ssw = 3 groups * 2*100² ... each group ss = (100²+0+100²)=20000 → 60000
+    val f = (420000.0 / 2) / (60000.0 / 6)
+    assert(got._1 === 3L && got._2 === 9L)
+    assert(math.abs(got._3 - f) < 1e-4, s"F: $got vs $f")
+    assert(math.abs(got._4 - 420000.0 / 480000.0) < 1e-6)
+  }
+
+  test("q271 Mann-Whitney: symmetric groups give z=0; known U with ties") {
+    def li(a: Seq[Long], b: Seq[Long]) =
+      (a.map(("R", _)) ++ b.map(("N", _)))
+        .toDF("l_returnflag", "l_quantity")
+    val sym = Stats.mannWhitneyU(li(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "l_returnflag", "l_quantity", "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(sym._3 === 4.5 && sym._4 === 0.0, s"sym: $sym")
+    // a = [1,2,2], b = [2,3]: midranks 1, 3, 3 | 3, 5
+    // R1 = 7, U1 = 7 - 6 = 1
+    val got = Stats.mannWhitneyU(li(Seq(1L, 2L, 2L), Seq(2L, 3L)),
+      "l_returnflag", "l_quantity", "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 === 3L && got._2 === 2L && got._3 === 1.0, s"$got")
+    // z = (U - n1n2/2)/sqrt(n1n2/12 * ((N+1) - (t³-t)/(N(N-1))))
+    // ties: value 2 has t=3 → 24; sigma² = 6/12 * (6 - 24/20) = 2.4
+    val z = (1.0 - 3.0) / math.sqrt(2.4)
+    assert(math.abs(got._4 - BigDecimal(z).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"z: $got vs $z")
+  }
+
+  test("q272 contingency: independence gives chi2=0, V=0, MI=0; perfect association") {
+    // build directly on (a, b) columns — the operator takes Columns
+    val ind = (for { a <- Seq("x", "y"); b <- Seq(0L, 1L); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val gi = Stats.contingencyStats(ind, col("a"), col("b"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(gi === ((20L, 2L, 2L, 0.0, 0.0, 0.0)))
+    // perfect association: a==x ⇔ b==0, 10 rows each cell
+    val per = (Seq.fill(10)(("x", 0L)) ++ Seq.fill(10)(("y", 1L)))
+      .toDF("a", "b")
+    val gp = Stats.contingencyStats(per, col("a"), col("b"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(gp._4 === 20.0 && gp._5 === 1.0, s"perfect: $gp")
+    assert(math.abs(gp._6 - math.log(2.0)) < 1e-6, s"MI: $gp")
+  }
+}
