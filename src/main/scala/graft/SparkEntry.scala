@@ -1340,6 +1340,22 @@ object SparkEntry {
         f.pmod(f.datediff(f.to_date(f.col("ts")),
           f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"))
     }),
+    // q273: Spearman/Pearson discount↔quantity — midranks from the
+    // marginal histograms, exact joint-cell moment sums
+    "q273_spearman" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.spearmanRho(Tables.lineitem(s, dir),
+        f.round(f.lit(100.0) * f.col("l_discount")).cast("long"),
+        f.col("l_quantity").cast("long"))
+    }),
+    // q274: Kendall τ-b discount↔quantity — dense-grid 2-D prefix
+    // concordance counts, no row pairs anywhere
+    "q274_kendall_tau" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.kendallTauB(Tables.lineitem(s, dir),
+        f.round(f.lit(100.0) * f.col("l_discount")).cast("long"),
+        f.col("l_quantity").cast("long"), yMin = 1L, yMax = 50L)
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6387,6 +6403,108 @@ object SparkEntry {
         |    * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
         |    AS cramers_v,
         |  round(CAST(mi_sum AS DOUBLE) / 1.0e12, 6) AS mi_nats
+        |FROM fin""".stripMargin,
+    // q273: the Spearman chain replayed — ×2 midranks from the
+    // marginal histograms, exact joint-cell sums, mirrored ρ/r
+    "q273_spearman" ->
+      """WITH joint AS MATERIALIZED (
+        |  SELECT CAST(round(100.0 * l_discount) AS BIGINT) AS dc,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+        |md AS (
+        |  SELECT dc, 2 * coalesce(sum(td) OVER (ORDER BY dc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + td + 1 AS r2d
+        |  FROM (SELECT dc, CAST(sum(c) AS BIGINT) AS td
+        |        FROM joint GROUP BY 1)),
+        |mq AS (
+        |  SELECT q, 2 * coalesce(sum(tq) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + tq + 1 AS r2q
+        |  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS tq
+        |        FROM joint GROUP BY 1)),
+        |cells AS (
+        |  SELECT j.c, j.dc, j.q, t.n,
+        |    md.r2d - (t.n + 1) AS devd, mq.r2q - (t.n + 1) AS devq
+        |  FROM joint j JOIN md USING (dc) JOIN mq USING (q)
+        |  CROSS JOIN tot t),
+        |ag AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(c * devd * devq) AS BIGINT) AS sxy,
+        |    CAST(sum(c * devd * devd) AS BIGINT) AS sxx,
+        |    CAST(sum(c * devq * devq) AS BIGINT) AS syy,
+        |    CAST(sum(c * dc) AS BIGINT) AS px,
+        |    CAST(sum(c * q) AS BIGINT) AS py,
+        |    CAST(sum(c * dc * q) AS BIGINT) AS pxy,
+        |    CAST(sum(c * dc * dc) AS BIGINT) AS pxx,
+        |    CAST(sum(c * q * q) AS BIGINT) AS pyy
+        |  FROM cells)
+        |SELECT n,
+        |  round(CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE))
+        |    * sqrt(CAST(syy AS DOUBLE))), 6) AS spearman_rho,
+        |  round((CAST(n AS DOUBLE) * CAST(pxy AS DOUBLE)
+        |    - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(pxx AS DOUBLE)
+        |      - CAST(px AS DOUBLE) * CAST(px AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(pyy AS DOUBLE)
+        |        - CAST(py AS DOUBLE) * CAST(py AS DOUBLE))), 6)
+        |    AS pearson_r
+        |FROM ag""".stripMargin,
+    // q274: the Kendall chain replayed — dense grid, 2-D prefix sums
+    // F/G, exact concordance counts, mirrored τ-b
+    "q274_kendall_tau" ->
+      """WITH joint AS MATERIALIZED (
+        |  SELECT CAST(round(100.0 * l_discount) AS BIGINT) AS dc,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |grid AS MATERIALIZED (
+        |  SELECT d.dc, CAST(y.q AS BIGINT) AS q
+        |  FROM (SELECT DISTINCT dc FROM joint) d
+        |  CROSS JOIN (SELECT unnest(range(1, 51)) AS q) y),
+        |c0 AS (
+        |  SELECT g.dc, g.q, coalesce(j.c, 0) AS c
+        |  FROM grid g LEFT JOIN joint j USING (dc, q)),
+        |pre AS (
+        |  SELECT dc, q, c,
+        |    coalesce(sum(c) OVER (PARTITION BY dc ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumqlt,
+        |    sum(c) OVER (PARTITION BY dc) AS rowtot
+        |  FROM c0),
+        |fg AS (
+        |  SELECT dc, q, c,
+        |    coalesce(sum(cumqlt) OVER (PARTITION BY q ORDER BY dc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS f,
+        |    coalesce(sum(rowtot - cumqlt - c) OVER (PARTITION BY q
+        |      ORDER BY dc ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS g
+        |  FROM pre),
+        |pairag AS (
+        |  SELECT CAST(sum(c * f) AS BIGINT) AS ncd,
+        |    CAST(sum(c * g) AS BIGINT) AS ndd
+        |  FROM fg),
+        |t1 AS (
+        |  SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS n1x2,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT dc, CAST(sum(c) AS BIGINT) AS t
+        |        FROM joint GROUP BY 1)),
+        |t2 AS (
+        |  SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS n2x2
+        |  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS t
+        |        FROM joint GROUP BY 1)),
+        |fin AS (
+        |  SELECT ncd, ndd, n, n1x2, n2x2,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) AS n0x2
+        |  FROM pairag CROSS JOIN t1 CROSS JOIN t2)
+        |SELECT n, ncd AS n_concordant, ndd AS n_discordant,
+        |  round((CAST(ncd AS DOUBLE) - CAST(ndd AS DOUBLE))
+        |    / (sqrt((n0x2 - CAST(n1x2 AS DOUBLE)) / 2.0)
+        |      * sqrt((n0x2 - CAST(n2x2 AS DOUBLE)) / 2.0)), 6)
+        |    AS tau_b
         |FROM fin""".stripMargin,
   )
 

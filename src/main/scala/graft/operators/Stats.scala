@@ -160,6 +160,120 @@ object Stats {
           sqrt(col("sig2")), 6).as("z_score"))
   }
 
+  /** Q273: SPEARMAN RANK CORRELATION between two bounded-domain
+    * measures — monotone association robust to the value scales (the
+    * "does discount actually track quantity?" audit). Tie-aware
+    * midranks for each variable come from its MARGINAL histogram
+    * (≤ |domain| rows each) on the ×2 integer grid; the correlation's
+    * moment sums run over the JOINT histogram (≤ |A|·|B| cells) with
+    * exact per-cell LONG products in DECIMAL(38,0) accumulators — the
+    * ×2 grid factors cancel in ρ. Pearson r over the raw grid values
+    * rides along from the same exact joint-cell moments. One fact
+    * scan into the joint histogram; everything downstream is
+    * domain-bounded.
+    */
+  def spearmanRho(df: DataFrame, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val joint = df.select(xCol.as("dc"), yCol.as("q"))
+      .groupBy(col("dc"), col("q")).agg(count(lit(1)).as("c"))
+    val tot = joint.agg(sum(col("c")).as("n"))
+    // marginal midranks, ×2 grid: 2·midrank = 2·cumBefore + t + 1
+    val dRankW = Window.orderBy(col("dc"))
+    val md = joint.groupBy(col("dc")).agg(sum(col("c")).as("td"))
+      .withColumn("cumb", coalesce(sum(col("td")).over(
+        dRankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("dc"),
+        (lit(2L) * col("cumb") + col("td") + lit(1L)).as("r2d"))
+    val qRankW = Window.orderBy(col("q"))
+    val mq = joint.groupBy(col("q")).agg(sum(col("c")).as("tq"))
+      .withColumn("cumb", coalesce(sum(col("tq")).over(
+        qRankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("q"),
+        (lit(2L) * col("cumb") + col("tq") + lit(1L)).as("r2q"))
+    val cells = joint.join(md, Seq("dc")).join(mq, Seq("q"))
+      .crossJoin(broadcast(tot))
+      .withColumn("devd", col("r2d") - (col("n") + lit(1L)))
+      .withColumn("devq", col("r2q") - (col("n") + lit(1L)))
+    val ag = cells.agg(
+      max(col("n")).as("n"),
+      sum(dec(col("c") * col("devd") * col("devq"))).as("sxy"),
+      sum(dec(col("c") * col("devd") * col("devd"))).as("sxx"),
+      sum(dec(col("c") * col("devq") * col("devq"))).as("syy"),
+      // raw-value Pearson moments from the same joint cells
+      sum(dec(col("c") * col("dc"))).as("px"),
+      sum(dec(col("c") * col("q"))).as("py"),
+      sum(dec(col("c") * col("dc") * col("q"))).as("pxy"),
+      sum(dec(col("c") * col("dc") * col("dc"))).as("pxx"),
+      sum(dec(col("c") * col("q") * col("q"))).as("pyy"))
+    def d(name: String): Column = col(name).cast("double")
+    ag.select(col("n"),
+      round(d("sxy") / (sqrt(d("sxx")) * sqrt(d("syy"))), 6)
+        .as("spearman_rho"),
+      round((d("n") * d("pxy") - d("px") * d("py")) /
+        (sqrt(d("n") * d("pxx") - d("px") * d("px")) *
+          sqrt(d("n") * d("pyy") - d("py") * d("py"))), 6)
+        .as("pearson_r"))
+  }
+
+  /** Q274: KENDALL'S τ-b between two bounded-domain measures — the
+    * pair-concordance view of q273's question, tie-corrected. The
+    * classic definition is over all N² row pairs; here concordant/
+    * discordant counts come from the DENSE VALUE GRID (each observed x
+    * level × the declared y domain, built with the explode-sequence
+    * device — no row pairs, no cartesian): with the 2-D prefix sum
+    * F(x,y) = #points strictly below in both and
+    * G(x,y) = #points with x'<x, y'>y, nc = Σ c·F and nd = Σ c·G count
+    * each unordered pair exactly once at its greater-x cell. All
+    * counts exact LONGs (DECIMAL(38,0) sums); τ-b is one mirrored
+    * double expression over five exact scalars. The grid windows are
+    * PARTITIONED (by x level / y level) — nothing unbounded anywhere.
+    */
+  def kendallTauB(df: DataFrame, xCol: Column, yCol: Column,
+      yMin: Long, yMax: Long): DataFrame = {
+    require(yMin <= yMax && yMax - yMin <= 100000,
+      s"y domain out of range: [$yMin, $yMax]")
+    val joint = df.select(xCol.as("dc"), yCol.as("q"))
+      .groupBy(col("dc"), col("q")).agg(count(lit(1)).as("c"))
+    // dense grid: observed x levels × the declared y domain
+    val grid = joint.select(col("dc")).distinct()
+      .select(col("dc"),
+        explode(sequence(lit(yMin), lit(yMax))).as("q"))
+    val c0 = grid.join(joint, Seq("dc", "q"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wqLt = Window.partitionBy(col("dc")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRow = Window.partitionBy(col("dc"))
+    val pre = c0
+      .withColumn("cumQlt", coalesce(sum(col("c")).over(wqLt), lit(0L)))
+      .withColumn("rowTot", sum(col("c")).over(wRow))
+    val wdLt = Window.partitionBy(col("q")).orderBy(col("dc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fg = pre
+      .withColumn("f", coalesce(sum(col("cumQlt")).over(wdLt), lit(0L)))
+      .withColumn("g", coalesce(sum(col("rowTot") - col("cumQlt") -
+        col("c")).over(wdLt), lit(0L)))
+    val pairAg = fg.agg(
+      sum(dec(col("c") * col("f"))).as("ncd"),
+      sum(dec(col("c") * col("g"))).as("ndd"))
+    // tie terms from the marginals, ×2 grid: Σ t·(t−1)
+    val t1 = joint.groupBy(col("dc")).agg(sum(col("c")).as("t"))
+      .agg(sum(dec(col("t") * (col("t") - lit(1L)))).as("n1x2"),
+        sum(dec(col("t"))).as("n"))
+    val t2 = joint.groupBy(col("q")).agg(sum(col("c")).as("t"))
+      .agg(sum(dec(col("t") * (col("t") - lit(1L)))).as("n2x2"))
+    def d(name: String): Column = col(name).cast("double")
+    pairAg.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("n0x2",
+        d("n") * (d("n") - lit(1.0)))
+      .select(col("n").cast("long").as("n"),
+        col("ncd").cast("long").as("n_concordant"),
+        col("ndd").cast("long").as("n_discordant"),
+        round((d("ncd") - d("ndd")) /
+          (sqrt((col("n0x2") - d("n1x2")) / lit(2.0)) *
+            sqrt((col("n0x2") - d("n2x2")) / lit(2.0))), 6)
+          .as("tau_b"))
+  }
+
   /** Q272: CONTINGENCY-TABLE ASSOCIATION between two bounded
     * categoricals — χ², Cramér's V and mutual information in one pass
     * over the cell table (the "is event mix actually shifting by

@@ -482,6 +482,10 @@ class PlanSpec extends SparkSpec {
       // row per distinct measure value — ≤50 for quantities), never
       // corpus rows
       ("Stats.scala", """val rankW = Window.orderBy(col("v"))"""),
+      // q273: the marginal midrank windows run over each variable's
+      // VALUE HISTOGRAM (≤11 discount levels / ≤50 quantities)
+      ("Stats.scala", """val dRankW = Window.orderBy(col("dc"))"""),
+      ("Stats.scala", """val qRankW = Window.orderBy(col("q"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

@@ -76,6 +76,57 @@ class StatsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"z: $got vs $z")
   }
 
+  test("q273 Spearman: perfect monotone = 1, reversal = -1, tie reference") {
+    def li(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
+    def rho(rows: Seq[(Long, Long)]) =
+      Stats.spearmanRho(li(rows), col("x"), col("y"))
+        .select(col("spearman_rho")).as[Double].collect().head
+    assert(rho((1L to 8L).map(v => (v, v * 3))) === 1.0)
+    assert(rho((1L to 8L).map(v => (v, 20 - v))) === -1.0)
+    // brute-force midrank reference on data with ties
+    val data = Seq((1L, 2L), (1L, 5L), (2L, 2L), (3L, 4L), (3L, 4L),
+      (4L, 1L), (4L, 6L), (5L, 6L))
+    def midranks(vs: Seq[Long]): Map[Long, Double] =
+      vs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+    val rx = midranks(data.map(_._1)); val ry = midranks(data.map(_._2))
+    val n = data.size
+    val xs = data.map(d => rx(d._1)); val ys = data.map(d => ry(d._2))
+    val mx = xs.sum / n; val my = ys.sum / n
+    val sxy = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sxx = xs.map(a => (a - mx) * (a - mx)).sum
+    val syy = ys.map(b => (b - my) * (b - my)).sum
+    val want = sxy / math.sqrt(sxx * syy)
+    assert(math.abs(rho(data) - want) < 1e-6, s"rho vs brute: $want")
+  }
+
+  test("q274 Kendall tau-b: monotone = 1, brute-force pair reference with ties") {
+    def li(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
+    def tau(rows: Seq[(Long, Long)]) =
+      Stats.kendallTauB(li(rows), col("x"), col("y"), 1L, 10L)
+        .as[(Long, Long, Long, Double)].collect().head
+    assert(tau((1L to 8L).map(v => (v, v)))._4 === 1.0)
+    assert(tau((1L to 8L).map(v => (v, 9 - v)))._4 === -1.0)
+    val data = Seq((1L, 2L), (1L, 5L), (2L, 2L), (3L, 4L), (3L, 4L),
+      (4L, 1L), (4L, 6L), (5L, 6L), (5L, 2L), (2L, 9L))
+    val got = tau(data)
+    // brute force over all pairs
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    for (i <- data.indices; j <- data.indices if i < j) {
+      val s = (data(i)._1 - data(j)._1) * (data(i)._2 - data(j)._2)
+      if (data(i)._1 == data(j)._1) tx += 1
+      if (data(i)._2 == data(j)._2) ty += 1
+      if (data(i)._1 != data(j)._1 && data(i)._2 != data(j)._2) {
+        if (s > 0) nc += 1 else nd += 1
+      }
+    }
+    val n0 = data.size.toLong * (data.size - 1) / 2
+    val want = (nc - nd).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(got._2 === nc && got._3 === nd, s"pair counts: $got vs $nc/$nd")
+    assert(math.abs(got._4 - want) < 1e-6, s"tau vs brute: $got vs $want")
+  }
+
   test("q272 contingency: independence gives chi2=0, V=0, MI=0; perfect association") {
     // build directly on (a, b) columns — the operator takes Columns
     val ind = (for { a <- Seq("x", "y"); b <- Seq(0L, 1L); _ <- 1 to 5 }
