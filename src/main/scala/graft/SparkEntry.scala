@@ -1356,6 +1356,18 @@ object SparkEntry {
         f.round(f.lit(100.0) * f.col("l_discount")).cast("long"),
         f.col("l_quantity").cast("long"), yMin = 1L, yMax = 50L)
     }),
+    // q275: CUSUM change-point on daily revenue — exact integer
+    // deviations, one day-dimension window, deterministic argmax
+    "q275_cusum" -> ((s, dir) =>
+      Relational.cusumChangePoint(Tables.orders(s, dir))),
+    // q276: truncated binary-kernel EWMA of daily revenue — 16 exact
+    // power-of-two taps via the lag explode-join device
+    "q276_ewma" -> ((s, dir) =>
+      Relational.ewmaDaily(Tables.orders(s, dir))),
+    // q277: Mann-Kendall trend test — pairwise signs over the lag-join
+    // pair set, tie-corrected variance, continuity-corrected z
+    "q277_mann_kendall" -> ((s, dir) =>
+      Relational.mannKendallTrend(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6505,6 +6517,84 @@ object SparkEntry {
         |    / (sqrt((n0x2 - CAST(n1x2 AS DOUBLE)) / 2.0)
         |      * sqrt((n0x2 - CAST(n2x2 AS DOUBLE)) / 2.0)), 6)
         |    AS tau_b
+        |FROM fin""".stripMargin,
+    // q275: the CUSUM chain replayed — exact r·n−S deviations,
+    // running window over the day dimension, deterministic argmax
+    "q275_cusum" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS epoch_day,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(r) AS BIGINT) AS s FROM daily),
+        |cu AS (
+        |  SELECT d.epoch_day, t.n,
+        |    sum(d.r * t.n - t.s) OVER (ORDER BY d.epoch_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cusum
+        |  FROM daily d CROSS JOIN tot t)
+        |SELECT n AS n_days, CAST(epoch_day AS BIGINT)
+        |    AS change_epoch_day,
+        |  round(CAST(cusum AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |    AS cusum_cents
+        |FROM cu
+        |ORDER BY abs(cusum) DESC, epoch_day LIMIT 1""".stripMargin,
+    // q276: the EWMA chain replayed — the 16 power-of-two taps as a
+    // VALUES kernel, exact BIGINT numerators, one mirrored divide
+    "q276_ewma" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |k(lg, w) AS (VALUES (0, 32768), (1, 16384), (2, 8192),
+        |  (3, 4096), (4, 2048), (5, 1024), (6, 512), (7, 256),
+        |  (8, 128), (9, 64), (10, 32), (11, 16), (12, 8), (13, 4),
+        |  (14, 2), (15, 1)),
+        |contrib AS (
+        |  SELECT d.d + k.lg AS d2, CAST(sum(d.r * k.w) AS BIGINT)
+        |    AS num
+        |  FROM daily d CROSS JOIN k GROUP BY 1)
+        |SELECT CAST(a.d AS BIGINT) AS epoch_day, a.r AS revenue_cents,
+        |  round(CAST(c.num AS DOUBLE) / 65536.0, 4) AS ewma_cents
+        |FROM daily a JOIN contrib c ON c.d2 = a.d""".stripMargin,
+    // q277: the Mann-Kendall chain replayed — lag-join pair signs,
+    // tie-corrected variance, continuity-corrected z
+    "q277_mann_kendall" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |pr AS (
+        |  SELECT CAST(sum(CASE WHEN b.r > a.r THEN 1
+        |    WHEN b.r < a.r THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 4001)) AS BIGINT)
+        |              AS lag) l
+        |  JOIN daily b ON b.d = a.d + l.lag),
+        |ti AS (
+        |  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |      AS tiesum,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT r, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1)),
+        |fin AS (
+        |  SELECT s_stat, n,
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 5.0)
+        |      - CAST(tiesum AS DOUBLE)) / 18.0 AS var_s
+        |  FROM pr CROSS JOIN ti)
+        |SELECT n AS n_days, s_stat, round(var_s, 4) AS var_s,
+        |  round(CASE WHEN s_stat > 0
+        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |    WHEN s_stat < 0
+        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |    ELSE 0.0 END, 6) AS z_score
         |FROM fin""".stripMargin,
   )
 

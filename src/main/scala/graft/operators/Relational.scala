@@ -623,6 +623,113 @@ object Relational {
         round(col("sen"), 6).as("sen_slope_cents_per_day"))
   }
 
+  /** Q275: CUSUM CHANGE-POINT over the daily-revenue series — the
+    * classic "did the level shift, and when?" detector: cumulative
+    * sums of deviations from the global mean peak (in magnitude) at
+    * the most likely change day. Deviations stay exact integers
+    * (r·n − S, the q259 device), the running sum rides one window over
+    * the DAY dimension (one row per day — the q90 epoch_day
+    * boundedness argument), and the argmax is a deterministic
+    * TakeOrdered on (|cusum| DESC, day). The reported statistic is
+    * CUSUM/n in cents — one mirrored double divide.
+    */
+  def cusumChangePoint(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("epoch_day"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("r")).as("s"))
+    val w = Window.orderBy(col("epoch_day"))
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("r") * col("n") - col("s"))
+      .withColumn("cusum", sum(col("dev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(abs(col("cusum")).desc, col("epoch_day"))
+      .limit(1)
+      .select(col("n").as("n_days"),
+        col("epoch_day").as("change_epoch_day"),
+        round(col("cusum").cast("double") / col("n").cast("double"), 4)
+          .as("cusum_cents"))
+  }
+
+  /** Q276: EWMA smoothing of daily revenue with a TRUNCATED binary
+    * kernel — exponential decay α = 1/2 cut at 16 taps, so every
+    * weight is the exact integer 2^(15−i) and the smoothed numerator
+    * is an exact BIGINT (missing days contribute zero, the mirrored
+    * convention). Expressed as the lag explode-and-equi-join device
+    * (q259/q263): each day ships 16 weighted contributions to its
+    * forward targets and one aggregation collects them — bounded by
+    * 16·|days|, never fact rows, no self-theta-join anywhere. The
+    * smoothed value is one mirrored divide by 2¹⁶.
+    */
+  def ewmaDaily(orders: DataFrame): DataFrame = {
+    val taps = 16
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val kernel = array((0 until taps).map(i =>
+      struct(lit(i.toLong).as("lag"),
+        lit(1L << (taps - 1 - i)).as("w"))): _*)
+    val contrib = daily
+      .select(col("d"), col("r"), explode(kernel).as("k"))
+      .groupBy((col("d") + col("k.lag")).as("d2"))
+      .agg(sum(col("r") * col("k.w")).as("num"))
+    daily.select(col("d").as("d2"), col("r"))
+      .join(contrib, Seq("d2"))
+      .select(col("d2").as("epoch_day"), col("r").as("revenue_cents"),
+        round(col("num").cast("double") / lit(65536.0), 4)
+          .as("ewma_cents"))
+  }
+
+  /** Q277: MANN–KENDALL TREND TEST on daily revenue — the
+    * nonparametric companion of q263's Theil–Sen slope: S = Σ sign of
+    * all pairwise differences (the same bounded lag-join pair set, no
+    * BNLJ), tie-corrected variance
+    * Var = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, and the
+    * continuity-corrected z. Everything before the final expression is
+    * an exact BIGINT; z is one mirrored CASE + divide.
+    */
+  def mannKendallTrend(orders: DataFrame, maxLagDays: Int = 4000)
+      : DataFrame = {
+    require(maxLagDays >= 1 && maxLagDays <= 100000,
+      s"maxLagDays out of range: $maxLagDays")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val pairs = daily
+      .select(col("d"), col("r"),
+        explode(sequence(lit(1L), lit(maxLagDays.toLong))).as("lag"))
+      .select((col("d") + col("lag")).as("d2"), col("r").as("r1"))
+      .join(daily.select(col("d").as("d2"), col("r").as("r2")),
+        Seq("d2"))
+      .agg(sum(when(col("r2") > col("r1"), lit(1L))
+        .when(col("r2") < col("r1"), lit(-1L))
+        .otherwise(lit(0L))).as("s_stat"))
+    val ties = daily.groupBy(col("r")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - lit(1L)) *
+        (lit(2L) * col("t") + lit(5L))).as("tiesum"),
+        sum(col("t")).as("n"))
+    def d(name: String): Column = col(name).cast("double")
+    pairs.crossJoin(broadcast(ties))
+      .withColumn("var_s",
+        (d("n") * (d("n") - lit(1.0)) * (lit(2.0) * d("n") + lit(5.0)) -
+          d("tiesum")) / lit(18.0))
+      .select(col("n").as("n_days"), col("s_stat"),
+        round(col("var_s"), 4).as("var_s"),
+        round(when(col("s_stat") > 0L,
+            (d("s_stat") - lit(1.0)) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0L,
+            (d("s_stat") + lit(1.0)) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6).as("z_score"))
+  }
+
   /** Q264: GINI COEFFICIENT of revenue concentration across
     * customers — the Lorenz-curve scalar a marketplace-health audit
     * reads next to q124/q143's share tables:

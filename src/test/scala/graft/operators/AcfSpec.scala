@@ -99,6 +99,72 @@ class AcfSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
   }
 
+  test("q275 CUSUM: planted level shift is found at the shift day") {
+    // 40 days at 100, then 40 days at 500: |CUSUM| peaks at day 39
+    val prices = Seq.fill(40)(100.0) ++ Seq.fill(40)(500.0)
+    val got = Relational.cusumChangePoint(series(prices))
+      .as[(Long, Long, Double)].collect().head
+    assert(got._1 === 80L)
+    assert(got._2 === 39L, s"change day: $got")
+    // cusum/n at day 39: 40 days of dev (100-300)*100 cents = -8000
+    assert(got._3 === -800000.0 / 1.0, s"magnitude: $got")
+  }
+
+  test("q276 EWMA: constant series smooths to itself (full windows)") {
+    val got = Relational.ewmaDaily(series(Seq.fill(40)(500.0)))
+      .select(col("epoch_day"), col("ewma_cents"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.length === 40)
+    // day 15 onward has all 16 taps: sum(w)=65535 -> 50000*65535/65536
+    got.filter(_._1 >= 15).foreach { case (_, e) =>
+      assert(math.abs(e - 50000.0 * 65535.0 / 65536.0) < 0.01, s"$e")
+    }
+    // day 0 sees only its own tap: 50000 * 32768 / 65536 = 25000
+    assert(got.head._2 === 25000.0)
+  }
+
+  test("q276 EWMA: hand reference on a short ramp") {
+    val prices = Seq(1.0, 2.0, 3.0, 4.0)
+    val got = Relational.ewmaDaily(series(prices))
+      .select(col("epoch_day"), col("ewma_cents"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val cents = prices.map(p => math.round(100.0 * p))
+    val want = cents.indices.map { t =>
+      val num = (0 to math.min(15, t)).map(i =>
+        cents(t - i) * (1L << (15 - i))).sum
+      BigDecimal(num.toDouble / 65536.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.map(_._2).toSeq === want)
+  }
+
+  test("q277 Mann-Kendall: rising trend z>0, constant z=0, brute S with ties") {
+    val up = Relational.mannKendallTrend(
+      series((0 until 30).map(d => 100.0 + d)))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(up._2 === 30L * 29 / 2 && up._4 > 3.0, s"rising: $up")
+    val const = Relational.mannKendallTrend(
+      series(Seq.fill(20)(500.0)))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(const._2 === 0L && const._4 === 0.0, s"const: $const")
+    // brute-force S and var on a tied series
+    val prices = Seq(5.0, 3.0, 5.0, 8.0, 3.0, 9.0, 5.0, 1.0)
+    val cents = prices.map(p => math.round(100.0 * p))
+    var s = 0L
+    for (i <- cents.indices; j <- cents.indices if i < j)
+      s += java.lang.Long.signum(cents(j) - cents(i))
+    val n = cents.length
+    val tie = cents.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) * (2L * g.size + 5)).sum
+    val varS = (n.toDouble * (n - 1) * (2 * n + 5) - tie) / 18.0
+    val z = if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+    val got = Relational.mannKendallTrend(series(prices))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._2 === s, s"S: $got vs $s")
+    assert(math.abs(got._4 - z) < 1e-6, s"z: $got vs $z")
+  }
+
   test("q260 seasonality: planted weekend spike shows up, flat series = 1.0") {
     // day 0 = 1970-01-01 = Thursday -> dow (d+4)%7: 0=Mon..6=Sun
     val prices = (0 until 70).map { d =>
