@@ -1368,6 +1368,36 @@ object SparkEntry {
     // pair set, tie-corrected variance, continuity-corrected z
     "q277_mann_kendall" -> ((s, dir) =>
       Relational.mannKendallTrend(Tables.orders(s, dir))),
+    // q278: HITS hubs/authorities on the directed customer→supplier
+    // graph — grid-normalized mutual reinforcement, 3 rounds
+    "q278_hits" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          f.col("o_orderkey") === f.col("l_orderkey"))
+        .select(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = e0.select((f.col("c") * f.lit(2L)).as("src"),
+        (f.col("sk") * f.lit(2L) + f.lit(1L)).as("dst"))
+      Graph.hitsScores(edges, "src", "dst", iters = 3)
+        .select(f.when(f.col("node") % 2 === 1, f.lit("supplier"))
+          .otherwise(f.lit("customer")).as("kind"),
+          f.expr("node div 2").as("key"),
+          f.col("hub_score"), f.col("auth_score"))
+    }),
+    // q279: degree assortativity of the undirected customer↔supplier
+    // graph — exact five-moment sums over the doubled edge list
+    "q279_assortativity" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          f.col("o_orderkey") === f.col("l_orderkey"))
+        .select(f.col("o_custkey").as("c"), f.col("l_suppkey").as("sk"))
+        .distinct()
+      Graph.degreeAssortativity(
+        e0.select((f.col("c") * f.lit(2L)).as("u"),
+          (f.col("sk") * f.lit(2L) + f.lit(1L)).as("v")), "u", "v")
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6596,6 +6626,56 @@ object SparkEntry {
         |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
         |    ELSE 0.0 END, 6) AS z_score
         |FROM fin""".stripMargin,
+    // q278: the same 3 grid-normalized HITS rounds unrolled (the q158
+    // discipline — scores live on an exact integer micro-grid)
+    "q278_hits" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (
+         |      SELECT 2 * c AS src, 2 * sk + 1 AS dst FROM e0),
+         |${hitsRoundsSql(3)},
+         |nodes AS (SELECT src AS node FROM e
+         |          UNION SELECT dst FROM e)
+         |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer'
+         |         END AS kind,
+         |       node // 2 AS key,
+         |       CAST(coalesce(h.h, 0) AS BIGINT) AS hub_score,
+         |       CAST(coalesce(a.a, 0) AS BIGINT) AS auth_score
+         |FROM nodes LEFT JOIN h3 h USING (node)
+         |LEFT JOIN a3 a USING (node)""".stripMargin,
+    // q279: the assortativity chain replayed — doubled edge list,
+    // exact five-moment sums, one mirrored Pearson expression
+    "q279_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 2 * c AS src, 2 * sk + 1 AS dst FROM e0
+        |    UNION ALL
+        |    SELECT 2 * sk + 1 AS src, 2 * c AS dst FROM e0)),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY 1),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(a.deg) AS BIGINT) AS su,
+        |    CAST(sum(b.deg) AS BIGINT) AS sv,
+        |    CAST(sum(a.deg * b.deg) AS BIGINT) AS suv,
+        |    CAST(sum(a.deg * a.deg) AS BIGINT) AS suu,
+        |    CAST(sum(b.deg * b.deg) AS BIGINT) AS svv
+        |  FROM e JOIN deg a ON a.id = e.src JOIN deg b ON b.id = e.dst),
+        |fin AS (
+        |  SELECT m,
+        |    CAST(m AS DOUBLE) * CAST(suv AS DOUBLE)
+        |      - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE) AS num,
+        |    sqrt(CAST(m AS DOUBLE) * CAST(suu AS DOUBLE)
+        |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+        |      * sqrt(CAST(m AS DOUBLE) * CAST(svv AS DOUBLE)
+        |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) AS den
+        |  FROM ag)
+        |SELECT m AS m_edges,
+        |  round(CASE WHEN den = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE num / den END, 6) AS assortativity
+        |FROM fin""".stripMargin,
   )
 
   /** q229 oracle generator: WordPiece greedy encode unrolled — per
@@ -7537,6 +7617,35 @@ object SparkEntry {
        |pnodes AS MATERIALIZED (SELECT src AS node FROM e
        |        UNION SELECT dst FROM e),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rnk FROM pnodes),
+       |$rounds""".stripMargin
+  }
+
+  /** q278 oracle generator: HITS mutual-reinforcement rounds over an
+    * already-defined `e(src, dst)` CTE — the exact integer-grid round
+    * a(v) = (Σh·10⁶) div max, h(u) = (Σa·10⁶) div max the engine loop
+    * computes. MATERIALIZED for the q164 reason (each round references
+    * e and the prior scores).
+    */
+  private def hitsRoundsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""ar$t AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS ar
+         |  FROM e JOIN h${t - 1} h ON h.node = e.src GROUP BY 1),
+         |am$t AS (SELECT max(ar) AS am FROM ar$t),
+         |a$t AS MATERIALIZED (
+         |  SELECT node, (ar * 1000000) // am AS a
+         |  FROM ar$t CROSS JOIN am$t),
+         |hr$t AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS hr
+         |  FROM e JOIN a$t a ON a.node = e.dst GROUP BY 1),
+         |hm$t AS (SELECT max(hr) AS hm FROM hr$t),
+         |h$t AS MATERIALIZED (
+         |  SELECT node, (hr * 1000000) // hm AS h
+         |  FROM hr$t CROSS JOIN hm$t)""".stripMargin
+    }.mkString(",\n")
+    s"""h0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h
+       |  FROM e),
        |$rounds""".stripMargin
   }
 

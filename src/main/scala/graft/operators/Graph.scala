@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph centrality — the crawl-frontier/domain-authority
@@ -535,5 +535,119 @@ object Graph {
           (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
             (col("deg") * (col("deg") - 1)).cast("double"))
           .otherwise(lit(0.0)), 6).as("clustering"))
+  }
+
+  /** Q278: HITS hubs & authorities over a directed edge list, `iters`
+    * fixed mutual-reinforcement rounds — the link-analysis DUAL of
+    * q158's PageRank (a good hub points at good authorities; a good
+    * authority is pointed at by good hubs). On the customer→supplier
+    * graph the hub score ranks broad buyers, the authority score
+    * widely-bought-from suppliers.
+    *
+    * Grid semantics (bit-for-bit in both engines): hubs start at 10⁶;
+    * one round is a'(v) = Σ_{u→v} h(u), renormalized to the micro grid
+    * by a(v) = (a'(v)·10⁶) div max(a'), then the mirror step for h via
+    * the transposed sum and its own max — all BIGINT floor division on
+    * non-negative values (max-normalization replaces the L2 norm: same
+    * fixed point ordering, no square roots on the grid). Nodes with no
+    * in-edges score authority 0, no out-edges hub 0.
+    *
+    * Scale design: per round exactly two shuffle joins (scores onto
+    * the persisted edge list) + two aggregations + two 1-row max
+    * broadcasts; score rows never exceed |V|; nothing visits the
+    * driver. Each loop-carried frame is referenced once per round
+    * (linear lineage, the q173 lesson). Magnitude bound: a' ≤
+    * 10⁶·max-indegree — for graphs with 10⁹-degree hubs shrink the
+    * grid a decade; at that point the div renormalization still holds.
+    */
+  def hitsScores(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val ed = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    var hubs = ed.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auths = ed.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(0L))
+    var round = 0
+    while (round < iters) {
+      val aRaw = ed.join(hubs, col("src") === col("node"))
+        .groupBy(col("dst").as("__d")).agg(sum(col("h")).as("ar"))
+      val amax = aRaw.agg(max(col("ar")).as("am"))
+      auths = aRaw.crossJoin(broadcast(amax))
+        .select(col("__d").as("node"),
+          expr("(ar * 1000000) div am").as("a"))
+      val hRaw = ed.join(auths.select(col("node").as("__an"), col("a")),
+          col("dst") === col("__an"))
+        .groupBy(col("src").as("__s")).agg(sum(col("a")).as("hr"))
+      val hmax = hRaw.agg(max(col("hr")).as("hm"))
+      hubs = hRaw.crossJoin(broadcast(hmax))
+        .select(col("__s").as("node"),
+          expr("(hr * 1000000) div hm").as("h"))
+      round += 1
+      if (round % 4 == 0) {
+        hubs = hubs.localCheckpoint()
+        auths = auths.localCheckpoint()
+      }
+    }
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node"))).distinct()
+    val out = nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub_score"),
+        coalesce(col("a"), lit(0L)).as("auth_score"))
+      .localCheckpoint()
+    ed.unpersist()
+    out
+  }
+
+  /** Q279: DEGREE ASSORTATIVITY of an undirected pair graph — the
+    * Pearson correlation of endpoint degrees over all directed edge
+    * orientations (Newman 2002). Negative on hub-and-spoke graphs
+    * (hubs link to leaves), positive on core-periphery ones — the
+    * one-scalar summary of whether heavy nodes cluster. Degrees ride
+    * the doubled edge list via one aggregation; the five moment sums
+    * are exact LONG products in DECIMAL(38,0); r is one mirrored
+    * double expression. Regular graphs (zero degree variance) return
+    * NaN, the statistic's honest answer.
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ag = e
+      .join(deg.select(col("id").as("src"), col("deg").as("du")),
+        Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("du"))).as("su"),
+        sum(dec(col("dv"))).as("sv"),
+        sum(dec(col("du") * col("dv"))).as("suv"),
+        sum(dec(col("du") * col("du"))).as("suu"),
+        sum(dec(col("dv") * col("dv"))).as("svv"))
+    def d(name: String): Column = col(name).cast("double")
+    ag
+      .withColumn("num", d("m") * d("suv") - d("su") * d("sv"))
+      .withColumn("den",
+        sqrt(d("m") * d("suu") - d("su") * d("su")) *
+          sqrt(d("m") * d("svv") - d("sv") * d("sv")))
+      .select(col("m").as("m_edges"),
+        // zero degree variance (regular graph): the statistic is
+        // undefined — emit NaN explicitly (ANSI double division by
+        // zero raises; DuckDB's 0/0 would be NaN anyway)
+        round(when(col("den") === lit(0.0), lit(Double.NaN))
+          .otherwise(col("num") / col("den")), 6).as("assortativity"))
   }
 }
