@@ -1398,6 +1398,16 @@ object SparkEntry {
         e0.select((f.col("c") * f.lit(2L)).as("u"),
           (f.col("sk") * f.lit(2L) + f.lit(1L)).as("v")), "u", "v")
     }),
+    // q280: frequent brand TRIPLES over order baskets — apriori-pruned
+    // level-3 mining, windowless top-k
+    "q280_basket_triples" -> ((s, dir) =>
+      Relational.basketTriples(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+    // q281: Cohen's kappa of the lang-ID heuristic vs the declared
+    // label — chance-corrected agreement, exact integer core
+    "q281_cohen_kappa" -> ((s, dir) =>
+      TextAnalysis.cohenKappa(Tables.documents(s, dir), "text",
+        "lang")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6675,6 +6685,77 @@ object SparkEntry {
         |SELECT m AS m_edges,
         |  round(CASE WHEN den = 0.0 THEN CAST('NaN' AS DOUBLE)
         |    ELSE num / den END, 6) AS assortativity
+        |FROM fin""".stripMargin,
+    // q280: the triple-mining chain replayed — apriori item prune,
+    // two ordered self-joins, support floor, (n DESC, a, b, c) top-k
+    "q280_basket_triples" ->
+      """WITH it0 AS MATERIALIZED (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |ic AS MATERIALIZED (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS c
+        |  FROM it0 GROUP BY 1),
+        |fr AS (SELECT item FROM ic WHERE c >= 3),
+        |it AS MATERIALIZED (
+        |  SELECT okey, item FROM it0 JOIN fr USING (item)),
+        |tr AS (
+        |  SELECT a.item AS a, b.item AS b, c3.item AS c3,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM it a
+        |  JOIN it b ON b.okey = a.okey AND b.item > a.item
+        |  JOIN it c3 ON c3.okey = a.okey AND c3.item > b.item
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+        |tk AS (
+        |  SELECT a, b, c3, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, a, b, c3)
+        |      AS BIGINT) AS rank
+        |  FROM tr QUALIFY rank <= 20)
+        |SELECT t.a AS item_a, t.b AS item_b, t.c3 AS item_c,
+        |  t.n AS n_all, ia.c AS n_a, ib.c AS n_b, ic2.c AS n_c,
+        |  CAST(t.rank AS INTEGER) AS rank
+        |FROM tk t JOIN ic ia ON ia.item = t.a
+        |JOIN ic ib ON ib.item = t.b
+        |JOIN ic ic2 ON ic2.item = t.c3""".stripMargin,
+    // q281: the kappa chain replayed — the q180 classifier CASE, exact
+    // diagonal/margin-product integers, one mirrored divide
+    "q281_cohen_kappa" ->
+      """WITH pred AS MATERIALIZED (
+        |  SELECT lang AS decl,
+        |    CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |         WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        |         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |         ELSE 'es' END AS pred
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|du|que|pas)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|del|que|por|con|para)\b')) AS h_es
+        |    FROM documents)),
+        |cells AS MATERIALIZED (
+        |  SELECT decl, pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN decl = pred THEN n ELSE 0 END)
+        |      AS BIGINT) AS po_num
+        |  FROM cells),
+        |pe AS (
+        |  SELECT CAST(sum(r.rt * c.ct) AS BIGINT) AS pe_num
+        |  FROM (SELECT decl AS k, CAST(sum(n) AS BIGINT) AS rt
+        |        FROM cells GROUP BY 1) r
+        |  JOIN (SELECT pred AS k, CAST(sum(n) AS BIGINT) AS ct
+        |        FROM cells GROUP BY 1) c USING (k)),
+        |fin AS (
+        |  SELECT nn, po_num, pe_num, nn * nn - pe_num AS den
+        |  FROM tot CROSS JOIN pe)
+        |SELECT nn AS n_docs,
+        |  round(CAST(po_num AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS pe,
+        |  round(CASE WHEN den = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(po_num * nn - pe_num AS DOUBLE)
+        |      / CAST(den AS DOUBLE) END, 6) AS kappa
         |FROM fin""".stripMargin,
   )
 

@@ -884,6 +884,57 @@ object Relational {
         (col("pos") + 1).as("rank"))
   }
 
+  /** Q280: FREQUENT TRIPLES over order baskets at brand grain — the
+    * 3-itemset level of q267's pair mining, APRIORI-PRUNED: only items
+    * above the item-support floor enter the triple join (the classic
+    * level-wise candidate cut — on a skewed catalog the prune removes
+    * the long tail BEFORE the quadratic/cubic expansion, which is what
+    * keeps level-3 mining feasible at 100 TB). Triples are two
+    * self-equi-joins on the order key with a<b<c dedup; per-basket
+    * fan-out is C(basket,3), bounded by basket size, never catalog
+    * size. The top-k is the q267 windowless sorted-collect device.
+    */
+  def basketTriples(lineitem: DataFrame, part: DataFrame, k: Int = 20,
+      minItemSupport: Long = 3L, minSupport: Long = 3L): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    val items0 = lineitem.select(col("l_orderkey").as("okey"),
+        col("l_partkey").as("pkey"))
+      .join(part.select(col("p_partkey").as("pkey"),
+        col("p_brand").as("item")), Seq("pkey"))
+      .select(col("okey"), col("item")).distinct()
+    val ic = items0.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val freq = ic.filter(col("c") >= minItemSupport)
+    val items = items0
+      .join(broadcast(freq.select(col("item"))), Seq("item"))
+      .select(col("okey"), col("item"))
+    val triples = items.select(col("okey"), col("item").as("a"))
+      .join(items.select(col("okey"), col("item").as("b")), Seq("okey"))
+      .filter(col("a") < col("b"))
+      .join(items.select(col("okey"), col("item").as("c3")), Seq("okey"))
+      .filter(col("b") < col("c3"))
+      .groupBy(col("a"), col("b"), col("c3"))
+      .agg(count(lit(1)).as("nabc"))
+      .filter(col("nabc") >= minSupport)
+    triples
+      .join(broadcast(ic.select(col("item").as("a"), col("c").as("ca"))),
+        Seq("a"))
+      .join(broadcast(ic.select(col("item").as("b"), col("c").as("cb"))),
+        Seq("b"))
+      .join(broadcast(ic.select(col("item").as("c3"), col("c").as("cc"))),
+        Seq("c3"))
+      .orderBy(col("nabc").desc, col("a"), col("b"), col("c3"))
+      .limit(k)
+      .agg(array_sort(collect_list(struct((-col("nabc")).as("negn"),
+        col("a").as("a"), col("b").as("b"), col("c3").as("c3"),
+        col("nabc").as("nabc"), col("ca").as("ca"), col("cb").as("cb"),
+        col("cc").as("cc")))).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.a").as("item_a"), col("s.b").as("item_b"),
+        col("s.c3").as("item_c"), col("s.nabc").as("n_all"),
+        col("s.ca").as("n_a"), col("s.cb").as("n_b"),
+        col("s.cc").as("n_c"), (col("pos") + 1).as("rank"))
+  }
+
   /** Sketch percentiles (rows-only; error bound spec-asserted vs exact). */
   def approxValuePercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events.groupBy(col("event_type"))

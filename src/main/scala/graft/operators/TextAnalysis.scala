@@ -895,6 +895,44 @@ object TextAnalysis {
         expr("(n * 1000000) div __rt").as("row_ppm"))
   }
 
+  /** Q281: COHEN'S KAPPA between the lang-ID heuristic and the
+    * declared label — the chance-corrected agreement scalar that q180's
+    * confusion matrix begs for (raw accuracy flatters any classifier
+    * on a skewed label mix; κ subtracts the agreement two independent
+    * labelers would reach by chance). Exact integer arithmetic
+    * end-to-end: κ = (po·N − Σ rt·ct) / (N² − Σ rt·ct) over the
+    * diagonal sum and the margin products — ONE mirrored double divide
+    * (plus the po/pe observability columns). One map-only
+    * classification pass into the |langs|²-bounded cell table;
+    * degenerate single-label corpora emit NaN explicitly.
+    */
+  def cohenKappa(docs: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    val cells = docs
+      .select(col(langCol).as("decl"),
+        langIdColumn(col(textCol)).as("pred"))
+      .groupBy(col("decl"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("decl") === col("pred"), col("n"))
+        .otherwise(lit(0L))).as("po_num"))
+    val pe = cells.groupBy(col("decl").as("k")).agg(sum(col("n")).as("rt"))
+      .join(cells.groupBy(col("pred").as("k")).agg(sum(col("n")).as("ct")),
+        Seq("k"))
+      .agg(sum(col("rt") * col("ct")).as("pe_num"))
+    def d(name: String): Column = col(name).cast("double")
+    tot.crossJoin(broadcast(pe))
+      .withColumn("den", col("nn") * col("nn") - col("pe_num"))
+      .select(col("nn").as("n_docs"),
+        round(d("po_num") / d("nn"), 6).as("po"),
+        round(d("pe_num") / (d("nn") * d("nn")), 6).as("pe"),
+        round(when(col("den") === lit(0L), lit(Double.NaN))
+          .otherwise((col("po_num") * col("nn") - col("pe_num"))
+            .cast("double") / col("den").cast("double")), 6)
+          .as("kappa"))
+  }
+
   /** Q183: DOC-LENGTH POWER-LAW FIT — corpus shape diagnostics: bucket
     * document lengths into log₂ bins and fit ln(count) against
     * ln(bin center) with OLS. Web-scale text lengths are roughly

@@ -70,4 +70,53 @@ class IntegrityBasketSpec extends SparkSpec {
     // X-Z / Y-Z pairs exist (support 6) but lift below 2
     got.tail.foreach(r => assert(r._6 < 2.0))
   }
+
+  test("q280: planted triple mined; apriori prune drops rare-item triples") {
+    // X,Y,Z co-occur in 6 baskets; W appears in only 2 (below the
+    // item floor 3) even though {X,Y,W} would have support 2
+    val baskets = (0 until 6).flatMap(o => Seq((o.toLong, "X"),
+      (o.toLong, "Y"), (o.toLong, "Z"))) ++
+      Seq((0L, "W"), (1L, "W")) ++
+      (6 until 10).map(o => (o.toLong, "X"))
+    val li = baskets.zipWithIndex.map { case ((o, b), i) =>
+      (o, i.toLong, b)
+    }.toDF("l_orderkey", "l_partkey", "brand")
+    val part = li.select(col("l_partkey").as("p_partkey"),
+      col("brand").as("p_brand"))
+    val got = Relational.basketTriples(li, part, k = 5,
+      minItemSupport = 3L, minSupport = 2L)
+      .as[(String, String, String, Long, Long, Long, Long, Int)]
+      .collect()
+    assert(got.length === 1, s"exactly the planted triple: ${got.toSeq}")
+    val t = got.head
+    assert((t._1, t._2, t._3, t._4) === (("X", "Y", "Z", 6L)))
+    assert((t._5, t._6, t._7, t._8) === ((10L, 6L, 6L, 1)))
+  }
+
+  test("q281 kappa: perfect agreement = 1, hand reference on a mixed corpus") {
+    def docs(rows: Seq[(String, String)]) =
+      rows.toDF("text", "lang")
+    val en = "the and of to in"; val de = "der und ist nicht ein"
+    val perfect = TextAnalysis.cohenKappa(
+      docs(Seq((en, "en"), (de, "de"), (en, "en"), (de, "de"))),
+      "text", "lang")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(perfect === ((4L, 1.0, 0.5, 1.0)))
+    // mixed: 3 en right, 1 en mislabeled de, 2 de right ->
+    // po = 5/6; rt = {en:4, de:2} pred ct = {en:3, de:3}
+    // pe = (4*3 + 2*3)/36 = 0.5 ; kappa = (5/6 - 1/2)/(1/2) = 2/3
+    val mixed = TextAnalysis.cohenKappa(
+      docs(Seq((en, "en"), (en, "en"), (en, "en"), (en, "de"),
+        (de, "de"), (de, "de"))), "text", "lang")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(mixed._1 === 6L && mixed._2 === BigDecimal(5.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mixed._3 === 0.5)
+    assert(math.abs(mixed._4 - 2.0 / 3) < 1e-6, s"kappa: $mixed")
+    // degenerate: single label and single prediction -> NaN
+    val dg = TextAnalysis.cohenKappa(docs(Seq((en, "en"), (en, "en"))),
+      "text", "lang")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(dg._4.isNaN, s"degenerate: $dg")
+  }
 }
