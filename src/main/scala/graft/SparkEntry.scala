@@ -1408,6 +1408,15 @@ object SparkEntry {
     "q281_cohen_kappa" -> ((s, dir) =>
       TextAnalysis.cohenKappa(Tables.documents(s, dir), "text",
         "lang")),
+    // q282: Kruskal-Wallis H on quantities across return flags —
+    // histogram midranks, exact group rank sums, fold-ordered Σ R²/n
+    "q282_kruskal_wallis" -> ((s, dir) =>
+      Stats.kruskalWallisH(Tables.lineitem(s, dir), "l_returnflag",
+        "l_quantity")),
+    // q283: Durbin-Watson on daily-revenue trend residuals — exact
+    // moment-sum OLS, integer-cent residual grid, day-lag window
+    "q283_durbin_watson" -> ((s, dir) =>
+      Relational.durbinWatson(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6757,6 +6766,85 @@ object SparkEntry {
         |    ELSE CAST(po_num * nn - pe_num AS DOUBLE)
         |      / CAST(den AS DOUBLE) END, 6) AS kappa
         |FROM fin""".stripMargin,
+    // q282: the Kruskal-Wallis chain replayed — histogram midranks,
+    // exact rank sums, the sorted-group fold, mirrored H
+    "q282_kruskal_wallis" ->
+      """WITH joint AS MATERIALIZED (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS MATERIALIZED (
+        |  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM joint GROUP BY 1),
+        |rk AS (
+        |  SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM h),
+        |per AS (
+        |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+        |    CAST(sum(c * r2) AS BIGINT) AS r2g
+        |  FROM joint JOIN rk USING (v) GROUP BY 1),
+        |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tiesum
+        |         FROM h),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    list_reduce(list(CAST(r2g AS DOUBLE) / 2.0
+        |      * (CAST(r2g AS DOUBLE) / 2.0) / CAST(ng AS DOUBLE)
+        |      ORDER BY g), (a, b) -> a + b) AS a
+        |  FROM per),
+        |fin AS (
+        |  SELECT k, n, tiesum,
+        |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * a
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS hraw
+        |  FROM ag CROSS JOIN ties)
+        |SELECT k AS k_groups, n AS n_rows, round(hraw, 6) AS h_stat,
+        |  round(hraw / (1.0 - CAST(tiesum AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(n AS DOUBLE))), 6) AS h_tie_corrected
+        |FROM fin""".stripMargin,
+    // q283: the Durbin-Watson chain replayed — exact moment OLS,
+    // integer-cent residual grid, the day-lag window
+    "q283_durbin_watson" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS epoch_day,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(epoch_day) AS BIGINT) AS sd,
+        |    CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(sum(epoch_day * epoch_day) AS BIGINT) AS sdd,
+        |    CAST(sum(epoch_day * r) AS BIGINT) AS sdr
+        |  FROM daily),
+        |fit AS (
+        |  SELECT n, sd, sr,
+        |    (CAST(n AS DOUBLE) * CAST(sdr AS DOUBLE)
+        |      - CAST(sd AS DOUBLE) * CAST(sr AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS b
+        |  FROM mom),
+        |fit2 AS (
+        |  SELECT n, b,
+        |    (CAST(sr AS DOUBLE) - b * CAST(sd AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a
+        |  FROM fit),
+        |resid AS (
+        |  SELECT d.epoch_day, f.n, f.b,
+        |    CAST(round(CAST(d.r AS DOUBLE)
+        |      - (f.a + f.b * CAST(d.epoch_day AS DOUBLE))) AS BIGINT)
+        |      AS e
+        |  FROM daily d CROSS JOIN fit2 f),
+        |lagd AS (
+        |  SELECT n, b, e, lag(e, 1) OVER (ORDER BY epoch_day) AS ep
+        |  FROM resid)
+        |SELECT CAST(max(n) AS BIGINT) AS n_days,
+        |  round(max(b), 6) AS slope_cents_per_day,
+        |  round(CAST(sum(CASE WHEN ep IS NOT NULL
+        |      THEN (e - ep) * (e - ep) ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(e * e) AS DOUBLE), 6) AS dw_stat
+        |FROM lagd""".stripMargin,
   )
 
   /** q229 oracle generator: WordPiece greedy encode unrolled — per

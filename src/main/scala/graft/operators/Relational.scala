@@ -730,6 +730,55 @@ object Relational {
           .otherwise(lit(0.0)), 6).as("z_score"))
   }
 
+  /** Q283: DURBIN–WATSON AUTOCORRELATION TEST on the residuals of the
+    * daily-revenue trend fit — the "is the trend model missing serial
+    * structure?" companion to q99/q263 (DW ≈ 2 means independent
+    * residuals; → 0 positive autocorrelation, → 4 negative). The OLS
+    * fit comes from exact day/cents moment sums (one mirrored a/b
+    * expression pair); residuals are gridded to integer cents
+    * (round of IEEE-identical doubles — the q255 device) so both
+    * quadratic sums are exact BIGINT products in DECIMAL(38,0), summed
+    * in any order; the lag difference rides the day-dimension window.
+    */
+  def durbinWatson(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("epoch_day"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val mom = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("epoch_day")).as("sd"),
+      sum(dec(col("r"))).as("sr"),
+      sum(dec(col("epoch_day") * col("epoch_day"))).as("sdd"),
+      sum(dec(col("epoch_day") * col("r"))).as("sdr"))
+    def d(name: String): Column = col(name).cast("double")
+    val fit = mom
+      .withColumn("b",
+        (d("n") * d("sdr") - d("sd") * d("sr")) /
+          (d("n") * d("sdd") - d("sd") * d("sd")))
+      .withColumn("a", (d("sr") - col("b") * d("sd")) / d("n"))
+    val w = Window.orderBy(col("epoch_day"))
+    val resid = daily.crossJoin(broadcast(fit))
+      // integer-cent residual grid: identical doubles → identical round
+      .withColumn("e", round(col("r").cast("double") -
+        (col("a") + col("b") * col("epoch_day").cast("double")))
+        .cast("long"))
+      .withColumn("ep", lag(col("e"), 1).over(w))
+    resid.agg(
+        max(col("n")).as("n_days"),
+        max(round(col("b"), 6)).as("slope_cents_per_day"),
+        sum(dec(col("e") * col("e"))).as("see"),
+        sum(when(col("ep").isNotNull,
+          dec((col("e") - col("ep")) * (col("e") - col("ep"))))
+          .otherwise(dec(lit(0L)))).as("sdd2"))
+      .select(col("n_days"), col("slope_cents_per_day"),
+        round(col("sdd2").cast("double") / col("see").cast("double"), 6)
+          .as("dw_stat"))
+  }
+
   /** Q264: GINI COEFFICIENT of revenue concentration across
     * customers — the Lorenz-curve scalar a marketplace-health audit
     * reads next to q124/q143's share tables:

@@ -160,6 +160,54 @@ object Stats {
           sqrt(col("sig2")), 6).as("z_score"))
   }
 
+  /** Q282: KRUSKAL–WALLIS H across all groups of a bounded-domain
+    * measure — the k-group generalization of q271 (the nonparametric
+    * ANOVA): did ANY group shift the distribution, judged on ranks.
+    * Midranks on the ×2 grid from the value histogram (one
+    * PlanSpec-enrolled window over ≤|domain| rows); per-group rank
+    * sums are exact BIGINTs; the only non-integer reduction,
+    * Σ R_g²/n_g, folds over the sorted k-element group list (the q270
+    * device). Both the raw H and the tie-corrected H ride one mirrored
+    * expression each.
+    */
+  def kruskalWallisH(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val joint = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val h = joint.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val rankW = Window.orderBy(col("v"))
+    val ranked = h.withColumn("cumb",
+      coalesce(sum(col("t")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"),
+        (lit(2L) * col("cumb") + col("t") + lit(1L)).as("r2"))
+    val per = joint.join(ranked, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c") * col("r2")).as("r2g"))
+    val ties = h.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))
+    def d(name: String): Column = col(name).cast("double")
+    val ag = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      // Σ (R_g)²/n_g with R_g = r2g/2, folded in sorted group order
+      aggregate(array_sort(collect_list(struct(col("g"),
+          (col("r2g").cast("double") / lit(2.0) *
+            (col("r2g").cast("double") / lit(2.0)) /
+            col("ng").cast("double")).as("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("a"))
+    ag.crossJoin(broadcast(ties))
+      .withColumn("hraw",
+        lit(12.0) / (d("n") * (d("n") + lit(1.0))) * col("a") -
+          lit(3.0) * (d("n") + lit(1.0)))
+      .select(col("k").as("k_groups"), col("n").as("n_rows"),
+        round(col("hraw"), 6).as("h_stat"),
+        round(col("hraw") / (lit(1.0) - d("tiesum") /
+          (d("n") * d("n") * d("n") - d("n"))), 6).as("h_tie_corrected"))
+  }
+
   /** Q273: SPEARMAN RANK CORRELATION between two bounded-domain
     * measures — monotone association robust to the value scales (the
     * "does discount actually track quantity?" audit). Tie-aware

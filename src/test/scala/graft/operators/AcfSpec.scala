@@ -165,6 +165,41 @@ class AcfSpec extends SparkSpec {
     assert(math.abs(got._4 - z) < 1e-6, s"z: $got vs $z")
   }
 
+  test("q283 Durbin-Watson: alternating residuals near 4, smooth drift near 0, brute DW") {
+    // alternating around a flat trend: e flips sign daily -> DW ~ 4
+    val alt = Relational.durbinWatson(
+      series((0 until 60).map(d => if (d % 2 == 0) 400.0 else 600.0)))
+      .as[(Long, Double, Double)].collect().head
+    assert(alt._3 > 3.5, s"alternating: $alt")
+    // one slow sine-ish hump around the trend -> strong positive
+    // autocorrelation, DW near 0
+    val hump = Relational.durbinWatson(
+      series((0 until 60).map(d => 500.0 + (if (d < 30) d else 60 - d))))
+      .as[(Long, Double, Double)].collect().head
+    assert(hump._3 < 0.5, s"hump: $hump")
+    // brute-force reference on a deterministic pseudo-random series
+    val prices = (0 until 50).map(d =>
+      100.0 + ((d * 2654435761L) % 499).toDouble)
+    val got = Relational.durbinWatson(series(prices))
+      .as[(Long, Double, Double)].collect().head
+    val cents = prices.map(p => math.round(100.0 * p))
+    val n = cents.length
+    val days = (0 until n).map(_.toLong)
+    val sd = days.sum; val sr = cents.sum
+    val sdd = days.map(d => d * d).sum
+    val sdr = days.zip(cents).map { case (d, r) => d * r }.sum
+    val b = (n.toDouble * sdr - sd.toDouble * sr.toDouble) /
+      (n.toDouble * sdd - sd.toDouble * sd.toDouble)
+    val a = (sr.toDouble - b * sd.toDouble) / n
+    val e = days.zip(cents).map { case (d, r) =>
+      math.round(r.toDouble - (a + b * d.toDouble)) }
+    val num = (1 until n).map(t =>
+      (e(t) - e(t - 1)).toDouble * (e(t) - e(t - 1))).sum
+    val den = e.map(v => v.toDouble * v).sum
+    assert(got._1 === n.toLong)
+    assert(math.abs(got._3 - num / den) < 1e-5, s"dw: $got vs ${num / den}")
+  }
+
   test("q260 seasonality: planted weekend spike shows up, flat series = 1.0") {
     // day 0 = 1970-01-01 = Thursday -> dow (d+4)%7: 0=Mon..6=Sun
     val prices = (0 until 70).map { d =>

@@ -76,6 +76,35 @@ class StatsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"z: $got vs $z")
   }
 
+  test("q282 Kruskal-Wallis: identical groups H=0; brute reference with ties") {
+    def li(rows: Seq[(String, Long)]) =
+      rows.toDF("l_returnflag", "l_quantity")
+    val same = Stats.kruskalWallisH(
+      li(Seq("A", "B", "C").flatMap(g =>
+        Seq(1L, 2L, 3L).map((g, _)))), "l_returnflag", "l_quantity")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(same._3 === 0.0 && same._4 === 0.0, s"identical: $same")
+    // brute-force H on mixed data with ties
+    val data = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("B", 2L),
+      ("B", 5L), ("B", 7L), ("C", 3L), ("C", 3L), ("C", 9L), ("C", 9L))
+    val got = Stats.kruskalWallisH(li(data), "l_returnflag",
+      "l_quantity").as[(Long, Long, Double, Double)].collect().head
+    val n = data.size
+    val mid = data.map(_._2).sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.size }
+    val byG = data.groupBy(_._1)
+    val a = byG.values.map { g =>
+      val rg = g.map(r => mid(r._2)).sum; rg * rg / g.size
+    }.sum
+    val hraw = 12.0 / (n * (n + 1.0)) * a - 3 * (n + 1.0)
+    val tie = data.map(_._2).groupBy(identity).values
+      .map(g => g.size.toLong * g.size * g.size - g.size).sum
+    val hc = hraw / (1.0 - tie.toDouble / (n.toDouble * n * n - n))
+    assert(got._1 === 3L && got._2 === n.toLong)
+    assert(math.abs(got._3 - hraw) < 1e-6, s"H: $got vs $hraw")
+    assert(math.abs(got._4 - hc) < 1e-6, s"Hc: $got vs $hc")
+  }
+
   test("q273 Spearman: perfect monotone = 1, reversal = -1, tie reference") {
     def li(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
     def rho(rows: Seq[(Long, Long)]) =
