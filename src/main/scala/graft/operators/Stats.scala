@@ -333,9 +333,17 @@ object Stats {
     * fact table is scanned once into the |A|·|B|-bounded cell table.
     */
   def contingencyStats(df: DataFrame, aCol: Column, bCol: Column)
-      : DataFrame = {
-    val cells = df.select(aCol.as("a"), bCol.as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      : DataFrame =
+    contingencyVerdict(df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o")))
+
+  /** The verdict stage of [[contingencyStats]] over an already-built
+    * `(a, b, o)` cell table — separated so the streaming dual
+    * ([[graft.streaming.StreamingStats.contingencyCellsStream]]) can
+    * maintain the cells incrementally and run the same verdict per
+    * micro-batch.
+    */
+  def contingencyVerdict(cells: DataFrame): DataFrame = {
     val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
     val tot = cells.agg(sum(col("o")).as("n"))

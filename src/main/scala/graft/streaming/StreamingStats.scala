@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming dual of the q272 contingency audit: maintain the
+  * (a, b, o) cell table over an unbounded event stream — cell counts
+  * are a sum-monoid, so this is another watermark-free bounded-state
+  * aggregation (the StreamingSketch family): state never exceeds
+  * |A|·|B| cells regardless of stream length. Run in update mode (a
+  * micro-batch re-emits only the cells it touched) or complete mode;
+  * the χ²/Cramér's V/MI verdict
+  * ([[graft.operators.Stats.contingencyVerdict]]) is a bounded
+  * downstream fold — run it per micro-batch in `foreachBatch` or over
+  * the complete-mode table.
+  *
+  * Equivalence contract (StreamingContingencySpec): the latest emitted
+  * cell values equal the batch cell table over everything fed so far,
+  * and the verdict over them equals
+  * [[graft.operators.Stats.contingencyStats]] on the same rows.
+  */
+object StreamingStats {
+
+  /** (a, b, o) over everything seen so far; |A|·|B| bounded state. */
+  def contingencyCellsStream(df: DataFrame, aCol: Column, bCol: Column)
+      : DataFrame =
+    df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("o"))
+}
