@@ -1417,6 +1417,10 @@ object SparkEntry {
     // moment-sum OLS, integer-cent residual grid, day-lag window
     "q283_durbin_watson" -> ((s, dir) =>
       Relational.durbinWatson(Tables.orders(s, dir))),
+    // q284: Huber robust price model — OLS init + 3 IRLS rounds on
+    // the 1e6 weight grid, bounded-influence coefficients
+    "q284_huber_price" -> ((s, dir) =>
+      Regression.huberPriceModel(Tables.lineitem(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5326,6 +5330,9 @@ object SparkEntry {
         |SELECT nl AS n_rows, round(det0 / det, 6) AS b0,
         |  round(det1 / det, 6) AS b1, round(det2 / det, 6) AS b2
         |FROM dets""".stripMargin,
+    // q284: OLS init + three unrolled Huber IRLS rounds + the final
+    // downweight census
+    "q284_huber_price" -> huberOracleSql(rounds = 3),
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact
@@ -7787,6 +7794,95 @@ object SparkEntry {
        |        UNION SELECT dst FROM e),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rnk FROM pnodes),
        |$rounds""".stripMargin
+  }
+
+  /** q284 oracle generator: the Huber IRLS unrolled — OLS init (the
+    * q250 moment/Cramer CTEs), then per round the 1e6-grid weights
+    * from IEEE-identical residual doubles and the weighted Cramer
+    * solve (the same fixed det3 shape, written out verbatim).
+    */
+  private def huberOracleSql(rounds: Int, k: String = "500000.0")
+      : String = {
+    def wCte(r: Int): String =
+      s"""w$r AS MATERIALIZED (
+         |  SELECT d.x1, d.x2, d.y,
+         |    CAST(round(1000000.0 * CASE
+         |      WHEN abs(CAST(d.y AS DOUBLE) - (b.b0
+         |        + b.b1 * CAST(d.x1 AS DOUBLE)
+         |        + b.b2 * CAST(d.x2 AS DOUBLE))) <= $k THEN 1.0
+         |      ELSE $k / abs(CAST(d.y AS DOUBLE) - (b.b0
+         |        + b.b1 * CAST(d.x1 AS DOUBLE)
+         |        + b.b2 * CAST(d.x2 AS DOUBLE))) END) AS BIGINT) AS wg
+         |  FROM d CROSS JOIN hb${r - 1} b)""".stripMargin
+    val wDet = "sw * (sw11 * sw22 - sw12 * sw12) " +
+      "- sw1 * (sw1 * sw22 - sw12 * sw2) + sw2 * (sw1 * sw12 - sw11 * sw2)"
+    def roundCtes(r: Int): String =
+      s"""${wCte(r)},
+         |t$r AS MATERIALIZED (
+         |  SELECT CAST(sum(wg) AS DOUBLE) AS sw,
+         |    CAST(sum(wg * x1) AS DOUBLE) AS sw1,
+         |    CAST(sum(wg * x2) AS DOUBLE) AS sw2,
+         |    CAST(sum(wg * x1 * x1) AS DOUBLE) AS sw11,
+         |    CAST(sum(wg * x1 * x2) AS DOUBLE) AS sw12,
+         |    CAST(sum(wg * x2 * x2) AS DOUBLE) AS sw22,
+         |    CAST(sum(wg * y) AS DOUBLE) AS swy,
+         |    CAST(sum(wg * x1 * y) AS DOUBLE) AS sw1y,
+         |    CAST(sum(wg * x2 * y) AS DOUBLE) AS sw2y
+         |  FROM w$r),
+         |hb$r AS MATERIALIZED (
+         |  SELECT
+         |    (swy * (sw11 * sw22 - sw12 * sw12)
+         |      - sw1 * (sw1y * sw22 - sw12 * sw2y)
+         |      + sw2 * (sw1y * sw12 - sw11 * sw2y)) / ($wDet) AS b0,
+         |    (sw * (sw1y * sw22 - sw12 * sw2y)
+         |      - swy * (sw1 * sw22 - sw12 * sw2)
+         |      + sw2 * (sw1 * sw2y - sw1y * sw2)) / ($wDet) AS b1,
+         |    (sw * (sw11 * sw2y - sw1y * sw12)
+         |      - sw1 * (sw1 * sw2y - sw1y * sw2)
+         |      + swy * (sw1 * sw12 - sw11 * sw2)) / ($wDet) AS b2
+         |  FROM t$r)""".stripMargin
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+       |    CAST(round(100.0 * l_discount) AS BIGINT) AS x2,
+       |    CAST(round(100.0 * l_extendedprice) AS BIGINT) AS y
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(x1) AS DOUBLE) AS s1,
+       |    CAST(sum(x2) AS DOUBLE) AS s2,
+       |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+       |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+       |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+       |    CAST(sum(y) AS DOUBLE) AS sy,
+       |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+       |    CAST(sum(x2 * y) AS DOUBLE) AS s2y
+       |  FROM d),
+       |hb0 AS (
+       |  SELECT
+       |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+       |      + s2 * (s1y * s12 - s11 * s2y))
+       |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       |        + s2 * (s1 * s12 - s11 * s2)) AS b0,
+       |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+       |      + s2 * (s1 * s2y - s1y * s2))
+       |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       |        + s2 * (s1 * s12 - s11 * s2)) AS b1,
+       |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+       |      + sy * (s1 * s12 - s11 * s2))
+       |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       |        + s2 * (s1 * s12 - s11 * s2)) AS b2
+       |  FROM s),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")},
+       |${wCte(rounds + 1)},
+       |fin AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN wg < 1000000 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nd
+       |  FROM w${rounds + 1})
+       |SELECT fin.n AS n_rows, fin.nd AS n_downweighted,
+       |  round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
+       |  round(b.b2, 6) AS b2
+       |FROM fin CROSS JOIN hb$rounds b""".stripMargin
   }
 
   /** q278 oracle generator: HITS mutual-reinforcement rounds over an

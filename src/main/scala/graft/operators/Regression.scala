@@ -341,4 +341,83 @@ object Regression {
       round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
       round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")),
       lambda)
+
+  /** Q284: HUBER ROBUST REGRESSION via IRLS — the M-estimator fit a
+    * pipeline reaches for when q250's OLS chases outliers but q263's
+    * rank methods are too blunt for a multi-feature model: rows with
+    * |residual| ≤ k keep weight 1, heavier ones decay as k/|e|
+    * (bounded influence). Initialized at the unweighted OLS solution
+    * (one scan), then `rounds` reweighted normal-equation solves.
+    *
+    * Cross-engine grid: weights are `round(1e6·min(1, k/|e|))`
+    * integers from IEEE-identical residual doubles (the q254
+    * posterior-grid precedent), so every weighted moment sum is exact
+    * DECIMAL(38,0) over per-row LONG products and the Cramer solve
+    * (the fixed det3 shape, mirrored verbatim) sees identical doubles.
+    *
+    * 100-TB shape: rounds+2 scans, zero shuffles beyond the scalar
+    * aggregation's partial-merge, driver state = 3 doubles.
+    */
+  def huberFit2(d: DataFrame, k: Double = 500000.0, rounds: Int = 3)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    require(k > 0.0 && k.isFinite, s"bad k: $k")
+    val spark = d.sparkSession
+    import spark.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // init: the unweighted OLS solution
+    val m0 = moments(d).map(_.doubleValue())
+    val Array(n0, s1, s2, s11, s12, s22, sy, s1y, s2y) = m0
+    val det = det3(n0, s1, s2, s1, s11, s12, s2, s12, s22)
+    require(det != 0.0, "huberFit2: singular design matrix")
+    var b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    var b1 = det3(n0, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    var b2 = det3(n0, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    def wgCol(cb0: Double, cb1: Double, cb2: Double): Column = {
+      val e = col("y").cast("double") - (lit(cb0) +
+        lit(cb1) * col("x1").cast("double") +
+        lit(cb2) * col("x2").cast("double"))
+      round(lit(1000000.0) * when(abs(e) <= lit(k), lit(1.0))
+        .otherwise(lit(k) / abs(e))).cast("long")
+    }
+    for (_ <- 1 to rounds) {
+      val row = d.select(col("x1"), col("x2"), col("y"),
+          wgCol(b0, b1, b2).as("wg"))
+        .agg(
+          sum(dec(col("wg"))).as("sw"),
+          sum(dec(col("wg") * col("x1"))).as("sw1"),
+          sum(dec(col("wg") * col("x2"))).as("sw2"),
+          sum(dec(col("wg") * col("x1") * col("x1"))).as("sw11"),
+          sum(dec(col("wg") * col("x1") * col("x2"))).as("sw12"),
+          sum(dec(col("wg") * col("x2") * col("x2"))).as("sw22"),
+          sum(dec(col("wg") * col("y"))).as("swy"),
+          sum(dec(col("wg") * col("x1") * col("y"))).as("sw1y"),
+          sum(dec(col("wg") * col("x2") * col("y"))).as("sw2y"))
+        .collect().head
+      val m = Array.tabulate(9)(i => row.getDecimal(i).doubleValue())
+      val Array(sw, sw1, sw2, sw11, sw12, sw22, swy, sw1y, sw2y) = m
+      val dw = det3(sw, sw1, sw2, sw1, sw11, sw12, sw2, sw12, sw22)
+      require(dw != 0.0, "huberFit2: singular IRLS system")
+      b0 = det3(swy, sw1, sw2, sw1y, sw11, sw12, sw2y, sw12, sw22) / dw
+      b1 = det3(sw, swy, sw2, sw1, sw1y, sw12, sw2, sw2y, sw22) / dw
+      b2 = det3(sw, sw1, swy, sw1, sw11, sw1y, sw2, sw12, sw2y) / dw
+    }
+    // final observability pass: how many rows the loss downweighted
+    val fin = d.select(wgCol(b0, b1, b2).as("wg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("wg") < lit(1000000L), lit(1L)).otherwise(lit(0L)))
+          .as("nd"))
+      .collect().head
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((fin.getLong(0), fin.getLong(1), r6(b0), r6(b1), r6(b2)))
+      .toDF("n_rows", "n_downweighted", "b0", "b1", "b2")
+  }
+
+  /** The q284 wrapper: the q250 price model under the Huber loss. */
+  def huberPriceModel(lineitem: DataFrame): DataFrame =
+    huberFit2(lineitem.select(
+      round(col("l_quantity")).cast("long").as("x1"),
+      round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
+      round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")))
 }

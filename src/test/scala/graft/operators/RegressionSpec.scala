@@ -91,6 +91,35 @@ class RegressionSpec extends SparkSpec {
     assert(!rr._3.isNaN && !rr._4.isNaN)
   }
 
+  test("q284 Huber: equals OLS when no residual exceeds k; shrugs off planted outliers") {
+    // exact linear data: every residual 0 <= k -> all weights 1e6,
+    // the IRLS fixed point IS the OLS solution
+    val clean = (for (x1 <- 0L to 9L; x2 <- 0L to 9L)
+      yield (x1, x2, 300L + 2L * x1 + 5L * x2)).toDF("x1", "x2", "y")
+    val hc = Regression.huberFit2(clean, k = 1000.0, rounds = 3)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(hc === ((100L, 0L, 300.0, 2.0, 5.0)))
+    // plant gross outliers spread across feature cells (+100000)
+    val rows = for (x1 <- 0L to 19L; x2 <- 0L to 9L) yield {
+      val base = 300L + 2L * x1 + 5L * x2
+      val out = (x1 + x2) % 7 == 3
+      (x1, x2, if (out) base + 100000L else base, out)
+    }
+    val nOut = rows.count(_._4).toLong
+    val dirty = rows.map(r => (r._1, r._2, r._3)).toDF("x1", "x2", "y")
+    val ols = Regression.olsFit2(dirty)
+      .as[(Long, Double, Double, Double)].collect().head
+    val hub = Regression.huberFit2(dirty, k = 500.0, rounds = 5)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // OLS is dragged by the +1e5 spikes; Huber stays near the truth
+    assert(math.abs(hub._4 - 2.0) < 0.5 && math.abs(hub._5 - 5.0) < 0.5,
+      s"huber slopes: $hub")
+    assert(math.abs(ols._2 - 300.0) > 1000.0,
+      s"ols intercept should be visibly dragged: $ols")
+    assert(hub._2 === nOut,
+      s"exactly the $nOut planted outliers downweighted: $hub")
+  }
+
   test("logistic IRLS matches a straight-line replica and finds a planted direction") {
     // planted: y = 1 iff 2*x1 - x2 + noiseless threshold > 0
     val rows = (for (x1 <- -5L to 5L; x2 <- -5L to 5L)
