@@ -1421,6 +1421,14 @@ object SparkEntry {
     // the 1e6 weight grid, bounded-influence coefficients
     "q284_huber_price" -> ((s, dir) =>
       Regression.huberPriceModel(Tables.lineitem(s, dir))),
+    // q285: Grubbs test on daily revenue — exact integer deviation
+    // argmax, moment variance, one mirrored G
+    "q285_grubbs" -> ((s, dir) =>
+      Relational.grubbsOutlier(Tables.orders(s, dir))),
+    // q286: seasonal-naive MASE — lag-7 forecast MAE scaled by the
+    // lag-1 naive MAE, exact integer error sums on day equi-joins
+    "q286_mase" -> ((s, dir) =>
+      Relational.seasonalNaiveMase(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5333,6 +5341,59 @@ object SparkEntry {
     // q284: OLS init + three unrolled Huber IRLS rounds + the final
     // downweight census
     "q284_huber_price" -> huberOracleSql(rounds = 3),
+    // q285: the Grubbs chain replayed — integer deviation argmax,
+    // exact moment variance, one mirrored G
+    "q285_grubbs" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS epoch_day,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS s,
+        |    CAST(sum(r * r) AS HUGEINT) AS q
+        |  FROM daily),
+        |dv AS (
+        |  SELECT d.epoch_day, t.n, t.s, t.q,
+        |    abs(d.r * t.n - t.s) AS dev
+        |  FROM daily d CROSS JOIN tot t
+        |  ORDER BY dev DESC, epoch_day LIMIT 1)
+        |SELECT n AS n_days, CAST(epoch_day AS BIGINT)
+        |    AS outlier_epoch_day,
+        |  round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |    AS dev_cents,
+        |  round(CAST(dev AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)), 6) AS g_stat
+        |FROM dv""".stripMargin,
+    // q286: the MASE chain replayed — lag-1/lag-7 equi-join error
+    // sums, mirrored MAE ratio
+    "q286_mase" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |e1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(abs(c.r - p.r)) AS BIGINT) AS e1
+        |  FROM daily p JOIN daily c ON c.d = p.d + 1),
+        |e7 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n7,
+        |    CAST(sum(abs(c.r - p.r)) AS BIGINT) AS e7
+        |  FROM daily p JOIN daily c ON c.d = p.d + 7)
+        |SELECT n1 AS n_pairs_1, n7 AS n_pairs_7,
+        |  round(CAST(e1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4)
+        |    AS mae_naive1_cents,
+        |  round(CAST(e7 AS DOUBLE) / CAST(n7 AS DOUBLE), 4)
+        |    AS mae_naive7_cents,
+        |  round((CAST(e7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+        |    / (CAST(e1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)
+        |    AS mase_seasonal
+        |FROM e1 CROSS JOIN e7""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -779,6 +779,68 @@ object Relational {
           .as("dw_stat"))
   }
 
+  /** Q285: GRUBBS OUTLIER TEST on the daily-revenue series — "is the
+    * most extreme day statistically an outlier?", the one-number
+    * companion to q157's window flags: G = max|r−mean| / s over the
+    * day dimension. The max deviation is an exact integer argmax
+    * (|r·n − S|, deterministic (dev DESC, day) tie-break); the
+    * variance comes from exact Σr² / Σr moments; G is one mirrored
+    * double expression.
+    */
+  def grubbsOutlier(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("epoch_day"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("s"),
+      sum(dec(col("r") * col("r"))).as("q"))
+    def d(name: String): Column = col(name).cast("double")
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", abs(col("r") * col("n") - col("s")))
+      .orderBy(col("dev").desc, col("epoch_day"))
+      .limit(1)
+      .select(col("n").as("n_days"),
+        col("epoch_day").as("outlier_epoch_day"),
+        round(d("dev") / d("n"), 4).as("dev_cents"),
+        round(d("dev") / d("n") /
+          sqrt((d("q") - d("s") * d("s") / d("n")) / (d("n") - lit(1.0))),
+          6).as("g_stat"))
+  }
+
+  /** Q286: SEASONAL-NAIVE FORECAST SKILL (MASE) of daily revenue —
+    * does last week predict today better than yesterday does? MAE of
+    * the lag-7 forecast scaled by the in-sample lag-1 naive MAE
+    * (Hyndman's MASE): < 1 means real weekly structure, the go/no-go
+    * a forecasting pipeline checks before fitting anything fancier.
+    * Both error sums are exact integers over lag equi-joins on the
+    * day dimension (only existing day pairs contribute — gap
+    * behavior identical in both engines); the ratio is one mirrored
+    * expression.
+    */
+  def seasonalNaiveMase(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    def lagErr(lagDays: Int): DataFrame = daily
+      .select((col("d") + lit(lagDays.toLong)).as("d2"),
+        col("r").as("rp"))
+      .join(daily.select(col("d").as("d2"), col("r").as("rc")),
+        Seq("d2"))
+      .agg(count(lit(1)).as(s"n$lagDays"),
+        sum(abs(col("rc") - col("rp"))).as(s"e$lagDays"))
+    def d(name: String): Column = col(name).cast("double")
+    lagErr(1).crossJoin(broadcast(lagErr(7)))
+      .select(col("n1").as("n_pairs_1"), col("n7").as("n_pairs_7"),
+        round(d("e1") / d("n1"), 4).as("mae_naive1_cents"),
+        round(d("e7") / d("n7"), 4).as("mae_naive7_cents"),
+        round((d("e7") / d("n7")) / (d("e1") / d("n1")), 6)
+          .as("mase_seasonal"))
+  }
+
   /** Q264: GINI COEFFICIENT of revenue concentration across
     * customers — the Lorenz-curve scalar a marketplace-health audit
     * reads next to q124/q143's share tables:

@@ -200,6 +200,40 @@ class AcfSpec extends SparkSpec {
     assert(math.abs(got._3 - num / den) < 1e-5, s"dw: $got vs ${num / den}")
   }
 
+  test("q285 Grubbs: planted spike located, G matches a brute reference") {
+    val prices = (0 until 50).map(d =>
+      if (d == 31) 5000.0 else 500.0 + (d % 5))
+    val got = Relational.grubbsOutlier(series(prices))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 === 50L && got._2 === 31L, s"located: $got")
+    val cents = prices.map(p => math.round(100.0 * p))
+    val n = cents.length
+    val mean = cents.sum.toDouble / n
+    val dev = cents.map(c => math.abs(c - mean)).max
+    val s2 = cents.map(c => (c - mean) * (c - mean)).sum / (n - 1.0)
+    assert(math.abs(got._4 - dev / math.sqrt(s2)) < 1e-4,
+      s"G: $got vs ${dev / math.sqrt(s2)}")
+  }
+
+  test("q286 MASE: strong weekly cycle scores << 1, white-ish series ~ 1") {
+    // perfect period-7 series: lag-7 error 0 -> mase 0
+    val weekly = (0 until 70).map(d => 100.0 * (1 + d % 7))
+    val got = Relational.seasonalNaiveMase(series(weekly))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 === 69L && got._2 === 63L)
+    assert(got._4 === 0.0 && got._5 === 0.0, s"periodic: $got")
+    // deterministic pseudo-random with avalanche mixing (a plain
+    // linear-congruential walk has near-constant lag-1 steps, which
+    // would fake lag-1 skill): no weekly structure -> mase near 1
+    val noise = (0 until 70).map { d =>
+      val h = d * 0x9E3779B97F4A7C15L
+      100.0 + (((h ^ (h >>> 31)) & 0x7fffffffL) % 997L).toDouble
+    }
+    val flat = Relational.seasonalNaiveMase(series(noise))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(flat._5 > 0.6 && flat._5 < 1.5, s"no structure: $flat")
+  }
+
   test("q260 seasonality: planted weekend spike shows up, flat series = 1.0") {
     // day 0 = 1970-01-01 = Thursday -> dow (d+4)%7: 0=Mon..6=Sun
     val prices = (0 until 70).map { d =>
