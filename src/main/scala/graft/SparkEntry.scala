@@ -1429,6 +1429,10 @@ object SparkEntry {
     // lag-1 naive MAE, exact integer error sums on day equi-joins
     "q286_mase" -> ((s, dir) =>
       Relational.seasonalNaiveMase(Tables.orders(s, dir))),
+    // q287: Jarque-Bera normality of daily revenue — exact coarse
+    // raw moments, mirrored skew/kurtosis/JB chain
+    "q287_jarque_bera" -> ((s, dir) =>
+      Relational.jarqueBera(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5394,6 +5398,46 @@ object SparkEntry {
         |    / (CAST(e1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)
         |    AS mase_seasonal
         |FROM e1 CROSS JOIN e7""".stripMargin,
+    // q287: the Jarque-Bera chain replayed — floor-div coarse units,
+    // exact raw moments, mirrored central-moment chain
+    "q287_jarque_bera" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |    AS BIGINT) // 10000 AS rs
+        |  FROM orders
+        |  GROUP BY datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE))),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rs) AS BIGINT) AS m1,
+        |    CAST(sum(rs * rs) AS BIGINT) AS q2,
+        |    CAST(sum(rs * rs * rs) AS BIGINT) AS q3,
+        |    CAST(sum(rs * rs * rs * rs) AS HUGEINT) AS q4
+        |  FROM daily),
+        |c1 AS (
+        |  SELECT n, CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    q2, q3, q4
+        |  FROM mom),
+        |c2 AS (
+        |  SELECT n, mu,
+        |    CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu AS m2,
+        |    CAST(q3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3.0 * mu * (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2.0 * mu * mu * mu AS m3,
+        |    CAST(q4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 4.0 * mu * (CAST(q3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 6.0 * mu * mu * (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT n, m3 / (sqrt(m2) * m2) AS sk,
+        |    m4 / (m2 * m2) - 3.0 AS ku
+        |  FROM c2)
+        |SELECT n AS n_days, round(sk, 6) AS skewness,
+        |  round(ku, 6) AS excess_kurtosis,
+        |  round(CAST(n AS DOUBLE) / 6.0 * (sk * sk + ku * ku / 4.0), 4)
+        |    AS jb_stat
+        |FROM c3""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

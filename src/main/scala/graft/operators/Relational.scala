@@ -841,6 +841,51 @@ object Relational {
           .as("mase_seasonal"))
   }
 
+  /** Q287: JARQUE–BERA NORMALITY TEST on daily revenue — the
+    * skewness/kurtosis gate a forecaster checks before trusting any
+    * z-threshold (q157's anomaly windows assume roughly normal days;
+    * this is the test of that assumption). Days are coarsened to
+    * 10⁴-cent units by FLOOR DIVISION (mirrored `div`/`//`) so the
+    * fourth-power per-row products stay far inside LONG; all four raw
+    * moments are exact DECIMAL(38,0) sums, and the central-moment /
+    * skew / kurtosis / JB chain is mirrored double arithmetic over
+    * those five scalars.
+    */
+  def jarqueBera(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+      .select(expr("r div 10000").as("rs"))
+    val mom = daily.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("rs"))).as("m1"),
+      sum(dec(col("rs") * col("rs"))).as("q2"),
+      sum(dec(col("rs") * col("rs") * col("rs"))).as("q3"),
+      sum(dec(col("rs") * col("rs") * col("rs") * col("rs"))).as("q4"))
+    def d(name: String): Column = col(name).cast("double")
+    mom
+      .withColumn("mu", d("m1") / d("n"))
+      .withColumn("m2", d("q2") / d("n") - col("mu") * col("mu"))
+      .withColumn("m3", d("q3") / d("n") -
+        lit(3.0) * col("mu") * (d("q2") / d("n")) +
+        lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", d("q4") / d("n") -
+        lit(4.0) * col("mu") * (d("q3") / d("n")) +
+        lit(6.0) * col("mu") * col("mu") * (d("q2") / d("n")) -
+        lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("sk", col("m3") / (sqrt(col("m2")) * col("m2")))
+      .withColumn("ku", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+      .select(col("n").as("n_days"),
+        round(col("sk"), 6).as("skewness"),
+        round(col("ku"), 6).as("excess_kurtosis"),
+        round(d("n") / lit(6.0) *
+          (col("sk") * col("sk") + col("ku") * col("ku") / lit(4.0)), 4)
+          .as("jb_stat"))
+  }
+
   /** Q264: GINI COEFFICIENT of revenue concentration across
     * customers — the Lorenz-curve scalar a marketplace-health audit
     * reads next to q124/q143's share tables:

@@ -234,6 +234,36 @@ class AcfSpec extends SparkSpec {
     assert(flat._5 > 0.6 && flat._5 < 1.5, s"no structure: $flat")
   }
 
+  test("q287 Jarque-Bera: symmetric series skew=0; brute moments match") {
+    // symmetric two-level series (values in 1e4-cent units: 100/300)
+    val sym = Relational.jarqueBera(
+      series((0 until 40).map(d => if (d % 2 == 0) 10000.0 else 30000.0)))
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(sym._2 === 0.0, s"symmetric skew: $sym")
+    // skewed series vs brute-force reference (coarse 1e4-cent units)
+    val prices = (0 until 60).map { d =>
+      val h = d * 0x9E3779B97F4A7C15L
+      val u = ((h ^ (h >>> 31)) & 0x7fffffffL) % 100L
+      (10000L + u * u * 3L).toDouble // right-skewed
+    }
+    val got = Relational.jarqueBera(series(prices))
+      .as[(Long, Double, Double, Double)].collect().head
+    val rs = prices.map(p => math.round(100.0 * p) / 10000L)
+    val n = rs.length.toDouble
+    val mu = rs.sum / n
+    val m2 = rs.map(v => math.pow(v - mu, 2)).sum / n
+    val m3 = rs.map(v => math.pow(v - mu, 3)).sum / n
+    val m4 = rs.map(v => math.pow(v - mu, 4)).sum / n
+    val sk = m3 / math.pow(m2, 1.5)
+    val ku = m4 / (m2 * m2) - 3.0
+    val jb = n / 6.0 * (sk * sk + ku * ku / 4.0)
+    assert(got._1 === 60L)
+    assert(math.abs(got._2 - sk) < 1e-5, s"skew: $got vs $sk")
+    assert(math.abs(got._3 - ku) < 1e-5, s"kurt: $got vs $ku")
+    assert(math.abs(got._4 - jb) < 1e-2, s"jb: $got vs $jb")
+    assert(got._2 > 0.1, s"right-skewed by construction: $got")
+  }
+
   test("q260 seasonality: planted weekend spike shows up, flat series = 1.0") {
     // day 0 = 1970-01-01 = Thursday -> dow (d+4)%7: 0=Mon..6=Sun
     val prices = (0 until 70).map { d =>
