@@ -1433,6 +1433,11 @@ object SparkEntry {
     // raw moments, mirrored skew/kurtosis/JB chain
     "q287_jarque_bera" -> ((s, dir) =>
       Relational.jarqueBera(Tables.orders(s, dir))),
+    // q288: Brown-Forsythe spread-equality across priorities — F on
+    // absolute deviations from exact per-group medians
+    "q288_brown_forsythe" -> ((s, dir) =>
+      Stats.brownForsythe(Tables.orders(s, dir), "o_orderpriority",
+        "o_totalprice")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5438,6 +5443,43 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / 6.0 * (sk * sk + ku * ku / 4.0), 4)
         |    AS jb_stat
         |FROM c3""".stripMargin,
+    // q288: the Brown-Forsythe chain replayed — percentile_disc group
+    // medians, |c − med| deviations, the q270 F chain verbatim
+    "q288_brown_forsythe" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(100.0 * o_totalprice) AS BIGINT) AS c
+        |  FROM orders),
+        |med AS (
+        |  SELECT g, percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+        |    AS med
+        |  FROM base GROUP BY 1),
+        |z AS MATERIALIZED (
+        |  SELECT b.g, abs(b.c - m.med) AS c
+        |  FROM base b JOIN med m USING (g)),
+        |per AS MATERIALIZED (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(c) AS BIGINT) AS sg,
+        |    sum(c * c) AS qg
+        |  FROM z GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s, sum(qg) AS q,
+        |    list_reduce(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) ORDER BY g), (a, b) -> a + b) AS a
+        |  FROM per),
+        |fin AS (
+        |  SELECT k, n,
+        |    a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(q AS DOUBLE) - a AS ssw
+        |  FROM tot)
+        |SELECT k AS k_groups, n AS n_rows,
+        |  round(ssb / (CAST(k AS DOUBLE) - 1.0)
+        |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM fin""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

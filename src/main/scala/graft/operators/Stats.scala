@@ -89,7 +89,15 @@ object Stats {
   def anovaF(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     val c = round(lit(100.0) * col(valueCol)).cast("long")
-    val per = df.select(col(groupCol).as("g"), c.as("c"))
+    anovaFCore(df.select(col(groupCol).as("g"), c.as("c")))
+  }
+
+  /** The F machinery over a pre-gridded `(g, c)` frame — shared by
+    * [[anovaF]] (cents of a measure) and [[brownForsythe]] (absolute
+    * median deviations).
+    */
+  private def anovaFCore(gc: DataFrame): DataFrame = {
+    val per = gc
       .groupBy(col("g"))
       .agg(count(lit(1)).as("ng"),
         sum(col("c")).as("sg"),
@@ -158,6 +166,27 @@ object Stats {
         round(d("u1x2") / lit(2.0), 2).as("u_a"),
         round((d("u1x2") / lit(2.0) - d("n1") * d("n2") / lit(2.0)) /
           sqrt(col("sig2")), 6).as("z_score"))
+  }
+
+  /** Q288: BROWN–FORSYTHE VARIANCE-EQUALITY TEST — Levene's test with
+    * the median center: do the groups merely differ in LEVEL (what
+    * q270 tests) or also in SPREAD? The one-way F applied to absolute
+    * deviations from each group's median — the robust variant that
+    * survives the heavy tails q287 diagnoses. Group medians are exact
+    * `percentile_disc` elements (actual cents values, identical
+    * selection in both engines — the q263 precedent), broadcast back
+    * onto the facts; the deviations are exact LONGs, and the F
+    * machinery is [[anovaF]]'s core verbatim.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      round(lit(100.0) * col(valueCol)).cast("long").as("c"))
+    val med = base.groupBy(col("g"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .as("med"))
+    anovaFCore(base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("c") - col("med")).as("c")))
   }
 
   /** Q282: KRUSKAL–WALLIS H across all groups of a bounded-domain

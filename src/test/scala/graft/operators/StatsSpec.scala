@@ -76,6 +76,36 @@ class StatsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"z: $got vs $z")
   }
 
+  test("q288 Brown-Forsythe: equal spreads F~0, planted spread found, brute F") {
+    // identical deviation structure in every group -> F = 0
+    val same = Stats.brownForsythe(
+      groups(Seq(1.0, 2.0, 3.0), Seq(11.0, 12.0, 13.0)), "g", "x")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(same._3 === 0.0, s"equal spreads: $same")
+    // group B spread 10x wider; brute reference with the disc median
+    // (smallest value with cume_dist >= 0.5)
+    val a = Seq(10.0, 11.0, 12.0, 13.0, 14.0)
+    val b = Seq(10.0, 30.0, 50.0, 70.0, 90.0)
+    val got = Stats.brownForsythe(groups(a, b), "g", "x")
+      .as[(Long, Long, Double, Double)].collect().head
+    def discMedian(vs: Seq[Long]): Long =
+      vs.sorted.apply((vs.size + 1) / 2 - 1)
+    val ca = a.map(v => math.round(100.0 * v))
+    val cb = b.map(v => math.round(100.0 * v))
+    val za = ca.map(v => math.abs(v - discMedian(ca)))
+    val zb = cb.map(v => math.abs(v - discMedian(cb)))
+    val all = za ++ zb
+    val gm = all.sum.toDouble / all.size
+    val ssb = za.size * math.pow(za.sum.toDouble / za.size - gm, 2) +
+      zb.size * math.pow(zb.sum.toDouble / zb.size - gm, 2)
+    val ssw = za.map(v => math.pow(v - za.sum.toDouble / za.size, 2)).sum +
+      zb.map(v => math.pow(v - zb.sum.toDouble / zb.size, 2)).sum
+    val f = (ssb / 1) / (ssw / (all.size - 2))
+    assert(got._1 === 2L && got._2 === 10L)
+    assert(math.abs(got._3 - f) < 1e-4, s"F: $got vs $f")
+    assert(got._3 > 5.0, s"spread difference should be loud: $got")
+  }
+
   test("q282 Kruskal-Wallis: identical groups H=0; brute reference with ties") {
     def li(rows: Seq[(String, Long)]) =
       rows.toDF("l_returnflag", "l_quantity")
