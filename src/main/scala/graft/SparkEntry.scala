@@ -5404,21 +5404,28 @@ object SparkEntry {
         |    AS mase_seasonal
         |FROM e1 CROSS JOIN e7""".stripMargin,
     // q287: the Jarque-Bera chain replayed — floor-div coarse units,
-    // exact raw moments, mirrored central-moment chain
+    // floor-mean anchoring, exact anchored moments, mirrored
+    // central-moment chain
     "q287_jarque_bera" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
-        |    AS BIGINT) // 10000 AS rs
+        |    AS BIGINT) // 100000 AS rs
         |  FROM orders
         |  GROUP BY datediff('day', DATE '1970-01-01',
         |    CAST(o_orderdate AS DATE))),
+        |anchor AS (
+        |  SELECT CAST(sum(rs) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS a0
+        |  FROM daily),
+        |dev AS (
+        |  SELECT d.rs - a.a0 AS dv FROM daily d CROSS JOIN anchor a),
         |mom AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(rs) AS BIGINT) AS m1,
-        |    CAST(sum(rs * rs) AS BIGINT) AS q2,
-        |    CAST(sum(rs * rs * rs) AS BIGINT) AS q3,
-        |    CAST(sum(rs * rs * rs * rs) AS HUGEINT) AS q4
-        |  FROM daily),
+        |    CAST(sum(dv) AS BIGINT) AS m1,
+        |    CAST(sum(dv * dv) AS BIGINT) AS q2,
+        |    CAST(sum(dv * dv * dv) AS BIGINT) AS q3,
+        |    CAST(sum(dv * dv * dv * dv) AS HUGEINT) AS q4
+        |  FROM dev),
         |c1 AS (
         |  SELECT n, CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
         |    q2, q3, q4

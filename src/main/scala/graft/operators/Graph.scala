@@ -555,8 +555,12 @@ object Graph {
     * Scale design: per round exactly two shuffle joins (scores onto
     * the persisted edge list) + two aggregations + two 1-row max
     * broadcasts; score rows never exceed |V|; nothing visits the
-    * driver. Each loop-carried frame is referenced once per round
-    * (linear lineage, the q173 lesson). Magnitude bound: a' ≤
+    * driver. The raw score tables are PINNED each round
+    * ([[Pinning.pin]] — localCheckpoint locally, reliable checkpoint
+    * under `spark.graft.reliableCheckpointDir`): each is consumed by
+    * both its max and the renormalization, and an unpinned
+    * double-reference doubles the plan tree per round (the q173
+    * lesson). Magnitude bound: a' ≤
     * 10⁶·max-indegree — for graphs with 10⁹-degree hubs shrink the
     * grid a decade; at that point the div renormalization still holds.
     */
@@ -571,24 +575,26 @@ object Graph {
       .withColumn("a", lit(0L))
     var round = 0
     while (round < iters) {
-      val aRaw = ed.join(hubs, col("src") === col("node"))
-        .groupBy(col("dst").as("__d")).agg(sum(col("h")).as("ar"))
+      // each raw score table is referenced TWICE (its max + the
+      // renormalization), so it must be pinned — an unpinned frame
+      // doubles the plan tree per reference per round (the q173
+      // lesson; measured 86 s vs 2 s at sf0.1 for 3 rounds)
+      val aRaw = Pinning.pin(
+        ed.join(hubs, col("src") === col("node"))
+          .groupBy(col("dst").as("__d")).agg(sum(col("h")).as("ar")))
       val amax = aRaw.agg(max(col("ar")).as("am"))
       auths = aRaw.crossJoin(broadcast(amax))
         .select(col("__d").as("node"),
           expr("(ar * 1000000) div am").as("a"))
-      val hRaw = ed.join(auths.select(col("node").as("__an"), col("a")),
-          col("dst") === col("__an"))
-        .groupBy(col("src").as("__s")).agg(sum(col("a")).as("hr"))
+      val hRaw = Pinning.pin(
+        ed.join(auths.select(col("node").as("__an"), col("a")),
+            col("dst") === col("__an"))
+          .groupBy(col("src").as("__s")).agg(sum(col("a")).as("hr")))
       val hmax = hRaw.agg(max(col("hr")).as("hm"))
       hubs = hRaw.crossJoin(broadcast(hmax))
         .select(col("__s").as("node"),
           expr("(hr * 1000000) div hm").as("h"))
       round += 1
-      if (round % 4 == 0) {
-        hubs = hubs.localCheckpoint()
-        auths = auths.localCheckpoint()
-      }
     }
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node"))).distinct()

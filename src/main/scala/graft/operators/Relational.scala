@@ -845,11 +845,17 @@ object Relational {
     * skewness/kurtosis gate a forecaster checks before trusting any
     * z-threshold (q157's anomaly windows assume roughly normal days;
     * this is the test of that assumption). Days are coarsened to
-    * 10⁴-cent units by FLOOR DIVISION (mirrored `div`/`//`) so the
-    * fourth-power per-row products stay far inside LONG; all four raw
-    * moments are exact DECIMAL(38,0) sums, and the central-moment /
-    * skew / kurtosis / JB chain is mirrored double arithmetic over
-    * those five scalars.
+    * 10⁵-cent ($1000) units by FLOOR DIVISION (mirrored `div`/`//`)
+    * and then ANCHORED at the integer floor-mean before the power
+    * sums — fourth powers of raw values outgrow LONG as soon as a
+    * day's revenue passes ~$550k (the sf0.1 bench caught exactly
+    * that), while fourth powers of DEVIATIONS are bounded by the
+    * series' spread⁴, which buys decades of headroom. All four
+    * anchored moments are exact DECIMAL(38,0) sums; the mean-shift /
+    * central-moment / skew / kurtosis / JB chain is mirrored double
+    * arithmetic over those five scalars (central moments around the
+    * mean equal central moments of the anchored deviations around
+    * their own mean d = Σdv/n).
     */
   def jarqueBera(orders: DataFrame): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -858,13 +864,18 @@ object Relational {
         .cast("long").as("d"))
       .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
         .as("r"))
-      .select(expr("r div 10000").as("rs"))
-    val mom = daily.agg(
+      .select(expr("r div 100000").as("rs"))
+    val anchor = daily.agg(count(lit(1)).as("an"),
+        sum(col("rs")).as("s0"))
+      .select(expr("s0 div an").as("a0"))
+    val dev = daily.crossJoin(broadcast(anchor))
+      .select((col("rs") - col("a0")).as("dv"))
+    val mom = dev.agg(
       count(lit(1)).as("n"),
-      sum(dec(col("rs"))).as("m1"),
-      sum(dec(col("rs") * col("rs"))).as("q2"),
-      sum(dec(col("rs") * col("rs") * col("rs"))).as("q3"),
-      sum(dec(col("rs") * col("rs") * col("rs") * col("rs"))).as("q4"))
+      sum(dec(col("dv"))).as("m1"),
+      sum(dec(col("dv") * col("dv"))).as("q2"),
+      sum(dec(col("dv") * col("dv") * col("dv"))).as("q3"),
+      sum(dec(col("dv") * col("dv") * col("dv") * col("dv"))).as("q4"))
     def d(name: String): Column = col(name).cast("double")
     mom
       .withColumn("mu", d("m1") / d("n"))

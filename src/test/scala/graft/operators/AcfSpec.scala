@@ -235,7 +235,7 @@ class AcfSpec extends SparkSpec {
   }
 
   test("q287 Jarque-Bera: symmetric series skew=0; brute moments match") {
-    // symmetric two-level series (values in 1e4-cent units: 100/300)
+    // symmetric two-level series (10/30 in the $1000 coarse units)
     val sym = Relational.jarqueBera(
       series((0 until 40).map(d => if (d % 2 == 0) 10000.0 else 30000.0)))
       .as[(Long, Double, Double, Double)].collect().head
@@ -248,7 +248,7 @@ class AcfSpec extends SparkSpec {
     }
     val got = Relational.jarqueBera(series(prices))
       .as[(Long, Double, Double, Double)].collect().head
-    val rs = prices.map(p => math.round(100.0 * p) / 10000L)
+    val rs = prices.map(p => math.round(100.0 * p) / 100000L)
     val n = rs.length.toDouble
     val mu = rs.sum / n
     val m2 = rs.map(v => math.pow(v - mu, 2)).sum / n
