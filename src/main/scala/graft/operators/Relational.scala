@@ -612,8 +612,12 @@ object Relational {
         explode(sequence(lit(1L), lit(maxLagDays.toLong))).as("lag"))
       .select((col("d") + col("lag")).as("d2"), col("d").as("d1"),
         col("r").as("r1"))
-      .join(daily.select(col("d").as("d2"), col("r").as("r2")),
-        Seq("d2"))
+      // the day table is dimension-bounded by construction: broadcast
+      // it — at larger SFs Catalyst's pre-aggregation size estimate
+      // stops choosing broadcast and sort-merges the exploded side
+      // (measured 16.5 s vs ~3 s at sf0.1)
+      .join(broadcast(daily.select(col("d").as("d2"),
+        col("r").as("r2"))), Seq("d2"))
       .select(((col("r2") - col("r1")).cast("double") /
         (col("d2") - col("d1")).cast("double")).as("slope"))
     slopes.agg(count(lit(1)).as("n_pairs"),
@@ -680,7 +684,7 @@ object Relational {
       .groupBy((col("d") + col("k.lag")).as("d2"))
       .agg(sum(col("r") * col("k.w")).as("num"))
     daily.select(col("d").as("d2"), col("r"))
-      .join(contrib, Seq("d2"))
+      .join(broadcast(contrib), Seq("d2"))
       .select(col("d2").as("epoch_day"), col("r").as("revenue_cents"),
         round(col("num").cast("double") / lit(65536.0), 4)
           .as("ewma_cents"))
@@ -707,8 +711,9 @@ object Relational {
       .select(col("d"), col("r"),
         explode(sequence(lit(1L), lit(maxLagDays.toLong))).as("lag"))
       .select((col("d") + col("lag")).as("d2"), col("r").as("r1"))
-      .join(daily.select(col("d").as("d2"), col("r").as("r2")),
-        Seq("d2"))
+      // day-dimension broadcast, the q263 argument
+      .join(broadcast(daily.select(col("d").as("d2"),
+        col("r").as("r2"))), Seq("d2"))
       .agg(sum(when(col("r2") > col("r1"), lit(1L))
         .when(col("r2") < col("r1"), lit(-1L))
         .otherwise(lit(0L))).as("s_stat"))
@@ -828,8 +833,9 @@ object Relational {
     def lagErr(lagDays: Int): DataFrame = daily
       .select((col("d") + lit(lagDays.toLong)).as("d2"),
         col("r").as("rp"))
-      .join(daily.select(col("d").as("d2"), col("r").as("rc")),
-        Seq("d2"))
+      // day-dimension broadcast, the q263 argument
+      .join(broadcast(daily.select(col("d").as("d2"),
+        col("r").as("rc"))), Seq("d2"))
       .agg(count(lit(1)).as(s"n$lagDays"),
         sum(abs(col("rc") - col("rp"))).as(s"e$lagDays"))
     def d(name: String): Column = col(name).cast("double")
