@@ -24,6 +24,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+def align_date_dtypes(s: pd.DataFrame, d: pd.DataFrame):
+    """date32 parquet columns land as object(datetime.date) on one side
+    while the other engine yields datetime64[ns] — same calendar values,
+    different pandas dtype kind, producing a permanent WARN per date
+    column. Convert the datetime64 side to plain dates when (a) the
+    other side holds date objects and (b) every timestamp is midnight,
+    so both the dtype check and the stringified compare see one
+    representation. Any genuine value drift still fails the compare."""
+    import datetime
+    for c in s.columns:
+        if c not in d.columns:
+            continue
+        for x, other, frame in ((s[c], d[c], s), (d[c], s[c], d)):
+            if x.dtype.kind != "M" or other.dtype.kind != "O":
+                continue
+            probe = other.dropna().head(5)
+            if not all(isinstance(v, datetime.date)
+                       and not isinstance(v, datetime.datetime)
+                       for v in probe):
+                continue
+            nn = x.dropna()
+            if (nn == nn.dt.normalize()).all():
+                frame[c] = x.dt.date
+    return s, d
+
+
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -53,6 +79,7 @@ def main():
             failures += 1
             continue
         s, d = canon(spark_df), canon(duck_df)
+        s, d = align_date_dtypes(s, d)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
             failures += 1

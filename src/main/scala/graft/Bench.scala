@@ -161,9 +161,36 @@ object Bench {
     val reps = repsRaw.toIntOption.getOrElse(
       sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$repsRaw'"))
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+
+    // VALIDATION-PRICED rows run at exactly ONE rep and never earn
+    // adaptive reps: their oracled forms additionally compute the exact
+    // ground truth (PPJoin / all-pairs / exact-set / exact-count passes)
+    // that only the correctness gate needs — they are adjudicated, not
+    // adjudicating, and the cheap production paths are benched separately
+    // as prod_* rows. One sample keeps them in the total's population
+    // (round-over-round comparability) at a third of the wall-clock.
+    val oneRep = Set("q10_dedup_minhash", "q11_dedup_simhash",
+      "q217_source_sketch_sim", "q232_countmin_hitters", "q239_hll_distinct")
+
+    // WALL-CLOCK BUDGET: the driver kills the bench invocation at ~60
+    // minutes (BENCH_r15 rc=124 lost every measurement at 99%). The
+    // budget is measured from main() entry, defaults well inside the
+    // observed kill window, and degrades gracefully — completed samples
+    // are always emitted (see the shutdown hook below), remaining passes
+    // are skipped once the projected finish would bust it.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400")
+      .toIntOption.getOrElse(
+        sys.error("SPARK_GRAFT_BENCH_BUDGET_S must be an integer"))
+    val tStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
+
+    // samples guarded by a lock: the shutdown hook snapshots them from
+    // another thread while a pass may still be appending
+    val lock = new Object
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    (1 to reps).foreach(_ => names.foreach(n => samples(n) :+= once(n)))
+    def record(n: String, v: Double): Unit =
+      lock.synchronized { samples(n) :+= v }
 
     // (median, central spread) of a query's samples. Spread is the range
     // of the CENTRAL half once >= 4 samples exist (the adaptive pass adds
@@ -176,63 +203,125 @@ object Bench {
       (sorted(n / 2), sorted((3 * n) / 4 min (n - 1)) - sorted(n / 4))
     }
 
+    @volatile var emitted = false
+    @volatile var phase = "pass-1"
+    // Emit the one-line result from WHATEVER samples exist. Runs on the
+    // normal path (partial=false) and from the JVM shutdown hook when the
+    // driver's timeout SIGTERMs the process mid-suite (partial=true) —
+    // BENCH_r15's rc=124 must never again mean "parsed": null. Queries
+    // with zero samples are omitted from the maps and counted as skipped;
+    // the compact stdout line stays fixed-size so the driver's tail
+    // capture can never truncate it.
+    def emit(partial: Boolean, extraRoundsRun: Int): Unit = {
+      if (emitted) return
+      emitted = true
+      val snap = lock.synchronized { samples.toMap }
+      val results: Seq[(String, Double, Double, Int)] = names.flatMap { n =>
+        val s = snap.getOrElse(n, Vector.empty)
+        if (s.isEmpty) None
+        else if (s.exists(_ < 0)) Some((n, -1.0, -1.0, s.size))
+        else { val (med, spread) = stats(s); Some((n, med, spread, s.size)) }
+      }
+      val skipped = names.size - results.size
+      val qs = results.map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
+        .mkString("{", ",", "}")
+      val spreads = results.map { case (k, _, sp, _) => "\"" + k + f"\":$sp%.3f" }
+        .mkString("{", ",", "}")
+      val repMap = results.map { case (k, _, _, r) => "\"" + k + s"\":$r" }
+        .mkString("{", ",", "}")
+      // the suite total the driver adjudicates stays ORACLE-QUERY-ONLY: the
+      // prod_* and calib_* rows are additional information, not a change to
+      // the metric's population (a round-over-round total comparison must
+      // compare the same query set)
+      val total = results.collect {
+        case (k, med, _, _) if med >= 0 && k.startsWith("q") => med }.sum
+      val nFailed = results.count(_._2 < 0)
+      // full record (per-query median + central-spread + rep-count maps)
+      // goes to the file only: the driver captures just a stdout TAIL, and
+      // the per-query map has outgrown that window before (BENCH_r04
+      // "parsed": null). The LAST stdout line is a compact fixed-size total
+      // so the driver's parse can never truncate.
+      val fullLine =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"phase":"$phase","repeats":$reps,"extra_rounds":$extraRoundsRun,"elapsed_s":$elapsedS%.1f,"queries":$qs,"spread":$spreads,"reps":$repMap,"sf":"$sfDir"}"""
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
+        catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }
+      }
+      println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"repeats":$reps,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    val hook = new Thread(() => emit(partial = true, extraRoundsRun = -1))
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    // MEASURED PASSES, budget-aware at two grains: (a) a pass is only
+    // started if the previous pass's duration still fits the remaining
+    // budget (pass times are suite-dominated, so the last pass is the
+    // best predictor); (b) within a pass, each query checks the clock
+    // before running, so even pass 1 on a pathologically slow host stops
+    // with a clean partial instead of being killed mid-query.
+    var pass = 0
+    var lastPassS = 0.0
+    var budgetHit = false
+    while (pass < reps && !budgetHit &&
+           (pass == 0 || elapsedS + lastPassS <= budgetS)) {
+      pass += 1
+      phase = s"pass-$pass"
+      val t0 = elapsedS
+      val it = names.iterator
+      while (it.hasNext && !budgetHit) {
+        val n = it.next()
+        if (pass == 1 || !oneRep(n)) {
+          if (elapsedS > budgetS) budgetHit = true
+          else record(n, once(n))
+        }
+      }
+      lastPassS = elapsedS - t0
+    }
+
     // ADAPTIVE reps: median-of-3 was not converging for the >10 s queries
     // on the contended driver host (BENCH_r08: q10 spread 19.7 s vs
     // median 16.5). Queries whose central spread exceeds half their
-    // median earn extra interleaved reps — bounded rounds, noisy set
-    // only — so adjudications don't hinge on one lucky/unlucky window.
-    // The 0.5 s floor keeps sub-second queries (scheduling noise
-    // dominates; nothing is adjudicated on them) from burning reps.
+    // median earn extra interleaved reps — bounded rounds, bounded TOTAL
+    // executions (r15's unbounded-in-time loop is what the driver
+    // killed), noisy set only — so adjudications don't hinge on one
+    // lucky/unlucky window. The 0.5 s floor keeps sub-second queries
+    // (scheduling noise dominates; nothing is adjudicated on them) from
+    // burning reps.
     val extraRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4")
       .toIntOption.getOrElse(
         sys.error("SPARK_GRAFT_BENCH_EXTRA must be an integer"))
+    val maxExtraExecs = 64
+    var extraExecs = 0
     var round = 0
     var noisy = Seq.empty[String]
-    while (round < extraRounds && {
+    while (round < extraRounds && !budgetHit && extraExecs < maxExtraExecs && {
+      val snap = lock.synchronized { samples.toMap }
       noisy = names.filter { n =>
-        val s = samples(n)
-        s.forall(_ >= 0) && {
-          val (med, spread) = stats(s)
-          med >= 0.5 && spread > 0.5 * med
+        !oneRep(n) && {
+          val s = snap.getOrElse(n, Vector.empty)
+          s.nonEmpty && s.forall(_ >= 0) && {
+            val (med, spread) = stats(s)
+            med >= 0.5 && spread > 0.5 * med
+          }
         }
       }
       noisy.nonEmpty
     }) {
-      noisy.foreach(n => samples(n) :+= once(n))
       round += 1
+      phase = s"adaptive-$round"
+      val it = noisy.iterator
+      while (it.hasNext && !budgetHit && extraExecs < maxExtraExecs) {
+        val n = it.next()
+        if (elapsedS > budgetS) budgetHit = true
+        else { record(n, once(n)); extraExecs += 1 }
+      }
     }
 
-    val results: Seq[(String, Double, Double, Int)] = names.map { n =>
-      val s = samples(n)
-      if (s.exists(_ < 0)) (n, -1.0, -1.0, s.size)
-      else { val (med, spread) = stats(s); (n, med, spread, s.size) }
-    }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp, _) => "\"" + k + f"\":$sp%.3f" }
-      .mkString("{", ",", "}")
-    val repMap = results.map { case (k, _, _, r) => "\"" + k + s"\":$r" }
-      .mkString("{", ",", "}")
-    // the suite total the driver adjudicates stays ORACLE-QUERY-ONLY: the
-    // prod_* and calib_* rows are additional information, not a change to
-    // the metric's population (a round-over-round total comparison must
-    // compare the same query set)
-    val total = results.collect {
-      case (k, med, _, _) if med >= 0 && k.startsWith("q") => med }.sum
-    val nFailed = results.count(_._2 < 0)
-    // full record (per-query median + central-spread + rep-count maps)
-    // goes to the file only: the driver captures just a stdout TAIL, and
-    // the per-query map has outgrown that window before (BENCH_r04
-    // "parsed": null). The LAST stdout line is a compact fixed-size total
-    // so the driver's parse can never truncate.
-    val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"repeats":$reps,"extra_rounds":$round,"queries":$qs,"spread":$spreads,"reps":$repMap,"sf":"$sfDir"}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }
-    }
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"repeats":$reps,"sf":"$sfDir"}""")
+    if (budgetHit) System.err.println(
+      f"[bench] wall-clock budget ($budgetS s) hit at $elapsedS%.0f s in $phase — emitting partial")
+    emit(partial = budgetHit, extraRoundsRun = round)
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }

@@ -5442,8 +5442,11 @@ object SparkEntry {
         |      - 3.0 * mu * mu * mu * mu AS m4
         |  FROM c1),
         |c3 AS (
-        |  SELECT n, m3 / (sqrt(m2) * m2) AS sk,
-        |    m4 / (m2 * m2) - 3.0 AS ku
+        |  SELECT n,
+        |    CASE WHEN m2 = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE m3 / (sqrt(m2) * m2) END AS sk,
+        |    CASE WHEN m2 = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE m4 / (m2 * m2) - 3.0 END AS ku
         |  FROM c2)
         |SELECT n AS n_days, round(sk, 6) AS skewness,
         |  round(ku, 6) AS excess_kurtosis,
@@ -5480,13 +5483,21 @@ object SparkEntry {
         |    a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |      / CAST(n AS DOUBLE) AS ssb,
         |    CAST(q AS DOUBLE) - a AS ssw
-        |  FROM tot)
+        |  FROM tot),
+        |fd AS (
+        |  SELECT k, n, ssb, ssw,
+        |    CASE WHEN k = 1 OR n = k THEN CAST('NaN' AS DOUBLE)
+        |      ELSE ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |    END AS fden
+        |  FROM fin)
         |SELECT k AS k_groups, n AS n_rows,
-        |  round(ssb / (CAST(k AS DOUBLE) - 1.0)
-        |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  round(CASE WHEN isnan(fden) OR fden = 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE ssb / (CAST(k AS DOUBLE) - 1.0) / fden END, 6)
         |    AS f_stat,
-        |  round(ssb / (ssb + ssw), 6) AS eta_sq
-        |FROM fin""".stripMargin,
+        |  round(CASE WHEN ssb + ssw = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE ssb / (ssb + ssw) END, 6) AS eta_sq
+        |FROM fd""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact
@@ -6498,10 +6509,14 @@ object SparkEntry {
         |  SELECT n1, n2,
         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
         |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    CASE WHEN n1 <= 1 THEN CAST('NaN' AS DOUBLE) ELSE
         |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-        |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+        |    END AS v1,
+        |    CASE WHEN n2 <= 1 THEN CAST('NaN' AS DOUBLE) ELSE
         |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-        |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+        |    END AS v2
         |  FROM ag),
         |se AS (
         |  SELECT n1, n2, m1, m2,
@@ -6511,9 +6526,13 @@ object SparkEntry {
         |  FROM mv)
         |SELECT n1 AS n_a, n2 AS n_b,
         |  round(m1, 4) AS mean_a_cents, round(m2, 4) AS mean_b_cents,
-        |  round((m1 - m2) / sqrt(sse), 6) AS t_stat,
-        |  round(sse * sse / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
-        |    + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS df_welch
+        |  round(CASE WHEN sse = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (m1 - m2) / sqrt(sse) END, 6) AS t_stat,
+        |  round(CASE WHEN sse = 0.0 OR n1 <= 1 OR n2 <= 1
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE sse * sse / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+        |      + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END, 4)
+        |    AS df_welch
         |FROM se""".stripMargin,
     // q270: the ANOVA chain replayed — per-group exact moments, the
     // s_g²/n_g terms folded in sorted group order (the q227 device)
@@ -6537,13 +6556,21 @@ object SparkEntry {
         |    a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |      / CAST(n AS DOUBLE) AS ssb,
         |    CAST(q AS DOUBLE) - a AS ssw
-        |  FROM tot)
+        |  FROM tot),
+        |fd AS (
+        |  SELECT k, n, ssb, ssw,
+        |    CASE WHEN k = 1 OR n = k THEN CAST('NaN' AS DOUBLE)
+        |      ELSE ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |    END AS fden
+        |  FROM fin)
         |SELECT k AS k_groups, n AS n_rows,
-        |  round(ssb / (CAST(k AS DOUBLE) - 1.0)
-        |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  round(CASE WHEN isnan(fden) OR fden = 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE ssb / (CAST(k AS DOUBLE) - 1.0) / fden END, 6)
         |    AS f_stat,
-        |  round(ssb / (ssb + ssw), 6) AS eta_sq
-        |FROM fin""".stripMargin,
+        |  round(CASE WHEN ssb + ssw = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE ssb / (ssb + ssw) END, 6) AS eta_sq
+        |FROM fd""".stripMargin,
     // q271: the Mann-Whitney chain replayed — midranks over the
     // 50-value histogram on the ×2 integer grid, mirrored z
     "q271_mann_whitney" ->
@@ -6721,13 +6748,17 @@ object SparkEntry {
         |fin AS (
         |  SELECT ncd, ndd, n, n1x2, n2x2,
         |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) AS n0x2
-        |  FROM pairag CROSS JOIN t1 CROSS JOIN t2)
+        |  FROM pairag CROSS JOIN t1 CROSS JOIN t2),
+        |fd AS (
+        |  SELECT ncd, ndd, n,
+        |    sqrt((n0x2 - CAST(n1x2 AS DOUBLE)) / 2.0)
+        |      * sqrt((n0x2 - CAST(n2x2 AS DOUBLE)) / 2.0) AS tden
+        |  FROM fin)
         |SELECT n, ncd AS n_concordant, ndd AS n_discordant,
-        |  round((CAST(ncd AS DOUBLE) - CAST(ndd AS DOUBLE))
-        |    / (sqrt((n0x2 - CAST(n1x2 AS DOUBLE)) / 2.0)
-        |      * sqrt((n0x2 - CAST(n2x2 AS DOUBLE)) / 2.0)), 6)
-        |    AS tau_b
-        |FROM fin""".stripMargin,
+        |  round(CASE WHEN tden = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(ncd AS DOUBLE) - CAST(ndd AS DOUBLE)) / tden
+        |    END, 6) AS tau_b
+        |FROM fd""".stripMargin,
     // q275: the CUSUM chain replayed — exact r·n−S deviations,
     // running window over the day dimension, deterministic argmax
     "q275_cusum" ->
@@ -6957,12 +6988,20 @@ object SparkEntry {
         |  SELECT k, n, tiesum,
         |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * a
         |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS hraw
-        |  FROM ag CROSS JOIN ties)
+        |  FROM ag CROSS JOIN ties),
+        |fd AS (
+        |  SELECT k, n, hraw,
+        |    CASE WHEN n = 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE 1.0 - CAST(tiesum AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+        |    END AS tden
+        |  FROM fin)
         |SELECT k AS k_groups, n AS n_rows, round(hraw, 6) AS h_stat,
-        |  round(hraw / (1.0 - CAST(tiesum AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-        |      - CAST(n AS DOUBLE))), 6) AS h_tie_corrected
-        |FROM fin""".stripMargin,
+        |  round(CASE WHEN isnan(tden) OR tden = 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE hraw / tden END, 6) AS h_tie_corrected
+        |FROM fd""".stripMargin,
     // q283: the Durbin-Watson chain replayed — exact moment OLS,
     // integer-cent residual grid, the day-lag window
     "q283_durbin_watson" ->

@@ -571,8 +571,9 @@ object Graph {
       col(dstCol).cast("long").as("dst")).persist()
     var hubs = ed.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1000000L))
-    var auths = ed.select(col("dst").as("node")).distinct()
-      .withColumn("a", lit(0L))
+    // only h₀ participates in round 1 — auths is unconditionally
+    // assigned from aRaw before its first read (iters >= 1)
+    var auths: DataFrame = null
     var round = 0
     while (round < iters) {
       // each raw score table is referenced TWICE (its max + the

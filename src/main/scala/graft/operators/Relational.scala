@@ -893,8 +893,12 @@ object Relational {
         lit(4.0) * col("mu") * (d("q3") / d("n")) +
         lit(6.0) * col("mu") * col("mu") * (d("q2") / d("n")) -
         lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
-      .withColumn("sk", col("m3") / (sqrt(col("m2")) * col("m2")))
-      .withColumn("ku", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+      // a zero-variance (constant) series has no defined shape — NaN,
+      // not ANSI DIVIDE_BY_ZERO (q279 discipline, oracle-mirrored)
+      .withColumn("sk", when(col("m2") === 0.0, lit(Double.NaN))
+        .otherwise(col("m3") / (sqrt(col("m2")) * col("m2"))))
+      .withColumn("ku", when(col("m2") === 0.0, lit(Double.NaN))
+        .otherwise(col("m4") / (col("m2") * col("m2")) - lit(3.0)))
       .select(col("n").as("n_days"),
         round(col("sk"), 6).as("skewness"),
         round(col("ku"), 6).as("excess_kurtosis"),

@@ -56,13 +56,18 @@ object Stats {
       sum(dec(side(groupB, col("c") * col("c")).otherwise(lit(0L))))
         .as("q2"))
     def d(name: String): Column = col(name).cast("double")
+    // Degenerate-but-valid inputs (two constant groups → se = 0;
+    // single-element groups → n−1 = 0) answer NaN instead of tripping
+    // Spark 4's ANSI DIVIDE_BY_ZERO (which raises even for double
+    // divides) — the q279 assortativity discipline, mirrored in the
+    // oracle's CASE expressions.
     ag
       .withColumn("m1", d("s1") / d("n1"))
       .withColumn("m2", d("s2") / d("n2"))
-      .withColumn("v1",
-        (d("q1") - d("s1") * d("s1") / d("n1")) / (d("n1") - lit(1.0)))
-      .withColumn("v2",
-        (d("q2") - d("s2") * d("s2") / d("n2")) / (d("n2") - lit(1.0)))
+      .withColumn("v1", when(col("n1") <= 1L, lit(Double.NaN)).otherwise(
+        (d("q1") - d("s1") * d("s1") / d("n1")) / (d("n1") - lit(1.0))))
+      .withColumn("v2", when(col("n2") <= 1L, lit(Double.NaN)).otherwise(
+        (d("q2") - d("s2") * d("s2") / d("n2")) / (d("n2") - lit(1.0))))
       .withColumn("se1", col("v1") / d("n1"))
       .withColumn("se2", col("v2") / d("n2"))
       .withColumn("se", col("se1") + col("se2"))
@@ -70,10 +75,13 @@ object Stats {
         col("n1").as("n_a"), col("n2").as("n_b"),
         round(col("m1"), 4).as("mean_a_cents"),
         round(col("m2"), 4).as("mean_b_cents"),
-        round((col("m1") - col("m2")) / sqrt(col("se")), 6).as("t_stat"),
-        round(col("se") * col("se") /
-          (col("se1") * col("se1") / (d("n1") - lit(1.0)) +
-            col("se2") * col("se2") / (d("n2") - lit(1.0))), 4)
+        round(when(col("se") === 0.0, lit(Double.NaN)).otherwise(
+          (col("m1") - col("m2")) / sqrt(col("se"))), 6).as("t_stat"),
+        round(when(col("se") === 0.0 || col("n1") <= 1L ||
+            col("n2") <= 1L, lit(Double.NaN)).otherwise(
+          col("se") * col("se") /
+            (col("se1") * col("se1") / (d("n1") - lit(1.0)) +
+              col("se2") * col("se2") / (d("n2") - lit(1.0)))), 4)
           .as("df_welch"))
   }
 
@@ -113,13 +121,23 @@ object Stats {
       aggregate(array_sort(collect_list(struct(col("g"), col("term")))),
         lit(0.0), (acc, x) => acc + x.getField("term")).as("a"))
     def d(name: String): Column = col(name).cast("double")
+    // All-constant groups (ssw = 0), one group (k = 1) or one row per
+    // group (n = k) answer NaN instead of tripping ANSI DIVIDE_BY_ZERO
+    // — the q279 discipline, mirrored in the oracle CASEs.
     tot
       .withColumn("ssb", col("a") - d("s") * d("s") / d("n"))
       .withColumn("ssw", d("q") - col("a"))
+      .withColumn("fden",
+        when(col("k") === 1L || col("n") === col("k"), lit(Double.NaN))
+          .otherwise(col("ssw") / (d("n") - d("k"))))
       .select(col("k").as("k_groups"), col("n").as("n_rows"),
-        round(col("ssb") / (d("k") - lit(1.0)) /
-          (col("ssw") / (d("n") - d("k"))), 6).as("f_stat"),
-        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+        round(when(isnan(col("fden")) || col("fden") === 0.0,
+            lit(Double.NaN))
+          .otherwise(col("ssb") / (d("k") - lit(1.0)) / col("fden")), 6)
+          .as("f_stat"),
+        round(when(col("ssb") + col("ssw") === 0.0, lit(Double.NaN))
+          .otherwise(col("ssb") / (col("ssb") + col("ssw"))), 6)
+          .as("eta_sq"))
   }
 
   /** Q271: MANN–WHITNEY U (Wilcoxon rank-sum, tie-corrected normal
@@ -149,14 +167,20 @@ object Stats {
     val ag = ranked.agg(
       sum(col("na")).as("n1"),
       sum(col("t") - col("na")).as("n2"),
-      // Σ na·(2·midrank) — exact; midrank×2 = 2·cumBefore + t + 1
-      sum(col("na") * (lit(2L) * col("cumb") + col("t") + lit(1L)))
+      // Σ na·(2·midrank) — exact; midrank×2 = 2·cumBefore + t + 1.
+      // The per-row product na·(2·midrank) is ~2N·n1 and the t³ tie
+      // term cubes a tie count — both clear 2⁶³ near 100 TB row
+      // counts, so the file's DECIMAL(38,0) accumulator discipline
+      // applies from the first multiply (DuckDB's side widens to
+      // HUGEINT automatically; values are identical integers).
+      sum(dec(col("na")) * (lit(2L) * col("cumb") + col("t") + lit(1L)))
         .as("r1x2"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      sum(dec(col("t")) * col("t") * col("t") - dec(col("t")))
+        .as("ties"))
     def d(name: String): Column = col(name).cast("double")
     ag
       .withColumn("u1x2",
-        col("r1x2") - col("n1") * (col("n1") + lit(1L)))
+        col("r1x2") - dec(col("n1")) * (col("n1") + lit(1L)))
       .withColumn("nn", d("n1") + d("n2"))
       .withColumn("sig2",
         d("n1") * d("n2") / lit(12.0) *
@@ -211,12 +235,16 @@ object Stats {
         rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("v"),
         (lit(2L) * col("cumb") + col("t") + lit(1L)).as("r2"))
+    // per-row products c·(2·midrank) ≈ 2N·n_g and the t³ tie cubes
+    // clear 2⁶³ near 100 TB row counts — DECIMAL(38,0) from the first
+    // multiply (the q271 discipline; DuckDB widens to HUGEINT)
     val per = joint.join(ranked, Seq("v"))
       .groupBy(col("g"))
       .agg(sum(col("c")).as("ng"),
-        sum(col("c") * col("r2")).as("r2g"))
+        sum(dec(col("c")) * col("r2")).as("r2g"))
     val ties = h.agg(
-      sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))
+      sum(dec(col("t")) * col("t") * col("t") - dec(col("t")))
+        .as("tiesum"))
     def d(name: String): Column = col(name).cast("double")
     val ag = per.agg(
       count(lit(1)).as("k"),
@@ -231,10 +259,18 @@ object Stats {
       .withColumn("hraw",
         lit(12.0) / (d("n") * (d("n") + lit(1.0))) * col("a") -
           lit(3.0) * (d("n") + lit(1.0)))
+      // all-tied data (tiesum = n³−n) zeroes the correction factor, a
+      // single row zeroes its denominator — NaN, not ANSI
+      // DIVIDE_BY_ZERO (q279 discipline, oracle-mirrored)
+      .withColumn("tden", when(col("n") === 1L, lit(Double.NaN))
+        .otherwise(lit(1.0) - d("tiesum") /
+          (d("n") * d("n") * d("n") - d("n"))))
       .select(col("k").as("k_groups"), col("n").as("n_rows"),
         round(col("hraw"), 6).as("h_stat"),
-        round(col("hraw") / (lit(1.0) - d("tiesum") /
-          (d("n") * d("n") * d("n") - d("n"))), 6).as("h_tie_corrected"))
+        round(when(isnan(col("tden")) || col("tden") === 0.0,
+            lit(Double.NaN))
+          .otherwise(col("hraw") / col("tden")), 6)
+          .as("h_tie_corrected"))
   }
 
   /** Q273: SPEARMAN RANK CORRELATION between two bounded-domain
@@ -309,8 +345,19 @@ object Stats {
       yMin: Long, yMax: Long): DataFrame = {
     require(yMin <= yMax && yMax - yMin <= 100000,
       s"y domain out of range: [$yMin, $yMax]")
+    // The dense grid spans only the DECLARED y domain: an out-of-domain
+    // y would silently vanish from nc/nd while still counting in n and
+    // the tie terms, skewing τ-b. Fail loudly IN-PLAN instead — the
+    // check rides the bounded joint histogram (≤ |A|·|B| rows), no
+    // extra scan or driver action.
     val joint = df.select(xCol.as("dc"), yCol.as("q"))
       .groupBy(col("dc"), col("q")).agg(count(lit(1)).as("c"))
+      .withColumn("q",
+        when(col("q").between(yMin, yMax), col("q"))
+          .otherwise(raise_error(concat(
+            lit(s"kendallTauB: observed y outside declared domain " +
+              s"[$yMin, $yMax]: "),
+            col("q").cast("string")))))
     // dense grid: observed x levels × the declared y domain
     val grid = joint.select(col("dc")).distinct()
       .select(col("dc"),
@@ -342,12 +389,16 @@ object Stats {
     pairAg.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
       .withColumn("n0x2",
         d("n") * (d("n") - lit(1.0)))
+      // all-x-tied or all-y-tied data zeroes a marginal factor —
+      // NaN, not ANSI DIVIDE_BY_ZERO (q279 discipline)
+      .withColumn("tden",
+        sqrt((col("n0x2") - d("n1x2")) / lit(2.0)) *
+          sqrt((col("n0x2") - d("n2x2")) / lit(2.0)))
       .select(col("n").cast("long").as("n"),
         col("ncd").cast("long").as("n_concordant"),
         col("ndd").cast("long").as("n_discordant"),
-        round((d("ncd") - d("ndd")) /
-          (sqrt((col("n0x2") - d("n1x2")) / lit(2.0)) *
-            sqrt((col("n0x2") - d("n2x2")) / lit(2.0))), 6)
+        round(when(col("tden") === 0.0, lit(Double.NaN))
+          .otherwise((d("ncd") - d("ndd")) / col("tden")), 6)
           .as("tau_b"))
   }
 
@@ -379,8 +430,11 @@ object Stats {
     def d(c: Column): Column = c.cast("double")
     val terms = cells.join(rt, Seq("a")).join(ct, Seq("b"))
       .crossJoin(broadcast(tot))
-      // dev = o·N − rt·ct: exact LONG (≤ ~1e12 at bench scale)
-      .withColumn("dev", col("o") * col("n") - col("rt") * col("ct"))
+      // dev = o·N − rt·ct: rt·ct ≤ N² clears 2⁶³ once N passes ~3e9,
+      // so the products go straight to DECIMAL(38,0) (exact; the
+      // double casts below are identical either way at bench scale)
+      .withColumn("dev",
+        dec(col("o")) * col("n") - dec(col("rt")) * col("ct"))
       .select(col("a"), col("b"), col("o"), col("n"),
         // χ² cell term (o−e)²/e = dev²/(N·rt·ct), on the 1e-9 grid
         round(d(col("dev")) * d(col("dev")) /
