@@ -1438,6 +1438,54 @@ object SparkEntry {
     "q288_brown_forsythe" -> ((s, dir) =>
       Stats.brownForsythe(Tables.orders(s, dir), "o_orderpriority",
         "o_totalprice")),
+    // q289: two-sample Kolmogorov-Smirnov on quantities, R vs N —
+    // exact integer max-ECDF-gap over the value histogram
+    "q289_ks_two_sample" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.ks2Sample(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q290: two-sample Cramér-von Mises on the discount grid, R vs N
+    // — the integrated ECDF gap, per-cell terms on the 1e-9 grid
+    "q290_cramer_von_mises" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.cramerVonMises(Tables.lineitem(s, dir), "l_returnflag",
+        f.round(f.lit(100.0) * f.col("l_discount")), "R", "N")
+    }),
+    // q291: Wasserstein-1 drift of whitespace-token counts between
+    // the even- and odd-numbered document sources
+    "q291_wasserstein_drift" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.wasserstein1(Tables.documents(s, dir),
+        f.expr("cast(substr(source, 4) as int) % 2 = 0"),
+        f.expr("length(text) - length(replace(text, ' ', '')) + 1"))
+    }),
+    // q292: Wald-Wolfowitz runs test on daily revenue — does the
+    // above/below-median sequence mix, clump, or alternate?
+    "q292_runs_test" -> ((s, dir) =>
+      Relational.runsTest(Tables.orders(s, dir))),
+    // q293: Pettitt rank change-point on daily revenue — the
+    // distribution-free sibling of q275, O(days) via the rank identity
+    "q293_pettitt" -> ((s, dir) =>
+      Relational.pettittChangePoint(Tables.orders(s, dir))),
+    // q294: Cliff's delta + CLES effect size on quantities, R vs N —
+    // exact pair counts from the q271 histogram
+    "q294_cliffs_delta" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.cliffsDelta(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q295: decision-stump split of quantity predicting returnflag —
+    // weighted Gini over per-class cumulative histograms
+    "q295_gini_stump" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.giniStump(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), Seq("A", "N", "R"))
+    }),
+    // q296: PSI of the priority mix, first vs second half of the
+    // date range — the categorical drift gate
+    "q296_psi_shift" -> ((s, dir) =>
+      Relational.psiPriorityShift(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5498,6 +5546,277 @@ object SparkEntry {
         |  round(CASE WHEN ssb + ssw = 0.0 THEN CAST('NaN' AS DOUBLE)
         |    ELSE ssb / (ssb + ssw) END, 6) AS eta_sq
         |FROM fd""".stripMargin,
+    // q289: the KS chain replayed — two-group histogram, cumulative
+    // counts, exact integer gap argmax, one mirrored divide
+    "q289_ks_two_sample" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(sum(t - na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM h),
+        |g AS (SELECT v, abs(ca * n2 - cb * n1) AS gap, n1, n2
+        |      FROM c CROSS JOIN tot)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(gap AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 6)
+        |    AS d_stat,
+        |  v AS d_location
+        |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin,
+    // q290: the CvM chain replayed — same histogram, per-cell t·Δ²
+    // terms on the 1e-9 grid, one mirrored final expression
+    "q290_cramer_von_mises" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(round(100.0 * l_discount) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (
+        |  SELECT t,
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(sum(t - na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM h),
+        |w AS (
+        |  SELECT n1, n2,
+        |    CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+        |      ELSE CAST(round(
+        |        (CAST(ca AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(cb AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |        * (CAST(ca AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(cb AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |        * CAST(t AS DOUBLE) * 1.0e9) AS BIGINT) END AS wg
+        |  FROM c CROSS JOIN tot),
+        |ag AS (SELECT max(n1) AS n1, max(n2) AS n2,
+        |              CAST(sum(wg) AS BIGINT) AS wsum FROM w)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(wsum AS DOUBLE) / 1.0e9
+        |      * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) END, 6)
+        |    AS cvm_t
+        |FROM ag""".stripMargin,
+    // q291: the Wasserstein chain replayed — token-count histogram,
+    // gap·|cumA·n2 − cumB·n1| exact integer terms, one divide
+    "q291_wasserstein_drift" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(sum(t - na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        |    coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+        |  FROM h),
+        |ag AS (SELECT max(n1) AS n1, max(n2) AS n2,
+        |    CAST(sum(gap * abs(ca * n2 - cb * n1)) AS BIGINT) AS wx
+        |  FROM c CROSS JOIN tot)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(wx AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 6)
+        |    AS w1
+        |FROM ag""".stripMargin,
+    // q292: the runs-test chain replayed — percentile_disc median,
+    // median-equal days dropped, lag flips, mirrored z
+    "q292_runs_test" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS epoch_day,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY r)
+        |          AS med FROM daily),
+        |sgn AS (
+        |  SELECT epoch_day, CASE WHEN r > med THEN 1 ELSE 0 END AS s
+        |  FROM daily CROSS JOIN med WHERE r <> med),
+        |fl AS (
+        |  SELECT s, CASE WHEN lag(s) OVER (ORDER BY epoch_day) IS NULL
+        |    OR lag(s) OVER (ORDER BY epoch_day) <> s
+        |    THEN 1 ELSE 0 END AS flip
+        |  FROM sgn),
+        |ag AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS n1,
+        |  CAST(coalesce(sum(1 - s), 0) AS BIGINT) AS n2,
+        |  CAST(coalesce(sum(flip), 0) AS BIGINT) AS runs FROM fl),
+        |fin AS (
+        |  SELECT n1, n2, runs,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn,
+        |    2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS p2
+        |  FROM ag),
+        |fd AS (
+        |  SELECT n1, n2, runs, nn, p2,
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE p2 * (p2 - nn) / (nn * nn * (nn - 1.0)) END AS sig2
+        |  FROM fin)
+        |SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+        |  round(CASE WHEN isnan(sig2) OR sig2 = 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(runs AS DOUBLE) - (p2 / nn + 1.0)) / sqrt(sig2)
+        |    END, 6) AS z_score
+        |FROM fd""".stripMargin,
+    // q293: the Pettitt chain replayed — daily-value midranks on the
+    // ×2 grid, the rank identity U_t = Σr2 − t(n+1), exact argmax
+    "q293_pettitt" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS epoch_day,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT r AS v, CAST(count(*) AS BIGINT) AS t
+        |      FROM daily GROUP BY 1),
+        |rk AS (
+        |  SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM h),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |u AS (
+        |  SELECT d.epoch_day, t.n,
+        |    CAST(sum(rk.r2) OVER (ORDER BY d.epoch_day ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - CAST(row_number() OVER (ORDER BY d.epoch_day)
+        |        AS BIGINT) * (t.n + 1) AS uu,
+        |    row_number() OVER (ORDER BY d.epoch_day) AS tidx
+        |  FROM daily d JOIN rk ON rk.v = d.r CROSS JOIN tot t)
+        |SELECT n AS n_days, CAST(epoch_day AS BIGINT)
+        |    AS change_epoch_day,
+        |  CAST(abs(uu) AS BIGINT) AS k_stat
+        |FROM u WHERE tidx < n
+        |ORDER BY abs(uu) DESC, epoch_day LIMIT 1""".stripMargin,
+    // q294: the Cliff's-delta chain replayed — strictly-below prefix
+    // sums, gt/eq exact pair counts, lt by complement
+    "q294_cliffs_delta" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (SELECT na, t,
+        |    coalesce(sum(t - na) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cblt
+        |  FROM h),
+        |ag AS (SELECT CAST(sum(na * cblt) AS BIGINT) AS gt,
+        |              CAST(sum(na * (t - na)) AS BIGINT) AS eq FROM c),
+        |fin AS (SELECT n1, n2, gt, eq, n1 * n2 - gt - eq AS lt
+        |        FROM ag CROSS JOIN tot)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 6)
+        |    AS cliffs_delta,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (2.0 * CAST(gt AS DOUBLE) + CAST(eq AS DOUBLE))
+        |      / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 6)
+        |    AS cles
+        |FROM fin""".stripMargin,
+    // q295: the stump chain replayed — per-class cumulative counts,
+    // the weighted-Gini expression on the 1e-12 grid, exact argmin
+    "q295_gini_stump" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS t0,
+        |  CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2,
+        |  CAST(sum(t) AS BIGINT) AS n FROM h),
+        |c AS (SELECT v,
+        |    CAST(sum(c0) OVER wv AS BIGINT) AS cc0,
+        |    CAST(sum(c1) OVER wv AS BIGINT) AS cc1,
+        |    CAST(sum(c2) OVER wv AS BIGINT) AS cc2,
+        |    CAST(sum(t) OVER wv AS BIGINT) AS nl
+        |  FROM h WINDOW wv AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT v, n, nl, n - nl AS nr, t0, t1, t2, cc0, cc1, cc2
+        |  FROM c CROSS JOIN tot WHERE nl < n),
+        |gg AS (
+        |  SELECT v, n, t0, t1, t2,
+        |    CAST(round(((CAST(nl AS DOUBLE)
+        |      - (CAST(cc0 AS DOUBLE) * CAST(cc0 AS DOUBLE)
+        |        + CAST(cc1 AS DOUBLE) * CAST(cc1 AS DOUBLE)
+        |        + CAST(cc2 AS DOUBLE) * CAST(cc2 AS DOUBLE))
+        |        / CAST(nl AS DOUBLE))
+        |      + (CAST(nr AS DOUBLE)
+        |      - (CAST(t0 - cc0 AS DOUBLE) * CAST(t0 - cc0 AS DOUBLE)
+        |        + CAST(t1 - cc1 AS DOUBLE) * CAST(t1 - cc1 AS DOUBLE)
+        |        + CAST(t2 - cc2 AS DOUBLE) * CAST(t2 - cc2 AS DOUBLE))
+        |        / CAST(nr AS DOUBLE)))
+        |      / CAST(n AS DOUBLE) * 1.0e12) AS BIGINT) AS gini_g
+        |  FROM g)
+        |SELECT n AS n_rows, v AS split_value,
+        |  round(CAST(gini_g AS DOUBLE) / 1.0e12, 6) AS gini_split,
+        |  round((CAST(n AS DOUBLE)
+        |    - (CAST(t0 AS DOUBLE) * CAST(t0 AS DOUBLE)
+        |      + CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |      + CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |    AS gini_parent
+        |FROM gg ORDER BY gini_g, v LIMIT 1""".stripMargin,
+    // q296: the PSI chain replayed — calendar-midpoint cohorts,
+    // per-cell (p1−p2)·ln(p1/p2) terms on the 1e-12 grid
+    "q296_psi_shift" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderpriority AS k,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders),
+        |rng AS (SELECT (min(d) + max(d)) // 2 AS mid FROM base),
+        |cells AS (
+        |  SELECT k,
+        |    CAST(sum(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM base CROSS JOIN rng GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |               CAST(sum(c2) AS BIGINT) AS n2 FROM cells),
+        |terms AS (
+        |  SELECT n1, n2,
+        |    CAST(round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      * ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        / (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |      * 1.0e12) AS BIGINT) AS pg
+        |  FROM cells CROSS JOIN tot WHERE c1 > 0 AND c2 > 0)
+        |SELECT max(n1) AS n_1, max(n2) AS n_2,
+        |  CAST(count(*) AS BIGINT) AS k_cells,
+        |  round(CAST(sum(pg) AS DOUBLE) / 1.0e12, 6) AS psi
+        |FROM terms""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -659,6 +659,136 @@ object Relational {
           .as("cusum_cents"))
   }
 
+  /** Q292: WALD–WOLFOWITZ RUNS TEST on daily revenue — is the
+    * above/below-median sign sequence RANDOM in time, or does it
+    * clump (regimes) or alternate (overcorrection)? The companion of
+    * q275/q277: CUSUM finds WHERE a level shifted, Mann–Kendall a
+    * monotone drift; the runs test asks whether the sequence mixes at
+    * all. The median is an exact `percentile_disc` element (q288
+    * precedent), median-equal days are dropped (the classical
+    * convention), runs are counted with one lag over the day-bounded
+    * sequence, and z is one mirrored expression over exact counts
+    * (NaN when a side is empty or n = 1 — the q279 discipline).
+    */
+  def runsTest(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("epoch_day"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val med = daily.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r)").as("med"))
+    val w = Window.orderBy(col("epoch_day"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("r") =!= col("med"))
+      .withColumn("s", (col("r") > col("med")).cast("long"))
+      .withColumn("flip",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), lit(1L))
+          .otherwise(lit(0L)))
+    // coalesce: an all-median series leaves `signed` empty and empty
+    // sums are NULL — the guards below need honest zeros
+    val ag = signed.agg(
+      coalesce(sum(col("s")), lit(0L)).as("n1"),
+      coalesce(sum(lit(1L) - col("s")), lit(0L)).as("n2"),
+      coalesce(sum(col("flip")), lit(0L)).as("runs"))
+    def d(name: String): Column = col(name).cast("double")
+    ag
+      .withColumn("nn", d("n1") + d("n2"))
+      .withColumn("p2", lit(2.0) * d("n1") * d("n2"))
+      .withColumn("sig2",
+        when(col("n1") === 0L || col("n2") === 0L ||
+          col("n1") + col("n2") === 1L, lit(Double.NaN))
+          .otherwise(col("p2") * (col("p2") - col("nn")) /
+            (col("nn") * col("nn") * (col("nn") - lit(1.0)))))
+      .select(col("n1").as("n_above"), col("n2").as("n_below"),
+        col("runs").as("n_runs"),
+        round(when(isnan(col("sig2")) || col("sig2") === 0.0,
+            lit(Double.NaN))
+          .otherwise((d("runs") - (col("p2") / col("nn") + lit(1.0))) /
+            sqrt(col("sig2"))), 6).as("z_score"))
+  }
+
+  /** Q293: PETTITT CHANGE-POINT TEST on daily revenue — the
+    * rank-based (distribution-free) sibling of q275's CUSUM: K =
+    * max_t |U_t| with U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j), robust to
+    * the heavy tails that make mean-based CUSUM jumpy. Computed in
+    * O(days), never day pairs, via the rank identity
+    * U_t = Σ_{i≤t} r2_i − t·(n+1) on the ×2 midrank grid (the q271
+    * device — the identity holds exactly with midranks, and every
+    * quantity is an exact BIGINT). Midranks come from the day-bounded
+    * VALUE HISTOGRAM; the running sum runs over the day sequence.
+    * Ties in |U| break to the earliest day.
+    */
+  def pettittChangePoint(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("epoch_day"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val hist = daily.groupBy(col("r").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val vW = Window.orderBy(col("v"))
+    val ranked = hist.withColumn("cumb",
+      coalesce(sum(col("t")).over(
+        vW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"),
+        (lit(2L) * col("cumb") + col("t") + lit(1L)).as("r2"))
+    val tot = daily.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("epoch_day"))
+    daily.join(broadcast(ranked), col("r") === col("v"))
+      .crossJoin(broadcast(tot))
+      .withColumn("st2", sum(col("r2")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tidx", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("u", col("st2") - col("tidx") * (col("n") + lit(1L)))
+      .filter(col("tidx") < col("n")) // U_n ≡ 0: not a candidate
+      .orderBy(abs(col("u")).desc, col("epoch_day"))
+      .limit(1)
+      .select(col("n").as("n_days"),
+        col("epoch_day").as("change_epoch_day"),
+        abs(col("u")).as("k_stat"))
+  }
+
+  /** Q296: POPULATION STABILITY INDEX of the order-priority mix
+    * between the first and second half of the date range — the
+    * industry drift gate ("did the segment mix move between
+    * periods?"), the categorical sibling of q238's centroid drift:
+    * PSI = Σ_k (p1k − p2k)·ln(p1k/p2k). The calendar midpoint is an
+    * exact integer, cohort cells are exact counts, each cell's term
+    * is one mirrored double expression gridded to 10⁻¹² (the q272
+    * discipline), and cells absent from either cohort are excluded
+    * (PSI is undefined there; k_cells reports the priced count).
+    */
+  def psiPriorityShift(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderpriority").as("k"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+    val rng = base.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val cells = base.crossJoin(broadcast(rng))
+      .groupBy(col("k"))
+      .agg(sum(when(col("d") <= col("mid"), lit(1L)).otherwise(lit(0L)))
+          .as("c1"),
+        sum(when(col("d") > col("mid"), lit(1L)).otherwise(lit(0L)))
+          .as("c2"))
+    val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    def d(c: Column): Column = c.cast("double")
+    cells.crossJoin(broadcast(tot))
+      .filter(col("c1") > 0L && col("c2") > 0L)
+      .withColumn("pg", round(
+        (d(col("c1")) / d(col("n1")) - d(col("c2")) / d(col("n2"))) *
+          log((d(col("c1")) / d(col("n1"))) /
+            (d(col("c2")) / d(col("n2")))) * lit(1.0e12)).cast("long"))
+      .agg(max(col("n1")).as("n_1"), max(col("n2")).as("n_2"),
+        count(lit(1)).as("k_cells"), sum(col("pg")).as("psum"))
+      .select(col("n_1"), col("n_2"), col("k_cells"),
+        round(col("psum").cast("double") / lit(1.0e12), 6).as("psi"))
+  }
+
   /** Q276: EWMA smoothing of daily revenue with a TRUNCATED binary
     * kernel — exponential decay α = 1/2 cut at 16 taps, so every
     * weight is the exact integer 2^(15−i) and the smoothed numerator

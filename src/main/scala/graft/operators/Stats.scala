@@ -149,15 +149,23 @@ object Stats {
     * is always integral); U, the tie term Σ(t³−t) and all counts are
     * exact BIGINTs, then z is one mirrored double expression.
     */
-  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
-      groupA: String, groupB: String): DataFrame = {
-    val h = df.select(col(groupCol).as("g"),
-        col(valueCol).cast("long").as("v"))
+  /** Shared two-group value-histogram builder (q271/q289/q290/q294):
+    * one conditional aggregation of the fact table into ≤ |domain|
+    * rows of `(v, na, t)` — group A's count and the pooled count per
+    * distinct value. Everything downstream of it is histogram-bounded.
+    */
+  private[graft] def twoGroupHist(df: DataFrame, groupCol: String,
+      valueCol: Column, groupA: String, groupB: String): DataFrame =
+    df.select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
       .filter(col("g").isin(groupA, groupB))
       .groupBy(col("v"))
       .agg(sum(when(col("g") === groupA, lit(1L)).otherwise(lit(0L)))
           .as("na"),
         count(lit(1)).as("t"))
+
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, col(valueCol), groupA, groupB)
     // midranks over the value histogram: bounded by |distinct values|
     // (PlanSpec-enrolled with that argument)
     val rankW = Window.orderBy(col("v"))
@@ -469,5 +477,214 @@ object Stats {
             (least(col("r_levels"), col("c_levels")) - lit(1L))
               .cast("double"))), 6).as("cramers_v"),
         round(d(col("mi_sum")) / lit(1.0e12), 6).as("mi_nats"))
+  }
+
+  /** Q289: TWO-SAMPLE KOLMOGOROV–SMIRNOV over a bounded-domain
+    * measure — the maximum ECDF gap, the distribution-level "did the
+    * two cohorts shift at all?" test that sees what mean tests (q269)
+    * and rank-location tests (q271) both miss. D·n1·n2 is the exact
+    * integer |cumA·n2 − cumB·n1| at each histogram point (DECIMAL
+    * products — cum·n clears 2⁶³ at 100 TB row counts), so the argmax
+    * and its location are exact; the only float is one mirrored
+    * divide. The cumulative windows run over the VALUE HISTOGRAM.
+    * Verdict stage split from the histogram build (the q272
+    * contingencyVerdict pattern) so the streaming dual
+    * ([[graft.streaming.StreamingStats.twoGroupCellsStream]]) can
+    * maintain `(v, na, t)` incrementally and fold the same verdict
+    * per micro-batch.
+    */
+  def ksVerdict(cells: DataFrame): DataFrame = {
+    val rankW = Window.orderBy(col("v"))
+    val tot = cells.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    cells
+      .withColumn("ca", sum(col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum(col("t") - col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(dec(col("ca")) * col("n2") - dec(col("cb")) * col("n1")))
+      .orderBy(col("gap").desc, col("v"))
+      .limit(1)
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise(col("gap").cast("double") / (d("n1") * d("n2"))),
+          6).as("d_stat"),
+        col("v").as("d_location"))
+  }
+
+  def ks2Sample(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame =
+    ksVerdict(twoGroupHist(df, groupCol, valueCol, groupA, groupB))
+
+  /** Q290: TWO-SAMPLE CRAMÉR–VON MISES over a bounded-domain measure —
+    * the INTEGRATED ECDF gap, the companion of q289's max gap: KS
+    * sees one large local shift, CvM accumulates many small ones.
+    * T = n1·n2/N² · Σ_v t_v·(F1(v)−F2(v))², with each cell's
+    * t·Δ² term computed from exact cumulative counts as one mirrored
+    * double expression, gridded to integer 10⁻⁹ units (the q272
+    * per-cell discipline) so the histogram aggregation is exact in
+    * any order; the final scalar is one mirrored expression.
+    */
+  def cramerVonMises(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("ca", sum(col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum(col("t") - col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("wg",
+        when(col("n1") === 0L || col("n2") === 0L, lit(0L))
+          .otherwise(round(
+            (d("ca") / d("n1") - d("cb") / d("n2")) *
+              (d("ca") / d("n1") - d("cb") / d("n2")) *
+              col("t").cast("double") * lit(1.0e9)).cast("long")))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(dec(col("wg"))).as("wsum"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise(col("wsum").cast("double") / lit(1.0e9) *
+            d("n1") * d("n2") /
+            ((d("n1") + d("n2")) * (d("n1") + d("n2")))), 6)
+          .as("cvm_t"))
+  }
+
+  /** Q294: CLIFF'S DELTA + COMMON-LANGUAGE EFFECT SIZE between two
+    * groups of a bounded-domain measure — the EFFECT-SIZE companion
+    * of q271's significance: δ = (#(a>b) − #(a<b))/(n1·n2) and
+    * CLES = (#(a>b) + ½#(a=b))/(n1·n2), both from the value histogram
+    * with exact DECIMAL pair counts (na·cumBelow products — no row
+    * pairs ever form; the ×2 device keeps the half exact). One
+    * aggregation over ≤ |domain| rows; two mirrored divides.
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("cbLt", coalesce(sum(col("t") - col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(
+        sum(col("na")).as("n1"),
+        sum(col("t") - col("na")).as("n2"),
+        sum(dec(col("na")) * col("cbLt")).as("gt"),
+        sum(dec(col("na")) * (col("t") - col("na"))).as("eq"))
+      // lt = n1·n2 − gt − eq (every A×B pair is >, < or =)
+      .withColumn("lt",
+        dec(col("n1")) * col("n2") - col("gt") - col("eq"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise((col("gt").cast("double") -
+            col("lt").cast("double")) / (d("n1") * d("n2"))), 6)
+          .as("cliffs_delta"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise((lit(2.0) * col("gt").cast("double") +
+            col("eq").cast("double")) /
+            (lit(2.0) * d("n1") * d("n2"))), 6)
+          .as("cles"))
+  }
+
+  /** Q291: 1-D WASSERSTEIN (earth-mover) DISTANCE between two cohorts'
+    * value distributions — the drift metric that, unlike KL/JS
+    * (q247/q249), respects the METRIC on the value line: mass moved ×
+    * distance moved. For discrete values,
+    * W1 = Σ_v (next(v)−v)·|F1(v)−F2(v)|, and each term's numerator
+    * gap·|cumA·n2 − cumB·n1| is an exact integer (DECIMAL products),
+    * so the sum is exact and the only float is one mirrored divide by
+    * n1·n2. `cohortA` is any boolean split of the rows; the histogram
+    * and its windows are value-bounded.
+    */
+  def wasserstein1(df: DataFrame, cohortA: Column, valueCol: Column)
+      : DataFrame = {
+    val h = df.select(cohortA.as("ia"), valueCol.cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("ia"), lit(1L)).otherwise(lit(0L))).as("na"),
+        count(lit(1)).as("t"))
+    val rankW = Window.orderBy(col("v"))
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("ca", sum(col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum(col("t") - col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap",
+        coalesce(lead(col("v"), 1).over(rankW) - col("v"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("gap") *
+          abs(dec(col("ca")) * col("n2") - dec(col("cb")) * col("n1")))
+          .as("wx"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise(col("wx").cast("double") / (d("n1") * d("n2"))),
+          6).as("w1"))
+  }
+
+  /** Q295: DECISION-STUMP SPLIT FINDER — the best single threshold on
+    * a bounded-domain feature for predicting a bounded categorical
+    * label, by weighted Gini impurity (the one-node CART step a
+    * feature-importance audit runs per column). Per-class cumulative
+    * counts from ONE histogram pass; each candidate threshold's
+    * impurity is a mirrored double expression over exact integers,
+    * gridded to 10⁻¹² for the exact argmin (ties → smallest
+    * threshold). Rows with labels outside `labels` are excluded (the
+    * caller declares the domain, as q274 declares its y domain).
+    */
+  def giniStump(df: DataFrame, labelCol: String, valueCol: Column,
+      labels: Seq[String]): DataFrame = {
+    require(labels.nonEmpty && labels.size <= 16,
+      s"label domain out of range: ${labels.size}")
+    val cnts = labels.zipWithIndex.map { case (l, i) =>
+      sum(when(col("y") === l, lit(1L)).otherwise(lit(0L))).as(s"c$i") }
+    val h = df.select(col(labelCol).as("y"), valueCol.cast("long").as("v"))
+      .filter(col("y").isin(labels: _*))
+      .groupBy(col("v"))
+      .agg(cnts.head, cnts.tail :+ count(lit(1)).as("t"): _*)
+    val rankW = Window.orderBy(col("v"))
+    val totAggs = labels.indices.map(i => sum(col(s"c$i")).as(s"t$i"))
+    val tot = h.agg(totAggs.head, totAggs.tail :+
+      sum(col("t")).as("n"): _*)
+    def d(c: Column): Column = c.cast("double")
+    def sq(c: Column): Column = d(c) * d(c)
+    val cum = h.select(col("v") +: col("t") +:
+      labels.indices.map(i => sum(col(s"c$i")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as(s"cc$i")): _*)
+      .withColumn("nl", sum(col("t")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sL = labels.indices.map(i => sq(col(s"cc$i"))).reduce(_ + _)
+    val sR = labels.indices.map(i =>
+      sq(col(s"t$i") - col(s"cc$i"))).reduce(_ + _)
+    val sP = labels.indices.map(i => sq(col(s"t$i"))).reduce(_ + _)
+    cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n")) // a full split is no split
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("gini_g", round(
+        ((d(col("nl")) - sL / d(col("nl"))) +
+          (d(col("nr")) - sR / d(col("nr")))) / d(col("n")) *
+          lit(1.0e12)).cast("long"))
+      .orderBy(col("gini_g"), col("v"))
+      .limit(1)
+      .select(col("n").as("n_rows"), col("v").as("split_value"),
+        round(col("gini_g").cast("double") / lit(1.0e12), 6)
+          .as("gini_split"),
+        round((d(col("n")) - sP / d(col("n"))) / d(col("n")), 6)
+          .as("gini_parent"))
   }
 }

@@ -27,4 +27,23 @@ object StreamingStats {
     df.select(aCol.as("a"), bCol.as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("o"))
+
+  /** Streaming dual of the q289 KS histogram: maintain the two-group
+    * `(v, na, t)` value histogram over an unbounded stream — counts
+    * are a sum-monoid, state is ≤ |value domain| rows regardless of
+    * stream length (the contingencyCellsStream argument). The KS/CvM
+    * verdicts ([[graft.operators.Stats.ksVerdict]]) are bounded
+    * downstream folds over a snapshot of the emitted cells.
+    *
+    * Equivalence contract (StreamingKsSpec): the latest emitted cells
+    * equal `Stats.twoGroupHist` over everything fed so far, and
+    * `ksVerdict` over them equals `Stats.ks2Sample` on the same rows.
+    */
+  def twoGroupCellsStream(df: DataFrame, groupCol: Column,
+      valueCol: Column, groupA: String): DataFrame =
+    df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === groupA, lit(1L)).otherwise(lit(0L)))
+          .as("na"),
+        count(lit(1)).as("t"))
 }

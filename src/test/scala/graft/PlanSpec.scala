@@ -486,6 +486,11 @@ class PlanSpec extends SparkSpec {
       // VALUE HISTOGRAM (≤11 discount levels / ≤50 quantities)
       ("Stats.scala", """val dRankW = Window.orderBy(col("dc"))"""),
       ("Stats.scala", """val qRankW = Window.orderBy(col("q"))"""),
+      // q293: the Pettitt midrank window runs over the DAILY-REVENUE
+      // VALUE HISTOGRAM (≤ |days| rows — calendar-bounded), never
+      // fact rows; the running-sum window is the enrolled epoch_day
+      // site above
+      ("Relational.scala", """val vW = Window.orderBy(col("v"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The q289–q296 two-sample / distribution-shift battery: hand-computed
+  * references, degenerate-input NaN behavior, and tie-break pins.
+  */
+class TwoSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li(a: Seq[Long], b: Seq[Long]) =
+    (a.map(("R", _)) ++ b.map(("N", _)))
+      .toDF("l_returnflag", "l_quantity")
+
+  test("q289 KS: identical groups D=0; planted shift D and location exact") {
+    val same = Stats.ks2Sample(li(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Long)].collect().head
+    assert(same._3 === 0.0 && same._4 === 1L, s"$same")
+    // a=[1,2,3,4], b=[3,4,5,6]: max gap 8/16 = 0.5, first at v=2
+    val got = Stats.ks2Sample(li(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Long)].collect().head
+    assert(got === ((4L, 4L, 0.5, 2L)), s"$got")
+  }
+
+  test("q290 CvM: identical groups T=0; hand-integrated reference") {
+    val same = Stats.cramerVonMises(li(Seq(1L, 2L), Seq(1L, 2L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double)].collect().head
+    assert(same._3 === 0.0, s"$same")
+    // a=[1,2,3,4], b=[3,4,5,6]: Σ tΔ² = 1.375, T = 16/64·1.375
+    val got = Stats.cramerVonMises(li(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((4L, 4L, 0.34375)), s"$got")
+  }
+
+  test("q294 Cliff's delta: sign, magnitude and CLES from literal pairs") {
+    // a=[1,2], b=[2,3]: gt=0, lt=3, eq=1 → δ=−0.75, CLES=0.125
+    val got = Stats.cliffsDelta(li(Seq(1L, 2L), Seq(2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got === ((2L, 2L, -0.75, 0.125)), s"$got")
+    // symmetry: swapping the groups flips δ, reflects CLES
+    val rev = Stats.cliffsDelta(li(Seq(2L, 3L), Seq(1L, 2L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(rev._3 === 0.75 && rev._4 === 0.875, s"$rev")
+  }
+
+  test("q291 Wasserstein-1: identical cohorts 0; unit and two-step shifts") {
+    def docs(a: Seq[Long], b: Seq[Long]) =
+      (a.map(("A", _)) ++ b.map(("B", _))).toDF("c", "v")
+    def w1(a: Seq[Long], b: Seq[Long]): Double =
+      Stats.wasserstein1(docs(a, b), col("c") === "A", col("v"))
+        .as[(Long, Long, Double)].collect().head._3
+    assert(w1(Seq(1L, 2L), Seq(1L, 2L)) === 0.0)
+    assert(w1(Seq(1L, 2L), Seq(2L, 3L)) === 1.0) // every unit moves 1
+    assert(w1(Seq(1L, 1L), Seq(5L, 5L)) === 4.0)
+    // asymmetric mass: {1,1,4} vs {4}: F-gaps 2/3 on [1,4) → W1 = 2
+    assert(w1(Seq(1L, 1L, 4L), Seq(4L)) === 2.0)
+  }
+
+  private def orders(days: Seq[Long], dollars: Seq[Double],
+      prio: Seq[String] = Seq.empty) = {
+    val p = if (prio.isEmpty) days.map(_ => "1-URGENT") else prio
+    days.lazyZip(dollars).lazyZip(p).toSeq
+      .map { case (d, r, pp) =>
+        (java.time.LocalDate.ofEpochDay(d).toString, r, pp) }
+      .toDF("o_orderdate", "o_totalprice", "o_orderpriority")
+  }
+
+  test("q292 runs test: hand sequence, all-median NaN degenerate") {
+    // daily [1,1,5,5,9]$ → median 500c; drops the 5s; signs 0,0,1 →
+    // runs=2, n1=1, n2=2, z = (2 − 7/3)/sqrt(2/9)
+    val got = Relational.runsTest(orders(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq(1.0, 1.0, 5.0, 5.0, 9.0)))
+      .as[(Long, Long, Long, Double)].collect().head
+    val z = BigDecimal((2.0 - 7.0 / 3.0) / math.sqrt(2.0 / 9.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === 1L && got._2 === 2L && got._3 === 2L, s"$got")
+    assert(math.abs(got._4 - z) < 1e-9, s"z: $got vs $z")
+    // constant series: everything equals the median → NaN, no throw
+    val const = Relational.runsTest(orders(Seq(1L, 2L, 3L),
+      Seq(2.0, 2.0, 2.0))).as[(Long, Long, Long, Double)].collect().head
+    assert(const._4.isNaN, s"$const")
+  }
+
+  test("q293 Pettitt: planted level shift found at the step day") {
+    // [1,1,1,9,9,9] over days 10..15: K=9 at the 3rd day
+    val got = Relational.pettittChangePoint(orders(
+      (10L to 15L).toSeq, Seq(1.0, 1.0, 1.0, 9.0, 9.0, 9.0)))
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((6L, 12L, 9L)), s"$got")
+    // constant series: all U_t = 0, earliest day wins the tie
+    val flat = Relational.pettittChangePoint(orders(
+      (10L to 13L).toSeq, Seq(3.0, 3.0, 3.0, 3.0)))
+      .as[(Long, Long, Long)].collect().head
+    assert(flat === ((4L, 10L, 0L)), s"$flat")
+  }
+
+  test("q295 stump: pure split found with exact zero impurity") {
+    val df = (Seq(1L, 1L, 2L).map(("A", _)) ++ Seq(3L, 3L).map(("N", _)))
+      .toDF("l_returnflag", "l_quantity")
+    val got = Stats.giniStump(df, "l_returnflag", col("l_quantity"),
+      Seq("A", "N", "R"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got === ((5L, 2L, 0.0, 0.48)), s"$got")
+    // labels outside the declared domain are excluded
+    val noisy = df.union(Seq(("X", 9L)).toDF("l_returnflag", "l_quantity"))
+    val got2 = Stats.giniStump(noisy, "l_returnflag", col("l_quantity"),
+      Seq("A", "N", "R")).as[(Long, Long, Double, Double)].collect().head
+    assert(got2 === got, s"$got2")
+  }
+
+  test("q296 PSI: hand mix shift; stable mix gives PSI=0") {
+    // days 1-2: 10×P1 + 10×P2; days 3-4: 5×P1 + 15×P2
+    val d1 = Seq.fill(10)(1L) ++ Seq.fill(10)(2L)
+    val p1 = Seq.fill(10)("P1") ++ Seq.fill(10)("P2")
+    val d2 = Seq.fill(5)(3L) ++ Seq.fill(15)(4L)
+    val p2 = Seq.fill(5)("P1") ++ Seq.fill(15)("P2")
+    val got = Relational.psiPriorityShift(orders(d1 ++ d2,
+      Seq.fill(40)(1.0), p1 ++ p2))
+      .as[(Long, Long, Long, Double)].collect().head
+    val psi = BigDecimal(0.25 * math.log(2.0) +
+      -0.25 * math.log(2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === 20L && got._2 === 20L && got._3 === 2L, s"$got")
+    assert(math.abs(got._4 - psi) < 1e-9, s"psi: $got vs $psi")
+    val same = Relational.psiPriorityShift(orders(d1 ++ d1.map(_ + 2L),
+      Seq.fill(40)(1.0), p1 ++ p1))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(same._4 === 0.0, s"$same")
+  }
+}
