@@ -216,6 +216,12 @@ object Catalog {
     "minhash_sketch" -> arity("minhash_sketch(w, num_hashes)", 2)(e =>
       graft.functions.MinHashSketchAgg(e(0),
         litLong(e(1), "num_hashes (argument 2)").toInt)),
+    "kmv_sketch" -> arity("kmv_sketch(w, k)", 2)(e =>
+      graft.functions.KmvSketchAgg(e(0),
+        litLong(e(1), "k (argument 2)").toInt)),
+    "kmv_distinct" -> arity("kmv_distinct(w, k)", 2)(e =>
+      graft.functions.KmvDistinctAgg(e(0),
+        litLong(e(1), "k (argument 2)").toInt)),
   )
 
   /** Register graft-native functions in an existing session's registry. */

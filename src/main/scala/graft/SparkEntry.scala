@@ -1486,6 +1486,34 @@ object SparkEntry {
     // date range — the categorical drift gate
     "q296_psi_shift" -> ((s, dir) =>
       Relational.psiPriorityShift(Tables.orders(s, dir))),
+    // q297-q299: the KMV (bottom-k) distinct sketch — the
+    // order-statistic member of the mergeable-aggregate family
+    "q297_kmv_sketch" -> ((s, dir) =>
+      Sketches.kmvSourceSketch(Tables.documents(s, dir), "text")),
+    "q298_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvSourceDistinct(Tables.documents(s, dir), "text")),
+    // q299: global bottom-k via shard merge; the oracle builds it
+    // directly from the undivided corpus (union mergeability proof)
+    "q299_kmv_union" -> ((s, dir) =>
+      Sketches.kmvGlobalSketch(Tables.documents(s, dir), "text")),
+    // q300: Hodges-Lehmann shift of quantities, R vs N — the robust
+    // location-shift scalar from the difference histogram
+    "q300_hodges_lehmann" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.hodgesLehmannShift(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q301: PACF lags 1-3 of daily revenue — Durbin-Levinson unrolled
+    // over q259's exact ACF chain
+    "q301_pacf" -> ((s, dir) =>
+      Relational.pacfDaily(Tables.orders(s, dir))),
+    // q302: per-source KS drift of token counts vs rest-of-corpus —
+    // q289 run for every shard in one pass over the dense grid
+    "q302_source_ks_drift" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.sourceKsDrift(Tables.documents(s, dir), f.col("source"),
+        f.expr("length(text) - length(replace(text, ' ', '')) + 1"))
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -5817,6 +5845,199 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS k_cells,
         |  round(CAST(sum(pg) AS DOUBLE) / 1.0e12, 6) AS psi
         |FROM terms""".stripMargin,
+    // q297: the KMV slot rows replayed — the q243 poly-hash chain,
+    // distinct permuted hashes, rank filter rn <= k. k = 16 < the
+    // testdata's ~31-word vocabulary so the truncation and the
+    // (k−1)·P/h_k estimator genuinely fire (non-vacuous gate)
+    "q297_kmv_sketch" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |ph AS MATERIALIZED (
+        |  SELECT src, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM w),
+        |hh AS MATERIALIZED (
+        |  SELECT DISTINCT src, (ph * 2654435761) % 1000000007 AS h
+        |  FROM ph),
+        |rk AS (SELECT src, h,
+        |         row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+        |       FROM hh)
+        |SELECT src AS source, CAST(rn - 1 AS BIGINT) AS i, h
+        |FROM rk WHERE rn <= 16""".stripMargin,
+    // q298: the KMV estimate replayed — exact below k, else the
+    // (k−1)·P/h_k order-statistic estimator, exact distinct alongside
+    "q298_kmv_distinct" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |ph AS MATERIALIZED (
+        |  SELECT src, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM w),
+        |hh AS MATERIALIZED (
+        |  SELECT DISTINCT src, (ph * 2654435761) % 1000000007 AS h
+        |  FROM ph),
+        |ex AS (SELECT src, CAST(count(*) AS BIGINT) AS exact_distinct
+        |       FROM w GROUP BY 1),
+        |cnt AS (SELECT src, CAST(count(*) AS BIGINT) AS nh
+        |        FROM hh GROUP BY 1),
+        |kth AS (SELECT src, h AS hk FROM (
+        |          SELECT src, h, row_number() OVER (PARTITION BY src
+        |            ORDER BY h) AS rn FROM hh)
+        |        WHERE rn = 16)
+        |SELECT c.src AS source,
+        |  CASE WHEN c.nh < 16 THEN c.nh
+        |    ELSE CAST(round(15.0 * 1000000007.0
+        |      / CAST(k.hk AS DOUBLE)) AS BIGINT) END AS kmv_est,
+        |  e.exact_distinct
+        |FROM cnt c LEFT JOIN kth k USING (src)
+        |JOIN ex e ON e.src = c.src""".stripMargin,
+    // q299: the oracle builds the GLOBAL bottom-k directly from the
+    // undivided corpus; the engine merges per-source shards — hash
+    // equality proves union mergeability (the q245 device)
+    "q299_kmv_union" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |dw AS MATERIALIZED (SELECT DISTINCT w FROM w),
+        |ph AS MATERIALIZED (
+        |  SELECT w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM dw),
+        |hh AS (SELECT DISTINCT (ph * 2654435761) % 1000000007 AS h
+        |       FROM ph),
+        |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh)
+        |SELECT CAST(rn - 1 AS BIGINT) AS i, h
+        |FROM rk WHERE rn <= 16""".stripMargin,
+    // q300: the Hodges-Lehmann chain replayed — difference histogram
+    // from the two value histograms, weighted lower median
+    "q300_hodges_lehmann" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |ha AS (SELECT v AS a, na FROM h WHERE na > 0),
+        |hb AS (SELECT v AS b, t - na AS nb FROM h WHERE t - na > 0),
+        |df AS (SELECT a - b AS d, CAST(sum(na * nb) AS BIGINT) AS w2
+        |       FROM ha CROSS JOIN hb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w2) AS BIGINT) AS tw FROM df),
+        |cu AS (SELECT d, CAST(sum(w2) OVER (ORDER BY d ROWS BETWEEN
+        |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |       FROM df)
+        |SELECT tw AS n_pairs, d AS hl_shift
+        |FROM cu CROSS JOIN tot
+        |WHERE 2 * cw >= tw + 1 ORDER BY d LIMIT 1""".stripMargin,
+    // q301: q259's exact covariance chain for lags 1-3, pivoted, then
+    // the Durbin-Levinson recursion unrolled as mirrored expressions
+    "q301_pacf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(r) AS BIGINT) AS s FROM daily),
+        |dev AS MATERIALIZED (
+        |  SELECT d, t.n, r * t.n - t.s AS dv FROM daily CROSS JOIN tot t),
+        |c0 AS (SELECT CAST(sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+        |         AS DOUBLE) AS c0, max(n) AS n
+        |       FROM dev),
+        |cks AS (
+        |  SELECT l.lag AS lag,
+        |    CAST(sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT))
+        |      AS DOUBLE) AS ck
+        |  FROM dev a
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS lag) l
+        |  JOIN dev b ON b.d = a.d - l.lag
+        |  GROUP BY 1),
+        |pv AS (SELECT max(CASE WHEN lag = 1 THEN ck END) AS ck1,
+        |         max(CASE WHEN lag = 2 THEN ck END) AS ck2,
+        |         max(CASE WHEN lag = 3 THEN ck END) AS ck3
+        |       FROM cks),
+        |rr AS (SELECT n, ck1 / c0 AS r1, ck2 / c0 AS r2, ck3 / c0 AS r3
+        |       FROM pv CROSS JOIN c0 WHERE c0 > 0.0),
+        |p2 AS (SELECT n, r1, r2, r3, 1.0 - r1 * r1 AS den2 FROM rr),
+        |p3 AS (SELECT n, r1, r2, r3,
+        |         CASE WHEN den2 = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |           ELSE (r2 - r1 * r1) / den2 END AS p22
+        |       FROM p2),
+        |p4 AS (SELECT n, r1, r2, r3, p22,
+        |         r1 * (1.0 - p22) AS p21 FROM p3),
+        |p5 AS (SELECT n, r1, r2, r3, p22, p21,
+        |         1.0 - p21 * r1 - p22 * r2 AS den3 FROM p4)
+        |SELECT n AS n_days, round(r1, 6) AS pacf1,
+        |  round(p22, 6) AS pacf2,
+        |  round(CASE WHEN isnan(den3) OR den3 = 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (r3 - p21 * r2 - p22 * r1) / den3 END, 6) AS pacf3
+        |FROM p5""".stripMargin,
+    // q302: the per-source KS chain replayed — dense source × value
+    // grid, partitioned cumulative counts, exact gap argmax per source
+    "q302_source_ks_drift" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT source AS src,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS v
+        |  FROM documents),
+        |cells AS MATERIALIZED (
+        |  SELECT src, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |pooled AS MATERIALIZED (
+        |  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn FROM pooled),
+        |persrc AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns
+        |           FROM cells GROUP BY 1),
+        |grid AS (SELECT s.src, p.v
+        |         FROM (SELECT DISTINCT src FROM cells) s
+        |         CROSS JOIN (SELECT v FROM pooled) p),
+        |cum AS (
+        |  SELECT g.src, g.v,
+        |    CAST(sum(coalesce(cl.c, 0)) OVER (PARTITION BY g.src
+        |      ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cs
+        |  FROM grid g LEFT JOIN cells cl
+        |    ON cl.src = g.src AND cl.v = g.v),
+        |pc AS (SELECT v, CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+        |       FROM pooled),
+        |gaps AS (
+        |  SELECT c.src, c.v, s.ns, t.nn,
+        |    abs(c.cs * (t.nn - s.ns) - (p.ct - c.cs) * s.ns) AS gap
+        |  FROM cum c JOIN pc p USING (v)
+        |  JOIN persrc s ON s.src = c.src CROSS JOIN tot t),
+        |rk AS (SELECT src, v, ns, nn, gap,
+        |         row_number() OVER (PARTITION BY src
+        |           ORDER BY gap DESC, v) AS rn
+        |       FROM gaps)
+        |SELECT src AS source, ns AS n_source,
+        |  round(CASE WHEN ns = nn THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(gap AS DOUBLE) / (CAST(ns AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) - CAST(ns AS DOUBLE))) END, 6)
+        |    AS d_stat,
+        |  v AS d_location
+        |FROM rk WHERE rn = 1""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -110,6 +110,38 @@ object SketchAggs {
   def minhashSketch(c: Column, numHashes: Int = 64): Column =
     GraftBridge.column(MinHashSketchAgg(GraftBridge.expression(c),
       numHashes).toAggregateExpression())
+
+  def kmvSketch(c: Column, k: Int = 32): Column =
+    GraftBridge.column(KmvSketchAgg(GraftBridge.expression(c), k)
+      .toAggregateExpression())
+
+  def kmvDistinct(c: Column, k: Int = 32): Column =
+    GraftBridge.column(KmvDistinctAgg(GraftBridge.expression(c), k)
+      .toAggregateExpression())
+
+  /** Shared KMV buffer ops. The buffer is the k smallest DISTINCT
+    * permuted hashes in ascending order, `Long.MaxValue` sentinels in
+    * unfilled slots (every real hash is < 1e9+7, so sentinels sort
+    * last and `binarySearch` stays correct).
+    */
+  private[functions] def kmvInsert(buffer: Array[Long], v: Long): Unit = {
+    val k = buffer.length
+    if (v >= buffer(k - 1)) return // not among the k smallest (or dup)
+    val idx = java.util.Arrays.binarySearch(buffer, v)
+    if (idx >= 0) return // already present
+    val ins = -idx - 1
+    System.arraycopy(buffer, ins, buffer, ins + 1, k - ins - 1)
+    buffer(ins) = v
+  }
+
+  private[functions] def kmvMerge(a: Array[Long],
+      b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length && b(i) != Long.MaxValue) {
+      kmvInsert(a, b(i)); i += 1
+    }
+    a
+  }
 }
 
 /** Shared shell: a string-input, long-array-buffer sketch aggregate. */
@@ -292,4 +324,85 @@ case class MinHashSketchAgg(child: Expression, numHashes: Int,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
   override def prettyName: String = "minhash_sketch"
+}
+
+/** Shared KMV (k-minimum-values / bottom-k) shell: the classic
+  * mergeable distinct sketch (Bar-Yossef et al. 2002) — keep the k
+  * smallest DISTINCT permuted hashes; union = merge + retruncate, so
+  * shard/source/day sketches combine exactly (the q245 HLL-union
+  * argument, here with an ORDER statistic instead of register maxes).
+  * Hash chain: `poly(w)·2654435761 mod 1e9+7` — the i = 0 member of
+  * the engine's permutation family, so the DuckDB oracle replays it
+  * with the q243 list_reduce device.
+  */
+abstract class KmvAggBase extends LongArraySketchAgg {
+  def k: Int
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override protected def updateToken(buffer: Array[Long],
+      w: UTF8String): Unit = {
+    val v = java.lang.Math.floorMod(
+      PolyHashExpr.compute(w) * SketchAggs.Mult, SketchAggs.Prime)
+    SketchAggs.kmvInsert(buffer, v)
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    SketchAggs.kmvMerge(a, b)
+}
+
+/** `kmv_sketch(w, k)` — the filled prefix of the bottom-k buffer as
+  * `array<bigint>` (ascending; shorter than k when fewer distinct
+  * hashes were seen). This IS the mergeable state: union any two
+  * outputs by merging and keeping the k smallest.
+  */
+case class KmvSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KmvAggBase {
+  // validated in the CONCRETE class: an abstract-body require reads
+  // the not-yet-assigned field during reflective instantiation
+  // (task deserialization) and kills the executor-side copy
+  require(k >= 2 && k <= 4096, s"k out of range: $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.takeWhile(_ != Long.MaxValue))
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_sketch"
+}
+
+/** `kmv_distinct(w, k)` — the KMV cardinality estimate as BIGINT:
+  * exact count of distinct hashes while fewer than k were seen,
+  * otherwise `round((k−1)·P/h_k)` with h_k the k-th smallest hash —
+  * one mirrored expression the oracle replays (round parity: both
+  * engines round positive halves up).
+  */
+case class KmvDistinctAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KmvAggBase {
+  require(k >= 2 && k <= 4096, s"k out of range: $k")
+  override def dataType: DataType = LongType
+  override def eval(buffer: Array[Long]): Any = {
+    val filled = buffer.indexWhere(_ == Long.MaxValue) match {
+      case -1 => k
+      case n => n
+    }
+    if (filled < k) filled.toLong
+    else math.round((k - 1).toDouble * SketchAggs.Prime.toDouble /
+      buffer(k - 1).toDouble)
+  }
+  override def withNewMutableAggBufferOffset(o: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_distinct"
 }

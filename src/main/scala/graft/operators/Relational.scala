@@ -559,6 +559,64 @@ object Relational {
           .as("acf"))
   }
 
+  /** Q301: PARTIAL AUTOCORRELATION (lags 1–3) of daily revenue — the
+    * AR-order diagnostic q259's raw ACF can't give (a pure AR(1)
+    * series shows geometric ACF at EVERY lag but PACF ≈ 0 past lag
+    * 1). Durbin–Levinson unrolled over the three ACF scalars:
+    * φ11 = ρ1, φ22 = (ρ2 − ρ1²)/(1 − ρ1²),
+    * φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2) with
+    * φ21 = ρ1(1 − φ22). The ρ's come from q259's exact
+    * DECIMAL-covariance chain (one aggregation, day-bounded pairs);
+    * every φ is a mirrored expression over those three doubles, NaN
+    * on the degenerate zero denominators (the q279 discipline).
+    */
+  def pacfDaily(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("r") * col("n") - col("s")).as("dv"))
+    val c0 = dev.agg(sum(dec(col("dv")) * dec(col("dv"))).as("c0"),
+      max(col("n")).as("n"))
+    val lags = dev.select(col("d"), col("dv"),
+      explode(sequence(lit(1L), lit(3L))).as("lag"))
+    val cks = lags
+      .select(col("dv"), col("lag"), (col("d") - col("lag")).as("dk"))
+      .join(dev.select(col("d").as("dk"), col("dv").as("dvk")),
+        Seq("dk"))
+      .groupBy(col("lag"))
+      .agg(sum(dec(col("dv")) * dec(col("dvk"))).as("ck"))
+      .agg(
+        max(when(col("lag") === 1L, col("ck"))).as("ck1"),
+        max(when(col("lag") === 2L, col("ck"))).as("ck2"),
+        max(when(col("lag") === 3L, col("ck"))).as("ck3"))
+    def d(name: String): Column = col(name).cast("double")
+    cks.crossJoin(broadcast(c0))
+      .filter(col("c0").cast("double") > 0.0) // constant series: drop
+      .withColumn("r1", d("ck1") / d("c0"))
+      .withColumn("r2", d("ck2") / d("c0"))
+      .withColumn("r3", d("ck3") / d("c0"))
+      .withColumn("den2", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("p22",
+        when(col("den2") === 0.0, lit(Double.NaN))
+          .otherwise((col("r2") - col("r1") * col("r1")) / col("den2")))
+      .withColumn("p21", col("r1") * (lit(1.0) - col("p22")))
+      .withColumn("den3",
+        lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2"))
+      .select(col("n").as("n_days"),
+        round(col("r1"), 6).as("pacf1"),
+        round(col("p22"), 6).as("pacf2"),
+        round(when(isnan(col("den3")) || col("den3") === 0.0,
+            lit(Double.NaN))
+          .otherwise((col("r3") - col("p21") * col("r2") -
+            col("p22") * col("r1")) / col("den3")), 6).as("pacf3"))
+  }
+
   /** Q260: DAY-OF-WEEK SEASONALITY INDEX — each weekday's mean daily
     * revenue relative to the overall daily mean (index 1.0 = flat),
     * the companion read to q259's ACF lag-7 peak. Exact: day totals

@@ -273,4 +273,55 @@ object Sketches {
         .as("sig"))
       .select(col("src"), posexplode(col("sig")).as(Seq("i", "mh")))
       .select(col("src"), col("i").cast("long").as("i"), col("mh"))
+
+  /** Q297: per-source KMV (bottom-k) distinct sketch through the
+    * `kmv_sketch` AGGREGATE ([[graft.functions.KmvAggBase]]) — the
+    * ORDER-STATISTIC member of the mergeable family (CMS sums, HLL
+    * maxes, minhash mins, KMV bottom-k): one k-slot buffer per
+    * (partition, source) on the wire; union across shards is merge +
+    * retruncate. Output (source, i, h) slot rows, oracle-replayed via
+    * the q243 hash-chain device + a rank filter.
+    */
+  def kmvSourceSketch(docs: DataFrame, textCol: String, k: Int = 16)
+      : DataFrame =
+    tokens(docs, textCol)
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.kmvSketch(col("w"), k).as("sk"))
+      .select(col("src").as("source"), posexplode(col("sk"))
+        .as(Seq("i", "h")))
+      .select(col("source"), col("i").cast("long").as("i"), col("h"))
+
+  /** Q298: the per-source KMV cardinality estimate next to the exact
+    * distinct count — both deterministic (the estimate is a pure
+    * function of the bottom-k hashes), so BOTH columns oracle exactly;
+    * the |est − exact| gap is the sketch's honest price, priced per
+    * source in the output rather than hidden in a recall flag.
+    */
+  def kmvSourceDistinct(docs: DataFrame, textCol: String, k: Int = 16)
+      : DataFrame =
+    tokens(docs, textCol)
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.kmvDistinct(col("w"), k)
+          .as("kmv_est"),
+        countDistinct(col("w")).as("exact_distinct"))
+      .select(col("src").as("source"), col("kmv_est"),
+        col("exact_distinct"))
+
+  /** Q299: GLOBAL bottom-k by merging the per-source KMV shards — the
+    * engine never touches the undivided corpus (per-source sketches →
+    * explode → k smallest of the union), while the oracle builds the
+    * global bottom-k directly; hash equality IS the union-mergeability
+    * proof (the q245 HLL-union argument for order statistics: every
+    * global bottom-k hash survives in its own shard's bottom-k).
+    * The merge runs over ≤ |sources|·k values — collect_set-bounded.
+    */
+  def kmvGlobalSketch(docs: DataFrame, textCol: String, k: Int = 16)
+      : DataFrame =
+    tokens(docs, textCol)
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.kmvSketch(col("w"), k).as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("merged"))
+      .select(posexplode(col("merged")).as(Seq("i", "h")))
+      .select(col("i").cast("long").as("i"), col("h"))
 }

@@ -636,6 +636,90 @@ object Stats {
           6).as("w1"))
   }
 
+  /** Q300: HODGES–LEHMANN SHIFT ESTIMATOR between two groups of a
+    * bounded-domain measure — the location-shift companion of q294's
+    * δ: the median of all n1·n2 pairwise differences a − b, the
+    * robust "how MUCH did the distribution move" scalar (q269's mean
+    * difference without its outlier exposure). No row pairs ever
+    * form: the difference distribution lives on the |A|·|B|-cell
+    * product of the two value HISTOGRAMS with exact DECIMAL weights
+    * na·nb; the weighted lower median (smallest d with
+    * 2·cumW ≥ T+1 — the ×2 device keeps the half exact) comes from
+    * one cumulative window over the difference histogram.
+    */
+  def hodgesLehmannShift(df: DataFrame, groupCol: String,
+      valueCol: Column, groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val histA = h.filter(col("na") > 0L)
+      .select(col("v").as("a"), col("na"))
+    val histB = h.filter(col("t") - col("na") > 0L)
+      .select(col("v").as("b"), (col("t") - col("na")).as("nb"))
+    val diffs = histA.crossJoin(broadcast(histB))
+      .groupBy((col("a") - col("b")).as("d"))
+      .agg(sum(dec(col("na")) * col("nb")).as("w"))
+    val tot = diffs.agg(sum(col("w")).as("tw"))
+    val dW = Window.orderBy(col("d"))
+    diffs
+      .withColumn("cw", sum(col("w")).over(
+        dW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(lit(2L) * col("cw") >= col("tw") + lit(1L))
+      .orderBy(col("d"))
+      .limit(1)
+      .select(col("tw").cast("long").as("n_pairs"),
+        col("d").as("hl_shift"))
+  }
+
+  /** Q302: PER-SOURCE KS DRIFT AUDIT — q289's test run for EVERY
+    * source against the rest of the corpus in one pass: which shards
+    * drifted, by how much, and where on the value line. The
+    * per-source ECDFs live on the DENSE source × pooled-value grid
+    * (the q274 grid device — a source's ECDF must be evaluated at
+    * values it never emitted), cumulative windows are PARTITIONED by
+    * source, and each source's max gap is the exact integer
+    * |cum_s·(N−n_s) − cum_rest·n_s| (DECIMAL products). One row per
+    * source; ties in the gap break to the smallest value.
+    */
+  def sourceKsDrift(df: DataFrame, sourceCol: Column, valueCol: Column)
+      : DataFrame = {
+    val base = df.select(sourceCol.as("src"),
+      valueCol.cast("long").as("v"))
+    val cells = base.groupBy(col("src"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val pooled = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val tot = pooled.agg(sum(col("t")).as("nn"))
+    val perSrc = cells.groupBy(col("src")).agg(sum(col("c")).as("ns"))
+    val grid = cells.select(col("src")).distinct()
+      .crossJoin(broadcast(pooled.select(col("v"))))
+    val sW = Window.partitionBy(col("src")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankW = Window.orderBy(col("v"))
+    val pooledCum = pooled.withColumn("ct", sum(col("t")).over(
+      rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("ct"))
+    val gaps = grid
+      .join(cells, Seq("src", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cs", sum(col("c")).over(sW))
+      .join(broadcast(pooledCum), Seq("v"))
+      .join(broadcast(perSrc), Seq("src"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(dec(col("cs")) * (col("nn") - col("ns")) -
+          dec(col("ct") - col("cs")) * col("ns")))
+    val pick = Window.partitionBy(col("src"))
+      .orderBy(col("gap").desc, col("v"))
+    def d(name: String): Column = col(name).cast("double")
+    gaps
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("src").as("source"), col("ns").as("n_source"),
+        round(when(col("ns") === col("nn"), lit(Double.NaN))
+          .otherwise(col("gap").cast("double") /
+            (d("ns") * (d("nn") - d("ns")))), 6).as("d_stat"),
+        col("v").as("d_location"))
+  }
+
   /** Q295: DECISION-STUMP SPLIT FINDER — the best single threshold on
     * a bounded-domain feature for predicting a bounded categorical
     * label, by weighted Gini impurity (the one-node CART step a

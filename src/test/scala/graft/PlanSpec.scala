@@ -491,6 +491,10 @@ class PlanSpec extends SparkSpec {
       // fact rows; the running-sum window is the enrolled epoch_day
       // site above
       ("Relational.scala", """val vW = Window.orderBy(col("v"))"""),
+      // q300: the Hodges-Lehmann cumulative-weight window runs over
+      // the DIFFERENCE HISTOGRAM (≤ |A|·|B| cells of two bounded
+      // value domains), never row pairs
+      ("Stats.scala", """val dW = Window.orderBy(col("d"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

@@ -149,5 +149,72 @@ class SketchAggsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MinHashSketchAgg(org.apache.spark.sql.GraftBridge.expression(lit("x")), 0)
     }
+    intercept[IllegalArgumentException] {
+      KmvSketchAgg(org.apache.spark.sql.GraftBridge.expression(lit("x")), 1)
+    }
+  }
+
+  test("kmv_sketch equals the declarative bottom-k of distinct hashes") {
+    val byAgg = Sketches.kmvSourceSketch(docs, "text", k = 16)
+    val declarative = docs
+      .select(col("source").as("src"),
+        explode(split(graft.operators.TextShingles.normalize(col("text")),
+          " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("src"),
+        pmod(PolyHashExprs.polyHash(col("w")) * lit(2654435761L),
+          lit(1000000007L)).as("h"))
+      .distinct()
+      .groupBy(col("src"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, 16).as("sk"))
+      .select(col("src").as("source"),
+        posexplode(col("sk")).as(Seq("i", "h")))
+      .select(col("source"), col("i").cast("long").as("i"), col("h"))
+    assert(sortedRows(byAgg) === sortedRows(declarative))
+  }
+
+  test("kmv: exact below k, estimator formula at k, partition-invariant") {
+    import spark.implicits._
+    // 5 distinct tokens, k = 8 > 5: the estimate IS the exact count
+    val small = Seq("a", "b", "c", "d", "e", "a", "b")
+      .toDF("w").agg(SketchAggs.kmvDistinct(col("w"), 8))
+      .as[Long].collect().head
+    assert(small === 5L)
+    // k = 3 <= 5: est = round(2·P / h_3) over the hand-computed hashes
+    val hs = Seq("a", "b", "c", "d", "e").map { w =>
+      Math.floorMod(Math.floorMod(w.charAt(0).toLong, 1000000007L) *
+        2654435761L, 1000000007L)
+    }.sorted
+    val expect = math.round(2.0 * 1000000007L.toDouble / hs(2).toDouble)
+    val got = Seq("a", "b", "c", "d", "e").toDF("w")
+      .agg(SketchAggs.kmvDistinct(col("w"), 3)).as[Long].collect().head
+    assert(got === expect, s"$got vs $expect over $hs")
+    // partitioning independence (merge path)
+    val base = docs.select(
+      explode(split(graft.operators.TextShingles.normalize(col("text")),
+        " ")).as("w")).filter(col("w") =!= "")
+    val one = base.repartition(1)
+      .agg(SketchAggs.kmvSketch(col("w"), 16)).collect().head.toString
+    val many = base.repartition(7)
+      .agg(SketchAggs.kmvSketch(col("w"), 16)).collect().head.toString
+    assert(one === many)
+  }
+
+  test("kmv SQL surface: GROUP BY kmv_distinct / kmv_sketch") {
+    graft.Catalog.registerFunctions(spark)
+    docs.select(col("source").as("src"),
+        explode(split(graft.operators.TextShingles.normalize(col("text")),
+          " ")).as("w"))
+      .filter(col("w") =!= "")
+      .createOrReplaceTempView("toks_kmv_spec")
+    val viaSql = spark.sql(
+      """SELECT src, kmv_distinct(w, 16) AS kmv_est
+        |FROM toks_kmv_spec GROUP BY src""".stripMargin)
+    val viaCol = Sketches.kmvSourceDistinct(docs, "text", k = 16)
+      .select(col("source").as("src"), col("kmv_est"))
+    assert(sortedRows(viaSql) === sortedRows(viaCol))
+    val skSql = spark.sql(
+      "SELECT src, kmv_sketch(w, 16) AS sk FROM toks_kmv_spec GROUP BY src")
+    assert(skSql.count() === viaCol.count())
   }
 }

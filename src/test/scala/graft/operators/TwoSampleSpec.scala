@@ -115,6 +115,39 @@ class TwoSampleSpec extends SparkSpec {
     assert(got2 === got, s"$got2")
   }
 
+  test("q300 Hodges-Lehmann: weighted lower median of literal pair diffs") {
+    // a=[1,2], b=[2,3]: diffs [-2,-1,-1,0] → median -1
+    val got = Stats.hodgesLehmannShift(li(Seq(1L, 2L), Seq(2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long)].collect().head
+    assert(got === ((4L, -1L)), s"$got")
+    // identical groups: every diff distribution is symmetric around 0
+    val same = Stats.hodgesLehmannShift(li(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long)].collect().head
+    assert(same === ((9L, 0L)), s"$same")
+  }
+
+  test("q301 PACF: hand Durbin-Levinson on an alternating series") {
+    // daily [1,2,1,2]$: ρ1=-0.75, ρ2=0.5, ρ3=-0.25 →
+    // φ22 = -1/7, φ33 = 1/6
+    val got = Relational.pacfDaily(orders(Seq(1L, 2L, 3L, 4L),
+      Seq(1.0, 2.0, 1.0, 2.0)))
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got._1 === 4L)
+    assert(math.abs(got._2 - (-0.75)) < 2e-6, s"$got")
+    assert(math.abs(got._3 - (-1.0 / 7.0)) < 2e-6, s"$got")
+    assert(math.abs(got._4 - (1.0 / 6.0)) < 2e-6, s"$got")
+  }
+
+  test("q302 per-source KS: disjoint sources are maximally drifted") {
+    val df = (Seq(1L, 2L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _)))
+      .toDF("source", "v")
+    val got = Stats.sourceKsDrift(df, col("source"), col("v"))
+      .as[(String, Long, Double, Long)].collect().sortBy(_._1)
+    assert(got === Seq(("A", 2L, 1.0, 2L), ("B", 2L, 1.0, 2L)), s"$got")
+  }
+
   test("q296 PSI: hand mix shift; stable mix gives PSI=0") {
     // days 1-2: 10×P1 + 10×P2; days 3-4: 5×P1 + 15×P2
     val d1 = Seq.fill(10)(1L) ++ Seq.fill(10)(2L)
