@@ -1514,6 +1514,32 @@ object SparkEntry {
       Stats.sourceKsDrift(Tables.documents(s, dir), f.col("source"),
         f.expr("length(text) - length(replace(text, ' ', '')) + 1"))
     }),
+    // q303: per-decile quantile shift of quantities, R vs N — WHERE
+    // on the distribution the cohorts moved
+    "q303_quantile_shift" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.quantileShift(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q304: energy distance, R vs N quantities — the metric-aware
+    // two-sample statistic from the |domain|² pair table
+    "q304_energy_distance" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.energyDistance(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q305: Kuiper V = D⁺ + D⁻ on the discount grid, R vs N
+    "q305_kuiper" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.kuiper2Sample(Tables.lineitem(s, dir), "l_returnflag",
+        f.round(f.lit(100.0) * f.col("l_discount")), "R", "N")
+    }),
+    // q306: seasonal Mann-Kendall — q277 within each weekday, summed
+    "q306_seasonal_mk" -> ((s, dir) =>
+      Relational.seasonalMannKendall(Tables.orders(s, dir))),
+    // q307: Ljung-Box portmanteau over ACF lags 1-7
+    "q307_ljung_box" -> ((s, dir) =>
+      Relational.ljungBox(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6038,6 +6064,180 @@ object SparkEntry {
         |    AS d_stat,
         |  v AS d_location
         |FROM rk WHERE rn = 1""".stripMargin,
+    // q303: the quantile-shift chain replayed — shared cumulative
+    // histogram, integer percentile_disc compares per decile
+    "q303_quantile_shift" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(sum(t - na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM h),
+        |e AS (
+        |  SELECT c.v, c.ca, c.cb, t.n1, t.n2, dd.decile
+        |  FROM c CROSS JOIN tot t CROSS JOIN
+        |    (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile) dd),
+        |q AS (
+        |  SELECT decile,
+        |    min(CASE WHEN 10 * ca >= decile * n1 THEN v END) AS q_a,
+        |    min(CASE WHEN 10 * cb >= decile * n2 THEN v END) AS q_b
+        |  FROM e GROUP BY 1)
+        |SELECT decile, q_a, q_b, q_a - q_b AS shift FROM q""".stripMargin,
+    // q304: the energy-distance chain replayed — |domain|² pair table
+    // of the histogram with itself, exact count·count·distance sums
+    "q304_energy_distance" ->
+      """WITH h0 AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |hh AS MATERIALIZED (SELECT v, na, t - na AS nb FROM h0),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(nb) AS BIGINT) AS n2 FROM hh),
+        |ag AS (
+        |  SELECT CAST(sum(a.na * b.nb * abs(a.v - b.v)) AS HUGEINT)
+        |      AS exy,
+        |    CAST(sum(a.na * b.na * abs(a.v - b.v)) AS HUGEINT) AS exx,
+        |    CAST(sum(a.nb * b.nb * abs(a.v - b.v)) AS HUGEINT) AS eyy
+        |  FROM hh a CROSS JOIN hh b)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE 2.0 * CAST(exy AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      - CAST(exx AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+        |      - CAST(eyy AS DOUBLE)
+        |        / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 6)
+        |    AS energy_dist
+        |FROM ag CROSS JOIN tot""".stripMargin,
+    // q305: the Kuiper chain replayed — both one-sided max gaps from
+    // the same cumulative histogram, summed
+    "q305_kuiper" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(round(100.0 * l_discount) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(sum(t - na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM h),
+        |ag AS (
+        |  SELECT max(n1) AS n1, max(n2) AS n2,
+        |    CAST(max(ca * n2 - cb * n1) AS BIGINT) AS dplus,
+        |    CAST(max(cb * n1 - ca * n2) AS BIGINT) AS dminus
+        |  FROM c CROSS JOIN tot)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(dplus AS DOUBLE) + CAST(dminus AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 6)
+        |    AS v_stat
+        |FROM ag""".stripMargin,
+    // q306: the seasonal MK chain replayed — within-weekday pairs,
+    // per-season tie-corrected variance, q277's z convention
+    "q306_seasonal_mk" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |dw AS MATERIALIZED (
+        |  SELECT (d + 4) % 7 AS dow, d, r FROM daily),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN b.r > a.r THEN 1
+        |    WHEN b.r < a.r THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM dw a JOIN dw b ON b.dow = a.dow AND a.d < b.d),
+        |per AS (
+        |  SELECT CAST(sum(ng * (ng - 1) * (2 * ng + 5)) AS BIGINT)
+        |      AS vpos,
+        |    CAST(sum(ng) AS BIGINT) AS n
+        |  FROM (SELECT dow, CAST(count(*) AS BIGINT) AS ng
+        |        FROM dw GROUP BY 1)),
+        |ties AS (
+        |  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |    AS tiesum
+        |  FROM (SELECT dow, r, CAST(count(*) AS BIGINT) AS t
+        |        FROM dw GROUP BY 1, 2)),
+        |fin AS (
+        |  SELECT s_stat, n,
+        |    (CAST(vpos AS DOUBLE) - CAST(tiesum AS DOUBLE)) / 18.0
+        |      AS var_s
+        |  FROM s CROSS JOIN per CROSS JOIN ties)
+        |SELECT n AS n_days, s_stat, round(var_s, 4) AS var_s,
+        |  round(CASE WHEN s_stat > 0
+        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |    WHEN s_stat < 0
+        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |    ELSE 0.0 END, 6) AS z_score
+        |FROM fin""".stripMargin,
+    // q307: the Ljung-Box chain replayed — q259's covariances for
+    // lags 1-7, the portmanteau sum folded in fixed lag order
+    "q307_ljung_box" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(r) AS BIGINT) AS s FROM daily),
+        |dev AS MATERIALIZED (
+        |  SELECT d, t.n, r * t.n - t.s AS dv FROM daily CROSS JOIN tot t),
+        |c0 AS (SELECT CAST(sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+        |         AS DOUBLE) AS c0, max(n) AS n
+        |       FROM dev),
+        |cks AS (
+        |  SELECT l.lag AS lag,
+        |    CAST(sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT))
+        |      AS DOUBLE) AS ck
+        |  FROM dev a
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag) l
+        |  JOIN dev b ON b.d = a.d - l.lag
+        |  GROUP BY 1),
+        |pv AS (SELECT max(CASE WHEN lag = 1 THEN ck END) AS ck1,
+        |         max(CASE WHEN lag = 2 THEN ck END) AS ck2,
+        |         max(CASE WHEN lag = 3 THEN ck END) AS ck3,
+        |         max(CASE WHEN lag = 4 THEN ck END) AS ck4,
+        |         max(CASE WHEN lag = 5 THEN ck END) AS ck5,
+        |         max(CASE WHEN lag = 6 THEN ck END) AS ck6,
+        |         max(CASE WHEN lag = 7 THEN ck END) AS ck7
+        |       FROM cks),
+        |rr AS (
+        |  SELECT n,
+        |    coalesce(ck1, 0.0) / c0 AS r1, coalesce(ck2, 0.0) / c0 AS r2,
+        |    coalesce(ck3, 0.0) / c0 AS r3, coalesce(ck4, 0.0) / c0 AS r4,
+        |    coalesce(ck5, 0.0) / c0 AS r5, coalesce(ck6, 0.0) / c0 AS r6,
+        |    coalesce(ck7, 0.0) / c0 AS r7
+        |  FROM pv CROSS JOIN c0 WHERE c0 > 0.0)
+        |SELECT n AS n_days,
+        |  round(CASE WHEN n <= 7 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |      * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+        |        + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+        |        + r3 * r3 / (CAST(n AS DOUBLE) - 3.0)
+        |        + r4 * r4 / (CAST(n AS DOUBLE) - 4.0)
+        |        + r5 * r5 / (CAST(n AS DOUBLE) - 5.0)
+        |        + r6 * r6 / (CAST(n AS DOUBLE) - 6.0)
+        |        + r7 * r7 / (CAST(n AS DOUBLE) - 7.0)) END, 4)
+        |    AS q_stat
+        |FROM rr""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -923,6 +923,101 @@ object Relational {
           .otherwise(lit(0.0)), 6).as("z_score"))
   }
 
+  /** Q306: SEASONAL MANN–KENDALL on daily revenue — q277's trend test
+    * computed WITHIN each day-of-week and summed (Hirsch & Slack
+    * 1984): a weekly cycle contributes opposite-sign pairs to the
+    * plain test and can mask (or fake) a trend; comparing only
+    * same-weekday days removes the cycle. Pairs ride a dow EQUI-join
+    * of the day dimension against its broadcast self (calendar-
+    * bounded — ~(days/7)²·7 pairs, collapsing toward constant at
+    * 100×); S and the tie-corrected variance are exact BIGINTs per
+    * season, summed across the seven seasons; z is q277's mirrored
+    * continuity-corrected expression (all-tied seasons zero both S
+    * and their variance term, so z = 0 needs no divide).
+    */
+  def seasonalMannKendall(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+      .select(pmod(col("d") + lit(4L), lit(7L)).as("dow"), col("d"),
+        col("r"))
+    val s = daily
+      .join(broadcast(daily.select(col("dow"), col("d").as("d2"),
+        col("r").as("r2"))), Seq("dow"))
+      .filter(col("d") < col("d2"))
+      .agg(sum(when(col("r2") > col("r"), lit(1L))
+        .when(col("r2") < col("r"), lit(-1L))
+        .otherwise(lit(0L))).as("s_stat"))
+    val per = daily.groupBy(col("dow")).agg(count(lit(1)).as("ng"))
+      .agg(sum(col("ng") * (col("ng") - lit(1L)) *
+        (lit(2L) * col("ng") + lit(5L))).as("vpos"),
+        sum(col("ng")).as("n"))
+    val ties = daily.groupBy(col("dow"), col("r"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - lit(1L)) *
+        (lit(2L) * col("t") + lit(5L))).as("tiesum"))
+    def d(name: String): Column = col(name).cast("double")
+    s.crossJoin(broadcast(per)).crossJoin(broadcast(ties))
+      .withColumn("var_s",
+        (d("vpos") - d("tiesum")) / lit(18.0))
+      .select(col("n").as("n_days"), col("s_stat"),
+        round(col("var_s"), 4).as("var_s"),
+        round(when(col("s_stat") > 0L,
+            (d("s_stat") - lit(1.0)) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0L,
+            (d("s_stat") + lit(1.0)) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6).as("z_score"))
+  }
+
+  /** Q307: LJUNG–BOX PORTMANTEAU TEST on daily revenue — the
+    * "is there ANY serial correlation in the first 7 lags?" summary
+    * q259's per-lag ACF table leaves to the reader and q283's DW
+    * only asks at lag 1: Q = n(n+2)·Σ_{k=1..7} ρ_k²/(n−k). The ρ's
+    * come from q259's exact DECIMAL-covariance chain; the seven
+    * terms fold in fixed lag order as one mirrored expression
+    * (absent lags — no same-lag day pairs — contribute 0).
+    */
+  def ljungBox(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 14, s"maxLag out of range: $maxLag")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("r") * col("n") - col("s")).as("dv"))
+    val c0 = dev.agg(sum(dec(col("dv")) * dec(col("dv"))).as("c0"),
+      max(col("n")).as("n"))
+    val cks = dev
+      .select(col("d"), col("dv"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .select(col("dv"), col("lag"), (col("d") - col("lag")).as("dk"))
+      .join(dev.select(col("d").as("dk"), col("dv").as("dvk")),
+        Seq("dk"))
+      .groupBy(col("lag"))
+      .agg(sum(dec(col("dv")) * dec(col("dvk"))).as("ck"))
+      .agg(
+        max(when(col("lag") === 1L, col("ck"))).as("ck1"),
+        (2 to maxLag).map(k =>
+          max(when(col("lag") === k.toLong, col("ck"))).as(s"ck$k")): _*)
+    def d(name: String): Column = col(name).cast("double")
+    val qSum = (1 to maxLag).map { k =>
+      val rho = coalesce(d(s"ck$k"), lit(0.0)) / d("c0")
+      rho * rho / (d("n") - lit(k.toDouble))
+    }.reduce(_ + _)
+    cks.crossJoin(broadcast(c0))
+      .filter(col("c0").cast("double") > 0.0) // constant series: drop
+      .select(col("n").as("n_days"),
+        round(when(col("n") <= lit(maxLag.toLong), lit(Double.NaN))
+          .otherwise(d("n") * (d("n") + lit(2.0)) * qSum), 4)
+          .as("q_stat"))
+  }
+
   /** Q283: DURBIN–WATSON AUTOCORRELATION TEST on the residuals of the
     * daily-revenue trend fit — the "is the trend model missing serial
     * structure?" companion to q99/q263 (DW ≈ 2 means independent

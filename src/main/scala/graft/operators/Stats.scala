@@ -720,6 +720,105 @@ object Stats {
         col("v").as("d_location"))
   }
 
+  /** Q303: QUANTILE SHIFT FUNCTION between two groups — the per-decile
+    * view of q300's single shift scalar: WHERE on the distribution did
+    * the cohorts move (tails vs body — a mean/median shift can hide a
+    * pure tail change). Each group's decile is the exact
+    * percentile_disc element (smallest v with 10·cum ≥ d·n — pure
+    * integer compares, no float quantile arithmetic anywhere); one
+    * cumulative window over the shared value histogram serves all
+    * nine deciles of both groups.
+    */
+  def quantileShift(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    h
+      .withColumn("ca", sum(col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum(col("t") - col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("ca"), col("cb"), col("n1"), col("n2"),
+        explode(sequence(lit(1L), lit(9L))).as("decile"))
+      .groupBy(col("decile"))
+      .agg(
+        min(when(lit(10L) * col("ca") >= col("decile") * col("n1"),
+          col("v"))).as("q_a"),
+        min(when(lit(10L) * col("cb") >= col("decile") * col("n2"),
+          col("v"))).as("q_b"))
+      .select(col("decile"), col("q_a"), col("q_b"),
+        (col("q_a") - col("q_b")).as("shift"))
+  }
+
+  /** Q304: ENERGY DISTANCE between two groups of a bounded-domain
+    * measure — the metric-aware two-sample statistic (Székely &
+    * Rizzo 2004): E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, zero iff the
+    * distributions coincide, and sensitive to shifts q289's max-gap
+    * can dilute. All three expectations come from ONE |domain|² pair
+    * table of the value histogram crossed with itself — exact
+    * DECIMAL count·count·distance products, three mirrored divides.
+    */
+  def energyDistance(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+      .select(col("v"), col("na"), (col("t") - col("na")).as("nb"))
+    val h2 = h.select(col("v").as("v2"), col("na").as("na2"),
+      col("nb").as("nb2"))
+    val tot = h.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    h.crossJoin(broadcast(h2))
+      .withColumn("ad", abs(col("v") - col("v2")))
+      .agg(
+        sum(dec(col("na")) * col("nb2") * col("ad")).as("exy"),
+        sum(dec(col("na")) * col("na2") * col("ad")).as("exx"),
+        sum(dec(col("nb")) * col("nb2") * col("ad")).as("eyy"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise(lit(2.0) * col("exy").cast("double") /
+              (d("n1") * d("n2")) -
+            col("exx").cast("double") / (d("n1") * d("n1")) -
+            col("eyy").cast("double") / (d("n2") * d("n2"))), 6)
+          .as("energy_dist"))
+  }
+
+  /** Q305: KUIPER TWO-SAMPLE TEST — q289's KS with the max gap taken
+    * in BOTH directions and summed (V = D⁺ + D⁻), equally sensitive
+    * across the whole value line where KS favors the median region
+    * (the circular-data / tail-shift companion). Same exact integer
+    * gap arithmetic as q289; one aggregation over the cumulative
+    * histogram.
+    */
+  def kuiper2Sample(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("ca", sum(col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum(col("t") - col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(dec(col("ca")) * col("n2") - dec(col("cb")) * col("n1"))
+          .as("dplus"),
+        max(dec(col("cb")) * col("n1") - dec(col("ca")) * col("n2"))
+          .as("dminus"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise((col("dplus").cast("double") +
+            col("dminus").cast("double")) / (d("n1") * d("n2"))), 6)
+          .as("v_stat"))
+  }
+
   /** Q295: DECISION-STUMP SPLIT FINDER — the best single threshold on
     * a bounded-domain feature for predicting a bounded categorical
     * label, by weighted Gini impurity (the one-node CART step a

@@ -148,6 +148,70 @@ class TwoSampleSpec extends SparkSpec {
     assert(got === Seq(("A", 2L, 1.0, 2L), ("B", 2L, 1.0, 2L)), s"$got")
   }
 
+  test("q303 quantile shift: pure location shift moves every decile equally") {
+    val got = Stats.quantileShift(li(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length === 9)
+    assert(got.forall(_._4 === -2L), s"${got.toSeq}")
+    val same = Stats.quantileShift(li(Seq(1L, 2L), Seq(1L, 2L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(same.forall(_._4 === 0L), s"${same.toSeq}")
+  }
+
+  test("q304 energy distance: zero iff identical; point masses = 2·distance") {
+    def e(a: Seq[Long], b: Seq[Long]): Double =
+      Stats.energyDistance(li(a, b), "l_returnflag", col("l_quantity"),
+        "R", "N").as[(Long, Long, Double)].collect().head._3
+    assert(e(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) === 0.0)
+    assert(e(Seq(0L, 0L), Seq(2L, 2L)) === 4.0)
+  }
+
+  test("q305 Kuiper: sums both one-sided gaps where KS sees only one") {
+    def v(a: Seq[Long], b: Seq[Long]) =
+      Stats.kuiper2Sample(li(a, b), "l_returnflag", col("l_quantity"),
+        "R", "N").as[(Long, Long, Double)].collect().head
+    assert(v(Seq(1L, 2L), Seq(1L, 2L))._3 === 0.0)
+    assert(v(Seq(1L, 2L), Seq(3L, 4L))._3 === 1.0)
+    // a=[1,4] straddles b=[2,3]: D+ = D- = 0.5 → V = 1, KS D = 0.5
+    assert(v(Seq(1L, 4L), Seq(2L, 3L))._3 === 1.0)
+    val ks = Stats.ks2Sample(li(Seq(1L, 4L), Seq(2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Long)].collect().head
+    assert(ks._3 === 0.5)
+  }
+
+  test("q306 seasonal MK: monotone fortnight gives S=7, var=7") {
+    val got = Relational.seasonalMannKendall(orders(
+      (1L to 14L).toSeq, (1 to 14).map(_.toDouble)))
+      .as[(Long, Long, Double, Double)].collect().head
+    val z = BigDecimal(6.0 / math.sqrt(7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === 14L && got._2 === 7L && got._3 === 7.0, s"$got")
+    assert(math.abs(got._4 - z) < 1e-9, s"z: $got vs $z")
+  }
+
+  test("q307 Ljung-Box: brute-force reference; n<=7 answers NaN") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    val got = Relational.ljungBox(orders((1L to 10L).toSeq, vals))
+      .as[(Long, Double)].collect().head
+    // reference from double deviations (scale cancels in ρ)
+    val cents = vals.map(_ * 100)
+    val m = cents.sum / 10
+    val dv = cents.map(_ - m)
+    val c0 = dv.map(x => x * x).sum
+    val rho = (1 to 7).map(k =>
+      (k until 10).map(i => dv(i) * dv(i - k)).sum / c0)
+    val q = 10.0 * 12.0 * rho.zipWithIndex
+      .map { case (r, i) => r * r / (10.0 - (i + 1)) }.sum
+    assert(got._1 === 10L)
+    assert(math.abs(got._2 - q) < 1e-3, s"$got vs $q")
+    val short = Relational.ljungBox(orders((1L to 4L).toSeq,
+      Seq(1.0, 2.0, 1.0, 2.0))).as[(Long, Double)].collect().head
+    assert(short._2.isNaN, s"$short")
+  }
+
   test("q296 PSI: hand mix shift; stable mix gives PSI=0") {
     // days 1-2: 10×P1 + 10×P2; days 3-4: 5×P1 + 15×P2
     val d1 = Seq.fill(10)(1L) ++ Seq.fill(10)(2L)
