@@ -1540,6 +1540,20 @@ object SparkEntry {
     // q307: Ljung-Box portmanteau over ACF lags 1-7
     "q307_ljung_box" -> ((s, dir) =>
       Relational.ljungBox(Tables.orders(s, dir))),
+    // q308: Mood's median test, R vs N quantities — 2×2 χ² of
+    // above-pooled-median counts
+    "q308_moods_median" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.moodsMedianTest(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q309: Ansari-Bradley scale test on the discount grid, R vs N —
+    // inward-folded midrank scores, tie-conditional moments
+    "q309_ansari_bradley" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.ansariBradley(Tables.lineitem(s, dir), "l_returnflag",
+        f.round(f.lit(100.0) * f.col("l_discount")), "R", "N")
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6238,6 +6252,90 @@ object SparkEntry {
         |        + r7 * r7 / (CAST(n AS DOUBLE) - 7.0)) END, 4)
         |    AS q_stat
         |FROM rr""".stripMargin,
+    // q308: the Mood's-median chain replayed — integer pooled-median
+    // compare, 2×2 exact counts, one mirrored χ²
+    "q308_moods_median" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (SELECT v, CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct
+        |      FROM h),
+        |med AS (SELECT v AS med FROM c CROSS JOIN tot
+        |        WHERE 2 * ct >= n1 + n2 + 1 ORDER BY v LIMIT 1),
+        |ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN v > med THEN na ELSE 0 END) AS BIGINT)
+        |      AS a1,
+        |    CAST(sum(CASE WHEN v > med THEN t - na ELSE 0 END)
+        |      AS BIGINT) AS b1,
+        |    CAST(sum(na) AS BIGINT) AS n1,
+        |    CAST(sum(t - na) AS BIGINT) AS n2
+        |  FROM h CROSS JOIN med),
+        |fin AS (SELECT n1, n2, a1, b1, n1 - a1 AS a0, n2 - b1 AS b0
+        |        FROM ag),
+        |fd AS (
+        |  SELECT n1, n2, a1, b1,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (CAST(a1 AS DOUBLE) + CAST(b1 AS DOUBLE))
+        |      * (CAST(a0 AS DOUBLE) + CAST(b0 AS DOUBLE)) AS den,
+        |    CAST(a1 * b0 - a0 * b1 AS DOUBLE) AS dev
+        |  FROM fin)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  a1 AS n_above_a, b1 AS n_above_b,
+        |  round(CASE WHEN den = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      * dev * dev / den END, 6) AS chi2
+        |FROM fd""".stripMargin,
+    // q309: the Ansari-Bradley chain replayed — inward-folded ×2
+    // midrank scores, exact Σts/Σts² moments, mirrored z
+    "q309_ansari_bradley" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(round(100.0 * l_discount) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |r AS (
+        |  SELECT na, t, 2 * coalesce(sum(t) OVER (ORDER BY v ROWS
+        |    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |    AS r2
+        |  FROM h),
+        |s AS (SELECT na, t,
+        |        least(r2, 2 * (n1 + n2 + 1) - r2) AS s2
+        |      FROM r CROSS JOIN tot),
+        |ag AS (SELECT
+        |    CAST(sum(na * s2) AS BIGINT) AS ab2,
+        |    CAST(sum(t * s2) AS BIGINT) AS ts1,
+        |    CAST(sum(t * s2 * s2) AS BIGINT) AS ts2
+        |  FROM s),
+        |fin AS (
+        |  SELECT n1, n2, ab2, ts1, ts2,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+        |  FROM ag CROSS JOIN tot),
+        |fd AS (
+        |  SELECT n1, n2, ab2, ts1, nn,
+        |    CASE WHEN nn = 1.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (nn * CAST(ts2 AS DOUBLE)
+        |          - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE))
+        |        / (nn * nn * (nn - 1.0)) END AS varx4
+        |  FROM fin)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CAST(ab2 AS DOUBLE) / 2.0, 2) AS ab_stat,
+        |  round(CASE WHEN varx4 = 0.0 OR isnan(varx4)
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(ab2 AS DOUBLE) - CAST(n1 AS DOUBLE)
+        |      * CAST(ts1 AS DOUBLE) / nn) / sqrt(varx4) END, 6)
+        |    AS z_score
+        |FROM fd""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -819,6 +819,96 @@ object Stats {
           .as("v_stat"))
   }
 
+  /** Q308: MOOD'S MEDIAN TEST between two groups — the blunt-but-
+    * robust location test (how many of each group sit above the
+    * POOLED median?): a 2×2 χ² over exact counts, valid under heavy
+    * tails and gross outliers where rank machinery (q271) still
+    * assumes comparable shapes. The pooled median is an exact
+    * `percentile_disc` element found by integer compares on the
+    * cumulative histogram (2·cum ≥ N+1); the χ² is one mirrored
+    * expression, NaN on degenerate marginals.
+    */
+  def moodsMedianTest(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    val cum = h.withColumn("ct", sum(col("t")).over(
+      rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    // pooled lower median: smallest v with 2·cum ≥ N+1
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(lit(2L) * col("ct") >= col("n1") + col("n2") + lit(1L))
+      .orderBy(col("v")).limit(1).select(col("v").as("med"))
+    def d(name: String): Column = col(name).cast("double")
+    h.crossJoin(broadcast(med))
+      .agg(
+        sum(when(col("v") > col("med"), col("na")).otherwise(lit(0L)))
+          .as("a1"),
+        sum(when(col("v") > col("med"), col("t") - col("na"))
+          .otherwise(lit(0L))).as("b1"),
+        sum(col("na")).as("n1"),
+        sum(col("t") - col("na")).as("n2"))
+      .withColumn("a0", col("n1") - col("a1"))
+      .withColumn("b0", col("n2") - col("b1"))
+      // den in DOUBLE: the four-marginal product clears DECIMAL(38)
+      // near (N/2)⁴ at 100-TB row counts; the χ² is a float anyway
+      .withColumn("den",
+        d("n1") * d("n2") * (d("a1") + d("b1")) * (d("a0") + d("b0")))
+      .withColumn("dev",
+        (dec(col("a1")) * col("b0") - dec(col("a0")) * col("b1"))
+          .cast("double"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        col("a1").as("n_above_a"), col("b1").as("n_above_b"),
+        round(when(col("den") === 0.0, lit(Double.NaN))
+          .otherwise((d("n1") + d("n2")) * col("dev") * col("dev") /
+            col("den")), 6).as("chi2"))
+  }
+
+  /** Q309: ANSARI–BRADLEY SCALE TEST between two groups — does one
+    * cohort SPREAD wider around the common center (the rank-based
+    * companion of q288's Brown–Forsythe, assumption-free about
+    * moments)? Scores fold the midranks inward
+    * (s = min(r, N+1−r), ×2 grid — extremes score low, the center
+    * high), AB = Σ_A s; the tie-conditional moments
+    * E = n1·Σts/N and Var = n1n2(N·Σts² − (Σts)²)/(N²(N−1)) come
+    * from two more exact histogram sums, and z is one mirrored
+    * expression (NaN when Var = 0 — a single distinct value).
+    */
+  def ansariBradley(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("cumb", coalesce(sum(col("t")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2",
+        lit(2L) * col("cumb") + col("t") + lit(1L))
+      .crossJoin(broadcast(tot))
+      .withColumn("s2", least(col("r2"),
+        lit(2L) * (col("n1") + col("n2") + lit(1L)) - col("r2")))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(dec(col("na")) * col("s2")).as("ab2"),
+        sum(dec(col("t")) * col("s2")).as("ts1"),
+        sum(dec(col("t")) * col("s2") * col("s2")).as("ts2"))
+      .withColumn("nn", d("n1") + d("n2"))
+      // AB = ab2/2, E = n1·ts1/(2N), Var = n1n2(N·ts2 − ts1²)/(4N²(N−1))
+      .withColumn("varx4",
+        when(col("nn") === 1.0, lit(Double.NaN)).otherwise(
+          d("n1") * d("n2") *
+            (col("nn") * d("ts2") - d("ts1") * d("ts1")) /
+            (col("nn") * col("nn") * (col("nn") - lit(1.0)))))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(d("ab2") / lit(2.0), 2).as("ab_stat"),
+        round(when(col("varx4") === 0.0 || isnan(col("varx4")),
+            lit(Double.NaN))
+          .otherwise((d("ab2") - d("n1") * d("ts1") / col("nn")) /
+            sqrt(col("varx4"))), 6).as("z_score"))
+  }
+
   /** Q295: DECISION-STUMP SPLIT FINDER — the best single threshold on
     * a bounded-domain feature for predicting a bounded categorical
     * label, by weighted Gini impurity (the one-node CART step a

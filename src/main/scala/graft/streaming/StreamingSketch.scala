@@ -96,4 +96,26 @@ object StreamingSketch {
         pmod((col("ph") + col("i")) * lit(Mult), lit(Prime)).as("h"))
       .groupBy(col("src"), col("i")).agg(min(col("h")).as("mh"))
   }
+
+  /** (src, sk) per-source KMV bottom-k sketch over everything seen so
+    * far — the FOURTH monoid's streaming gate (sum = CMS, max = HLL,
+    * min = minhash, bottom-k = KMV), and the one that runs the
+    * [[graft.functions.KmvSketchAgg]] TypedImperativeAggregate
+    * directly as the streaming aggregation: the state store holds ONE
+    * serialized k-slot buffer per source (the sketch IS the state),
+    * merged across micro-batches by the aggregate's own
+    * insert-and-retruncate. Duplicate tokens across batches cannot
+    * perturb it (set semantics), so no watermark, no distinct pass.
+    * Equivalence contract (StreamingKmvSpec): the complete-mode table
+    * equals `Sketches.kmvSourceSketch`'s arrays over everything fed
+    * so far.
+    */
+  def kmvSketchStream(docs: DataFrame, textCol: String,
+      srcCol: String, k: Int = 16): DataFrame =
+    docs.select(col(srcCol).as("src"),
+        explode(split(TextShingles.normalize(col(textCol)), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.kmvSketch(col("w"), k).as("sk"))
 }

@@ -212,6 +212,39 @@ class TwoSampleSpec extends SparkSpec {
     assert(short._2.isNaN, s"$short")
   }
 
+  test("q308 Mood's median: 2x2 hand table; identical groups chi2=0") {
+    // a=[1,2,5,6], b=[3,4,7,8]: pooled median 5; above: a 1, b 2 →
+    // chi2 = 8·(1·2−3·2)²/(4·4·3·5) = 128/240
+    val got = Stats.moodsMedianTest(li(Seq(1L, 2L, 5L, 6L), Seq(3L, 4L, 7L, 8L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val chi = BigDecimal(128.0 / 240.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === 4L && got._2 === 4L && got._3 === 1L &&
+      got._4 === 2L, s"$got")
+    assert(math.abs(got._5 - chi) < 1e-9, s"$got vs $chi")
+    val same = Stats.moodsMedianTest(li(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(same._5 === 0.0, s"$same")
+  }
+
+  test("q309 Ansari-Bradley: straddling group scores low, z = -sqrt(3)") {
+    // a=[1,4] (extremes), b=[2,3] (center): AB=2, E=3, Var=1/3
+    val got = Stats.ansariBradley(li(Seq(1L, 4L), Seq(2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    val z = BigDecimal(-math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === 2L && got._2 === 2L && got._3 === 2.0, s"$got")
+    assert(math.abs(got._4 - z) < 1e-9, s"$got vs $z")
+    // a single distinct value: Var = 0 → NaN, no throw
+    val flat = Stats.ansariBradley(li(Seq(5L, 5L), Seq(5L, 5L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(flat._4.isNaN, s"$flat")
+  }
+
   test("q296 PSI: hand mix shift; stable mix gives PSI=0") {
     // days 1-2: 10×P1 + 10×P2; days 3-4: 5×P1 + 15×P2
     val d1 = Seq.fill(10)(1L) ++ Seq.fill(10)(2L)
