@@ -1554,6 +1554,10 @@ object SparkEntry {
       Stats.ansariBradley(Tables.lineitem(s, dir), "l_returnflag",
         f.round(f.lit(100.0) * f.col("l_discount")), "R", "N")
     }),
+    // q310: per-source-pair KMV Jaccard — Broder sketch similarity
+    // from the q297 state, exact word-set Jaccard as validation
+    "q310_kmv_jaccard" -> ((s, dir) =>
+      Sketches.kmvPairJaccard(Tables.documents(s, dir), "text")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6336,6 +6340,63 @@ object SparkEntry {
         |      * CAST(ts1 AS DOUBLE) / nn) / sqrt(varx4) END, 6)
         |    AS z_score
         |FROM fd""".stripMargin,
+    // q310: the KMV-Jaccard chain replayed — per-source bottom-k
+    // lists, merged bottom-k of each pair's union, shared fraction,
+    // exact word-set Jaccard alongside
+    "q310_kmv_jaccard" ->
+      s"""WITH w AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src, w FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '))
+        |      AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |ph AS MATERIALIZED (
+        |  SELECT src, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS ph
+        |  FROM w),
+        |hh AS MATERIALIZED (
+        |  SELECT DISTINCT src, (ph * 2654435761) % 1000000007 AS h
+        |  FROM ph),
+        |rk AS (SELECT src, h,
+        |         row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+        |       FROM hh),
+        |sk AS MATERIALIZED (
+        |  SELECT src, list(h ORDER BY h) AS sk
+        |  FROM rk WHERE rn <= 16 GROUP BY src),
+        |pr AS (
+        |  SELECT a.src AS s1, b.src AS s2, a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.src < b.src),
+        |m AS (
+        |  SELECT s1, s2, ska, skb,
+        |    list_slice(list_sort(list_distinct(list_concat(ska, skb))),
+        |      1, 16) AS merged
+        |  FROM pr),
+        |e AS (
+        |  SELECT s1, s2,
+        |    CAST(len(list_filter(merged, x -> list_contains(ska, x)
+        |      AND list_contains(skb, x))) AS BIGINT) AS shared,
+        |    CAST(len(merged) AS BIGINT) AS msize
+        |  FROM m),
+        |cnt AS (SELECT src, CAST(count(*) AS BIGINT) AS nw
+        |        FROM w GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS s1, b.src AS s2,
+        |    CAST(count(*) AS BIGINT) AS ni
+        |  FROM w a JOIN w b ON b.w = a.w AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT e.s1 AS source_a, e.s2 AS source_b,
+        |  round(CAST(shared AS DOUBLE) / CAST(msize AS DOUBLE), 6)
+        |    AS jaccard_est,
+        |  round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+        |    / (CAST(c1.nw AS DOUBLE) + CAST(c2.nw AS DOUBLE)
+        |      - CAST(coalesce(i.ni, 0) AS DOUBLE)), 6)
+        |    AS jaccard_exact
+        |FROM e JOIN cnt c1 ON c1.src = e.s1
+        |JOIN cnt c2 ON c2.src = e.s2
+        |LEFT JOIN inter i ON i.s1 = e.s1 AND i.s2 = e.s2""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

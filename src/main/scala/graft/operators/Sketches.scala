@@ -315,6 +315,52 @@ object Sketches {
     * global bottom-k hash survives in its own shard's bottom-k).
     * The merge runs over ≤ |sources|·k values — collect_set-bounded.
     */
+  /** Q310: PER-SOURCE-PAIR KMV JACCARD — the bottom-k of the UNION of
+    * two sketches is a uniform hash-order sample of A∪B, so the
+    * fraction of it present in BOTH sketches estimates |A∩B|/|A∪B|
+    * (Broder's sketch-Jaccard on KMV state): pair similarity from
+    * k-slot sketches alone, never the token sets — the q217 minhash
+    * story with the SAME state q297/q298 already maintain for
+    * cardinality (one sketch, two readouts). The exact word-set
+    * Jaccard rides as the validation price; both columns are
+    * deterministic, so both oracle exactly.
+    */
+  def kmvPairJaccard(docs: DataFrame, textCol: String, k: Int = 16)
+      : DataFrame = {
+    val sk = tokens(docs, textCol).groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.kmvSketch(col("w"), k).as("sk"))
+    val words = tokens(docs, textCol)
+      .select(col("src"), col("w")).distinct()
+    val cnt = words.groupBy(col("src")).agg(count(lit(1)).as("nw"))
+    val inter = words.select(col("src").as("s1"), col("w"))
+      .join(words.select(col("src").as("s2"), col("w")), Seq("w"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("ni"))
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    sk.select(col("src").as("s1"), col("sk").as("ska"))
+      .crossJoin(broadcast(
+        sk.select(col("src").as("s2"), col("sk").as("skb"))))
+      .filter(col("s1") < col("s2"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("shared", size(filter(col("merged"), h =>
+        array_contains(col("ska"), h) &&
+          array_contains(col("skb"), h))).cast("long"))
+      .withColumn("msize", size(col("merged")).cast("long"))
+      .join(broadcast(cnt.select(col("src").as("s1"),
+        col("nw").as("n1w"))), Seq("s1"))
+      .join(broadcast(cnt.select(col("src").as("s2"),
+        col("nw").as("n2w"))), Seq("s2"))
+      .join(broadcast(inter), Seq("s1", "s2"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .select(col("s1").as("source_a"), col("s2").as("source_b"),
+        round(d(col("shared")) / d(col("msize")), 6).as("jaccard_est"),
+        round(d(col("ni")) /
+          (d(col("n1w")) + d(col("n2w")) - d(col("ni"))), 6)
+          .as("jaccard_exact"))
+  }
+
   def kmvGlobalSketch(docs: DataFrame, textCol: String, k: Int = 16)
       : DataFrame =
     tokens(docs, textCol)

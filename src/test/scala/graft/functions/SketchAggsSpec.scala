@@ -200,6 +200,19 @@ class SketchAggsSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("kmv pair Jaccard: identical sources 1.0, disjoint 0.0") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "red green blue"), ("b", "red green blue"),
+      ("c", "cyan magenta yellow")).toDF("source", "text")
+    val got = Sketches.kmvPairJaccard(d, "text", k = 16)
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", "b")) === ((1.0, 1.0)), s"$got")
+    assert(got(("a", "c")) === ((0.0, 0.0)), s"$got")
+    assert(got(("b", "c")) === ((0.0, 0.0)), s"$got")
+  }
+
   test("kmv SQL surface: GROUP BY kmv_distinct / kmv_sketch") {
     graft.Catalog.registerFunctions(spark)
     docs.select(col("source").as("src"),
