@@ -8,6 +8,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Queries are fully materialized through the `noop` sink (every column
   * produced, nothing collected to the driver), which measures the real
   * plan — `count()` would let Catalyst prune the work.
+  *
+  * Measurement regime (the r16 lesson): the driver's 2400 s budget fit
+  * only ONE cold pass at sf0.1, so every recorded number carried the
+  * full codegen/JIT compile of its plan — iterative queries paid 10-95x
+  * their steady-state cost (q222: 308 s cold vs 3.2 s warm) and the
+  * round-1 subset read 4.2x its baseline on compile time alone. The fix
+  * is structural, not a bigger budget:
+  *   1. WARM-UP pass at the sibling sf0.001 directory, excluded from the
+  *      metric. Generated-code caching keys on the plan's generated
+  *      source — identical schema/expressions at any SF hit the same
+  *      cache entry — so one tiny-data execution pays each plan's
+  *      compile (and most of its JIT) outside the timed window.
+  *   2. Timed pass 1 over all queries (now warm).
+  *   3. Remaining budget buys extra reps in DESCENDING pass-1-cost
+  *      order: the expensive decile dominates both the total and its
+  *      noise, so when the budget can't fund full passes the cheap rows
+  *      degrade to 1 rep first (VERDICT r16 item 1b).
+  *   4. The emitted line carries the round-1 31-query subset sum and its
+  *      ratio vs the driver-recorded round-1 baseline, so the 2x gate
+  *      self-adjudicates without driver-side reconstruction.
   */
 object Bench {
 
@@ -19,6 +39,10 @@ object Bench {
     * parameters as the validated forms, minus the exact-truth pass.
     * Not in SparkEntry.queries: the LSH outputs are hash-engine-specific
     * (no DuckDB oracle), which is exactly why the gates exist.
+    * prod_kmv_jaccard is the same split for q310 (ADVICE r16): the
+    * production readout emits only the sketch-derived estimate; the
+    * exact word-set Jaccard it is validated against lives in the
+    * oracled row only.
     */
   val prodPaths: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prod_minhash_neardups" -> ((s, dir) =>
@@ -31,6 +55,9 @@ object Bench {
     "prod_embedding_neardups" -> ((s, dir) =>
       graft.operators.Dedup.embeddingNearDups(Tables.embeddings(s, dir),
         "vec_id", dim = 64, threshold = 0.35)),
+    "prod_kmv_jaccard" -> ((s, dir) =>
+      graft.operators.Sketches.kmvPairJaccardEst(
+        Tables.documents(s, dir), "text")),
   )
 
   /** Fixed synthetic CALIBRATION row — pure CPU, data-independent:
@@ -55,39 +82,67 @@ object Bench {
         .agg(bit_xor(col("h")).as("chk")) // xor: overflow-free under ANSI
     }))
 
-  /** Silences ONE benign, identified error class on the DAGScheduler
-    * logger: `Failed to update accumulator N (Unknown class) ...
-    * non-existent accumulator`. Root cause (BENCH_r11 tail): SQL-metric
-    * accumulators are registered WEAKLY in `AccumulatorContext`; the
-    * bench loop runs ~200 queries x reps ≈ thousands of jobs in one
-    * JVM, each rep's QueryExecution becomes garbage the moment `once()`
-    * returns, and a GC between a job's last-needed result and the
-    * event-loop's processing of straggler task-completion events leaves
-    * those events pointing at cleared weak refs — DAGScheduler logs the
-    * miss at ERROR and drops the (already unwanted) metric update.
-    * Queries are unaffected (`failed: 0`); the spam only buries real
-    * errors in the tail the driver captures. Filtered per-message on
-    * the one logger, never by level — genuine DAGScheduler errors
-    * (task/stage failures) still print, and real query failures
-    * additionally surface via the `failed` counter. Best-effort: log
-    * hygiene must never fail the bench.
+  /** The 31 queries of BENCH_r01 and their driver-recorded total — the
+    * 2x performance gate's contract (BASELINE.md "within 2x of
+    * driver-recorded BASELINE at same scale factor"). Embedded so the
+    * emitted line carries the subset sum and ratio itself.
     */
-  private def muteAccumulatorGcRace(): Unit = try {
+  val r1Subset: Set[String] = Set(
+    "q1_clicked_display", "q2_missed_display", "q3_time_shift",
+    "q4_join_merge_json", "q5_view_outcomes", "q6_dedup_exact",
+    "q7_similarity_topk", "q8_text_stats", "q9_multimodal_join",
+    "q10_dedup_minhash", "q11_dedup_simhash", "q12_dedup_ngram",
+    "q13_text_quality", "q14_lang_id", "q15_fingerprint",
+    "q16_media_features", "q17_similarity_lsh", "q18_embedding_neardup",
+    "q20_pricing_summary", "q21_revenue_by_nation", "q22_supplier_monthly",
+    "q23_returns_rollup", "q24_view_click_sets", "q25_customers_no_orders",
+    "q26_top_orders", "q27_distinct_users", "q28_daily_windows",
+    "q29_approx_distinct", "q30_json_extract", "q31_json_render",
+    "q32_similarity_ivf")
+  val r1BaselineS = 37.922
+  /** The only driver-recorded calib_cpu to date (BENCH_r16's host window);
+    * `r1_ratio_calib` below normalizes the raw subset ratio by
+    * calib_now / this — a host running calib 2x slower than the r16
+    * driver window halves the normalized ratio. Raw ratio is emitted
+    * alongside; the gate adjudicates on whichever it trusts.
+    */
+  val calibRefS = 0.729
+
+  /** Silences ONE benign, identified message class on one named logger.
+    * Root-caused classes only, filtered per-MESSAGE on the one logger,
+    * never by level — genuine errors on the same logger still print, and
+    * real query failures additionally surface via the `failed` counter.
+    * Best-effort: log hygiene must never fail the bench.
+    *
+    *  - DAGScheduler / "Failed to update accumulator": SQL-metric
+    *    accumulators are registered WEAKLY in `AccumulatorContext`; the
+    *    bench runs thousands of jobs in one JVM, each rep's
+    *    QueryExecution becomes garbage the moment `once()` returns, and
+    *    a GC between a job's last result and the event-loop's processing
+    *    of straggler task-completion events leaves those events pointing
+    *    at cleared weak refs (BENCH_r11 tail spam; queries unaffected).
+    *  - WindowExec / "No Partition Defined": every unpartitioned-window
+    *    site in the engine is PlanSpec-ENROLLED and domain-bounded
+    *    (value histograms, day tables — PlanSpec keeps the allowlist
+    *    exact), so in THIS codebase the warning is a false alarm that
+    *    buried the metric line in the BENCH_r16 tail the driver parses.
+    */
+  private def muteKnownNoise(loggerName: String, needle: String): Unit = try {
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
     import org.apache.logging.log4j.core.config.LoggerConfig
     import org.apache.logging.log4j.core.filter.AbstractFilter
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val conf = ctx.getConfiguration
-    val name = "org.apache.spark.scheduler.DAGScheduler"
-    val lc = Option(conf.getLoggerConfig(name)).filter(_.getName == name)
+    val lc = Option(conf.getLoggerConfig(loggerName))
+      .filter(_.getName == loggerName)
       .getOrElse {
         // no dedicated config yet: make one that inherits appenders
         // (additive) at the session's WARN level, so ONLY the filter
         // below differs from the parent behavior
-        val fresh = new LoggerConfig(name,
+        val fresh = new LoggerConfig(loggerName,
           org.apache.logging.log4j.Level.WARN, true)
-        conf.addLogger(name, fresh)
+        conf.addLogger(loggerName, fresh)
         fresh
       }
     lc.addFilter(new AbstractFilter(Filter.Result.DENY,
@@ -95,14 +150,14 @@ object Bench {
       override def filter(event: LogEvent): Filter.Result = {
         val msg = event.getMessage
         if (msg != null &&
-            String.valueOf(msg.getFormattedMessage)
-              .contains("Failed to update accumulator")) Filter.Result.DENY
+            String.valueOf(msg.getFormattedMessage).contains(needle))
+          Filter.Result.DENY
         else Filter.Result.NEUTRAL
       }
     })
     ctx.updateLoggers()
   } catch { case e: Throwable =>
-    System.err.println(s"[bench] accumulator-spam filter not installed: $e")
+    System.err.println(s"[bench] noise filter for $loggerName not installed: $e")
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,13 +177,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    muteAccumulatorGcRace()
+    muteKnownNoise("org.apache.spark.scheduler.DAGScheduler",
+      "Failed to update accumulator")
+    muteKnownNoise("org.apache.spark.sql.execution.window.WindowExec",
+      "No Partition Defined for Window operation")
 
     val allQueries = SparkEntry.queries ++ prodPaths ++ calibration
 
-    def once(name: String): Double = {
+    def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try allQueries(name)(spark, sfDir)
+      try allQueries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -138,22 +196,6 @@ object Bench {
     }
 
     val names = allQueries.keys.toSeq.sorted
-    // warm-ups amortize JVM/codegen startup: a light query for the session
-    // machinery, the HEAVY shingle/PPJoin family (q10 compiles the
-    // kernels every dedup query reuses — r8 warmed it implicitly as
-    // names.head; the prod_* rows sort before it now), and the first
-    // measured slot
-    once("q3_time_shift")
-    once("q10_dedup_minhash")
-    once(names.head)
-    // median-of-n INTERLEAVED repeats: the shared driver host alternates
-    // fast/slow windows (r3/r5 carried ~1.3x uniform inflation vs r2/r4 on
-    // unchanged code), so a single-shot or back-to-back-repeat timing can't
-    // separate plan changes from host contention. Running the whole suite n
-    // times and taking each query's median means a transient slow window
-    // pollutes one PASS, not every repeat of one query — the median drops
-    // it. A query counts as FAILED (-1) if ANY run failed — a flaky query
-    // must not silently report its lucky timings.
     // validated up front: a typo'd value must fail HERE with a clear
     // message, not NumberFormatException mid-run or an empty-passes
     // IndexOutOfBounds after the warm-up
@@ -162,13 +204,14 @@ object Bench {
       sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$repsRaw'"))
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
 
-    // VALIDATION-PRICED rows run at exactly ONE rep and never earn
-    // adaptive reps: their oracled forms additionally compute the exact
+    // VALIDATION-PRICED rows run at exactly ONE timed rep and never earn
+    // extra reps: their oracled forms additionally compute the exact
     // ground truth (PPJoin / all-pairs / exact-set / exact-count passes)
     // that only the correctness gate needs — they are adjudicated, not
     // adjudicating, and the cheap production paths are benched separately
     // as prod_* rows. One sample keeps them in the total's population
     // (round-over-round comparability) at a third of the wall-clock.
+    // They DO get a warm-up execution, so their one timed shot is warm.
     val oneRep = Set("q10_dedup_minhash", "q11_dedup_simhash",
       "q217_source_sketch_sim", "q232_countmin_hitters", "q239_hll_distinct")
 
@@ -192,29 +235,33 @@ object Bench {
     def record(n: String, v: Double): Unit =
       lock.synchronized { samples(n) :+= v }
 
-    // (median, central spread) of a query's samples. Spread is the range
-    // of the CENTRAL half once >= 4 samples exist (the adaptive pass adds
-    // samples, and a plain max-min can only grow with n — one transient
-    // outlier would make convergence impossible by construction); at the
-    // base n=3 it degrades to max-min, the r8 definition.
+    // (lower median, central spread) of a query's samples. Lower median:
+    // sorted((n-1)/2) — identical to the r8-r16 median at the n=3 base,
+    // and at n=2 (the budget-degraded case this round is designed around)
+    // it reports the FASTER of two warm runs rather than the slower, the
+    // standard min-of-reps reading for a pair of samples on a host with
+    // one-sided contention noise. Spread is the range of the CENTRAL half
+    // once >= 4 samples exist (the adaptive pass adds samples, and a
+    // plain max-min can only grow with n); at n<=3 it degrades to
+    // max-min, the r8 definition.
     def stats(s: Vector[Double]): (Double, Double) = {
       val sorted = s.sorted
       val n = sorted.size
-      (sorted(n / 2), sorted((3 * n) / 4 min (n - 1)) - sorted(n / 4))
+      (sorted((n - 1) / 2), sorted((3 * n) / 4 min (n - 1)) - sorted(n / 4))
     }
 
-    @volatile var emitted = false
-    @volatile var phase = "pass-1"
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var phase = "warmup"
     // Emit the one-line result from WHATEVER samples exist. Runs on the
     // normal path (partial=false) and from the JVM shutdown hook when the
     // driver's timeout SIGTERMs the process mid-suite (partial=true) —
     // BENCH_r15's rc=124 must never again mean "parsed": null. Queries
     // with zero samples are omitted from the maps and counted as skipped;
     // the compact stdout line stays fixed-size so the driver's tail
-    // capture can never truncate it.
+    // capture can never truncate it. compareAndSet: the SIGTERM hook and
+    // the main path can race; exactly one caller may ever write.
     def emit(partial: Boolean, extraRoundsRun: Int): Unit = {
-      if (emitted) return
-      emitted = true
+      if (!emitted.compareAndSet(false, true)) return
       val snap = lock.synchronized { samples.toMap }
       val results: Seq[(String, Double, Double, Int)] = names.flatMap { n =>
         val s = snap.getOrElse(n, Vector.empty)
@@ -236,58 +283,119 @@ object Bench {
       val total = results.collect {
         case (k, med, _, _) if med >= 0 && k.startsWith("q") => med }.sum
       val nFailed = results.count(_._2 < 0)
+      // the 2x gate, self-adjudicated: sum of the round-1 31-query subset
+      // (only meaningful when all 31 have a sample — r1_n says so), its
+      // raw ratio vs the driver-recorded round-1 total, and the same
+      // ratio normalized by this run's calib_cpu vs the r16 driver
+      // window's (host-weather correction; see calibRefS)
+      val r1Rows = results.filter(r => r1Subset(r._1) && r._2 >= 0)
+      val r1Sum = r1Rows.map(_._2).sum
+      val r1N = r1Rows.size
+      val r1Ratio = r1Sum / r1BaselineS
+      val calibMed = results.collectFirst {
+        case ("calib_cpu", med, _, _) if med >= 0 => med }.getOrElse(-1.0)
+      val r1RatioCalib =
+        if (calibMed > 0) r1Ratio / (calibMed / calibRefS) else -1.0
+      val gate =
+        f""""r1_subset_s":$r1Sum%.3f,"r1_n":$r1N,"r1_baseline_s":$r1BaselineS,"r1_ratio":$r1Ratio%.3f,"calib_cpu":$calibMed%.3f,"r1_ratio_calib":$r1RatioCalib%.3f"""
       // full record (per-query median + central-spread + rep-count maps)
       // goes to the file only: the driver captures just a stdout TAIL, and
       // the per-query map has outgrown that window before (BENCH_r04
       // "parsed": null). The LAST stdout line is a compact fixed-size total
       // so the driver's parse can never truncate.
       val fullLine =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"phase":"$phase","repeats":$reps,"extra_rounds":$extraRoundsRun,"elapsed_s":$elapsedS%.1f,"queries":$qs,"spread":$spreads,"reps":$repMap,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"phase":"$phase","repeats":$reps,"extra_rounds":$extraRoundsRun,"elapsed_s":$elapsedS%.1f,$gate,"queries":$qs,"spread":$spreads,"reps":$repMap,"sf":"$sfDir"}"""
       sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json")).foreach { p =>
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
         catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }
       }
       println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"repeats":$reps,"sf":"$sfDir"}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"phase":"$phase","repeats":$reps,$gate,"sf":"$sfDir"}""")
       System.out.flush()
     }
     val hook = new Thread(() => emit(partial = true, extraRoundsRun = -1))
     Runtime.getRuntime.addShutdownHook(hook)
 
-    // MEASURED PASSES, budget-aware at two grains: (a) a pass is only
-    // started if the previous pass's duration still fits the remaining
-    // budget (pass times are suite-dominated, so the last pass is the
-    // best predictor); (b) within a pass, each query checks the clock
-    // before running, so even pass 1 on a pathologically slow host stops
-    // with a clean partial instead of being killed mid-query.
-    var pass = 0
-    var lastPassS = 0.0
+    // ---- WARM-UP PASS (untimed, excluded from the metric) ----
+    // Runs every query once against the sibling sf0.001 directory: the
+    // generated-code cache keys on generated source (schema + expressions,
+    // not data volume), so this compiles every plan's codegen and warms
+    // the JIT at tiny-data cost. Capped at a fraction of the budget so a
+    // pathological host still leaves room for the timed pass — rows not
+    // warmed just run cold in pass 1, the r16 status quo. Failures are
+    // ignored here (the timed pass reports them). If no sibling sf0.001
+    // exists (custom SF layout), warm-up is skipped entirely.
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir)
+      val sib = Option(p.getParent).map(_.resolve("sf0.001"))
+      sib.filter(d => java.nio.file.Files.isDirectory(d) &&
+          d.toString != p.toString)
+        .map(_.toString)
+    }
+    val warmBudgetS = math.min(900.0, 0.35 * budgetS)
+    warmDir match {
+      case Some(wd) =>
+        var warmed = 0
+        val it = names.iterator
+        while (it.hasNext && elapsedS < warmBudgetS) {
+          once(it.next(), wd); warmed += 1
+        }
+        System.err.println(
+          f"[bench] warm-up: $warmed/${names.size} plans compiled at $wd in $elapsedS%.0f s")
+      case None =>
+        System.err.println(s"[bench] no sibling sf0.001 next to $sfDir — warm-up skipped")
+        // minimal session warm-up so pass 1 isn't fully cold
+        once("q3_time_shift", sfDir)
+    }
+
+    // ---- TIMED PASS 1 (all queries, at the target SF, now warm) ----
+    phase = "pass-1"
     var budgetHit = false
-    while (pass < reps && !budgetHit &&
-           (pass == 0 || elapsedS + lastPassS <= budgetS)) {
-      pass += 1
-      phase = s"pass-$pass"
-      val t0 = elapsedS
+    val reserveS = 45.0 // keep headroom for emit + spark.stop before SIGKILL
+    locally {
       val it = names.iterator
       while (it.hasNext && !budgetHit) {
         val n = it.next()
-        if (pass == 1 || !oneRep(n)) {
-          if (elapsedS > budgetS) budgetHit = true
-          else record(n, once(n))
-        }
+        if (elapsedS > budgetS - reserveS) budgetHit = true
+        else record(n, once(n, sfDir))
       }
-      lastPassS = elapsedS - t0
+      System.err.println(f"[bench] pass-1 done at $elapsedS%.0f s")
     }
 
-    // ADAPTIVE reps: median-of-3 was not converging for the >10 s queries
-    // on the contended driver host (BENCH_r08: q10 spread 19.7 s vs
-    // median 16.5). Queries whose central spread exceeds half their
-    // median earn extra interleaved reps — bounded rounds, bounded TOTAL
-    // executions (r15's unbounded-in-time loop is what the driver
-    // killed), noisy set only — so adjudications don't hinge on one
-    // lucky/unlucky window. The 0.5 s floor keeps sub-second queries
-    // (scheduling noise dominates; nothing is adjudicated on them) from
-    // burning reps.
+    // ---- EXTRA REPS, expensive rows first ----
+    // The top-cost decile is ~half the suite total, so its noise IS the
+    // total's noise: remaining budget buys rep 2..reps in descending
+    // pass-1-cost order with a per-row projected-fit check (a row that
+    // doesn't fit is skipped, cheaper rows after it still get their rep).
+    // oneRep rows excluded as ever.
+    val byCost = lock.synchronized { samples.toMap }.toSeq
+      .collect { case (n, v) if v.nonEmpty && v.head >= 0 && !oneRep(n) =>
+        (n, v.head) }
+      .sortBy(-_._2).map(_._1)
+    var pass = 1
+    while (pass < reps && !budgetHit) {
+      pass += 1
+      phase = s"pass-$pass"
+      val it = byCost.iterator
+      while (it.hasNext && !budgetHit) {
+        val n = it.next()
+        val est = lock.synchronized { stats(samples(n))._1 }
+        if (elapsedS > budgetS - reserveS) budgetHit = true
+        else if (elapsedS + 1.3 * est <= budgetS - reserveS)
+          record(n, once(n, sfDir))
+      }
+      System.err.println(f"[bench] $phase done at $elapsedS%.0f s")
+    }
+
+    // ---- ADAPTIVE reps for noisy rows ----
+    // median-of-n was not converging for the >10 s queries on the
+    // contended driver host (BENCH_r08: q10 spread 19.7 s vs median
+    // 16.5). Queries whose central spread exceeds half their median earn
+    // extra interleaved reps — bounded rounds, bounded TOTAL executions
+    // (r15's unbounded-in-time loop is what the driver killed), noisy set
+    // only — so adjudications don't hinge on one lucky/unlucky window.
+    // The 0.5 s floor keeps sub-second queries (scheduling noise
+    // dominates; nothing is adjudicated on them) from burning reps.
     val extraRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "4")
       .toIntOption.getOrElse(
         sys.error("SPARK_GRAFT_BENCH_EXTRA must be an integer"))
@@ -300,7 +408,7 @@ object Bench {
       noisy = names.filter { n =>
         !oneRep(n) && {
           val s = snap.getOrElse(n, Vector.empty)
-          s.nonEmpty && s.forall(_ >= 0) && {
+          s.size > 1 && s.forall(_ >= 0) && {
             val (med, spread) = stats(s)
             med >= 0.5 && spread > 0.5 * med
           }
@@ -313,8 +421,11 @@ object Bench {
       val it = noisy.iterator
       while (it.hasNext && !budgetHit && extraExecs < maxExtraExecs) {
         val n = it.next()
-        if (elapsedS > budgetS) budgetHit = true
-        else { record(n, once(n)); extraExecs += 1 }
+        val est = lock.synchronized { stats(samples(n))._1 }
+        if (elapsedS > budgetS - reserveS) budgetHit = true
+        else if (elapsedS + 1.3 * est <= budgetS - reserveS) {
+          record(n, once(n, sfDir)); extraExecs += 1
+        }
       }
     }
 

@@ -1558,6 +1558,59 @@ object SparkEntry {
     // from the q297 state, exact word-set Jaccard as validation
     "q310_kmv_jaccard" -> ((s, dir) =>
       Sketches.kmvPairJaccard(Tables.documents(s, dir), "text")),
+    // q311: Anderson-Darling two-sample on quantities, R vs N —
+    // tail-weighted omnibus (discrete Scholz-Stephens A², k=2)
+    "q311_anderson_darling" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.andersonDarling2(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q312: Jonckheere-Terpstra ordered trend — do quantities shift
+    // monotonically with line number? (tie-corrected z)
+    "q312_jonckheere" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.jonckheereTerpstra(Tables.lineitem(s, dir),
+        f.col("l_linenumber"), f.col("l_quantity"))
+    }),
+    // q313: Lepage location-scale omnibus on the discount grid, R vs
+    // N — z_Wilcoxon² + z_AnsariBradley² off one histogram
+    "q313_lepage" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.lepage(Tables.lineitem(s, dir), "l_returnflag",
+        f.round(f.lit(100.0) * f.col("l_discount")), "R", "N")
+    }),
+    // q314: Cucconi location-scale test on quantities, R vs N —
+    // squared-rank U/V with null correlation rho
+    "q314_cucconi" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.cucconi(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
+    // q315: Cochran-Armitage trend — is the F(inalized)-status rate
+    // monotone in order priority (scores 1..5)?
+    "q315_cochran_armitage" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.cochranArmitage(Tables.orders(s, dir),
+        f.substring(f.col("o_orderpriority"), 1, 1).cast("int"),
+        (f.col("o_orderstatus") === "F").cast("int"))
+    }),
+    // q316: McNemar paired flags — per customer, has-F-order vs
+    // has-O-order; discordant-count chi2 with continuity correction
+    "q316_mcnemar" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val per = Tables.orders(s, dir).groupBy(f.col("o_custkey"))
+        .agg(f.max((f.col("o_orderstatus") === "F").cast("long"))
+            .as("x"),
+          f.max((f.col("o_orderstatus") === "O").cast("long")).as("y"))
+      Stats.mcnemar(per, f.col("x"), f.col("y"))
+    }),
+    // q317: Brunner-Munzel on quantities, R vs N — nonparametric
+    // Behrens-Fisher (unequal-variance rank test), all-integer S_i
+    "q317_brunner_munzel" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.brunnerMunzel(Tables.lineitem(s, dir), "l_returnflag",
+        f.col("l_quantity"), "R", "N")
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6397,6 +6450,358 @@ object SparkEntry {
         |FROM e JOIN cnt c1 ON c1.src = e.s1
         |JOIN cnt c2 ON c2.src = e.s2
         |LEFT JOIN inter i ON i.s1 = e.s1 AND i.s2 = e.s2""".stripMargin,
+    // q311: the Anderson-Darling chain replayed — right-continuous
+    // cumulative counts, per-value rational term on the x1e9 grid
+    // (the q290 device), HUGEINT sum, one divide
+    "q311_anderson_darling" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |c AS (
+        |  SELECT t,
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ma,
+        |    CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS hh
+        |  FROM h),
+        |w AS (
+        |  SELECT n1, n2,
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR hh = n1 + n2 THEN 0
+        |      ELSE CAST(round(
+        |        (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))
+        |        * CAST(t AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |        * (CAST(n1 + n2 AS DOUBLE) * CAST(ma AS DOUBLE)
+        |          - CAST(n1 AS DOUBLE) * CAST(hh AS DOUBLE))
+        |        * (CAST(n1 + n2 AS DOUBLE) * CAST(ma AS DOUBLE)
+        |          - CAST(n1 AS DOUBLE) * CAST(hh AS DOUBLE))
+        |        / (CAST(hh AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE)
+        |          - CAST(hh AS DOUBLE)))
+        |        * 1.0e9) AS BIGINT) END AS wg
+        |  FROM c CROSS JOIN tot),
+        |ag AS (SELECT max(n1) AS n1, max(n2) AS n2,
+        |              CAST(sum(wg) AS BIGINT) AS wsum FROM w)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(wsum AS DOUBLE) / 1.0e9 END, 6) AS ad_stat
+        |FROM ag""".stripMargin,
+    // q312: the Jonckheere-Terpstra chain replayed — dense
+    // group x value grid, per-group cumulatives, pair-join exact 2U
+    // sums, three-term tie-corrected variance
+    "q312_jonckheere" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST(l_linenumber AS BIGINT) AS g,
+        |    CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM cells),
+        |grps AS (SELECT DISTINCT g FROM cells),
+        |grid AS (
+        |  SELECT gg.g, vv.v, coalesce(c.c, 0) AS c0
+        |  FROM grps gg CROSS JOIN vals vv
+        |  LEFT JOIN cells c ON c.g = gg.g AND c.v = vv.v),
+        |cum AS (
+        |  SELECT g, v, c0,
+        |    coalesce(sum(c0) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM grid),
+        |jt AS (
+        |  SELECT CAST(sum(CAST(cj.c AS HUGEINT)
+        |    * (2 * ci.cb + ci.c0)) AS HUGEINT) AS jt2
+        |  FROM cum ci JOIN cells cj ON cj.v = ci.v AND ci.g < cj.g),
+        |sizes AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5))
+        |      AS HUGEINT) AS u1,
+        |    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2))
+        |      AS HUGEINT) AS u2,
+        |    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1)) AS HUGEINT) AS u3
+        |  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+        |        FROM cells GROUP BY 1)),
+        |ties AS (
+        |  SELECT
+        |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+        |      AS HUGEINT) AS w1,
+        |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+        |      AS HUGEINT) AS w2,
+        |    CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS w3
+        |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1)),
+        |fin AS (
+        |  SELECT k, n, jt2,
+        |    CAST(CAST(n AS HUGEINT) * n - s2 AS DOUBLE) / 2.0 AS e2,
+        |    CASE WHEN n < 3 THEN CAST('NaN' AS DOUBLE) ELSE
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 5.0)
+        |        - CAST(u1 AS DOUBLE) - CAST(w1 AS DOUBLE)) / 72.0
+        |      + CAST(u2 AS DOUBLE) * CAST(w2 AS DOUBLE)
+        |        / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |          * (CAST(n AS DOUBLE) - 2.0))
+        |      + CAST(u3 AS DOUBLE) * CAST(w3 AS DOUBLE)
+        |        / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      END AS var0
+        |  FROM jt CROSS JOIN sizes CROSS JOIN ties)
+        |SELECT k AS k_groups, n AS n_rows,
+        |  round(CAST(jt2 AS DOUBLE) / 2.0, 2) AS jt_stat,
+        |  round(CASE WHEN isnan(var0) OR var0 <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(jt2 AS DOUBLE) - e2) / (2.0 * sqrt(var0)) END, 6)
+        |    AS z_score
+        |FROM fin""".stripMargin,
+    // q313: the Lepage chain replayed — one histogram carries both
+    // the q271 Wilcoxon and q309 Ansari-Bradley component sums
+    "q313_lepage" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(round(100.0 * l_discount) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |               CAST(sum(t - na) AS BIGINT) AS n2 FROM h),
+        |r AS (
+        |  SELECT na, t, 2 * coalesce(sum(t) OVER (ORDER BY v ROWS
+        |    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |    AS r2
+        |  FROM h),
+        |s AS (SELECT na, t, r2,
+        |        least(r2, 2 * (n1 + n2 + 1) - r2) AS s2
+        |      FROM r CROSS JOIN tot),
+        |ag AS (SELECT
+        |    CAST(sum(CAST(na AS HUGEINT) * r2) AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - CAST(t AS HUGEINT))
+        |      AS HUGEINT) AS ties,
+        |    CAST(sum(CAST(na AS HUGEINT) * s2) AS HUGEINT) AS ab2,
+        |    CAST(sum(CAST(t AS HUGEINT) * s2) AS HUGEINT) AS ts1,
+        |    CAST(sum(CAST(t AS HUGEINT) * s2 * s2) AS HUGEINT) AS ts2
+        |  FROM s),
+        |fin AS (
+        |  SELECT n1, n2, ab2, ts1, ts2, ties,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn,
+        |    r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2
+        |  FROM ag CROSS JOIN tot),
+        |z AS (
+        |  SELECT n1, n2, ab2, ts1, nn, u1x2,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |      * ((nn + 1.0) - CAST(ties AS DOUBLE)
+        |        / (nn * (nn - 1.0))) AS sig2,
+        |    CASE WHEN nn = 1.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (nn * CAST(ts2 AS DOUBLE)
+        |          - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE))
+        |        / (nn * nn * (nn - 1.0)) END AS varx4
+        |  FROM fin),
+        |zz AS (
+        |  SELECT n1, n2,
+        |    CASE WHEN sig2 <= 0.0 OR isnan(sig2)
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(u1x2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE)
+        |        * CAST(n2 AS DOUBLE) / 2.0) / sqrt(sig2) END AS zw,
+        |    CASE WHEN varx4 = 0.0 OR isnan(varx4)
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(ab2 AS DOUBLE) - CAST(n1 AS DOUBLE)
+        |        * CAST(ts1 AS DOUBLE) / nn) / sqrt(varx4) END AS zab
+        |  FROM z)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(zw, 6) AS z_wilcoxon,
+        |  round(zab, 6) AS z_ansari,
+        |  round(zw * zw + zab * zab, 6) AS lepage_stat
+        |FROM zz""".stripMargin,
+    // q314: the Cucconi chain replayed — squared x2-grid ranks, exact
+    // reflected-sum expansion for V, classical null moments and rho
+    "q314_cucconi" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |r AS (
+        |  SELECT na, t, 2 * coalesce(sum(t) OVER (ORDER BY v ROWS
+        |    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |    AS r2
+        |  FROM h),
+        |ag AS (SELECT
+        |    CAST(sum(na) AS BIGINT) AS n1,
+        |    CAST(sum(t - na) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(t - na AS HUGEINT) * r2 * r2) AS HUGEINT)
+        |      AS u4,
+        |    CAST(sum(CAST(t - na AS HUGEINT) * r2) AS HUGEINT) AS rb2
+        |  FROM r),
+        |f1 AS (
+        |  SELECT n1, n2, u4,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn,
+        |    CAST(4 AS HUGEINT) * (CAST(n1 AS HUGEINT) + n2 + 1)
+        |        * (CAST(n1 AS HUGEINT) + n2 + 1) * n2
+        |      - CAST(4 AS HUGEINT) * (CAST(n1 AS HUGEINT) + n2 + 1)
+        |        * rb2 + u4 AS v4
+        |  FROM ag),
+        |f2 AS (
+        |  SELECT n1, n2, u4, v4, nn,
+        |    CAST(n2 AS DOUBLE) * (nn + 1.0) * (2.0 * nn + 1.0) / 6.0
+        |      AS eu,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (nn + 1.0)
+        |      * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 180.0 AS varu,
+        |    2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0)
+        |      * (8.0 * nn + 11.0)) - 1.0 AS rho
+        |  FROM f1),
+        |f3 AS (
+        |  SELECT n1, n2, rho,
+        |    CASE WHEN varu <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(u4 AS DOUBLE) / 4.0 - eu) / sqrt(varu) END
+        |      AS us,
+        |    CASE WHEN varu <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(v4 AS DOUBLE) / 4.0 - eu) / sqrt(varu) END
+        |      AS vs
+        |  FROM f2)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(us, 6) AS u_star,
+        |  round(vs, 6) AS v_star,
+        |  round(CASE WHEN 1.0 - rho * rho <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (us * us + vs * vs - 2.0 * rho * us * vs)
+        |      / (2.0 * (1.0 - rho * rho)) END, 6) AS cucconi_c
+        |FROM f3""".stripMargin,
+    // q315: the Cochran-Armitage chain replayed — k score rows, exact
+    // weighted sums, one mirrored z
+    "q315_cochran_armitage" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT CAST(CAST(substr(o_orderpriority, 1, 1) AS INT)
+        |      AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rg
+        |  FROM orders GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(rg) AS BIGINT) AS r,
+        |    CAST(sum(CAST(s AS HUGEINT) * rg) AS HUGEINT) AS sr,
+        |    CAST(sum(CAST(s AS HUGEINT) * ng) AS HUGEINT) AS sn,
+        |    CAST(sum(CAST(s AS HUGEINT) * s * ng) AS HUGEINT) AS s2n
+        |  FROM per),
+        |f AS (
+        |  SELECT k, n, r,
+        |    CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * CAST(sn AS DOUBLE) AS tt,
+        |    CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE)
+        |        * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)) AS vart
+        |  FROM ag)
+        |SELECT k AS k_cats, n AS n_rows, r AS n_success,
+        |  round(tt, 4) AS trend_stat,
+        |  round(CASE WHEN vart <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE tt / sqrt(vart) END, 6) AS z_score
+        |FROM f""".stripMargin,
+    // q316: the McNemar chain replayed — per-customer paired flags,
+    // discordant counts, chi2 with and without continuity correction
+    "q316_mcnemar" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM per)
+        |SELECT n AS n_pairs, b AS n_only_x, c AS n_only_y,
+        |  round(CASE WHEN b + c = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END, 6)
+        |    AS chi2,
+        |  round(CASE WHEN b + c = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE greatest(abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |        - 1.0, 0.0)
+        |      * greatest(abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |        - 1.0, 0.0)
+        |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END, 6)
+        |    AS chi2_cc
+        |FROM ag""".stripMargin,
+    // q317: the Brunner-Munzel chain replayed — pooled and
+    // within-group x2 midranks, all-integer S_i numerators, one
+    // mirrored statistic
+    "q317_brunner_munzel" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |r AS (
+        |  SELECT na, t - na AS nb, t,
+        |    coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |    coalesce(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cumba
+        |  FROM h),
+        |rr AS (
+        |  SELECT na, nb,
+        |    2 * cumb + t + 1 AS r2,
+        |    2 * cumba + na + 1 AS ra2,
+        |    2 * (cumb - cumba) + nb + 1 AS rb2
+        |  FROM r),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |    CAST(sum(nb) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(na AS HUGEINT) * r2) AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(nb AS HUGEINT) * r2) AS HUGEINT) AS r2x2
+        |  FROM rr),
+        |ag AS (
+        |  SELECT max(n1) AS n1, max(n2) AS n2,
+        |    max(r1x2) AS r1x2, max(r2x2) AS r2x2,
+        |    CAST(sum(CAST(na AS HUGEINT)
+        |      * (CAST(n1 AS HUGEINT) * (r2 - ra2)
+        |        - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)))
+        |      * (CAST(n1 AS HUGEINT) * (r2 - ra2)
+        |        - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1))))
+        |      AS HUGEINT) AS sxn,
+        |    CAST(sum(CAST(nb AS HUGEINT)
+        |      * (CAST(n2 AS HUGEINT) * (r2 - rb2)
+        |        - (r2x2 - CAST(n2 AS HUGEINT) * (n2 + 1)))
+        |      * (CAST(n2 AS HUGEINT) * (r2 - rb2)
+        |        - (r2x2 - CAST(n2 AS HUGEINT) * (n2 + 1))))
+        |      AS HUGEINT) AS syn
+        |  FROM rr CROSS JOIN tot),
+        |f AS (
+        |  SELECT n1, n2, r1x2, r2x2,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn,
+        |    CASE WHEN n1 <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(sxn AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE)
+        |        * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) END
+        |      AS sx,
+        |    CASE WHEN n2 <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(syn AS DOUBLE) / (4.0 * CAST(n2 AS DOUBLE)
+        |        * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) END
+        |      AS sy
+        |  FROM ag),
+        |g AS (SELECT n1, n2, r1x2, r2x2, nn,
+        |        CAST(n1 AS DOUBLE) * sx + CAST(n2 AS DOUBLE) * sy
+        |          AS sig
+        |      FROM f)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(r2x2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+        |      - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+        |      / CAST(n1 AS DOUBLE) END, 6) AS p_hat,
+        |  round(CASE WHEN isnan(sig) OR sig <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (CAST(r2x2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+        |        - CAST(r1x2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)))
+        |      / (nn * sqrt(sig)) END, 6) AS bm_stat
+        |FROM g""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact
@@ -7406,8 +7811,10 @@ object SparkEntry {
         |        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
         |mv AS (
         |  SELECT n1, n2,
-        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    CASE WHEN n1 <= 0 THEN CAST('NaN' AS DOUBLE) ELSE
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS m1,
+        |    CASE WHEN n2 <= 0 THEN CAST('NaN' AS DOUBLE) ELSE
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS m2,
         |    CASE WHEN n1 <= 1 THEN CAST('NaN' AS DOUBLE) ELSE
         |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
         |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
@@ -7419,9 +7826,12 @@ object SparkEntry {
         |  FROM ag),
         |se AS (
         |  SELECT n1, n2, m1, m2,
-        |    v1 / CAST(n1 AS DOUBLE) AS se1,
-        |    v2 / CAST(n2 AS DOUBLE) AS se2,
-        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS sse
+        |    CASE WHEN n1 <= 0 THEN CAST('NaN' AS DOUBLE) ELSE
+        |      v1 / CAST(n1 AS DOUBLE) END AS se1,
+        |    CASE WHEN n2 <= 0 THEN CAST('NaN' AS DOUBLE) ELSE
+        |      v2 / CAST(n2 AS DOUBLE) END AS se2,
+        |    CASE WHEN n1 <= 0 OR n2 <= 0 THEN CAST('NaN' AS DOUBLE) ELSE
+        |      v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) END AS sse
         |  FROM mv)
         |SELECT n1 AS n_a, n2 AS n_b,
         |  round(m1, 4) AS mean_a_cents, round(m2, 4) AS mean_b_cents,

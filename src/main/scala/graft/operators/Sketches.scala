@@ -361,6 +361,33 @@ object Sketches {
           .as("jaccard_exact"))
   }
 
+  /** PRODUCTION form of [[kmvPairJaccard]] (ADVICE r16): the sketch-only
+    * readout a user runs — per-source KMV state → pairwise Broder
+    * estimate — WITHOUT the exact word-set Jaccard pass, which
+    * self-joins the full per-source distinct vocabularies (quadratic in
+    * vocabulary and sources, unbounded by k) and exists only to price
+    * the oracled row's validation. Benched as `prod_kmv_jaccard`; the
+    * oracled q310 keeps both columns. At scale this is the whole point
+    * of the sketch: |sources|² pairs of k-slot arrays, never the corpus.
+    */
+  def kmvPairJaccardEst(docs: DataFrame, textCol: String = "text",
+      k: Int = 16): DataFrame = {
+    val sk = tokens(docs, textCol).groupBy(col("src"))
+      .agg(graft.functions.SketchAggs.kmvSketch(col("w"), k).as("sk"))
+    sk.select(col("src").as("s1"), col("sk").as("ska"))
+      .crossJoin(broadcast(
+        sk.select(col("src").as("s2"), col("sk").as("skb"))))
+      .filter(col("s1") < col("s2"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("shared", size(filter(col("merged"), h =>
+        array_contains(col("ska"), h) &&
+          array_contains(col("skb"), h))).cast("long"))
+      .select(col("s1").as("source_a"), col("s2").as("source_b"),
+        round(col("shared").cast("double") /
+          size(col("merged")).cast("double"), 6).as("jaccard_est"))
+  }
+
   def kmvGlobalSketch(docs: DataFrame, textCol: String, k: Int = 16)
       : DataFrame =
     tokens(docs, textCol)

@@ -61,15 +61,23 @@ object Stats {
     // Spark 4's ANSI DIVIDE_BY_ZERO (which raises even for double
     // divides) — the q279 assortativity discipline, mirrored in the
     // oracle's CASE expressions.
+    // n = 0 (a group entirely absent from the data) must answer NaN
+    // like every other degenerate case, not trip the ANSI divide in
+    // m = s/n and se = v/n (ADVICE r16); `when` evaluates branches
+    // lazily, so the guarded divides never execute at n = 0.
     ag
-      .withColumn("m1", d("s1") / d("n1"))
-      .withColumn("m2", d("s2") / d("n2"))
+      .withColumn("m1", when(col("n1") <= 0L, lit(Double.NaN))
+        .otherwise(d("s1") / d("n1")))
+      .withColumn("m2", when(col("n2") <= 0L, lit(Double.NaN))
+        .otherwise(d("s2") / d("n2")))
       .withColumn("v1", when(col("n1") <= 1L, lit(Double.NaN)).otherwise(
         (d("q1") - d("s1") * d("s1") / d("n1")) / (d("n1") - lit(1.0))))
       .withColumn("v2", when(col("n2") <= 1L, lit(Double.NaN)).otherwise(
         (d("q2") - d("s2") * d("s2") / d("n2")) / (d("n2") - lit(1.0))))
-      .withColumn("se1", col("v1") / d("n1"))
-      .withColumn("se2", col("v2") / d("n2"))
+      .withColumn("se1", when(col("n1") <= 0L, lit(Double.NaN))
+        .otherwise(col("v1") / d("n1")))
+      .withColumn("se2", when(col("n2") <= 0L, lit(Double.NaN))
+        .otherwise(col("v2") / d("n2")))
       .withColumn("se", col("se1") + col("se2"))
       .select(
         col("n1").as("n_a"), col("n2").as("n_b"),
@@ -874,6 +882,20 @@ object Stats {
     * E = n1·Σts/N and Var = n1n2(N·Σts² − (Σts)²)/(N²(N−1)) come
     * from two more exact histogram sums, and z is one mirrored
     * expression (NaN when Var = 0 — a single distinct value).
+    *
+    * TIE VARIANT (documented deviation, ADVICE r16): ties score as the
+    * FOLDED MIDRANK, s = min(r̄, N+1−r̄). For a tie block entirely on
+    * one side of the center this equals the classical
+    * average-of-folded-ranks; for a block STRADDLING the center the two
+    * differ (N=4 with ranks 2,3 tied: folded midrank 2.5 vs classical
+    * 2). The folded-midrank scores stay on the exact ×2 integer grid —
+    * one DECIMAL(38,0) grid for AB and both moments, so every engine
+    * sums identical integers in any order — whereas classical
+    * tie-averaged scores carry per-block denominators 2t with no common
+    * grid across blocks, forcing order-sensitive double sums. Statistic
+    * and moments use the SAME folded-midrank scores (internally
+    * consistent), and the oracle mirrors them; only center-straddling
+    * tie blocks deviate from the scipy/classical statistic.
     */
   def ansariBradley(df: DataFrame, groupCol: String, valueCol: Column,
       groupA: String, groupB: String): DataFrame = {
@@ -959,5 +981,390 @@ object Stats {
           .as("gini_split"),
         round((d(col("n")) - sP / d(col("n"))) / d(col("n")), 6)
           .as("gini_parent"))
+  }
+
+  /** Q311: ANDERSON–DARLING TWO-SAMPLE TEST on a bounded-domain
+    * measure — the tail-weighted omnibus companion of q289's KS and
+    * q290's CvM: the 1/(H(N−H)) weight makes A² far more sensitive to
+    * divergence in the distribution tails than either. Discrete
+    * (right-continuous ECDF) Scholz–Stephens A²_kN at k = 2, where the
+    * two inner sums collapse onto one squared deviation,
+    * A² = (1/n1 + 1/n2) · Σ_j (t_j/N) · D_j² / (H_j(N−H_j)),
+    * D_j = N·MA_j − n1·H_j, summed over distinct values except the
+    * last block (where H = N and the weight degenerates). D, H, M are
+    * exact BIGINT cumulative counts off the value histogram; the
+    * per-row rational term rides the q290 device — rounded once onto
+    * the ×1e9 integer grid (identical IEEE doubles → identical grid
+    * longs in both engines) and summed in DECIMAL, so the reduction
+    * is order-free. Raw A² only: the Scholz–Stephens normalization
+    * needs the O(N)-term harmonic sums g/h over generated sequences,
+    * corpus-length work this histogram-bounded family refuses.
+    */
+  def andersonDarling2(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("ma", sum(col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("hh", sum(col("t")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("n1") + col("n2"))
+      // last block (hh = N) excluded: its weight is 0/0 by convention
+      .withColumn("wg",
+        when(col("n1") === 0L || col("n2") === 0L ||
+            col("hh") === col("nn"), lit(0L))
+          .otherwise {
+            val dd = d("nn") * d("ma") - d("n1") * d("hh")
+            round((lit(1.0) / d("n1") + lit(1.0) / d("n2")) *
+              col("t").cast("double") / d("nn") * dd * dd /
+              (d("hh") * (d("nn") - d("hh"))) * lit(1.0e9)).cast("long")
+          })
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(dec(col("wg"))).as("wsum"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise(col("wsum").cast("double") / lit(1.0e9)), 6)
+          .as("ad_stat"))
+  }
+
+  /** Q312: JONCKHEERE–TERPSTRA TREND TEST across k ORDERED groups of a
+    * bounded-domain measure — does the distribution shift monotonically
+    * WITH the group order (the ordered-alternative power that q282's
+    * Kruskal–Wallis, blind to order, gives up)? JT = Σ_{i<j} U_ij over
+    * group pairs in the given order; with the per-(group, value) cell
+    * table and per-group cumulative counts on the common value grid,
+    * 2·U_ij = Σ_v c_j(v)·(2·C_i(<v) + c_i(v)) — every term an exact
+    * integer, every frame bounded by |groups|·|domain| cells (the pair
+    * join by |pairs|·|domain|). The tie-corrected null moments are the
+    * standard three-term variance, all from exact DECIMAL sums of
+    * group sizes and pooled tie counts; z is one mirrored expression
+    * (NaN when Var ≤ 0 or N < 3).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df.select(groupCol.cast("long").as("g"),
+        valueCol.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val vals = cells.select(col("v")).distinct()
+    val grps = cells.select(col("g")).distinct()
+    // dense |groups|x|domain| grid so cumulative counts exist at every
+    // pooled value for every group (both factors bounded)
+    val gw = Window.partitionBy(col("g")).orderBy(col("v"))
+    val grid = grps.crossJoin(vals)
+      .join(cells, Seq("g", "v"), "left_outer")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c0"))
+      .withColumn("cb", coalesce(sum(col("c0")).over(
+        gw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val jt2 = grid.select(col("g").as("gi"), col("v"),
+        (lit(2L) * col("cb") + col("c0")).as("wlt"))
+      .join(cells.select(col("g").as("gj"), col("v"), col("c")), Seq("v"))
+      .filter(col("gi") < col("gj"))
+      .agg(sum(dec(col("c")) * col("wlt")).as("jt2"))
+    val sizes = cells.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(dec(col("ng")) * col("ng")).as("s2"),
+        sum(dec(col("ng")) * (col("ng") - lit(1L)) *
+          (lit(2L) * col("ng") + lit(5L))).as("u1"),
+        sum(dec(col("ng")) * (col("ng") - lit(1L)) *
+          (col("ng") - lit(2L))).as("u2"),
+        sum(dec(col("ng")) * (col("ng") - lit(1L))).as("u3"))
+    val ties = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .agg(
+        sum(dec(col("t")) * (col("t") - lit(1L)) *
+          (lit(2L) * col("t") + lit(5L))).as("w1"),
+        sum(dec(col("t")) * (col("t") - lit(1L)) *
+          (col("t") - lit(2L))).as("w2"),
+        sum(dec(col("t")) * (col("t") - lit(1L))).as("w3"))
+    def d(name: String): Column = col(name).cast("double")
+    jt2.crossJoin(broadcast(sizes)).crossJoin(broadcast(ties))
+      .withColumn("nd", d("n"))
+      .withColumn("e2",
+        (dec(col("n")) * col("n") - col("s2")).cast("double") / lit(2.0))
+      .withColumn("var0",
+        when(col("n") < 3L, lit(Double.NaN)).otherwise(
+          (col("nd") * (col("nd") - lit(1.0)) *
+            (lit(2.0) * col("nd") + lit(5.0)) -
+            d("u1") - d("w1")) / lit(72.0) +
+          d("u2") * d("w2") /
+            (lit(36.0) * col("nd") * (col("nd") - lit(1.0)) *
+              (col("nd") - lit(2.0))) +
+          d("u3") * d("w3") /
+            (lit(8.0) * col("nd") * (col("nd") - lit(1.0)))))
+      .select(col("k").as("k_groups"), col("n").as("n_rows"),
+        round(d("jt2") / lit(2.0), 2).as("jt_stat"),
+        round(when(isnan(col("var0")) || col("var0") <= 0.0,
+            lit(Double.NaN))
+          .otherwise((d("jt2") - col("e2")) /
+            (lit(2.0) * sqrt(col("var0")))), 6).as("z_score"))
+  }
+
+  /** Q313: LEPAGE LOCATION–SCALE TEST between two groups — the classic
+    * omnibus combination L = z_W² + z_AB²: the (tie-corrected)
+    * Wilcoxon rank-sum z for a LOCATION shift plus the Ansari–Bradley
+    * z for a SCALE shift, both off ONE value histogram in ONE
+    * aggregation (the two score columns — pooled midrank and its
+    * inward fold — share the same cumulative window). Component
+    * conventions are exactly q271's and q309's, including the
+    * folded-midrank tie variant documented at [[ansariBradley]]; L is
+    * NaN if either component's variance degenerates.
+    */
+  def lepage(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    // the AB fold point 2(N+1) is a scalar: broadcast the group totals
+    // onto the ranked histogram (the q309 shape — the identical
+    // histogram-aggregate exchange is reused across the two branches),
+    // then ONE aggregation carries both components' sums
+    val tot = h.agg(sum(col("na")).as("n1"),
+      sum(col("t") - col("na")).as("n2"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("cumb", coalesce(sum(col("t")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cumb") + col("t") + lit(1L))
+      .crossJoin(broadcast(tot))
+      .withColumn("s2", least(col("r2"),
+        lit(2L) * (col("n1") + col("n2") + lit(1L)) - col("r2")))
+      .agg(
+        max(col("n1")).as("n1"),
+        max(col("n2")).as("n2"),
+        sum(dec(col("na")) * col("r2")).as("r1x2"),
+        sum(dec(col("t")) * col("t") * col("t") - dec(col("t")))
+          .as("ties"),
+        sum(dec(col("na")) * col("s2")).as("ab2"),
+        sum(dec(col("t")) * col("s2")).as("ts1"),
+        sum(dec(col("t")) * col("s2") * col("s2")).as("ts2"))
+      .withColumn("nn", d("n1") + d("n2"))
+      // Wilcoxon component (q271 chain)
+      .withColumn("u1x2",
+        col("r1x2") - dec(col("n1")) * (col("n1") + lit(1L)))
+      .withColumn("sig2",
+        d("n1") * d("n2") / lit(12.0) *
+          ((col("nn") + lit(1.0)) -
+            d("ties") / (col("nn") * (col("nn") - lit(1.0)))))
+      .withColumn("zw",
+        when(col("sig2") <= 0.0 || isnan(col("sig2")), lit(Double.NaN))
+          .otherwise((d("u1x2") / lit(2.0) -
+            d("n1") * d("n2") / lit(2.0)) / sqrt(col("sig2"))))
+      // Ansari–Bradley component (q309 chain)
+      .withColumn("varx4",
+        when(col("nn") === 1.0, lit(Double.NaN)).otherwise(
+          d("n1") * d("n2") *
+            (col("nn") * d("ts2") - d("ts1") * d("ts1")) /
+            (col("nn") * col("nn") * (col("nn") - lit(1.0)))))
+      .withColumn("zab",
+        when(col("varx4") === 0.0 || isnan(col("varx4")),
+            lit(Double.NaN))
+          .otherwise((d("ab2") - d("n1") * d("ts1") / col("nn")) /
+            sqrt(col("varx4"))))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(col("zw"), 6).as("z_wilcoxon"),
+        round(col("zab"), 6).as("z_ansari"),
+        round(col("zw") * col("zw") + col("zab") * col("zab"), 6)
+          .as("lepage_stat"))
+  }
+
+  /** Q314: CUCCONI LOCATION–SCALE TEST between two groups — the older,
+    * one-shot alternative to q313's Lepage combination: U and V are
+    * group B's sums of SQUARED pooled ranks and squared reflected
+    * ranks, standardized by their exact null moments and combined with
+    * their null correlation ρ. Squared ×2-grid midranks stay exact
+    * integers (×4 grid) in DECIMAL; the no-tie null moments are the
+    * classical ones — under heavy ties they are approximate (the
+    * midrank convention, documented like [[ansariBradley]]'s fold),
+    * but both engines compute identical mirrored expressions.
+    * C = (U*² + V*² − 2ρU*V*)/(2(1−ρ²)); NaN when a variance or
+    * 1−ρ² degenerates.
+    */
+  def cucconi(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    def d(name: String): Column = col(name).cast("double")
+    h
+      .withColumn("cumb", coalesce(sum(col("t")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cumb") + col("t") + lit(1L))
+      .agg(
+        sum(col("na")).as("n1"),
+        sum(col("t") - col("na")).as("n2"),
+        sum(dec(col("t") - col("na")) * col("r2") * col("r2"))
+          .as("u4"),
+        sum(dec(col("t") - col("na")) * col("r2")).as("rb2"))
+      .withColumn("nn", d("n1") + d("n2"))
+      // 4V = Σ nb·(2(N+1) − r2)² = 4(N+1)²·n2 − 4(N+1)·Σnb·r2 + 4U
+      .withColumn("v4",
+        dec(lit(4L)) * (dec(col("n1")) + col("n2") + lit(1L)) *
+          (dec(col("n1")) + col("n2") + lit(1L)) * col("n2") -
+          dec(lit(4L)) * (dec(col("n1")) + col("n2") + lit(1L)) *
+            col("rb2") + col("u4"))
+      .withColumn("eu",
+        d("n2") * (col("nn") + lit(1.0)) *
+          (lit(2.0) * col("nn") + lit(1.0)) / lit(6.0))
+      .withColumn("varu",
+        d("n1") * d("n2") * (col("nn") + lit(1.0)) *
+          (lit(2.0) * col("nn") + lit(1.0)) *
+          (lit(8.0) * col("nn") + lit(11.0)) / lit(180.0))
+      .withColumn("rho",
+        lit(2.0) * (col("nn") * col("nn") - lit(4.0)) /
+          ((lit(2.0) * col("nn") + lit(1.0)) *
+            (lit(8.0) * col("nn") + lit(11.0))) - lit(1.0))
+      .withColumn("us",
+        when(col("varu") <= 0.0, lit(Double.NaN)).otherwise(
+          (d("u4") / lit(4.0) - col("eu")) / sqrt(col("varu"))))
+      .withColumn("vs",
+        when(col("varu") <= 0.0, lit(Double.NaN)).otherwise(
+          (d("v4") / lit(4.0) - col("eu")) / sqrt(col("varu"))))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(col("us"), 6).as("u_star"),
+        round(col("vs"), 6).as("v_star"),
+        round(when(lit(1.0) - col("rho") * col("rho") <= 0.0,
+            lit(Double.NaN))
+          .otherwise((col("us") * col("us") + col("vs") * col("vs") -
+            lit(2.0) * col("rho") * col("us") * col("vs")) /
+            (lit(2.0) * (lit(1.0) - col("rho") * col("rho")))), 6)
+          .as("cucconi_c"))
+  }
+
+  /** Q315: COCHRAN–ARMITAGE TREND TEST — is a BINARY outcome's rate
+    * monotone in an ORDERED category (the 2×k contingency sibling of
+    * q312)? T = Σ s_i·(r_i − n_i·p̄) with integer scores s_i,
+    * Var(T) = p̄(1−p̄)(Σ n_i s_i² − (Σ n_i s_i)²/N): one aggregation of
+    * the fact table into k category rows (exact BIGINT n_i, r_i,
+    * weighted sums in DECIMAL), then one mirrored z expression. NaN
+    * when p̄ ∈ {0, 1} or the score spread is zero.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      successCol: Column): DataFrame = {
+    val per = df.select(scoreCol.cast("long").as("s"),
+        successCol.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("rg"))
+    def d(name: String): Column = col(name).cast("double")
+    per.agg(
+        count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("rg")).as("r"),
+        sum(dec(col("s")) * col("rg")).as("sr"),
+        sum(dec(col("s")) * col("ng")).as("sn"),
+        sum(dec(col("s")) * col("s") * col("ng")).as("s2n"))
+      .withColumn("pbar", d("r") / d("n"))
+      .withColumn("tt", d("sr") - col("pbar") * d("sn"))
+      .withColumn("vart",
+        col("pbar") * (lit(1.0) - col("pbar")) *
+          (d("s2n") - d("sn") * d("sn") / d("n")))
+      .select(col("k").as("k_cats"), col("n").as("n_rows"),
+        col("r").as("n_success"),
+        round(col("tt"), 4).as("trend_stat"),
+        round(when(col("vart") <= 0.0, lit(Double.NaN))
+          .otherwise(col("tt") / sqrt(col("vart"))), 6).as("z_score"))
+  }
+
+  /** Q316: McNEMAR'S TEST on paired binary outcomes — did the SAME
+    * subjects flip between two conditions (the paired sibling of
+    * q272's independence χ²)? The subject table collapses to the two
+    * DISCORDANT counts b (x=1, y=0) and c (x=0, y=1);
+    * χ² = (b−c)²/(b+c) plus the continuity-corrected
+    * (|b−c|−1)²/(b+c). One aggregation to one row; NaN when b+c = 0
+    * (no discordant pairs — the test is undefined, not zero).
+    */
+  def mcnemar(pairs: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    pairs.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") === 1L && col("y") === 0L, lit(1L))
+          .otherwise(lit(0L))).as("b"),
+        sum(when(col("x") === 0L && col("y") === 1L, lit(1L))
+          .otherwise(lit(0L))).as("c"))
+      .select(col("n").as("n_pairs"), col("b").as("n_only_x"),
+        col("c").as("n_only_y"),
+        round(when(col("b") + col("c") === 0L, lit(Double.NaN))
+          .otherwise((d("b") - d("c")) * (d("b") - d("c")) /
+            (d("b") + d("c"))), 6).as("chi2"),
+        round(when(col("b") + col("c") === 0L, lit(Double.NaN))
+          .otherwise(
+            greatest(abs(d("b") - d("c")) - lit(1.0), lit(0.0)) *
+            greatest(abs(d("b") - d("c")) - lit(1.0), lit(0.0)) /
+            (d("b") + d("c"))), 6).as("chi2_cc"))
+  }
+
+  /** Q317: BRUNNER–MUNZEL TEST between two groups of a bounded-domain
+    * measure — the rank test that, unlike q271's Mann–Whitney, does
+    * NOT assume equal variances under H₀ (the nonparametric
+    * Behrens–Fisher problem). Needs pooled AND within-group midranks —
+    * both are cumulative counts off the same value histogram (two more
+    * windowed sums over ≤|domain| rows). The rank-variance sums S_i
+    * clear their only rational term algebraically: multiplying through
+    * by n_i² turns Σ na·(d − R̄ᶜ + (n+1)/2)² into
+    * Σ na·(n_i·d2 − e_i)²/(4n_i²) with e_i = Σ n_i-side ×2 rank sum −
+    * n_i(n_i+1) an exact integer — DECIMAL(38,0) end to end, no
+    * rounding grid. The statistic and p̂ = P(B > A) + ½P(B = A) are
+    * mirrored double expressions; NaN when either S degenerates or a
+    * group has < 2 rows.
+    */
+  def brunnerMunzel(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+    val rankW = Window.orderBy(col("v"))
+    def d(name: String): Column = col(name).cast("double")
+    val ranked = h
+      .withColumn("cumb", coalesce(sum(col("t")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cumba", coalesce(sum(col("na")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nb", col("t") - col("na"))
+      .withColumn("cumbb", col("cumb") - col("cumba"))
+      .withColumn("r2", lit(2L) * col("cumb") + col("t") + lit(1L))
+      .withColumn("ra2", lit(2L) * col("cumba") + col("na") + lit(1L))
+      .withColumn("rb2", lit(2L) * col("cumbb") + col("nb") + lit(1L))
+    val tot = ranked.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"),
+      sum(dec(col("na")) * col("r2")).as("r1x2"),
+      sum(dec(col("nb")) * col("r2")).as("r2x2"))
+    ranked.crossJoin(broadcast(tot))
+      // e_i = Σ_i-side (2·pooled rank) − n_i(n_i+1); all-integer squares
+      .withColumn("e1", col("r1x2") - dec(col("n1")) * (col("n1") + lit(1L)))
+      .withColumn("e2", col("r2x2") - dec(col("n2")) * (col("n2") + lit(1L)))
+      .agg(
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("r1x2")).as("r1x2"), max(col("r2x2")).as("r2x2"),
+        sum(dec(col("na")) *
+          (dec(col("n1")) * (col("r2") - col("ra2")) - col("e1")) *
+          (dec(col("n1")) * (col("r2") - col("ra2")) - col("e1")))
+          .as("sxn"),
+        sum(dec(col("nb")) *
+          (dec(col("n2")) * (col("r2") - col("rb2")) - col("e2")) *
+          (dec(col("n2")) * (col("r2") - col("rb2")) - col("e2")))
+          .as("syn"))
+      .withColumn("nn", d("n1") + d("n2"))
+      // S_i = sxn/(4n_i²(n_i−1)) — the rank variances
+      .withColumn("sx",
+        when(col("n1") <= 1L, lit(Double.NaN)).otherwise(
+          d("sxn") / (lit(4.0) * d("n1") * d("n1") *
+            (d("n1") - lit(1.0)))))
+      .withColumn("sy",
+        when(col("n2") <= 1L, lit(Double.NaN)).otherwise(
+          d("syn") / (lit(4.0) * d("n2") * d("n2") *
+            (d("n2") - lit(1.0)))))
+      .withColumn("sig",
+        d("n1") * col("sx") + d("n2") * col("sy"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        // p̂ = (R̄ᶜ_B − (n2+1)/2)/n1 — P(B > A) + ½P(B = A)
+        round(when(col("n1") === 0L || col("n2") === 0L,
+            lit(Double.NaN))
+          .otherwise((d("r2x2") / (lit(2.0) * d("n2")) -
+            (d("n2") + lit(1.0)) / lit(2.0)) / d("n1")), 6)
+          .as("p_hat"),
+        round(when(isnan(col("sig")) || col("sig") <= 0.0,
+            lit(Double.NaN))
+          .otherwise(d("n1") * d("n2") *
+            (d("r2x2") / (lit(2.0) * d("n2")) -
+              d("r1x2") / (lit(2.0) * d("n1"))) /
+            (col("nn") * sqrt(col("sig")))), 6).as("bm_stat"))
   }
 }

@@ -38,10 +38,18 @@ object StreamingStats {
     * Equivalence contract (StreamingKsSpec): the latest emitted cells
     * equal `Stats.twoGroupHist` over everything fed so far, and
     * `ksVerdict` over them equals `Stats.ks2Sample` on the same rows.
+    *
+    * Both group names are required, matching the batch contract
+    * (`Stats.twoGroupHist` filters `isin(groupA, groupB)`): without the
+    * filter, rows from any THIRD group value would silently land in the
+    * implicit B side (t − na) and corrupt the verdict (ADVICE r16).
+    * The filter is a stateless row predicate, so it is streaming-safe
+    * ahead of the sum-monoid aggregation.
     */
   def twoGroupCellsStream(df: DataFrame, groupCol: Column,
-      valueCol: Column, groupA: String): DataFrame =
+      valueCol: Column, groupA: String, groupB: String): DataFrame =
     df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isin(groupA, groupB))
       .groupBy(col("v"))
       .agg(sum(when(col("g") === groupA, lit(1L)).otherwise(lit(0L)))
           .as("na"),

@@ -213,6 +213,17 @@ class SketchAggsSpec extends SparkSpec {
     assert(got(("b", "c")) === ((0.0, 0.0)), s"$got")
   }
 
+  test("kmv pair Jaccard prod form: estimate column equals the validated form's") {
+    import spark.implicits._
+    val est = Sketches.kmvPairJaccardEst(docs, "text", k = 16)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val full = Sketches.kmvPairJaccard(docs, "text", k = 16)
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est === full)
+  }
+
   test("kmv SQL surface: GROUP BY kmv_distinct / kmv_sketch") {
     graft.Catalog.registerFunctions(spark)
     docs.select(col("source").as("src"),

@@ -264,4 +264,92 @@ class TwoSampleSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().head
     assert(same._4 === 0.0, s"$same")
   }
+
+  test("q311 Anderson-Darling: identical groups 0; hand-summed shift") {
+    val same = Stats.andersonDarling2(li(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double)].collect().head
+    assert(same._3 === 0.0, s"$same")
+    // a=[1,2,3,4], b=[3,4,5,6]: Σ t·D²/(16·H(8−H)) over the first five
+    // blocks = 1/7 + 1/3 + 1/2 + 2/3 + 1/7 = 1.785714 on the 1e9 grid
+    val got = Stats.andersonDarling2(
+      li(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((4L, 4L, 1.785714)), s"$got")
+  }
+
+  test("q312 Jonckheere-Terpstra: hand trend, tie-corrected variance") {
+    // g1=[1,2], g2=[2,3], g3=[3,4]: JT = 3.5 + 4 + 3.5 = 11,
+    // E = 6, Var = 420/72 + 0 + 24/240 = 5.9333, z = 2.052677
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L),
+      (3L, 4L)).toDF("g", "v")
+    val got = Stats.jonckheereTerpstra(df, col("g"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got === ((3L, 6L, 11.0, 2.052677)), s"$got")
+    // reversing the group order flips the trend's sign
+    val rev = Stats.jonckheereTerpstra(df, -col("g"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(rev._4 === -2.052677, s"$rev")
+  }
+
+  test("q313 Lepage: identical groups give z=0 components and L=0") {
+    val same = Stats.lepage(li(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(same === ((3L, 3L, 0.0, 0.0, 0.0)), s"$same")
+    // one distinct value: both variances degenerate -> NaN
+    val flat = Stats.lepage(li(Seq(5L, 5L), Seq(5L, 5L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(flat._5.isNaN, s"$flat")
+  }
+
+  test("q314 Cucconi: no-tie hand case lands exactly on C=0.3") {
+    // a=[1,3], b=[2,4]: U=20, V=10, E=15, Var=43, rho=-121/129 ->
+    // U*=5/sqrt(43), V*=-U*, C=0.3 exactly
+    val got = Stats.cucconi(li(Seq(1L, 3L), Seq(2L, 4L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got === ((2L, 2L, 0.762493, -0.762493, 0.3)), s"$got")
+  }
+
+  test("q315 Cochran-Armitage: hand trend z=2; flat rate z=0") {
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("s", "y")
+    // s=1: 0/2, s=2: 1/2, s=3: 2/2 -> T=2, Var=1, z=2
+    val got = Stats.cochranArmitage(df(Seq((1L, 0L), (1L, 0L), (2L, 1L),
+      (2L, 0L), (3L, 1L), (3L, 1L))), col("s"), col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got === ((3L, 6L, 3L, 2.0, 2.0)), s"$got")
+    val flat = Stats.cochranArmitage(df(Seq((1L, 1L), (1L, 0L), (2L, 1L),
+      (2L, 0L))), col("s"), col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(flat._4 === 0.0 && flat._5 === 0.0, s"$flat")
+  }
+
+  test("q316 McNemar: discordant hand counts; no-discordant NaN") {
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
+    val got = Stats.mcnemar(df(Seq((1L, 0L), (1L, 0L), (1L, 0L),
+      (0L, 1L), (1L, 1L), (1L, 1L), (0L, 0L))), col("x"), col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got === ((7L, 3L, 1L, 1.0, 0.25)), s"$got")
+    val none = Stats.mcnemar(df(Seq((1L, 1L), (0L, 0L))),
+      col("x"), col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(none._4.isNaN && none._5.isNaN, s"$none")
+  }
+
+  test("q317 Brunner-Munzel: identical groups 0; scipy-checked shift") {
+    val same = Stats.brunnerMunzel(li(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(same._3 === 0.5 && same._4 === 0.0, s"$same")
+    // a=[1,2,3,4], b=[3,4,5,6]: pooled means 3 vs 6, Sx=Sy=0.5,
+    // sig=4 -> p_hat = 0.875, W = 16·3/(8·2) = 3
+    val got = Stats.brunnerMunzel(
+      li(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got === ((4L, 4L, 0.875, 3.0)), s"$got")
+  }
 }

@@ -16,15 +16,17 @@ class StreamingKsSpec extends SparkSpec {
 
   test("complete-mode cells and KS verdict converge to the batch test") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // two drifting cohorts over a 12-value domain
+    // two drifting cohorts over a 12-value domain, plus a THIRD group
+    // the stream must EXCLUDE (the batch contract filters isin(A, B);
+    // pre-fix, X rows silently landed in the implicit B side)
     val evs = (0 until 80).map { i =>
-      val g = if (i % 2 == 0) "R" else "N"
+      val g = if (i % 5 == 4) "X" else if (i % 2 == 0) "R" else "N"
       val v = (i * 2654435761L % 12 + 12) % 12 + (if (g == "N") 2L else 0L)
       GroupedValue(g, v)
     }
     val in = MemoryStream[GroupedValue]
     val out = StreamingStats.twoGroupCellsStream(in.toDF(),
-      col("g"), col("v"), groupA = "R")
+      col("g"), col("v"), groupA = "R", groupB = "N")
     assert(out.isStreaming)
     val q = out.writeStream.format("memory").queryName("ks_cells")
       .outputMode("complete").start()
