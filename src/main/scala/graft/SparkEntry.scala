@@ -1611,6 +1611,35 @@ object SparkEntry {
       Stats.brunnerMunzel(Tables.lineitem(s, dir), "l_returnflag",
         f.col("l_quantity"), "R", "N")
     }),
+    // q318: cross-correlation daily revenue x daily order count at
+    // lags -7..7 — the lead-lag diagnostic (q259's ACF, two series)
+    "q318_ccf_daily" -> ((s, dir) =>
+      Relational.ccfDaily(Tables.orders(s, dir))),
+    // q319: augmented Dickey-Fuller unit root on daily revenue —
+    // exact-moment OLS of the lag frame, t on the level coefficient
+    "q319_adf_test" -> ((s, dir) =>
+      Relational.adfTest(Tables.orders(s, dir))),
+    // q320: KPSS level stationarity (lag-0) — partial sums of the
+    // n-scaled deviations over the day table
+    "q320_kpss_test" -> ((s, dir) =>
+      Relational.kpssTest(Tables.orders(s, dir))),
+    // q321: Chow structural break at the calendar midpoint — two
+    // half-range trend fits vs pooled, exact-moment SSEs
+    "q321_chow_test" -> ((s, dir) =>
+      Relational.chowTest(Tables.orders(s, dir))),
+    // q322: Bartlett variance equality across order priorities —
+    // sorted-fold ln reductions, standard correction
+    "q322_bartlett" -> ((s, dir) =>
+      Stats.bartlett(Tables.orders(s, dir), "o_orderpriority",
+        "o_totalprice")),
+    // q323: G-test (log-likelihood ratio) on the q272 cells —
+    // observed-cells-only ln terms on the 1e9 grid
+    "q323_g_test" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.gTest(Tables.events(s, dir), f.col("event_type"),
+        f.pmod(f.datediff(f.to_date(f.col("ts")),
+          f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"))
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -6802,6 +6831,297 @@ object SparkEntry {
         |        - CAST(r1x2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)))
         |      / (nn * sqrt(sig)) END, 6) AS bm_stat
         |FROM g""".stripMargin,
+    // q318: the CCF chain replayed — one daily aggregate for both
+    // series, n-scaled integer deviations, per-lag HUGEINT
+    // cross-products, one mirrored divide per lag
+    "q318_ccf_daily" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(r) AS BIGINT) AS sr,
+        |               CAST(sum(c) AS BIGINT) AS sc FROM daily),
+        |dev AS MATERIALIZED (
+        |  SELECT d, r * t.n - t.sr AS dvx, c * t.n - t.sc AS dvy
+        |  FROM daily CROSS JOIN tot t),
+        |c0 AS (SELECT
+        |    CAST(sum(CAST(dvx AS HUGEINT) * CAST(dvx AS HUGEINT))
+        |      AS HUGEINT) AS c0x,
+        |    CAST(sum(CAST(dvy AS HUGEINT) * CAST(dvy AS HUGEINT))
+        |      AS HUGEINT) AS c0y
+        |  FROM dev),
+        |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CAST(a.dvx AS HUGEINT) * b.dvy) AS HUGEINT) AS ck
+        |  FROM dev a CROSS JOIN lags l
+        |  JOIN dev b ON b.d = a.d - l.lag
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  round(CAST(ck AS DOUBLE)
+        |    / sqrt(CAST(c0x AS DOUBLE) * CAST(c0y AS DOUBLE)), 6)
+        |    AS ccf
+        |FROM pairs CROSS JOIN c0
+        |WHERE CAST(c0x AS DOUBLE) > 0.0
+        |  AND CAST(c0y AS DOUBLE) > 0.0""".stripMargin,
+    // q319: the ADF chain replayed — consecutive-day lag frame on the
+    // dollar grid, nine moment sums, fixed q258 det shape, Var(b1) =
+    // s²·(n·s22 − s2²)/det, one mirrored t
+    "q319_adf_test" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS r
+        |  FROM orders GROUP BY 1),
+        |fr AS (
+        |  SELECT a.r - b.r AS y, b.r AS x1, b.r - c.r AS x2
+        |  FROM daily a JOIN daily b ON b.d = a.d - 1
+        |  JOIN daily c ON c.d = a.d - 2),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |    CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM fr),
+        |f AS (
+        |  SELECT nl, n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM s),
+        |g AS (
+        |  SELECT nl, n, s2, s22, sy, s1y, s2y, syy, det,
+        |    CASE WHEN det = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE det0 / det END AS b0,
+        |    CASE WHEN det = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE det1 / det END AS b1,
+        |    CASE WHEN det = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE det2 / det END AS b2
+        |  FROM f),
+        |h AS (
+        |  SELECT nl, b1,
+        |    CASE WHEN nl <= 3 OR det = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / (n - 3.0)
+        |        * (n * s22 - s2 * s2) / det END AS varb1
+        |  FROM g)
+        |SELECT nl AS n_rows, round(b1, 6) AS beta,
+        |  round(CASE WHEN isnan(varb1) OR varb1 <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE b1 / sqrt(varb1) END, 6) AS adf_t
+        |FROM h""".stripMargin,
+    // q320: the KPSS chain replayed — n-scaled integer deviations,
+    // HUGEINT partial-sum squares over the day order, one divide
+    "q320_kpss_test" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(r) AS BIGINT) AS s FROM daily),
+        |dev AS (SELECT d, t.n, r * t.n - t.s AS e
+        |        FROM daily CROSS JOIN tot t),
+        |st AS (SELECT n, e,
+        |    CAST(sum(e) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS HUGEINT) AS st
+        |  FROM dev),
+        |ag AS (SELECT max(n) AS n_days,
+        |    CAST(sum(st * st) AS HUGEINT) AS ssq,
+        |    CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS esq
+        |  FROM st)
+        |SELECT n_days,
+        |  round(CASE WHEN CAST(esq AS DOUBLE) <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(ssq AS DOUBLE) / (CAST(n_days AS DOUBLE)
+        |      * CAST(esq AS DOUBLE)) END, 6) AS kpss_eta
+        |FROM ag""".stripMargin,
+    // q321: the Chow chain replayed — conditional half moments, the
+    // 2x2-Cramer SSE shape for each half and the pooled sums
+    "q321_chow_test" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS r
+        |  FROM orders GROUP BY 1),
+        |mid AS (SELECT CAST(floor((min(d) + max(d)) / 2) AS BIGINT)
+        |          AS mid FROM daily),
+        |s AS (
+        |  SELECT max(mid) AS mid,
+        |    CAST(sum(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN d <= mid THEN d ELSE 0 END) AS HUGEINT)
+        |      AS st1,
+        |    CAST(sum(CASE WHEN d > mid THEN d ELSE 0 END) AS HUGEINT)
+        |      AS st2,
+        |    CAST(sum(CASE WHEN d <= mid THEN d * d ELSE 0 END)
+        |      AS HUGEINT) AS stt1,
+        |    CAST(sum(CASE WHEN d > mid THEN d * d ELSE 0 END)
+        |      AS HUGEINT) AS stt2,
+        |    CAST(sum(CASE WHEN d <= mid THEN r ELSE 0 END) AS HUGEINT)
+        |      AS sy1,
+        |    CAST(sum(CASE WHEN d > mid THEN r ELSE 0 END) AS HUGEINT)
+        |      AS sy2,
+        |    CAST(sum(CASE WHEN d <= mid THEN d * r ELSE 0 END)
+        |      AS HUGEINT) AS sty1,
+        |    CAST(sum(CASE WHEN d > mid THEN d * r ELSE 0 END)
+        |      AS HUGEINT) AS sty2,
+        |    CAST(sum(CASE WHEN d <= mid THEN r * r ELSE 0 END)
+        |      AS HUGEINT) AS syy1,
+        |    CAST(sum(CASE WHEN d > mid THEN r * r ELSE 0 END)
+        |      AS HUGEINT) AS syy2
+        |  FROM daily CROSS JOIN mid),
+        |f AS (
+        |  SELECT mid, n1, n2,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS np,
+        |    CAST(st1 AS DOUBLE) AS st1d, CAST(st2 AS DOUBLE) AS st2d,
+        |    CAST(st1 AS DOUBLE) + CAST(st2 AS DOUBLE) AS stp,
+        |    CAST(stt1 AS DOUBLE) AS stt1d, CAST(stt2 AS DOUBLE) AS stt2d,
+        |    CAST(stt1 AS DOUBLE) + CAST(stt2 AS DOUBLE) AS sttp,
+        |    CAST(sy1 AS DOUBLE) AS sy1d, CAST(sy2 AS DOUBLE) AS sy2d,
+        |    CAST(sy1 AS DOUBLE) + CAST(sy2 AS DOUBLE) AS syp,
+        |    CAST(sty1 AS DOUBLE) AS sty1d, CAST(sty2 AS DOUBLE) AS sty2d,
+        |    CAST(sty1 AS DOUBLE) + CAST(sty2 AS DOUBLE) AS styp,
+        |    CAST(syy1 AS DOUBLE) AS syy1d, CAST(syy2 AS DOUBLE) AS syy2d,
+        |    CAST(syy1 AS DOUBLE) + CAST(syy2 AS DOUBLE) AS syyp
+        |  FROM s),
+        |g AS (
+        |  SELECT mid, n1, n2, np,
+        |    CASE WHEN n1d * stt1d - st1d * st1d = 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE syy1d - ((sy1d * stt1d - sty1d * st1d)
+        |          / (n1d * stt1d - st1d * st1d) * sy1d
+        |        + (n1d * sty1d - st1d * sy1d)
+        |          / (n1d * stt1d - st1d * st1d) * sty1d) END AS sse1,
+        |    CASE WHEN n2d * stt2d - st2d * st2d = 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE syy2d - ((sy2d * stt2d - sty2d * st2d)
+        |          / (n2d * stt2d - st2d * st2d) * sy2d
+        |        + (n2d * sty2d - st2d * sy2d)
+        |          / (n2d * stt2d - st2d * st2d) * sty2d) END AS sse2,
+        |    CASE WHEN np * sttp - stp * stp = 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE syyp - ((syp * sttp - styp * stp)
+        |          / (np * sttp - stp * stp) * syp
+        |        + (np * styp - stp * syp)
+        |          / (np * sttp - stp * stp) * styp) END AS ssep
+        |  FROM f),
+        |h AS (
+        |  SELECT mid, n1, n2, sse1, sse2, ssep,
+        |    CASE WHEN np <= 4.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (sse1 + sse2) / (np - 4.0) END AS den
+        |  FROM g)
+        |SELECT n1 + n2 AS n_days, mid AS mid_day,
+        |  round(CASE WHEN isnan(den) OR den <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (ssep - sse1 - sse2) / 2.0 / den END, 6) AS f_stat
+        |FROM h""".stripMargin,
+    // q322: the Bartlett chain replayed — per-group exact moments,
+    // guarded per-group terms, sorted-list folds, the standard C
+    "q322_bartlett" ->
+      """WITH per0 AS MATERIALIZED (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT)
+        |      * CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS qg
+        |  FROM orders GROUP BY 1),
+        |per AS (
+        |  SELECT g, ng,
+        |    CASE WHEN ng <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE)
+        |        * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) - 1.0) END AS v
+        |  FROM per0),
+        |per2 AS (
+        |  SELECT g, ng, v,
+        |    CASE WHEN ng <= 1 OR v <= 0.0 THEN 1 ELSE 0 END AS bad,
+        |    CASE WHEN ng <= 1 OR v <= 0.0 THEN 0.0
+        |      ELSE (CAST(ng AS DOUBLE) - 1.0) * ln(v) END AS tln,
+        |    CASE WHEN ng <= 1 OR v <= 0.0 THEN 0.0
+        |      ELSE (CAST(ng AS DOUBLE) - 1.0) * v END AS tv,
+        |    CASE WHEN ng <= 1 OR v <= 0.0 THEN 0.0
+        |      ELSE 1.0 / (CAST(ng AS DOUBLE) - 1.0) END AS tinv
+        |  FROM per),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(max(bad) AS BIGINT) AS bad,
+        |    list_reduce(list(tln ORDER BY g), (a, b) -> a + b) AS sln,
+        |    list_reduce(list(tv ORDER BY g), (a, b) -> a + b) AS sv,
+        |    list_reduce(list(tinv ORDER BY g), (a, b) -> a + b) AS sinv
+        |  FROM per2),
+        |fin AS (
+        |  SELECT k, n, bad, sln, sinv,
+        |    CAST(n AS DOUBLE) - CAST(k AS DOUBLE) AS nk,
+        |    CASE WHEN CAST(n AS DOUBLE) - CAST(k AS DOUBLE) <= 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE sv / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END
+        |      AS sp2
+        |  FROM ag),
+        |fd AS (
+        |  SELECT k, n, bad, sln, nk, sp2,
+        |    CASE WHEN k <= 1 OR nk <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE 1.0 + (sinv - 1.0 / nk)
+        |        / (3.0 * (CAST(k AS DOUBLE) - 1.0)) END AS cc
+        |  FROM fin)
+        |SELECT k AS k_groups, n AS n_rows,
+        |  round(CASE WHEN bad = 1 OR isnan(sp2) OR sp2 <= 0.0
+        |      OR isnan(cc) OR cc = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (nk * ln(sp2) - sln) / cc END, 6) AS bartlett_t
+        |FROM fd""".stripMargin,
+    // q323: the G-test chain replayed — observed cells joined to
+    // margins, one ln term per cell on the 1e9 grid, HUGEINT sum
+    "q323_g_test" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT event_type AS a,
+        |    CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      + 4) % 7 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS ka,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS kb
+        |  FROM cells),
+        |terms AS (
+        |  SELECT n, ka, kb,
+        |    CAST(round(CAST(o AS DOUBLE)
+        |      * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)))
+        |      * 1.0e9) AS BIGINT) AS g_g
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b)
+        |  CROSS JOIN tot),
+        |ag AS (SELECT max(n) AS n, max(ka) AS ka, max(kb) AS kb,
+        |              CAST(sum(g_g) AS BIGINT) AS gsum FROM terms)
+        |SELECT n AS n_rows, (ka - 1) * (kb - 1) AS df,
+        |  round(2.0 * CAST(gsum AS DOUBLE) / 1.0e9, 6) AS g_stat
+        |FROM ag""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

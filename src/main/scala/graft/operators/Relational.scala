@@ -559,6 +559,260 @@ object Relational {
           .as("acf"))
   }
 
+  /** Q318: CROSS-CORRELATION FUNCTION between daily revenue and daily
+    * order count at lags −maxLag..maxLag — does volume LEAD revenue or
+    * lag it (the two-series generalization of q259's ACF; an
+    * asymmetric CCF is the classic lead–lag diagnostic)? Both series
+    * come from ONE daily aggregation; deviations are the q259
+    * n-scaled exact integers (dv = v·n − Σv, LONG per day), the
+    * lag-k cross-products are DECIMAL(38,0) sums over the day-bounded
+    * equi-join on shifted day keys, and
+    * ccf_k = Σ dvx_t·dvy_{t−k} / sqrt(c0x·c0y) is one mirrored double
+    * expression per lag. Constant series are dropped (no defined CCF),
+    * the q259 convention.
+    */
+  def ccfDaily(orders: DataFrame, maxLag: Int = 7): DataFrame =
+    ccfFromDaily(orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"),
+        count(lit(1)).as("c")), maxLag)
+
+  /** [[ccfDaily]] from an already-built `(d, r, c)` daily table — the
+    * cells-level entry for the STREAMING dual: the daily aggregate is
+    * a sum-monoid, so
+    * [[graft.streaming.StreamingStats.dailySeriesStream]] maintains
+    * exactly this frame over an unbounded order stream and a snapshot
+    * of it feeds the same verdict (equivalence pinned in
+    * StreamingSeriesSpec — the lepageVerdict story on the time axis).
+    */
+  def ccfFromDaily(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 365, s"maxLag out of range: $maxLag")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+      sum(col("c")).as("sc"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"),
+        (col("r") * col("n") - col("sr")).as("dvx"),
+        (col("c") * col("n") - col("sc")).as("dvy"))
+    val c0 = dev.agg(sum(dec(col("dvx")) * dec(col("dvx"))).as("c0x"),
+      sum(dec(col("dvy")) * dec(col("dvy"))).as("c0y"))
+    val pairs = dev
+      .select(col("d"), col("dvx"),
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong)))
+          .as("lag"))
+      .select(col("dvx"), col("lag"), (col("d") - col("lag")).as("dk"))
+      .join(dev.select(col("d").as("dk"), col("dvy").as("dvyk")),
+        Seq("dk"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("dvx")) * dec(col("dvyk"))).as("ck"))
+    pairs.crossJoin(broadcast(c0))
+      .filter(col("c0x").cast("double") > 0.0 &&
+        col("c0y").cast("double") > 0.0)
+      .select(col("lag"), col("n_pairs"),
+        round(col("ck").cast("double") /
+          sqrt(col("c0x").cast("double") * col("c0y").cast("double")),
+          6).as("ccf"))
+  }
+
+  /** Q319: AUGMENTED DICKEY–FULLER unit-root test (one augmentation
+    * lag) on daily revenue — is the series mean-reverting or a random
+    * walk (the question q275's CUSUM and q293's Pettitt presuppose an
+    * answer to)? The regression Δr_t = β0 + β1·r_{t−1} + β2·Δr_{t−1}
+    * rides the q258 exact-moment device: the lag frame comes from two
+    * equi-joins on shifted day keys (consecutive-day triples only, the
+    * standard convention), ONE aggregation produces the nine DECIMAL
+    * moment sums on the integer DOLLAR grid (coarser than cents so
+    * per-row squares stay in LONG with 100× headroom — the q287
+    * precedent), and β, SSE and SE(β1) are column expressions over the
+    * one-row frame: Var(β1) = s²·(n·s22 − s2²)/det with the fixed q250
+    * det shape, t_ADF = β1/SE(β1). NaN on a singular design, n ≤ 3, or
+    * degenerate variance — never an ANSI divide.
+    */
+  def adfTest(orders: DataFrame): DataFrame =
+    adfFromDaily(orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("r")))
+
+  /** [[adfTest]] from an already-built `(d, r)` daily table — the
+    * cells-level entry for the streaming dual (the [[ccfFromDaily]]
+    * story; DOLLAR grid like [[kpssFromDaily]]).
+    */
+  def adfFromDaily(daily: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val frame = daily
+      .join(daily.select((col("d") + lit(1L)).as("d"),
+        col("r").as("r1")), Seq("d"))
+      .join(daily.select((col("d") + lit(2L)).as("d"),
+        col("r").as("r2")), Seq("d"))
+      .select((col("r") - col("r1")).as("y"), col("r1").as("x1"),
+        (col("r1") - col("r2")).as("x2"))
+    def dbl(name: String) = col(name).cast("double")
+    val sums = frame.agg(
+        count(lit(1)).as("nl"),
+        sum(dec(col("x1"))).as("s1d"),
+        sum(dec(col("x2"))).as("s2d"),
+        sum(dec(col("x1")) * col("x1")).as("s11d"),
+        sum(dec(col("x1")) * col("x2")).as("s12d"),
+        sum(dec(col("x2")) * col("x2")).as("s22d"),
+        sum(dec(col("y"))).as("syd"),
+        sum(dec(col("x1")) * col("y")).as("s1yd"),
+        sum(dec(col("x2")) * col("y")).as("s2yd"),
+        sum(dec(col("y")) * col("y")).as("syyd"))
+      .select(col("nl"), col("nl").cast("double").as("n"),
+        dbl("s1d").as("s1"), dbl("s2d").as("s2"), dbl("s11d").as("s11"),
+        dbl("s12d").as("s12"), dbl("s22d").as("s22"), dbl("syd").as("sy"),
+        dbl("s1yd").as("s1y"), dbl("s2yd").as("s2y"),
+        dbl("syyd").as("syy"))
+    def det3c(a: Column, b: Column, c: Column, d0: Column, e: Column,
+        f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d0 * i - f * g) + c * (d0 * h - e * g)
+    val det = det3c(col("n"), col("s1"), col("s2"), col("s1"),
+      col("s11"), col("s12"), col("s2"), col("s12"), col("s22"))
+    val det0 = det3c(col("sy"), col("s1"), col("s2"), col("s1y"),
+      col("s11"), col("s12"), col("s2y"), col("s12"), col("s22"))
+    val det1 = det3c(col("n"), col("sy"), col("s2"), col("s1"),
+      col("s1y"), col("s12"), col("s2"), col("s2y"), col("s22"))
+    val det2 = det3c(col("n"), col("s1"), col("sy"), col("s1"),
+      col("s11"), col("s1y"), col("s2"), col("s12"), col("s2y"))
+    sums
+      .withColumn("det", det)
+      .withColumn("b0", when(col("det") === 0.0, lit(Double.NaN))
+        .otherwise(det0 / col("det")))
+      .withColumn("b1", when(col("det") === 0.0, lit(Double.NaN))
+        .otherwise(det1 / col("det")))
+      .withColumn("b2", when(col("det") === 0.0, lit(Double.NaN))
+        .otherwise(det2 / col("det")))
+      .withColumn("sse", col("syy") -
+        (col("b0") * col("sy") + col("b1") * col("s1y") +
+          col("b2") * col("s2y")))
+      .withColumn("varb1",
+        when(col("nl") <= 3L || col("det") === 0.0, lit(Double.NaN))
+          .otherwise(col("sse") / (col("n") - lit(3.0)) *
+            (col("n") * col("s22") - col("s2") * col("s2")) /
+            col("det")))
+      .select(col("nl").as("n_rows"),
+        round(col("b1"), 6).as("beta"),
+        round(when(isnan(col("varb1")) || col("varb1") <= 0.0,
+            lit(Double.NaN))
+          .otherwise(col("b1") / sqrt(col("varb1"))), 6).as("adf_t"))
+  }
+
+  /** Q321: CHOW STRUCTURAL-BREAK TEST at the calendar midpoint — did
+    * the daily-revenue TREND LINE change regime (the parametric
+    * companion of q293's Pettitt, which finds a level shift but says
+    * nothing about slope)? Two simple OLS fits r ~ β0 + β1·d on the
+    * day halves plus the pooled fit, all from ONE conditional
+    * aggregation of the day table (six exact DECIMAL moments per
+    * side on the dollar grid; pooled = the sums of the sides);
+    * F = ((SSE_p − SSE_1 − SSE_2)/k)/((SSE_1 + SSE_2)/(n − 2k)) with
+    * k = 2, each SSE the 2×2-Cramer closed form syy − b0·sy − b1·sty.
+    * NaN on a degenerate half (det = 0), n ≤ 4, or a zero residual
+    * denominator. The break DAY is the deterministic midpoint
+    * (min+max)/2 — a known-break-point Chow, not a sup-F scan.
+    */
+  def chowTest(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("r"))
+    val mid = daily.agg(
+      floor((min(col("d")) + max(col("d"))) / lit(2L)).cast("long")
+        .as("mid"))
+    def side(cond: Column, c: Column): Column =
+      sum(dec(when(cond, c).otherwise(lit(0L))))
+    val sums = daily.crossJoin(broadcast(mid))
+      .withColumn("lo", col("d") <= col("mid"))
+      .agg(
+        max(col("mid")).as("mid"),
+        sum(when(col("lo"), lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(!col("lo"), lit(1L)).otherwise(lit(0L))).as("n2"),
+        side(col("lo"), col("d")).as("st1"),
+        side(!col("lo"), col("d")).as("st2"),
+        side(col("lo"), col("d") * col("d")).as("stt1"),
+        side(!col("lo"), col("d") * col("d")).as("stt2"),
+        side(col("lo"), col("r")).as("sy1"),
+        side(!col("lo"), col("r")).as("sy2"),
+        side(col("lo"), col("d") * col("r")).as("sty1"),
+        side(!col("lo"), col("d") * col("r")).as("sty2"),
+        side(col("lo"), col("r") * col("r")).as("syy1"),
+        side(!col("lo"), col("r") * col("r")).as("syy2"))
+    def d(name: String): Column = col(name).cast("double")
+    // SSE of r ~ 1 + d from the six moments (2x2 Cramer closed form);
+    // the same fixed shape for each half and the pooled sums
+    def sse(n: Column, st: Column, stt: Column, sy: Column, sty: Column,
+        syy: Column): Column = {
+      val det = n * stt - st * st
+      when(det === 0.0, lit(Double.NaN)).otherwise(
+        syy - ((sy * stt - sty * st) / det * sy +
+          (n * sty - st * sy) / det * sty))
+    }
+    sums
+      .withColumn("n", (col("n1") + col("n2")).cast("double"))
+      .withColumn("sse1", sse(d("n1"), d("st1"), d("stt1"), d("sy1"),
+        d("sty1"), d("syy1")))
+      .withColumn("sse2", sse(d("n2"), d("st2"), d("stt2"), d("sy2"),
+        d("sty2"), d("syy2")))
+      .withColumn("ssep", sse(col("n"),
+        d("st1") + d("st2"), d("stt1") + d("stt2"),
+        d("sy1") + d("sy2"), d("sty1") + d("sty2"),
+        d("syy1") + d("syy2")))
+      .withColumn("den",
+        when(col("n") <= 4.0, lit(Double.NaN)).otherwise(
+          (col("sse1") + col("sse2")) / (col("n") - lit(4.0))))
+      .select((col("n1") + col("n2")).as("n_days"), col("mid").as("mid_day"),
+        round(when(isnan(col("den")) || col("den") <= 0.0,
+            lit(Double.NaN))
+          .otherwise((col("ssep") - col("sse1") - col("sse2")) /
+            lit(2.0) / col("den")), 6).as("f_stat"))
+  }
+
+  /** Q320: KPSS LEVEL-STATIONARITY TEST (lag-0 long-run variance) on
+    * daily revenue — the COMPLEMENT of q319's ADF: KPSS takes
+    * stationarity as H₀ where ADF takes the unit root, and reading
+    * them together is the standard practice. η = Σ_t S_t²/(n·Σ_t e_t²)
+    * over day-ordered partial sums S_t of the demeaned series — the
+    * common scale cancels, so the q259 n-scaled integer deviations
+    * (e = r·n − Σr, exact LONG) feed a DECIMAL cumulative window over
+    * the calendar-bounded day table (the q275 CUSUM class), squares in
+    * DECIMAL, one mirrored divide. The lag-0 variant is documented:
+    * Bartlett-weighted long-run variance adds data-dependent weight
+    * sums this bounded chain doesn't need for the day-table scale.
+    */
+  def kpssTest(orders: DataFrame): DataFrame =
+    kpssFromDaily(orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("r")))
+
+  /** [[kpssTest]] from an already-built `(d, r)` daily table — the
+    * cells-level entry for the streaming dual (the [[ccfFromDaily]]
+    * story; note the DOLLAR grid).
+    */
+  def kpssFromDaily(daily: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("r") * col("n") - col("s")).as("e"))
+    val dayW = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev
+      .withColumn("st", sum(dec(col("e"))).over(dayW))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("st") * col("st")).as("ssq"),
+        sum(dec(col("e")) * col("e")).as("esq"))
+      .select(col("n_days"),
+        round(when(col("esq").cast("double") <= 0.0, lit(Double.NaN))
+          .otherwise(col("ssq").cast("double") /
+            (col("n_days").cast("double") *
+              col("esq").cast("double"))), 6).as("kpss_eta"))
+  }
+
   /** Q301: PARTIAL AUTOCORRELATION (lags 1–3) of daily revenue — the
     * AR-order diagnostic q259's raw ACF can't give (a pure AR(1)
     * series shows geometric ACF at EVERY lag but PACF ≈ 0 past lag

@@ -983,6 +983,109 @@ object Stats {
           .as("gini_parent"))
   }
 
+  /** Q322: BARTLETT'S VARIANCE-EQUALITY TEST across k groups — the
+    * parametric (normality-assuming) sibling of q288's Brown–Forsythe,
+    * sharper when the data really are near-normal. Exact per-group
+    * moments (n_i, Σc, Σc² in DECIMAL), then the three k-element
+    * reductions the statistic needs — Σ(n_i−1)·ln(s_i²), Σ(n_i−1)·s_i²
+    * and Σ 1/(n_i−1) — fold the SORTED group list (the q270 device:
+    * both engines add identical IEEE doubles in identical order);
+    * T = ((N−k)·ln(s_p²) − Σ(n_i−1)ln(s_i²))/C with the standard
+    * Bartlett correction C. Any single-row or constant group makes the
+    * statistic undefined — flagged in-plan and answered NaN, never an
+    * ANSI error or a ±Inf fold.
+    */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val c = round(lit(100.0) * col(valueCol)).cast("long")
+    def d(name: String): Column = col(name).cast("double")
+    val per = df.select(col(groupCol).as("g"), c.as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(dec(col("c"))).as("sg"),
+        sum(dec(col("c")) * col("c")).as("qg"))
+      .withColumn("v",
+        when(col("ng") <= 1L, lit(Double.NaN)).otherwise(
+          (d("qg") - d("sg") * d("sg") / d("ng")) /
+            (d("ng") - lit(1.0))))
+      .withColumn("bad",
+        when(col("ng") <= 1L || col("v") <= 0.0, lit(1L))
+          .otherwise(lit(0L)))
+      // guarded per-group terms: a bad group contributes 0 to the
+      // folds and flips the flag — the folds stay finite either way
+      .withColumn("tln",
+        when(col("bad") === 1L, lit(0.0)).otherwise(
+          (d("ng") - lit(1.0)) * log(col("v"))))
+      .withColumn("tv",
+        when(col("bad") === 1L, lit(0.0)).otherwise(
+          (d("ng") - lit(1.0)) * col("v")))
+      .withColumn("tinv",
+        when(col("bad") === 1L, lit(0.0)).otherwise(
+          lit(1.0) / (d("ng") - lit(1.0))))
+    def fold(field: String): Column =
+      aggregate(array_sort(collect_list(struct(col("g"),
+          col(field).as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t"))
+    per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        max(col("bad")).as("bad"),
+        fold("tln").as("sln"), fold("tv").as("sv"),
+        fold("tinv").as("sinv"))
+      .withColumn("nk", d("n") - d("k"))
+      .withColumn("sp2",
+        when(col("nk") <= 0.0, lit(Double.NaN))
+          .otherwise(col("sv") / col("nk")))
+      .withColumn("cc",
+        when(col("k") <= 1L || col("nk") <= 0.0, lit(Double.NaN))
+          .otherwise(lit(1.0) +
+            (col("sinv") - lit(1.0) / col("nk")) /
+              (lit(3.0) * (d("k") - lit(1.0)))))
+      .select(col("k").as("k_groups"), col("n").as("n_rows"),
+        round(when(col("bad") === 1L || isnan(col("sp2")) ||
+            col("sp2") <= 0.0 || isnan(col("cc")) || col("cc") === 0.0,
+            lit(Double.NaN))
+          .otherwise((col("nk") * log(col("sp2")) - col("sln")) /
+            col("cc")), 6).as("bartlett_t"))
+  }
+
+  /** Q323: G-TEST OF INDEPENDENCE (log-likelihood ratio) over the same
+    * contingency cells as q272's χ² — the statistic that dominates χ²
+    * when expected counts are small. G = 2·Σ_{O>0} O·ln(O·N/(r_a·c_b))
+    * needs only the OBSERVED cells (an empty cell's O·ln term is
+    * exactly 0, unlike χ²'s empty-cell pricing), so one join of the
+    * cell table to its margins covers everything; each cell's term is
+    * one mirrored ln expression on the ×1e9 grid (the q272 per-cell
+    * discipline — identical doubles → identical grid longs → order-free
+    * DECIMAL sum). df = (|a|−1)(|b|−1) from exact distinct counts.
+    */
+  def gTest(df: DataFrame, aCol: Column, bCol: Column): DataFrame =
+    gTestVerdict(df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o")))
+
+  /** [[gTest]] from an `(a, b, o)` cell table — the cells-level entry
+    * for the streaming dual
+    * ([[graft.streaming.StreamingStats.contingencyCellsStream]]
+    * maintains exactly these cells).
+    */
+  def gTestVerdict(cells: DataFrame): DataFrame = {
+    val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("ka"),
+      countDistinct(col("b")).as("kb"))
+    def d(c: Column): Column = c.cast("double")
+    cells.join(rt, Seq("a")).join(ct, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("g_g",
+        round(d(col("o")) *
+          log(d(col("o")) * d(col("n")) /
+            (d(col("rt")) * d(col("ct")))) * lit(1.0e9)).cast("long"))
+      .agg(max(col("n")).as("n"), max(col("ka")).as("ka"),
+        max(col("kb")).as("kb"), sum(dec(col("g_g"))).as("gsum"))
+      .select(col("n").as("n_rows"),
+        ((col("ka") - lit(1L)) * (col("kb") - lit(1L))).as("df"),
+        round(lit(2.0) * col("gsum").cast("double") / lit(1.0e9), 6)
+          .as("g_stat"))
+  }
+
   /** Q311: ANDERSON–DARLING TWO-SAMPLE TEST on a bounded-domain
     * measure — the tail-weighted omnibus companion of q289's KS and
     * q290's CvM: the 1/(H(N−H)) weight makes A² far more sensitive to
@@ -1001,8 +1104,15 @@ object Stats {
     * corpus-length work this histogram-bounded family refuses.
     */
   def andersonDarling2(df: DataFrame, groupCol: String, valueCol: Column,
-      groupA: String, groupB: String): DataFrame = {
-    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+      groupA: String, groupB: String): DataFrame =
+    andersonDarlingVerdict(
+      twoGroupHist(df, groupCol, valueCol, groupA, groupB))
+
+  /** [[andersonDarling2]] from a `(v, na, t)` cell table — the
+    * cells-level entry for the streaming dual (the [[ksVerdict]]
+    * device).
+    */
+  def andersonDarlingVerdict(h: DataFrame): DataFrame = {
     val rankW = Window.orderBy(col("v"))
     val tot = h.agg(sum(col("na")).as("n1"),
       sum(col("t") - col("na")).as("n2"))
@@ -1115,8 +1225,16 @@ object Stats {
     * NaN if either component's variance degenerates.
     */
   def lepage(df: DataFrame, groupCol: String, valueCol: Column,
-      groupA: String, groupB: String): DataFrame = {
-    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+      groupA: String, groupB: String): DataFrame =
+    lepageVerdict(twoGroupHist(df, groupCol, valueCol, groupA, groupB))
+
+  /** [[lepage]] from a `(v, na, t)` cell table — the cells-level entry
+    * the STREAMING dual reads: snapshot
+    * [[graft.streaming.StreamingStats.twoGroupCellsStream]]'s state and
+    * get the same verdict the batch test computes (the [[ksVerdict]]
+    * device; equivalence pinned in StreamingTwoSampleSpec).
+    */
+  def lepageVerdict(h: DataFrame): DataFrame = {
     val rankW = Window.orderBy(col("v"))
     // the AB fold point 2(N+1) is a scalar: broadcast the group totals
     // onto the ranked histogram (the q309 shape — the identical
@@ -1184,8 +1302,13 @@ object Stats {
     * 1−ρ² degenerates.
     */
   def cucconi(df: DataFrame, groupCol: String, valueCol: Column,
-      groupA: String, groupB: String): DataFrame = {
-    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+      groupA: String, groupB: String): DataFrame =
+    cucconiVerdict(twoGroupHist(df, groupCol, valueCol, groupA, groupB))
+
+  /** [[cucconi]] from a `(v, na, t)` cell table — the cells-level entry
+    * for the streaming dual (the [[ksVerdict]] device).
+    */
+  def cucconiVerdict(h: DataFrame): DataFrame = {
     val rankW = Window.orderBy(col("v"))
     def d(name: String): Column = col(name).cast("double")
     h
@@ -1309,8 +1432,14 @@ object Stats {
     * group has < 2 rows.
     */
   def brunnerMunzel(df: DataFrame, groupCol: String, valueCol: Column,
-      groupA: String, groupB: String): DataFrame = {
-    val h = twoGroupHist(df, groupCol, valueCol, groupA, groupB)
+      groupA: String, groupB: String): DataFrame =
+    brunnerMunzelVerdict(
+      twoGroupHist(df, groupCol, valueCol, groupA, groupB))
+
+  /** [[brunnerMunzel]] from a `(v, na, t)` cell table — the cells-level
+    * entry for the streaming dual (the [[lepageVerdict]] story).
+    */
+  def brunnerMunzelVerdict(h: DataFrame): DataFrame = {
     val rankW = Window.orderBy(col("v"))
     def d(name: String): Column = col(name).cast("double")
     val ranked = h

@@ -54,4 +54,22 @@ object StreamingStats {
       .agg(sum(when(col("g") === groupA, lit(1L)).otherwise(lit(0L)))
           .as("na"),
         count(lit(1)).as("t"))
+
+  /** Streaming dual of the DAILY-SERIES family (q259 ACF, q318 CCF,
+    * q319 ADF, q320 KPSS): maintain the `(d, r, c)` daily aggregate —
+    * revenue sum on the given integer grid plus order count — over an
+    * unbounded order stream. Sum-monoid, state ≤ |calendar days|
+    * regardless of stream length (the twoGroupCellsStream argument on
+    * the time axis). Snapshot the cells and feed
+    * [[graft.operators.Relational.ccfFromDaily]] /
+    * [[graft.operators.Relational.adfFromDaily]] /
+    * [[graft.operators.Relational.kpssFromDaily]] — the batch verdicts
+    * verbatim (StreamingSeriesSpec).
+    */
+  def dailySeriesStream(df: DataFrame, dayCol: Column,
+      priceCol: Column, centsPerUnit: Double = 100.0): DataFrame =
+    df.select(dayCol.cast("long").as("d"),
+        round(lit(centsPerUnit) * priceCol).cast("long").as("p"))
+      .groupBy(col("d"))
+      .agg(sum(col("p")).as("r"), count(lit(1)).as("c"))
 }

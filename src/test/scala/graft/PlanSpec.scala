@@ -495,6 +495,10 @@ class PlanSpec extends SparkSpec {
       // the DIFFERENCE HISTOGRAM (≤ |A|·|B| cells of two bounded
       // value domains), never row pairs
       ("Stats.scala", """val dW = Window.orderBy(col("d"))"""),
+      // q320: the KPSS partial-sum window runs over the DAILY-REVENUE
+      // table (one row per day — calendar-bounded, the epoch_day
+      // argument), never order rows
+      ("Relational.scala", """val dayW = Window.orderBy(col("d"))"""),
     )
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
     def scalaFiles(d: java.io.File): Seq[java.io.File] =

@@ -281,4 +281,75 @@ class AcfSpec extends SparkSpec {
       .select(col("seasonal_index")).as[Double].collect()
       .foreach(v => assert(v === 1.0))
   }
+
+  /** Orders frame with explicit (day, price) rows — variable per-day
+    * order COUNTS, for the two-series CCF.
+    */
+  private def ordersAt(rows: Seq[(Long, Double)]) =
+    rows.zipWithIndex.map { case ((d, p), i) => (i.toLong, d, p) }
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate",
+        to_timestamp(lit("1970-01-01 00:00:00")) +
+          make_dt_interval(col("d")))
+      .drop("d")
+
+  test("q318 CCF: hand series — lag-0 peak, symmetric negative side lags") {
+    // days 0..3: (r, c) = (10,1), (20,2), (30,1), (40,2)
+    // dvx = (-60,-20,20,60), dvy = (-2,2,-2,2), c0x=8000, c0y=16
+    // ccf(0) = 160/sqrt(128000), ccf(±1) = -40/sqrt(128000)
+    val o = ordersAt(Seq((0L, 10.0), (1L, 10.0), (1L, 10.0),
+      (2L, 30.0), (3L, 20.0), (3L, 20.0)))
+    val got = Relational.ccfDaily(o)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === (-3L to 3L).toSet, s"$got")
+    assert(got(0L) === ((4L, 0.447214)), s"$got")
+    assert(got(1L) === ((3L, -0.111803)), s"$got")
+    assert(got(-1L) === ((3L, -0.111803)), s"$got")
+  }
+
+  test("q319 ADF: mean-reverting series rejects the unit root; collinear NaN") {
+    // geometric decay toward 0: strongly stationary, beta < 0, t < 0
+    val decay = (0 until 40).map(d => 1000.0 * math.pow(0.7, d) + 10.0)
+    val got = Relational.adfTest(series(decay))
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 === 38L, s"$got")
+    assert(got._2 < 0.0 && got._3 < -3.0, s"stationary: $got")
+    // a two-level alternating series makes x2 = 2*x1 - const: the
+    // design is collinear with the intercept -> det 0 -> NaN, not ANSI
+    val alt = (0 until 12).map(d => if (d % 2 == 0) 10.0 else 20.0)
+    val bad = Relational.adfTest(series(alt))
+      .as[(Long, Double, Double)].collect().head
+    assert(bad._2.isNaN && bad._3.isNaN, s"collinear: $bad")
+  }
+
+  test("q321 Chow: planted slope break found; stable line stays small") {
+    // alternating ±1 noise keeps every SSE strictly positive so the
+    // F ratio is defined on both series
+    def noisy(slope2: Double) = (0 until 40).map { d =>
+      val base = if (d <= 19) 100.0 + 5.0 * d
+      else 100.0 + 5.0 * 19 + slope2 * (d - 19)
+      base + (if (d % 2 == 0) 1.0 else -1.0)
+    }
+    val broken = Relational.chowTest(series(noisy(slope2 = 50.0)))
+      .as[(Long, Long, Double)].collect().head
+    assert(broken._1 === 40L && broken._2 === 19L, s"$broken")
+    assert(broken._3 > 100.0, s"break must dominate: $broken")
+    val stable = Relational.chowTest(series(noisy(slope2 = 5.0)))
+      .as[(Long, Long, Double)].collect().head
+    assert(stable._3 < 5.0, s"no break: $stable")
+  }
+
+  test("q320 KPSS: alternating series 0.125 exact; trend scores higher") {
+    val alt = Relational.kpssTest(series(Seq(10.0, 20.0, 10.0, 20.0)))
+      .as[(Long, Double)].collect().head
+    assert(alt === ((4L, 0.125)), s"$alt")
+    val trend = Relational.kpssTest(series(Seq(10.0, 20.0, 30.0, 40.0)))
+      .as[(Long, Double)].collect().head
+    assert(trend === ((4L, 0.425)), s"$trend")
+    // constant series: zero variance -> NaN
+    val const = Relational.kpssTest(series(Seq.fill(5)(100.0)))
+      .as[(Long, Double)].collect().head
+    assert(const._2.isNaN, s"$const")
+  }
 }

@@ -201,4 +201,40 @@ class StatsSpec extends SparkSpec {
     assert(gp._4 === 20.0 && gp._5 === 1.0, s"perfect: $gp")
     assert(math.abs(gp._6 - math.log(2.0)) < 1e-6, s"MI: $gp")
   }
+
+  test("q322 Bartlett: equal variances T=0; degenerate groups NaN") {
+    val eq = Stats.bartlett(groups(Seq(10.0, 20.0), Seq(10.0, 20.0)),
+      "g", "x").as[(Long, Long, Double)].collect().head
+    assert(eq === ((2L, 4L, 0.0)), s"$eq")
+    // very different spreads: large positive T
+    val spread = Stats.bartlett(
+      groups(Seq(10.0, 10.01, 9.99, 10.02, 9.98),
+        Seq(10.0, 200.0, 5.0, 400.0, 1.0)), "g", "x")
+      .as[(Long, Long, Double)].collect().head
+    assert(spread._3 > 10.0, s"$spread")
+    // a single-row group makes the statistic undefined
+    val single = Stats.bartlett(groups(Seq(10.0), Seq(10.0, 20.0)),
+      "g", "x").as[(Long, Long, Double)].collect().head
+    assert(single._3.isNaN, s"$single")
+    // a constant group has zero variance: ln undefined -> NaN
+    val const = Stats.bartlett(groups(Seq(5.0, 5.0, 5.0),
+      Seq(10.0, 20.0)), "g", "x")
+      .as[(Long, Long, Double)].collect().head
+    assert(const._3.isNaN, s"$const")
+  }
+
+  test("q323 G-test: independence G=0; perfect association 8 ln 2 on the grid") {
+    def cellsDf(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
+    // product structure: O = E everywhere -> every ln term 0
+    val ind = Stats.gTest(cellsDf(Seq(("x", 0L), ("x", 1L), ("y", 0L),
+      ("y", 1L))), col("a"), col("b"))
+      .as[(Long, Long, Double)].collect().head
+    assert(ind === ((4L, 1L, 0.0)), s"$ind")
+    // diagonal 2x2: G = 2 * (4 * 2ln2)/2 ... = 8 ln 2 after the 1e9 grid
+    val dep = Stats.gTest(cellsDf(Seq(("x", 0L), ("x", 0L), ("y", 1L),
+      ("y", 1L))), col("a"), col("b"))
+      .as[(Long, Long, Double)].collect().head
+    assert(dep._1 === 4L && dep._2 === 1L, s"$dep")
+    assert(math.abs(dep._3 - 8.0 * math.log(2.0)) < 1e-6, s"$dep")
+  }
 }
