@@ -1640,6 +1640,35 @@ object SparkEntry {
         f.pmod(f.datediff(f.to_date(f.col("ts")),
           f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"))
     }),
+    // q324: Welch's ANOVA across order priorities — unequal-variance
+    // one-way F, two sorted k-element folds
+    "q324_welch_anova" -> ((s, dir) =>
+      Stats.welchAnova(Tables.orders(s, dir), "o_orderpriority",
+        "o_totalprice")),
+    // q325: Tukey HSD pairwise q over the priority groups — the q270
+    // post-hoc, Tukey-Kramer unequal-n form
+    "q325_tukey_hsd" -> ((s, dir) =>
+      Stats.tukeyHsd(Tables.orders(s, dir), "o_orderpriority",
+        "o_totalprice")),
+    // q326: odds ratio / relative risk with Wald CI on the q316
+    // per-customer paired flags
+    "q326_odds_ratio" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val per = Tables.orders(s, dir).groupBy(f.col("o_custkey"))
+        .agg(f.max((f.col("o_orderstatus") === "F").cast("long"))
+            .as("x"),
+          f.max((f.col("o_orderstatus") === "O").cast("long")).as("y"))
+      Stats.oddsRatio(per, f.col("x"), f.col("y"))
+    }),
+    // q327: Friedman two-way rank test — priority effect blocked by
+    // day-of-week, exact cross-multiplied within-block ranks
+    "q327_friedman" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.friedman(Tables.orders(s, dir),
+        f.pmod(f.datediff(f.to_date(f.col("o_orderdate")),
+          f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"),
+        f.col("o_orderpriority"), f.col("o_totalprice"))
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -7122,6 +7151,188 @@ object SparkEntry {
         |SELECT n AS n_rows, (ka - 1) * (kb - 1) AS df,
         |  round(2.0 * CAST(gsum AS DOUBLE) / 1.0e9, 6) AS g_stat
         |FROM ag""".stripMargin,
+    // q324: the Welch-ANOVA chain replayed — guarded per-group w/m,
+    // two sorted folds (the second needs the first's Σw), mirrored F
+    "q324_welch_anova" ->
+      """WITH per0 AS MATERIALIZED (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT)
+        |      * CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS qg
+        |  FROM orders GROUP BY 1),
+        |per AS (
+        |  SELECT g, ng, CAST(sg AS DOUBLE) AS sgd,
+        |    CASE WHEN ng <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE)
+        |        * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) - 1.0) END AS v
+        |  FROM per0),
+        |per2 AS (
+        |  SELECT g, ng, v,
+        |    CASE WHEN ng <= 1 OR v <= 0.0 THEN 1 ELSE 0 END AS bad,
+        |    CASE WHEN ng <= 1 OR v <= 0.0 THEN 0.0
+        |      ELSE CAST(ng AS DOUBLE) / v END AS w,
+        |    CASE WHEN ng <= 1 OR v <= 0.0 THEN 0.0
+        |      ELSE sgd / CAST(ng AS DOUBLE) END AS m
+        |  FROM per),
+        |st1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(max(bad) AS BIGINT) AS bad,
+        |    list_reduce(list(w ORDER BY g), (a, b) -> a + b) AS sw,
+        |    list_reduce(list(w * m ORDER BY g), (a, b) -> a + b)
+        |      AS swm,
+        |    list_reduce(list(w * m * m ORDER BY g), (a, b) -> a + b)
+        |      AS swm2
+        |  FROM per2),
+        |st2 AS (
+        |  SELECT s.k AS k, s.n AS n, s.bad AS bad, s.sw AS sw,
+        |    s.swm AS swm, s.swm2 AS swm2,
+        |    list_reduce(list(CASE WHEN p.bad = 1 THEN 0.0
+        |      ELSE (1.0 - p.w / s.sw) * (1.0 - p.w / s.sw)
+        |        / (CAST(p.ng AS DOUBLE) - 1.0) END ORDER BY p.g),
+        |      (a, b) -> a + b) AS s3
+        |  FROM per2 p CROSS JOIN st1 s
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |fin AS (
+        |  SELECT k, n, bad, s3, CAST(k AS DOUBLE) AS kd,
+        |    CASE WHEN k <= 1 OR sw <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (swm2 - swm * swm / sw)
+        |        / (CAST(k AS DOUBLE) - 1.0) END AS aa,
+        |    CASE WHEN k <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE 1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+        |        / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+        |        * s3 END AS bb
+        |  FROM st2)
+        |SELECT k AS k_groups, n AS n_rows,
+        |  round(CASE WHEN bad = 1 OR isnan(aa) OR isnan(bb)
+        |      OR bb = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE aa / bb END, 6) AS f_welch,
+        |  round(CASE WHEN bad = 1 OR k <= 1 OR s3 <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (kd * kd - 1.0) / (3.0 * s3) END, 4) AS df2
+        |FROM fin""".stripMargin,
+    // q325: the Tukey-Kramer chain replayed — q270 MSE, k² pair rows
+    "q325_tukey_hsd" ->
+      """WITH per0 AS MATERIALIZED (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT)
+        |      * CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS qg
+        |  FROM orders GROUP BY 1),
+        |per AS (
+        |  SELECT g, ng, sg, qg,
+        |    CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) AS term
+        |  FROM per0),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(qg) AS HUGEINT) AS q,
+        |    list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS a
+        |  FROM per),
+        |ms AS (SELECT CASE WHEN n <= k THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(q AS DOUBLE) - a)
+        |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS mse
+        |  FROM tot),
+        |pr AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a, b.ng AS n_b,
+        |    CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |      - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE) AS diff
+        |  FROM per0 a CROSS JOIN per0 b WHERE a.g < b.g)
+        |SELECT g_a, g_b, n_a, n_b,
+        |  round(diff, 4) AS mean_diff_cents,
+        |  round(CASE WHEN isnan(mse) OR mse <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE abs(diff) / sqrt(mse / 2.0
+        |      * (1.0 / CAST(n_a AS DOUBLE)
+        |        + 1.0 / CAST(n_b AS DOUBLE))) END, 6) AS q_stat
+        |FROM pr CROSS JOIN ms""".stripMargin,
+    // q326: the odds-ratio chain replayed — 2x2 from paired flags,
+    // mirrored ln/exp/sqrt Wald interval
+    "q326_odds_ratio" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |ag AS (SELECT
+        |    CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per),
+        |f AS (SELECT a, b, c, d,
+        |    (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok FROM ag),
+        |g AS (SELECT a, b, c, d, ok,
+        |    CASE WHEN NOT ok THEN CAST('NaN' AS DOUBLE)
+        |      ELSE ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) END
+        |      AS lnor,
+        |    CASE WHEN NOT ok THEN CAST('NaN' AS DOUBLE)
+        |      ELSE sqrt(1.0 / CAST(a AS DOUBLE)
+        |        + 1.0 / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)
+        |        + 1.0 / CAST(d AS DOUBLE)) END AS se
+        |  FROM f)
+        |SELECT a AS n_11, b AS n_10, c AS n_01, d AS n_00,
+        |  round(CASE WHEN NOT ok THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+        |    AS odds_ratio,
+        |  round(CASE WHEN NOT ok THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(a AS DOUBLE)
+        |        / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+        |      / (CAST(c AS DOUBLE)
+        |        / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) END, 6)
+        |    AS relative_risk,
+        |  round(exp(lnor - 1.96 * se), 6) AS or_ci_lo,
+        |  round(exp(lnor + 1.96 * se), 6) AS or_ci_hi
+        |FROM g""".stripMargin,
+    // q327: the Friedman chain replayed — exact cross-multiplied
+    // within-block midranks, treatment rank sums, one mirrored chi2
+    "q327_friedman" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST((datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) + 4) % 7 AS BIGINT) AS blk,
+        |    o_orderpriority AS trt,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS s
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT c1.blk, c1.trt,
+        |    CAST(2 * sum(CASE WHEN c2.s * c1.n < c1.s * c2.n
+        |        THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN c2.s * c1.n = c1.s * c2.n
+        |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2
+        |  FROM cells c1 JOIN cells c2 ON c2.blk = c1.blk
+        |  GROUP BY 1, 2),
+        |shape AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT trt) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS ncells FROM cells),
+        |rj AS (SELECT trt, CAST(sum(r2) AS BIGINT) AS rj2
+        |       FROM ranked GROUP BY 1),
+        |sr AS (SELECT CAST(sum(CAST(rj2 AS HUGEINT) * rj2) AS HUGEINT)
+        |         AS sr2x4 FROM rj)
+        |SELECT b AS n_blocks, k AS k_treatments,
+        |  round(CASE WHEN k <= 1 OR ncells <> b * k
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE 12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0))
+        |      * (CAST(sr2x4 AS DOUBLE) / 4.0)
+        |      - 3.0 * CAST(b AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) + 1.0) END, 6) AS chi2_f
+        |FROM sr CROSS JOIN shape""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

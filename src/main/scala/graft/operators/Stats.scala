@@ -1086,6 +1086,216 @@ object Stats {
           .as("g_stat"))
   }
 
+  /** Q324: WELCH'S ANOVA (unequal-variance one-way F) across k groups
+    * — q270's question under q269's assumption: did ANY group shift
+    * the mean, WITHOUT pooling variances the groups don't share?
+    * Per-group exact moments; the weighted reductions — Σw, Σw·m,
+    * Σw·m² with w = n/s² and, once W̄ is known, Σ(1−w/W̄)²/(n−1) —
+    * fold the SORTED group list (the q270 device, two k-element
+    * passes because the second sum needs the first's total).
+    * F_W = (Σwm² − (Σwm)²/Σw)/(k−1) / (1 + 2(k−2)/(k²−1)·S),
+    * df2 = (k²−1)/(3S). Any single-row or constant group → in-plan
+    * flag → NaN (the q322 discipline).
+    */
+  def welchAnova(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val c = round(lit(100.0) * col(valueCol)).cast("long")
+    def d(name: String): Column = col(name).cast("double")
+    val per = df.select(col(groupCol).as("g"), c.as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(dec(col("c"))).as("sg"),
+        sum(dec(col("c")) * col("c")).as("qg"))
+      .withColumn("v",
+        when(col("ng") <= 1L, lit(Double.NaN)).otherwise(
+          (d("qg") - d("sg") * d("sg") / d("ng")) /
+            (d("ng") - lit(1.0))))
+      .withColumn("bad",
+        when(col("ng") <= 1L || col("v") <= 0.0, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("w",
+        when(col("bad") === 1L, lit(0.0))
+          .otherwise(d("ng") / col("v")))
+      .withColumn("m",
+        when(col("bad") === 1L, lit(0.0))
+          .otherwise(d("sg") / d("ng")))
+    def fold(expr: Column): Column =
+      aggregate(array_sort(collect_list(struct(col("g"),
+          expr.as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t"))
+    val stage1 = per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      max(col("bad")).as("badg"),
+      fold(col("w")).as("sw"),
+      fold(col("w") * col("m")).as("swm"),
+      fold(col("w") * col("m") * col("m")).as("swm2"))
+    per.crossJoin(broadcast(stage1))
+      .agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        max(col("badg")).as("bad"), max(col("sw")).as("sw"),
+        max(col("swm")).as("swm"), max(col("swm2")).as("swm2"),
+        fold(when(col("bad") === 1L, lit(0.0)).otherwise(
+          (lit(1.0) - col("w") / col("sw")) *
+            (lit(1.0) - col("w") / col("sw")) /
+            (d("ng") - lit(1.0)))).as("s3"))
+      .withColumn("kd", d("k"))
+      .withColumn("aa",
+        when(col("k") <= 1L || col("sw") <= 0.0, lit(Double.NaN))
+          .otherwise((col("swm2") - col("swm") * col("swm") /
+            col("sw")) / (col("kd") - lit(1.0))))
+      .withColumn("bb",
+        when(col("k") <= 1L, lit(Double.NaN)).otherwise(
+          lit(1.0) + lit(2.0) * (col("kd") - lit(2.0)) /
+            (col("kd") * col("kd") - lit(1.0)) * col("s3")))
+      .select(col("k").as("k_groups"), col("n").as("n_rows"),
+        round(when(col("bad") === 1L || isnan(col("aa")) ||
+            isnan(col("bb")) || col("bb") === 0.0, lit(Double.NaN))
+          .otherwise(col("aa") / col("bb")), 6).as("f_welch"),
+        round(when(col("bad") === 1L || col("k") <= 1L ||
+            col("s3") <= 0.0, lit(Double.NaN))
+          .otherwise((col("kd") * col("kd") - lit(1.0)) /
+            (lit(3.0) * col("s3"))), 4).as("df2"))
+  }
+
+  /** Q325: TUKEY HSD PAIRWISE COMPARISONS — q270's post-hoc: WHICH
+    * group pairs differ, via the studentized-range statistic
+    * q = |m_i − m_j| / sqrt(MSE/2·(1/n_i + 1/n_j)) on the pooled
+    * within-group MSE (the unequal-n Tukey–Kramer form). Per-group
+    * exact moments, MSE from the q270 sums (SSW = Σq_g − Σs_g²/n_g
+    * folded sorted), then the k(k−1)/2 pair rows from a self-join of
+    * the k-row group frame — |groups|² pairs, never row pairs. NaN
+    * when MSE degenerates.
+    */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val c = round(lit(100.0) * col(valueCol)).cast("long")
+    def d(name: String): Column = col(name).cast("double")
+    val per = df.select(col(groupCol).as("g"), c.as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(dec(col("c"))).as("sg"),
+        sum(dec(col("c")) * col("c")).as("qg"))
+      .withColumn("term", d("sg") * d("sg") / d("ng"))
+    val tot = per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("qg")).as("q"),
+      aggregate(array_sort(collect_list(struct(col("g"),
+          col("term").as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("a"))
+      .withColumn("mse",
+        when(col("n") <= col("k"), lit(Double.NaN)).otherwise(
+          (col("q").cast("double") - col("a")) /
+            (d("n") - d("k"))))
+    val a = per.select(col("g").as("g_a"), col("ng").as("n_a"),
+      col("sg").as("s_a"))
+    val b = per.select(col("g").as("g_b"), col("ng").as("n_b"),
+      col("sg").as("s_b"))
+    a.crossJoin(b).filter(col("g_a") < col("g_b"))
+      .crossJoin(broadcast(tot.select(col("mse"))))
+      .withColumn("diff",
+        col("s_a").cast("double") / col("n_a").cast("double") -
+          col("s_b").cast("double") / col("n_b").cast("double"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("diff"), 4).as("mean_diff_cents"),
+        round(when(isnan(col("mse")) || col("mse") <= 0.0,
+            lit(Double.NaN))
+          .otherwise(abs(col("diff")) /
+            sqrt(col("mse") / lit(2.0) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))), 6)
+          .as("q_stat"))
+  }
+
+  /** Q326: ODDS RATIO / RELATIVE RISK with Wald 95% CI over a paired
+    * binary table — the EFFECT-SIZE companion of q316's McNemar and
+    * q272's χ²: not "is there association" but HOW STRONG. The 2×2
+    * cells from one aggregation; OR = ad/bc, RR = (a/(a+b))/(c/(c+d)),
+    * CI bounds exp(ln OR ± 1.96·sqrt(1/a+1/b+1/c+1/d)) — all mirrored
+    * ln/exp/sqrt expressions (the q231 parity budget). Any zero
+    * marginal cell → NaN (the classical undefined case, not a
+    * continuity fudge).
+    */
+  def oddsRatio(pairs: DataFrame, xCol: Column, yCol: Column)
+      : DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    pairs.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(
+        sum(when(col("x") === 1L && col("y") === 1L, lit(1L))
+          .otherwise(lit(0L))).as("a"),
+        sum(when(col("x") === 1L && col("y") === 0L, lit(1L))
+          .otherwise(lit(0L))).as("b"),
+        sum(when(col("x") === 0L && col("y") === 1L, lit(1L))
+          .otherwise(lit(0L))).as("c"),
+        sum(when(col("x") === 0L && col("y") === 0L, lit(1L))
+          .otherwise(lit(0L))).as("dd"))
+      .withColumn("ok",
+        (col("a") > 0L) && (col("b") > 0L) && (col("c") > 0L) &&
+          (col("dd") > 0L))
+      .withColumn("lnor",
+        when(!col("ok"), lit(Double.NaN)).otherwise(
+          log(d("a") * d("dd") / (d("b") * d("c")))))
+      .withColumn("se",
+        when(!col("ok"), lit(Double.NaN)).otherwise(
+          sqrt(lit(1.0) / d("a") + lit(1.0) / d("b") +
+            lit(1.0) / d("c") + lit(1.0) / d("dd"))))
+      .select(col("a").as("n_11"), col("b").as("n_10"),
+        col("c").as("n_01"), col("dd").as("n_00"),
+        round(when(!col("ok"), lit(Double.NaN))
+          .otherwise(d("a") * d("dd") / (d("b") * d("c"))), 6)
+          .as("odds_ratio"),
+        round(when(!col("ok"), lit(Double.NaN))
+          .otherwise((d("a") / (d("a") + d("b"))) /
+            (d("c") / (d("c") + d("dd")))), 6).as("relative_risk"),
+        round(exp(col("lnor") - lit(1.96) * col("se")), 6)
+          .as("or_ci_lo"),
+        round(exp(col("lnor") + lit(1.96) * col("se")), 6)
+          .as("or_ci_hi"))
+  }
+
+  /** Q327: FRIEDMAN TEST over a blocks × treatments design — did any
+    * treatment shift the outcome judged WITHIN each block (two-way
+    * rank ANOVA; here: does order priority matter once day-of-week is
+    * blocked out)? Cell values are per-(block, treatment) mean cents —
+    * rationals s/n ranked within block by EXACT cross-multiplied
+    * integer comparison (s_l·n_j vs s_j·n_l — never an IEEE-equal
+    * tie), midranks on the ×2 grid from a |k|² within-block pair
+    * join. χ²_F = 12/(bk(k+1))·ΣR_j² − 3b(k+1) over the k treatment
+    * rank sums; everything after the one fact aggregation is
+    * b·k²-bounded. NaN when k ≤ 1 or an incomplete design (a block
+    * missing a treatment) — flagged, not silently mis-ranked.
+    */
+  def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df.select(blockCol.as("blk"), treatCol.as("trt"),
+        round(lit(100.0) * valueCol).cast("long").as("c"))
+      .groupBy(col("blk"), col("trt"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("c"))).as("s"))
+    def d(c: Column): Column = c.cast("double")
+    // exact within-block midranks: avg_l < avg_j <=> s_l·n_j < s_j·n_l
+    // (n > 0); DECIMAL products — never compares IEEE doubles
+    val ranked = cells.select(col("blk"), col("trt"), col("n"),
+        col("s"))
+      .join(cells.select(col("blk"), col("trt").as("trt2"),
+        col("n").as("n2"), col("s").as("s2")), Seq("blk"))
+      .groupBy(col("blk"), col("trt"))
+      .agg(
+        (lit(2L) * sum(when(col("s2") * col("n") <
+            col("s") * col("n2"), lit(1L)).otherwise(lit(0L))) +
+          sum(when(col("s2") * col("n") === col("s") * col("n2"),
+            lit(1L)).otherwise(lit(0L))) + lit(1L)).as("r2"))
+    val shape = cells.agg(
+      countDistinct(col("blk")).as("b"),
+      countDistinct(col("trt")).as("k"),
+      count(lit(1)).as("ncells"))
+    ranked.groupBy(col("trt"))
+      .agg(sum(col("r2")).as("rj2"))
+      .agg(sum(dec(col("rj2")) * col("rj2")).as("sr2x4"))
+      .crossJoin(broadcast(shape))
+      .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+        round(when(col("k") <= 1L ||
+            col("ncells") =!= col("b") * col("k"), lit(Double.NaN))
+          .otherwise(lit(12.0) /
+            (d(col("b")) * d(col("k")) * (d(col("k")) + lit(1.0))) *
+            (col("sr2x4").cast("double") / lit(4.0)) -
+            lit(3.0) * d(col("b")) * (d(col("k")) + lit(1.0))), 6)
+          .as("chi2_f"))
+  }
+
   /** Q311: ANDERSON–DARLING TWO-SAMPLE TEST on a bounded-domain
     * measure — the tail-weighted omnibus companion of q289's KS and
     * q290's CvM: the 1/(H(N−H)) weight makes A² far more sensitive to

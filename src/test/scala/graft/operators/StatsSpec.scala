@@ -223,6 +223,67 @@ class StatsSpec extends SparkSpec {
     assert(const._3.isNaN, s"$const")
   }
 
+  test("q324 Welch ANOVA: identical groups F=0, df2 exact; degenerate NaN") {
+    val eq = Stats.welchAnova(
+      groups(Seq(10.0, 20.0, 30.0), Seq(10.0, 20.0, 30.0)), "g", "x")
+      .as[(Long, Long, Double, Double)].collect().head
+    // equal w, equal m: A = 0; s3 = 2*(1/2)^2/2 = 0.25, df2 = 3/0.75
+    assert(eq === ((2L, 6L, 0.0, 4.0)), s"$eq")
+    val single = Stats.welchAnova(groups(Seq(10.0), Seq(10.0, 20.0)),
+      "g", "x").as[(Long, Long, Double, Double)].collect().head
+    assert(single._3.isNaN && single._4.isNaN, s"$single")
+  }
+
+  test("q325 Tukey HSD: hand MSE gives q=4 on the planted pair") {
+    // A=[10,20], B=[30,40] dollars: MSE = 5e5 cents^2, diff = -2000,
+    // q = 2000/sqrt(5e5/2 * (1/2 + 1/2)) = 4
+    val got = Stats.tukeyHsd(groups(Seq(10.0, 20.0), Seq(30.0, 40.0)),
+      "g", "x")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(got.length === 1, s"${got.toSeq}")
+    assert(got.head === (("A", "B", 2L, 2L, -2000.0, 4.0)),
+      s"${got.head}")
+  }
+
+  test("q326 odds ratio: hand 2x2 OR=4 RR=2 with Wald CI; zero cell NaN") {
+    def pairsDf(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
+    val got = Stats.oddsRatio(pairsDf(Seq((1L, 1L), (1L, 1L), (1L, 0L),
+      (0L, 1L), (0L, 0L), (0L, 0L))), col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert((got._1, got._2, got._3, got._4) === ((2L, 1L, 1L, 2L)),
+      s"$got")
+    assert(got._5 === 4.0 && got._6 === 2.0, s"$got")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val se = math.sqrt(1.0 / 2 + 1.0 / 1 + 1.0 / 1 + 1.0 / 2)
+    assert(got._7 === r6(math.exp(math.log(4.0) - 1.96 * se)), s"$got")
+    assert(got._8 === r6(math.exp(math.log(4.0) + 1.96 * se)), s"$got")
+    val zero = Stats.oddsRatio(pairsDf(Seq((1L, 1L), (0L, 0L))),
+      col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(zero._5.isNaN && zero._7.isNaN, s"$zero")
+  }
+
+  test("q327 Friedman: consistent ordering hits the b=2,k=3 maximum 4") {
+    def cells(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("blk", "trt", "v")
+    val consistent = cells(Seq(
+      (0L, "t1", 10.0), (0L, "t2", 20.0), (0L, "t3", 30.0),
+      (1L, "t1", 15.0), (1L, "t2", 25.0), (1L, "t3", 35.0)))
+    val got = Stats.friedman(consistent, col("blk"), col("trt"),
+      col("v")).as[(Long, Long, Double)].collect().head
+    assert(got === ((2L, 3L, 4.0)), s"$got")
+    // a block missing a treatment: incomplete design -> NaN
+    val incomplete = cells(Seq(
+      (0L, "t1", 10.0), (0L, "t2", 20.0), (0L, "t3", 30.0),
+      (1L, "t1", 15.0), (1L, "t2", 25.0)))
+    val bad = Stats.friedman(incomplete, col("blk"), col("trt"),
+      col("v")).as[(Long, Long, Double)].collect().head
+    assert(bad._3.isNaN, s"$bad")
+  }
+
   test("q323 G-test: independence G=0; perfect association 8 ln 2 on the grid") {
     def cellsDf(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
     // product structure: O = E everywhere -> every ln term 0
