@@ -1669,6 +1669,29 @@ object SparkEntry {
           f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"),
         f.col("o_orderpriority"), f.col("o_totalprice"))
     }),
+    // q328: two-group log-rank — id-parity cohorts over the q209
+    // survival semantics, O−E / V sums on the 1e9 grid
+    "q328_log_rank" -> ((s, dir) =>
+      graft.operators.Survival.logRank(Tables.events(s, dir))),
+    // q329: Mantel-Haenszel pooled OR across customer nations —
+    // q326's association controlled for geography
+    "q329_mantel_haenszel" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val per = Tables.orders(s, dir).groupBy(f.col("o_custkey"))
+        .agg(f.max((f.col("o_orderstatus") === "F").cast("long"))
+            .as("x"),
+          f.max((f.col("o_orderstatus") === "O").cast("long")).as("y"))
+        .join(Tables.customer(s, dir)
+          .select(f.col("c_custkey").as("o_custkey"),
+            f.col("c_nationkey")), Seq("o_custkey"))
+      Stats.mantelHaenszel(per, f.col("c_nationkey").cast("long"),
+        f.col("x"), f.col("y"))
+    }),
+    // q330: Cohen's d / Hedges' g for R vs N extended prices — the
+    // standardized effect size q269's t only hints at
+    "q330_hedges_g" -> ((s, dir) =>
+      Stats.hedgesG(Tables.lineitem(s, dir), "l_returnflag",
+        "l_extendedprice", "R", "N")),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -7333,6 +7356,153 @@ object SparkEntry {
         |      - 3.0 * CAST(b AS DOUBLE)
         |        * (CAST(k AS DOUBLE) + 1.0) END, 6) AS chi2_f
         |FROM sr CROSS JOIN shape""".stripMargin,
+    // q328: the log-rank chain replayed — q209 duration derivation,
+    // id-parity split, per-day O−E and V terms on the 1e9 grid
+    "q328_log_rank" ->
+      """WITH ed AS (
+        |  SELECT user_id, event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d
+        |  FROM events),
+        |pu AS (SELECT user_id, min(d) AS day0,
+        |         min(CASE WHEN event_type = 'purchase' THEN d END)
+        |           AS pday
+        |       FROM ed GROUP BY 1),
+        |oe AS (SELECT max(d) AS obs_end FROM ed),
+        |dur AS (SELECT CAST(user_id AS BIGINT) % 2 AS g,
+        |          CASE WHEN pday IS NOT NULL THEN pday - day0
+        |               ELSE obs_end - day0 END AS t,
+        |          CASE WHEN pday IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |        FROM pu, oe),
+        |bt AS (SELECT t,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na_at,
+        |    CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb_at,
+        |    CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT)
+        |      AS db
+        |  FROM dur GROUP BY t),
+        |r AS (SELECT t, da, db,
+        |    CAST(sum(na_at) OVER (ORDER BY t DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nra,
+        |    CAST(sum(nb_at) OVER (ORDER BY t DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nrb
+        |  FROM bt),
+        |ev AS (
+        |  SELECT da, db, nra, nrb, nra + nrb AS nt, da + db AS dt
+        |  FROM r WHERE da + db > 0),
+        |g AS (
+        |  SELECT da, db,
+        |    CAST(round((CAST(da AS DOUBLE) - CAST(dt AS DOUBLE)
+        |      * CAST(nra AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e9)
+        |      AS BIGINT) AS oe_g,
+        |    CASE WHEN nt <= 1 THEN 0
+        |      ELSE CAST(round(CAST(dt AS DOUBLE)
+        |        * (CAST(nra AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (1.0 - CAST(nra AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+        |        / (CAST(nt AS DOUBLE) - 1.0) * 1.0e9) AS BIGINT) END
+        |      AS v_g
+        |  FROM ev),
+        |ag AS (SELECT CAST(sum(da) AS BIGINT) AS events_a,
+        |    CAST(sum(db) AS BIGINT) AS events_b,
+        |    CAST(sum(oe_g) AS BIGINT) AS oe2,
+        |    CAST(sum(v_g) AS BIGINT) AS v2
+        |  FROM g)
+        |SELECT events_a, events_b,
+        |  round(CASE WHEN CAST(v2 AS DOUBLE) <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(oe2 AS DOUBLE)
+        |      / sqrt(CAST(v2 AS DOUBLE) * 1.0e9) END, 6) AS z_score
+        |FROM ag""".stripMargin,
+    // q329: the Mantel-Haenszel chain replayed — per-nation 2x2s,
+    // sorted-fold rational reductions, crude OR alongside
+    "q329_mantel_haenszel" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o.o_custkey,
+        |    CAST(max(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    CAST(max(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y,
+        |    CAST(max(c.c_nationkey) AS BIGINT) AS g
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per GROUP BY 1),
+        |st2 AS (SELECT g, a, b, c, d, a + b + c + d AS n FROM st),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(d) AS BIGINT) AS sd,
+        |    list_reduce(list(CASE WHEN n = 0 THEN 0.0
+        |      ELSE CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / CAST(n AS DOUBLE) END ORDER BY g),
+        |      (x, y) -> x + y) AS num,
+        |    list_reduce(list(CASE WHEN n = 0 THEN 0.0
+        |      ELSE CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |        / CAST(n AS DOUBLE) END ORDER BY g),
+        |      (x, y) -> x + y) AS den
+        |  FROM st2)
+        |SELECT k AS k_strata,
+        |  round(CASE WHEN den <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE num / den END, 6) AS or_mh,
+        |  round(CASE WHEN sb = 0 OR sc = 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(sa AS DOUBLE) * CAST(sd AS DOUBLE)
+        |      / (CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE)) END, 6)
+        |    AS or_crude
+        |FROM ag""".stripMargin,
+    // q330: the effect-size chain replayed — six conditional moments,
+    // pooled SD, small-sample correction
+    "q330_hedges_g" ->
+      """WITH ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    sum(CASE WHEN g = 'R' THEN c ELSE 0 END) AS s1,
+        |    sum(CASE WHEN g = 'N' THEN c ELSE 0 END) AS s2,
+        |    sum(CASE WHEN g = 'R' THEN c * c ELSE 0 END) AS q1,
+        |    sum(CASE WHEN g = 'N' THEN c * c ELSE 0 END) AS q2
+        |  FROM (SELECT l_returnflag AS g,
+        |          CAST(round(100.0 * l_extendedprice) AS BIGINT) AS c
+        |        FROM lineitem
+        |        WHERE l_returnflag IN ('R', 'N'))),
+        |f AS (
+        |  SELECT n1, n2,
+        |    CASE WHEN n1 + n2 <= 2 OR n1 <= 0 OR n2 <= 0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |          * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) END
+        |      AS sp2,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d
+        |  FROM ag),
+        |h AS (
+        |  SELECT n1, n2,
+        |    CASE WHEN isnan(sp2) OR sp2 <= 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (s1d / CAST(n1 AS DOUBLE) - s2d / CAST(n2 AS DOUBLE))
+        |        / sqrt(sp2) END AS cd
+        |  FROM f)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(cd, 6) AS cohens_d,
+        |  round(cd * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+        |    + CAST(n2 AS DOUBLE)) - 9.0)), 6) AS hedges_g
+        |FROM h""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -1296,6 +1296,93 @@ object Stats {
           .as("chi2_f"))
   }
 
+  /** Q329: MANTEL–HAENSZEL POOLED ODDS RATIO across strata — q326's
+    * association CONTROLLED for a confounder (Simpson's-paradox
+    * insurance): one 2×2 per stratum, pooled as
+    * OR_MH = Σᵢ aᵢdᵢ/nᵢ / Σᵢ bᵢcᵢ/nᵢ, with the crude (collapsed) OR
+    * alongside so the confounding is visible in one row. Stratum
+    * tables from one aggregation; the two rational reductions fold
+    * the SORTED stratum list (the q270 device). NaN when the
+    * denominator sum is 0.
+    */
+  def mantelHaenszel(pairs: DataFrame, stratumCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    val per = pairs.select(stratumCol.as("g"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("x") === 1L && col("y") === 1L, lit(1L))
+          .otherwise(lit(0L))).as("a"),
+        sum(when(col("x") === 1L && col("y") === 0L, lit(1L))
+          .otherwise(lit(0L))).as("b"),
+        sum(when(col("x") === 0L && col("y") === 1L, lit(1L))
+          .otherwise(lit(0L))).as("c"),
+        sum(when(col("x") === 0L && col("y") === 0L, lit(1L))
+          .otherwise(lit(0L))).as("dd"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+    def fold(expr: Column): Column =
+      aggregate(array_sort(collect_list(struct(col("g"),
+          expr.as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t"))
+    per.agg(count(lit(1)).as("k"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("c")).as("sc"), sum(col("dd")).as("sd"),
+        fold(when(col("n") === 0L, lit(0.0))
+          .otherwise(d("a") * d("dd") / d("n"))).as("num"),
+        fold(when(col("n") === 0L, lit(0.0))
+          .otherwise(d("b") * d("c") / d("n"))).as("den"))
+      .select(col("k").as("k_strata"),
+        round(when(col("den") <= 0.0, lit(Double.NaN))
+          .otherwise(col("num") / col("den")), 6).as("or_mh"),
+        round(when(col("sb") === 0L || col("sc") === 0L,
+            lit(Double.NaN))
+          .otherwise(d("sa") * d("sd") / (d("sb") * d("sc"))), 6)
+          .as("or_crude"))
+  }
+
+  /** Q330: COHEN'S d / HEDGES' g — the standardized-mean-difference
+    * effect sizes of the q269 comparison (the number a meta-analysis
+    * actually pools, where t only answers "significant?"):
+    * d = (m₁−m₂)/s_p on the pooled SD, g = J·d with the small-sample
+    * correction J = 1 − 3/(4N−9). Six exact DECIMAL moments in one
+    * conditional aggregation, then two mirrored expressions. NaN when
+    * a group is empty/singleton or the pooled variance degenerates.
+    */
+  def hedgesG(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val c = round(lit(100.0) * col(valueCol)).cast("long")
+    val base = df.select(col(groupCol).as("g"), c.as("c"))
+      .filter(col("g").isin(groupA, groupB))
+    def side(grp: String, one: Column): Column = when(col("g") === grp, one)
+    def d(name: String): Column = col(name).cast("double")
+    base.agg(
+        sum(side(groupA, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(side(groupB, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(dec(side(groupA, col("c")).otherwise(lit(0L)))).as("s1"),
+        sum(dec(side(groupB, col("c")).otherwise(lit(0L)))).as("s2"),
+        sum(dec(side(groupA, col("c") * col("c")).otherwise(lit(0L))))
+          .as("q1"),
+        sum(dec(side(groupB, col("c") * col("c")).otherwise(lit(0L))))
+          .as("q2"))
+      .withColumn("sp2",
+        when(col("n1") + col("n2") <= 2L || col("n1") <= 0L ||
+            col("n2") <= 0L, lit(Double.NaN))
+          .otherwise(
+            ((d("q1") - d("s1") * d("s1") / d("n1")) +
+              (d("q2") - d("s2") * d("s2") / d("n2"))) /
+              (d("n1") + d("n2") - lit(2.0))))
+      .withColumn("cd",
+        when(isnan(col("sp2")) || col("sp2") <= 0.0, lit(Double.NaN))
+          .otherwise((d("s1") / d("n1") - d("s2") / d("n2")) /
+            sqrt(col("sp2"))))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(col("cd"), 6).as("cohens_d"),
+        round(col("cd") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (d("n1") + d("n2")) - lit(9.0))), 6)
+          .as("hedges_g"))
+  }
+
   /** Q311: ANDERSON–DARLING TWO-SAMPLE TEST on a bounded-domain
     * measure — the tail-weighted omnibus companion of q289's KS and
     * q290's CvM: the 1/(H(N−H)) weight makes A² far more sensitive to

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,72 @@ object Survival {
         sum(col("hazard_step_micros")).over(hazW))
       .select(col("t"), col("n_risk"), col("d").as("d_events"),
         col("hazard_step_micros"), col("cum_hazard_micros"))
+  }
+
+  /** Q328: TWO-GROUP LOG-RANK TEST — does one cohort convert FASTER,
+    * judged on the whole survival curve (the hypothesis-test companion
+    * of q209/q236, which only estimate)? Cohorts are the id-parity
+    * split (`user_id % 2` — the deterministic hash-assignment an A/B
+    * harness actually uses); entry/censoring semantics are exactly
+    * [[nelsonAalenHazard]]'s. One conditional aggregation builds the
+    * per-duration-day two-group table (t, na_at, da, nb_at, db); the
+    * per-group risk sets are suffix sums over that bounded histogram
+    * (the enrolled riskW site); each event day's O−E and variance
+    * terms — d_a − d·n_a/n and d·(n_a/n)(1−n_a/n)(n−d)/(n−1) — are
+    * mirrored doubles on the ×1e9 grid (the q290 device), summed in
+    * DECIMAL, z in one mirrored expression (NaN when V ≤ 0; an n=1
+    * day contributes 0 variance by the standard convention).
+    */
+  def logRank(events: DataFrame, convType: String = "purchase")
+      : DataFrame = {
+    val ed = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(min(ed).as("day0"),
+        min(when(col("event_type") === convType, ed)).as("pday"))
+    val obsEnd = events.agg(max(ed).as("obs_end"))
+    val durations = perUser.crossJoin(broadcast(obsEnd))
+      .select(pmod(col("user_id").cast("long"), lit(2L)).as("g"),
+        when(col("pday").isNotNull, col("pday") - col("day0"))
+          .otherwise(col("obs_end") - col("day0")).as("t"),
+        col("pday").isNotNull.cast("long").as("ev"))
+    val byT = durations.groupBy(col("t"))
+      .agg(
+        sum(when(col("g") === 0L, lit(1L)).otherwise(lit(0L)))
+          .as("na_at"),
+        sum(when(col("g") === 0L, col("ev")).otherwise(lit(0L)))
+          .as("da"),
+        sum(when(col("g") === 1L, lit(1L)).otherwise(lit(0L)))
+          .as("nb_at"),
+        sum(when(col("g") === 1L, col("ev")).otherwise(lit(0L)))
+          .as("db"))
+    val riskW = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dd(name: String): Column = col(name).cast("double")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    byT
+      .withColumn("nra", sum(col("na_at")).over(riskW))
+      .withColumn("nrb", sum(col("nb_at")).over(riskW))
+      .withColumn("nt", col("nra") + col("nrb"))
+      .withColumn("dt", col("da") + col("db"))
+      .filter(col("dt") > 0L)
+      .withColumn("oe_g",
+        round((dd("da") - dd("dt") * dd("nra") / dd("nt")) *
+          lit(1.0e9)).cast("long"))
+      .withColumn("v_g",
+        when(col("nt") <= 1L, lit(0L)).otherwise(
+          round(dd("dt") * (dd("nra") / dd("nt")) *
+            (lit(1.0) - dd("nra") / dd("nt")) *
+            (dd("nt") - dd("dt")) / (dd("nt") - lit(1.0)) *
+            lit(1.0e9)).cast("long")))
+      .agg(sum(col("da")).as("events_a"), sum(col("db")).as("events_b"),
+        sum(dec(col("oe_g"))).as("oe"),
+        sum(dec(col("v_g"))).as("v"))
+      .select(col("events_a"), col("events_b"),
+        round(when(col("v").cast("double") <= 0.0, lit(Double.NaN))
+          .otherwise(col("oe").cast("double") /
+            sqrt(col("v").cast("double") * lit(1.0e9))), 6)
+          .as("z_score"))
   }
 
   /** Q236: KAPLAN–MEIER product-limit survival curve — the direct

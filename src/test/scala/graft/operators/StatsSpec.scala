@@ -284,6 +284,38 @@ class StatsSpec extends SparkSpec {
     assert(bad._3.isNaN, s"$bad")
   }
 
+  test("q329 Mantel-Haenszel: homogeneous strata recover OR=4; zero den NaN") {
+    def strata(rows: Seq[(Long, Long, Long)]) = rows.toDF("g", "x", "y")
+    // two identical strata, each a 2/1/1/2 table (OR 4)
+    val one = Seq((1L, 1L), (1L, 1L), (1L, 0L), (0L, 1L), (0L, 0L),
+      (0L, 0L))
+    val rows = one.map { case (x, y) => (0L, x, y) } ++
+      one.map { case (x, y) => (1L, x, y) }
+    val got = Stats.mantelHaenszel(strata(rows), col("g"), col("x"),
+      col("y")).as[(Long, Double, Double)].collect().head
+    assert(got === ((2L, 4.0, 4.0)), s"$got")
+    // concordant-only data: every stratum b=c=0 -> denominator 0 -> NaN
+    val conc = Stats.mantelHaenszel(
+      strata(Seq((0L, 1L, 1L), (0L, 0L, 0L), (1L, 1L, 1L))),
+      col("g"), col("x"), col("y"))
+      .as[(Long, Double, Double)].collect().head
+    assert(conc._2.isNaN, s"$conc")
+  }
+
+  test("q330 Hedges g: hand pooled-SD case; J = 4/7 small-sample shrink") {
+    val got = Stats.hedgesG(groups(Seq(10.0, 20.0), Seq(30.0, 40.0)),
+      "g", "x", "A", "B")
+      .as[(Long, Long, Double, Double)].collect().head
+    // sp2 = 5e5 cents^2, d = -2000/sqrt(5e5), g = d * (1 - 3/7)
+    assert(got._1 === 2L && got._2 === 2L, s"$got")
+    assert(got._3 === -2.828427 && got._4 === -1.616244, s"$got")
+    // identical groups: d = 0, g = 0
+    val eq = Stats.hedgesG(groups(Seq(10.0, 20.0), Seq(10.0, 20.0)),
+      "g", "x", "A", "B")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(eq._3 === 0.0 && eq._4 === 0.0, s"$eq")
+  }
+
   test("q323 G-test: independence G=0; perfect association 8 ln 2 on the grid") {
     def cellsDf(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
     // product structure: O = E everywhere -> every ln term 0

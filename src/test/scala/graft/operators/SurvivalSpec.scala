@@ -69,4 +69,29 @@ class SurvivalSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("duration-day"))
   }
+
+  test("q328 log-rank: symmetric cohorts z=0; planted split z=sqrt(3)") {
+    // parity split: even users = cohort A, odd = cohort B
+    // symmetric: one converter at t=2 and one censored per cohort
+    val sym = Seq(
+      (0L, 0, "view"), (0L, 2, "purchase"),
+      (1L, 0, "view"), (1L, 2, "purchase"),
+      (2L, 0, "view"), (2L, 4, "view"),
+      (3L, 0, "view"), (3L, 4, "view"))
+    val z0 = Survival.logRank(ev(sym))
+      .as[(Long, Long, Double)].collect().head
+    assert(z0 === ((1L, 1L, 0.0)), s"$z0")
+    // cohort A converts at t=1, cohort B at t=3:
+    // t=1: O-E = 2 - 2*(2/4) = 1, V = 2*(1/2)(1/2)(2/3) = 1/3
+    // t=3: cohort A gone, nra=0 -> both terms 0; z = sqrt(3)
+    val split = Seq(
+      (0L, 0, "view"), (0L, 1, "purchase"),
+      (2L, 0, "view"), (2L, 1, "purchase"),
+      (1L, 0, "view"), (1L, 3, "purchase"),
+      (3L, 0, "view"), (3L, 3, "purchase"))
+    val zs = Survival.logRank(ev(split))
+      .as[(Long, Long, Double)].collect().head
+    assert(zs._1 === 2L && zs._2 === 2L, s"$zs")
+    assert(zs._3 === 1.732051, s"$zs")
+  }
 }
