@@ -1692,6 +1692,26 @@ object SparkEntry {
     "q330_hedges_g" -> ((s, dir) =>
       Stats.hedgesG(Tables.lineitem(s, dir), "l_returnflag",
         "l_extendedprice", "R", "N")),
+    // q331: two-group Poisson rate test — purchase rate per user in
+    // the id-parity cohorts, conditional-binomial z
+    "q331_poisson_rate" -> ((s, dir) =>
+      Stats.poissonTwoRate(Tables.events(s, dir))),
+    // q332: ICC(1,1) of order values grouped by weekday — one-way
+    // random-effects variance decomposition with the unequal-n k0
+    "q332_icc" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.icc1(Tables.orders(s, dir),
+        f.pmod(f.datediff(f.to_date(f.col("o_orderdate")),
+          f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"),
+        f.col("o_totalprice"))
+    }),
+    // q333: Cronbach's alpha over the lineitem rate items
+    // (quantity/discount/tax on the cents grid)
+    "q333_cronbach" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.cronbachAlpha(Tables.lineitem(s, dir),
+        Seq(f.col("l_quantity"), f.col("l_discount"), f.col("l_tax")))
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -7503,6 +7523,128 @@ object SparkEntry {
         |  round(cd * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
         |    + CAST(n2 AS DOUBLE)) - 9.0)), 6) AS hedges_g
         |FROM h""".stripMargin,
+    // q331: the Poisson-rate chain replayed — cohort user/event
+    // counts, conditional-binomial z
+    "q331_poisson_rate" ->
+      """WITH per AS (
+        |  SELECT CAST(user_id AS BIGINT) % 2 AS g,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ag AS (SELECT
+        |    CAST(coalesce(max(CASE WHEN g = 0 THEN u END), 0)
+        |      AS BIGINT) AS u1,
+        |    CAST(coalesce(max(CASE WHEN g = 1 THEN u END), 0)
+        |      AS BIGINT) AS u2,
+        |    CAST(coalesce(max(CASE WHEN g = 0 THEN c END), 0)
+        |      AS BIGINT) AS c1,
+        |    CAST(coalesce(max(CASE WHEN g = 1 THEN c END), 0)
+        |      AS BIGINT) AS c2
+        |  FROM per),
+        |f AS (SELECT u1, u2, c1, c2,
+        |    CASE WHEN u1 + u2 <= 0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(u1 AS DOUBLE)
+        |        / (CAST(u1 AS DOUBLE) + CAST(u2 AS DOUBLE)) END AS p
+        |  FROM ag)
+        |SELECT u1 AS users_a, u2 AS users_b,
+        |  c1 AS events_a, c2 AS events_b,
+        |  round(CASE WHEN u1 <= 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(c1 AS DOUBLE) / CAST(u1 AS DOUBLE) END, 6)
+        |    AS rate_a,
+        |  round(CASE WHEN u2 <= 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE CAST(c2 AS DOUBLE) / CAST(u2 AS DOUBLE) END, 6)
+        |    AS rate_b,
+        |  round(CASE WHEN c1 + c2 <= 0 OR u1 <= 0 OR u2 <= 0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(c1 AS DOUBLE) - (CAST(c1 AS DOUBLE)
+        |        + CAST(c2 AS DOUBLE)) * p)
+        |      / sqrt((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) * p
+        |        * (1.0 - p)) END, 6) AS z_score
+        |FROM f""".stripMargin,
+    // q332: the ICC chain replayed — q270 sums, unequal-n k0, one
+    // mirrored ratio
+    "q332_icc" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT CAST((datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) + 4) % 7 AS BIGINT) AS g,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT)
+        |      * CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS qg
+        |  FROM orders GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS HUGEINT) AS s,
+        |    CAST(sum(qg) AS HUGEINT) AS q,
+        |    CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sn2,
+        |    list_reduce(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) ORDER BY g), (a, b) -> a + b) AS a
+        |  FROM per),
+        |f AS (SELECT k, n,
+        |    CASE WHEN k <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) END
+        |      AS msb,
+        |    CASE WHEN n <= k THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(q AS DOUBLE) - a)
+        |        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS msw,
+        |    CASE WHEN k <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) END
+        |      AS k0
+        |  FROM ag),
+        |g AS (SELECT k, n, msb, msw,
+        |        msb + (k0 - 1.0) * msw AS den FROM f)
+        |SELECT k AS k_groups, n AS n_rows,
+        |  round(CASE WHEN isnan(msb) OR isnan(msw) OR isnan(den)
+        |      OR den = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (msb - msw) / den END, 6) AS icc
+        |FROM g""".stripMargin,
+    // q333: the Cronbach chain replayed — per-item and row-sum exact
+    // moments, sample variances, one mirrored alpha
+    "q333_cronbach" ->
+      """WITH b AS (
+        |  SELECT CAST(round(100.0 * l_quantity) AS BIGINT) AS i0,
+        |    CAST(round(100.0 * l_discount) AS BIGINT) AS i1,
+        |    CAST(round(100.0 * l_tax) AS BIGINT) AS i2
+        |  FROM lineitem),
+        |b2 AS (SELECT i0, i1, i2, i0 + i1 + i2 AS x FROM b),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(i0) AS HUGEINT) AS s0,
+        |    CAST(sum(CAST(i0 AS HUGEINT) * i0) AS HUGEINT) AS q0,
+        |    CAST(sum(i1) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(i1 AS HUGEINT) * i1) AS HUGEINT) AS q1,
+        |    CAST(sum(i2) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(i2 AS HUGEINT) * i2) AS HUGEINT) AS q2,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx
+        |  FROM b2),
+        |f AS (SELECT n,
+        |    CASE WHEN n <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+        |        * CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0) END
+        |    + CASE WHEN n <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0) END
+        |    + CASE WHEN n <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |        * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0) END AS vs,
+        |    CASE WHEN n <= 1 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0) END AS vx
+        |  FROM ag)
+        |SELECT n AS n_rows, CAST(3 AS BIGINT) AS k_items,
+        |  round(CASE WHEN n <= 1 OR vx <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE 3.0 / 2.0 * (1.0 - vs / vx) END, 6) AS alpha
+        |FROM f""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -1383,6 +1383,134 @@ object Stats {
           .as("hedges_g"))
   }
 
+  /** Q331: TWO-GROUP POISSON RATE TEST — do the id-parity cohorts
+    * generate `convType` events at the same per-user rate (the
+    * count-data companion of q328's log-rank: not WHEN but HOW OFTEN)?
+    * Conditional binomial device: given C = c₁+c₂ total events, under
+    * H₀ c₁ ~ Bin(C, u₁/(u₁+u₂)), so z = (c₁ − C·p)/sqrt(C·p·(1−p)) —
+    * exact integer counts from one aggregation, one mirrored
+    * expression. NaN when C = 0 or a cohort is empty.
+    */
+  def poissonTwoRate(events: DataFrame, convType: String = "purchase")
+      : DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    events
+      .select(pmod(col("user_id").cast("long"), lit(2L)).as("g"),
+        (col("event_type") === convType).cast("long").as("ev"),
+        col("user_id"))
+      .groupBy(col("g"))
+      .agg(countDistinct(col("user_id")).as("u"), sum(col("ev")).as("c"))
+      .agg(
+        max(when(col("g") === 0L, col("u"))).as("u1"),
+        max(when(col("g") === 1L, col("u"))).as("u2"),
+        max(when(col("g") === 0L, col("c"))).as("c1"),
+        max(when(col("g") === 1L, col("c"))).as("c2"))
+      .select(coalesce(col("u1"), lit(0L)).as("u1"),
+        coalesce(col("u2"), lit(0L)).as("u2"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .withColumn("p",
+        when(col("u1") + col("u2") <= 0L, lit(Double.NaN))
+          .otherwise(d("u1") / (d("u1") + d("u2"))))
+      .select(col("u1").as("users_a"), col("u2").as("users_b"),
+        col("c1").as("events_a"), col("c2").as("events_b"),
+        round(when(col("u1") <= 0L, lit(Double.NaN))
+          .otherwise(d("c1") / d("u1")), 6).as("rate_a"),
+        round(when(col("u2") <= 0L, lit(Double.NaN))
+          .otherwise(d("c2") / d("u2")), 6).as("rate_b"),
+        round(when(col("c1") + col("c2") <= 0L || col("u1") <= 0L ||
+            col("u2") <= 0L, lit(Double.NaN))
+          .otherwise((d("c1") - (d("c1") + d("c2")) * col("p")) /
+            sqrt((d("c1") + d("c2")) * col("p") *
+              (lit(1.0) - col("p")))), 6).as("z_score"))
+  }
+
+  /** Q332: INTRACLASS CORRELATION ICC(1,1) — what fraction of the
+    * measure's variance lives BETWEEN groups (the agreement/clustering
+    * number behind "does the grouping matter at all", sharper than
+    * eta² because it corrects for group count)? One-way
+    * random-effects decomposition from the q270 exact sums —
+    * MSB = SSB/(k−1), MSW = SSW/(N−k), the unequal-n group-size
+    * constant k₀ = (N − Σn_g²/N)/(k−1) — then
+    * ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW). The only rational fold,
+    * Σs_g²/n_g, rides the sorted-list device; Σn_g² is an exact
+    * DECIMAL sum. NaN on k ≤ 1, N ≤ k, or a zero denominator.
+    */
+  def icc1(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val c = round(lit(100.0) * valueCol).cast("long")
+    def d(name: String): Column = col(name).cast("double")
+    val per = df.select(groupCol.as("g"), c.as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(dec(col("c"))).as("sg"),
+        sum(dec(col("c")) * col("c")).as("qg"))
+      .withColumn("term", d("sg") * d("sg") / d("ng"))
+    per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+        sum(dec(col("ng")) * col("ng")).as("sn2"),
+        aggregate(array_sort(collect_list(struct(col("g"),
+            col("term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("a"))
+      .withColumn("kd", d("k"))
+      .withColumn("nd", d("n"))
+      .withColumn("msb",
+        when(col("k") <= 1L, lit(Double.NaN)).otherwise(
+          (col("a") - d("s") * d("s") / col("nd")) /
+            (col("kd") - lit(1.0))))
+      .withColumn("msw",
+        when(col("n") <= col("k"), lit(Double.NaN)).otherwise(
+          (d("q") - col("a")) / (col("nd") - col("kd"))))
+      .withColumn("k0",
+        when(col("k") <= 1L, lit(Double.NaN)).otherwise(
+          (col("nd") - col("sn2").cast("double") / col("nd")) /
+            (col("kd") - lit(1.0))))
+      .withColumn("den",
+        col("msb") + (col("k0") - lit(1.0)) * col("msw"))
+      .select(col("k").as("k_groups"), col("n").as("n_rows"),
+        round(when(isnan(col("msb")) || isnan(col("msw")) ||
+            isnan(col("den")) || col("den") === 0.0, lit(Double.NaN))
+          .otherwise((col("msb") - col("msw")) / col("den")), 6)
+          .as("icc"))
+  }
+
+  /** Q333: CRONBACH'S ALPHA over the three lineitem rate "items"
+    * (quantity, discount, tax on the cents grid) — the internal-
+    * consistency coefficient α = k/(k−1)·(1 − Σσᵢ²/σ_X²) where X is
+    * the per-row item sum. All (co)variance content comes from exact
+    * per-item moment sums plus ΣX² computed on the row (the cross
+    * terms arrive for free), sample-variance denominators, one
+    * mirrored expression. NaN when n ≤ 1 or the total variance
+    * degenerates.
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    require(items.size >= 2, "cronbachAlpha needs >= 2 items")
+    val k = items.size
+    def d(name: String): Column = col(name).cast("double")
+    val named = items.zipWithIndex.map { case (c, i) =>
+      round(lit(100.0) * c).cast("long").as(s"i$i") }
+    val base = df.select(named: _*)
+      .withColumn("x",
+        (0 until k).map(i => col(s"i$i")).reduce(_ + _))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until k).flatMap { i => Seq(
+        sum(dec(col(s"i$i"))).as(s"s$i"),
+        sum(dec(col(s"i$i")) * col(s"i$i")).as(s"q$i")) } ++
+      Seq(sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x")) * col("x")).as("qx"))
+    def sampVar(s: String, q: String): Column =
+      when(col("n") <= 1L, lit(Double.NaN)).otherwise(
+        (d(q) - d(s) * d(s) / d("n")) / (d("n") - lit(1.0)))
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("vs",
+        (0 until k).map(i => sampVar(s"s$i", s"q$i")).reduce(_ + _))
+      .withColumn("vx", sampVar("sx", "qx"))
+      .select(col("n").as("n_rows"), lit(k.toLong).as("k_items"),
+        round(when(col("n") <= 1L || col("vx") <= 0.0,
+            lit(Double.NaN))
+          .otherwise(lit(k.toDouble) / lit((k - 1).toDouble) *
+            (lit(1.0) - col("vs") / col("vx"))), 6).as("alpha"))
+  }
+
   /** Q311: ANDERSON–DARLING TWO-SAMPLE TEST on a bounded-domain
     * measure — the tail-weighted omnibus companion of q289's KS and
     * q290's CvM: the 1/(H(N−H)) weight makes A² far more sensitive to

@@ -316,6 +316,52 @@ class StatsSpec extends SparkSpec {
     assert(eq._3 === 0.0 && eq._4 === 0.0, s"$eq")
   }
 
+  test("q331 Poisson two-rate: hand cohort counts, conditional-binomial z") {
+    // cohort A (even ids): 3 users, 2 purchases; B (odd): 2 users, 2
+    val rows = Seq((0L, "purchase"), (2L, "purchase"), (4L, "view"),
+      (1L, "purchase"), (1L, "purchase"), (3L, "view"))
+    val df = rows.toDF("user_id", "event_type")
+    val got = Stats.poissonTwoRate(df)
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert((got._1, got._2, got._3, got._4) === ((3L, 2L, 2L, 2L)),
+      s"$got")
+    assert(got._5 === 0.666667 && got._6 === 1.0, s"$got")
+    // z = (2 - 4*0.6)/sqrt(4*0.6*0.4)
+    assert(got._7 === -0.408248, s"$got")
+  }
+
+  test("q332 ICC(1,1): hand two-group decomposition = 7/9") {
+    // groups [10,20] vs [30,40] dollars: MSB=4e6, MSW=5e5, k0=2
+    // ICC = 3.5e6/4.5e6 = 0.777778
+    val df = Seq((0L, 10.0), (0L, 20.0), (1L, 30.0), (1L, 40.0))
+      .toDF("g", "v")
+    val got = Stats.icc1(df, col("g"), col("v"))
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((2L, 4L, 0.777778)), s"$got")
+    // one group only: between-group variance undefined -> NaN
+    val one = Stats.icc1(Seq((0L, 10.0), (0L, 20.0)).toDF("g", "v"),
+      col("g"), col("v")).as[(Long, Long, Double)].collect().head
+    assert(one._3.isNaN, s"$one")
+  }
+
+  test("q333 Cronbach alpha: identical items 1.0; orthogonal mix ~0") {
+    val same = Stats.cronbachAlpha(
+      Seq((1.0, 1.0, 1.0), (2.0, 2.0, 2.0), (3.0, 3.0, 3.0))
+        .toDF("a", "b", "c"),
+      Seq(col("a"), col("b"), col("c")))
+      .as[(Long, Long, Double)].collect().head
+    assert(same === ((3L, 3L, 1.0)), s"$same")
+    // balanced orthogonal design: item variances sum to the total
+    // variance -> alpha = 0 (up to the 1e-6 rounding grid)
+    val mix = Stats.cronbachAlpha(
+      Seq((1.0, 1.0, 2.0), (1.0, 2.0, 1.0), (2.0, 1.0, 1.0),
+        (2.0, 2.0, 2.0)).toDF("a", "b", "c"),
+      Seq(col("a"), col("b"), col("c")))
+      .as[(Long, Long, Double)].collect().head
+    assert(math.abs(mix._3) < 1e-6, s"$mix")
+  }
+
   test("q323 G-test: independence G=0; perfect association 8 ln 2 on the grid") {
     def cellsDf(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
     // product structure: O = E everywhere -> every ln term 0
