@@ -1712,6 +1712,26 @@ object SparkEntry {
       Stats.cronbachAlpha(Tables.lineitem(s, dir),
         Seq(f.col("l_quantity"), f.col("l_discount"), f.col("l_tax")))
     }),
+    // q334: Bartels rank von Neumann on daily revenue — rank-based
+    // serial randomness (runs test upgraded)
+    "q334_bartels_rvn" -> ((s, dir) =>
+      Relational.bartelsRvn(Tables.orders(s, dir))),
+    // q335: Kendall's W — q327's agreement effect size off the same
+    // exact within-block ranks
+    "q335_kendall_w" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.kendallW(Tables.orders(s, dir),
+        f.pmod(f.datediff(f.to_date(f.col("o_orderdate")),
+          f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"),
+        f.col("o_orderpriority"), f.col("o_totalprice"))
+    }),
+    // q336: split-half reliability (quantity vs discount+tax) with
+    // the Spearman-Brown step-up
+    "q336_split_half" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.splitHalf(Tables.lineitem(s, dir), f.col("l_quantity"),
+        f.col("l_discount") + f.col("l_tax"))
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -7645,6 +7665,112 @@ object SparkEntry {
         |    THEN CAST('NaN' AS DOUBLE)
         |    ELSE 3.0 / 2.0 * (1.0 - vs / vx) END, 6) AS alpha
         |FROM f""".stripMargin,
+    // q334: the Bartels chain replayed — value-histogram midranks,
+    // lag pairs over present days, x4-grid sums, documented z
+    "q334_bartels_rvn" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT r AS v, CAST(count(*) AS BIGINT) AS t
+        |      FROM daily GROUP BY 1),
+        |rk AS (SELECT v,
+        |    2 * coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2,
+        |    t
+        |  FROM h),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |den AS (SELECT max(n) AS n,
+        |    CAST(sum(CAST(t AS HUGEINT) * (r2 - n - 1) * (r2 - n - 1))
+        |      AS HUGEINT) AS den4
+        |  FROM rk CROSS JOIN tot),
+        |nm AS (SELECT CAST(sum(CAST(r2 - p2 AS HUGEINT) * (r2 - p2))
+        |    AS HUGEINT) AS nm4
+        |  FROM (SELECT rk.r2,
+        |          lag(rk.r2) OVER (ORDER BY daily.d) AS p2
+        |        FROM daily JOIN rk ON rk.v = daily.r)
+        |  WHERE p2 IS NOT NULL),
+        |f AS (SELECT n, den4, nm4,
+        |    CASE WHEN n < 2 OR CAST(den4 AS DOUBLE) <= 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(nm4 AS DOUBLE) / CAST(den4 AS DOUBLE) END
+        |      AS rvn
+        |  FROM nm CROSS JOIN den)
+        |SELECT n AS n_days, round(rvn, 6) AS rvn,
+        |  round(CASE WHEN isnan(rvn) THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (rvn - 2.0) / sqrt(20.0
+        |      / (5.0 * CAST(n AS DOUBLE) + 7.0)) END, 6) AS z_score
+        |FROM f""".stripMargin,
+    // q335: the Kendall-W chain replayed — the q327 rank machinery
+    // with the concordance normalization
+    "q335_kendall_w" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST((datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) + 4) % 7 AS BIGINT) AS blk,
+        |    o_orderpriority AS trt,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS s
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT c1.blk, c1.trt,
+        |    CAST(2 * sum(CASE WHEN c2.s * c1.n < c1.s * c2.n
+        |        THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN c2.s * c1.n = c1.s * c2.n
+        |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2
+        |  FROM cells c1 JOIN cells c2 ON c2.blk = c1.blk
+        |  GROUP BY 1, 2),
+        |shape AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT trt) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS ncells FROM cells),
+        |rj AS (SELECT trt, CAST(sum(r2) AS BIGINT) AS rj2
+        |       FROM ranked GROUP BY 1),
+        |sr AS (SELECT CAST(sum(CAST(rj2 AS HUGEINT) * rj2) AS HUGEINT)
+        |         AS sr2x4 FROM rj)
+        |SELECT b AS n_blocks, k AS k_treatments,
+        |  round(CASE WHEN k <= 1 OR ncells <> b * k
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (12.0 * (CAST(sr2x4 AS DOUBLE) / 4.0)
+        |      - 3.0 * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+        |        * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+        |        * (CAST(k AS DOUBLE) + 1.0))
+        |      / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+        |        * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE)
+        |          * CAST(k AS DOUBLE) - 1.0)) END, 6) AS kendall_w
+        |FROM sr CROSS JOIN shape""".stripMargin,
+    // q336: the split-half chain replayed — n-scaled exact Pearson
+    // moments, Spearman-Brown step-up
+    "q336_split_half" ->
+      """WITH b AS (
+        |  SELECT CAST(round(100.0 * l_quantity) AS BIGINT) AS xa,
+        |    CAST(round(100.0 * (l_discount + l_tax)) AS BIGINT) AS xb
+        |  FROM lineitem),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xa) AS HUGEINT) AS sx,
+        |    CAST(sum(xb) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(xa AS HUGEINT) * xa) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(xb AS HUGEINT) * xb) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(xa AS HUGEINT) * xb) AS HUGEINT) AS sxy
+        |  FROM b),
+        |f AS (SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy
+        |  FROM ag),
+        |g AS (SELECT n,
+        |    CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE cxy / sqrt(vx * vy) END AS r
+        |  FROM f)
+        |SELECT n AS n_rows, round(r, 6) AS split_r,
+        |  round(CASE WHEN isnan(r) OR r = -1.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE 2.0 * r / (1.0 + r) END, 6) AS spearman_brown
+        |FROM g""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -701,6 +701,62 @@ object Relational {
           .otherwise(col("b1") / sqrt(col("varb1"))), 6).as("adf_t"))
   }
 
+  /** Q334: BARTELS RANK VON NEUMANN RATIO — the RANK-based serial
+    * randomness test on daily revenue (q292's runs test upgraded: runs
+    * only see the sign pattern, the von Neumann ratio sees how far
+    * successive RANKS jump). Midranks over the daily-revenue value
+    * histogram (exact ×2 grid; the enrolled vW site), joined back to
+    * the day table; RVN = Σ(R_t − R_{t+1})²/Σ(R_t − R̄)² where the
+    * numerator pairs SUCCESSIVE PRESENT days (lag over the enrolled
+    * day window) and both sums stay exact on the ×4 integer grid
+    * (midranks keep ΣR = N(N+1)/2, so 2R̄ = N+1 is integral).
+    * z = (RVN − 2)/sqrt(20/(5N+7)) — the asymptotic null variance of
+    * Bartels (1982), the randtests convention, documented. NaN on a
+    * constant series or N < 2.
+    */
+  def bartelsRvn(orders: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
+        .as("r"))
+    val h = daily.groupBy(col("r").as("v")).agg(count(lit(1)).as("t"))
+    val vW = Window.orderBy(col("v"))
+    val ranks = h
+      .withColumn("cumb", coalesce(sum(col("t")).over(
+        vW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"),
+        (lit(2L) * col("cumb") + col("t") + lit(1L)).as("r2"),
+        col("t"))
+    val tot = daily.agg(count(lit(1)).as("n"))
+    val den = ranks.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        sum(dec(col("t")) *
+          (col("r2") - col("n") - lit(1L)) *
+          (col("r2") - col("n") - lit(1L))).as("den4"))
+    val dayW = Window.orderBy(col("d"))
+    val nm = daily.join(ranks.select(col("v").as("r"), col("r2")),
+        Seq("r"))
+      .withColumn("p2", lag(col("r2"), 1).over(dayW))
+      .filter(col("p2").isNotNull)
+      .agg(sum(dec(col("r2") - col("p2")) * (col("r2") - col("p2")))
+        .as("nm4"))
+    def d(name: String): Column = col(name).cast("double")
+    nm.crossJoin(broadcast(den))
+      .withColumn("rvn",
+        when(col("n") < 2L || col("den4").cast("double") <= 0.0,
+          lit(Double.NaN))
+          .otherwise(col("nm4").cast("double") /
+            col("den4").cast("double")))
+      .select(col("n").as("n_days"),
+        round(col("rvn"), 6).as("rvn"),
+        round(when(isnan(col("rvn")), lit(Double.NaN))
+          .otherwise((col("rvn") - lit(2.0)) /
+            sqrt(lit(20.0) / (lit(5.0) * d("n") + lit(7.0)))), 6)
+          .as("z_score"))
+  }
+
   /** Q321: CHOW STRUCTURAL-BREAK TEST at the calendar midpoint — did
     * the daily-revenue TREND LINE change regime (the parametric
     * companion of q293's Pettitt, which finds a level shift but says

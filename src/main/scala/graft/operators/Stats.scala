@@ -1259,13 +1259,17 @@ object Stats {
     * b·k²-bounded. NaN when k ≤ 1 or an incomplete design (a block
     * missing a treatment) — flagged, not silently mis-ranked.
     */
-  def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
-      valueCol: Column): DataFrame = {
+  /** Shared Friedman/Kendall-W rank machinery: one row
+    * `(b, k, ncells, sr2x4)` — block count, treatment count, cell
+    * count (completeness check) and 4·ΣR_j² from the exact
+    * cross-multiplied within-block midranks.
+    */
+  private def friedmanCore(df: DataFrame, blockCol: Column,
+      treatCol: Column, valueCol: Column): DataFrame = {
     val cells = df.select(blockCol.as("blk"), treatCol.as("trt"),
         round(lit(100.0) * valueCol).cast("long").as("c"))
       .groupBy(col("blk"), col("trt"))
       .agg(count(lit(1)).as("n"), sum(dec(col("c"))).as("s"))
-    def d(c: Column): Column = c.cast("double")
     // exact within-block midranks: avg_l < avg_j <=> s_l·n_j < s_j·n_l
     // (n > 0); DECIMAL products — never compares IEEE doubles
     val ranked = cells.select(col("blk"), col("trt"), col("n"),
@@ -1286,6 +1290,12 @@ object Stats {
       .agg(sum(col("r2")).as("rj2"))
       .agg(sum(dec(col("rj2")) * col("rj2")).as("sr2x4"))
       .crossJoin(broadcast(shape))
+  }
+
+  def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    friedmanCore(df, blockCol, treatCol, valueCol)
       .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
         round(when(col("k") <= 1L ||
             col("ncells") =!= col("b") * col("k"), lit(Double.NaN))
@@ -1294,6 +1304,30 @@ object Stats {
             (col("sr2x4").cast("double") / lit(4.0)) -
             lit(3.0) * d(col("b")) * (d(col("k")) + lit(1.0))), 6)
           .as("chi2_f"))
+  }
+
+  /** Q335: KENDALL'S COEFFICIENT OF CONCORDANCE W — q327's effect
+    * size: HOW STRONGLY do the blocks agree on the treatment ranking
+    * (W = 1 perfect agreement, 0 none), where Friedman's χ² only says
+    * "more than chance". Same exact within-block midrank machinery
+    * ([[friedmanCore]]);
+    * W = (12·ΣR_j² − 3b²k(k+1)²)/(b²k(k²−1)) in one mirrored
+    * expression. NaN on k ≤ 1 or an incomplete design.
+    */
+  def kendallW(df: DataFrame, blockCol: Column, treatCol: Column,
+      valueCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    friedmanCore(df, blockCol, treatCol, valueCol)
+      .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+        round(when(col("k") <= 1L ||
+            col("ncells") =!= col("b") * col("k"), lit(Double.NaN))
+          .otherwise(
+            (lit(12.0) * (col("sr2x4").cast("double") / lit(4.0)) -
+              lit(3.0) * d(col("b")) * d(col("b")) * d(col("k")) *
+                (d(col("k")) + lit(1.0)) * (d(col("k")) + lit(1.0))) /
+            (d(col("b")) * d(col("b")) * d(col("k")) *
+              (d(col("k")) * d(col("k")) - lit(1.0)))), 6)
+          .as("kendall_w"))
   }
 
   /** Q329: MANTEL–HAENSZEL POOLED ODDS RATIO across strata — q326's
@@ -1509,6 +1543,39 @@ object Stats {
             lit(Double.NaN))
           .otherwise(lit(k.toDouble) / lit((k - 1).toDouble) *
             (lit(1.0) - col("vs") / col("vx"))), 6).as("alpha"))
+  }
+
+  /** Q336: SPLIT-HALF RELIABILITY with the SPEARMAN–BROWN step-up —
+    * q333's cross-check: correlate one half of the item set with the
+    * other and project the full-length reliability
+    * SB = 2r/(1+r). Exact Pearson moments (the n-scaled integer
+    * covariance shape of q259/q273) in one aggregation, two mirrored
+    * expressions. NaN when either half's variance degenerates or
+    * r = −1.
+    */
+  def splitHalf(df: DataFrame, halfA: Column, halfB: Column)
+      : DataFrame = {
+    val base = df.select(
+      round(lit(100.0) * halfA).cast("long").as("xa"),
+      round(lit(100.0) * halfB).cast("long").as("xb"))
+    def d(name: String): Column = col(name).cast("double")
+    base.agg(count(lit(1)).as("n"),
+        sum(dec(col("xa"))).as("sx"), sum(dec(col("xb"))).as("sy"),
+        sum(dec(col("xa")) * col("xa")).as("sxx"),
+        sum(dec(col("xb")) * col("xb")).as("syy"),
+        sum(dec(col("xa")) * col("xb")).as("sxy"))
+      .withColumn("vx", d("n") * d("sxx") - d("sx") * d("sx"))
+      .withColumn("vy", d("n") * d("syy") - d("sy") * d("sy"))
+      .withColumn("r",
+        when(col("vx") <= 0.0 || col("vy") <= 0.0, lit(Double.NaN))
+          .otherwise((d("n") * d("sxy") - d("sx") * d("sy")) /
+            sqrt(col("vx") * col("vy"))))
+      .select(col("n").as("n_rows"),
+        round(col("r"), 6).as("split_r"),
+        round(when(isnan(col("r")) || col("r") === -1.0,
+            lit(Double.NaN))
+          .otherwise(lit(2.0) * col("r") / (lit(1.0) + col("r"))), 6)
+          .as("spearman_brown"))
   }
 
   /** Q311: ANDERSON–DARLING TWO-SAMPLE TEST on a bounded-domain

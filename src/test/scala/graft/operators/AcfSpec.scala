@@ -340,6 +340,23 @@ class AcfSpec extends SparkSpec {
     assert(stable._3 < 5.0, s"no break: $stable")
   }
 
+  test("q334 Bartels RVN: alternating ranks jump, trend ranks crawl") {
+    // alternating [10,20]x3: NM4=180, DEN4=54 -> RVN=10/3, z>0
+    val alt = Relational.bartelsRvn(
+      series(Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0)))
+      .as[(Long, Double, Double)].collect().head
+    assert(alt === ((6L, 3.333333, 1.813529)), s"$alt")
+    // monotone ranks: successive jumps of 1 -> RVN = 20/70, z<0
+    val mono = Relational.bartelsRvn(
+      series(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)))
+      .as[(Long, Double, Double)].collect().head
+    assert(mono === ((6L, 0.285714, -2.331681)), s"$mono")
+    // constant series: zero rank variance -> NaN
+    val const = Relational.bartelsRvn(series(Seq.fill(5)(7.0)))
+      .as[(Long, Double, Double)].collect().head
+    assert(const._2.isNaN && const._3.isNaN, s"$const")
+  }
+
   test("q320 KPSS: alternating series 0.125 exact; trend scores higher") {
     val alt = Relational.kpssTest(series(Seq(10.0, 20.0, 10.0, 20.0)))
       .as[(Long, Double)].collect().head

@@ -362,6 +362,44 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(mix._3) < 1e-6, s"$mix")
   }
 
+  test("q335 Kendall W: perfect agreement 1.0; incomplete design NaN") {
+    def cells(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("blk", "trt", "v")
+    val consistent = cells(Seq(
+      (0L, "t1", 10.0), (0L, "t2", 20.0), (0L, "t3", 30.0),
+      (1L, "t1", 15.0), (1L, "t2", 25.0), (1L, "t3", 35.0)))
+    val got = Stats.kendallW(consistent, col("blk"), col("trt"),
+      col("v")).as[(Long, Long, Double)].collect().head
+    assert(got === ((2L, 3L, 1.0)), s"$got")
+    // blocks in OPPOSITE order: rank sums equalize -> W = 0
+    val opposed = cells(Seq(
+      (0L, "t1", 10.0), (0L, "t2", 20.0), (0L, "t3", 30.0),
+      (1L, "t1", 35.0), (1L, "t2", 25.0), (1L, "t3", 15.0)))
+    val w0 = Stats.kendallW(opposed, col("blk"), col("trt"),
+      col("v")).as[(Long, Long, Double)].collect().head
+    assert(w0._3 === 0.0, s"$w0")
+    val incomplete = cells(Seq((0L, "t1", 1.0), (0L, "t2", 2.0),
+      (1L, "t1", 3.0)))
+    val bad = Stats.kendallW(incomplete, col("blk"), col("trt"),
+      col("v")).as[(Long, Long, Double)].collect().head
+    assert(bad._3.isNaN, s"$bad")
+  }
+
+  test("q336 split-half: perfect halves SB=1; anti-correlated NaN") {
+    def halves(rows: Seq[(Double, Double)]) = rows.toDF("a", "b")
+    val perfect = Stats.splitHalf(
+      halves(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0))),
+      col("a"), col("b")).as[(Long, Double, Double)].collect().head
+    assert(perfect === ((3L, 1.0, 1.0)), s"$perfect")
+    val anti = Stats.splitHalf(
+      halves(Seq((1.0, -1.0), (2.0, -2.0), (3.0, -3.0))),
+      col("a"), col("b")).as[(Long, Double, Double)].collect().head
+    assert(anti._2 === -1.0 && anti._3.isNaN, s"$anti")
+    val flat = Stats.splitHalf(halves(Seq((1.0, 5.0), (2.0, 5.0))),
+      col("a"), col("b")).as[(Long, Double, Double)].collect().head
+    assert(flat._2.isNaN, s"$flat")
+  }
+
   test("q323 G-test: independence G=0; perfect association 8 ln 2 on the grid") {
     def cellsDf(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
     // product structure: O = E everywhere -> every ln term 0
