@@ -1732,6 +1732,14 @@ object SparkEntry {
       Stats.splitHalf(Tables.lineitem(s, dir), f.col("l_quantity"),
         f.col("l_discount") + f.col("l_tax"))
     }),
+    // q337: Goldfeld-Quandt heteroskedasticity — low/high quantity
+    // regimes by exact percentile cuts, per-regime 2x2-Cramer SSEs
+    "q337_goldfeld_quandt" -> ((s, dir) =>
+      Regression.goldfeldQuandt(Tables.lineitem(s, dir))),
+    // q338: Breusch-Pagan LM on the q250 price model — in-plan beta,
+    // cents-grid residuals, one aux exact-moment regression
+    "q338_breusch_pagan" -> ((s, dir) =>
+      Regression.breuschPagan(Tables.lineitem(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -7770,6 +7778,156 @@ object SparkEntry {
         |  round(CASE WHEN isnan(r) OR r = -1.0
         |    THEN CAST('NaN' AS DOUBLE)
         |    ELSE 2.0 * r / (1.0 + r) END, 6) AS spearman_brown
+        |FROM g""".stripMargin,
+    // q337: the Goldfeld-Quandt chain replayed — percentile cuts,
+    // conditional regime moments, the q321 SSE shape, one F
+    "q337_goldfeld_quandt" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(100.0 * l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |cuts AS (SELECT
+        |    percentile_disc(0.3333) WITHIN GROUP (ORDER BY x) AS p33,
+        |    percentile_disc(0.6667) WITHIN GROUP (ORDER BY x) AS p67
+        |  FROM b),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN x <= p33 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN x >= p67 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN x <= p33 THEN x ELSE 0 END) AS HUGEINT)
+        |      AS sx1,
+        |    CAST(sum(CASE WHEN x >= p67 THEN x ELSE 0 END) AS HUGEINT)
+        |      AS sx2,
+        |    CAST(sum(CASE WHEN x <= p33 THEN x * x ELSE 0 END)
+        |      AS HUGEINT) AS sxx1,
+        |    CAST(sum(CASE WHEN x >= p67 THEN x * x ELSE 0 END)
+        |      AS HUGEINT) AS sxx2,
+        |    CAST(sum(CASE WHEN x <= p33 THEN y ELSE 0 END) AS HUGEINT)
+        |      AS sy1,
+        |    CAST(sum(CASE WHEN x >= p67 THEN y ELSE 0 END) AS HUGEINT)
+        |      AS sy2,
+        |    CAST(sum(CASE WHEN x <= p33 THEN x * y ELSE 0 END)
+        |      AS HUGEINT) AS sxy1,
+        |    CAST(sum(CASE WHEN x >= p67 THEN x * y ELSE 0 END)
+        |      AS HUGEINT) AS sxy2,
+        |    CAST(sum(CASE WHEN x <= p33 THEN y * y ELSE 0 END)
+        |      AS HUGEINT) AS syy1,
+        |    CAST(sum(CASE WHEN x >= p67 THEN y * y ELSE 0 END)
+        |      AS HUGEINT) AS syy2
+        |  FROM b CROSS JOIN cuts),
+        |f AS (
+        |  SELECT n1, n2,
+        |    CASE WHEN CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+        |        - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) = 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(syy1 AS DOUBLE)
+        |        - ((CAST(sy1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+        |            - CAST(sxy1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+        |          / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+        |            - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+        |          * CAST(sy1 AS DOUBLE)
+        |        + (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+        |            - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+        |          / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+        |            - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+        |          * CAST(sxy1 AS DOUBLE)) END AS sse1,
+        |    CASE WHEN CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+        |        - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) = 0.0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(syy2 AS DOUBLE)
+        |        - ((CAST(sy2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+        |            - CAST(sxy2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+        |          / (CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+        |            - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+        |          * CAST(sy2 AS DOUBLE)
+        |        + (CAST(n2 AS DOUBLE) * CAST(sxy2 AS DOUBLE)
+        |            - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+        |          / (CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+        |            - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+        |          * CAST(sxy2 AS DOUBLE)) END AS sse2
+        |  FROM s)
+        |SELECT n1 AS n_lo, n2 AS n_hi,
+        |  round(CASE WHEN n1 <= 2 OR n2 <= 2 OR isnan(sse1)
+        |      OR isnan(sse2) OR sse1 <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (sse2 / (CAST(n2 AS DOUBLE) - 2.0))
+        |      / (sse1 / (CAST(n1 AS DOUBLE) - 2.0)) END, 6) AS gq_f
+        |FROM f""".stripMargin,
+    // q338: the Breusch-Pagan chain replayed — first-pass beta from
+    // the q258 det shapes, cents-grid residual squares, aux R2, LM
+    "q338_breusch_pagan" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(100.0 * l_discount) AS BIGINT) AS x2,
+        |    CAST(round(100.0 * l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y
+        |  FROM b),
+        |beta AS (SELECT
+        |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12
+        |      * s2y) + s2 * (s1y * s12 - s11 * s2y))
+        |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12
+        |        * s2) + s2 * (s1 * s12 - s11 * s2)) AS b0,
+        |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2))
+        |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12
+        |        * s2) + s2 * (s1 * s12 - s11 * s2)) AS b1,
+        |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2))
+        |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12
+        |        * s2) + s2 * (s1 * s12 - s11 * s2)) AS b2
+        |  FROM m),
+        |r AS (
+        |  SELECT x1, x2,
+        |    CAST(round(CAST(y AS DOUBLE) - (b0 + b1
+        |      * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)))
+        |      AS BIGINT) AS u
+        |  FROM b CROSS JOIN beta),
+        |r2 AS (SELECT x1, x2, u * u AS u2 FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(u2 AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * u2) AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * u2) AS DOUBLE) AS s2y,
+        |    CAST(sum(CAST(u2 AS HUGEINT) * u2) AS DOUBLE) AS syy
+        |  FROM r2),
+        |f AS (
+        |  SELECT nl, n, sy, s1y, s2y, syy,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12
+        |      * s2y) + s2 * (s1y * s12 - s11 * s2y) AS bb0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS bb1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS bb2,
+        |    syy - sy * sy / n AS sst
+        |  FROM a),
+        |g AS (
+        |  SELECT nl, n, sst,
+        |    CASE WHEN det = 0.0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE syy - (bb0 / det * sy + bb1 / det * s1y
+        |        + bb2 / det * s2y) END AS sse
+        |  FROM f)
+        |SELECT nl AS n_rows,
+        |  round(CASE WHEN isnan(sse) OR sst <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE n * (1.0 - sse / sst) END, 6) AS bp_lm
         |FROM g""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),

@@ -420,4 +420,167 @@ object Regression {
       round(col("l_quantity")).cast("long").as("x1"),
       round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
       round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")))
+
+  /** Q337: GOLDFELD–QUANDT HETEROSKEDASTICITY TEST — does the price
+    * model's residual VARIANCE grow with quantity (the assumption
+    * q250's OLS standard errors silently make)? Deterministic
+    * value-split variant: the low/high regimes are x ≤ P33 / x ≥ P67
+    * of the quantity grid (exact `percentile_disc` elements, the q288
+    * precedent — row-rank splits tie-break ambiguously), a simple OLS
+    * y ~ 1 + x per regime from conditional exact moments (the q321
+    * 2×2-Cramer SSE shape), and F = (SSE_hi/(n_hi−2))/(SSE_lo/(n_lo−2))
+    * — variance rising with x gives F > 1. NaN on a degenerate regime
+    * (det = 0, n ≤ 2) or a zero low-side SSE.
+    */
+  def goldfeldQuandt(lineitem: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = lineitem.select(
+      round(col("l_quantity")).cast("long").as("x"),
+      round(lit(100.0) * col("l_extendedprice")).cast("long").as("y"))
+    val cuts = base.agg(
+      expr("percentile_disc(0.3333) WITHIN GROUP (ORDER BY x)")
+        .as("p33"),
+      expr("percentile_disc(0.6667) WITHIN GROUP (ORDER BY x)")
+        .as("p67"))
+    def side(cond: Column, c: Column): Column =
+      sum(dec(when(cond, c).otherwise(lit(0L))))
+    val sums = base.crossJoin(broadcast(cuts))
+      .withColumn("lo", col("x") <= col("p33"))
+      .withColumn("hi", col("x") >= col("p67"))
+      .agg(
+        sum(when(col("lo"), lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("hi"), lit(1L)).otherwise(lit(0L))).as("n2"),
+        side(col("lo"), col("x")).as("sx1"),
+        side(col("hi"), col("x")).as("sx2"),
+        side(col("lo"), col("x") * col("x")).as("sxx1"),
+        side(col("hi"), col("x") * col("x")).as("sxx2"),
+        side(col("lo"), col("y")).as("sy1"),
+        side(col("hi"), col("y")).as("sy2"),
+        side(col("lo"), col("x") * col("y")).as("sxy1"),
+        side(col("hi"), col("x") * col("y")).as("sxy2"),
+        side(col("lo"), col("y") * col("y")).as("syy1"),
+        side(col("hi"), col("y") * col("y")).as("syy2"))
+    def d(name: String): Column = col(name).cast("double")
+    def sse(n: Column, sx: Column, sxx: Column, sy: Column,
+        sxy: Column, syy: Column): Column = {
+      val det = n * sxx - sx * sx
+      when(det === 0.0, lit(Double.NaN)).otherwise(
+        syy - ((sy * sxx - sxy * sx) / det * sy +
+          (n * sxy - sx * sy) / det * sxy))
+    }
+    sums
+      .withColumn("sse1", sse(d("n1"), d("sx1"), d("sxx1"), d("sy1"),
+        d("sxy1"), d("syy1")))
+      .withColumn("sse2", sse(d("n2"), d("sx2"), d("sxx2"), d("sy2"),
+        d("sxy2"), d("syy2")))
+      .select(col("n1").as("n_lo"), col("n2").as("n_hi"),
+        round(when(col("n1") <= 2L || col("n2") <= 2L ||
+            isnan(col("sse1")) || isnan(col("sse2")) ||
+            col("sse1") <= 0.0, lit(Double.NaN))
+          .otherwise((col("sse2") / (d("n2") - lit(2.0))) /
+            (col("sse1") / (d("n1") - lit(2.0)))), 6).as("gq_f"))
+  }
+
+  /** Q338: BREUSCH–PAGAN LM TEST on the q250 price model — the
+    * REGRESSION-shaped heteroskedasticity test (which REGRESSOR drives
+    * the variance, not just "does it rise with x"): fit
+    * y ~ 1 + x1 + x2 IN-PLAN (the groupedOls2 column-expression
+    * Cramer over one moments row), broadcast β back onto the rows,
+    * grid the residual to integer cents (identical doubles → identical
+    * grid longs in both engines), and regress e² on (x1, x2) with a
+    * second exact-moment pass; LM = n·R² ~ χ²(2). Both aggregations
+    * are one scan each; no driver loop (the β's are column literals in
+    * the plan, not collected). NaN on a singular design or degenerate
+    * aux variance.
+    */
+  def breuschPagan(lineitem: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(name: String): Column = col(name).cast("double")
+    val base = lineitem.select(
+      round(col("l_quantity")).cast("long").as("x1"),
+      round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
+      round(lit(100.0) * col("l_extendedprice")).cast("long").as("y"))
+    val m = base.agg(
+        count(lit(1)).as("nl"),
+        sum(dec(col("x1"))).as("s1d"), sum(dec(col("x2"))).as("s2d"),
+        sum(dec(col("x1")) * col("x1")).as("s11d"),
+        sum(dec(col("x1")) * col("x2")).as("s12d"),
+        sum(dec(col("x2")) * col("x2")).as("s22d"),
+        sum(dec(col("y"))).as("syd"),
+        sum(dec(col("x1")) * col("y")).as("s1yd"),
+        sum(dec(col("x2")) * col("y")).as("s2yd"))
+      .select(col("nl"), col("nl").cast("double").as("n"),
+        d("s1d").as("s1"), d("s2d").as("s2"), d("s11d").as("s11"),
+        d("s12d").as("s12"), d("s22d").as("s22"), d("syd").as("sy"),
+        d("s1yd").as("s1y"), d("s2yd").as("s2y"))
+    def det3c(a: Column, b: Column, c: Column, d0: Column, e: Column,
+        f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d0 * i - f * g) + c * (d0 * h - e * g)
+    val beta = m
+      .withColumn("det", det3c(col("n"), col("s1"), col("s2"),
+        col("s1"), col("s11"), col("s12"), col("s2"), col("s12"),
+        col("s22")))
+      .withColumn("b0", when(col("det") === 0.0, lit(Double.NaN))
+        .otherwise(det3c(col("sy"), col("s1"), col("s2"), col("s1y"),
+          col("s11"), col("s12"), col("s2y"), col("s12"),
+          col("s22")) / col("det")))
+      .withColumn("b1", when(col("det") === 0.0, lit(Double.NaN))
+        .otherwise(det3c(col("n"), col("sy"), col("s2"), col("s1"),
+          col("s1y"), col("s12"), col("s2"), col("s2y"),
+          col("s22")) / col("det")))
+      .withColumn("b2", when(col("det") === 0.0, lit(Double.NaN))
+        .otherwise(det3c(col("n"), col("s1"), col("sy"), col("s1"),
+          col("s11"), col("s1y"), col("s2"), col("s12"),
+          col("s2y")) / col("det")))
+      .select(col("b0"), col("b1"), col("b2"))
+    // residual on the integer cents grid: identical β doubles give
+    // identical grid longs in both engines (the q250 round discipline)
+    val resid = base.crossJoin(broadcast(beta))
+      .withColumn("u", {
+        val e = col("y").cast("double") -
+          (col("b0") + col("b1") * col("x1").cast("double") +
+            col("b2") * col("x2").cast("double"))
+        round(e).cast("long")
+      })
+      .select(col("x1"), col("x2"),
+        (col("u") * col("u")).as("u2"))
+    val a = resid.agg(
+        count(lit(1)).as("nl"),
+        sum(dec(col("x1"))).as("s1d"), sum(dec(col("x2"))).as("s2d"),
+        sum(dec(col("x1")) * col("x1")).as("s11d"),
+        sum(dec(col("x1")) * col("x2")).as("s12d"),
+        sum(dec(col("x2")) * col("x2")).as("s22d"),
+        sum(dec(col("u2"))).as("syd"),
+        sum(dec(col("x1")) * col("u2")).as("s1yd"),
+        sum(dec(col("x2")) * col("u2")).as("s2yd"),
+        sum(dec(col("u2")) * col("u2")).as("syyd"))
+      .select(col("nl"), col("nl").cast("double").as("n"),
+        d("s1d").as("s1"), d("s2d").as("s2"), d("s11d").as("s11"),
+        d("s12d").as("s12"), d("s22d").as("s22"), d("syd").as("sy"),
+        d("s1yd").as("s1y"), d("s2yd").as("s2y"), d("syyd").as("syy"))
+    a
+      .withColumn("det", det3c(col("n"), col("s1"), col("s2"),
+        col("s1"), col("s11"), col("s12"), col("s2"), col("s12"),
+        col("s22")))
+      .withColumn("bb0", det3c(col("sy"), col("s1"), col("s2"),
+        col("s1y"), col("s11"), col("s12"), col("s2y"), col("s12"),
+        col("s22")))
+      .withColumn("bb1", det3c(col("n"), col("sy"), col("s2"),
+        col("s1"), col("s1y"), col("s12"), col("s2"), col("s2y"),
+        col("s22")))
+      .withColumn("bb2", det3c(col("n"), col("s1"), col("sy"),
+        col("s1"), col("s11"), col("s1y"), col("s2"), col("s12"),
+        col("s2y")))
+      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("sse",
+        when(col("det") === 0.0, lit(Double.NaN)).otherwise(
+          col("syy") - (col("bb0") / col("det") * col("sy") +
+            col("bb1") / col("det") * col("s1y") +
+            col("bb2") / col("det") * col("s2y"))))
+      .select(col("nl").as("n_rows"),
+        round(when(isnan(col("sse")) || col("sst") <= 0.0,
+            lit(Double.NaN))
+          .otherwise(col("n") * (lit(1.0) - col("sse") / col("sst"))),
+          6).as("bp_lm"))
+  }
 }

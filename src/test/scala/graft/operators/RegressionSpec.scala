@@ -255,4 +255,38 @@ class RegressionSpec extends SparkSpec {
     assert(row._1 > 0L)
     assert(!row._2.isNaN && !row._3.isNaN && !row._4.isNaN)
   }
+
+  test("q337 Goldfeld-Quandt: planted variance growth gives F=25 exactly") {
+    import spark.implicits._
+    // low regime (x<=2): residuals ±1 cent; high (x>=5): ±5 cents
+    val rows = Seq((1L, 10.01), (1L, 9.99), (2L, 20.01), (2L, 19.99),
+      (5L, 50.05), (5L, 49.95), (6L, 60.05), (6L, 59.95))
+    val df = rows.toDF("l_quantity", "l_extendedprice")
+    val got = Regression.goldfeldQuandt(df)
+      .as[(Long, Long, Double)].collect().head
+    // SSE_lo = 4 cents², SSE_hi = 100 -> F = (100/2)/(4/2) = 25
+    assert(got === ((4L, 4L, 25.0)), s"$got")
+  }
+
+  test("q338 Breusch-Pagan: perfect fit NaN; planted pattern drives LM up") {
+    import spark.implicits._
+    def li(rows: Seq[(Long, Double, Double)]) =
+      rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    // exact linear data: zero residuals, SST of u² = 0 -> NaN
+    val perfect = Regression.breuschPagan(li(Seq(
+      (1L, 0.0, 10.0), (2L, 0.0, 20.0), (3L, 0.0, 30.0),
+      (4L, 0.01, 40.0))))
+      .as[(Long, Double)].collect().head
+    assert(perfect._2.isNaN, s"$perfect")
+    // residual magnitude grows with x1 (u² = x1² after the balanced
+    // fit): the aux regression explains most of it -> LM near n
+    val het = Regression.breuschPagan(li(Seq(
+      (1L, 0.00, 10.01), (1L, 0.01, 9.99),
+      (2L, 0.00, 19.98), (2L, 0.01, 20.02),
+      (3L, 0.00, 30.03), (3L, 0.01, 29.97),
+      (4L, 0.00, 39.96), (4L, 0.01, 40.04))))
+      .as[(Long, Double)].collect().head
+    assert(het._1 === 8L, s"$het")
+    assert(het._2 > 6.0 && het._2 <= 8.0, s"$het")
+  }
 }
