@@ -1740,6 +1740,42 @@ object SparkEntry {
     // cents-grid residuals, one aux exact-moment regression
     "q338_breusch_pagan" -> ((s, dir) =>
       Regression.breuschPagan(Tables.lineitem(s, dir))),
+    // q339: Page's trend — ordered priority effect within weekday
+    // blocks (q312's question, blocked)
+    "q339_page_trend" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.pageTrend(Tables.orders(s, dir),
+        f.pmod(f.datediff(f.to_date(f.col("o_orderdate")),
+          f.lit("1970-01-01")) + f.lit(4), f.lit(7)).cast("long"),
+        f.substring(f.col("o_orderpriority"), 1, 1).cast("int"),
+        f.col("o_totalprice"))
+    }),
+    // q340: Cochran's Q — per-customer quarter-presence flags, did
+    // propensity differ across quarters
+    "q340_cochran_q" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.cochranQ(Tables.orders(s, dir), f.col("o_custkey"),
+        f.quarter(f.to_date(f.col("o_orderdate"))).cast("long"),
+        f.lit(1L))
+    }),
+    // q341: sign test — per-customer order counts, first vs second
+    // calendar half (the q321 midpoint device)
+    "q341_sign_test" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      val daily = Tables.orders(s, dir).select(f.col("o_custkey"),
+        f.datediff(f.to_date(f.col("o_orderdate")),
+          f.lit("1970-01-01")).cast("long").as("d"))
+      val mid = daily.agg(
+        f.floor((f.min(f.col("d")) + f.max(f.col("d"))) / f.lit(2L))
+          .cast("long").as("mid"))
+      val per = daily.crossJoin(f.broadcast(mid))
+        .groupBy(f.col("o_custkey"))
+        .agg(f.sum(f.when(f.col("d") <= f.col("mid"), f.lit(1L))
+            .otherwise(f.lit(0L))).as("x"),
+          f.sum(f.when(f.col("d") > f.col("mid"), f.lit(1L))
+            .otherwise(f.lit(0L))).as("y"))
+      Stats.signTest(per, f.col("x"), f.col("y"))
+    }),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -7929,6 +7965,106 @@ object SparkEntry {
         |    THEN CAST('NaN' AS DOUBLE)
         |    ELSE n * (1.0 - sse / sst) END, 6) AS bp_lm
         |FROM g""".stripMargin,
+    // q339: the Page chain replayed — q327 rank machinery with the
+    // score-weighted L and classical moments
+    "q339_page_trend" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST((datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) + 4) % 7 AS BIGINT) AS blk,
+        |    CAST(CAST(substr(o_orderpriority, 1, 1) AS INT)
+        |      AS BIGINT) AS trt,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS HUGEINT) AS s
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT c1.blk, c1.trt,
+        |    CAST(2 * sum(CASE WHEN c2.s * c1.n < c1.s * c2.n
+        |        THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN c2.s * c1.n = c1.s * c2.n
+        |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2
+        |  FROM cells c1 JOIN cells c2 ON c2.blk = c1.blk
+        |  GROUP BY 1, 2),
+        |shape AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT trt) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS ncells FROM cells),
+        |rj AS (SELECT trt, CAST(sum(r2) AS BIGINT) AS rj2
+        |       FROM ranked GROUP BY 1),
+        |l AS (SELECT CAST(sum(CAST(trt AS HUGEINT) * rj2) AS HUGEINT)
+        |        AS l2 FROM rj),
+        |f AS (SELECT b, k, ncells, l2,
+        |    CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+        |      / 4.0 AS ee,
+        |    CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+        |      * (CAST(k AS DOUBLE) - 1.0) / 144.0 AS vv
+        |  FROM l CROSS JOIN shape)
+        |SELECT b AS n_blocks, k AS k_treatments,
+        |  round(CAST(l2 AS DOUBLE) / 2.0, 2) AS page_l,
+        |  round(CASE WHEN k <= 1 OR ncells <> b * k OR vv <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (CAST(l2 AS DOUBLE) / 2.0 - ee) / sqrt(vv) END, 6)
+        |    AS z_score
+        |FROM f""".stripMargin,
+    // q340: the Cochran-Q chain replayed — presence cells, row/column
+    // exact totals, one mirrored ratio
+    "q340_cochran_q" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey AS s,
+        |    CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS j,
+        |    CAST(max(1) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS nsubj,
+        |    CAST(sum(ri) AS BIGINT) AS t,
+        |    CAST(sum(CAST(ri AS HUGEINT) * ri) AS HUGEINT) AS r2
+        |  FROM (SELECT s, CAST(sum(x) AS BIGINT) AS ri
+        |        FROM per GROUP BY 1)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS c2
+        |  FROM (SELECT j, CAST(sum(x) AS BIGINT) AS cj
+        |        FROM per GROUP BY 1)),
+        |f AS (SELECT nsubj, k,
+        |    CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)
+        |      * (CAST(c2 AS DOUBLE) - CAST(t AS DOUBLE)
+        |        * CAST(t AS DOUBLE) / CAST(k AS DOUBLE)) AS num,
+        |    CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+        |      - CAST(r2 AS DOUBLE) AS den
+        |  FROM r CROSS JOIN c)
+        |SELECT nsubj AS n_subjects, k AS k_treatments,
+        |  round(CASE WHEN den <= 0.0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE num / den END, 6) AS cochran_q
+        |FROM f""".stripMargin,
+    // q341: the sign-test chain replayed — midpoint halves, paired
+    // per-customer counts, continuity-corrected signed z
+    "q341_sign_test" ->
+      """WITH daily AS (SELECT o_custkey,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders),
+        |mid AS (SELECT CAST(floor((min(d) + max(d)) / 2) AS BIGINT)
+        |          AS mid FROM daily),
+        |per AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM daily CROSS JOIN mid GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(sum(CASE WHEN y < x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS neg
+        |  FROM per),
+        |f AS (SELECT n, pos, neg, pos + neg AS m FROM ag)
+        |SELECT n AS n_pairs, pos AS n_up, neg AS n_down,
+        |  round(CASE WHEN m <= 0 THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (abs(CAST(pos AS DOUBLE) - CAST(m AS DOUBLE) / 2.0)
+        |        - 0.5)
+        |      / sqrt(CAST(m AS DOUBLE) / 4.0)
+        |      * CASE WHEN CAST(pos AS DOUBLE) >= CAST(m AS DOUBLE)
+        |          / 2.0 THEN 1.0 ELSE -1.0 END END, 6) AS z_score
+        |FROM f""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -1288,14 +1288,20 @@ object Stats {
       count(lit(1)).as("ncells"))
     ranked.groupBy(col("trt"))
       .agg(sum(col("r2")).as("rj2"))
-      .agg(sum(dec(col("rj2")) * col("rj2")).as("sr2x4"))
       .crossJoin(broadcast(shape))
   }
+
+  /** The ΣR_j² reduction shared by [[friedman]] and [[kendallW]]. */
+  private def friedmanSr2(df: DataFrame, blockCol: Column,
+      treatCol: Column, valueCol: Column): DataFrame =
+    friedmanCore(df, blockCol, treatCol, valueCol)
+      .groupBy(col("b"), col("k"), col("ncells"))
+      .agg(sum(dec(col("rj2")) * col("rj2")).as("sr2x4"))
 
   def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
       valueCol: Column): DataFrame = {
     def d(c: Column): Column = c.cast("double")
-    friedmanCore(df, blockCol, treatCol, valueCol)
+    friedmanSr2(df, blockCol, treatCol, valueCol)
       .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
         round(when(col("k") <= 1L ||
             col("ncells") =!= col("b") * col("k"), lit(Double.NaN))
@@ -1317,7 +1323,7 @@ object Stats {
   def kendallW(df: DataFrame, blockCol: Column, treatCol: Column,
       valueCol: Column): DataFrame = {
     def d(c: Column): Column = c.cast("double")
-    friedmanCore(df, blockCol, treatCol, valueCol)
+    friedmanSr2(df, blockCol, treatCol, valueCol)
       .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
         round(when(col("k") <= 1L ||
             col("ncells") =!= col("b") * col("k"), lit(Double.NaN))
@@ -1328,6 +1334,104 @@ object Stats {
             (d(col("b")) * d(col("b")) * d(col("k")) *
               (d(col("k")) * d(col("k")) - lit(1.0)))), 6)
           .as("kendall_w"))
+  }
+
+  /** Q339: PAGE'S TREND TEST — the ORDERED alternative in the q327
+    * blocked design (q312's Jonckheere question asked within blocks):
+    * does the outcome rise monotonically with the treatment ORDER,
+    * judged on within-block ranks? The treatment column must BE the
+    * 1..k order scores (here the priority digit);
+    * L = Σ_j s_j·R_j over the [[friedmanCore]] exact midrank sums,
+    * E = b·k(k+1)²/4, V = b·k²(k+1)²(k−1)/144, one mirrored z. NaN on
+    * k ≤ 1, an incomplete design, or V ≤ 0.
+    */
+  def pageTrend(df: DataFrame, blockCol: Column, treatScoreCol: Column,
+      valueCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    friedmanCore(df, blockCol, treatScoreCol.cast("long"), valueCol)
+      .groupBy(col("b"), col("k"), col("ncells"))
+      .agg(sum(dec(col("trt")) * col("rj2")).as("l2"))
+      .withColumn("kd", d(col("k")))
+      .withColumn("bd", d(col("b")))
+      .withColumn("ee",
+        col("bd") * col("kd") * (col("kd") + lit(1.0)) *
+          (col("kd") + lit(1.0)) / lit(4.0))
+      .withColumn("vv",
+        col("bd") * col("kd") * col("kd") * (col("kd") + lit(1.0)) *
+          (col("kd") + lit(1.0)) * (col("kd") - lit(1.0)) /
+          lit(144.0))
+      .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+        round(col("l2").cast("double") / lit(2.0), 2).as("page_l"),
+        round(when(col("k") <= 1L ||
+            col("ncells") =!= col("b") * col("k") ||
+            col("vv") <= 0.0, lit(Double.NaN))
+          .otherwise((col("l2").cast("double") / lit(2.0) -
+            col("ee")) / sqrt(col("vv"))), 6).as("z_score"))
+  }
+
+  /** Q340: COCHRAN'S Q TEST — k RELATED binary outcomes per subject
+    * (did purchase propensity differ across the year's quarters,
+    * judged within customer — the binary sibling of q327):
+    * Q = k(k−1)·Σ_j(C_j − T/k)²/(k·T − Σ_i R_i²) with column totals
+    * C_j, row totals R_i, grand total T — all exact integers from
+    * one subject-level aggregation (R_i² sums in DECIMAL; the C_j
+    * reduction folds the sorted k-element list). NaN when the
+    * denominator is 0 (every subject all-0 or all-1).
+    */
+  def cochranQ(df: DataFrame, subjectCol: Column, treatCol: Column,
+      flagCol: Column): DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    val per = df.select(subjectCol.as("s"), treatCol.as("j"),
+        flagCol.cast("long").as("x"))
+      .groupBy(col("s"), col("j"))
+      .agg((max(col("x"))).as("x"))
+    val rows = per.groupBy(col("s"))
+      .agg(sum(col("x")).as("ri"))
+      .agg(count(lit(1)).as("nsubj"), sum(col("ri")).as("t"),
+        sum(dec(col("ri")) * col("ri")).as("r2"))
+    val cols = per.groupBy(col("j"))
+      .agg(sum(col("x")).as("cj"))
+      .agg(count(lit(1)).as("k"),
+        sum(dec(col("cj")) * col("cj")).as("c2"))
+    rows.crossJoin(broadcast(cols))
+      .withColumn("kd", d("k"))
+      .withColumn("num",
+        col("kd") * (col("kd") - lit(1.0)) *
+          (col("c2").cast("double") -
+            d("t") * d("t") / col("kd")))
+      .withColumn("den",
+        col("kd") * d("t") - col("r2").cast("double"))
+      .select(col("nsubj").as("n_subjects"), col("k").as("k_treatments"),
+        round(when(col("den") <= 0.0, lit(Double.NaN))
+          .otherwise(col("num") / col("den")), 6).as("cochran_q"))
+  }
+
+  /** Q341: SIGN TEST on paired halves — did each customer's order
+    * count RISE from the first to the second calendar half (the
+    * assumption-free paired location test; q300's Hodges–Lehmann
+    * quantifies the shift, the sign test just votes)? S = #(second >
+    * first), ties dropped (the standard convention), z with
+    * continuity correction (|S − m/2| − ½)/sqrt(m/4) over the m
+    * non-tied pairs. One subject-level aggregation; exact counts.
+    */
+  def signTest(pairs: DataFrame, xCol: Column, yCol: Column)
+      : DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    pairs.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") > col("x"), lit(1L)).otherwise(lit(0L)))
+          .as("pos"),
+        sum(when(col("y") < col("x"), lit(1L)).otherwise(lit(0L)))
+          .as("neg"))
+      .withColumn("m", col("pos") + col("neg"))
+      .select(col("n").as("n_pairs"), col("pos").as("n_up"),
+        col("neg").as("n_down"),
+        round(when(col("m") <= 0L, lit(Double.NaN))
+          .otherwise(
+            (abs(d("pos") - d("m") / lit(2.0)) - lit(0.5)) /
+              sqrt(d("m") / lit(4.0)) *
+              when(d("pos") >= d("m") / lit(2.0), lit(1.0))
+                .otherwise(lit(-1.0))), 6).as("z_score"))
   }
 
   /** Q329: MANTEL–HAENSZEL POOLED ODDS RATIO across strata — q326's

@@ -400,6 +400,56 @@ class StatsSpec extends SparkSpec {
     assert(flat._2.isNaN, s"$flat")
   }
 
+  test("q339 Page trend: perfect ascent z=2, descent z=-2") {
+    def cells(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("blk", "trt", "v")
+    val up = cells(Seq((0L, 1L, 10.0), (0L, 2L, 20.0), (0L, 3L, 30.0),
+      (1L, 1L, 11.0), (1L, 2L, 21.0), (1L, 3L, 31.0)))
+    val got = Stats.pageTrend(up, col("blk"), col("trt"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    // L = 1*2 + 2*4 + 3*6 = 28, E = 24, V = 4
+    assert(got === ((2L, 3L, 28.0, 2.0)), s"$got")
+    val down = cells(Seq((0L, 1L, 30.0), (0L, 2L, 20.0), (0L, 3L, 10.0),
+      (1L, 1L, 31.0), (1L, 2L, 21.0), (1L, 3L, 11.0)))
+    val rev = Stats.pageTrend(down, col("blk"), col("trt"), col("v"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(rev._3 === 20.0 && rev._4 === -2.0, s"$rev")
+  }
+
+  test("q340 Cochran Q: hand 3x3 presence table Q=3; degenerate NaN") {
+    def flags(rows: Seq[(Long, Long, Long)]) = rows.toDF("s", "j", "x")
+    val got = Stats.cochranQ(flags(Seq(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 0L),
+      (2L, 1L, 1L), (2L, 2L, 0L), (2L, 3L, 0L),
+      (3L, 1L, 1L), (3L, 2L, 1L), (3L, 3L, 1L))),
+      col("s"), col("j"), col("x"))
+      .as[(Long, Long, Double)].collect().head
+    // C=(3,2,1), T=6, R=(2,1,3): num = 6*(14-12)=12, den = 18-14=4
+    assert(got === ((3L, 3L, 3.0)), s"$got")
+    // every subject all-1: den = kT - ΣR² = 0 -> NaN
+    val allOne = Stats.cochranQ(flags(Seq((1L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 1L, 1L), (2L, 2L, 1L))), col("s"), col("j"), col("x"))
+      .as[(Long, Long, Double)].collect().head
+    assert(allOne._3.isNaN, s"$allOne")
+  }
+
+  test("q341 sign test: balanced-at-half z=0, one-sided hand z; all ties NaN") {
+    def pairsDf(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
+    val bal = Stats.signTest(pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 1L),
+      (2L, 2L))), col("x"), col("y"))
+      .as[(Long, Long, Long, Double)].collect().head
+    // pos=2, neg=1, m=3: |2-1.5|-0.5 = 0 -> z = 0
+    assert(bal === ((4L, 2L, 1L, 0.0)), s"$bal")
+    val up = Stats.signTest(pairsDf(Seq((1L, 2L), (1L, 2L), (1L, 2L))),
+      col("x"), col("y"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(up._4 === 1.154701, s"$up")
+    val ties = Stats.signTest(pairsDf(Seq((5L, 5L), (7L, 7L))),
+      col("x"), col("y"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(ties._4.isNaN, s"$ties")
+  }
+
   test("q323 G-test: independence G=0; perfect association 8 ln 2 on the grid") {
     def cellsDf(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
     // product structure: O = E everywhere -> every ln term 0
