@@ -33,8 +33,10 @@ class StreamingSeriesSpec extends SparkSpec {
     assert(cents.isStreaming)
     val q = cents.writeStream.format("memory").queryName("day_cells")
       .outputMode("complete").start()
+    // sort before comparing: a multi-row result's collect order is
+    // plan-dependent (the full-suite flake of 2026-08-16)
     def rows1(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
-      df.collect().toSeq.map(_.toSeq)
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
     try {
       in.addData(evs.take(70): _*)
       q.processAllAvailable()
