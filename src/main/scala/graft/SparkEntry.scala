@@ -1758,6 +1758,13 @@ object SparkEntry {
         f.quarter(f.to_date(f.col("o_orderdate"))).cast("long"),
         f.lit(1L))
     }),
+    // q342: two-proportion z + Wilson intervals — discounted-line
+    // rate, R vs N
+    "q342_two_proportion" -> ((s, dir) => {
+      val f = org.apache.spark.sql.functions
+      Stats.twoProportionZ(Tables.lineitem(s, dir), "l_returnflag",
+        (f.col("l_discount") > 0.0).cast("long"), "R", "N")
+    }),
     // q341: sign test — per-customer order counts, first vs second
     // calendar half (the q321 midpoint device)
     "q341_sign_test" -> ((s, dir) => {
@@ -8065,6 +8072,56 @@ object SparkEntry {
         |      * CASE WHEN CAST(pos AS DOUBLE) >= CAST(m AS DOUBLE)
         |          / 2.0 THEN 1.0 ELSE -1.0 END END, 6) AS z_score
         |FROM f""".stripMargin,
+    // q342: the two-proportion chain replayed — conditional counts,
+    // pooled-variance z, mirrored Wilson intervals (z² literals)
+    "q342_two_proportion" ->
+      """WITH ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN g = 'R' THEN x ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN g = 'N' THEN x ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM (SELECT l_returnflag AS g,
+        |          CASE WHEN l_discount > 0.0 THEN 1 ELSE 0 END AS x
+        |        FROM lineitem
+        |        WHERE l_returnflag IN ('R', 'N'))),
+        |f AS (
+        |  SELECT n1, n2,
+        |    CASE WHEN n1 <= 0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1,
+        |    CASE WHEN n2 <= 0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS p2,
+        |    CASE WHEN n1 + n2 <= 0 THEN CAST('NaN' AS DOUBLE)
+        |      ELSE (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) END AS pp,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        |  FROM ag),
+        |g AS (
+        |  SELECT n1, n2, p1, p2, n1d, n2d,
+        |    pp * (1.0 - pp) * (1.0 / n1d + 1.0 / n2d) AS se2
+        |  FROM f)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(p1, 6) AS p_a, round(p2, 6) AS p_b,
+        |  round(CASE WHEN isnan(se2) OR se2 <= 0.0
+        |    THEN CAST('NaN' AS DOUBLE)
+        |    ELSE (p1 - p2) / sqrt(se2) END, 6) AS z_score,
+        |  round(((p1 + 1.9208 / n1d) - 1.96
+        |    * sqrt(p1 * (1.0 - p1) / n1d + 0.9604 / (n1d * n1d)))
+        |    / (1.0 + 3.8416 / n1d), 6) AS wilson_lo_a,
+        |  round(((p1 + 1.9208 / n1d) + 1.96
+        |    * sqrt(p1 * (1.0 - p1) / n1d + 0.9604 / (n1d * n1d)))
+        |    / (1.0 + 3.8416 / n1d), 6) AS wilson_hi_a,
+        |  round(((p2 + 1.9208 / n2d) - 1.96
+        |    * sqrt(p2 * (1.0 - p2) / n2d + 0.9604 / (n2d * n2d)))
+        |    / (1.0 + 3.8416 / n2d), 6) AS wilson_lo_b,
+        |  round(((p2 + 1.9208 / n2d) + 1.96
+        |    * sqrt(p2 * (1.0 - p2) / n2d + 0.9604 / (n2d * n2d)))
+        |    / (1.0 + 3.8416 / n2d), 6) AS wilson_hi_b
+        |FROM g""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

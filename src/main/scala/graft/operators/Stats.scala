@@ -1434,6 +1434,61 @@ object Stats {
                 .otherwise(lit(-1.0))), 6).as("z_score"))
   }
 
+  /** Q342: TWO-PROPORTION Z-TEST with per-group WILSON 95% INTERVALS —
+    * the binary-outcome sibling of q269 (is the discounted-line RATE
+    * the same in the R and N cohorts?): pooled-variance
+    * z = (p₁−p₂)/sqrt(p̂(1−p̂)(1/n₁+1/n₂)) plus each group's Wilson
+    * score interval (the interval that behaves at extreme p where the
+    * Wald CI collapses): center (p + z²/2n)/(1 + z²/n), half-width
+    * z·sqrt(p(1−p)/n + z²/4n²)/(1 + z²/n) at z = 1.96. Exact counts
+    * from one conditional aggregation; every expression mirrored. NaN
+    * when a group is empty or the pooled variance degenerates.
+    */
+  def twoProportionZ(df: DataFrame, groupCol: String, flagCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    val base = df.select(col(groupCol).as("g"),
+        flagCol.cast("long").as("x"))
+      .filter(col("g").isin(groupA, groupB))
+    def wilsonLo(p: Column, n: Column): Column =
+      ((p + lit(1.9208) / n) - lit(1.96) *
+        sqrt(p * (lit(1.0) - p) / n +
+          lit(0.9604) / (n * n))) / (lit(1.0) + lit(3.8416) / n)
+    def wilsonHi(p: Column, n: Column): Column =
+      ((p + lit(1.9208) / n) + lit(1.96) *
+        sqrt(p * (lit(1.0) - p) / n +
+          lit(0.9604) / (n * n))) / (lit(1.0) + lit(3.8416) / n)
+    base.agg(
+        sum(when(col("g") === groupA, lit(1L)).otherwise(lit(0L)))
+          .as("n1"),
+        sum(when(col("g") === groupB, lit(1L)).otherwise(lit(0L)))
+          .as("n2"),
+        sum(when(col("g") === groupA, col("x")).otherwise(lit(0L)))
+          .as("c1"),
+        sum(when(col("g") === groupB, col("x")).otherwise(lit(0L)))
+          .as("c2"))
+      .withColumn("p1", when(col("n1") <= 0L, lit(Double.NaN))
+        .otherwise(d("c1") / d("n1")))
+      .withColumn("p2", when(col("n2") <= 0L, lit(Double.NaN))
+        .otherwise(d("c2") / d("n2")))
+      .withColumn("pp",
+        when(col("n1") + col("n2") <= 0L, lit(Double.NaN))
+          .otherwise((d("c1") + d("c2")) / (d("n1") + d("n2"))))
+      .withColumn("se2",
+        col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / d("n1") + lit(1.0) / d("n2")))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        round(col("p1"), 6).as("p_a"), round(col("p2"), 6).as("p_b"),
+        round(when(isnan(col("se2")) || col("se2") <= 0.0,
+            lit(Double.NaN))
+          .otherwise((col("p1") - col("p2")) / sqrt(col("se2"))), 6)
+          .as("z_score"),
+        round(wilsonLo(col("p1"), d("n1")), 6).as("wilson_lo_a"),
+        round(wilsonHi(col("p1"), d("n1")), 6).as("wilson_hi_a"),
+        round(wilsonLo(col("p2"), d("n2")), 6).as("wilson_lo_b"),
+        round(wilsonHi(col("p2"), d("n2")), 6).as("wilson_hi_b"))
+  }
+
   /** Q329: MANTEL–HAENSZEL POOLED ODDS RATIO across strata — q326's
     * association CONTROLLED for a confounder (Simpson's-paradox
     * insurance): one 2×2 per stratum, pooled as

@@ -450,6 +450,24 @@ class StatsSpec extends SparkSpec {
     assert(ties._4.isNaN, s"$ties")
   }
 
+  test("q342 two-proportion z: equal rates z=0; all-zero Wilson floor is 0") {
+    def fl(rows: Seq[(String, Long)]) = rows.toDF("g", "x")
+    val eq = Stats.twoProportionZ(fl(Seq(("A", 1L), ("A", 0L),
+      ("B", 1L), ("B", 0L))), "g", col("x"), "A", "B")
+      .as[(Long, Long, Double, Double, Double, Double, Double,
+        Double, Double)].collect().head
+    assert(eq._3 === 0.5 && eq._4 === 0.5 && eq._5 === 0.0, s"$eq")
+    assert(eq._6 === eq._8 && eq._7 === eq._9, s"$eq")
+    // p = 0 at n = 2: the Wilson lower bound lands exactly on 0
+    // ((0.9604 - 1.96*0.49)/2.9208), where a Wald CI would go negative
+    val zero = Stats.twoProportionZ(fl(Seq(("A", 0L), ("A", 0L),
+      ("B", 1L), ("B", 1L))), "g", col("x"), "A", "B")
+      .as[(Long, Long, Double, Double, Double, Double, Double,
+        Double, Double)].collect().head
+    assert(zero._3 === 0.0 && zero._6 === 0.0, s"$zero")
+    assert(zero._5 < 0.0, s"$zero")
+  }
+
   test("q323 G-test: independence G=0; perfect association 8 ln 2 on the grid") {
     def cellsDf(rows: Seq[(String, Long)]) = rows.toDF("a", "b")
     // product structure: O = E everywhere -> every ln term 0
