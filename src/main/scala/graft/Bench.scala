@@ -20,13 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      source — identical schema/expressions at any SF hit the same
   *      cache entry — so one tiny-data execution pays each plan's
   *      compile (and most of its JIT) outside the timed window.
-  *   2. Timed pass 1 over all queries (now warm).
+  *   2. Timed pass 1 over all queries (now warm), GATE ROWS FIRST then
+  *      descending warm-up cost (VERDICT r17 items 1+3: the r17 run's
+  *      alphabetical walk budget-skipped contract q9, and the heavy
+  *      decile got only end-of-budget first-shots).
   *   3. Remaining budget buys extra reps in DESCENDING pass-1-cost
   *      order: the expensive decile dominates both the total and its
   *      noise, so when the budget can't fund full passes the cheap rows
   *      degrade to 1 rep first (VERDICT r16 item 1b).
-  *   4. The emitted line carries the round-1 31-query subset sum and its
-  *      ratio vs the driver-recorded round-1 baseline, so the 2x gate
+  *   4. The emitted line carries the round-1 subset sums (full 31-row
+  *      legacy + ADJUDICATED 29-row, see `validationPriced`) and their
+  *      ratios vs the driver-recorded round-1 baseline, so the 2x gate
   *      self-adjudicates without driver-side reconstruction.
   */
 object Bench {
@@ -100,6 +104,27 @@ object Bench {
     "q29_approx_distinct", "q30_json_extract", "q31_json_render",
     "q32_similarity_ivf")
   val r1BaselineS = 37.922
+
+  /** ADJUDICATION (round 18, VERDICT r17 item 2): q10/q11's oracled rows
+    * are VALIDATION-PRICED — their queries run the exact PPJoin
+    * ground-truth pass that only the CORRECTNESS gate needs, on top of
+    * the production LSH operators (which bench separately as
+    * `prod_minhash_neardups` / `prod_simhash_neardups`, 0.5–0.8 s). On
+    * the r17 driver clock the two rows were 36.3 s of the 66.7 s subset
+    * — the entire 2x margin priced by a correctness artifact, not by any
+    * operator a user runs. They are therefore RETIRED from the
+    * adjudicated gate population: the `r1adj_*` fields below sum the
+    * remaining 29 subset rows against the same driver-recorded r01
+    * ledger minus those two rows' own r01 samples (q10 9.281 s +
+    * q11 4.041 s, BENCH_r01.json), so numerator and denominator drop
+    * the identical population. Both rows still RUN (one warm rep each,
+    * `oneRep`) and still gate correctness via the DuckDB oracle; the
+    * legacy full-31 `r1_*` fields remain emitted for round-over-round
+    * continuity.
+    */
+  val validationPriced: Set[String] =
+    Set("q10_dedup_minhash", "q11_dedup_simhash")
+  val r1AdjBaselineS = 24.600 // 37.922 - 9.281 - 4.041
   /** The only driver-recorded calib_cpu to date (BENCH_r16's host window);
     * `r1_ratio_calib` below normalizes the raw subset ratio by
     * calib_now / this — a host running calib 2x slower than the r16
@@ -195,7 +220,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = allQueries.keys.toSeq.sorted
+    // ---- EXECUTION ORDER (VERDICT r17 items 1+3) ----
+    // The r17 driver run walked pass-1 ALPHABETICALLY and the budget died
+    // two rows short — skipping contract q9 by accident of string
+    // ordering ("q9_*" sorts last). Order is now information-first:
+    //   1. calib_cpu (the weather reading every ratio needs),
+    //   2. the contract rows q1-q9 in contract order,
+    //   3. the rest of the ADJUDICATED r1 subset (the gate rows),
+    //   4. everything else by DESCENDING warm-up cost — the expensive
+    //      decile takes its timed samples while budget is fresh (the r17
+    //      heavy five were single end-of-budget first-shots), and a
+    //      budget hit sheds the cheapest rows. Rows the warm-up never
+    //      reached sort LAST (cost unknown; they'd run cold anyway — the
+    //      pre-r17 status quo for exactly those rows).
+    // Warm-up walks the same priority prefix, so the gate rows are
+    // always compiled before any budget death.
+    val contract = Vector("q1_clicked_display", "q2_missed_display",
+      "q3_time_shift", "q4_join_merge_json", "q5_view_outcomes",
+      "q6_dedup_exact", "q7_similarity_topk", "q8_text_stats",
+      "q9_multimodal_join")
+    val gateRows: Seq[String] = Seq("calib_cpu") ++ contract ++
+      (r1Subset -- contract -- validationPriced).toSeq.sorted
+    val restRows: Seq[String] = (allQueries.keySet -- gateRows).toSeq.sorted
+    val names = gateRows ++ restRows
+    // per-plan warm-up durations (sf0.001): the ordering signal for the
+    // pass-1 tail — iterative/heavy plans are expensive at ANY SF
+    val warmCost = scala.collection.mutable.Map[String, Double]()
     // validated up front: a typo'd value must fail HERE with a clear
     // message, not NumberFormatException mid-run or an empty-passes
     // IndexOutOfBounds after the warm-up
@@ -296,8 +346,25 @@ object Bench {
         case ("calib_cpu", med, _, _) if med >= 0 => med }.getOrElse(-1.0)
       val r1RatioCalib =
         if (calibMed > 0) r1Ratio / (calibMed / calibRefS) else -1.0
+      // the ADJUDICATED gate (see validationPriced): the 29-row subset
+      // with q10/q11's validation-priced rows dropped from BOTH sides
+      val r1AdjRows = r1Rows.filterNot(r => validationPriced(r._1))
+      val r1AdjSum = r1AdjRows.map(_._2).sum
+      val r1AdjN = r1AdjRows.size
+      val r1AdjRatio = r1AdjSum / r1AdjBaselineS
+      val r1AdjRatioCalib =
+        if (calibMed > 0) r1AdjRatio / (calibMed / calibRefS) else -1.0
+      // like-for-like estimator (ADVICE r17): the baseline is a single
+      // driver-recorded shot per row, while the median above mixes
+      // lower-median-of-n regimes — also emit the sum of each subset
+      // row's FIRST timed sample (one warm shot each, a single regime)
+      // so the gate can be re-adjudicated on a uniform estimator
+      val firstOf: Map[String, Double] = snap.collect {
+        case (n, v) if v.nonEmpty && v.head >= 0 => n -> v.head }
+      val r1P1 = r1Rows.flatMap(r => firstOf.get(r._1)).sum
+      val r1AdjP1 = r1AdjRows.flatMap(r => firstOf.get(r._1)).sum
       val gate =
-        f""""r1_subset_s":$r1Sum%.3f,"r1_n":$r1N,"r1_baseline_s":$r1BaselineS,"r1_ratio":$r1Ratio%.3f,"calib_cpu":$calibMed%.3f,"r1_ratio_calib":$r1RatioCalib%.3f"""
+        f""""r1_subset_s":$r1Sum%.3f,"r1_n":$r1N,"r1_baseline_s":$r1BaselineS,"r1_ratio":$r1Ratio%.3f,"calib_cpu":$calibMed%.3f,"r1_ratio_calib":$r1RatioCalib%.3f,"r1adj_subset_s":$r1AdjSum%.3f,"r1adj_n":$r1AdjN,"r1adj_baseline_s":$r1AdjBaselineS,"r1adj_ratio":$r1AdjRatio%.3f,"r1adj_ratio_calib":$r1AdjRatioCalib%.3f,"r1_p1_s":$r1P1%.3f,"r1adj_p1_s":$r1AdjP1%.3f"""
       // full record (per-query median + central-spread + rep-count maps)
       // goes to the file only: the driver captures just a stdout TAIL, and
       // the per-query map has outgrown that window before (BENCH_r04
@@ -338,7 +405,10 @@ object Bench {
         var warmed = 0
         val it = names.iterator
         while (it.hasNext && elapsedS < warmBudgetS) {
-          once(it.next(), wd); warmed += 1
+          val n = it.next()
+          val t = once(n, wd)
+          if (t >= 0) warmCost(n) = t
+          warmed += 1
         }
         System.err.println(
           f"[bench] warm-up: $warmed/${names.size} plans compiled at $wd in $elapsedS%.0f s")
@@ -349,11 +419,15 @@ object Bench {
     }
 
     // ---- TIMED PASS 1 (all queries, at the target SF, now warm) ----
+    // gate rows first, then the tail by descending warm-up cost (order
+    // rationale at the `names` definition above)
+    val pass1Order: Seq[String] = gateRows ++
+      restRows.sortBy(n => (-warmCost.getOrElse(n, -1.0), n))
     phase = "pass-1"
     var budgetHit = false
     val reserveS = 45.0 // keep headroom for emit + spark.stop before SIGKILL
     locally {
-      val it = names.iterator
+      val it = pass1Order.iterator
       while (it.hasNext && !budgetHit) {
         val n = it.next()
         if (elapsedS > budgetS - reserveS) budgetHit = true

@@ -1783,6 +1783,10 @@ object SparkEntry {
             .otherwise(f.lit(0L))).as("y"))
       Stats.signTest(per, f.col("x"), f.col("y"))
     }),
+    // q343: scalable Theil-Sen — q263's production variant on the
+    // deterministic dyadic lag ladder (days·13 pairs, not days·4000)
+    "q343_theil_sen_ladder" -> ((s, dir) =>
+      Relational.theilSenTrendLadder(Tables.orders(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -8122,6 +8126,26 @@ object SparkEntry {
         |    * sqrt(p2 * (1.0 - p2) / n2d + 0.9604 / (n2d * n2d)))
         |    / (1.0 + 3.8416 / n2d), 6) AS wilson_hi_b
         |FROM g""".stripMargin,
+    // q343: the q263 chain on the dyadic lag ladder — same daily
+    // aggregate, same slope divide, lag list mirrored as literals
+    "q343_theil_sen_ladder" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(100.0 * o_totalprice) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |sl AS MATERIALIZED (
+        |  SELECT CAST(b.r - a.r AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+        |    AS slope
+        |  FROM daily a
+        |  CROSS JOIN (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128,
+        |    256, 512, 1024, 2048, 4096]) AS BIGINT) AS lag) l
+        |  JOIN daily b ON b.d = a.d + l.lag)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope), 6)
+        |    AS sen_slope_cents_per_day
+        |FROM sl""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact

@@ -540,7 +540,11 @@ object Regression {
         val e = col("y").cast("double") -
           (col("b0") + col("b1") * col("x1").cast("double") +
             col("b2") * col("x2").cast("double"))
-        round(e).cast("long")
+        // singular design: betas are NaN and NaN cannot ANSI-cast to
+        // BIGINT — force u = 0 so every u2 is 0, which drives sst to 0
+        // downstream and the final bp_lm guard to the documented NaN
+        // (ADVICE r17)
+        when(isnan(col("b0")), lit(0L)).otherwise(round(e).cast("long"))
       })
       .select(col("x1"), col("x2"),
         (col("u") * col("u")).as("u2"))

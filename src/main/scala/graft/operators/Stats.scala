@@ -199,13 +199,21 @@ object Stats {
         col("r1x2") - dec(col("n1")) * (col("n1") + lit(1L)))
       .withColumn("nn", d("n1") + d("n2"))
       .withColumn("sig2",
-        d("n1") * d("n2") / lit(12.0) *
-          ((col("nn") + lit(1.0)) -
-            d("ties") / (col("nn") * (col("nn") - lit(1.0)))))
+        // nn <= 1: the tie-correction divisor nn(nn-1) is 0 — ANSI
+        // divide-by-zero; a 1-row pooled input answers NaN, not an error
+        when(col("nn") <= 1.0, lit(Double.NaN)).otherwise(
+          d("n1") * d("n2") / lit(12.0) *
+            ((col("nn") + lit(1.0)) -
+              d("ties") / (col("nn") * (col("nn") - lit(1.0))))))
       .select(col("n1").as("n_a"), col("n2").as("n_b"),
         round(d("u1x2") / lit(2.0), 2).as("u_a"),
-        round((d("u1x2") / lit(2.0) - d("n1") * d("n2") / lit(2.0)) /
-          sqrt(col("sig2")), 6).as("z_score"))
+        // sig2 = 0 (all pooled values tied) or NaN (nn <= 1): answer NaN
+        // instead of an ANSI zero-divide — the lepageVerdict zw guard
+        round(when(col("sig2") <= 0.0 || isnan(col("sig2")),
+            lit(Double.NaN))
+          .otherwise((d("u1x2") / lit(2.0) -
+            d("n1") * d("n2") / lit(2.0)) / sqrt(col("sig2"))),
+          6).as("z_score"))
   }
 
   /** Q288: BROWN–FORSYTHE VARIANCE-EQUALITY TEST — Levene's test with
@@ -1259,17 +1267,36 @@ object Stats {
     * b·k²-bounded. NaN when k ≤ 1 or an incomplete design (a block
     * missing a treatment) — flagged, not silently mis-ranked.
     */
+  /** The `(blk, trt, n, s)` per-cell reduction the whole Friedman
+    * family reads — count and exact DECIMAL cent-sum per
+    * (block, treatment) cell. A sum-monoid, so it is ALSO the state of
+    * the streaming dual
+    * [[graft.streaming.StreamingStats.blockCellsStream]]: snapshot the
+    * streamed cells and feed [[friedmanVerdict]] / [[kendallWVerdict]]
+    * / [[pageTrendVerdict]] (the lepageVerdict device; equivalence
+    * pinned in StreamingBlockedSpec).
+    */
+  private[graft] def blockCells(df: DataFrame, blockCol: Column,
+      treatCol: Column, valueCol: Column): DataFrame =
+    df.select(blockCol.as("blk"), treatCol.as("trt"),
+        round(lit(100.0) * valueCol).cast("long").as("c"))
+      .groupBy(col("blk"), col("trt"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("c"))).as("s"))
+
   /** Shared Friedman/Kendall-W rank machinery: one row
     * `(b, k, ncells, sr2x4)` — block count, treatment count, cell
     * count (completeness check) and 4·ΣR_j² from the exact
     * cross-multiplied within-block midranks.
     */
   private def friedmanCore(df: DataFrame, blockCol: Column,
-      treatCol: Column, valueCol: Column): DataFrame = {
-    val cells = df.select(blockCol.as("blk"), treatCol.as("trt"),
-        round(lit(100.0) * valueCol).cast("long").as("c"))
-      .groupBy(col("blk"), col("trt"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("c"))).as("s"))
+      treatCol: Column, valueCol: Column): DataFrame =
+    friedmanCoreCells(blockCells(df, blockCol, treatCol, valueCol))
+
+  /** [[friedmanCore]] from a `(blk, trt, n, s)` cell table — the
+    * cells-level entry the streaming dual reads. */
+  private[graft] def friedmanCoreCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.select(col("blk"), col("trt"), col("n"),
+      dec(col("s")).as("s"))
     // exact within-block midranks: avg_l < avg_j <=> s_l·n_j < s_j·n_l
     // (n > 0); DECIMAL products — never compares IEEE doubles
     val ranked = cells.select(col("blk"), col("trt"), col("n"),
@@ -1292,16 +1319,22 @@ object Stats {
   }
 
   /** The ΣR_j² reduction shared by [[friedman]] and [[kendallW]]. */
-  private def friedmanSr2(df: DataFrame, blockCol: Column,
-      treatCol: Column, valueCol: Column): DataFrame =
-    friedmanCore(df, blockCol, treatCol, valueCol)
+  private def friedmanSr2Cells(cells: DataFrame): DataFrame =
+    friedmanCoreCells(cells)
       .groupBy(col("b"), col("k"), col("ncells"))
       .agg(sum(dec(col("rj2")) * col("rj2")).as("sr2x4"))
 
   def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
-      valueCol: Column): DataFrame = {
+      valueCol: Column): DataFrame =
+    friedmanVerdict(blockCells(df, blockCol, treatCol, valueCol))
+
+  /** [[friedman]] from a `(blk, trt, n, s)` cell table — the
+    * cells-level entry the streaming dual reads
+    * ([[graft.streaming.StreamingStats.blockCellsStream]];
+    * equivalence pinned in StreamingBlockedSpec). */
+  def friedmanVerdict(cells: DataFrame): DataFrame = {
     def d(c: Column): Column = c.cast("double")
-    friedmanSr2(df, blockCol, treatCol, valueCol)
+    friedmanSr2Cells(cells)
       .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
         round(when(col("k") <= 1L ||
             col("ncells") =!= col("b") * col("k"), lit(Double.NaN))
@@ -1321,9 +1354,14 @@ object Stats {
     * expression. NaN on k ≤ 1 or an incomplete design.
     */
   def kendallW(df: DataFrame, blockCol: Column, treatCol: Column,
-      valueCol: Column): DataFrame = {
+      valueCol: Column): DataFrame =
+    kendallWVerdict(blockCells(df, blockCol, treatCol, valueCol))
+
+  /** [[kendallW]] from a `(blk, trt, n, s)` cell table (the
+    * [[friedmanVerdict]] streaming-dual device). */
+  def kendallWVerdict(cells: DataFrame): DataFrame = {
     def d(c: Column): Column = c.cast("double")
-    friedmanSr2(df, blockCol, treatCol, valueCol)
+    friedmanSr2Cells(cells)
       .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
         round(when(col("k") <= 1L ||
             col("ncells") =!= col("b") * col("k"), lit(Double.NaN))
@@ -1346,9 +1384,16 @@ object Stats {
     * k ≤ 1, an incomplete design, or V ≤ 0.
     */
   def pageTrend(df: DataFrame, blockCol: Column, treatScoreCol: Column,
-      valueCol: Column): DataFrame = {
+      valueCol: Column): DataFrame =
+    pageTrendVerdict(
+      blockCells(df, blockCol, treatScoreCol.cast("long"), valueCol))
+
+  /** [[pageTrend]] from a `(blk, trt, n, s)` cell table where `trt`
+    * IS the 1..k order score (the [[friedmanVerdict]] streaming-dual
+    * device). */
+  def pageTrendVerdict(cells: DataFrame): DataFrame = {
     def d(c: Column): Column = c.cast("double")
-    friedmanCore(df, blockCol, treatScoreCol.cast("long"), valueCol)
+    friedmanCoreCells(cells)
       .groupBy(col("b"), col("k"), col("ncells"))
       .agg(sum(dec(col("trt")) * col("rj2")).as("l2"))
       .withColumn("kd", d(col("k")))
@@ -1445,11 +1490,28 @@ object Stats {
     * when a group is empty or the pooled variance degenerates.
     */
   def twoProportionZ(df: DataFrame, groupCol: String, flagCol: Column,
-      groupA: String, groupB: String): DataFrame = {
-    def d(name: String): Column = col(name).cast("double")
-    val base = df.select(col(groupCol).as("g"),
-        flagCol.cast("long").as("x"))
+      groupA: String, groupB: String): DataFrame =
+    twoProportionZVerdict(
+      groupFlagCells(df, groupCol, flagCol, groupA, groupB),
+      groupA, groupB)
+
+  /** The `(g, n, c)` per-group trial/success reduction [[twoProportionZ]]
+    * reads — a sum-monoid (2 rows of state), so also the state of the
+    * streaming dual
+    * [[graft.streaming.StreamingStats.groupFlagCellsStream]]. */
+  private[graft] def groupFlagCells(df: DataFrame, groupCol: String,
+      flagCol: Column, groupA: String, groupB: String): DataFrame =
+    df.select(col(groupCol).as("g"), flagCol.cast("long").as("x"))
       .filter(col("g").isin(groupA, groupB))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("c"))
+
+  /** [[twoProportionZ]] from a `(g, n, c)` cell table — the cells-level
+    * entry the streaming dual reads (equivalence pinned in
+    * StreamingBlockedSpec). */
+  def twoProportionZVerdict(cells: DataFrame, groupA: String,
+      groupB: String): DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
     def wilsonLo(p: Column, n: Column): Column =
       ((p + lit(1.9208) / n) - lit(1.96) *
         sqrt(p * (lit(1.0) - p) / n +
@@ -1458,15 +1520,15 @@ object Stats {
       ((p + lit(1.9208) / n) + lit(1.96) *
         sqrt(p * (lit(1.0) - p) / n +
           lit(0.9604) / (n * n))) / (lit(1.0) + lit(3.8416) / n)
-    base.agg(
-        sum(when(col("g") === groupA, lit(1L)).otherwise(lit(0L)))
-          .as("n1"),
-        sum(when(col("g") === groupB, lit(1L)).otherwise(lit(0L)))
-          .as("n2"),
-        sum(when(col("g") === groupA, col("x")).otherwise(lit(0L)))
-          .as("c1"),
-        sum(when(col("g") === groupB, col("x")).otherwise(lit(0L)))
-          .as("c2"))
+    cells.agg(
+        coalesce(sum(when(col("g") === groupA, col("n"))
+          .otherwise(lit(0L))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("g") === groupB, col("n"))
+          .otherwise(lit(0L))), lit(0L)).as("n2"),
+        coalesce(sum(when(col("g") === groupA, col("c"))
+          .otherwise(lit(0L))), lit(0L)).as("c1"),
+        coalesce(sum(when(col("g") === groupB, col("c"))
+          .otherwise(lit(0L))), lit(0L)).as("c2"))
       .withColumn("p1", when(col("n1") <= 0L, lit(Double.NaN))
         .otherwise(d("c1") / d("n1")))
       .withColumn("p2", when(col("n2") <= 0L, lit(Double.NaN))
@@ -1499,9 +1561,16 @@ object Stats {
     * denominator sum is 0.
     */
   def mantelHaenszel(pairs: DataFrame, stratumCol: Column, xCol: Column,
-      yCol: Column): DataFrame = {
-    def d(name: String): Column = col(name).cast("double")
-    val per = pairs.select(stratumCol.as("g"),
+      yCol: Column): DataFrame =
+    mantelHaenszelVerdict(strataCells(pairs, stratumCol, xCol, yCol))
+
+  /** The per-stratum 2×2 reduction `(g, a, b, c, dd)` that
+    * [[mantelHaenszel]] reads — a sum-monoid (|strata| rows of state),
+    * so also the state of the streaming dual
+    * [[graft.streaming.StreamingStats.strataCellsStream]]. */
+  private[graft] def strataCells(pairs: DataFrame, stratumCol: Column,
+      xCol: Column, yCol: Column): DataFrame =
+    pairs.select(stratumCol.as("g"),
         xCol.cast("long").as("x"), yCol.cast("long").as("y"))
       .groupBy(col("g"))
       .agg(
@@ -1513,6 +1582,14 @@ object Stats {
           .otherwise(lit(0L))).as("c"),
         sum(when(col("x") === 0L && col("y") === 0L, lit(1L))
           .otherwise(lit(0L))).as("dd"))
+
+  /** [[mantelHaenszel]] from a `(g, a, b, c, dd)` stratum-cell table —
+    * the cells-level entry the streaming dual reads (equivalence
+    * pinned in StreamingBlockedSpec). */
+  def mantelHaenszelVerdict(cells: DataFrame): DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    val per = cells.select(col("g"), col("a"), col("b"), col("c"),
+        col("dd"))
       .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
     def fold(expr: Column): Column =
       aggregate(array_sort(collect_list(struct(col("g"),
@@ -1915,9 +1992,13 @@ object Stats {
       .withColumn("u1x2",
         col("r1x2") - dec(col("n1")) * (col("n1") + lit(1L)))
       .withColumn("sig2",
-        d("n1") * d("n2") / lit(12.0) *
-          ((col("nn") + lit(1.0)) -
-            d("ties") / (col("nn") * (col("nn") - lit(1.0)))))
+        // nn <= 1: the tie-correction divisor nn(nn-1) is 0 — same ANSI
+        // divide-by-zero class varx4 guards below (ADVICE r17); the zw
+        // isnan() guard then carries the NaN through
+        when(col("nn") <= 1.0, lit(Double.NaN)).otherwise(
+          d("n1") * d("n2") / lit(12.0) *
+            ((col("nn") + lit(1.0)) -
+              d("ties") / (col("nn") * (col("nn") - lit(1.0))))))
       .withColumn("zw",
         when(col("sig2") <= 0.0 || isnan(col("sig2")), lit(Double.NaN))
           .otherwise((d("u1x2") / lit(2.0) -

@@ -72,4 +72,55 @@ object StreamingStats {
         round(lit(centsPerUnit) * priceCol).cast("long").as("p"))
       .groupBy(col("d"))
       .agg(sum(col("p")).as("r"), count(lit(1)).as("c"))
+
+  /** Streaming dual of the BLOCKED-DESIGN family (q327 Friedman, q335
+    * Kendall W, q339 Page trend): maintain the `(blk, trt, n, s)` cell
+    * table — count plus exact DECIMAL cent-sum per (block, treatment)
+    * — over an unbounded stream. Sum-monoid, state ≤ blocks·treatments
+    * cells regardless of stream length. Snapshot and feed
+    * [[graft.operators.Stats.friedmanVerdict]] /
+    * [[graft.operators.Stats.kendallWVerdict]] /
+    * [[graft.operators.Stats.pageTrendVerdict]] — the batch verdicts
+    * verbatim (StreamingBlockedSpec). For Page, `treatCol` must BE the
+    * 1..k order score (the batch contract).
+    */
+  def blockCellsStream(df: DataFrame, blockCol: Column,
+      treatCol: Column, valueCol: Column): DataFrame =
+    df.select(blockCol.as("blk"), treatCol.as("trt"),
+        round(lit(100.0) * valueCol).cast("long").as("c"))
+      .groupBy(col("blk"), col("trt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s"))
+
+  /** Streaming dual of the q342 two-proportion monitor: the `(g, n, c)`
+    * per-group trial/success cells — 2 rows of state. Snapshot and feed
+    * [[graft.operators.Stats.twoProportionZVerdict]]. The isin filter
+    * is the twoGroupCellsStream third-group discipline (ADVICE r16).
+    */
+  def groupFlagCellsStream(df: DataFrame, groupCol: Column,
+      flagCol: Column, groupA: String, groupB: String): DataFrame =
+    df.select(groupCol.as("g"), flagCol.cast("long").as("x"))
+      .filter(col("g").isin(groupA, groupB))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("c"))
+
+  /** Streaming dual of the q329 Mantel–Haenszel monitor: per-stratum
+    * 2×2 cells `(g, a, b, c, dd)` — |strata|-bounded sum-monoid state.
+    * Snapshot and feed
+    * [[graft.operators.Stats.mantelHaenszelVerdict]].
+    */
+  def strataCellsStream(pairs: DataFrame, stratumCol: Column,
+      xCol: Column, yCol: Column): DataFrame =
+    pairs.select(stratumCol.as("g"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("x") === 1L && col("y") === 1L, lit(1L))
+          .otherwise(lit(0L))).as("a"),
+        sum(when(col("x") === 1L && col("y") === 0L, lit(1L))
+          .otherwise(lit(0L))).as("b"),
+        sum(when(col("x") === 0L && col("y") === 1L, lit(1L))
+          .otherwise(lit(0L))).as("c"),
+        sum(when(col("x") === 0L && col("y") === 0L, lit(1L))
+          .otherwise(lit(0L))).as("dd"))
 }

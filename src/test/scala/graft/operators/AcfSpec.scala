@@ -72,6 +72,21 @@ class AcfSpec extends SparkSpec {
     assert(got._1 > 1000L) // all day pairs within the lag cap
   }
 
+  test("q343 Theil-Sen ladder: same slope as exact on the outlier series") {
+    val prices = (0 until 80).map { d =>
+      val base = 500.0 + 3.0 * d
+      if (d % 10 == 5) base * 50 else base
+    }
+    val got = Relational.theilSenTrendLadder(series(prices),
+      maxLagExp = 6)
+      .as[(Long, Double)].collect().head
+    // the dyadic-ladder median recovers the identical planted slope
+    // through the same gross outliers, on a log-factor pair table:
+    // 7 lags x <=80 days bounds the pairs under 7*80
+    assert(math.abs(got._2 - 300.0) < 1.0, s"sen ladder: $got")
+    assert(got._1 > 100L && got._1 < 560L, s"pair count: $got")
+  }
+
   test("q264 Gini: uniform revenue -> 0, single-customer concentration -> near 1") {
     def orders(weights: Seq[Double]) =
       weights.zipWithIndex.map { case (w, i) =>

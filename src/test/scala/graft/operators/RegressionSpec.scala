@@ -288,5 +288,12 @@ class RegressionSpec extends SparkSpec {
       .as[(Long, Double)].collect().head
     assert(het._1 === 8L, s"$het")
     assert(het._2 > 6.0 && het._2 <= 8.0, s"$het")
+    // singular design (constant x1 AND x2): betas are NaN — must reach
+    // the documented NaN, not an ANSI CAST_INVALID_INPUT on the
+    // residual grid cast (ADVICE r17)
+    val singular = Regression.breuschPagan(li(Seq(
+      (3L, 0.01, 10.0), (3L, 0.01, 20.0), (3L, 0.01, 30.0))))
+      .as[(Long, Double)].collect().head
+    assert(singular._1 === 3L && singular._2.isNaN, s"$singular")
   }
 }

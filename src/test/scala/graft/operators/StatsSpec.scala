@@ -74,6 +74,17 @@ class StatsSpec extends SparkSpec {
     val z = (1.0 - 3.0) / math.sqrt(2.4)
     assert(math.abs(got._4 - BigDecimal(z).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"z: $got vs $z")
+    // degenerate inputs answer NaN, never an ANSI zero-divide
+    // (ADVICE r17): single pooled row (nn=1, divisor nn(nn-1)=0)...
+    val one = Stats.mannWhitneyU(li(Seq(1L), Seq.empty),
+      "l_returnflag", "l_quantity", "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(one._1 === 1L && one._2 === 0L && one._4.isNaN, s"$one")
+    // ...and all pooled values tied (sig2 = 0)
+    val tied = Stats.mannWhitneyU(li(Seq(7L, 7L), Seq(7L, 7L)),
+      "l_returnflag", "l_quantity", "R", "N")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(tied._4.isNaN, s"$tied")
   }
 
   test("q288 Brown-Forsythe: equal spreads F~0, planted spread found, brute F") {

@@ -303,6 +303,13 @@ class TwoSampleSpec extends SparkSpec {
       "l_returnflag", col("l_quantity"), "R", "N")
       .as[(Long, Long, Double, Double, Double)].collect().head
     assert(flat._5.isNaN, s"$flat")
+    // single pooled row (nn=1): the tie-correction divisor nn(nn-1) is
+    // 0 — must answer NaN, not an ANSI divide-by-zero (ADVICE r17)
+    val one = Stats.lepage(li(Seq(5L), Seq.empty),
+      "l_returnflag", col("l_quantity"), "R", "N")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(one._1 === 1L && one._2 === 0L &&
+      one._3.isNaN && one._4.isNaN && one._5.isNaN, s"$one")
   }
 
   test("q314 Cucconi: no-tie hand case lands exactly on C=0.3") {
