@@ -1787,6 +1787,15 @@ object SparkEntry {
     // deterministic dyadic lag ladder (days·13 pairs, not days·4000)
     "q343_theil_sen_ladder" -> ((s, dir) =>
       Relational.theilSenTrendLadder(Tables.orders(s, dir))),
+    // q344: Poisson-bootstrap CI for the mean order value — seeded-hash
+    // replicate weights, exact integer weighted sums, percentile_disc
+    // bounds over the 64 replicate means
+    "q344_bootstrap_ci" -> ((s, dir) =>
+      Resampling.bootstrapMeanCi(Tables.orders(s, dir))),
+    // q345: randomization test for the R-vs-N mean price difference —
+    // 100 deterministic hash-parity label reassignments, add-one p
+    "q345_permutation_test" -> ((s, dir) =>
+      Resampling.permutationMeanTest(Tables.lineitem(s, dir))),
   )
 
   /** q205's released group universe (plan literal, mirrored in the
@@ -8146,6 +8155,108 @@ object SparkEntry {
         |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope), 6)
         |    AS sen_slope_cents_per_day
         |FROM sl""".stripMargin,
+    // q344: the bootstrap chain replayed — q205 hash uniform, the
+    // Poisson(1) inverse-CDF ladder (10 dp literals), exact weighted
+    // cent sums, percentile_disc over unrounded replicate means
+    "q344_bootstrap_ci" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(100.0 * o_totalprice) AS BIGINT) AS x
+        |  FROM orders),
+        |reps AS MATERIALIZED (
+        |  SELECT b,
+        |    CASE WHEN u < 0.3678794412 THEN 0
+        |         WHEN u < 0.7357588823 THEN 1
+        |         WHEN u < 0.9196986029 THEN 2
+        |         WHEN u < 0.9810118431 THEN 3
+        |         ELSE 4 END AS w, x
+        |  FROM (
+        |    SELECT bb.b, base.x,
+        |      CAST(((((base.k * 67 + bb.b) % 1000003) * 2654435761)
+        |          >> 16) % 1048576 + 1 AS DOUBLE) / 1048577.0 AS u
+        |    FROM base
+        |    CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS BIGINT)
+        |                  AS b) bb)),
+        |m AS (
+        |  SELECT b,
+        |    CASE WHEN CAST(sum(w) AS BIGINT) <= 0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(CAST(sum(w * x) AS BIGINT) AS DOUBLE)
+        |        / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) END AS m
+        |  FROM reps GROUP BY b),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS b_reps,
+        |    round(percentile_disc(0.025) WITHIN GROUP (ORDER BY m), 6)
+        |      AS ci_lo_cents,
+        |    round(percentile_disc(0.975) WITHIN GROUP (ORDER BY m), 6)
+        |      AS ci_hi_cents
+        |  FROM m),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(x) AS BIGINT) AS sx
+        |       FROM base)
+        |SELECT b_reps, n_rows,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS mean_cents,
+        |  ci_lo_cents, ci_hi_cents
+        |FROM ag, ov""".stripMargin,
+    // q345: the randomization chain replayed — hash-parity sides,
+    // exact conditional cent sums, one double divide per permutation,
+    // add-one p on an engine-identical >= boundary
+    "q345_permutation_test" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT CAST(l_orderkey AS BIGINT) * 10
+        |      + CAST(l_linenumber AS BIGINT) AS k,
+        |    l_returnflag AS g,
+        |    CAST(round(100.0 * l_extendedprice) AS BIGINT) AS x
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |obs AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CASE WHEN sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) <= 0
+        |           OR sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) <= 0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(CAST(sum(CASE WHEN g = 'R' THEN x ELSE 0 END)
+        |          AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END)
+        |          AS DOUBLE)
+        |      - CAST(CAST(sum(CASE WHEN g = 'N' THEN x ELSE 0 END)
+        |          AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END)
+        |          AS DOUBLE) END AS obs_diff
+        |  FROM base),
+        |pm AS MATERIALIZED (
+        |  SELECT ss.s,
+        |    ((((base.k * 131 + ss.s) % 1000003) * 2654435761)
+        |      >> 16) % 2 AS p,
+        |    base.x
+        |  FROM base
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 101)) AS BIGINT)
+        |                AS s) ss),
+        |d AS (
+        |  SELECT s,
+        |    CASE WHEN sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) <= 0
+        |           OR sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) <= 0
+        |      THEN CAST('NaN' AS DOUBLE)
+        |      ELSE CAST(CAST(sum(CASE WHEN p = 1 THEN x ELSE 0 END)
+        |          AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END)
+        |          AS DOUBLE)
+        |      - CAST(CAST(sum(CASE WHEN p = 0 THEN x ELSE 0 END)
+        |          AS BIGINT) AS DOUBLE)
+        |        / CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END)
+        |          AS DOUBLE) END AS diff
+        |  FROM pm GROUP BY s)
+        |SELECT obs.n_a, obs.n_b,
+        |  round(obs.obs_diff, 6) AS obs_diff_cents,
+        |  CAST(count(*) AS BIGINT) AS n_perms,
+        |  round(CAST(1 + sum(CASE WHEN abs(diff) >= abs(obs.obs_diff)
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+        |FROM d, obs
+        |GROUP BY obs.n_a, obs.n_b, obs.obs_diff""".stripMargin,
     // q254: three unrolled IRLS rounds on the customer table
     "q254_logit" -> logitOracleSql(rounds = 3),
     // q256: the same unroll + grid-score histogram + tie-aware exact
