@@ -26,10 +26,66 @@ object Resampling {
 
   /** The q205 seeded uniform in (0, 1): Knuth-multiply hash of an
     * integer group id, 2^20 buckets, never exactly 0 or 1. */
-  private def hashUniform(gid: Column): Column = {
+  private[graft] def hashUniform(gid: Column): Column = {
     val m = 1048576L // 2^20
     val h = shiftright(pmod(gid, lit(1000003L)) * lit(2654435761L), 16)
     (pmod(h, lit(m)) + lit(1L)).cast("double") / lit((m + 1).toDouble)
+  }
+
+  /** Poisson(1) inverse-CDF weight on the seeded uniform, capped at 4
+    * (P(w>4) ≈ 0.0037 folded into the top cell); 10 dp CDF literals
+    * mirrored in the oracle. Replicate 0 is the IDENTITY (w ≡ 1) —
+    * the un-resampled totals ride the same cell frame, which is what
+    * lets the streaming dual keep ONE bounded aggregation. */
+  private[graft] def bootstrapWeight(key: Column, b: Column): Column = {
+    val u = hashUniform(key * lit(67L) + b)
+    when(b === 0L, lit(1L))
+      .when(u < lit(0.3678794412), lit(0L))
+      .when(u < lit(0.7357588823), lit(1L))
+      .when(u < lit(0.9196986029), lit(2L))
+      .when(u < lit(0.9810118431), lit(3L))
+      .otherwise(lit(4L))
+  }
+
+  /** The `(b, nw, sw)` replicate-cell reduction — Σw and Σw·x per
+    * replicate, b = 0 the identity — a sum-monoid with B+1 rows of
+    * state, so also the state of the streaming dual
+    * [[graft.streaming.StreamingResampling.bootstrapCellsStream]]
+    * (the online-bagging reading of the Poisson bootstrap: each
+    * arriving row updates every replicate's cell independently).
+    */
+  private[graft] def bootstrapCells(rows: DataFrame, keyCol: Column,
+      valueCol: Column, bReps: Int): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    rows.select(keyCol.cast("long").as("k"), valueCol.as("x"),
+        explode(sequence(lit(0L), lit(bReps.toLong))).as("b"))
+      .select(col("b"), bootstrapWeight(col("k"), col("b")).as("w"),
+        col("x"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("nw"), sum(dec(col("w") * col("x"))).as("sw"))
+  }
+
+  /** [[bootstrapMeanCi]] from a `(b, nw, sw)` replicate-cell table —
+    * the cells-level entry the streaming dual reads (equivalence
+    * pinned in StreamingResamplingSpec). Replicate 0 carries the
+    * un-resampled n/Σx; CI comes from replicates 1..B. */
+  def bootstrapCiFromCells(cells: DataFrame): DataFrame = {
+    val reps = cells.filter(col("b") =!= 0L)
+      .select(col("b"),
+        when(col("nw") <= 0L, lit(Double.NaN))
+          .otherwise(col("sw").cast("double") / col("nw").cast("double"))
+          .as("m"))
+    val overall = cells.filter(col("b") === 0L)
+      .select(col("nw").as("n_rows"), col("sw").as("sx"))
+    reps.agg(count(lit(1)).as("b_reps"),
+        expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY m)").as("lo"),
+        expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY m)").as("hi"))
+      .crossJoin(broadcast(overall))
+      .select(col("b_reps"), col("n_rows"),
+        round(col("sx").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mean_cents"),
+        round(col("lo"), 6).as("ci_lo_cents"),
+        round(col("hi"), 6).as("ci_hi_cents"))
   }
 
   /** Q344: POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean of the
@@ -46,38 +102,10 @@ object Resampling {
     */
   def bootstrapMeanCi(orders: DataFrame, bReps: Int = 64): DataFrame = {
     require(bReps >= 2 && bReps <= 4096, s"bReps out of range: $bReps")
-    def dec(c: Column) = c.cast("decimal(38,0)")
-    val base = orders.select(col("o_orderkey").cast("long").as("k"),
-      round(lit(100.0) * col("o_totalprice")).cast("long").as("x"))
-    // Poisson(1) inverse CDF, capped at 4 (P(w>4) ≈ 0.0037 folded into
-    // the top cell): thresholds are CDF values at 0..3, 10 dp literals
-    val u = hashUniform(col("k") * lit(67L) + col("b"))
-    val w = when(u < lit(0.3678794412), lit(0L))
-      .when(u < lit(0.7357588823), lit(1L))
-      .when(u < lit(0.9196986029), lit(2L))
-      .when(u < lit(0.9810118431), lit(3L))
-      .otherwise(lit(4L))
-    val reps = base
-      .select(col("k"), col("x"),
-        explode(sequence(lit(1L), lit(bReps.toLong))).as("b"))
-      .select(col("b"), w.as("w"), col("x"))
-      .groupBy(col("b"))
-      .agg(sum(col("w")).as("nw"), sum(dec(col("w") * col("x"))).as("sw"))
-      .select(col("b"),
-        when(col("nw") <= 0L, lit(Double.NaN))
-          .otherwise(col("sw").cast("double") / col("nw").cast("double"))
-          .as("m"))
-    val overall = base.agg(count(lit(1)).as("n_rows"),
-      sum(dec(col("x"))).as("sx"))
-    reps.agg(count(lit(1)).as("b_reps"),
-        expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY m)").as("lo"),
-        expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY m)").as("hi"))
-      .crossJoin(broadcast(overall))
-      .select(col("b_reps"), col("n_rows"),
-        round(col("sx").cast("double") / col("n_rows").cast("double"), 6)
-          .as("mean_cents"),
-        round(col("lo"), 6).as("ci_lo_cents"),
-        round(col("hi"), 6).as("ci_hi_cents"))
+    bootstrapCiFromCells(bootstrapCells(
+      orders.select(col("o_orderkey"),
+        round(lit(100.0) * col("o_totalprice")).cast("long").as("x")),
+      col("o_orderkey"), col("x"), bReps))
   }
 
   /** Q345: RANDOMIZATION (permutation) TEST for the two-group mean
@@ -96,39 +124,42 @@ object Resampling {
   def permutationMeanTest(lineitem: DataFrame, groupA: String = "R",
       groupB: String = "N", nPerms: Int = 100): DataFrame = {
     require(nPerms >= 1 && nPerms <= 10000, s"nPerms out of range: $nPerms")
-    def dec(c: Column) = c.cast("decimal(38,0)")
     val base = lineitem
       .filter(col("l_returnflag").isin(groupA, groupB))
       .select(
         (col("l_orderkey").cast("long") * lit(10L) +
           col("l_linenumber").cast("long")).as("k"),
-        col("l_returnflag").as("g"),
+        (col("l_returnflag") === groupA).as("isA"),
         round(lit(100.0) * col("l_extendedprice")).cast("long").as("x"))
-    val obs = base.agg(
-        sum(when(col("g") === groupA, lit(1L)).otherwise(lit(0L)))
-          .as("n_a"),
-        sum(when(col("g") === groupB, lit(1L)).otherwise(lit(0L)))
-          .as("n_b"),
-        sum(dec(when(col("g") === groupA, col("x")).otherwise(lit(0L))))
-          .as("sa"),
-        sum(dec(when(col("g") === groupB, col("x")).otherwise(lit(0L))))
-          .as("sb"))
-      .select(col("n_a"), col("n_b"),
-        // empty group: NaN, not an ANSI zero-divide (the repo-wide
-        // double/0 discipline); the exceedance compare then counts 0
-        when(col("n_a") <= 0L || col("n_b") <= 0L, lit(Double.NaN))
-          .otherwise(
-            col("sa").cast("double") / col("n_a").cast("double") -
-              col("sb").cast("double") / col("n_b").cast("double"))
-          .as("obs_diff"))
-    // hash-parity side assignment per (row, permutation)
-    val side = pmod(shiftright(
-      pmod(col("k") * lit(131L) + col("s"), lit(1000003L)) *
-        lit(2654435761L), 16), lit(2L))
-    val perms = base
-      .select(col("k"), col("x"),
-        explode(sequence(lit(1L), lit(nPerms.toLong))).as("s"))
-      .select(col("s"), side.as("p"), col("x"))
+    permutationTestFromCells(
+      permCells(base, col("k"), col("isA"), col("x"), nPerms))
+  }
+
+  /** Hash-parity side for (row key, permutation s ≥ 1); permutation 0
+    * is the IDENTITY — the row's TRUE group membership — so the
+    * observed statistic rides the same cell frame as the null
+    * replicates (the [[bootstrapCells]] device). */
+  private[graft] def permSide(key: Column, s: Column,
+      isA: Column): Column =
+    when(s === 0L, isA.cast("long"))
+      .otherwise(pmod(shiftright(
+        pmod(key * lit(131L) + s, lit(1000003L)) * lit(2654435761L),
+        16), lit(2L)))
+
+  /** The `(s, n1, n0, s1, s0)` permutation-cell reduction — side
+    * counts and exact cent sums per permutation, s = 0 the identity —
+    * a sum-monoid with S+1 rows of state, so also the state of the
+    * streaming dual
+    * [[graft.streaming.StreamingResampling.permCellsStream]].
+    */
+  private[graft] def permCells(rows: DataFrame, keyCol: Column,
+      isACol: Column, valueCol: Column, nPerms: Int): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    rows.select(keyCol.cast("long").as("k"), isACol.as("isA"),
+        valueCol.as("x"),
+        explode(sequence(lit(0L), lit(nPerms.toLong))).as("s"))
+      .select(col("s"),
+        permSide(col("k"), col("s"), col("isA")).as("p"), col("x"))
       .groupBy(col("s"))
       .agg(
         sum(when(col("p") === 1L, lit(1L)).otherwise(lit(0L))).as("n1"),
@@ -137,11 +168,25 @@ object Resampling {
           .as("s1"),
         sum(dec(when(col("p") === 0L, col("x")).otherwise(lit(0L))))
           .as("s0"))
-      .select(col("s"),
-        when(col("n1") <= 0L || col("n0") <= 0L, lit(Double.NaN))
-          .otherwise(col("s1").cast("double") / col("n1").cast("double") -
-            col("s0").cast("double") / col("n0").cast("double"))
-          .as("diff"))
+  }
+
+  /** [[permutationMeanTest]] from a `(s, n1, n0, s1, s0)` cell table —
+    * the cells-level entry the streaming dual reads (equivalence
+    * pinned in StreamingResamplingSpec). Permutation 0 carries the
+    * observed split; the add-one p counts replicates 1..S. */
+  def permutationTestFromCells(cells: DataFrame): DataFrame = {
+    // empty group: NaN, not an ANSI zero-divide (the repo-wide
+    // double/0 discipline); the exceedance compare then counts 0
+    def diffOf(c: DataFrame): DataFrame = c.select(col("s"),
+      col("n1"), col("n0"),
+      when(col("n1") <= 0L || col("n0") <= 0L, lit(Double.NaN))
+        .otherwise(col("s1").cast("double") / col("n1").cast("double") -
+          col("s0").cast("double") / col("n0").cast("double"))
+        .as("diff"))
+    val obs = diffOf(cells.filter(col("s") === 0L))
+      .select(col("n1").as("n_a"), col("n0").as("n_b"),
+        col("diff").as("obs_diff"))
+    val perms = diffOf(cells.filter(col("s") =!= 0L))
     perms.crossJoin(broadcast(obs))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(col("obs_diff")).as("od"),
