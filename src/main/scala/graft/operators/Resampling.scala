@@ -69,7 +69,13 @@ object Resampling {
     * the cells-level entry the streaming dual reads (equivalence
     * pinned in StreamingResamplingSpec). Replicate 0 carries the
     * un-resampled n/Σx; CI comes from replicates 1..B. */
-  def bootstrapCiFromCells(cells: DataFrame): DataFrame = {
+  def bootstrapCiFromCells(cells0: DataFrame): DataFrame = {
+    // the cell frame feeds BOTH the replicate branch and the identity
+    // branch, and Catalyst cannot share a non-exchange subtree — pin
+    // the B+1-row frame once so the explode+aggregate runs ONCE (the
+    // prefixFilteredJaccardPairs double-reference discipline;
+    // ScanAudit showed scans=2 unpinned)
+    val cells = graft.operators.Pinning.pin(cells0)
     val reps = cells.filter(col("b") =!= 0L)
       .select(col("b"),
         when(col("nw") <= 0L, lit(Double.NaN))
@@ -174,7 +180,10 @@ object Resampling {
     * the cells-level entry the streaming dual reads (equivalence
     * pinned in StreamingResamplingSpec). Permutation 0 carries the
     * observed split; the add-one p counts replicates 1..S. */
-  def permutationTestFromCells(cells: DataFrame): DataFrame = {
+  def permutationTestFromCells(cells0: DataFrame): DataFrame = {
+    // same double-reference pin as bootstrapCiFromCells: obs (s=0) and
+    // the S replicates read one materialized S+1-row frame
+    val cells = graft.operators.Pinning.pin(cells0)
     // empty group: NaN, not an ANSI zero-divide (the repo-wide
     // double/0 discipline); the exceedance compare then counts 0
     def diffOf(c: DataFrame): DataFrame = c.select(col("s"),
