@@ -970,14 +970,35 @@ object Relational {
       : DataFrame = {
     require(maxLagDays >= 1 && maxLagDays <= 100000,
       s"maxLagDays out of range: $maxLagDays")
-    val daily = orders
+    val spark = orders.sparkSession
+    // pinned: the day aggregate feeds THREE subtrees (the exploded
+    // side, the span scalar, the broadcast join side) — without the pin
+    // each recomputed the orders scan + aggregation (~0.4 s apiece at
+    // sf0.1); the pinned frame is day-dimension-bounded
+    val daily = Pinning.pin(orders
       .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
         .cast("long").as("d"))
       .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
-        .as("r"))
-    val slopes = daily
+        .as("r")))
+    // r18 optimization, both measured on the stage profile (guide §2):
+    //  - the day aggregate's AQE-coalesced output is ONE tiny partition,
+    //    so the lag explode, the pair join AND the partial median buffer
+    //    all ran on a single core (2.5 s single-task map stage at
+    //    sf0.1); repartitionForCompute spreads the day dimension first;
+    //  - each day exploded the FULL 1..maxLag lag list and let the join
+    //    discard lags past the end of the series — at a ~2400-day span
+    //    that generated 3.3x the true pair count (9.6M rows for 2.9M
+    //    pairs). Capping the lag list at __dmax − d generates exactly
+    //    the pair set the join keeps: any surviving pair has
+    //    d2 = d1 + lag <= dmax, so no output row is gained or lost.
+    val span = daily.agg(max(col("d")).as("__dmax"))
+    val slopes = Hashing.repartitionForCompute(daily, "d")
+      .crossJoin(broadcast(span))
+      .filter(col("d") < col("__dmax"))
       .select(col("d"), col("r"),
-        explode(sequence(lit(1L), lit(maxLagDays.toLong))).as("lag"))
+        explode(sequence(lit(1L),
+          least(lit(maxLagDays.toLong), col("__dmax") - col("d"))))
+          .as("lag"))
       .select((col("d") + col("lag")).as("d2"), col("d").as("d1"),
         col("r").as("r1"))
       // the day table is dimension-bounded by construction: broadcast
@@ -988,11 +1009,77 @@ object Relational {
         col("r").as("r2"))), Seq("d2"))
       .select(((col("r2") - col("r1")).cast("double") /
         (col("d2") - col("d1")).cast("double")).as("slope"))
-    slopes.agg(count(lit(1)).as("n_pairs"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
-          .as("sen"))
-      .select(col("n_pairs"),
-        round(col("sen"), 6).as("sen_slope_cents_per_day"))
+    // r18 optimization (guide §2.4/§5): `percentile_disc` over the pair
+    // table put every slope into ONE reducer's percentile buffer (6.7 s
+    // single-task final stage at sf0.1, 30 MB of serialized partials).
+    // The median is now an exact distributed selection — same value by
+    // the same smallest-cume_dist>=p contract, spec-pinned against the
+    // aggregate — and the driver sees only <= `parts` count rows plus
+    // one element (the ExactSubstr stats discipline).
+    val (n, sen) = discPercentileBySelection(slopes, "slope", 0.5)
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(daily)
+    val r6 = sen.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        n, r6.map(java.lang.Double.valueOf).orNull)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_pairs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sen_slope_cents_per_day",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
+  /** EXACT discrete percentile — the `percentile_disc(p)` contract: the
+    * smallest value whose cumulative distribution reaches `p` — computed
+    * by distributed range-partition SELECTION instead of the aggregate's
+    * single-reducer percentile buffer. One range shuffle of the value
+    * column (pinned: the sampled range boundaries must not re-draw
+    * between the two passes), a <= `parts`-row per-partition count
+    * collect (the ExactSubstr driver-stats discipline), then a read of
+    * the one target element. The rank threshold replays the aggregate's
+    * own `cume >= p` double comparison, so the selected element is
+    * identical on any input. Returns (n, Some(value)); (0, None) on
+    * empty input.
+    */
+  private[graft] def discPercentileBySelection(values: DataFrame,
+      valueCol: String, p: Double): (Long, Option[Double]) = {
+    val spark = values.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = Pinning.pin(values
+      .repartitionByRange(parts, col(valueCol))
+      .sortWithinPartitions(col(valueCol)))
+    val vi = sorted.schema.fieldIndex(valueCol)
+    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator.single((pid, c))
+    }.collect().sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0L) {
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(sorted)
+      return (0L, None)
+    }
+    // smallest k with k/n >= p, in the aggregate's own double arithmetic
+    var k = math.min(n, math.max(1L, math.ceil(p * n).toLong))
+    while (k.toDouble / n.toDouble < p && k < n) k += 1
+    while (k > 1L && (k - 1L).toDouble / n.toDouble >= p) k -= 1
+    var cum = 0L
+    var target = -1
+    var local = 0L
+    counts.foreach { case (pid, c) =>
+      if (target < 0) {
+        if (cum + c >= k) { target = pid; local = k - cum } else cum += c
+      }
+    }
+    val (tp, li) = (target, local)
+    val v = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (pid != tp) Iterator.empty
+      else it.drop(li.toInt - 1).take(1).map(_.getDouble(vi))
+    }.collect()
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(sorted)
+    (n, v.headOption)
   }
 
   /** Q343: SCALABLE THEIL–SEN — the PRODUCTION variant of q263
@@ -1016,11 +1103,14 @@ object Relational {
       : DataFrame = {
     require(maxLagExp >= 0 && maxLagExp <= 40,
       s"maxLagExp out of range: $maxLagExp")
-    val daily = orders
+    // pinned for the same double-reference reason as q263's day table
+    // (exploded side + broadcast side each recomputed the orders
+    // scan + aggregation)
+    val daily = Pinning.pin(orders
       .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
         .cast("long").as("d"))
       .agg(sum(round(lit(100.0) * col("o_totalprice")).cast("long"))
-        .as("r"))
+        .as("r")))
     val lags = (0 to maxLagExp).map(e => lit(1L << e))
     val slopes = daily
       .select(col("d"), col("r"), explode(array(lags: _*)).as("lag"))

@@ -84,7 +84,18 @@ object TopicModel {
     require(gridScale >= 1000L && gridScale <= 1000000000L,
       s"gridScale out of range: $gridScale")
     val u0 = Math.round(gridScale.toDouble / k) // uniform grid cell
-    val nd = Pinning.pin(tokenCounts(docs, textCol, idCol))
+    // r18 optimization (guide §2, measured on the stage profile): the
+    // doc-term aggregate is small BY BYTES (~1.6 MB at sf0.1), so AQE
+    // coalesced it to ONE partition — and because every downstream
+    // E-step join broadcasts the K×V / K×D tables, the whole EM round
+    // (posterior arithmetic + both M-step partial aggregations) ran on
+    // a single core (~400 ms per stage, every round). The explicit
+    // compute repartition spreads the pinned frame across the session's
+    // parallelism; every M-step sum is an order-independent integer
+    // sum, so the result is bit-identical. Keyed by "d" so the
+    // per-doc M-step aggregation can reuse the exchange.
+    val nd = Pinning.pin(Hashing.repartitionForCompute(
+      tokenCounts(docs, textCol, idCol), "d"))
 
     // init P(w|z)⁰: per-topic pseudo-random integer weights from the
     // word's polynomial hash, normalized per topic over the vocab
@@ -202,7 +213,11 @@ object TopicModel {
       gridScale: Long = 1000000000L): DataFrame = {
     require(k >= 2 && k <= 16, s"topic count out of range: $k")
     val u0 = Math.round(gridScale.toDouble / k)
-    val nd = tokenCounts(docs, textCol, idCol)
+    // same compute-repartition as emRounds' pinned counts: without it
+    // the fold-in posterior + per-doc aggregation run on the one
+    // AQE-coalesced partition of the doc-term aggregate
+    val nd = Hashing.repartitionForCompute(
+      tokenCounts(docs, textCol, idCol), "d")
     val post = nd.join(pwz, Seq("w"))
       .withColumn("joint", transform(col("pw"), p => p * lit(u0)))
       .withColumn("den",

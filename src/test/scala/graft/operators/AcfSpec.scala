@@ -72,6 +72,32 @@ class AcfSpec extends SparkSpec {
     assert(got._1 > 1000L) // all day pairs within the lag cap
   }
 
+  test("discPercentileBySelection replays percentile_disc exactly") {
+    // the r18 q263 optimization swaps the single-reducer percentile
+    // buffer for distributed selection — the selected element must be
+    // IDENTICAL to the aggregate's on every multiset shape: ties at the
+    // cut, even/odd sizes, negatives, single element
+    val cases = Seq(
+      Seq(1.0),
+      Seq(2.0, 1.0),
+      Seq(3.0, 1.0, 2.0),
+      Seq(1.0, 1.0, 2.0, 2.0),
+      Seq(5.0, 4.0, 3.0, 2.0, 1.0),
+      Seq(-1.5, 2.5, 2.5, 2.5, 7.0, 7.0),
+      (1 to 1000).map(i => ((i * 2654435761L) % 997).toDouble))
+    for (vs <- cases; p <- Seq(0.25, 0.5, 0.75, 0.9)) {
+      val df = vs.toDF("v")
+      val want = df
+        .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)"))
+        .collect().head.getDouble(0)
+      val (n, got) = Relational.discPercentileBySelection(df, "v", p)
+      assert(n === vs.size.toLong, s"n at p=$p vs=$vs")
+      assert(got === Some(want), s"p=$p vs=$vs")
+    }
+    assert(Relational.discPercentileBySelection(
+      Seq.empty[Double].toDF("v"), "v", 0.5) === ((0L, None)))
+  }
+
   test("q343 Theil-Sen ladder: same slope as exact on the outlier series") {
     val prices = (0 until 80).map { d =>
       val base = 500.0 + 3.0 * d
