@@ -393,10 +393,20 @@ object Dedup {
     // executor-local state — a lost executor kills the query (no lineage
     // recompute) and the whole gate reruns; acceptable for a validation
     // gate, and the reason the production operators don't checkpoint.
-    val prefix = posting.join(freq, Seq("blk", "gram"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("blk"), col("gram"), col("id"), col("n"), col("r"))
+    // r18 (guide §2, measured): the prefix table is small BY BYTES
+    // (~1 MB at sf0.1), so the pinned frame inherited AQE's coalesced
+    // single partition and the candidate join below ran on ONE task
+    // (555 ms single-task stage writing the whole 9 MB candidate
+    // shuffle). The explicit compute repartition spreads the pin across
+    // the session parallelism, keyed by the join key so BOTH sides of
+    // the probe×index self-join read it co-partitioned (checkpoint
+    // preserves partitioning) and the join adds no exchange.
+    val prefix = Hashing.repartitionForCompute(
+      posting.join(freq, Seq("blk", "gram"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+        .select(col("blk"), col("gram"), col("id"), col("n"), col("r")),
+      "gram")
       .localCheckpoint(eager = false)
     // size filter (PPJoin's second pruning axis): jaccard(A,B) >= t forces
     // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
@@ -488,9 +498,14 @@ object Dedup {
     */
   private[graft] def withRecallFlag(exact: DataFrame, approx: DataFrame,
       keys: Seq[String], floor: Double): DataFrame = {
-    val marked = exact.join(
+    // pinned: `marked` feeds BOTH the one-row flag aggregate and the
+    // output rows — unpinned, everything above the last exchange (the
+    // exact pipeline's set-merge verification) executed twice (the r18
+    // stage profile showed the verification's 50 MB exchange read by
+    // two ~1 s consumers re-running the jaccard merge each)
+    val marked = Pinning.pin(exact.join(
       approx.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1L)),
-      keys, "left_outer")
+      keys, "left_outer"))
     val flag = marked.agg(
       (coalesce(sum(col("__hit")), lit(0L)) >=
         ceil(lit(floor) * count(lit(1)))).cast("int").as("recall_ok"))
