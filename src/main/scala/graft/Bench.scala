@@ -206,18 +206,40 @@ object Bench {
       "Failed to update accumulator")
     muteKnownNoise("org.apache.spark.sql.execution.window.WindowExec",
       "No Partition Defined for Window operation")
+    // the r18 inter-row unpersist (see `once`) fires one benign WARN per
+    // dropped localCheckpoint block — root-caused, message-pinned, and
+    // it would print hundreds of times in the tail the driver parses
+    muteKnownNoise("org.apache.spark.rdd.MapPartitionsRDD",
+      "was locally checkpointed, its lineage has been truncated")
+    muteKnownNoise("org.apache.spark.rdd.ShuffledRDD",
+      "was locally checkpointed, its lineage has been truncated")
 
     val allQueries = SparkEntry.queries ++ prodPaths ++ calibration
 
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try allQueries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val t =
+        try {
+          allQueries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // Measurement ISOLATION between rows (r18, guide §1/§5 — a bench
+      // fix, not a speedup of any query; recorded in OPTIMIZATION_r18.md
+      // with the pre-fix ledger kept): queries pin iterative/
+      // double-referenced intermediates via localCheckpoint, and those
+      // storage blocks outlive the query — after a few hundred rows the
+      // accumulated dead blocks put every later row under GC/eviction
+      // pressure (q158 measured 4.4 s in a clean JVM vs 8-16 s mid-walk;
+      // the r17 ledger's >100% spreads on the iterative decile are this).
+      // Dropping them between rows REMOVES state — nothing is reused, so
+      // every rep still computes from the parquet inputs alone.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      t
     }
 
     // ---- EXECUTION ORDER (VERDICT r17 items 1+3) ----

@@ -7,6 +7,9 @@ object MicroBench {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[micro] $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same inter-row isolation as Bench.once: drop leaked pin blocks
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -22,9 +22,16 @@ object OptProbe {
     val spark = Tables.session("optprobe", 32)
 
     case class St(name: String, durMs: Long, tasks: Int, shufR: Long,
-      shufW: Long, input: Long, spill: Long)
+      shufW: Long, input: Long, spill: Long, maxTaskMs: Long, runMs: Long,
+      gcMs: Long, deserMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = e.taskInfo.duration
+        taskMax.merge(e.stageId, d, (a, b) => math.max(a, b))
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val m = si.taskMetrics
@@ -33,7 +40,9 @@ object OptProbe {
         stages.add(St(si.name.takeWhile(_ != '\n'), dur, si.numTasks,
           m.shuffleReadMetrics.totalBytesRead,
           m.shuffleWriteMetrics.bytesWritten,
-          m.inputMetrics.bytesRead, m.memoryBytesSpilled))
+          m.inputMetrics.bytesRead, m.memoryBytesSpilled,
+          taskMax.getOrDefault(si.stageId, -1L),
+          m.executorRunTime, m.jvmGCTime, m.executorDeserializeTime))
       }
     })
 
@@ -51,7 +60,7 @@ object OptProbe {
       val all = stages.asScala.toVector
       println(f"[probe] $q stages=${all.size} taskTimeSum=${all.map(_.durMs).sum / 1e3}%.2f s (last rep)")
       all.sortBy(-_.durMs).take(14).foreach { s =>
-        println(f"[probe]   ${s.durMs}%6d ms  tasks=${s.tasks}%4d  shufR=${s.shufR / 1e6}%8.1fMB shufW=${s.shufW / 1e6}%8.1fMB in=${s.input / 1e6}%7.1fMB spill=${s.spill / 1e6}%6.1fMB  ${s.name.take(90)}")
+        println(f"[probe]   ${s.durMs}%6d ms  tasks=${s.tasks}%4d maxTask=${s.maxTaskMs}%5d run=${s.runMs}%6d gc=${s.gcMs}%5d deser=${s.deserMs}%5d  shufR=${s.shufR / 1e6}%7.1fMB shufW=${s.shufW / 1e6}%7.1fMB in=${s.input / 1e6}%6.1fMB  ${s.name.take(60)}")
       }
       // free leaked localCheckpoint blocks before the next query so
       // cross-query storage pressure doesn't pollute the profile
