@@ -237,8 +237,11 @@ object Bench {
       // the r17 ledger's >100% spreads on the iterative decile are this).
       // Dropping them between rows REMOVES state — nothing is reused, so
       // every rep still computes from the parquet inputs alone.
+      // blocking=true: an async drop would execute on the block-manager
+      // threads DURING the next row's timed window; the synchronous drop
+      // runs here, in the untimed gap.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       t
     }
 

@@ -9,7 +9,7 @@ object MicroBench {
       println(f"[micro] $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // same inter-row isolation as Bench.once: drop leaked pin blocks
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     spark.stop()
   }

