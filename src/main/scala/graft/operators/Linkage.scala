@@ -330,14 +330,19 @@ object Linkage {
     // OUTPUT-size-driven: digit-structured ids are pathologically
     // dense in edit distance (~18 true pairs per record here), the
     // q191 blocked-linkage adjudication
-    val keys = base.select(col("id"), col("name"),
-      explode(array_distinct(concat(
-        array(col("name")),
-        transform(sequence(lit(1), length(col("name"))),
-          i => concat(
-            col("name").substr(lit(1), i - lit(1)),
-            col("name").substr(i + lit(1), length(col("name"))))))))
-        .as("k"))
+    // r18: compute-repartitioned by the join key — the single-row-group
+    // customer scan left the whole candidate join + pre-distinct on ONE
+    // task (4.0 s of the 5.0 s query at sf0.1); keyed on `k` so both
+    // self-join sides are co-partitioned at session parallelism
+    val keys = Hashing.repartitionForCompute(
+      base.select(col("id"), col("name"),
+        explode(array_distinct(concat(
+          array(col("name")),
+          transform(sequence(lit(1), length(col("name"))),
+            i => concat(
+              col("name").substr(lit(1), i - lit(1)),
+              col("name").substr(i + lit(1), length(col("name"))))))))
+          .as("k")), "k")
     val a = keys.select(col("k"), col("id").as("id_a"),
       col("name").as("name_a"))
     val b = keys.select(col("k"), col("id").as("id_b"),
