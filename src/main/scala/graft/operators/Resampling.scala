@@ -57,7 +57,14 @@ object Resampling {
   private[graft] def bootstrapCells(rows: DataFrame, keyCol: Column,
       valueCol: Column, bReps: Int): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
-    rows.select(keyCol.cast("long").as("k"), valueCol.as("x"),
+    // r18 (guide §2, measured): the B× replicate fan-out ran on the few
+    // scan partitions (q344: one 2.4 s task did the whole explode+hash+
+    // partial aggregation) — the compute repartition sizes parallelism
+    // to the exploded work, not to the input bytes; integer cell sums
+    // are partition-order-independent, so the cells are bit-identical
+    Hashing.repartitionForCompute(
+      rows.select(keyCol.cast("long").as("k"), valueCol.as("x")), "k")
+      .select(col("k"), col("x"),
         explode(sequence(lit(0L), lit(bReps.toLong))).as("b"))
       .select(col("b"), bootstrapWeight(col("k"), col("b")).as("w"),
         col("x"))
@@ -161,8 +168,12 @@ object Resampling {
   private[graft] def permCells(rows: DataFrame, keyCol: Column,
       isACol: Column, valueCol: Column, nPerms: Int): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
-    rows.select(keyCol.cast("long").as("k"), isACol.as("isA"),
-        valueCol.as("x"),
+    // same compute repartition as bootstrapCells (q345's S× fan-out ran
+    // as one 14.6 s task on the widest scan partition)
+    Hashing.repartitionForCompute(
+      rows.select(keyCol.cast("long").as("k"), isACol.as("isA"),
+        valueCol.as("x")), "k")
+      .select(col("k"), col("isA"), col("x"),
         explode(sequence(lit(0L), lit(nPerms.toLong))).as("s"))
       .select(col("s"),
         permSide(col("k"), col("s"), col("isA")).as("p"), col("x"))
