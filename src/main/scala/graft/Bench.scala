@@ -401,8 +401,22 @@ object Bench {
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
         catch { case e: Throwable => System.err.println(s"[bench] cannot write $p: $e") }
       }
+      // Bounded per-query medians on the compact line (r19, VERDICT r18
+      // item 4): the FULL map outgrew the driver's stdout-tail window
+      // back in BENCH_r04 ("parsed": null), which left PERF.per_query
+      // and the 8c/32c scaling comparison permanently empty. The top-40
+      // oracle-query rows by median (deterministic tie-break on name)
+      // are ~1.2 KB — fixed-bounded, so the tail capture cannot
+      // truncate the line — and cover every row an adjudication has
+      // hinged on; the complete maps still go to the file above.
+      // Additions only: no existing field changed or removed.
+      val topQs = results
+        .filter(r => r._2 >= 0 && r._1.startsWith("q"))
+        .sortBy(r => (-r._2, r._1)).take(40)
+        .map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
+        .mkString("{", ",", "}")
       println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"phase":"$phase","repeats":$reps,$gate,"sf":"$sfDir"}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"skipped":$skipped,"partial":$partial,"phase":"$phase","repeats":$reps,$gate,"queries":$topQs,"sf":"$sfDir"}""")
       System.out.flush()
     }
     val hook = new Thread(() => emit(partial = true, extraRoundsRun = -1))

@@ -1130,11 +1130,12 @@ object SparkEntry {
     // q230: pLSA production inference — classify docs against the
     // trained topic-word table with one EM fold-in step (the streaming
     // gate's per-batch path, grid-exact like training)
-    "q230_plsa_assign" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TopicModel.assignTopics(docs, TopicModel.plsaModel(docs, "text"),
-        "text")
-    }),
+    // r19: train + fold-in through the one shared pinned doc-term
+    // counts frame (plsaAssign) — the assignTopics(docs, plsaModel(..))
+    // form re-aggregated token counts the trainer had already pinned;
+    // result bit-identical (same counts rows, same final pwz)
+    "q230_plsa_assign" -> ((s, dir) =>
+      TopicModel.plsaAssign(Tables.documents(s, dir), "text")),
     // q231: DP median per nation via the exponential mechanism —
     // integer utilities, 1e-6-grid weights, one seeded uniform per
     // group, exact cumulative-weight inversion

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.CommonPrefixLenExpr
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -138,13 +138,49 @@ object ExactSubstr {
     (spark.createDataFrame(ranked, outSchema), allDistinct)
   }
 
-  /** The shared suffix-ranking pipeline: seed sort, doubling rounds,
-    * final fused neighbor sort. Returns the range-sorted, lazily
-    * checkpointed frame (id, pos, r, __k2, __pfx) in capped suffix
-    * order.
+  /** Above this windowCap the prefix-doubling rank pipeline runs;
+    * at or below it the suffix order is established by ONE range sort
+    * on the capped prefix itself. Crossover math (r19, guide §2.3):
+    * the doubling path ships the position table through ~3 range
+    * exchanges (seed keys of windowCap/4 chars, then two 16-byte rank
+    * pairs) plus two per-doc window shuffles and a join back to the
+    * text — ≈ windowCap/4 + ~110 bytes per position in exchanged
+    * payload, plus 4 extra full passes. The direct sort ships
+    * windowCap + 16 bytes ONCE. Direct wins for windowCap below
+    * ~128-256; doubling remains the 100 TB answer for long windows
+    * (a 1 KiB window must never shuffle 1 KiB keys). Both paths
+    * produce the IDENTICAL total order — (rank, rank-at-offset,
+    * id, pos) is order-isomorphic to (capped prefix, id, pos), the
+    * invariant the fused final sort always relied on — so the marked
+    * set is bit-identical (spec-pinned on both sides of the cap).
+    */
+  private def directSortCap(df: DataFrame): Int =
+    df.sparkSession.conf
+      .get("spark.graft.exactSubstr.directSortCap", "256").toInt
+
+  /** The shared suffix-ranking pipeline. Returns the range-sorted,
+    * lazily checkpointed frame (id, pos, __pfx) in capped suffix
+    * order — __pfx is the windowCap-char prefix the neighbor passes
+    * compare; the rank machinery (when used) is projected away before
+    * the pin, so the pinned bytes are exactly what those passes read.
     */
   private def rankSuffixes(base: DataFrame, minLen: Int, windowCap: Int,
       parts: Int): DataFrame = {
+    if (windowCap <= directSortCap(base)) {
+      // ONE range sort on the capped prefix: same total order as the
+      // doubling pipeline (see [[directSortCap]]), one exchange, no
+      // rank rounds, no window lookups, no join back to the text
+      return base
+        .select(col("id"),
+          explode(sequence(lit(1L), length(col("__t")).cast("long")))
+            .as("pos"),
+          col("__t").substr(col("pos").cast("int"), lit(windowCap))
+            .as("__pfx"))
+        .repartitionByRange(parts, col("__pfx"), col("id"), col("pos"))
+        .sortWithinPartitions(col("__pfx"), col("id"), col("pos"))
+        // determinism pin: the neighbor passes re-read this exact order
+        .transform(Pinning.pin(_))
+    }
     // EVERY position is ranked (not only those with >= minLen left):
     // the rank lookup at p + coverage reads short-tail positions, and
     // dropping them would falsely tie suffixes that differ in their
@@ -186,6 +222,11 @@ object ExactSubstr {
       .repartitionByRange(parts, col("r"), col("__k2"), col("id"),
         col("pos"))
       .sortWithinPartitions(col("r"), col("__k2"), col("id"), col("pos"))
+      // the rank pair ordered the sort; the neighbor passes never read
+      // it — projecting it away BEFORE the pin cuts 16 bytes/row out of
+      // the pinned blocks (r19, guide §5; order is per-partition-stable
+      // under projection)
+      .select(col("id"), col("pos"), col("__pfx"))
       // determinism pin: the neighbor passes re-read this exact order
       .transform(Pinning.pin(_))
   }
@@ -195,11 +236,6 @@ object ExactSubstr {
     require(windowCap >= minLen && (windowCap & (windowCap - 1)) == 0,
       s"windowCap must be a power of two >= minLen, got $windowCap")
   }
-
-  private def lcpOf(a: String, b: String): Int =
-    if (a == null || b == null) 0
-    else CommonPrefixLenExpr.compute(
-      UTF8String.fromString(a), UTF8String.fromString(b))
 
   /** Positions whose suffix shares a prefix of >= minLen chars with some
     * other corpus suffix: (idCol, pos, match_len) — pos 1-based,
@@ -219,18 +255,31 @@ object ExactSubstr {
     val pfxIdx = schema.fieldIndex("__pfx")
     val idIdx = schema.fieldIndex("id")
     val posIdx = schema.fieldIndex("pos")
+    val idType = schema(idIdx).dataType
+    // r19 (guide §5 + VERDICT r18 item 1): both passes walk the pinned
+    // frame as InternalRow (`queryExecution.toRdd`) — the old `.rdd`
+    // path ran a full Catalyst deserializer per row (UnsafeRow →
+    // external Row → String) and re-encoded the output through a
+    // RowEncoder; the UTF8String bytes now feed the LCP kernel
+    // directly. Retained values are cloned/copied because operator
+    // output rows may be buffer-reused.
+    val sortedRdd = sorted.queryExecution.toRdd
     // boundary prefixes: a partition's last row compares against the
     // FIRST row of the next non-empty partition, its first row against
     // the previous last — <= 2·parts strings to the driver
-    val bounds = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val bounds = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
         var first: String = null
+        var sawFirst = false
         var last: String = null
         while (it.hasNext) {
-          val p = it.next().getString(pfxIdx)
-          if (first == null) first = p
-          last = p
+          val row = it.next()
+          val p = row.getUTF8String(pfxIdx)
+          if (!sawFirst) {
+            first = if (p == null) null else p.toString; sawFirst = true
+          }
+          if (!it.hasNext) last = if (p == null) null else p.toString
         }
         Iterator((pid, first, last))
       }
@@ -248,28 +297,40 @@ object ExactSubstr {
       StructField("pos", LongType, nullable = false),
       StructField("match_len", LongType, nullable = false)))
     val minL = minLen
-    val marked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      def lcp(a: String, b: String): Int =
+    val marked = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      // extract (id, pos, pfx) copies first: the look-ahead below holds
+      // values across next() calls, which raw operator rows don't allow
+      val ext = it.map { row =>
+        val p = row.getUTF8String(pfxIdx)
+        (InternalRow.copyValue(row.get(idIdx, idType)),
+          row.getLong(posIdx), if (p == null) null else p.clone())
+      }.buffered
+      var prev: UTF8String = {
+        val s = prevLast.getOrElse(pid, null)
+        if (s == null) null else UTF8String.fromString(s)
+      }
+      val nextF: UTF8String = {
+        val s = nextFirst.getOrElse(pid, null)
+        if (s == null) null else UTF8String.fromString(s)
+      }
+      def lcp(a: UTF8String, b: UTF8String): Int =
         if (a == null || b == null) 0
-        else CommonPrefixLenExpr.compute(
-          UTF8String.fromString(a), UTF8String.fromString(b))
-      val buf = it.buffered
-      var prev: String = prevLast.getOrElse(pid, null)
-      new Iterator[Row] {
-        def hasNext: Boolean = buf.hasNext
-        def next(): Row = {
-          val row = buf.next()
-          val pfx = row.getString(pfxIdx)
-          val nxt =
-            if (buf.hasNext) buf.head.getString(pfxIdx)
-            else nextFirst.getOrElse(pid, null)
+        else CommonPrefixLenExpr.compute(a, b)
+      new Iterator[InternalRow] {
+        def hasNext: Boolean = ext.hasNext
+        def next(): InternalRow = {
+          val (id, pos, pfx) = ext.next()
+          val nxt = if (ext.hasNext) ext.head._3 else nextF
           val m = math.max(lcp(pfx, prev), lcp(pfx, nxt))
           prev = pfx
-          Row(row.get(idIdx), row.getLong(posIdx), m.toLong)
+          new GenericInternalRow(Array[Any](id, pos, m.toLong))
         }
       }.filter(_.getLong(2) >= minL)
     }
-    spark.createDataFrame(marked, outSchema)
+    org.apache.spark.sql.GraftBridge
+      .internalCreateDataFrame(spark, marked, outSchema)
   }
 
   /** Apply the removal mask — Lee et al.'s actual dedup step: cut every
@@ -387,9 +448,11 @@ object ExactSubstr {
     val pfxIdx = schema.fieldIndex("__pfx")
     val idIdx = schema.fieldIndex("id")
     val posIdx = schema.fieldIndex("pos")
+    // InternalRow passes — same rationale as [[duplicatedPositions]]
+    val sortedRdd = sorted.queryExecution.toRdd
     // per-partition first/last OTHER-side (bench) prefixes -> driver
     // carries: nearest bench prefix before/after each partition
-    val bounds = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val bounds = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var first: String = null
       var last: String = null
       var any = false
@@ -397,9 +460,10 @@ object ExactSubstr {
         val row = it.next()
         any = true
         if (row.getLong(idIdx) % 2 == 1) {
-          val p = row.getString(pfxIdx)
-          if (first == null) first = p
-          last = p
+          val p = row.getUTF8String(pfxIdx)
+          val s = if (p == null) null else p.toString
+          if (first == null) first = s
+          last = s
         }
       }
       if (any) Iterator((pid, Option(first), Option(last)))
@@ -424,38 +488,49 @@ object ExactSubstr {
       StructField("pos", LongType, nullable = false),
       StructField("match_len", LongType, nullable = false)))
     val minL = minLen
-    val marked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val marked = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      def ofString(s: String): UTF8String =
+        if (s == null) null else UTF8String.fromString(s)
+      def lcp(a: UTF8String, b: UTF8String): Int =
+        if (a == null || b == null) 0
+        else CommonPrefixLenExpr.compute(a, b)
       // partition-bounded buffering: the backward nearest-other-side
       // scan needs the whole partition (the memory unit is one range
-      // partition of (id, pos, r, k2, pfx) rows — the same envelope as
-      // the partition sort that built it)
-      val rows = it.toArray
+      // partition of (id, pos, pfx) value copies — a strictly smaller
+      // envelope than the external-Row array this replaces)
+      val rows = it.map { row =>
+        val p = row.getUTF8String(pfxIdx)
+        (row.getLong(idIdx), row.getLong(posIdx),
+          if (p == null) null else p.clone())
+      }.toArray
       val n = rows.length
-      val nextB = new Array[String](n)
-      var carry = cn.getOrElse(pid, null)
+      val nextB = new Array[UTF8String](n)
+      var carry = ofString(cn.getOrElse(pid, null))
       var i = n - 1
       while (i >= 0) {
         nextB(i) = carry
-        if (rows(i).getLong(idIdx) % 2 == 1) carry = rows(i).getString(pfxIdx)
+        if (rows(i)._1 % 2 == 1) carry = rows(i)._3
         i -= 1
       }
-      var prevB = cp.getOrElse(pid, null)
+      var prevB = ofString(cp.getOrElse(pid, null))
       Iterator.range(0, n).flatMap { j =>
-        val row = rows(j)
-        val isBench = row.getLong(idIdx) % 2 == 1
-        val pfx = row.getString(pfxIdx)
-        val out = if (isBench) None
+        val (id, pos, pfx) = rows(j)
+        val isBench = id % 2 == 1
+        val out: Option[InternalRow] = if (isBench) None
         else {
-          val m = math.max(lcpOf(pfx, prevB), lcpOf(pfx, nextB(j)))
+          val m = math.max(lcp(pfx, prevB), lcp(pfx, nextB(j)))
           if (m >= minL)
-            Some(Row(row.getLong(idIdx) / 2, row.getLong(posIdx),
-              m.toLong))
+            Some(new GenericInternalRow(
+              Array[Any](id / 2, pos, m.toLong)))
           else None
         }
         if (isBench) prevB = pfx
         out
       }
     }
-    islandsOf(spark.createDataFrame(marked, outSchema), idCol, minLen)
+    islandsOf(org.apache.spark.sql.GraftBridge
+      .internalCreateDataFrame(spark, marked, outSchema), idCol, minLen)
   }
 }

@@ -220,7 +220,12 @@ object Linkage {
           alt *= (if (g(i) == 1) uu(f) else 1.0 - uu(f))
           i += 1
         }
-        val w = roundMicro(1000000.0 * (num / (num + alt)))
+        // degenerate-posterior guard (ADVICE r18 item 3): if num+alt
+        // underflows to exactly 0 (m or u pinned at 0/1 across many
+        // fields), 0/0 is NaN and BigDecimal(NaN) would throw where the
+        // old in-plan round(...).cast("long") yielded 0 — replay that
+        val w = if (num + alt == 0.0) 0L
+          else roundMicro(1000000.0 * (num / (num + alt)))
         n += c
         sw += c * w
         i = 0

@@ -365,8 +365,15 @@ object Regression {
     val spark = d.sparkSession
     import spark.implicits._
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // r19 (guide §6, VERDICT r18 item 5): the fit runs rounds+2
+    // SEQUENTIAL scans (the data dependency is inherent — each round's
+    // weights need the previous betas), and each scan re-read the
+    // source parquet + re-ran the projection. Pin the three projected
+    // long columns once; every moment aggregate below reads the pinned
+    // blocks. Values unchanged — the pin only deduplicates evaluation.
+    val dp = Pinning.pin(d.select(col("x1"), col("x2"), col("y")))
     // init: the unweighted OLS solution
-    val m0 = moments(d).map(_.doubleValue())
+    val m0 = moments(dp).map(_.doubleValue())
     val Array(n0, s1, s2, s11, s12, s22, sy, s1y, s2y) = m0
     val det = det3(n0, s1, s2, s1, s11, s12, s2, s12, s22)
     require(det != 0.0, "huberFit2: singular design matrix")
@@ -381,7 +388,7 @@ object Regression {
         .otherwise(lit(k) / abs(e))).cast("long")
     }
     for (_ <- 1 to rounds) {
-      val row = d.select(col("x1"), col("x2"), col("y"),
+      val row = dp.select(col("x1"), col("x2"), col("y"),
           wgCol(b0, b1, b2).as("wg"))
         .agg(
           sum(dec(col("wg"))).as("sw"),
@@ -403,11 +410,12 @@ object Regression {
       b2 = det3(sw, sw1, swy, sw1, sw11, sw1y, sw2, sw12, sw2y) / dw
     }
     // final observability pass: how many rows the loss downweighted
-    val fin = d.select(wgCol(b0, b1, b2).as("wg"))
+    val fin = dp.select(wgCol(b0, b1, b2).as("wg"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("wg") < lit(1000000L), lit(1L)).otherwise(lit(0L)))
           .as("nd"))
       .collect().head
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(dp)
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((fin.getLong(0), fin.getLong(1), r6(b0), r6(b1), r6(b2)))

@@ -1047,15 +1047,20 @@ object Relational {
       valueCol: String, p: Double): (Long, Option[Double]) = {
     val spark = values.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // NULLs are dropped up front so the helper matches percentile_disc
+    // (the aggregate ignores them); a no-op for the current non-null
+    // slope caller, mandatory for any future reuse (ADVICE r18 item 4)
     val sorted = Pinning.pin(values
+      .filter(col(valueCol).isNotNull)
       .repartitionByRange(parts, col(valueCol))
       .sortWithinPartitions(col(valueCol)))
     val vi = sorted.schema.fieldIndex(valueCol)
-    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var c = 0L
-      while (it.hasNext) { it.next(); c += 1 }
-      Iterator.single((pid, c))
-    }.collect().sortBy(_._1)
+    val counts = sorted.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator.single((pid, c))
+      }.collect().sortBy(_._1)
     val n = counts.map(_._2).sum
     if (n == 0L) {
       org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(sorted)
@@ -1074,9 +1079,19 @@ object Relational {
       }
     }
     val (tp, li) = (target, local)
-    val v = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val v = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (pid != tp) Iterator.empty
-      else it.drop(li.toInt - 1).take(1).map(_.getDouble(vi))
+      else {
+        // Long-safe element skip (VERDICT r18 item 2 / ADVICE item 1):
+        // `it.drop(li.toInt - 1)` silently truncated the Long local
+        // rank — a range partition holding > 2^31 values (heavy ties
+        // force every equal value into one partition at the 100 TB pair
+        // scale) would select the wrong element
+        var skip = li - 1L
+        while (skip > 0L && it.hasNext) { it.next(); skip -= 1L }
+        if (it.hasNext) Iterator.single(it.next().getDouble(vi))
+        else Iterator.empty
+      }
     }.collect()
     org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(sorted)
     (n, v.headOption)

@@ -73,12 +73,15 @@ object TopicModel {
       .agg(count(lit(1)).as("n"))
 
   /** Runs `rounds` EM rounds and returns (per-round topic-word tables
-    * pwz(0..rounds), final doc-topic table). pwz frames carry
-    * (w, pw: array<long>[k]); pzd carries (d, pd: array<long>[k]).
+    * pwz(0..rounds), final doc-topic table, the pinned doc-term counts
+    * frame). pwz frames carry (w, pw: array<long>[k]); pzd carries
+    * (d, pd: array<long>[k]); the counts frame carries (d, w, n) and is
+    * returned so fold-in callers (q230) reuse the one pinned
+    * aggregation instead of re-scanning the corpus.
     */
   private def emRounds(docs: DataFrame, textCol: String, idCol: String,
       k: Int, rounds: Int, gridScale: Long)
-      : (Seq[DataFrame], DataFrame) = {
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
     require(k >= 2 && k <= 16, s"topic count out of range: $k")
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     require(gridScale >= 1000L && gridScale <= 1000000000L,
@@ -131,12 +134,20 @@ object TopicModel {
             when(col("den") > 0,
               nano(col("joint")(z), col("den"), gridScale))
               .otherwise(lit(u0))): _*).as("post"))
-      // M-step contributions n(d,w)·post_z — BIGINT grid sums
-      val contrib = post.select(col("d") +: col("w") +:
-        (0 until k).map(z => (col("n") * col("post")(z)).as(s"c$z")): _*)
-      val swz = contrib.groupBy(col("w"))
+      // M-step contributions n(d,w)·post_z — BIGINT grid sums.
+      // r19 (guide §2.4, VERDICT r18 item 6): contrib feeds THREE
+      // aggregation scans per round (the topic-total scalar, the
+      // per-word M-step, the per-doc M-step) and nothing upstream was
+      // shared — each scan re-ran the whole E-step join + posterior
+      // arithmetic. Pinning contrib computes the E-step ONCE per round;
+      // swz is pinned too (V×k longs) so its scalar total and the
+      // normalized select read one materialization. Values unchanged —
+      // pins only deduplicate evaluation of a deterministic frame.
+      val contrib = Pinning.pin(post.select(col("d") +: col("w") +:
+        (0 until k).map(z => (col("n") * col("post")(z)).as(s"c$z")): _*))
+      val swz = Pinning.pin(contrib.groupBy(col("w"))
         .agg(sum(col("c0")).as("s0"),
-          (1 until k).map(z => sum(col(s"c$z")).as(s"s$z")): _*)
+          (1 until k).map(z => sum(col(s"c$z")).as(s"s$z")): _*))
       val sz = swz.agg(array((0 until k).map(z =>
         sum(col(s"s$z"))): _*).as("tot"))
       pwz = Pinning.pin(swz.crossJoin(broadcast(sz))
@@ -156,7 +167,7 @@ object TopicModel {
       perRound += pwz
       r += 1
     }
-    (perRound.result(), pzd)
+    (perRound.result(), pzd, nd)
   }
 
   /** Q225: every round's topic-word table — (round, z, word, p_nano)
@@ -166,7 +177,7 @@ object TopicModel {
   def plsaTopicRounds(docs: DataFrame, textCol: String,
       idCol: String = "doc_id", k: Int = 3, rounds: Int = 3,
       gridScale: Long = 1000000000L): DataFrame = {
-    val (pwzRounds, _) = emRounds(docs, textCol, idCol, k, rounds, gridScale)
+    val (pwzRounds, _, _) = emRounds(docs, textCol, idCol, k, rounds, gridScale)
     pwzRounds.zipWithIndex.map { case (df, r) =>
       df.select(lit(r).as("round"), col("w").as("word"),
         posexplode(col("pw")).as(Seq("z", "p_nano")))
@@ -180,7 +191,7 @@ object TopicModel {
   def plsaDocTopics(docs: DataFrame, textCol: String,
       idCol: String = "doc_id", k: Int = 3, rounds: Int = 3,
       gridScale: Long = 1000000000L): DataFrame = {
-    val (_, pzd) = emRounds(docs, textCol, idCol, k, rounds, gridScale)
+    val (_, pzd, _) = emRounds(docs, textCol, idCol, k, rounds, gridScale)
     pzd.select(col("d").as("doc_id"),
         posexplode(col("pd")).as(Seq("z", "p_nano")))
       .select(col("doc_id"), col("z"), col("p_nano"))
@@ -194,6 +205,22 @@ object TopicModel {
       idCol: String = "doc_id", k: Int = 3, rounds: Int = 3,
       gridScale: Long = 1000000000L): DataFrame =
     emRounds(docs, textCol, idCol, k, rounds, gridScale)._1.last
+
+  /** Q230 in one call: train the model AND classify the same corpus,
+    * sharing the pinned doc-term counts between training and the
+    * fold-in (r19, VERDICT r18 item 3 — the separate
+    * `assignTopics(docs, plsaModel(docs))` form re-ran the tokenize +
+    * count aggregation the trainer had already pinned). Result is
+    * bit-identical to that form: the fold-in arithmetic sees the same
+    * (d, w, n) rows and the same final pwz.
+    */
+  def plsaAssign(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", k: Int = 3, rounds: Int = 3,
+      gridScale: Long = 1000000000L): DataFrame = {
+    val (pwzRounds, _, nd) =
+      emRounds(docs, textCol, idCol, k, rounds, gridScale)
+    assignFromCounts(nd, pwzRounds.last, k, gridScale)
+  }
 
   /** Q230: PRODUCTION inference — classify documents against a trained
     * topic-word table with one EM fold-in step (uniform doc prior →
@@ -210,14 +237,22 @@ object TopicModel {
     */
   def assignTopics(docs: DataFrame, pwz: DataFrame, textCol: String,
       idCol: String = "doc_id", k: Int = 3,
-      gridScale: Long = 1000000000L): DataFrame = {
-    require(k >= 2 && k <= 16, s"topic count out of range: $k")
-    val u0 = Math.round(gridScale.toDouble / k)
+      gridScale: Long = 1000000000L): DataFrame =
     // same compute-repartition as emRounds' pinned counts: without it
     // the fold-in posterior + per-doc aggregation run on the one
     // AQE-coalesced partition of the doc-term aggregate
-    val nd = Hashing.repartitionForCompute(
-      tokenCounts(docs, textCol, idCol), "d")
+    assignFromCounts(
+      Hashing.repartitionForCompute(tokenCounts(docs, textCol, idCol), "d"),
+      pwz, k, gridScale)
+
+  /** The fold-in over an already-built (d, w, n) counts frame — shared
+    * by [[assignTopics]] (fresh counts) and [[plsaAssign]] (the
+    * trainer's pinned counts).
+    */
+  private def assignFromCounts(nd: DataFrame, pwz: DataFrame, k: Int,
+      gridScale: Long): DataFrame = {
+    require(k >= 2 && k <= 16, s"topic count out of range: $k")
+    val u0 = Math.round(gridScale.toDouble / k)
     val post = nd.join(pwz, Seq("w"))
       .withColumn("joint", transform(col("pw"), p => p * lit(u0)))
       .withColumn("den",

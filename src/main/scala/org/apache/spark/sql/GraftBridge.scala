@@ -29,6 +29,18 @@ object GraftBridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.flatMap(_.getCheckpointFile)
 
+  /** Create a DataFrame straight from an `RDD[InternalRow]` with a known
+    * schema — the `private[sql]` constructor `createDataFrame(rdd: RDD[Row],
+    * ...)` would otherwise force an external-Row encode/decode per row.
+    * Used by the ExactSubstr neighbor passes (guide §5: no external-Row
+    * stage in the hot path). The rows must already match `schema`.
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Free the block-manager storage behind a `localCheckpoint()`ed
     * Dataset. `Dataset.unpersist` reaches only the cache manager, not the
     * checkpoint RDD the plan's `LogicalRDD` leaf wraps — without this,

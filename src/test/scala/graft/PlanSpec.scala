@@ -442,10 +442,21 @@ class PlanSpec extends SparkSpec {
     // A NEW unpartitioned window must be added here WITH its boundedness
     // argument — otherwise it hides in the existing warning spray.
     val allow = Set(
+      // q172: the largest-remainder seat ranking runs over the STRATUM
+      // QUOTA table (one row per stratum — language/source codes, a
+      // bounded dimension at any corpus size), never member rows
       ("Pipelines.scala",
         """val seatW = Window.orderBy(col("rem").desc, col(stratumCol))"""),
+      // q90-family: the running-total window runs over the DAILY
+      // aggregate (one row per epoch day — calendar-bounded: ~36500
+      // rows for a century of data), never order rows
       ("Relational.scala", """val w = Window.orderBy(col("epoch_day"))"""),
+      // q177: the grand-total window runs over the (event_type × hour)
+      // CONTINGENCY table — ≤ |event types|·24 cells after the map-side
+      // fact reduction, a fixed-domain frame at any scale
       ("Relational.scala", """val allW = Window.partitionBy()"""),
+      // q144: the vocab position window runs AFTER the topK limit —
+      // ≤ topK rows by construction (TakeOrderedAndProject in the plan)
       ("TextAnalysis.scala",
         """.over(Window.orderBy(col("rank").desc, col("word"))).cast("long"))"""),
       // q209: both windows run over the duration-day HISTOGRAM (one row

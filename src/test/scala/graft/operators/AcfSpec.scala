@@ -98,6 +98,39 @@ class AcfSpec extends SparkSpec {
       Seq.empty[Double].toDF("v"), "v", 0.5) === ((0L, None)))
   }
 
+  test("discPercentileBySelection: target element past a partition boundary, Long-safe skip") {
+    // r19 (VERDICT r18 item 2): the element read was `it.drop(li.toInt
+    // - 1)` — an Int truncation of the Long local rank. The fix is a
+    // Long while-loop skip; this spec forces the target rank DEEP into
+    // a non-first range partition (heavy ties pack every equal value
+    // into one partition, the 100 TB failure shape at test scale) and
+    // sweeps p so the in-partition skip distance varies.
+    val few = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      // 5000 ties of the max value: ranks 1001..6000 all land in the
+      // tied value's single range partition; p >= 0.5 targets deep
+      // inside it
+      val vs = (1 to 1000).map(_.toDouble) ++ Seq.fill(5000)(9999.0)
+      val df = vs.toDF("v").repartition(7)
+      for (p <- Seq(0.05, 0.2, 0.5, 0.9, 0.999)) {
+        val want = df
+          .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)"))
+          .collect().head.getDouble(0)
+        val (n, got) = Relational.discPercentileBySelection(df, "v", p)
+        assert(n === vs.size.toLong)
+        assert(got === Some(want), s"p=$p")
+      }
+      // nulls are ignored like the aggregate ignores them (ADVICE r18
+      // item 4): n counts only non-null values
+      val withNulls = (Seq[java.lang.Double](1.0, null, 3.0, null, 2.0))
+        .toDF("v")
+      val (n2, got2) =
+        Relational.discPercentileBySelection(withNulls, "v", 0.5)
+      assert(n2 === 3L && got2 === Some(2.0))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", few)
+  }
+
   test("q343 Theil-Sen ladder: same slope as exact on the outlier series") {
     val prices = (0 until 80).map { d =>
       val base = 500.0 + 3.0 * d

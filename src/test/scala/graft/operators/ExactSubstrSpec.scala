@@ -291,6 +291,43 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("prefix-doubling path (windowCap > directSortCap) is bit-identical to the direct sort") {
+    // r19: windowCap <= spark.graft.exactSubstr.directSortCap (default
+    // 256) takes ONE range sort on the capped prefix; above it the
+    // seeded prefix-doubling rank pipeline runs. Both must produce the
+    // identical marked set — (rank, rank-at-offset, id, pos) is
+    // order-isomorphic to (capped prefix, id, pos) — so the doubling
+    // path is forced here via the conf knob and checked against both
+    // the direct path and the suffix-array reference.
+    val rnd = new scala.util.Random(777L)
+    val docs = (1L to 4L).map { id =>
+      id -> (0 until 120).map(_ => if (rnd.nextInt(3) == 0) 'a' else 'b')
+        .mkString
+    }
+    val direct = runOperator(docs, 6, 16)
+    spark.conf.set("spark.graft.exactSubstr.directSortCap", "8")
+    try {
+      val doubled = runOperator(docs, 6, 16)
+      assert(doubled == direct, "paths diverge")
+      check(docs, 6, 16) // doubling path vs the suffix-array reference
+      // cross-corpus marking under the doubling path too
+      val vocab = Vector("spark", "table", "scan", "row", "agg", "key")
+      def mk(n: Int) = (0 until n)
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val train = (1L to 3L).map(id => id -> mk(12 + rnd.nextInt(20)))
+      val bench = (1L to 2L).map(id => id -> mk(12 + rnd.nextInt(20)))
+      val want = crossReference(train, bench, 12)
+      val got = ExactSubstr.crossCorpusSpans(
+          train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "text", "doc_id", minLen = 12, windowCap = 16)
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          col("n_dup_starts"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(got === want, s"cross diverges: got $got want $want")
+    } finally spark.conf.unset("spark.graft.exactSubstr.directSortCap")
+  }
+
   test("common_prefix_len: UTF-8 boundary safety and plain ASCII walk") {
     def l(a: String, b: String): Int = CommonPrefixLenExpr.compute(
       UTF8String.fromString(a), UTF8String.fromString(b))

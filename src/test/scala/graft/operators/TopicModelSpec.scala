@@ -140,6 +140,23 @@ class TopicModelSpec extends SparkSpec {
       (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("plsaAssign (shared pinned counts) equals assignTopics over plsaModel") {
+    // r19: q230 trains + folds in through ONE pinned doc-term counts
+    // frame; the result must be bit-identical to the old two-call form
+    // (same counts rows, same final pwz — sharing only deduplicates
+    // evaluation)
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val old = TopicModel
+      .assignTopics(docs, TopicModel.plsaModel(docs, "text"), "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val shared = TopicModel.plsaAssign(docs, "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(shared === old)
+  }
+
   test("parameter guards") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
