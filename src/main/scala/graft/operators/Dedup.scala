@@ -401,13 +401,22 @@ object Dedup {
     // the session parallelism, keyed by the join key so BOTH sides of
     // the probe×index self-join read it co-partitioned (checkpoint
     // preserves partitioning) and the join adds no exchange.
+    // r19: the pin records UnknownPartitioning (the r18 note's
+    // "checkpoint preserves partitioning" does NOT hold under AQE — the
+    // adaptive plan's partitioning is unknown at checkpoint time), so
+    // the probe×index join re-exchanged via ENSURE_REQUIREMENTS and AQE
+    // coalesced the candidate fan-out stage by its pre-fanout bytes.
+    // The post-pin compute repartition is non-coalescible and reused by
+    // both join sides; hash on `gram` alone still satisfies the
+    // (blk, gram) join's clustering (subset key).
     val prefix = Hashing.repartitionForCompute(
-      posting.join(freq, Seq("blk", "gram"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-        .select(col("blk"), col("gram"), col("id"), col("n"), col("r")),
-      "gram")
-      .localCheckpoint(eager = false)
+      Hashing.repartitionForCompute(
+        posting.join(freq, Seq("blk", "gram"))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+          .select(col("blk"), col("gram"), col("id"), col("n"), col("r")),
+        "gram")
+        .localCheckpoint(eager = false), "gram")
     // size filter (PPJoin's second pruning axis): jaccard(A,B) >= t forces
     // |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so
     // min >= t·max is NECESSARY — candidates that fail it are killed at
@@ -1224,12 +1233,16 @@ object Dedup {
     // otherwise inherits AQE's one coalesced partition and the prefix×
     // index join below runs single-task; keyed on `gram` so both join
     // sides read it co-partitioned
+    // r19: plus the post-pin repartition — the pin's UnknownPartitioning
+    // let AQE coalesce the prefix×index fan-out (see
+    // prefixFilteredJaccardPairs)
     val ranked = Hashing.repartitionForCompute(
-      posting.join(freq, Seq("gram"))
-        .withColumn("r", row_number().over(w))
-        .select(col("gram"), col("id"), col("nn"), col("r")),
-      "gram")
-      .localCheckpoint(eager = false)
+      Hashing.repartitionForCompute(
+        posting.join(freq, Seq("gram"))
+          .withColumn("r", row_number().over(w))
+          .select(col("gram"), col("id"), col("nn"), col("r")),
+        "gram")
+        .localCheckpoint(eager = false), "gram")
     val probe = ranked.filter(
       col("r") <= col("nn") - ceil(lit(threshold) * col("nn")) + 1)
     val pairs = probe

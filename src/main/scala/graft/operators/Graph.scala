@@ -238,12 +238,19 @@ object Graph {
     // and the quadratic co-occurrence fan-out below runs on a handful
     // of tasks; keyed on `u` so both self-join sides read the pin
     // co-partitioned (no re-exchange)
-    val capped = Hashing.repartitionForCompute(i0
-      .withColumn("__ud", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
-      .filter(col("__ud") <= maxCustDeg)
-      .select(col("u"), col("it")), "u")
-      .localCheckpoint(false)
+    // r19 (measured, PlanProbe): the pin records UnknownPartitioning —
+    // the self-join below therefore re-exchanged both sides via
+    // ENSURE_REQUIREMENTS and AQE coalesced the quadratic fan-out stage
+    // to TWO tasks by its pre-fanout bytes (2.2 s of the 3.7 s query).
+    // The post-pin compute repartition is a REPARTITION_BY_NUM exchange
+    // AQE may not coalesce, built once (exchange reuse) for both sides.
+    val capped = Hashing.repartitionForCompute(
+      Hashing.repartitionForCompute(i0
+        .withColumn("__ud", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+        .filter(col("__ud") <= maxCustDeg)
+        .select(col("u"), col("it")), "u")
+        .localCheckpoint(false), "u")
     val deg = capped.groupBy(col("it")).agg(count(lit(1)).as("deg"))
     val pairs = capped.select(col("u"), col("it").as("it_a"))
       .join(capped.select(col("u"), col("it").as("it_b")), Seq("u"))
@@ -285,13 +292,16 @@ object Graph {
     val b0 = baskets.select(col(basketCol).cast("long").as("b"),
       col(itemCol).cast("long").as("it")).distinct()
     // r18: same compute-repartition-before-pin as itemCosineSimilarity,
-    // keyed on the self-join key `b`
-    val capped = Hashing.repartitionForCompute(b0
-      .withColumn("__bs", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
-      .filter(col("__bs") <= maxBasketSize)
-      .select(col("b"), col("it")), "b")
-      .localCheckpoint(false)
+    // keyed on the self-join key `b`; r19: plus the post-pin repartition
+    // (the pin's UnknownPartitioning let AQE coalesce the pair fan-out —
+    // see itemCosineSimilarity)
+    val capped = Hashing.repartitionForCompute(
+      Hashing.repartitionForCompute(b0
+        .withColumn("__bs", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+        .filter(col("__bs") <= maxBasketSize)
+        .select(col("b"), col("it")), "b")
+        .localCheckpoint(false), "b")
     val tot = capped.agg(countDistinct(col("b")).as("nb"))
     val supp = capped.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
     capped.select(col("b"), col("it").as("it_a"))

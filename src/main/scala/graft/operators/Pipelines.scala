@@ -276,8 +276,15 @@ object Pipelines {
         .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
           col("text")),
       "graft_prep_dedup")
+    // r19 (measured, guide §2): the exact-dedup groupBy's output is
+    // ~1 MB at sf0.1, so AQE coalesced it to ONE partition and the
+    // whole downstream chain (passage chunk hashing, token counting,
+    // punctuation regex — the pipeline's CPU-heavy text kernels) ran
+    // single-task (~3 s of 1-task stages). Per-doc work is
+    // partition-independent; spread it to session parallelism.
     val stripped = Dedup
-      .passageDedup(deduped, "text", "doc_id", chunkTokens, carry = Seq("lang"))
+      .passageDedup(Hashing.repartitionForCompute(deduped, "doc_id"),
+        "text", "doc_id", chunkTokens, carry = Seq("lang"))
       .select(col("doc_id"), col("lang"), col("text_stripped").as("text"),
         col("n_dup_chunks"))
     val quality = stripped

@@ -371,7 +371,14 @@ object Regression {
     // source parquet + re-ran the projection. Pin the three projected
     // long columns once; every moment aggregate below reads the pinned
     // blocks. Values unchanged — the pin only deduplicates evaluation.
-    val dp = Pinning.pin(d.select(col("x1"), col("x2"), col("y")))
+    // keyed compute repartition BEFORE the pin: the projection inherits
+    // the scan's handful of split partitions (3 at sf0.1 under the 4 MB
+    // bench splits), so every aggregate pass would run 3-wide on a
+    // CPU-heavy decimal-moment kernel; the pinned blocks carry the
+    // session parallelism instead. Decimal/count moments are
+    // order-independent, so values are unchanged.
+    val dp = Pinning.pin(Hashing.repartitionForCompute(
+      d.select(col("x1"), col("x2"), col("y")), "y"))
     // init: the unweighted OLS solution
     val m0 = moments(dp).map(_.doubleValue())
     val Array(n0, s1, s2, s11, s12, s22, sy, s1y, s2y) = m0
@@ -504,10 +511,17 @@ object Regression {
   def breuschPagan(lineitem: DataFrame): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
     def d(name: String): Column = col(name).cast("double")
-    val base = lineitem.select(
-      round(col("l_quantity")).cast("long").as("x1"),
-      round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
-      round(lit(100.0) * col("l_extendedprice")).cast("long").as("y"))
+    // r19 (guide §6/§2, measured): the beta-moment and residual-moment
+    // aggregates each re-scanned parquet on the scan's 3 split
+    // partitions (two ~1 s 3-task stages at sf0.1). One pinned,
+    // compute-repartitioned projection feeds both; decimal/count sums
+    // are order-independent so values are unchanged.
+    val base = Pinning.pin(Hashing.repartitionForCompute(
+      lineitem.select(
+        round(col("l_quantity")).cast("long").as("x1"),
+        round(lit(100.0) * col("l_discount")).cast("long").as("x2"),
+        round(lit(100.0) * col("l_extendedprice")).cast("long").as("y")),
+      "y"))
     val m = base.agg(
         count(lit(1)).as("nl"),
         sum(dec(col("x1"))).as("s1d"), sum(dec(col("x2"))).as("s2d"),
